@@ -1,0 +1,104 @@
+package graft
+
+import graft.functions.AvroSerde
+import graft.model.{EngineConf, SchemaDef}
+import graft.operators.Metrics
+import graft.sources.Generator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** CLI entry — the Spark re-expression of the reference's dispatcher
+  * (reference: AplicacaoPrincipal.java:21-59: env TIPO_APLICACAO
+  * selects one of four pipelines). Offline analogue: Kafka topics
+  * become parquet dirs holding the serialized values
+  * (chave, particao, valor), so produce = generate + serialize + write
+  * and consume = read + (optionally) parse + metrics.
+  *
+  * Usage:
+  *   runMain graft.Main PRODUTOR_AVRO  /path/dir
+  *   runMain graft.Main PRODUTOR_JSON  /path/dir
+  *   runMain graft.Main CONSUMIDOR_AVRO /path/dir
+  *   runMain graft.Main CONSUMIDOR_JSON /path/dir
+  * Config via the reference's env names (TOTAL_MENSAGENS,
+  * TAMANHO_MENSAGEM_KB, NUM_PARTICOES, BENCH_MODE, WARMUP_MENSAGENS…).
+  */
+object Main {
+
+  def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println(
+        "uso: graft.Main <PRODUTOR_AVRO|PRODUTOR_JSON|CONSUMIDOR_AVRO|CONSUMIDOR_JSON> <dir>")
+      sys.exit(2)
+    }
+    val (mode, dir) = (args(0).toUpperCase, args(1))
+    val conf = EngineConf.fromEnv()
+    val spark = GraftSession.getOrCreate(s"graft-$mode")
+    try {
+      val report = mode match {
+        case "PRODUTOR_AVRO"   => produce(spark, conf, dir, avro = true)
+        case "PRODUTOR_JSON"   => produce(spark, conf, dir, avro = false)
+        case "CONSUMIDOR_AVRO" => consume(spark, conf, dir, avro = true)
+        case "CONSUMIDOR_JSON" => consume(spark, conf, dir, avro = false)
+        case other =>
+          System.err.println(s"tipo de aplicação desconhecido: $other")
+          sys.exit(2); null
+      }
+      // console report + JSON report sink, the O21 analogue
+      report.show(truncate = false)
+      report.coalesce(1).write.mode("overwrite").json(s"$dir/relatorio-$mode")
+      println(report.toJSON.collect().mkString("\n"))
+    } finally spark.stop()
+  }
+
+  /** Generate + serialize + partitioned write (reference produce path,
+    * ProdutorAvro.java:55-105 / ProdutorJson.java:45-95). The explicit
+    * round-robin partition column is carried through the write so a
+    * later reader sees the same layout as the 18-partition topic. */
+  def produce(spark: SparkSession, conf: EngineConf, dir: String, avro: Boolean): DataFrame = {
+    val msgs = Generator.messages(spark, conf)
+    val raw = if (avro) Generator.rawAvro(msgs) else Generator.rawJson(msgs)
+    val fmt = if (avro) "avro" else "json"
+    // repartition by the explicit partition column (O7) — mirrors the
+    // producer's (i-1)%P record partitioner on the wire layout
+    raw.repartition(conf.numParticoes, col("particao"))
+      .write.mode("overwrite").partitionBy("particao")
+      .parquet(s"$dir/messages_raw_$fmt")
+    val bytes = if (avro) col("bytes_avro") else col("bytes_json")
+    Metrics.report(
+      msgs.filter(col("sequencia") > conf.warmupMensagens),
+      bytes, col("sucesso"), col("timestamp"), conf)
+  }
+
+  /** Read + optional parse + metrics (reference consume path,
+    * ConsumidorAvro.java:57-130 / ConsumidorJson.java:56-209).
+    * BENCH_MODE=TRANSPORTE skips the decode entirely — Catalyst column
+    * pruning means the parse expression is never even evaluated. */
+  def consume(spark: SparkSession, conf: EngineConf, dir: String, avro: Boolean): DataFrame = {
+    val fmt = if (avro) "avro" else "json"
+    val raw = spark.read.parquet(s"$dir/messages_raw_$fmt")
+    val parsed = conf.benchMode match {
+      case "TRANSPORTE" =>
+        // size-only projection (O15): no decode
+        // no decode => no sequencia; the warm-up filter (a processed-
+        // count heuristic in the reference) does not apply here
+        raw.select(col("particao"),
+          length(col("valor")).cast("long").as("bytes"),
+          lit(true).as("ok"),
+          lit(Generator.BaseTs).as("ts"),
+          lit(Long.MaxValue).as("seq"))
+      case _ => // E2E_PARSE: full decode (O13/O14)
+        val payload =
+          if (avro) AvroSerde.from_avro(col("valor"), SchemaDef.mensagemAvroJson)
+          else from_json(col("valor").cast("string"), SchemaDef.mensagemType)
+        raw.select(col("particao"), length(col("valor")).cast("long").as("bytes"),
+            payload.as("m"))
+          .select(col("particao"), col("bytes"),
+            col("m").isNotNull.as("ok"),
+            col("m.timestamp").as("ts"),
+            col("m.sequencia").as("seq"))
+    }
+    Metrics.report(
+      parsed.filter(col("seq") > conf.warmupMensagens),
+      col("bytes"), col("ok"), col("ts"), conf)
+  }
+}

@@ -1,0 +1,160 @@
+package graft.functions
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.io.{BinaryDecoder, BinaryEncoder, DecoderFactory, EncoderFactory}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionDescription, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.jdk.CollectionConverters._
+
+/** Avro binary serde as native Catalyst expressions.
+  *
+  * The runtime ships avro-core but not the `spark-avro` module, so the
+  * reference's serialize/deserialize operators (reference:
+  * aplicacoes/ProdutorAvro.java:59-70 via Confluent KafkaAvroSerializer;
+  * aplicacoes/ConsumidorAvro.java:86-96) are re-expressed here as
+  * expressions over `org.apache.avro` directly. Per-task state (datum
+  * writer/reader, reused encoder/decoder, output buffer) lives in
+  * `@transient lazy val`s: each Spark task deserializes its own copy of
+  * the expression tree, so the mutable buffers are task-local.
+  *
+  * Only the types the payload schema needs are supported:
+  * string/long/int/double/float/boolean/bytes/array/record — see
+  * SchemaDef.mensagemAvroJson.
+  */
+object AvroSchemaMap {
+
+  /** Map an Avro schema to the equivalent Spark type (subset). */
+  def toSparkType(schema: Schema): DataType = schema.getType match {
+    case Schema.Type.STRING  => StringType
+    case Schema.Type.LONG    => LongType
+    case Schema.Type.INT     => IntegerType
+    case Schema.Type.DOUBLE  => DoubleType
+    case Schema.Type.FLOAT   => FloatType
+    case Schema.Type.BOOLEAN => BooleanType
+    case Schema.Type.BYTES   => BinaryType
+    case Schema.Type.ARRAY =>
+      ArrayType(toSparkType(schema.getElementType), containsNull = false)
+    case Schema.Type.RECORD =>
+      StructType(schema.getFields.asScala.toSeq.map { f =>
+        StructField(f.name(), toSparkType(f.schema()), nullable = false)
+      })
+    case t => throw new IllegalArgumentException(s"unsupported avro type: $t")
+  }
+
+  /** Catalyst value -> Avro datum, driven by both type systems. */
+  def toAvroDatum(value: Any, dt: DataType, schema: Schema): AnyRef = (dt, value) match {
+    case (_, null)            => null
+    case (StringType, v: UTF8String) => v.toString
+    case (BinaryType, v: Array[Byte]) => java.nio.ByteBuffer.wrap(v)
+    case (ArrayType(et, _), v: ArrayData) =>
+      val es = schema.getElementType
+      val n = v.numElements()
+      val out = new java.util.ArrayList[AnyRef](n)
+      var i = 0
+      while (i < n) { out.add(toAvroDatum(v.get(i, et), et, es)); i += 1 }
+      out
+    case (st: StructType, row: InternalRow) =>
+      val rec = new GenericData.Record(schema)
+      var i = 0
+      while (i < st.length) {
+        val f = st(i)
+        rec.put(i, toAvroDatum(row.get(i, f.dataType), f.dataType, schema.getFields.get(i).schema()))
+        i += 1
+      }
+      rec
+    case (_, v) => v.asInstanceOf[AnyRef] // long/int/double/float/boolean box as-is
+  }
+
+  /** Avro datum -> Catalyst value. */
+  def toCatalyst(value: AnyRef, dt: DataType): Any = (dt, value) match {
+    case (_, null)        => null
+    case (StringType, v)  => UTF8String.fromString(v.toString) // handles Utf8
+    case (BinaryType, v: java.nio.ByteBuffer) =>
+      val b = new Array[Byte](v.remaining()); v.duplicate().get(b); b
+    case (ArrayType(et, _), v: java.util.Collection[_]) =>
+      val out = new Array[Any](v.size())
+      var i = 0
+      val it = v.iterator()
+      while (it.hasNext) { out(i) = toCatalyst(it.next().asInstanceOf[AnyRef], et); i += 1 }
+      new GenericArrayData(out)
+    case (st: StructType, rec: GenericRecord) =>
+      val out = new Array[Any](st.length)
+      var i = 0
+      while (i < st.length) { out(i) = toCatalyst(rec.get(i), st(i).dataType); i += 1 }
+      InternalRow.fromSeq(out.toIndexedSeq)
+    case (_, v) => v
+  }
+}
+
+/** struct -> Avro binary (single-record, no container file / header). */
+@ExpressionDescription(usage = "graft_to_avro(struct) - Avro-binary encode a struct")
+case class ToAvro(child: Expression, schemaJson: String)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val avroSchema = new Schema.Parser().parse(schemaJson)
+  @transient private lazy val structType = child.dataType.asInstanceOf[StructType]
+  @transient private lazy val writer = new GenericDatumWriter[GenericRecord](avroSchema)
+  @transient private lazy val baos = new ByteArrayOutputStream(4096)
+  @transient private var encoder: BinaryEncoder = _
+
+  override def nullSafeEval(input: Any): Any = {
+    val rec = AvroSchemaMap
+      .toAvroDatum(input.asInstanceOf[InternalRow], structType, avroSchema)
+      .asInstanceOf[GenericRecord]
+    baos.reset()
+    encoder = EncoderFactory.get().directBinaryEncoder(baos, encoder)
+    writer.write(rec, encoder)
+    encoder.flush()
+    baos.toByteArray
+  }
+
+  override protected def withNewChildInternal(c: Expression): ToAvro = copy(child = c)
+}
+
+/** Avro binary -> struct (schema-exact, mirrors the registry-enforced
+  * decode of the reference consumer). */
+@ExpressionDescription(usage = "graft_from_avro(bin) - decode Avro-binary into a struct")
+case class FromAvro(child: Expression, schemaJson: String)
+    extends UnaryExpression with CodegenFallback {
+
+  @transient private lazy val avroSchema = new Schema.Parser().parse(schemaJson)
+  override lazy val dataType: DataType = AvroSchemaMap.toSparkType(
+    new Schema.Parser().parse(schemaJson))
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val reader = new GenericDatumReader[GenericRecord](avroSchema)
+  @transient private var decoder: BinaryDecoder = _
+  @transient private var reuse: GenericRecord = _
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    decoder = DecoderFactory.get().binaryDecoder(bytes, decoder)
+    reuse = reader.read(reuse, decoder)
+    AvroSchemaMap.toCatalyst(reuse, dataType)
+  }
+
+  override protected def withNewChildInternal(c: Expression): FromAvro = copy(child = c)
+}
+
+object AvroSerde {
+  /** Column API: Avro-encode a struct column. */
+  def to_avro(c: Column, schemaJson: String): Column =
+    ColumnBridge.column(ToAvro(ColumnBridge.expression(c), schemaJson))
+
+  /** Column API: decode an Avro-binary column into a struct. */
+  def from_avro(c: Column, schemaJson: String): Column =
+    ColumnBridge.column(FromAvro(ColumnBridge.expression(c), schemaJson))
+}
