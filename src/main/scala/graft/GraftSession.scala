@@ -20,6 +20,9 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // driver testdata writes events.ts as parquet TIMESTAMP(NANOS),
+      // which Spark 4 rejects by default; read as long nanos instead
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
   def defaultCores: Int =

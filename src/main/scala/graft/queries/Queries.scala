@@ -1,0 +1,465 @@
+package graft.queries
+
+import graft.functions.GraftFunctions
+import graft.sources.GenFixtures
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** The t2 correctness surface (SURVEY.md §2.3): every query exists
+  * twice — as an idiomatic DataFrame pipeline here, and as ANSI SQL in
+  * [[Queries.oracle]] that the driver runs in DuckDB over the same
+  * parquet inputs.
+  *
+  * Oracle-parity rules (FIXTURES.md §D):
+  *  - double SUMs go through exact DECIMAL casts, final CAST to DOUBLE
+  *    (float addition order would otherwise differ between engines);
+  *  - stable ORDER BY on the full projected key in BOTH dialects;
+  *  - identical expression *shapes* so IEEE evaluation matches;
+  *  - timestamps leave as epoch millis (unix_millis / epoch_ms).
+  */
+object Queries {
+
+  /** The committed deterministic messages fixture — the same file is
+    * read by Spark and DuckDB, so checks are purely about semantics. */
+  val M: String = GenFixtures.MessagesPath
+  private val mSql = s"read_parquet('$M')"
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def msgs(s: SparkSession): DataFrame = s.read.parquet(M)
+
+  private def dec(c: Column, p: Int, sc: Int): Column = c.cast(DecimalType(p, sc))
+
+  // ---------------------------------------------------------------- messages
+
+  /** Q1 (O18-O19): the reference metrics report, numeric columns.
+    * Counter semantics per MetricasDesempenho.registrarMensagem
+    * (bytes added only when > 0), derived formulas per
+    * MetricasDesempenho.java:45-72 with duration = max-min timestamp. */
+  private def metricsAgg(df: DataFrame): DataFrame =
+    df.agg(
+        count(lit(1)).as("total_mensagens"),
+        sum(when(col("sucesso"), 1L).otherwise(0L)).as("mensagens_sucesso"),
+        sum(when(col("sucesso"), 0L).otherwise(1L)).as("mensagens_com_erro"),
+        sum(when(col("bytes_avro") > 0, col("bytes_avro")).otherwise(0L)).as("total_bytes"),
+        min(col("timestamp")).as("ts_inicio"),
+        max(col("timestamp")).as("ts_fim"))
+      .select(col("total_mensagens"), col("mensagens_sucesso"), col("mensagens_com_erro"),
+        col("total_bytes"),
+        (col("ts_fim") - col("ts_inicio")).as("duracao_ms"),
+        (col("total_mensagens") / ((col("ts_fim") - col("ts_inicio")) / lit(1000.0)))
+          .as("msgs_por_segundo"),
+        ((col("total_bytes") / lit(1048576.0)) /
+          ((col("ts_fim") - col("ts_inicio")) / lit(1000.0))).as("mb_por_segundo"),
+        ((col("ts_fim") - col("ts_inicio")) / col("total_mensagens")).as("ms_por_mensagem"),
+        (col("mensagens_sucesso") * lit(100.0) / col("total_mensagens")).as("taxa_sucesso"))
+
+  private val metricsSqlCols =
+    """count(*) AS total_mensagens,
+      |  sum(CASE WHEN sucesso THEN 1 ELSE 0 END) AS mensagens_sucesso,
+      |  sum(CASE WHEN sucesso THEN 0 ELSE 1 END) AS mensagens_com_erro,
+      |  sum(CASE WHEN bytes_avro > 0 THEN bytes_avro ELSE 0 END) AS total_bytes,
+      |  min("timestamp") AS ts_inicio, max("timestamp") AS ts_fim""".stripMargin
+
+  private val metricsSqlDerived =
+    """CAST(total_mensagens AS BIGINT) AS total_mensagens,
+      |  CAST(mensagens_sucesso AS BIGINT) AS mensagens_sucesso,
+      |  CAST(mensagens_com_erro AS BIGINT) AS mensagens_com_erro,
+      |  CAST(total_bytes AS BIGINT) AS total_bytes,
+      |  CAST(ts_fim - ts_inicio AS BIGINT) AS duracao_ms,
+      |  total_mensagens / ((ts_fim - ts_inicio) / 1000.0) AS msgs_por_segundo,
+      |  (total_bytes / 1048576.0) / ((ts_fim - ts_inicio) / 1000.0) AS mb_por_segundo,
+      |  (ts_fim - ts_inicio) / total_mensagens AS ms_por_mensagem,
+      |  mensagens_sucesso * 100.0 / total_mensagens AS taxa_sucesso""".stripMargin
+
+  def q01Metrics(s: SparkSession, dir: String): DataFrame = metricsAgg(msgs(s))
+
+  val q01Sql: String =
+    s"""SELECT $metricsSqlDerived
+       |FROM (SELECT $metricsSqlCols FROM $mSql)""".stripMargin
+
+  /** Q2 (O7 validation): Q1 grouped by particao; round-robin means
+    * per-partition counts differ by <= 1. */
+  def q02PorParticao(s: SparkSession, dir: String): DataFrame =
+    msgs(s).groupBy("particao")
+      .agg(
+        count(lit(1)).as("total_mensagens"),
+        sum(when(col("sucesso"), 1L).otherwise(0L)).as("mensagens_sucesso"),
+        sum(when(col("bytes_avro") > 0, col("bytes_avro")).otherwise(0L)).as("total_bytes"),
+        min("sequencia").as("seq_min"), max("sequencia").as("seq_max"))
+      .orderBy("particao")
+
+  val q02Sql: String =
+    s"""SELECT particao, count(*) AS total_mensagens,
+       |  CAST(sum(CASE WHEN sucesso THEN 1 ELSE 0 END) AS BIGINT) AS mensagens_sucesso,
+       |  CAST(sum(CASE WHEN bytes_avro > 0 THEN bytes_avro ELSE 0 END) AS BIGINT) AS total_bytes,
+       |  min(sequencia) AS seq_min, max(sequencia) AS seq_max
+       |FROM $mSql GROUP BY particao ORDER BY particao""".stripMargin
+
+  /** Q3 (O17): warm-up exclusion — Q1 over sequencia > 100. */
+  def q03Warmup(s: SparkSession, dir: String): DataFrame =
+    metricsAgg(msgs(s).filter(col("sequencia") > 100))
+
+  val q03Sql: String =
+    s"""SELECT $metricsSqlDerived
+       |FROM (SELECT $metricsSqlCols FROM $mSql WHERE sequencia > 100)""".stripMargin
+
+  /** Q4 (O15/O16): transport-size profile per format + the reference's
+    * Avro size-estimator column (ConsumidorAvro.java:182-191: per
+    * registro 4+8+8+len(texto)+len(uuid); 0 for the JSON side). */
+  def q04Transporte(s: SparkSession, dir: String): DataFrame = {
+    val m = msgs(s)
+    val est = GraftFunctions.avroSizeEstimate(col("dados"))
+    val avro = m.select(lit("avro").as("formato"), col("bytes_avro").as("bytes"),
+      est.as("estimativa"))
+    val json = m.select(lit("json").as("formato"), col("bytes_json").as("bytes"),
+      lit(0L).as("estimativa"))
+    avro.unionAll(json).groupBy("formato")
+      .agg(count(lit(1)).as("n"), sum("bytes").as("total_bytes"),
+        min("bytes").as("min_bytes"), max("bytes").as("max_bytes"),
+        (sum("bytes").cast("double") / count(lit(1))).as("media_bytes"),
+        sum("estimativa").as("estimativa_total"))
+      .orderBy("formato")
+  }
+
+  val q04Sql: String =
+    s"""SELECT formato, count(*) AS n, CAST(sum(bytes) AS BIGINT) AS total_bytes,
+       |  min(bytes) AS min_bytes, max(bytes) AS max_bytes,
+       |  CAST(sum(bytes) AS DOUBLE) / count(*) AS media_bytes,
+       |  CAST(sum(estimativa) AS BIGINT) AS estimativa_total
+       |FROM (
+       |  SELECT 'avro' AS formato, bytes_avro AS bytes,
+       |    list_sum(list_transform(dados, r -> 20 + length(r.texto) + length(r.uuid))) AS estimativa
+       |  FROM $mSql
+       |  UNION ALL
+       |  SELECT 'json' AS formato, bytes_json AS bytes, 0 AS estimativa FROM $mSql
+       |) GROUP BY formato ORDER BY formato""".stripMargin
+
+  /** Q5 (O11): seek end-N — per partition the last ceil(900/18)=50
+    * messages by sequencia, re-aggregated. */
+  def q05TailScan(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("particao").orderBy(col("sequencia").desc)
+    msgs(s).withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 50)
+      .groupBy("particao")
+      .agg(count(lit(1)).as("n"), min("sequencia").as("seq_min"),
+        max("sequencia").as("seq_max"), sum("bytes_avro").as("total_bytes"))
+      .orderBy("particao")
+  }
+
+  val q05Sql: String =
+    s"""SELECT particao, count(*) AS n, min(sequencia) AS seq_min,
+       |  max(sequencia) AS seq_max, CAST(sum(bytes_avro) AS BIGINT) AS total_bytes
+       |FROM (SELECT particao, sequencia, bytes_avro,
+       |        row_number() OVER (PARTITION BY particao ORDER BY sequencia DESC) AS rn
+       |      FROM $mSql)
+       |WHERE rn <= 50 GROUP BY particao ORDER BY particao""".stripMargin
+
+  /** Q7 (extension): rollup over (formato, particao) of the transport
+    * profile; grouping NULLs replaced by sentinels for stable hashing. */
+  def q06Rollup(s: SparkSession, dir: String): DataFrame = {
+    val m = msgs(s)
+    val u = m.select(lit("avro").as("formato"), col("particao"), col("bytes_avro").as("bytes"))
+      .unionAll(m.select(lit("json").as("formato"), col("particao"), col("bytes_json").as("bytes")))
+    u.rollup("formato", "particao")
+      .agg(count(lit(1)).as("n"), sum("bytes").as("total_bytes"))
+      .select(coalesce(col("formato"), lit("TODOS")).as("formato"),
+        coalesce(col("particao"), lit(-1)).as("particao"), col("n"), col("total_bytes"))
+      .orderBy("formato", "particao")
+  }
+
+  val q06Sql: String =
+    s"""SELECT coalesce(formato, 'TODOS') AS formato, coalesce(particao, -1) AS particao,
+       |  count(*) AS n, CAST(sum(bytes) AS BIGINT) AS total_bytes
+       |FROM (
+       |  SELECT 'avro' AS formato, particao, bytes_avro AS bytes FROM $mSql
+       |  UNION ALL
+       |  SELECT 'json' AS formato, particao, bytes_json AS bytes FROM $mSql
+       |) GROUP BY ROLLUP(formato, particao) ORDER BY formato, particao""".stripMargin
+
+  // ------------------------------------------------------------------- tpch
+
+  /** Q10: pricing summary (hash agg, partial+final; TPC-H Q1 shape).
+    * Exact DECIMAL accumulation; see class doc. */
+  def q10Pricing(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val disc = dec(lit(1), 3, 2) - dec(col("l_discount"), 4, 2)
+    val price = dec(col("l_extendedprice"), 12, 2)
+    li.filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec(col("l_quantity"), 12, 2)).cast("double").as("sum_qty"),
+        sum(price).cast("double").as("sum_base_price"),
+        sum(price * disc).cast("double").as("sum_disc_price"),
+        sum(price * disc * (dec(lit(1), 3, 2) + dec(col("l_tax"), 4, 2))).cast("double")
+          .as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val q10Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |           (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+      |    AS sum_disc_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |           (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) *
+      |           (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE)
+      |    AS sum_charge,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Q11: revenue by nation — star join; small dims (nation, region)
+    * broadcast so the only shuffle is the lineitem-orders-customer
+    * path, which AQE re-plans at runtime. */
+  def q11RevenueNation(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    val revenue = dec(col("l_extendedprice"), 12, 2) *
+      (dec(lit(1), 3, 2) - dec(col("l_discount"), 4, 2))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(sum(revenue).cast("double").as("receita"), count(lit(1)).as("n_itens"))
+      .orderBy("r_name", "n_name")
+  }
+
+  val q11Sql: String =
+    """SELECT r_name, n_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |           (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+      |    AS receita,
+      |  count(*) AS n_itens
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  /** Q12: top-k — revenue per customer, top 10, fully deterministic
+    * ordering (revenue is an exact decimal before the sort). */
+  def q12TopCustomers(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val revenue = dec(col("l_extendedprice"), 12, 2) *
+      (dec(lit(1), 3, 2) - dec(col("l_discount"), 4, 2))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_name")
+      .agg(sum(revenue).as("receita_dec"))
+      .select(col("c_custkey"), col("c_name"), col("receita_dec").cast("double").as("receita"))
+      .orderBy(col("receita_dec").desc, col("c_custkey"))
+      .drop("receita_dec")
+      .limit(10)
+  }
+
+  val q12Sql: String =
+    """SELECT c_custkey, c_name, CAST(receita_dec AS DOUBLE) AS receita
+      |FROM (
+      |  SELECT c_custkey, c_name,
+      |    sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |        (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS receita_dec
+      |  FROM lineitem
+      |  JOIN orders   ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY c_custkey, c_name
+      |) ORDER BY receita_dec DESC, c_custkey LIMIT 10""".stripMargin
+
+  /** Q13: window functions — per-customer order sequence + running
+    * total (exact decimal running sum). */
+  def q13WindowOrders(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("total_acumulado",
+        sum(dec(col("o_totalprice"), 12, 2))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"))
+      .select(col("o_custkey"), col("o_orderkey"), col("rn"), col("total_acumulado"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  val q13Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  row_number() OVER w AS rn,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+      |       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS total_acumulado
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  /** Q14: rollup over orders (status, priority). */
+  def q14RollupOrders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("o_totalprice"), 12, 2)).cast("double").as("total"))
+      .select(coalesce(col("o_orderstatus"), lit("TODOS")).as("status"),
+        coalesce(col("o_orderpriority"), lit("TODAS")).as("prioridade"),
+        col("n"), col("total"))
+      .orderBy("status", "prioridade")
+
+  val q14Sql: String =
+    """SELECT coalesce(o_orderstatus, 'TODOS') AS status,
+      |  coalesce(o_orderpriority, 'TODAS') AS prioridade,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+      |ORDER BY status, prioridade""".stripMargin
+
+  /** Q15: set ops — customers with orders (INTERSECT) and without
+    * (EXCEPT), tagged and unioned. */
+  def q15SetOps(s: SparkSession, dir: String): DataFrame = {
+    val ck = t(s, dir, "customer").select(col("c_custkey"))
+    val ok = t(s, dir, "orders").select(col("o_custkey").as("c_custkey"))
+    val com = ck.intersect(ok).select(lit("com_pedido").as("tipo"), col("c_custkey"))
+    val sem = ck.except(ok).select(lit("sem_pedido").as("tipo"), col("c_custkey"))
+    com.unionAll(sem).orderBy("tipo", "c_custkey")
+  }
+
+  val q15Sql: String =
+    """SELECT 'com_pedido' AS tipo, c_custkey
+      |  FROM (SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders)
+      |UNION ALL
+      |SELECT 'sem_pedido' AS tipo, c_custkey
+      |  FROM (SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders)
+      |ORDER BY tipo, c_custkey""".stripMargin
+
+  /** Q16: semi/anti join counts (EXISTS / NOT EXISTS as left_semi /
+    * left_anti — no row multiplication, broadcast-able at scale). */
+  def q16SemiAnti(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    val semi = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("clientes_com_pedido"))
+    val anti = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("clientes_sem_pedido"))
+    semi.crossJoin(anti)
+  }
+
+  val q16Sql: String =
+    """SELECT
+      |  (SELECT count(*) FROM customer c
+      |    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+      |    AS clientes_com_pedido,
+      |  (SELECT count(*) FROM customer c
+      |    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+      |    AS clientes_sem_pedido""".stripMargin
+
+  /** Q17: exact distinct aggregation over lineitem. */
+  def q17Distinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").agg(
+      countDistinct(col("l_partkey")).as("partes_distintas"),
+      countDistinct(col("l_suppkey")).as("fornecedores_distintos"),
+      countDistinct(col("l_orderkey")).as("pedidos_distintos"),
+      count(lit(1)).as("linhas"))
+
+  val q17Sql: String =
+    """SELECT count(DISTINCT l_partkey) AS partes_distintas,
+      |  count(DISTINCT l_suppkey) AS fornecedores_distintos,
+      |  count(DISTINCT l_orderkey) AS pedidos_distintos,
+      |  count(*) AS linhas
+      |FROM lineitem""".stripMargin
+
+  // ----------------------------------------------------------------- events
+
+  /** events with `ts` as a proper TimestampType. The driver parquet
+    * stores TIMESTAMP(NANOS) which Spark reads as long nanos (see
+    * GraftSession nanosAsLong); truncate ns -> us exactly like
+    * DuckDB's CAST(ts_ns AS TIMESTAMP). */
+  private def events(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+  /** Q20: latest-by-key over the event stream (dedup-to-latest — the
+    * window-rank idiom; at scale this is one shuffle on user_id). */
+  def q20LatestByKey(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+        unix_millis(col("ts")).as("ts_ms"))
+      .orderBy("user_id")
+  }
+
+  val q20Sql: String =
+    """SELECT user_id, event_id, event_type, value, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms
+      |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events)
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  /** Q21: tumbling 1-hour window aggregation (the batch equivalent of
+    * streaming SQ1; values are 2-decimal so DECIMAL accumulation is
+    * exact). */
+  def q21Tumbling(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("janela"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"), 18, 2)).cast("double").as("soma_valor"))
+      .select(unix_millis(col("janela")).as("janela_ms"), col("event_type"), col("n"),
+        col("soma_valor"))
+      .orderBy("janela_ms", "event_type")
+
+  val q21Sql: String =
+    """SELECT epoch_ms(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))) AS janela_ms,
+      |  event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS soma_valor
+      |FROM events GROUP BY 1, 2 ORDER BY janela_ms, event_type""".stripMargin
+
+  // --------------------------------------------------------------- registry
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_metrics" -> (q01Metrics _),
+    "q02_por_particao" -> (q02PorParticao _),
+    "q03_warmup" -> (q03Warmup _),
+    "q04_transporte" -> (q04Transporte _),
+    "q05_tail_scan" -> (q05TailScan _),
+    "q06_rollup_formato" -> (q06Rollup _),
+    "q10_pricing_summary" -> (q10Pricing _),
+    "q11_revenue_nation" -> (q11RevenueNation _),
+    "q12_top_customers" -> (q12TopCustomers _),
+    "q13_window_orders" -> (q13WindowOrders _),
+    "q14_rollup_orders" -> (q14RollupOrders _),
+    "q15_setops" -> (q15SetOps _),
+    "q16_semi_anti" -> (q16SemiAnti _),
+    "q17_distinct" -> (q17Distinct _),
+    "q20_latest_by_key" -> (q20LatestByKey _),
+    "q21_tumbling" -> (q21Tumbling _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q01_metrics" -> q01Sql,
+    "q02_por_particao" -> q02Sql,
+    "q03_warmup" -> q03Sql,
+    "q04_transporte" -> q04Sql,
+    "q05_tail_scan" -> q05Sql,
+    "q06_rollup_formato" -> q06Sql,
+    "q10_pricing_summary" -> q10Sql,
+    "q11_revenue_nation" -> q11Sql,
+    "q12_top_customers" -> q12Sql,
+    "q13_window_orders" -> q13Sql,
+    "q14_rollup_orders" -> q14Sql,
+    "q15_setops" -> q15Sql,
+    "q16_semi_anti" -> q16Sql,
+    "q17_distinct" -> q17Sql,
+    "q20_latest_by_key" -> q20Sql,
+    "q21_tumbling" -> q21Sql
+  )
+}

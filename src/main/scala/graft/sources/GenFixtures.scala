@@ -1,0 +1,40 @@
+package graft.sources
+
+import graft.GraftSession
+import graft.model.EngineConf
+
+/** Materializes the deterministic `messages` fixture the oracle
+  * queries read (FIXTURES.md §A): 5000 msgs x 1 KB (5 registros each),
+  * 18 partitions, seed 42. Both the Spark queries and the DuckDB
+  * oracle read the SAME parquet file, so the correctness check is
+  * purely about query semantics, not generation.
+  *
+  * Run: sbt "runMain graft.sources.GenFixtures /root/repo/fixtures"
+  */
+object GenFixtures {
+  val FixtureConf: EngineConf = EngineConf(
+    totalMensagens = 5000, tamanhoMensagemKB = 1, numParticoes = 18,
+    warmupMensagens = 0, seed = 42)
+
+  /** Canonical committed location, used by the messages queries. */
+  val MessagesPath = "/root/repo/fixtures/messages.parquet"
+
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("/root/repo/fixtures")
+    val spark = GraftSession.getOrCreate("graft-fixtures")
+    try {
+      Generator.messages(spark, FixtureConf)
+        .coalesce(1)
+        .sortWithinPartitions("sequencia")
+        .write.mode("overwrite").parquet(s"$out/messages_dir")
+    } finally spark.stop()
+    // single-file layout so DuckDB's read_parquet('...parquet') is trivial
+    val dir = new java.io.File(s"$out/messages_dir")
+    val part = dir.listFiles().find(_.getName.endsWith(".parquet")).get
+    val dst = new java.io.File(s"$out/messages.parquet")
+    if (dst.exists()) dst.delete()
+    java.nio.file.Files.move(part.toPath, dst.toPath)
+    dir.listFiles().foreach(_.delete()); dir.delete()
+    println(s"wrote $dst (${dst.length()} bytes)")
+  }
+}
