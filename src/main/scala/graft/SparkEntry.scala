@@ -1,5 +1,6 @@
 package graft
 
+import graft.llmops.TextOps
 import graft.queries.Queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -10,9 +11,11 @@ object SparkEntry {
     Queries.q11RevenueNation(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Queries.all ++ TextOps.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Queries.oracle
+  def oracleSql: Map[String, String] =
+    Queries.oracle ++ TextOps.oracle
 }

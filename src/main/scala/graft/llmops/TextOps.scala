@@ -1,0 +1,455 @@
+package graft.llmops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Training-data text operators over the `documents` table (north-star
+  * ops per SURVEY.md §7.1 step 8): analysis, quality, fingerprinting,
+  * exact + near dedup. Everything is built-in column expressions
+  * (codegen'd, no UDFs) so Catalyst prunes/pushes freely.
+  *
+  * 100 TB posture, per operator:
+  *  - per-doc maps (stats, fingerprints, simhash) are embarrassingly
+  *    parallel — zero shuffle before the final (small) aggregation;
+  *  - near-dup joins NEVER enumerate all pairs: the exact-Jaccard query
+  *    joins on an inverted shingle index, the scale path (q37) joins on
+  *    LSH band buckets — shuffle keys are shingles/buckets, so AQE's
+  *    skew-join splitting handles hot shingles;
+  *  - aggregations sum integers and divide once at the end, so results
+  *    are independent of float addition order (oracle-stable and
+  *    partition-count-independent).
+  */
+object TextOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** Whitespace tokens. Document texts are single-space separated; the
+    * regex keeps semantics identical to DuckDB's string_split_regex. */
+  private def toks(c: Column): Column = split(c, "\\s+")
+
+  /** Tiny per-language marker-word lists for the language-ID heuristic
+    * (stopword-membership scoring — the classic cheap langid signal). */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "fr" -> Seq("le", "les", "des", "et", "une"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "zh" -> Seq("的", "了", "是", "在", "不"))
+
+  /** English stopword list used by the quality score. */
+  val Stop: Seq[String] = Seq("the", "a", "of", "and", "is", "in", "to", "it")
+
+  private def countIn(tokens: Column, words: Seq[String]): Column =
+    size(filter(tokens, t => t.isin(words.map(x => x: Any): _*)))
+
+  private def sqlCountIn(words: Seq[String]): String = {
+    val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_filter(string_split_regex(text, '\\s+'), t -> list_contains($list, t)))"
+  }
+
+  // ------------------------------------------------------------ q30 stats
+
+  /** q30: corpus text statistics by language. All per-group numbers are
+    * integer SUMs; ratios are a single final division — so the result
+    * is exact regardless of partitioning (scale-safe determinism). The
+    * two token counts demonstrate whitespace vs regex ("BPE-ish"
+    * letter-run/digit-run/symbol) tokenization. */
+  def q30TextStats(s: SparkSession, dir: String): DataFrame = {
+    val t = toks(col("text"))
+    docs(s, dir)
+      .select(col("lang"),
+        length(col("text")).cast("long").as("chars"),
+        size(t).cast("long").as("ws_tokens"),
+        regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"))
+          .cast("long").as("re_tokens"),
+        length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", "")).cast("long").as("punct_chars"),
+        countIn(t, Stop).cast("long").as("stop_tokens"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("chars").as("total_chars"),
+        sum("ws_tokens").as("total_ws_tokens"),
+        sum("re_tokens").as("total_re_tokens"),
+        (sum("punct_chars").cast("double") / sum("chars")).as("punct_ratio"),
+        (sum("stop_tokens").cast("double") / sum("ws_tokens")).as("stop_ratio"),
+        (sum("chars").cast("double") / sum("ws_tokens")).as("chars_per_token"))
+      .orderBy("lang")
+  }
+
+  val q30Sql: String =
+    s"""SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       |  CAST(sum(len(string_split_regex(text, '\\s+'))) AS BIGINT) AS total_ws_tokens,
+       |  CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))) AS BIGINT)
+       |    AS total_re_tokens,
+       |  CAST(sum(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))) AS DOUBLE)
+       |    / sum(length(text)) AS punct_ratio,
+       |  CAST(sum(${sqlCountIn(Stop)}) AS DOUBLE)
+       |    / sum(len(string_split_regex(text, '\\s+'))) AS stop_ratio,
+       |  CAST(sum(length(text)) AS DOUBLE)
+       |    / sum(len(string_split_regex(text, '\\s+'))) AS chars_per_token
+       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ----------------------------------------------------------- q31 langid
+
+  /** q31: n-gram-heuristic language ID — score each document against
+    * per-language marker lists, predict the argmax (ties: list order,
+    * zero hits: "und") — then cross-tab predicted vs labeled lang.
+    * Per-doc map + one small aggregation; no shuffle of text itself at
+    * scale (project scores first, then group). */
+  def q31LangId(s: SparkSession, dir: String): DataFrame = {
+    val t = toks(col("text"))
+    val scored = LangMarkers.foldLeft(docs(s, dir).select(col("lang"), t.as("t"))) {
+      case (df, (l, words)) => df.withColumn(s"s_$l", countIn(col("t"), words))
+    }
+    val best = LangMarkers.map(_._1).foldRight(lit("und")) { case (l, els) =>
+      when(col(s"s_$l") > 0 &&
+        col(s"s_$l") === greatest(LangMarkers.map(m => col(s"s_${m._1}")): _*), lit(l))
+        .otherwise(els)
+    }
+    scored.withColumn("predicted", best)
+      .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+  }
+
+  val q31Sql: String = {
+    val scores = LangMarkers.map { case (l, w) => s"${sqlCountIn(w)} AS s_$l" }.mkString(",\n  ")
+    val best = LangMarkers.foldRight("'und'") { case ((l, _), els) =>
+      s"CASE WHEN s_$l > 0 AND s_$l = greatest(${LangMarkers.map("s_" + _._1).mkString(", ")}) " +
+        s"THEN '$l' ELSE $els END"
+    }
+    s"""SELECT lang, predicted, count(*) AS n FROM (
+       |  SELECT lang, $best AS predicted
+       |  FROM (SELECT lang, $scores FROM documents)
+       |) GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
+  }
+
+  // ---------------------------------------------------------- q32 quality
+
+  /** q32: document quality scoring — length, punctuation and stopword
+    * signals combined into one [0,1] score, banded into deciles.
+    * The score arithmetic is shape-identical in both dialects so IEEE
+    * evaluation matches bit-for-bit; only counts/min/max aggregate. */
+  def q32Quality(s: SparkSession, dir: String): DataFrame = {
+    val t = toks(col("text"))
+    val perDoc = docs(s, dir).select(col("doc_id"),
+      size(t).cast("double").as("nt"),
+      (length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", "")).cast("double") /
+        length(col("text"))).as("punct"),
+      (countIn(t, Stop).cast("double") / size(t)).as("stop"))
+    perDoc.select(
+        least(col("nt") / lit(100.0), lit(1.0)).multiply(lit(0.5))
+          .plus((lit(1.0) - col("punct")) * lit(0.3))
+          .plus(least(col("stop") * lit(5.0), lit(1.0)) * lit(0.2)).as("quality"))
+      .select(floor(col("quality") * 10).cast("int").as("band"), col("quality"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n"), min("quality").as("min_q"), max("quality").as("max_q"))
+      .orderBy("band")
+  }
+
+  val q32Sql: String =
+    s"""SELECT CAST(floor(quality * 10) AS INT) AS band, count(*) AS n,
+       |  min(quality) AS min_q, max(quality) AS max_q
+       |FROM (
+       |  SELECT least(nt / 100.0, 1.0) * 0.5 + (1.0 - punct) * 0.3
+       |       + least(stop * 5.0, 1.0) * 0.2 AS quality
+       |  FROM (SELECT
+       |    CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) AS nt,
+       |    CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+       |      / length(text) AS punct,
+       |    CAST(${sqlCountIn(Stop)} AS DOUBLE)
+       |      / len(string_split_regex(text, '\\s+')) AS stop
+       |  FROM documents)
+       |) GROUP BY band ORDER BY band""".stripMargin
+
+  // ------------------------------------------------------ q33 fingerprint
+
+  /** Canonical text normalization for fingerprinting: lowercase +
+    * whitespace collapse. */
+  private def normText(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+  private val normSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+  /** q33: document fingerprinting — md5 content hash of the normalized
+    * text (the exact-dedup key) plus a 60-bit integer prefix usable as
+    * a uniform shard/bucket key at scale. */
+  def q33Fingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), md5(normText(col("text"))).as("fingerprint"))
+      .withColumn("fp_bucket", conv(substring(col("fingerprint"), 1, 15), 16, 10)
+        .cast("long") % 1024)
+      .orderBy("doc_id")
+
+  val q33Sql: String =
+    s"""SELECT doc_id, md5($normSql) AS fingerprint,
+       |  CAST(('0x' || substring(md5($normSql), 1, 15))::UBIGINT % 1024 AS BIGINT)
+       |    AS fp_bucket
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------ q34 exact dedup
+
+  /** q34: exact deduplication summary by source — docs, distinct
+    * fingerprints, removed count, and the canonical survivor rule
+    * (min doc_id per fingerprint). One hash-aggregate shuffle on the
+    * fingerprint — at 100 TB this is the standard dedup shape: the
+    * md5 key distributes uniformly, so no skew. */
+  def q34ExactDedup(s: SparkSession, dir: String): DataFrame = {
+    val fp = docs(s, dir).select(col("doc_id"), col("source"),
+      md5(normText(col("text"))).as("fp"))
+    fp.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_distinct"),
+        (count(lit(1)) - countDistinct(col("fp"))).as("n_removed"),
+        min("doc_id").as("first_doc"))
+      .orderBy("source")
+  }
+
+  val q34Sql: String =
+    s"""SELECT source, count(*) AS n_docs,
+       |  count(DISTINCT fp) AS n_distinct,
+       |  count(*) - count(DISTINCT fp) AS n_removed,
+       |  min(doc_id) AS first_doc
+       |FROM (SELECT doc_id, source, md5($normSql) AS fp FROM documents)
+       |GROUP BY source ORDER BY source""".stripMargin
+
+  // -------------------------------------------------- q35 jaccard near-dup
+
+  /** Distinct token-trigram shingles of `text` (empty when <3 tokens). */
+  private def shingles(text: Column): Column = {
+    val t = toks(text)
+    when(size(t) >= 3,
+      array_distinct(transform(sequence(lit(0), size(t) - 3),
+        i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  private val shinglesSql =
+    """list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |      for i in range(1, len(w) - 1)])""".stripMargin
+
+  /** q35: exact n-gram-Jaccard near-duplicate pairs (threshold 0.5)
+    * via an inverted shingle index — explode shingles, self-join on the
+    * shingle, count common per pair, Jaccard from the two set sizes.
+    * NEVER all-pairs: cost is Σ_shingle freq² (skew on hot shingles is
+    * AQE-split; at 100 TB one would also drop top-frequency shingles,
+    * which can't produce >threshold pairs on long docs anyway). */
+  def q35JaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = docs(s, dir).select(col("doc_id"), shingles(col("text")).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+    val ex = sh.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
+    val a = ex.select(col("doc_id").as("doc_a"), col("n_sh").as("na"), col("shingle"))
+    val b = ex.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"), col("shingle"))
+    a.join(b, Seq("shingle")).filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b", "na", "nb")
+      .agg(count(lit(1)).as("common"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("common").cast("double") / (col("na") + col("nb") - col("common"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val q35Sql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, $shinglesSql AS sh
+       |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents)
+       |), ex AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM sh)
+       |SELECT doc_a, doc_b, CAST(common AS DOUBLE) / (na + nb - common) AS jaccard
+       |FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
+       |    count(*) AS common
+       |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4)
+       |WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------- q36 minhash sigs
+
+  /** MinHash parameters: k=16 universal-hash permutations
+    * h_j(x) = (a_j·x + b_j) mod P over base hashes folded into [0, P).
+    * P is the largest 32-bit prime so a_j·x stays < 2^63 (no overflow
+    * in either engine); a_j/b_j are fixed odd constants. */
+  val MinhashP: Long = 4294967291L
+  val MinhashK: Int = 16
+  private def aj(j: Int): Long = 2L * j + 1
+  private def bj(j: Int): Long = 7919L * (j + 1)
+
+  /** Base shingle hash: first 15 md5 hex chars as a 60-bit integer,
+    * folded mod P. Engine-independent (md5 is standard), unlike
+    * xxhash64/duckdb-hash which differ between engines. */
+  private def baseHash(shingle: Column): Column =
+    conv(substring(md5(shingle), 1, 15), 16, 10).cast("long") % MinhashP
+  private def baseHashSql(x: String): String =
+    s"CAST(('0x' || substring(md5($x), 1, 15))::UBIGINT % $MinhashP AS BIGINT)"
+
+  /** q36: MinHash signatures, flat (doc_id, perm, sig) — the verifiable
+    * core of MinHash-LSH dedup. Per-doc computation only (explode +
+    * re-group by doc_id); signature width k=16. */
+  def q36MinhashSig(s: SparkSession, dir: String): DataFrame = {
+    val ex = docs(s, dir)
+      .select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
+      .withColumn("h", baseHash(col("shingle")))
+    val perJ = (0 until MinhashK).map { j =>
+      min((col("h") * aj(j) + bj(j)) % MinhashP).as(s"m$j")
+    }
+    ex.groupBy("doc_id").agg(perJ.head, perJ.tail: _*)
+      .select(col("doc_id"), explode(map(
+        (0 until MinhashK).flatMap(j => Seq(lit(j), col(s"m$j"))): _*)))
+      .toDF("doc_id", "perm", "sig")
+      .orderBy("doc_id", "perm")
+  }
+
+  val q36Sql: String = {
+    val arms = (0 until MinhashK)
+      .map(j => s"(${aj(j)}, ${bj(j)}, $j)").mkString(", ")
+    s"""WITH sh AS (
+       |  SELECT doc_id, $shinglesSql AS sh
+       |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents)
+       |), ex0 AS (SELECT doc_id, unnest(sh) AS shingle FROM sh
+       |), ex AS (
+       |  SELECT doc_id, ${baseHashSql("shingle")} AS h FROM ex0
+       |), perms(a, b, perm) AS (VALUES $arms)
+       |SELECT doc_id, perm, min((h * a + b) % $MinhashP) AS sig
+       |FROM ex CROSS JOIN perms
+       |GROUP BY doc_id, perm ORDER BY doc_id, perm""".stripMargin
+  }
+
+  // ------------------------------------------- q37 LSH banded candidates
+
+  /** q37: the MinHash-LSH near-dup SCALE path — band the k=16
+    * signature into 4 bands of 4, bucket-join on (band, band-hash),
+    * then verify candidates with exact Jaccard and keep ≥0.5.
+    * The join key is the band bucket (not the shingle, not all pairs):
+    * at 100 TB this is the canonical near-dup plan — candidate volume
+    * is tunable via (bands, rows) and the bucket key is hash-uniform. */
+  val Bands = 4
+  val RowsPerBand = 4
+
+  def q37NeardupLsh(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val ex = d.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .withColumn("h", baseHash(col("shingle")))
+    val sigCols = (0 until MinhashK).map(j => min((col("h") * aj(j) + bj(j)) % MinhashP).as(s"m$j"))
+    val sig = ex.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    // band hash = md5 of the band's 4 signature values
+    val banded = sig.select(col("doc_id"), explode(array((0 until Bands).map { bnd =>
+      struct(lit(bnd).as("band"),
+        md5(concat_ws(",", (0 until RowsPerBand).map(r => col(s"m${bnd * RowsPerBand + r}")): _*))
+          .as("bh"))
+    }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bh"))
+    val ca = banded.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
+    val cb = banded.select(col("doc_id").as("doc_b"), col("band"), col("bh"))
+    val cand = ca.join(cb, Seq("band", "bh")).filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    // verify candidates with exact Jaccard (small candidate set)
+    val sh = d.select(col("doc_id"), col("sh"))
+    cand.join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_union(col("sha"), col("shb")))).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val q37Sql: String = {
+    val sigCols = (0 until MinhashK)
+      .map(j => s"min((h * ${aj(j)} + ${bj(j)}) % $MinhashP) AS m$j").mkString(",\n    ")
+    val bandRows = (0 until Bands).map { bnd =>
+      val cols = (0 until RowsPerBand).map(r => s"m${bnd * RowsPerBand + r}").mkString(", ")
+      s"SELECT doc_id, $bnd AS band, md5(concat_ws(',', $cols)) AS bh FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH sh AS (
+       |  SELECT doc_id, $shinglesSql AS sh
+       |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents)
+       |  WHERE len(w) >= 3
+       |), ex0 AS (SELECT doc_id, unnest(sh) AS shingle FROM sh
+       |), ex AS (
+       |  SELECT doc_id, ${baseHashSql("shingle")} AS h FROM ex0
+       |), sig AS (
+       |  SELECT doc_id, $sigCols
+       |  FROM ex GROUP BY doc_id
+       |), banded AS (
+       |  $bandRows
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+       |)
+       |SELECT doc_a, doc_b,
+       |  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |    / len(list_distinct(sa.sh || sb.sh)) AS jaccard
+       |FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b
+       |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |    / len(list_distinct(sa.sh || sb.sh)) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // -------------------------------------------------------- q38 simhash
+
+  /** q38: 60-bit SimHash per document over whitespace tokens — each
+    * token's md5-derived 60-bit hash votes ±1 per bit position; the
+    * sign of each bit-sum sets the fingerprint bit. Near-dups then
+    * reduce to small-Hamming-distance pairs (bit_count(xor) in both
+    * engines). Pure per-doc map: explode(tokens × 60 bits) then two
+    * re-groups by doc_id — partition-parallel, no cross-doc shuffle. */
+  def q38Simhash(s: SparkSession, dir: String): DataFrame = {
+    val tok = docs(s, dir)
+      .select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("t"))
+      .withColumn("h", conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long"))
+    val bits = tok.select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(59))).as("bit"))
+      .select(col("doc_id"), col("bit"),
+        when(expr("shiftright(h, cast(bit as int))") % 2 === 1, 1L).otherwise(-1L).as("v"))
+    bits.groupBy("doc_id", "bit").agg(sum("v").as("vote"))
+      .select(col("doc_id"),
+        when(col("vote") > 0, expr("shiftleft(1L, cast(bit as int))")).otherwise(0L).as("bv"))
+      .groupBy("doc_id").agg(sum("bv").as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  val q38Sql: String =
+    s"""WITH tok0 AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split_regex(text, '\\s+'))) AS t
+       |  FROM documents
+       |), tok AS (
+       |  SELECT doc_id,
+       |    CAST(('0x' || substring(md5(t), 1, 15))::UBIGINT AS BIGINT) AS h
+       |  FROM tok0
+       |), bits AS (
+       |  SELECT doc_id, bit, CASE WHEN (h >> bit) % 2 = 1 THEN 1 ELSE -1 END AS v
+       |  FROM tok CROSS JOIN (SELECT unnest(range(0, 60)) AS bit)
+       |), votes AS (
+       |  SELECT doc_id, bit, sum(v) AS vote FROM bits GROUP BY doc_id, bit
+       |)
+       |SELECT doc_id,
+       |  CAST(sum(CASE WHEN vote > 0 THEN 1::BIGINT << bit ELSE 0 END) AS BIGINT) AS simhash
+       |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------- registry
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_textstats" -> (q30TextStats _),
+    "q31_langid" -> (q31LangId _),
+    "q32_quality" -> (q32Quality _),
+    "q33_fingerprint" -> (q33Fingerprint _),
+    "q34_exact_dedup" -> (q34ExactDedup _),
+    "q35_jaccard_pairs" -> (q35JaccardPairs _),
+    "q36_minhash_sig" -> (q36MinhashSig _),
+    "q37_neardup_lsh" -> (q37NeardupLsh _),
+    "q38_simhash" -> (q38Simhash _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q30_textstats" -> q30Sql,
+    "q31_langid" -> q31Sql,
+    "q32_quality" -> q32Sql,
+    "q33_fingerprint" -> q33Sql,
+    "q34_exact_dedup" -> q34Sql,
+    "q35_jaccard_pairs" -> q35Sql,
+    "q36_minhash_sig" -> q36Sql,
+    "q37_neardup_lsh" -> q37Sql,
+    "q38_simhash" -> q38Sql
+  )
+}

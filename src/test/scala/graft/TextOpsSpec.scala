@@ -1,0 +1,88 @@
+package graft
+
+import graft.llmops.TextOps
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Semantics checks for the training-data text operators on the
+  * sf0.001 testdata (cross-engine value equality is covered by the
+  * DuckDB oracle at sf0.01; these pin engine-side invariants). */
+class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.builder("textops-test", cores = 4).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("textstats: totals add up and ratios are in range") {
+    val rows = TextOps.q30TextStats(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("total_chars") > 0)
+      assert(r.getAs[Long]("total_ws_tokens") <= r.getAs[Long]("total_re_tokens"))
+      val stop = r.getAs[Double]("stop_ratio")
+      assert(stop >= 0.0 && stop <= 1.0)
+    }
+  }
+
+  test("langid: every document gets exactly one prediction") {
+    val n = TextOps.q31LangId(spark, dir).agg(sum("n")).head().getLong(0)
+    val docs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(n == docs)
+  }
+
+  test("fingerprint: deterministic and normalization-insensitive") {
+    val a = TextOps.q33Fingerprint(spark, dir).collect()
+    val b = TextOps.q33Fingerprint(spark, dir).collect()
+    assert(a.sameElements(b))
+    assert(a.forall(_.getAs[Long]("fp_bucket") < 1024))
+  }
+
+  test("exact dedup: n_docs == n_distinct + n_removed") {
+    TextOps.q34ExactDedup(spark, dir).collect().foreach { r =>
+      assert(r.getAs[Long]("n_docs") ==
+        r.getAs[Long]("n_distinct") + r.getAs[Long]("n_removed"))
+    }
+  }
+
+  test("LSH near-dup candidates recover all exact-Jaccard pairs") {
+    val exact = TextOps.q35JaccardPairs(spark, dir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = TextOps.q37NeardupLsh(spark, dir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH output is exact-verified, so it can only miss banding misses —
+    // at these thresholds (J>=0.5, 4x4 bands) recall should be total
+    assert(lsh == exact, s"LSH pairs $lsh != exact pairs $exact")
+  }
+
+  test("minhash signature agreement tracks Jaccard for a near-dup pair") {
+    val pairs = TextOps.q35JaccardPairs(spark, dir).collect()
+    assume(pairs.nonEmpty)
+    val (da, db) = (pairs.head.getLong(0), pairs.head.getLong(1))
+    val sig = TextOps.q36MinhashSig(spark, dir)
+      .filter(col("doc_id").isin(da, db)).collect()
+      .groupBy(_.getLong(0)).map { case (k, rs) =>
+        k -> rs.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+      }
+    val agree = sig(da).zip(sig(db)).count { case (x, y) => x == y }.toDouble / TextOps.MinhashK
+    val j = pairs.head.getAs[Double]("jaccard")
+    assert(math.abs(agree - j) < 0.5, s"sig agreement $agree vs jaccard $j")
+  }
+
+  test("simhash: near-dup pairs are hamming-close, fingerprints fit 60 bits") {
+    val sh = TextOps.q38Simhash(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh.values.forall(v => v >= 0 && v < (1L << 60)))
+    val pairs = TextOps.q35JaccardPairs(spark, dir).collect()
+    pairs.foreach { p =>
+      val d = java.lang.Long.bitCount(sh(p.getLong(0)) ^ sh(p.getLong(1)))
+      assert(d <= 20, s"near-dup pair hamming distance $d > 20")
+    }
+  }
+}
