@@ -1,6 +1,6 @@
 package graft
 
-import graft.llmops.TextOps
+import graft.llmops.{TextOps, VectorOps}
 import graft.queries.Queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -12,10 +12,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Queries.all ++ TextOps.all
+    Queries.all ++ TextOps.all ++ VectorOps.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Queries.oracle ++ TextOps.oracle
+    Queries.oracle ++ TextOps.oracle ++ VectorOps.oracle
 }

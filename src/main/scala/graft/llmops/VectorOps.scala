@@ -1,0 +1,222 @@
+package graft.llmops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Similarity search over the `embeddings` table (`vec_id`,
+  * `embedding: array<float>`, `label`) — north-star ANN ops.
+  *
+  * Numeric discipline for oracle parity: floats are cast to double
+  * element-wise BEFORE any arithmetic, dot products fold sequentially
+  * (same order in both engines), and similarities are rounded to 6
+  * decimals BEFORE ranking so rank boundaries can't flip on sub-1e-6
+  * float noise; ties break on neighbor id.
+  *
+  * 100 TB posture: brute force is the *correctness baseline* — its
+  * plan is a crossJoin, quadratic by construction. The scale path is
+  * [[q41AnnLsh]]: deterministic random-hyperplane buckets turn the
+  * cross join into an equi-join on the bucket key (plus multi-probe
+  * for recall), which shuffles O(n·probes) rows instead of O(n²).
+  */
+object VectorOps {
+
+  val Dim = 64
+  val TopK = 5
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Element-wise float→double, so all arithmetic is double from the
+    * start (DuckDB lists are promoted the same way). */
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def norm(v: Column): Column = sqrt(dot(v, v))
+
+  // ------------------------------------------------------ q40 brute force
+
+  /** q40: exact cosine top-k per vector (the ANN correctness oracle).
+    * Shape: normalize once, self-join, rank by rounded similarity.
+    * At scale the query side would be the small (broadcast) side. */
+  def q40CosineTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val a = e.select(col("vec_id"), col("v"), col("nrm"))
+    val b = e.select(col("vec_id").as("neighbor_id"), col("v").as("w"), col("nrm").as("wnrm"))
+    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("neighbor_id"))
+    a.crossJoin(b).filter(col("vec_id") =!= col("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"),
+        round(dot(col("v"), col("w")) / (col("nrm") * col("wnrm")), 6).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select("vec_id", "rank", "neighbor_id", "sim")
+      .orderBy("vec_id", "rank")
+  }
+
+  val q40Sql: String =
+    s"""WITH d AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM d
+       |), sims AS (
+       |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+       |    round(list_sum([a.v[i] * b.v[i] for i in range(1, $Dim + 1)])
+       |          / (a.nrm * b.nrm), 6) AS sim
+       |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+       |)
+       |SELECT vec_id, rank, neighbor_id, sim FROM (
+       |  SELECT vec_id, neighbor_id, sim,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM sims)
+       |WHERE rank <= $TopK ORDER BY vec_id, rank""".stripMargin
+
+  // ------------------------------------------------- q41 LSH-bucketed ANN
+
+  /** LSH layout: `Tables` independent hash tables of `Planes` sign
+    * bits each, plus single-bit multi-probe on the query side. With
+    * neighbors at cosine ≈ 0.4 (nearly orthogonal — the hard case) a
+    * single table recalls <15%; OR-ing independent tables is the
+    * standard fix (recall 1-(1-r)^L). At larger n, raise `Planes`
+    * (buckets should track n / desired-bucket-size) — recall is then
+    * retained by raising `Tables`, trading compute, not correctness. */
+  val Planes = 6
+  val Tables = 6
+  val seed = 42L
+
+  /** Deterministic pseudo-random hyperplanes: component (t, p, d) is a
+    * signed value derived from a hash of (seed, t, p, d) —
+    * reproducible across runs without RNG state. */
+  private[llmops] def hyperplanes(t: Int): Array[Array[Double]] =
+    Array.tabulate(Planes, Dim) { (p, d) =>
+      val h = scala.util.hashing.MurmurHash3.productHash((seed, t, p, d))
+      (h.toDouble / Int.MaxValue) // roughly uniform in [-1, 1]
+    }
+
+  private def bucketBits(v: Column, t: Int): Column = {
+    val planes = hyperplanes(t)
+    (0 until Planes).map { p =>
+      val proj = dot(v, array(planes(p).map(lit(_)): _*))
+      when(proj >= 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+  }
+
+  /** q41: ANN top-k via multi-table hyperplane-LSH with single-bit
+    * multi-probe. Join key = (table, bucket) — an equi-join Catalyst
+    * plans as a hash join on a uniform key — instead of the O(n²)
+    * cross join; exact cosine re-rank runs only within probed buckets.
+    * Rows-only driver check (approximate by design); the recall floor
+    * vs q40 is asserted in VectorOpsSpec. */
+  def q41AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val withBuckets = (0 until Tables).foldLeft(e) { (df, t) =>
+      df.withColumn(s"b$t", bucketBits(col("v"), t))
+    }
+    val tableCol = explode(array((0 until Tables).map(t =>
+      struct(lit(t).as("tbl"), col(s"b$t").as("bucket"))): _*))
+    // candidate side: each vector in its own bucket per table
+    val cand = withBuckets.select(col("vec_id").as("neighbor_id"), col("v").as("w"),
+        col("nrm").as("wnrm"), tableCol.as("tb"))
+      .select(col("neighbor_id"), col("w"), col("wnrm"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    // query side: own bucket + single-bit-flip probes, per table
+    val probes = explode(array((lit(0) +: (0 until Planes).map(p => lit(1 << p))): _*))
+    val q = withBuckets.select(col("vec_id"), col("v"), col("nrm"), tableCol.as("tb"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"), probes.as("flip"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("tbl"),
+        expr("int(bucket ^ flip)").as("bucket"))
+    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("neighbor_id"))
+    q.join(cand, Seq("tbl", "bucket")).filter(col("vec_id") =!= col("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"),
+        round(dot(col("v"), col("w")) / (col("nrm") * col("wnrm")), 6).as("sim"))
+      .distinct() // a pair can meet in several tables/probed buckets
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select("vec_id", "rank", "neighbor_id", "sim")
+      .orderBy("vec_id", "rank")
+  }
+
+  // -------------------------------------------- q42 label centroid / IVF
+
+  /** q42: coarse-quantization statistics — per-label centroid norms and
+    * intra-cluster cohesion (mean cosine of members to their centroid).
+    * This is the IVF building block: centroids are tiny (n_labels ×
+    * dim), so the assignment join at scale is a broadcast. Fully
+    * aggregation-shaped (one shuffle by label). Sums here are over
+    * per-element products of already-rounded member cosines — ordered
+    * rounding keeps both engines identical. */
+  def q42LabelCentroids(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    // centroid = element-wise mean: aggregate array-of-arrays by index
+    // exact DECIMAL accumulation: double avg would depend on partition
+    // order and flip rounded cosines at the 1e-6 boundary
+    val byIdx = e.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
+    val cent = byIdx.groupBy("label", "i")
+      .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(28, 12))).cast("double") /
+        count(lit(1))).as("c"))
+      .groupBy("label").agg(map_from_arrays(collect_list("i"), collect_list("c")).as("cm"))
+      .select(col("label"),
+        transform(sequence(lit(0), lit(Dim - 1)), i => element_at(col("cm"), i)).as("centroid"))
+    val joined = e.join(cent, Seq("label"))
+      .select(col("label"),
+        round(dot(col("v"), col("centroid")) /
+          (norm(col("v")) * norm(col("centroid"))), 6).as("cos_to_centroid"))
+    // no second rounding: re-rounding 6dp values to fewer places lands
+    // on exact .5 boundaries where Spark (decimal-string HALF_UP) and
+    // DuckDB (binary double) disagree. The 6dp cosines cast to DECIMAL
+    // exactly, so the mean is one deterministic division.
+    joined.groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        (sum(col("cos_to_centroid").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double") / count(lit(1))).as("cohesion"),
+        min("cos_to_centroid").as("min_cos"),
+        max("cos_to_centroid").as("max_cos"))
+      .orderBy("label")
+  }
+
+  val q42Sql: String =
+    s"""WITH d AS (
+       |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), byidx AS (
+       |  SELECT label, i, v[i] AS x
+       |  FROM d CROSS JOIN (SELECT unnest(range(1, $Dim + 1)) AS i)
+       |), cent AS (
+       |  SELECT label, list(c ORDER BY i) AS centroid
+       |  FROM (SELECT label, i,
+       |          CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS c
+       |        FROM byidx GROUP BY label, i)
+       |  GROUP BY label
+       |), cos AS (
+       |  SELECT d.label,
+       |    round(list_sum([d.v[i] * cent.centroid[i] for i in range(1, $Dim + 1)])
+       |      / (sqrt(list_sum(list_transform(d.v, x -> x * x)))
+       |         * sqrt(list_sum(list_transform(cent.centroid, x -> x * x)))), 6)
+       |      AS cos_to_centroid
+       |  FROM d JOIN cent ON d.label = cent.label
+       |)
+       |SELECT label, count(*) AS n,
+       |  CAST(sum(CAST(cos_to_centroid AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS cohesion,
+       |  min(cos_to_centroid) AS min_cos,
+       |  max(cos_to_centroid) AS max_cos
+       |FROM cos GROUP BY label ORDER BY label""".stripMargin
+
+  // --------------------------------------------------------- registry
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_cosine_topk" -> (q40CosineTopk _),
+    "q41_ann_lsh" -> (q41AnnLsh _),
+    "q42_label_centroids" -> (q42LabelCentroids _)
+  )
+
+  /** q41 is approximate by design → no oracle (driver rows-only check). */
+  val oracle: Map[String, String] = Map(
+    "q40_cosine_topk" -> q40Sql,
+    "q42_label_centroids" -> q42Sql
+  )
+}

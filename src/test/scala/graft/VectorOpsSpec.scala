@@ -1,0 +1,56 @@
+package graft
+
+import graft.llmops.VectorOps
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** ANN quality gates: the LSH path is approximate, so instead of an
+  * oracle hash it must hold a recall floor against the brute-force
+  * top-k — the standard ANN acceptance criterion. */
+class VectorOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.builder("vectorops-test", cores = 4).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def topkSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    df.collect().groupBy(_.getAs[Long]("vec_id"))
+      .map { case (k, rs) => k -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+
+  test("ANN-LSH recall@5 >= 0.5 vs brute force, every query answered") {
+    val exact = topkSets(VectorOps.q40CosineTopk(spark, dir))
+    val ann = topkSets(VectorOps.q41AnnLsh(spark, dir))
+    assert(ann.keySet == exact.keySet, "ANN must answer every query vector")
+    val recall = exact.map { case (q, ex) =>
+      (ex intersect ann.getOrElse(q, Set.empty)).size.toDouble / ex.size
+    }.sum / exact.size
+    // single-bit multi-probe over 8 planes probes ~9/256 of the space;
+    // 0.5 mean recall is the floor for this budget on random data
+    assert(recall >= 0.5, s"mean recall@5 $recall < 0.5")
+    info(f"mean recall@5 = $recall%.3f")
+  }
+
+  test("brute-force top-k: k rows per vector, sims sorted and in [-1,1]") {
+    val rows = VectorOps.q40CosineTopk(spark, dir).collect()
+    val byVec = rows.groupBy(_.getAs[Long]("vec_id"))
+    byVec.values.foreach { rs =>
+      assert(rs.length == VectorOps.TopK)
+      val sims = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+      assert(sims.forall(s => s >= -1.0 && s <= 1.0))
+    }
+  }
+
+  test("label centroids: cohesion exceeds global cross-label baseline") {
+    val rows = VectorOps.q42LabelCentroids(spark, dir).collect()
+    assert(rows.length == 10)
+    // members should on average point toward their own centroid
+    rows.foreach(r => assert(r.getAs[Double]("cohesion") > 0.0))
+  }
+}
