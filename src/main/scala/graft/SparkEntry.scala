@@ -2,6 +2,7 @@ package graft
 
 import graft.llmops.{TextOps, VectorOps}
 import graft.queries.Queries
+import graft.streaming.StreamOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -10,12 +11,18 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Queries.q11RevenueNation(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2.
+    * sq1 runs as a REAL streaming query (AvailableNow → memory sink);
+    * its oracle is the batch SQL — streaming/batch equivalence is the
+    * check. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Queries.all ++ TextOps.all ++ VectorOps.all
+    Queries.all ++ TextOps.all ++ VectorOps.all ++ Map(
+      "sq1_stream_tumbling" ->
+        ((s: SparkSession, dir: String) => StreamOps.sq1StreamTumbling(s, dir)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Queries.oracle ++ TextOps.oracle ++ VectorOps.oracle
+    Queries.oracle ++ TextOps.oracle ++ VectorOps.oracle ++ Map(
+      "sq1_stream_tumbling" -> Queries.q21Sql)
 }

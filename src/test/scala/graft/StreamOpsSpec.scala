@@ -1,0 +1,54 @@
+package graft
+
+import graft.queries.Queries
+import graft.streaming.StreamOps
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Streaming/batch equivalence and consumer-loop parity (SURVEY.md
+  * O10-O12, SQ1). */
+class StreamOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.builder("stream-test", cores = 4).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("SQ1 streaming result equals batch tumbling aggregation") {
+    val streamed = StreamOps.sq1StreamTumbling(spark, dir).collect()
+    val batch = Queries.q21Tumbling(spark, dir).collect()
+    assert(streamed.length == batch.length)
+    assert(streamed.sameElements(batch))
+  }
+
+  test("SQ1 append mode withholds only watermark-open windows") {
+    val appended = StreamOps.sq1Append(spark, dir).collect()
+    val batch = Queries.q21Tumbling(spark, dir).collect()
+    // bounded input: final window(s) stay open under the watermark
+    assert(appended.length < batch.length)
+    assert(appended.nonEmpty, "watermark should have closed most windows")
+    val batchKeys = batch.map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(appended.forall(r => batchKeys.contains((r.getLong(0), r.getString(1)))))
+    // every emitted row must equal its batch counterpart
+    val batchByKey = batch.map(r => (r.getLong(0), r.getString(1)) -> r).toMap
+    appended.foreach { r =>
+      assert(batchByKey((r.getLong(0), r.getString(1))) == r)
+    }
+  }
+
+  test("streaming metrics with idle-stop match batch counters") {
+    import graft.model.SchemaDef
+    val fixture = graft.sources.GenFixtures.MessagesPath
+    val batch = spark.read.parquet(fixture)
+    val expected = StreamOps.streamingMetrics(batch).collect().head
+    val got = StreamOps.consumeWithIdleStop(spark, fixture, SchemaDef.envelopeType)
+      .collect().head
+    assert(got == expected)
+  }
+}
