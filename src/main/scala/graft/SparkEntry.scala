@@ -1,6 +1,6 @@
 package graft
 
-import graft.llmops.{TextOps, VectorOps}
+import graft.llmops.{MultimodalOps, TextOps, VectorOps}
 import graft.queries.Queries
 import graft.streaming.StreamOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -16,13 +16,13 @@ object SparkEntry {
     * its oracle is the batch SQL — streaming/batch equivalence is the
     * check. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Queries.all ++ TextOps.all ++ VectorOps.all ++ Map(
+    Queries.all ++ TextOps.all ++ VectorOps.all ++ MultimodalOps.all ++ Map(
       "sq1_stream_tumbling" ->
         ((s: SparkSession, dir: String) => StreamOps.sq1StreamTumbling(s, dir)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Queries.oracle ++ TextOps.oracle ++ VectorOps.oracle ++ Map(
+    Queries.oracle ++ TextOps.oracle ++ VectorOps.oracle ++ MultimodalOps.oracle ++ Map(
       "sq1_stream_tumbling" -> Queries.q21Sql)
 }

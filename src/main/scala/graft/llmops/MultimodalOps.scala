@@ -1,0 +1,217 @@
+package graft.llmops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Multimodal (image/audio/video) columns as opaque `binary` payloads
+  * with typed metadata — the Spark-side plumbing a 100 TB training-data
+  * pipeline needs. Real codecs are NOT available in this environment,
+  * so content uses a deterministic fake container ("GRFT v1", below)
+  * and [[MediaCodec.Fake]] stands where a JNI/FFI decoder would plug
+  * in; everything around it — schema, header parsing as codegen'd
+  * binary expressions, per-frame explode, partition-parallel decode
+  * via mapPartitions — is real and oracle-checked.
+  *
+  * GRFT v1 container layout (bytes, 1-based):
+  *   1-4   magic "GRFT"
+  *   5     kind: 1=image 2=audio 3=video
+  *   6-7   width  (big-endian u16; sample-rate/100 for audio)
+  *   8-9   height (big-endian u16; channels for audio)
+  *   10-11 n_frames (big-endian u16; 1 for images)
+  *   12-   payload: n_frames × FrameSize bytes (md5-chain derived)
+  *
+  * Scale posture: header parsing and frame sampling are pure column
+  * expressions over the binary (no decode, columnar-pruned — reading
+  * metadata never touches payload bytes beyond the scan itself);
+  * decode is per-row, embarrassingly parallel, and batched per
+  * partition. Fixture lives at [[MediaPath]] (committed, seed-derived).
+  */
+object MultimodalOps {
+
+  val MediaPath = "/root/repo/fixtures/media.parquet"
+  val FrameSize = 64
+  val HeaderLen = 11
+
+  private def media(s: SparkSession): DataFrame = s.read.parquet(MediaPath)
+  private val mediaSql = s"read_parquet('$MediaPath')"
+
+  // ------------------------------------------------------ fixture build
+
+  /** Big-endian u16 as 4 hex chars. */
+  private def hex4(c: Column): Column = lpad(hex(c.cast("int")), 4, "0")
+
+  /** Deterministic media table: kinds cycle image/audio/video, sizes
+    * derive from media_id, payload bytes are a chained-md5 stream —
+    * generated fully distributed (spark.range + column exprs). */
+  def generate(s: SparkSession, n: Long, seed: Long): DataFrame = {
+    val kind = (pmod(col("media_id"), lit(3L)) + 1).cast("int")
+    val width = (lit(16) + pmod(col("media_id") * 7, lit(624))).cast("int")
+    val height = (lit(16) + pmod(col("media_id") * 13, lit(464))).cast("int")
+    val nFrames = when(col("kind") === 1, lit(1))
+      .when(col("kind") === 2, (pmod(col("media_id"), lit(50)) + 10).cast("int"))
+      .otherwise((pmod(col("media_id"), lit(24)) + 8).cast("int"))
+    val payloadLen = col("n_frames") * FrameSize
+    val nBlocks = floor((payloadLen + 15) / 16).cast("int") // 16 payload bytes per md5 block
+    val payloadHex = array_join(transform(sequence(lit(0), nBlocks - 1),
+      j => md5(concat_ws("-", lit(seed), col("media_id"), j))), "")
+    val headerHex = concat(
+      lit("47524654"), // "GRFT"
+      lpad(hex(col("kind")), 2, "0"),
+      hex4(col("width")), hex4(col("height")), hex4(col("n_frames")))
+    s.range(1, n + 1).toDF("media_id")
+      .withColumn("kind", kind)
+      .withColumn("width", width)
+      .withColumn("height", height)
+      .withColumn("n_frames", nFrames)
+      .withColumn("content",
+        unhex(concat(headerHex, substring(payloadHex, lit(1), payloadLen * 2))))
+      // metadata struct travels WITH the row; content stays opaque
+      .select(col("media_id"),
+        when(col("kind") === 1, "image").when(col("kind") === 2, "audio")
+          .otherwise("video").as("media_type"),
+        struct(col("width"), col("height"), col("n_frames"),
+          (col("n_frames") * FrameSize + HeaderLen).cast("long").as("n_bytes")).as("meta"),
+        col("content"))
+  }
+
+  // ----------------------------------------------- q45 header metadata
+
+  /** Big-endian u16 at 1-based byte offset `off` of a binary column. */
+  private def beU16(bin: Column, off: Int): Column =
+    conv(hex(substring(bin, off, 2)), 16, 10).cast("long")
+  /** DuckDB cannot substring a BLOB; hex the blob once and slice the
+    * hex string (byte k, 1-based → hex chars 2k-1..2k). */
+  private def beU16Sql(off: Int): String =
+    s"CAST(('0x' || substring(hex(content), ${2 * off - 1}, 4))::INT AS BIGINT)"
+
+  /** q45: metadata profile per media type, parsed FROM THE BINARY
+    * header (not the meta struct) — the "decode metadata without
+    * decoding payload" path. Integer sums + final division only. */
+  def q45MediaMeta(s: SparkSession, dir: String): DataFrame =
+    media(s)
+      .select(col("media_type"),
+        beU16(col("content"), 6).as("w"),
+        beU16(col("content"), 8).as("h"),
+        beU16(col("content"), 10).as("f"),
+        octet_length(col("content")).cast("long").as("bytes"))
+      .groupBy("media_type")
+      .agg(count(lit(1)).as("n"),
+        sum("bytes").as("total_bytes"),
+        (sum("w").cast("double") / count(lit(1))).as("media_largura"),
+        (sum("h").cast("double") / count(lit(1))).as("media_altura"),
+        sum("f").as("total_frames"))
+      .orderBy("media_type")
+
+  val q45Sql: String =
+    s"""SELECT media_type, count(*) AS n,
+       |  CAST(sum(octet_length(content)) AS BIGINT) AS total_bytes,
+       |  CAST(sum(${beU16Sql(6)}) AS DOUBLE) / count(*) AS media_largura,
+       |  CAST(sum(${beU16Sql(8)}) AS DOUBLE) / count(*) AS media_altura,
+       |  CAST(sum(${beU16Sql(10)}) AS BIGINT) AS total_frames
+       |FROM $mediaSql GROUP BY media_type ORDER BY media_type""".stripMargin
+
+  // ----------------------------------------------- q46 frame sampling
+
+  val SampleEvery = 4
+
+  /** q46: video frame sampling — every 4th frame, sliced straight out
+    * of the binary (substring, zero decode), with a per-frame
+    * first/last byte fingerprint. The explode multiplies rows, never
+    * bytes-per-row; at scale this is the map-side prep for a frame
+    * feature-extraction stage. */
+  def q46FrameSample(s: SparkSession, dir: String): DataFrame = {
+    val nf = beU16(col("content"), 10)
+    media(s).filter(col("media_type") === "video")
+      .select(col("media_id"), col("content"),
+        explode(sequence(lit(0), ((nf - 1) / SampleEvery).cast("int"))).as("s_i"))
+      .select(col("media_id"), (col("s_i") * SampleEvery).as("frame_no"),
+        expr(s"substring(content, ${HeaderLen + 1} + s_i * $SampleEvery * $FrameSize, " +
+          s"$FrameSize)").as("frame"))
+      .select(col("media_id"), col("frame_no"),
+        octet_length(col("frame")).cast("long").as("frame_bytes"),
+        conv(hex(substring(col("frame"), 1, 1)), 16, 10).cast("long").as("first_byte"),
+        conv(hex(substring(col("frame"), FrameSize, 1)), 16, 10).cast("long").as("last_byte"))
+      .orderBy("media_id", "frame_no")
+  }
+
+  val q46Sql: String =
+    s"""WITH v AS (
+       |  SELECT media_id, hex(content) AS hx,
+       |    ${beU16Sql(10)} AS nf
+       |  FROM $mediaSql WHERE media_type = 'video'
+       |), idx AS (
+       |  SELECT media_id, hx, unnest(range(0, (nf - 1) // $SampleEvery + 1)) AS s_i FROM v
+       |), fr AS (
+       |  SELECT media_id, s_i * $SampleEvery AS frame_no,
+       |    substring(hx, CAST(${2 * HeaderLen} + s_i * $SampleEvery * ${2 * FrameSize} + 1 AS INT),
+       |      ${2 * FrameSize}) AS fhx
+       |  FROM idx
+       |)
+       |SELECT media_id, frame_no,
+       |  CAST(length(fhx) / 2 AS BIGINT) AS frame_bytes,
+       |  CAST(('0x' || substring(fhx, 1, 2))::INT AS BIGINT) AS first_byte,
+       |  CAST(('0x' || substring(fhx, ${2 * FrameSize - 1}, 2))::INT AS BIGINT) AS last_byte
+       |FROM fr ORDER BY media_id, frame_no""".stripMargin
+
+  // ------------------------------------------- decode (stub boundary)
+
+  /** Decoded-media features (what a real codec would yield). */
+  final case class MediaFeatures(
+      mediaId: Long, mediaType: String, width: Int, height: Int,
+      nFrames: Int, payloadBytes: Long, meanByte: Double)
+
+  /** The codec seam. A production deployment binds a real
+    * image/audio/video library here (per-partition init, batch decode);
+    * this container only ships [[Fake]], which parses the GRFT header
+    * and computes payload statistics — deterministic and cheap, but
+    * with the exact call shape a real decoder needs. */
+  trait MediaCodec extends Serializable {
+    def decode(mediaId: Long, content: Array[Byte]): MediaFeatures
+  }
+
+  object MediaCodec {
+    /** Deterministic stand-in for the real decoder (see trait doc). */
+    object Fake extends MediaCodec {
+      private def u16(b: Array[Byte], off0: Int): Int =
+        ((b(off0) & 0xff) << 8) | (b(off0 + 1) & 0xff)
+      def decode(mediaId: Long, content: Array[Byte]): MediaFeatures = {
+        require(content.length >= HeaderLen &&
+          new String(content.take(4), "US-ASCII") == "GRFT", s"bad magic for $mediaId")
+        val kind = content(4) & 0xff
+        val payload = content.drop(HeaderLen)
+        MediaFeatures(
+          mediaId,
+          kind match { case 1 => "image"; case 2 => "audio"; case _ => "video" },
+          u16(content, 5), u16(content, 7), u16(content, 9),
+          payload.length.toLong,
+          if (payload.isEmpty) 0.0
+          else payload.map(b => (b & 0xff).toLong).sum.toDouble / payload.length)
+      }
+    }
+  }
+
+  /** Distributed decode: one codec instance per partition (the real-
+    * codec init cost amortizes over the partition's rows), rows decoded
+    * in a streaming iterator — never materialized per-partition. */
+  def decodeAll(media: DataFrame, codec: MediaCodec = MediaCodec.Fake): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows => rows.map { case (id, bytes) => codec.decode(id, bytes) } }
+      .toDF()
+  }
+
+  // --------------------------------------------------------- registry
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q45_media_meta" -> (q45MediaMeta _),
+    "q46_frame_sample" -> (q46FrameSample _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q45_media_meta" -> q45Sql,
+    "q46_frame_sample" -> q46Sql
+  )
+}

@@ -19,6 +19,9 @@ object GenFixtures {
   /** Canonical committed location, used by the messages queries. */
   val MessagesPath = "/root/repo/fixtures/messages.parquet"
 
+  /** Media fixture sizing (see MultimodalOps GRFT container). */
+  val MediaRows = 300L
+
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/root/repo/fixtures")
     val spark = GraftSession.getOrCreate("graft-fixtures")
@@ -27,11 +30,21 @@ object GenFixtures {
         .coalesce(1)
         .sortWithinPartitions("sequencia")
         .write.mode("overwrite").parquet(s"$out/messages_dir")
+      graft.llmops.MultimodalOps.generate(spark, MediaRows, FixtureConf.seed)
+        .coalesce(1)
+        .sortWithinPartitions("media_id")
+        .write.mode("overwrite").parquet(s"$out/media_dir")
     } finally spark.stop()
-    // single-file layout so DuckDB's read_parquet('...parquet') is trivial
-    val dir = new java.io.File(s"$out/messages_dir")
+    singleFile(out, "messages")
+    singleFile(out, "media")
+  }
+
+  /** Collapse a one-part parquet dir to a single file so DuckDB's
+    * read_parquet('...parquet') is trivial. */
+  private def singleFile(out: String, name: String): Unit = {
+    val dir = new java.io.File(s"$out/${name}_dir")
     val part = dir.listFiles().find(_.getName.endsWith(".parquet")).get
-    val dst = new java.io.File(s"$out/messages.parquet")
+    val dst = new java.io.File(s"$out/$name.parquet")
     if (dst.exists()) dst.delete()
     java.nio.file.Files.move(part.toPath, dst.toPath)
     dir.listFiles().foreach(_.delete()); dir.delete()

@@ -1,0 +1,72 @@
+package graft
+
+import graft.llmops.MultimodalOps
+import graft.llmops.MultimodalOps.{FrameSize, HeaderLen, MediaCodec}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Multimodal plumbing checks: the binary container round-trips, the
+  * decode stage is partition-parallel with the right batch shape, and
+  * header expressions agree with the codec's view of the same bytes. */
+class MultimodalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.builder("multimodal-test", cores = 4).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def media = spark.read.parquet(MultimodalOps.MediaPath)
+
+  test("generated container: magic, sizes, and meta struct consistent") {
+    val rows = media.select(col("media_id"), col("media_type"), col("meta"),
+      col("content")).collect()
+    assert(rows.length == 300)
+    rows.foreach { r =>
+      val bytes = r.getAs[Array[Byte]]("content")
+      assert(new String(bytes.take(4), "US-ASCII") == "GRFT")
+      val meta = r.getStruct(2)
+      assert(bytes.length == meta.getAs[Long]("n_bytes"))
+      assert(bytes.length == HeaderLen + meta.getAs[Int]("n_frames") * FrameSize)
+    }
+  }
+
+  test("decodeAll: distributed decode matches header expressions row-for-row") {
+    val m = media
+    val decoded = MultimodalOps.decodeAll(m)
+    assert(decoded.count() == 300)
+    // codec's parsed header == the meta struct the generator embedded
+    val joined = decoded.join(m, decoded("mediaId") === m("media_id"))
+    val mismatches = joined.filter(
+      col("width") =!= col("meta.width") ||
+      col("height") =!= col("meta.height") ||
+      col("nFrames") =!= col("meta.n_frames") ||
+      col("mediaType") =!= col("media_type") ||
+      col("payloadBytes") =!= col("meta.n_bytes") - HeaderLen).count()
+    assert(mismatches == 0)
+    // payload statistics are real values, not defaults
+    val stats = decoded.agg(min("meanByte"), max("meanByte")).head()
+    assert(stats.getDouble(0) > 64 && stats.getDouble(1) < 192,
+      "md5-derived payload bytes should average near 127.5")
+  }
+
+  test("codec rejects non-container bytes") {
+    intercept[IllegalArgumentException] {
+      MediaCodec.Fake.decode(1L, "not a container".getBytes)
+    }
+  }
+
+  test("frame sampling covers every video with ceil(n/4) frames") {
+    val perVideo = MultimodalOps.q46FrameSample(spark, "")
+      .groupBy("media_id").count()
+    val expected = media.filter(col("media_type") === "video")
+      .select(col("media_id"), ((col("meta.n_frames") - 1) / 4 + 1).cast("long").as("expect"))
+    val bad = perVideo.join(expected, "media_id")
+      .filter(col("count") =!= col("expect")).count()
+    assert(bad == 0)
+  }
+}
