@@ -1,24 +1,88 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import graft.model.EngineConf
+import graft.sources.Generator
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Benchmark main (driver-run per round → BENCH_r{N}.json).
+  *
+  * Two phases, mirroring the reference's methodology (README.md
+  * benchmark modes: produce = generate+serialize+send, consume =
+  * fetch+[deserialize]; warm-up excluded — SURVEY.md §6):
+  *
+  *  1. serde — the reference's workload shape (100 000 × ~1 KB
+  *     messages): produce avro/json to files, consume back in
+  *     E2E_PARSE and TRANSPORTE modes; reported as msg/s next to the
+  *     reference's 6 253.95 msg/s README number.
+  *  2. queries — headline relational + llmops queries on
+  *     SPARK_GRAFT_SF_DIR, each materialized through the noop sink
+  *     (full execution, zero sink cost — `.count()` would let Catalyst
+  *     prune the plan to a metadata scan).
+  *
+  * One JVM-warmup action runs first and is not reported.
+  */
 object Bench {
+
+  private def time(f: => Unit): Double = {
+    val t0 = System.nanoTime()
+    f
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Execute the full plan with no sink cost. */
+  private def run(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors())
+    val spark = GraftSession.builder("graft-bench", cores = cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    // ---- phase 1: serde, the reference's README workload shape
+    val conf = EngineConf(totalMensagens = 100000, tamanhoMensagemKB = 1,
+      warmupMensagens = 0, seed = 42)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bench_").toString
+    val serde = scala.collection.mutable.LinkedHashMap[String, Double]()
+
+    // JVM/codegen warm-up (not reported)
+    run(Generator.messages(spark, conf.copy(totalMensagens = 5000)))
+
+    // the exact CLI pipelines (produce = generate+serialize+write,
+    // consume = read+[parse]+metrics), timed around their actions
+    serde("produce_avro") = time(Main.produce(spark, conf, tmp, avro = true).collect())
+    serde("produce_json") = time(Main.produce(spark, conf, tmp, avro = false).collect())
+    val e2e = conf.copy(benchMode = "E2E_PARSE")
+    val transp = conf.copy(benchMode = "TRANSPORTE")
+    serde("consume_avro_e2e") = time(Main.consume(spark, e2e, tmp, avro = true).collect())
+    serde("consume_json_e2e") = time(Main.consume(spark, e2e, tmp, avro = false).collect())
+    serde("consume_avro_transporte") =
+      time(Main.consume(spark, transp, tmp, avro = true).collect())
+    serde("consume_json_transporte") =
+      time(Main.consume(spark, transp, tmp, avro = false).collect())
+
+    // ---- phase 2: headline queries at the SF dir
+    val headline = Seq(
+      "q10_pricing_summary", "q11_revenue_nation", "q12_top_customers",
+      "q13_window_orders", "q17_distinct", "q20_latest_by_key", "q21_tumbling",
+      "q30_textstats", "q35_jaccard_pairs", "q37_neardup_lsh", "q38_simhash",
+      "q40_cosine_topk", "q41_ann_lsh", "q45_media_meta")
+    val qtimes = scala.collection.mutable.LinkedHashMap[String, Double]()
+    headline.foreach { name =>
+      SparkEntry.queries.get(name).foreach { fn =>
+        qtimes(name) = time(run(fn(spark, sfDir)))
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val total = serde.values.sum + qtimes.values.sum
+    val msgsPerSecAvro = conf.totalMensagens / serde("consume_avro_e2e")
+    val qs = (serde ++ qtimes).map { case (k, v) => s""""$k":${f"$v%.3f"}""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,""" +
+        s""""sf":"$sfDir","cpus":$cpus,"serde_msgs":${conf.totalMensagens},""" +
+        s""""avro_e2e_msgs_per_sec":${f"$msgsPerSecAvro%.1f"}}""")
     spark.stop()
   }
 }

@@ -26,8 +26,20 @@ object TextOps {
     s.read.parquet(s"$dir/documents.parquet")
 
   /** Whitespace tokens. Document texts are single-space separated; the
-    * regex keeps semantics identical to DuckDB's string_split_regex. */
+    * regex keeps semantics identical to DuckDB's string_split_regex.
+    *
+    * PERF: always materialize this ONCE per row (an aliased column in
+    * its own projection) before referencing it repeatedly. A single
+    * expression tree that mentions the split N times evaluates the
+    * regex N times — higher-order functions are interpreted
+    * (CodegenFallback), so there is no subexpression elimination to
+    * save you. CollapseProject keeps a non-cheap multi-referenced
+    * alias materialized, which is exactly what we exploit. */
   private def toks(c: Column): Column = split(c, "\\s+")
+
+  /** documents + a materialized token-array column `w`. */
+  private def tokenized(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).withColumn("w", toks(col("text")))
 
   /** Tiny per-language marker-word lists for the language-ID heuristic
     * (stopword-membership scoring — the classic cheap langid signal). */
@@ -57,8 +69,8 @@ object TextOps {
     * two token counts demonstrate whitespace vs regex ("BPE-ish"
     * letter-run/digit-run/symbol) tokenization. */
   def q30TextStats(s: SparkSession, dir: String): DataFrame = {
-    val t = toks(col("text"))
-    docs(s, dir)
+    val t = col("w")
+    tokenized(s, dir)
       .select(col("lang"),
         length(col("text")).cast("long").as("chars"),
         size(t).cast("long").as("ws_tokens"),
@@ -99,8 +111,7 @@ object TextOps {
     * Per-doc map + one small aggregation; no shuffle of text itself at
     * scale (project scores first, then group). */
   def q31LangId(s: SparkSession, dir: String): DataFrame = {
-    val t = toks(col("text"))
-    val scored = LangMarkers.foldLeft(docs(s, dir).select(col("lang"), t.as("t"))) {
+    val scored = LangMarkers.foldLeft(tokenized(s, dir).select(col("lang"), col("w").as("t"))) {
       case (df, (l, words)) => df.withColumn(s"s_$l", countIn(col("t"), words))
     }
     val best = LangMarkers.map(_._1).foldRight(lit("und")) { case (l, els) =>
@@ -132,8 +143,8 @@ object TextOps {
     * The score arithmetic is shape-identical in both dialects so IEEE
     * evaluation matches bit-for-bit; only counts/min/max aggregate. */
   def q32Quality(s: SparkSession, dir: String): DataFrame = {
-    val t = toks(col("text"))
-    val perDoc = docs(s, dir).select(col("doc_id"),
+    val t = col("w")
+    val perDoc = tokenized(s, dir).select(col("doc_id"),
       size(t).cast("double").as("nt"),
       (length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", "")).cast("double") /
         length(col("text"))).as("punct"),
@@ -215,13 +226,23 @@ object TextOps {
 
   // -------------------------------------------------- q35 jaccard near-dup
 
-  /** Distinct token-trigram shingles of `text` (empty when <3 tokens). */
-  private def shingles(text: Column): Column = {
-    val t = toks(text)
-    when(size(t) >= 3,
-      array_distinct(transform(sequence(lit(0), size(t) - 3),
-        i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3)))))
-      .otherwise(array().cast("array<string>"))
+  /** Distinct (doc_id, shingle) token-trigram rows.
+    *
+    * Formulated as posexplode + two window lead()s + distinct rather
+    * than a `transform` array lambda: higher-order functions are
+    * CodegenFallback (interpreted, ~8µs per element here) and every
+    * operator that references the array re-pays that cost; the window
+    * formulation is whole-stage-codegen'd end to end and evaluated
+    * once. Docs with <3 tokens contribute no rows (lead is null). */
+  private def shingleRows(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    tokenized(s, dir)
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "tk")))
+      .select(col("doc_id"), col("tk"),
+        lead("tk", 1).over(w).as("t2"), lead("tk", 2).over(w).as("t3"))
+      .filter(col("t3").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tk"), col("t2"), col("t3")).as("shingle"))
+      .distinct()
   }
 
   private val shinglesSql =
@@ -235,9 +256,8 @@ object TextOps {
     * AQE-split; at 100 TB one would also drop top-frequency shingles,
     * which can't produce >threshold pairs on long docs anyway). */
   def q35JaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = docs(s, dir).select(col("doc_id"), shingles(col("text")).as("sh"))
-      .withColumn("n_sh", size(col("sh")))
-    val ex = sh.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
+    val ex = shingleRows(s, dir)
+      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc_id")))
     val a = ex.select(col("doc_id").as("doc_a"), col("n_sh").as("na"), col("shingle"))
     val b = ex.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"), col("shingle"))
     a.join(b, Seq("shingle")).filter(col("doc_a") < col("doc_b"))
@@ -286,8 +306,7 @@ object TextOps {
     * core of MinHash-LSH dedup. Per-doc computation only (explode +
     * re-group by doc_id); signature width k=16. */
   def q36MinhashSig(s: SparkSession, dir: String): DataFrame = {
-    val ex = docs(s, dir)
-      .select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
+    val ex = shingleRows(s, dir)
       .withColumn("h", baseHash(col("shingle")))
     val perJ = (0 until MinhashK).map { j =>
       min((col("h") * aj(j) + bj(j)) % MinhashP).as(s"m$j")
@@ -326,11 +345,11 @@ object TextOps {
   val RowsPerBand = 4
 
   def q37NeardupLsh(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir).select(col("doc_id"), shingles(col("text")).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val ex = d.select(col("doc_id"), explode(col("sh")).as("shingle"))
-      .withColumn("h", baseHash(col("shingle")))
-    val sigCols = (0 until MinhashK).map(j => min((col("h") * aj(j) + bj(j)) % MinhashP).as(s"m$j"))
+    val ex = shingleRows(s, dir).withColumn("h", baseHash(col("shingle")))
+    // n_sh rides along in the same aggregation — one scan serves both
+    // the signatures and the verification set sizes
+    val sigCols = (0 until MinhashK).map(j => min((col("h") * aj(j) + bj(j)) % MinhashP).as(s"m$j")) :+
+      count(lit(1)).as("n_sh")
     val sig = ex.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
     // band hash = md5 of the band's 4 signature values
     val banded = sig.select(col("doc_id"), explode(array((0 until Bands).map { bnd =>
@@ -343,13 +362,20 @@ object TextOps {
     val cb = banded.select(col("doc_id").as("doc_b"), col("band"), col("bh"))
     val cand = ca.join(cb, Seq("band", "bh")).filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    // verify candidates with exact Jaccard (small candidate set)
-    val sh = d.select(col("doc_id"), col("sh"))
-    cand.join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
+    // verify candidates with exact Jaccard — common-shingle counts from
+    // the exploded rows restricted to the (small) candidate set; the
+    // candidate side broadcasts, so verification never re-shuffles the
+    // full corpus
+    val counts = sig.select(col("doc_id"), col("n_sh"))
+    val shA = shingleRows(s, dir).select(col("doc_id").as("doc_a"), col("shingle"))
+    val shB = shingleRows(s, dir).select(col("doc_id").as("doc_b"), col("shingle"))
+    val common = cand.join(shA, Seq("doc_a")).join(shB, Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+    common
+      .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
+      .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("sha"), col("shb"))).cast("double") /
-          size(array_union(col("sha"), col("shb")))).as("jaccard"))
+        (col("common").cast("double") / (col("na") + col("nb") - col("common"))).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
       .orderBy("doc_a", "doc_b")
   }

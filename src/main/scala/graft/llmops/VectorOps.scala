@@ -27,14 +27,14 @@ object VectorOps {
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
-  /** Element-wise float→double, so all arithmetic is double from the
-    * start (DuckDB lists are promoted the same way). */
-  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+  /** Codegen'd sequential-fold dot product (graft.functions.DotProduct)
+    * — the builtin aggregate(zip_with(...)) route is an interpreted
+    * higher-order function and dominates the n²×dim hot path. Floats
+    * widen to double per element inside the loop, so no array-cast
+    * pass is needed and values match DuckDB's CAST(x AS DOUBLE). */
+  private def dot(a: Column, b: Column): Column = graft.functions.VectorExprs.dot(a, b)
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
-  private def norm(v: Column): Column = sqrt(dot(v, v))
+  private def norm(v: Column): Column = graft.functions.VectorExprs.norm(v)
 
   // ------------------------------------------------------ q40 brute force
 
@@ -42,7 +42,7 @@ object VectorOps {
     * Shape: normalize once, self-join, rank by rounded similarity.
     * At scale the query side would be the small (broadcast) side. */
   def q40CosineTopk(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir).select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val e = emb(s, dir).select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", norm(col("v")))
     val a = e.select(col("vec_id"), col("v"), col("nrm"))
     val b = e.select(col("vec_id").as("neighbor_id"), col("v").as("w"), col("nrm").as("wnrm"))
@@ -111,7 +111,7 @@ object VectorOps {
     * Rows-only driver check (approximate by design); the recall floor
     * vs q40 is asserted in VectorOpsSpec. */
   def q41AnnLsh(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir).select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val e = emb(s, dir).select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", norm(col("v")))
     val withBuckets = (0 until Tables).foldLeft(e) { (df, t) =>
       df.withColumn(s"b$t", bucketBits(col("v"), t))
@@ -151,13 +151,16 @@ object VectorOps {
     * per-element products of already-rounded member cosines — ordered
     * rounding keeps both engines identical. */
   def q42LabelCentroids(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir).select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    val e = emb(s, dir).select(col("vec_id"), col("label"), col("embedding").as("v"))
     // centroid = element-wise mean: aggregate array-of-arrays by index
     // exact DECIMAL accumulation: double avg would depend on partition
     // order and flip rounded cosines at the 1e-6 boundary
     val byIdx = e.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
     val cent = byIdx.groupBy("label", "i")
-      .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(28, 12))).cast("double") /
+      // widen float→double BEFORE decimal, matching the oracle's
+      // CAST(CAST(x AS DOUBLE) AS DECIMAL) path exactly
+      .agg((sum(col("x").cast("double")
+        .cast(org.apache.spark.sql.types.DecimalType(28, 12))).cast("double") /
         count(lit(1))).as("c"))
       .groupBy("label").agg(map_from_arrays(collect_list("i"), collect_list("c")).as("cm"))
       .select(col("label"),
