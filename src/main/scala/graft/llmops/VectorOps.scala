@@ -209,17 +209,58 @@ object VectorOps {
        |  max(cos_to_centroid) AS max_cos
        |FROM cos GROUP BY label ORDER BY label""".stripMargin
 
+  // ------------------------------------------ q43 embedding near-dup
+
+  /** Embedding near-dup threshold. The synthetic vectors are well
+    * spread (max pairwise cosine ≈ 0.51), so 0.5 exercises the
+    * boundary; real corpora would run ≥ 0.95. */
+  val NearDupCos = 0.5
+
+  /** q43: embedding-cosine near-duplicate pairs — the vector-space
+    * member of the dedup family (exact text dedup → q34, shingle
+    * near-dup → q35/q37, semantic near-dup → this). Same join
+    * discipline as q40; at scale the pair source would be the LSH
+    * buckets of q41 rather than the cross join. */
+  def q43CosNeardup(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val a = e.select(col("vec_id").as("vec_a"), col("v"), col("nrm"))
+    val b = e.select(col("vec_id").as("vec_b"), col("v").as("w"), col("nrm").as("wnrm"))
+    a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(dot(col("v"), col("w")) / (col("nrm") * col("wnrm")), 6).as("sim"))
+      .filter(col("sim") >= NearDupCos)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val q43Sql: String =
+    s"""WITH d AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM d
+       |)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  round(list_sum([a.v[i] * b.v[i] for i in range(1, $Dim + 1)])
+       |        / (a.nrm * b.nrm), 6) AS sim
+       |FROM n a JOIN n b ON a.vec_id < b.vec_id
+       |WHERE round(list_sum([a.v[i] * b.v[i] for i in range(1, $Dim + 1)])
+       |        / (a.nrm * b.nrm), 6) >= $NearDupCos
+       |ORDER BY vec_a, vec_b""".stripMargin
+
   // --------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_cosine_topk" -> (q40CosineTopk _),
     "q41_ann_lsh" -> (q41AnnLsh _),
-    "q42_label_centroids" -> (q42LabelCentroids _)
+    "q42_label_centroids" -> (q42LabelCentroids _),
+    "q43_cos_neardup" -> (q43CosNeardup _)
   )
 
   /** q41 is approximate by design → no oracle (driver rows-only check). */
   val oracle: Map[String, String] = Map(
     "q40_cosine_topk" -> q40Sql,
-    "q42_label_centroids" -> q42Sql
+    "q42_label_centroids" -> q42Sql,
+    "q43_cos_neardup" -> q43Sql
   )
 }

@@ -388,6 +388,71 @@ object Queries {
   private def events(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
 
+  /** Q18: AS-OF join — for every click, the most recent purchase by
+    * the same user at or before the click (event attribution).
+    *
+    * Spark has no native as-of join; the SCALABLE idiom is union the
+    * two sides tagged, one window per user ordered by (ts, side) with
+    * `last(purchase_ts, ignoreNulls)` — a single shuffle on user_id,
+    * no range-join row explosion, equivalent to DuckDB's ASOF LEFT
+    * JOIN. Purchases sort before clicks at an equal timestamp so a
+    * same-instant purchase is visible (ASOF's >= bound). Only the
+    * purchase TIMESTAMP is emitted, so equal-ts purchase ties cannot
+    * make the result nondeterministic. */
+  def q18AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(1).as("kind"), col("event_id"),
+        lit(null).cast("timestamp").as("pts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(0).as("kind"),
+        lit(null).cast("long").as("event_id"), col("ts").as("pts"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionAll(purchases)
+      .withColumn("last_pts", last(col("pts"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("click_us"),
+        unix_micros(col("last_pts")).as("purchase_us"),
+        (unix_micros(col("ts")) - unix_micros(col("last_pts"))).as("gap_us"))
+      .orderBy("event_id")
+  }
+
+  val q18Sql: String =
+    """SELECT c.event_id, c.user_id,
+      |  epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_us,
+      |  epoch_us(CAST(p.ts AS TIMESTAMP)) AS purchase_us,
+      |  epoch_us(CAST(c.ts AS TIMESTAMP)) - epoch_us(CAST(p.ts AS TIMESTAMP)) AS gap_us
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON c.user_id = p.user_id AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP)
+      |ORDER BY c.event_id""".stripMargin
+
+  /** Q19: CUBE over orders (status × priority) with an explicit
+    * grouping-bit column (grouping() composes identically in both
+    * dialects; Spark's grouping_id() would too but the explicit form
+    * is dialect-portable). */
+  def q19CubeOrders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        (grouping(col("o_orderstatus")) * 2 + grouping(col("o_orderpriority"))).as("gid"),
+        sum(dec(col("o_totalprice"), 12, 2)).cast("double").as("total"))
+      .select(coalesce(col("o_orderstatus"), lit("TODOS")).as("status"),
+        coalesce(col("o_orderpriority"), lit("TODAS")).as("prioridade"),
+        col("gid"), col("n"), col("total"))
+      .orderBy("gid", "status", "prioridade")
+
+  val q19Sql: String =
+    """SELECT coalesce(o_orderstatus, 'TODOS') AS status,
+      |  coalesce(o_orderpriority, 'TODAS') AS prioridade,
+      |  CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INT) AS gid,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY gid, status, prioridade""".stripMargin
+
   /** Q20: latest-by-key over the event stream (dedup-to-latest — the
     * window-rank idiom; at scale this is one shuffle on user_id). */
   def q20LatestByKey(s: SparkSession, dir: String): DataFrame = {
@@ -440,6 +505,8 @@ object Queries {
     "q15_setops" -> (q15SetOps _),
     "q16_semi_anti" -> (q16SemiAnti _),
     "q17_distinct" -> (q17Distinct _),
+    "q18_asof_join" -> (q18AsofJoin _),
+    "q19_cube_orders" -> (q19CubeOrders _),
     "q20_latest_by_key" -> (q20LatestByKey _),
     "q21_tumbling" -> (q21Tumbling _)
   )
@@ -459,6 +526,8 @@ object Queries {
     "q15_setops" -> q15Sql,
     "q16_semi_anti" -> q16Sql,
     "q17_distinct" -> q17Sql,
+    "q18_asof_join" -> q18Sql,
+    "q19_cube_orders" -> q19Sql,
     "q20_latest_by_key" -> q20Sql,
     "q21_tumbling" -> q21Sql
   )

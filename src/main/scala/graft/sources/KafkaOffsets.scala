@@ -1,0 +1,53 @@
+package graft.sources
+
+/** Kafka offset-range planning for the consumer's "seek to end − N"
+  * scan (reference: aplicacoes/ConsumidorAvro.java:163-180, duplicated
+  * in ConsumidorJson.java:235-252): each assigned partition starts at
+  * `max(beginningOffset, endOffset − ceil(target / numPartitions))`.
+  *
+  * Pure functions (no broker I/O) so the logic is unit-testable in
+  * this offline environment; the Spark Kafka source consumes the
+  * result via its `startingOffsets` per-partition JSON option. The
+  * reads themselves are then one Spark task per topic-partition —
+  * the engine's analogue of the reference's thread-per-partition.
+  */
+object KafkaOffsets {
+
+  /** Per-partition start offsets for a tail scan of ~`target` total
+    * records. Mirrors the reference arithmetic exactly, including the
+    * ceiling division and the beginning-offset clamp. */
+  def seekEndMinusN(
+      beginning: Map[Int, Long], end: Map[Int, Long], target: Long): Map[Int, Long] = {
+    require(target >= 0, s"target must be >= 0, got $target")
+    val parts = end.size.toLong
+    if (parts == 0) Map.empty
+    else {
+      val perPart = (target + parts - 1) / parts // ceil(target / partitions)
+      end.map { case (p, endOff) =>
+        p -> math.max(beginning.getOrElse(p, 0L), endOff - perPart)
+      }
+    }
+  }
+
+  /** The Spark Kafka source `startingOffsets` JSON for one topic:
+    * {"topic":{"0":off0,"1":off1,...}}. */
+  def startingOffsetsJson(topic: String, offsets: Map[Int, Long]): String = {
+    val inner = offsets.toSeq.sortBy(_._1)
+      .map { case (p, o) => s""""$p":$o""" }.mkString(",")
+    s"""{"$topic":{$inner}}"""
+  }
+
+  /** Reader options for a tail scan: per-partition starts plus
+    * `minPartitions` so Spark splits hot partitions into more tasks
+    * than topic partitions when asked (scale lever the reference's
+    * fixed thread-per-partition model lacks). */
+  def tailScanOptions(
+      topic: String, beginning: Map[Int, Long], end: Map[Int, Long],
+      target: Long, minPartitions: Option[Int] = None): Map[String, String] = {
+    val base = Map(
+      "subscribe" -> topic,
+      "startingOffsets" -> startingOffsetsJson(topic, seekEndMinusN(beginning, end, target)),
+      "endingOffsets" -> "latest")
+    base ++ minPartitions.map(n => "minPartitions" -> n.toString)
+  }
+}
