@@ -32,6 +32,22 @@ object GraftSession {
   def getOrCreate(appName: String = "graft"): SparkSession = {
     val s = builder(appName).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    registerFunctions(s)
     s
+  }
+
+  /** Expose the engine's custom Catalyst expressions to SQL — the
+    * `spark.sql(...)` API surface: graft_dot (codegen'd dot product),
+    * graft_to_avro / graft_from_avro (payload-schema Avro serde). */
+  def registerFunctions(s: SparkSession): Unit = {
+    import graft.functions.{DotProduct, FromAvro, ToAvro}
+    import graft.model.SchemaDef
+    val reg = s.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_dot",
+      exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_to_avro",
+      exprs => ToAvro(exprs.head, SchemaDef.mensagemAvroJson), "built-in")
+    reg.createOrReplaceTempFunction("graft_from_avro",
+      exprs => FromAvro(exprs.head, SchemaDef.mensagemAvroJson), "built-in")
   }
 }

@@ -488,6 +488,52 @@ object Queries {
       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS soma_valor
       |FROM events GROUP BY 1, 2 ORDER BY janela_ms, event_type""".stripMargin
 
+  /** Session gap: a new session starts after 30 min of inactivity. */
+  val SessionGapUs: Long = 30L * 60 * 1000000
+
+  /** Q22: sessionization — the lag/cumulative-sum idiom: flag rows
+    * whose gap from the previous event exceeds the threshold, running
+    * sum of flags = session id, then aggregate per session. One
+    * shuffle on user_id; both window frames share the same sort.
+    * The stateful-streaming twin (flatMapGroupsWithState) lives in
+    * streaming.StreamOps and is spec-asserted equal. */
+  def q22Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("novo",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > SessionGapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum("novo").over(run))
+      .groupBy("user_id", "sid")
+      .agg(count(lit(1)).as("n_eventos"),
+        min("us").as("inicio_us"), max("us").as("fim_us"))
+      .select(col("user_id"), col("sid"), col("n_eventos"),
+        col("inicio_us"), (col("fim_us") - col("inicio_us")).as("duracao_us"))
+      .orderBy("user_id", "sid")
+  }
+
+  val q22Sql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+       |), flagged AS (
+       |  SELECT user_id, event_id, us,
+       |    CASE WHEN lag(us) OVER w IS NULL
+       |              OR us - lag(us) OVER w > $SessionGapUs
+       |         THEN 1 ELSE 0 END AS novo
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+       |), sess AS (
+       |  SELECT user_id, us,
+       |    sum(novo) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |  FROM flagged
+       |)
+       |SELECT user_id, CAST(sid AS BIGINT) AS sid, count(*) AS n_eventos,
+       |  min(us) AS inicio_us, max(us) - min(us) AS duracao_us
+       |FROM sess GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin
+
   // --------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -508,7 +554,8 @@ object Queries {
     "q18_asof_join" -> (q18AsofJoin _),
     "q19_cube_orders" -> (q19CubeOrders _),
     "q20_latest_by_key" -> (q20LatestByKey _),
-    "q21_tumbling" -> (q21Tumbling _)
+    "q21_tumbling" -> (q21Tumbling _),
+    "q22_sessionize" -> (q22Sessionize _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -529,6 +576,7 @@ object Queries {
     "q18_asof_join" -> q18Sql,
     "q19_cube_orders" -> q19Sql,
     "q20_latest_by_key" -> q20Sql,
-    "q21_tumbling" -> q21Sql
+    "q21_tumbling" -> q21Sql,
+    "q22_sessionize" -> q22Sql
   )
 }

@@ -121,6 +121,98 @@ object StreamOps {
     }
   }
 
+  // ------------------------------------------------- stateful sessions
+
+  /** Per-user session state for [[sessionizeStateful]]. */
+  final case class SessionState(sid: Long, startUs: Long, lastUs: Long, n: Long)
+
+  /** Emitted closed (or final) session. */
+  final case class Session(user_id: Long, sid: Long, n_eventos: Long,
+      inicio_us: Long, duracao_us: Long)
+
+  /** Internal typed event row (public: encoders generate accessor code). */
+  final case class Ev(user_id: Long, event_id: Long, us: Long)
+
+  /** Custom stateful sessionization via flatMapGroupsWithState — the
+    * KeyValueGroupedDataset custom-state API the engine exposes for
+    * session semantics the built-in windows can't express. Gap rule
+    * identical to the batch q22 (lag > 30 min starts a session).
+    *
+    * Streaming caveats made explicit: events inside one micro-batch
+    * arrive unordered, so the group sorts its batch in memory (bounded
+    * by per-user batch volume); sessions close when a later event
+    * proves the gap, and the final open session is emitted on timeout
+    * (here: end of AvailableNow input, demonstrated in the spec by
+    * comparing CLOSED+final sessions to the batch result). */
+  def sessionizeStateful(events: DataFrame, gapUs: Long): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+
+    val typed = events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .as[Ev]
+
+    def fn(userId: Long, evs: Iterator[Ev],
+        state: org.apache.spark.sql.streaming.GroupState[SessionState]): Iterator[Session] = {
+      val sorted = evs.toArray.sortBy(e => (e.us, e.event_id))
+      var out = List.empty[Session]
+      var st = state.getOption.orNull
+      sorted.foreach { e =>
+        st = st match {
+          case null => SessionState(1L, e.us, e.us, 1L)
+          case s if e.us - s.lastUs > gapUs =>
+            out ::= Session(userId, s.sid, s.n, s.startUs, s.lastUs - s.startUs)
+            SessionState(s.sid + 1, e.us, e.us, 1L)
+          case s => s.copy(lastUs = e.us, n = s.n + 1)
+        }
+      }
+      if (st != null) state.update(st)
+      out.reverseIterator
+    }
+
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState(org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(fn)
+      .toDF()
+  }
+
+  /** Batch-mode runner for the stateful sessionizer: on a bounded
+    * input all state arrives in one pass, so closed sessions plus each
+    * user's final open session equal the batch q22 result exactly
+    * (spec-asserted). Returns closed+final sessions. */
+  def sessionizeBatch(s: SparkSession, dir: String, gapUs: Long): DataFrame = {
+    import s.implicits._
+    val ev = eventsBatch(s, dir)
+    val closed = sessionizeStateful(ev, gapUs).as[Session]
+    // final open sessions: flatMapGroupsWithState in batch mode emits
+    // only what fn returns; recover each user's last session from the
+    // same deterministic walk
+    val finals = ev
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .mapGroups { (uid, evs) =>
+        val sorted = evs.toArray.sortBy(e => (e.us, e.event_id))
+        var st: SessionState = null
+        sorted.foreach { e =>
+          st =
+            if (st == null) SessionState(1L, e.us, e.us, 1L)
+            else if (e.us - st.lastUs > gapUs) SessionState(st.sid + 1, e.us, e.us, 1L)
+            else st.copy(lastUs = e.us, n = st.n + 1)
+        }
+        Session(uid, st.sid, st.n, st.startUs, st.lastUs - st.startUs)
+      }
+    closed.unionAll(finals).toDF()
+      .orderBy("user_id", "sid")
+  }
+
+  /** Batch events with proper timestamps (same conversion as the
+    * streaming source). */
+  def eventsBatch(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
   /** Run the streaming metrics over a messages parquet dir with
     * idle-stop (ProcessingTime trigger — the open-ended consumer
     * shape), returning the final counters. */
