@@ -63,10 +63,13 @@ object Main {
     raw.repartition(conf.numParticoes, col("particao"))
       .write.mode("overwrite").partitionBy("particao")
       .parquet(s"$dir/messages_raw_$fmt")
-    val bytes = if (avro) col("bytes_avro") else col("bytes_json")
+    // metrics over what was actually written (the producer callback
+    // counts sent-record sizes) — generate+serialize runs ONCE, in the
+    // write above; the report only re-reads lengths
+    val written = spark.read.parquet(s"$dir/messages_raw_$fmt")
     Metrics.report(
-      msgs.filter(col("sequencia") > conf.warmupMensagens),
-      bytes, col("sucesso"), col("timestamp"), conf)
+      written.filter(col("sequencia") > conf.warmupMensagens),
+      octet_length(col("valor")).cast("long"), col("sucesso"), col("timestamp"), conf)
   }
 
   /** Read + optional parse + metrics (reference consume path,

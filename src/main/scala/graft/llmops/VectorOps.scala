@@ -76,30 +76,40 @@ object VectorOps {
 
   // ------------------------------------------------- q41 LSH-bucketed ANN
 
-  /** LSH layout: `Tables` independent hash tables of `Planes` sign
-    * bits each, plus single-bit multi-probe on the query side. With
-    * neighbors at cosine ≈ 0.4 (nearly orthogonal — the hard case) a
-    * single table recalls <15%; OR-ing independent tables is the
-    * standard fix (recall 1-(1-r)^L). At larger n, raise `Planes`
-    * (buckets should track n / desired-bucket-size) — recall is then
-    * retained by raising `Tables`, trading compute, not correctness. */
-  val Planes = 6
+  /** LSH layout: `Tables` independent hash tables of `planesFor(n)`
+    * sign bits each, plus single-bit multi-probe on the query side.
+    * With neighbors at cosine ≈ 0.4 (nearly orthogonal — the hard
+    * case) a single table recalls <15%; OR-ing independent tables is
+    * the standard fix (recall 1-(1-r)^L).
+    *
+    * The plane count SCALES WITH n: buckets must track
+    * n / target-bucket-size or candidate volume degenerates toward the
+    * cross join (measured: at n=5000 with fixed 6 planes the ANN was
+    * SLOWER than brute force). Recall lost to finer buckets is bought
+    * back with tables/probes — compute, not correctness. */
   val Tables = 6
+  val TargetBucket = 10
   val seed = 42L
+
+  /** Sign-bit count per table for a database of n vectors. */
+  def planesFor(n: Long): Int = {
+    val ideal = math.ceil(math.log(math.max(1L, n).toDouble / TargetBucket) / math.log(2)).toInt
+    math.min(14, math.max(6, ideal))
+  }
 
   /** Deterministic pseudo-random hyperplanes: component (t, p, d) is a
     * signed value derived from a hash of (seed, t, p, d) —
     * reproducible across runs without RNG state. */
-  private[llmops] def hyperplanes(t: Int): Array[Array[Double]] =
-    Array.tabulate(Planes, Dim) { (p, d) =>
+  private[llmops] def hyperplanes(t: Int, planes: Int): Array[Array[Double]] =
+    Array.tabulate(planes, Dim) { (p, d) =>
       val h = scala.util.hashing.MurmurHash3.productHash((seed, t, p, d))
       (h.toDouble / Int.MaxValue) // roughly uniform in [-1, 1]
     }
 
-  private def bucketBits(v: Column, t: Int): Column = {
-    val planes = hyperplanes(t)
-    (0 until Planes).map { p =>
-      val proj = dot(v, array(planes(p).map(lit(_)): _*))
+  private def bucketBits(v: Column, t: Int, planes: Int): Column = {
+    val hp = hyperplanes(t, planes)
+    (0 until planes).map { p =>
+      val proj = dot(v, array(hp(p).map(lit(_)): _*))
       when(proj >= 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
   }
@@ -113,8 +123,10 @@ object VectorOps {
   def q41AnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir).select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", norm(col("v")))
+    // one cheap metadata count sizes the bucket space to the database
+    val planes = planesFor(emb(s, dir).count())
     val withBuckets = (0 until Tables).foldLeft(e) { (df, t) =>
-      df.withColumn(s"b$t", bucketBits(col("v"), t))
+      df.withColumn(s"b$t", bucketBits(col("v"), t, planes))
     }
     val tableCol = explode(array((0 until Tables).map(t =>
       struct(lit(t).as("tbl"), col(s"b$t").as("bucket"))): _*))
@@ -124,7 +136,7 @@ object VectorOps {
       .select(col("neighbor_id"), col("w"), col("wnrm"),
         col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
     // query side: own bucket + single-bit-flip probes, per table
-    val probes = explode(array((lit(0) +: (0 until Planes).map(p => lit(1 << p))): _*))
+    val probes = explode(array((lit(0) +: (0 until planes).map(p => lit(1 << p))): _*))
     val q = withBuckets.select(col("vec_id"), col("v"), col("nrm"), tableCol.as("tb"))
       .select(col("vec_id"), col("v"), col("nrm"),
         col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"), probes.as("flip"))

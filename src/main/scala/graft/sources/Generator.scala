@@ -71,13 +71,20 @@ object Generator {
   }
 
   /** Serialized views, the analogue of the two producer wire formats:
-    * (chave, particao, valor binary/string). */
+    * (chave, particao, valor) plus the envelope metadata the producer
+    * callback accounting needs (sequencia/timestamp/sucesso — the
+    * Kafka analogues are the record key/timestamp and send result).
+    * `valor` is the ONLY serialization of the payload in the plan;
+    * producer metrics derive from `octet_length(valor)` downstream
+    * rather than re-serializing. */
   def rawAvro(messages: DataFrame): DataFrame =
-    messages.select(col("chave"), col("particao"),
+    messages.select(col("chave"), col("particao"), col("sequencia"),
+      col("timestamp"), col("sucesso"),
       AvroSerde.to_avro(payloadStruct, SchemaDef.mensagemAvroJson).as("valor"))
 
   def rawJson(messages: DataFrame): DataFrame =
-    messages.select(col("chave"), col("particao"), to_json(payloadStruct).as("valor"))
+    messages.select(col("chave"), col("particao"), col("sequencia"),
+      col("timestamp"), col("sucesso"), to_json(payloadStruct).as("valor"))
 
   private def payloadStruct: Column = struct(
     col("id"), col("timestamp"), col("sequencia"), col("dados"), col("versao"))
