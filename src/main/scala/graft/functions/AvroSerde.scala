@@ -96,7 +96,14 @@ object AvroSchemaMap {
   }
 }
 
-/** struct -> Avro binary (single-record, no container file / header). */
+/** struct -> Avro binary (single-record, no container file / header).
+  *
+  * Encodes STRAIGHT from Catalyst's InternalRow into the Avro
+  * BinaryEncoder — no intermediate GenericRecord, no boxing; Avro
+  * binary encoding is deterministic given (schema, values), so the
+  * bytes are identical to the GenericDatumWriter route (asserted in
+  * CoreSpec via the committed fixture's stored byte sizes and the
+  * round-trip through the generic-reader FromAvro). */
 @ExpressionDescription(usage = "graft_to_avro(struct) - Avro-binary encode a struct")
 case class ToAvro(child: Expression, schemaJson: String)
     extends UnaryExpression with CodegenFallback {
@@ -106,17 +113,45 @@ case class ToAvro(child: Expression, schemaJson: String)
 
   @transient private lazy val avroSchema = new Schema.Parser().parse(schemaJson)
   @transient private lazy val structType = child.dataType.asInstanceOf[StructType]
-  @transient private lazy val writer = new GenericDatumWriter[GenericRecord](avroSchema)
   @transient private lazy val baos = new ByteArrayOutputStream(4096)
   @transient private var encoder: BinaryEncoder = _
 
+  private def writeValue(value: Any, dt: DataType, schema: Schema,
+      enc: BinaryEncoder): Unit = (dt: @unchecked) match {
+    case StringType  => enc.writeString(value.asInstanceOf[UTF8String].toString)
+    case LongType    => enc.writeLong(value.asInstanceOf[Long])
+    case IntegerType => enc.writeInt(value.asInstanceOf[Int])
+    case DoubleType  => enc.writeDouble(value.asInstanceOf[Double])
+    case FloatType   => enc.writeFloat(value.asInstanceOf[Float])
+    case BooleanType => enc.writeBoolean(value.asInstanceOf[Boolean])
+    case BinaryType  => enc.writeBytes(value.asInstanceOf[Array[Byte]])
+    case ArrayType(et, _) =>
+      val arr = value.asInstanceOf[ArrayData]
+      val es = schema.getElementType
+      val n = arr.numElements()
+      enc.writeArrayStart()
+      enc.setItemCount(n.toLong)
+      var i = 0
+      while (i < n) {
+        enc.startItem()
+        writeValue(arr.get(i, et), et, es, enc)
+        i += 1
+      }
+      enc.writeArrayEnd()
+    case st: StructType =>
+      val row = value.asInstanceOf[InternalRow]
+      val fields = schema.getFields
+      var i = 0
+      while (i < st.length) {
+        writeValue(row.get(i, st(i).dataType), st(i).dataType, fields.get(i).schema(), enc)
+        i += 1
+      }
+  }
+
   override def nullSafeEval(input: Any): Any = {
-    val rec = AvroSchemaMap
-      .toAvroDatum(input.asInstanceOf[InternalRow], structType, avroSchema)
-      .asInstanceOf[GenericRecord]
     baos.reset()
     encoder = EncoderFactory.get().directBinaryEncoder(baos, encoder)
-    writer.write(rec, encoder)
+    writeValue(input.asInstanceOf[InternalRow], structType, avroSchema, encoder)
     encoder.flush()
     baos.toByteArray
   }
