@@ -85,6 +85,40 @@ object Metrics {
         lit(conf.compressionType).as("compressaoProdutor"))
   }
 
+  /** One message observation for the typed aggregation path. */
+  final case class Obs(bytes: Long, sucesso: Boolean)
+
+  /** Mutable counter buffer (mirrors the reference's four AtomicLongs —
+    * MetricasDesempenho.java:34-38 — made race-free by Spark's
+    * per-partition reduce + merge). */
+  final case class Counters(
+      var total: Long = 0L, var sucesso: Long = 0L,
+      var erro: Long = 0L, var bytes: Long = 0L)
+
+  /** The §7.3 typed fallback: the same counter semantics as
+    * [[counterAggs]] expressed as an `Aggregator[Obs, Counters,
+    * Counters]` — the engine's typed-Dataset aggregation surface.
+    * reduce = registrarMensagem, merge = MetricasDesempenho.merge. */
+  object CounterAggregator
+      extends org.apache.spark.sql.expressions.Aggregator[Obs, Counters, Counters] {
+    override def zero: Counters = Counters()
+    override def reduce(b: Counters, o: Obs): Counters = {
+      b.total += 1
+      if (o.sucesso) b.sucesso += 1 else b.erro += 1
+      if (o.bytes > 0) b.bytes += o.bytes
+      b
+    }
+    override def merge(a: Counters, b: Counters): Counters = {
+      a.total += b.total; a.sucesso += b.sucesso; a.erro += b.erro; a.bytes += b.bytes
+      a
+    }
+    override def finish(r: Counters): Counters = r
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Counters] =
+      org.apache.spark.sql.Encoders.product[Counters]
+    override def outputEncoder: org.apache.spark.sql.Encoder[Counters] =
+      org.apache.spark.sql.Encoders.product[Counters]
+  }
+
   /** Single-pass variant: attach the counters as an `Observation` so a
     * benchmark action yields metrics without a second job (the
     * reference accumulates during its send/poll loop — same one-pass

@@ -217,6 +217,16 @@ object Queries {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** Q10 through the SQL surface: the SAME ANSI text the DuckDB oracle
+    * runs, executed by spark.sql over temp views — demonstrating that
+    * the engine's SQL layer and DataFrame layer meet the same oracle.
+    * (Catalyst plans both identically: same scan, same partial+final
+    * aggregate.) */
+  def q10PricingViaSql(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql(q10Sql)
+  }
+
   /** Q11: revenue by nation — star join; small dims (nation, region)
     * broadcast so the only shuffle is the lineitem-orders-customer
     * path, which AQE re-plans at runtime. */
@@ -544,6 +554,7 @@ object Queries {
     "q05_tail_scan" -> (q05TailScan _),
     "q06_rollup_formato" -> (q06Rollup _),
     "q10_pricing_summary" -> (q10Pricing _),
+    "q10_pricing_sql" -> (q10PricingViaSql _),
     "q11_revenue_nation" -> (q11RevenueNation _),
     "q12_top_customers" -> (q12TopCustomers _),
     "q13_window_orders" -> (q13WindowOrders _),
@@ -566,6 +577,7 @@ object Queries {
     "q05_tail_scan" -> q05Sql,
     "q06_rollup_formato" -> q06Sql,
     "q10_pricing_summary" -> q10Sql,
+    "q10_pricing_sql" -> q10Sql,
     "q11_revenue_nation" -> q11Sql,
     "q12_top_customers" -> q12Sql,
     "q13_window_orders" -> q13Sql,
