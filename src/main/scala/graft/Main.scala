@@ -59,9 +59,13 @@ object Main {
     val raw = if (avro) Generator.rawAvro(msgs) else Generator.rawJson(msgs)
     val fmt = if (avro) "avro" else "json"
     // repartition by the explicit partition column (O7) — mirrors the
-    // producer's (i-1)%P record partitioner on the wire layout
+    // producer's (i-1)%P record partitioner on the wire layout;
+    // COMPRESSION_TYPE maps onto the file codec (the reference's
+    // producer compression axis — ConfiguracaoKafka.java:112-118;
+    // parquet accepts the same names: none/lz4/snappy/gzip/zstd)
     raw.repartition(conf.numParticoes, col("particao"))
       .write.mode("overwrite").partitionBy("particao")
+      .option("compression", conf.compressionType.toLowerCase)
       .parquet(s"$dir/messages_raw_$fmt")
     // metrics over what was actually written (the producer callback
     // counts sent-record sizes) — generate+serialize runs ONCE, in the

@@ -498,6 +498,50 @@ object Queries {
       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS soma_valor
       |FROM events GROUP BY 1, 2 ORDER BY janela_ms, event_type""".stripMargin
 
+  /** Q24: range (interval) join — classify events into value tiers
+    * held in a tiny bounds table: `lo <= value < hi`, a non-equi
+    * predicate. The scalable plan for small interval tables is a
+    * BROADCAST nested-loop (each row probes an in-memory tier list);
+    * large interval tables would be bucketed on the range key first. */
+  def q24RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tiers = Seq((0.0, 100.0, "baixo"), (100.0, 500.0, "medio"),
+      (500.0, 1000.0, "alto"), (1000.0, Double.MaxValue, "extremo"))
+      .toDF("lo", "hi", "tier")
+    events(s, dir)
+      .join(broadcast(tiers), col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"), 18, 2)).cast("double").as("soma_valor"))
+      .orderBy("tier")
+  }
+
+  val q24Sql: String =
+    """SELECT tier, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS soma_valor
+      |FROM events
+      |JOIN (VALUES (0.0, 100.0, 'baixo'), (100.0, 500.0, 'medio'),
+      |             (500.0, 1000.0, 'alto'), (1000.0, 1e308, 'extremo'))
+      |  AS t(lo, hi, tier)
+      |  ON value >= lo AND value < hi
+      |GROUP BY tier ORDER BY tier""".stripMargin
+
+  /** Q25: GROUPING SETS — only expressible through the SQL surface in
+    * Spark (the DataFrame API stops at rollup/cube), so this runs the
+    * shared ANSI text via spark.sql like the oracle does. */
+  def q25GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(q25Sql)
+  }
+
+  val q25Sql: String =
+    """SELECT coalesce(o_orderstatus, 'TODOS') AS status,
+      |  coalesce(o_orderpriority, 'TODAS') AS prioridade,
+      |  count(*) AS n
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY status, prioridade""".stripMargin
+
   /** Session gap: a new session starts after 30 min of inactivity. */
   val SessionGapUs: Long = 30L * 60 * 1000000
 
@@ -566,7 +610,9 @@ object Queries {
     "q19_cube_orders" -> (q19CubeOrders _),
     "q20_latest_by_key" -> (q20LatestByKey _),
     "q21_tumbling" -> (q21Tumbling _),
-    "q22_sessionize" -> (q22Sessionize _)
+    "q22_sessionize" -> (q22Sessionize _),
+    "q24_range_join" -> (q24RangeJoin _),
+    "q25_grouping_sets" -> (q25GroupingSets _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -589,6 +635,8 @@ object Queries {
     "q19_cube_orders" -> q19Sql,
     "q20_latest_by_key" -> q20Sql,
     "q21_tumbling" -> q21Sql,
-    "q22_sessionize" -> q22Sql
+    "q22_sessionize" -> q22Sql,
+    "q24_range_join" -> q24Sql,
+    "q25_grouping_sets" -> q25Sql
   )
 }

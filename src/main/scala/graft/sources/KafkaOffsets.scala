@@ -37,6 +37,23 @@ object KafkaOffsets {
     s"""{"$topic":{$inner}}"""
   }
 
+  /** Spark Kafka SINK options carrying the reference producer's tuned
+    * physical knobs (ConfiguracaoKafka.java:140-148) — batching,
+    * lingering, buffer sizing, compression, acks — as `kafka.*`
+    * passthroughs. Pure builder (no broker needed offline). */
+  def producerOptions(
+      topic: String, compression: String = "lz4", acks: String = "1",
+      batchBytes: Int = 32768, lingerMs: Int = 10,
+      bufferBytes: Long = 64L * 1024 * 1024, maxRequestBytes: Int = 3 * 1024 * 1024)
+      : Map[String, String] = Map(
+    "topic" -> topic,
+    "kafka.acks" -> acks,
+    "kafka.compression.type" -> compression,
+    "kafka.batch.size" -> batchBytes.toString,
+    "kafka.linger.ms" -> lingerMs.toString,
+    "kafka.buffer.memory" -> bufferBytes.toString,
+    "kafka.max.request.size" -> maxRequestBytes.toString)
+
   /** Reader options for a tail scan: per-partition starts plus
     * `minPartitions` so Spark splits hot partitions into more tasks
     * than topic partitions when asked (scale lever the reference's
