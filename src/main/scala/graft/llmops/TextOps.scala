@@ -413,6 +413,72 @@ object TextOps {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ----------------------------------------- q39 capped-index near-dup
+
+  /** Document-frequency cap for candidate shingles: shingles present
+    * in more than this many docs are excluded from candidate
+    * GENERATION (verification still uses the full shingle sets). A
+    * pair above the 0.5 Jaccard threshold shares ≥ ⅓ of its combined
+    * shingles — for them ALL to be hot is vanishingly unlikely, and
+    * at 100 TB this cap is what keeps the inverted-index join's
+    * Σ freq² cost linear in the corpus. */
+  val MaxShingleDf = 20
+
+  /** q39: near-dup pairs via the frequency-capped inverted index —
+    * candidates from rare shingles only, then exact-Jaccard
+    * verification on full shingle sets (same outputs as q35 at sane
+    * caps; the cap bounds join cost, not correctness of survivors). */
+  def q39NeardupCapped(s: SparkSession, dir: String): DataFrame = {
+    val rows = shingleRows(s, dir)
+    val rare = rows.withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
+      .filter(col("df") <= MaxShingleDf)
+    val ca = rare.select(col("doc_id").as("doc_a"), col("shingle"))
+    val cb = rare.select(col("doc_id").as("doc_b"), col("shingle"))
+    val cand = ca.join(cb, Seq("shingle")).filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val counts = rows.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val shA = rows.select(col("doc_id").as("doc_a"), col("shingle"))
+    val shB = rows.select(col("doc_id").as("doc_b"), col("shingle"))
+    val common = cand.join(shA, Seq("doc_a")).join(shB, Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+    common
+      .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
+      .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("common").cast("double") / (col("na") + col("nb") - col("common"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val q39Sql: String =
+    s"""WITH sh0 AS (
+       |  SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       |      for i in range(1, len(w) - 1)])) AS shingle
+       |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents)
+       |), rare AS (
+       |  SELECT doc_id, shingle FROM (
+       |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM sh0)
+       |  WHERE df <= $MaxShingleDf
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |), counts AS (
+       |  SELECT doc_id, count(*) AS n_sh FROM sh0 GROUP BY doc_id
+       |), common AS (
+       |  SELECT doc_a, doc_b, count(*) AS common
+       |  FROM cand
+       |  JOIN sh0 sa ON sa.doc_id = doc_a
+       |  JOIN sh0 sb ON sb.doc_id = doc_b AND sb.shingle = sa.shingle
+       |  GROUP BY doc_a, doc_b
+       |)
+       |SELECT doc_a, doc_b,
+       |  CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common) AS jaccard
+       |FROM common
+       |JOIN counts ca ON ca.doc_id = doc_a
+       |JOIN counts cb ON cb.doc_id = doc_b
+       |WHERE CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // -------------------------------------------------------- q38 simhash
 
   /** q38: 60-bit SimHash per document over whitespace tokens — each
@@ -464,7 +530,8 @@ object TextOps {
     "q35_jaccard_pairs" -> (q35JaccardPairs _),
     "q36_minhash_sig" -> (q36MinhashSig _),
     "q37_neardup_lsh" -> (q37NeardupLsh _),
-    "q38_simhash" -> (q38Simhash _)
+    "q38_simhash" -> (q38Simhash _),
+    "q39_neardup_capped" -> (q39NeardupCapped _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -476,6 +543,7 @@ object TextOps {
     "q35_jaccard_pairs" -> q35Sql,
     "q36_minhash_sig" -> q36Sql,
     "q37_neardup_lsh" -> q37Sql,
-    "q38_simhash" -> q38Sql
+    "q38_simhash" -> q38Sql,
+    "q39_neardup_capped" -> q39Sql
   )
 }
