@@ -213,6 +213,28 @@ object StreamOps {
     s.read.parquet(s"$dir/events.parquet")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
 
+  /** Run SQ1 over a directory INCREMENTALLY with a checkpoint: an
+    * AvailableNow pass processes whatever files are new since the last
+    * run, restores the aggregation state store, and (complete mode via
+    * foreachBatch) rewrites the full result to `outDir`. Returns the
+    * total input rows this run actually read — the recovery drill
+    * asserts it equals only the NEW data after a restart. */
+  def sq1Incremental(s: SparkSession, srcDir: String, checkpoint: String,
+      outDir: String): Long = {
+    val src = s.readStream.schema(eventsSchema).parquet(srcDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = sq1Plan(src)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("complete")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.coalesce(1).write.mode("overwrite").parquet(outDir)
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q.recentProgress.map(_.numInputRows).sum
+  }
+
   /** Run the streaming metrics over a messages parquet dir with
     * idle-stop (ProcessingTime trigger — the open-ended consumer
     * shape), returning the final counters. */

@@ -42,6 +42,29 @@ class StreamOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("checkpoint recovery: restart resumes state, reads only new files") {
+    import org.apache.spark.sql.functions._
+    val work = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+    val (src, ckpt, out) = (s"$work/src", s"$work/ckpt", s"$work/out")
+    // raw events (ts as long nanos) — the same shape the stream source
+    // reads with its declared schema
+    val all = spark.read.parquet(s"$dir/events.parquet")
+    val total = all.count()
+    // half 1 arrives (append writes flat files the stream source lists)
+    all.filter(col("event_id") % 2 === 0).write.mode("append").parquet(src)
+    val read1 = StreamOps.sq1Incremental(spark, src, ckpt, out)
+    assert(read1 == all.filter(col("event_id") % 2 === 0).count())
+    // half 2 arrives, restarted run must read ONLY it and still
+    // produce the full aggregate from restored state
+    all.filter(col("event_id") % 2 === 1).write.mode("append").parquet(src)
+    val read2 = StreamOps.sq1Incremental(spark, src, ckpt, out)
+    assert(read2 == total - read1, s"restart re-read data: $read2")
+    val recovered = spark.read.parquet(out).orderBy("janela_ms", "event_type").collect()
+    val batch = Queries.q21Tumbling(spark, dir).collect()
+    assert(recovered.sameElements(batch),
+      "post-recovery aggregate must equal the batch result")
+  }
+
   test("streaming metrics with idle-stop match batch counters") {
     import graft.model.SchemaDef
     val fixture = graft.sources.GenFixtures.MessagesPath
