@@ -67,6 +67,7 @@ object Bench {
       "q10_pricing_summary", "q11_revenue_nation", "q12_top_customers",
       "q13_window_orders", "q17_distinct", "q20_latest_by_key", "q21_tumbling",
       "q30_textstats", "q35_jaccard_pairs", "q37_neardup_lsh", "q38_simhash",
+      "q39_neardup_capped",
       "q40_cosine_topk", "q41_ann_lsh", "q45_media_meta")
     // one untimed pass per query (JIT + codegen warm-up), then the
     // timed steady-state pass — the reference's warm-up discipline
