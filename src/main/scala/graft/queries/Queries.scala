@@ -498,6 +498,52 @@ object Queries {
       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS soma_valor
       |FROM events GROUP BY 1, 2 ORDER BY janela_ms, event_type""".stripMargin
 
+  /** The event types, fixed for the pivot (a dynamic pivot would scan
+    * once to discover them; the reference data has exactly these). */
+  val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Q26: pivot — events long→wide: one row per user, one count column
+    * per event type. Spark's .pivot() with explicit values skips the
+    * discovery scan; the oracle expresses the same thing as portable
+    * conditional aggregation. */
+  def q26PivotEvents(s: SparkSession, dir: String): DataFrame = {
+    val wide = events(s, dir)
+      .groupBy("user_id")
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, EventTypes)
+    wide.select(col("user_id") +: EventTypes.map(t => col(t).as(s"n_$t")): _*)
+      .orderBy("user_id")
+  }
+
+  val q26Sql: String = {
+    val cols = EventTypes.map(t =>
+      s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS n_$t")
+      .mkString(",\n  ")
+    s"""SELECT user_id, $cols
+       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+  }
+
+  /** Q27: exact percentiles — median and p90 of `value` per event
+    * type via percentile_cont (both engines: sort-based exact with
+    * linear interpolation). Inputs are 2-decimal doubles, so the
+    * interpolated results are identical. */
+  def q27Percentiles(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY value)").as("mediana"),
+        expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY value)").as("p90"),
+        min("value").as("minimo"), max("value").as("maximo"))
+      .orderBy("event_type")
+
+  val q27Sql: String =
+    """SELECT event_type, count(*) AS n,
+      |  percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS mediana,
+      |  percentile_cont(0.9) WITHIN GROUP (ORDER BY value) AS p90,
+      |  min(value) AS minimo, max(value) AS maximo
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Q24: range (interval) join — classify events into value tiers
     * held in a tiny bounds table: `lo <= value < hi`, a non-equi
     * predicate. The scalable plan for small interval tables is a
@@ -612,7 +658,9 @@ object Queries {
     "q21_tumbling" -> (q21Tumbling _),
     "q22_sessionize" -> (q22Sessionize _),
     "q24_range_join" -> (q24RangeJoin _),
-    "q25_grouping_sets" -> (q25GroupingSets _)
+    "q25_grouping_sets" -> (q25GroupingSets _),
+    "q26_pivot_events" -> (q26PivotEvents _),
+    "q27_percentiles" -> (q27Percentiles _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -637,6 +685,8 @@ object Queries {
     "q21_tumbling" -> q21Sql,
     "q22_sessionize" -> q22Sql,
     "q24_range_join" -> q24Sql,
-    "q25_grouping_sets" -> q25Sql
+    "q25_grouping_sets" -> q25Sql,
+    "q26_pivot_events" -> q26Sql,
+    "q27_percentiles" -> q27Sql
   )
 }
