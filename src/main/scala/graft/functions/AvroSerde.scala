@@ -160,7 +160,13 @@ case class ToAvro(child: Expression, schemaJson: String)
 }
 
 /** Avro binary -> struct (schema-exact, mirrors the registry-enforced
-  * decode of the reference consumer). */
+  * decode of the reference consumer).
+  *
+  * Reads the BinaryDecoder STRAIGHT into Catalyst values (InternalRow
+  * / GenericArrayData / UTF8String) — no GenericRecord, no
+  * Utf8→String→UTF8String double conversion. Writer schema == reader
+  * schema by contract, so no resolution pass is needed; the generic
+  * reader remains the round-trip oracle in PropertySpec. */
 @ExpressionDescription(usage = "graft_from_avro(bin) - decode Avro-binary into a struct")
 case class FromAvro(child: Expression, schemaJson: String)
     extends UnaryExpression with CodegenFallback {
@@ -170,15 +176,48 @@ case class FromAvro(child: Expression, schemaJson: String)
     new Schema.Parser().parse(schemaJson))
   override def nullable: Boolean = child.nullable
 
-  @transient private lazy val reader = new GenericDatumReader[GenericRecord](avroSchema)
   @transient private var decoder: BinaryDecoder = _
-  @transient private var reuse: GenericRecord = _
+
+  private def readValue(dt: DataType, schema: Schema, dec: BinaryDecoder): Any =
+    (dt: @unchecked) match {
+      case StringType =>
+        // fresh Utf8 per read: UTF8String.fromBytes WRAPS the backing
+        // array, so a reused buffer would corrupt earlier values
+        val u = dec.readString(null)
+        UTF8String.fromBytes(u.getBytes, 0, u.getByteLength)
+      case LongType    => dec.readLong()
+      case IntegerType => dec.readInt()
+      case DoubleType  => dec.readDouble()
+      case FloatType   => dec.readFloat()
+      case BooleanType => dec.readBoolean()
+      case BinaryType =>
+        val bb = dec.readBytes(null)
+        val out = new Array[Byte](bb.remaining()); bb.get(out); out
+      case ArrayType(et, _) =>
+        val es = schema.getElementType
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Any]
+        var n = dec.readArrayStart()
+        while (n > 0) {
+          var i = 0L
+          while (i < n) { buf += readValue(et, es, dec); i += 1 }
+          n = dec.arrayNext()
+        }
+        new GenericArrayData(buf.toArray)
+      case st: StructType =>
+        val fields = schema.getFields
+        val out = new Array[Any](st.length)
+        var i = 0
+        while (i < st.length) {
+          out(i) = readValue(st(i).dataType, fields.get(i).schema(), dec)
+          i += 1
+        }
+        InternalRow.fromSeq(out.toIndexedSeq)
+    }
 
   override def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[Array[Byte]]
     decoder = DecoderFactory.get().binaryDecoder(bytes, decoder)
-    reuse = reader.read(reuse, decoder)
-    AvroSchemaMap.toCatalyst(reuse, dataType)
+    readValue(dataType, avroSchema, decoder)
   }
 
   override protected def withNewChildInternal(c: Expression): FromAvro = copy(child = c)
