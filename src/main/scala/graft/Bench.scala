@@ -74,20 +74,33 @@ object Bench {
     // (README.md benchmark methodology) applied per plan
     val qtimes = scala.collection.mutable.LinkedHashMap[String, Double]()
     headline.foreach { name =>
-      SparkEntry.queries.get(name).foreach { fn =>
-        run(fn(spark, sfDir))
-        qtimes(name) = time(run(fn(spark, sfDir)))
+      SparkEntry.queries.get(name) match {
+        case None => System.err.println(s"[bench] unknown headline query: $name")
+        case Some(fn) =>
+          // per-query isolation: one failure must not lose the run
+          try {
+            run(fn(spark, sfDir))
+            qtimes(name) = time(run(fn(spark, sfDir)))
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              qtimes(name) = -1.0
+          }
       }
     }
 
-    val total = serde.values.sum + qtimes.values.sum
+    // locale-fixed formatting: the f-interpolator honors the JVM
+    // default locale and would emit comma decimals (invalid JSON)
+    def num(v: Double, places: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${places}f", Double.box(v))
+    val total = serde.values.sum + qtimes.values.filter(_ >= 0).sum
     val msgsPerSecAvro = conf.totalMensagens / serde("consume_avro_e2e")
-    val qs = (serde ++ qtimes).map { case (k, v) => s""""$k":${f"$v%.3f"}""" }
+    val qs = (serde ++ qtimes).map { case (k, v) => s""""$k":${num(v, 3)}""" }
       .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,""" +
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,""" +
         s""""sf":"$sfDir","cpus":$cpus,"serde_msgs":${conf.totalMensagens},""" +
-        s""""avro_e2e_msgs_per_sec":${f"$msgsPerSecAvro%.1f"}}""")
+        s""""avro_e2e_msgs_per_sec":${num(msgsPerSecAvro, 1)}}""")
     spark.stop()
   }
 }

@@ -116,6 +116,27 @@ case class ToAvro(child: Expression, schemaJson: String)
   @transient private lazy val baos = new ByteArrayOutputStream(4096)
   @transient private var encoder: BinaryEncoder = _
 
+  /** Fail at ANALYSIS when the input struct doesn't match the schema —
+    * a mismatched struct would otherwise silently emit truncated Avro
+    * bytes (SQL users hit this via graft_to_avro). */
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val expected = AvroSchemaMap.toSparkType(new Schema.Parser().parse(schemaJson))
+    def compatible(a: DataType, b: DataType): Boolean = (a, b) match {
+      case (x: StructType, y: StructType) =>
+        x.length == y.length && x.fields.zip(y.fields).forall { case (f, g) =>
+          f.name == g.name && compatible(f.dataType, g.dataType)
+        }
+      case (ArrayType(x, _), ArrayType(y, _)) => compatible(x, y)
+      case (x, y) => x == y
+    }
+    if (compatible(child.dataType, expected))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_to_avro input ${child.dataType.simpleString} does not match the " +
+          s"Avro schema's ${expected.simpleString}")
+  }
+
   private def writeValue(value: Any, dt: DataType, schema: Schema,
       enc: BinaryEncoder): Unit = (dt: @unchecked) match {
     case StringType  => enc.writeString(value.asInstanceOf[UTF8String].toString)

@@ -362,11 +362,16 @@ object TextOps {
     val cb = banded.select(col("doc_id").as("doc_b"), col("band"), col("bh"))
     val cand = ca.join(cb, Seq("band", "bh")).filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    // verify candidates with exact Jaccard — common-shingle counts from
-    // the exploded rows restricted to the (small) candidate set; the
-    // candidate side broadcasts, so verification never re-shuffles the
-    // full corpus
-    val counts = sig.select(col("doc_id"), col("n_sh"))
+    verifyJaccard(s, dir, cand, sig.select(col("doc_id"), col("n_sh")))
+  }
+
+  /** Exact-Jaccard verification of a candidate-pair set: common-shingle
+    * counts from the exploded rows restricted to the (small) candidate
+    * set — the candidate side broadcasts, so verification never
+    * re-shuffles the full corpus. Shared by q37 and q39 so the formula
+    * and threshold exist once. */
+  private def verifyJaccard(s: SparkSession, dir: String,
+      cand: DataFrame, counts: DataFrame): DataFrame = {
     val shA = shingleRows(s, dir).select(col("doc_id").as("doc_a"), col("shingle"))
     val shB = shingleRows(s, dir).select(col("doc_id").as("doc_b"), col("shingle"))
     val common = cand.join(shA, Seq("doc_a")).join(shB, Seq("doc_b", "shingle"))
@@ -436,18 +441,7 @@ object TextOps {
     val cb = rare.select(col("doc_id").as("doc_b"), col("shingle"))
     val cand = ca.join(cb, Seq("shingle")).filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    val counts = rows.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val shA = rows.select(col("doc_id").as("doc_a"), col("shingle"))
-    val shB = rows.select(col("doc_id").as("doc_b"), col("shingle"))
-    val common = cand.join(shA, Seq("doc_a")).join(shB, Seq("doc_b", "shingle"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
-    common
-      .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
-      .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        (col("common").cast("double") / (col("na") + col("nb") - col("common"))).as("jaccard"))
-      .filter(col("jaccard") >= 0.5)
-      .orderBy("doc_a", "doc_b")
+    verifyJaccard(s, dir, cand, rows.groupBy("doc_id").agg(count(lit(1)).as("n_sh")))
   }
 
   val q39Sql: String =

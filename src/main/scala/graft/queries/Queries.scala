@@ -188,7 +188,9 @@ object Queries {
     val li = t(s, dir, "lineitem")
     val disc = dec(lit(1), 3, 2) - dec(col("l_discount"), 4, 2)
     val price = dec(col("l_extendedprice"), 12, 2)
-    li.filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+    // cast-in-session-TZ (UTC), NOT java.sql.Timestamp.valueOf which
+    // parses in the JVM default zone and shifts the boundary off-UTC
+    li.filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         sum(dec(col("l_quantity"), 12, 2)).cast("double").as("sum_qty"),

@@ -111,14 +111,17 @@ object StreamOps {
   final class IdleStop(query: () => StreamingQuery, maxIdleEvents: Int)
       extends StreamingQueryListener {
     @volatile private var idle = 0
+    private def mine(id: java.util.UUID): Boolean =
+      Option(query()).exists(_.id == id) // other session queries must not trip us
     override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
     override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
     override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
-      if (e.progress.numInputRows > 0) idle = 0
-    override def onQueryIdle(e: StreamingQueryListener.QueryIdleEvent): Unit = {
-      idle += 1
-      if (idle >= maxIdleEvents) Option(query()).foreach(_.stop())
-    }
+      if (mine(e.progress.id) && e.progress.numInputRows > 0) idle = 0
+    override def onQueryIdle(e: StreamingQueryListener.QueryIdleEvent): Unit =
+      if (mine(e.id)) {
+        idle += 1
+        if (idle >= maxIdleEvents) Option(query()).foreach(_.stop())
+      }
   }
 
   // ------------------------------------------------- stateful sessions
@@ -247,13 +250,21 @@ object StreamOps {
     s.streams.addListener(listener)
     // report idleness promptly so the stop reacts like the reference's
     // inactivity timeout rather than the 10 s default cadence
-    s.conf.set("spark.sql.streaming.noDataProgressEventInterval", "2000")
+    val intervalKey = "spark.sql.streaming.noDataProgressEventInterval"
+    val prevInterval = s.conf.getOption(intervalKey)
+    s.conf.set(intervalKey, "2000")
     try {
       q = streamingMetrics(src)
         .writeStream.queryName(name).format("memory")
         .outputMode("complete").trigger(Trigger.ProcessingTime("500 milliseconds")).start()
       q.awaitTermination()
-    } finally s.streams.removeListener(listener)
+    } finally {
+      s.streams.removeListener(listener)
+      prevInterval match {
+        case Some(v) => s.conf.set(intervalKey, v)
+        case None => s.conf.unset(intervalKey)
+      }
+    }
     s.table(name)
   }
 }

@@ -8,6 +8,8 @@ import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 
+import scala.jdk.CollectionConverters._
+
 /** Schema-on-read modes for the JSON path (SURVEY.md §1.2: the
   * reference's Gson `Map.class` parse is untyped with lossy numeric
   * typing; the engine's default is an explicit StructType, with
@@ -67,11 +69,4 @@ class SerdeModesSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"approx $approx vs exact $exact")
   }
 
-  private implicit class MapOps[K, V](m: Map[K, V]) {
-    def asJava: java.util.Map[K, V] = {
-      val jm = new java.util.HashMap[K, V]()
-      m.foreach { case (k, v) => jm.put(k, v) }
-      jm
-    }
-  }
 }
