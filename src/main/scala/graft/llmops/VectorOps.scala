@@ -224,6 +224,54 @@ object VectorOps {
        |  max(cos_to_centroid) AS max_cos
        |FROM cos GROUP BY label ORDER BY label""".stripMargin
 
+  // --------------------------------------------------- q44 IVF search
+
+  /** Coarse cells probed per query vector. */
+  val IvfProbes = 3
+
+  /** q44: IVF (inverted-file) ANN top-k — the second scale path next
+    * to LSH (q41). Coarse quantizer = the per-label centroids of q42
+    * (at production scale: k-means centroids); each vector is indexed
+    * under its nearest centroid's cell, each query probes its
+    * `IvfProbes` nearest cells and re-ranks exactly within them.
+    * The centroid table is tiny → both assignment joins broadcast;
+    * the search join is an equi-join on the cell id. Rows-only
+    * (approximate); recall vs q40 is spec-asserted. */
+  def q44IvfTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", norm(col("v")))
+    // centroids: element-wise mean per label (same computation as q42)
+    val byIdx = emb(s, dir).select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+    val cent = byIdx.groupBy("label", "i")
+      .agg((sum(col("x").cast("double")) / count(lit(1))).as("c"))
+      .groupBy("label").agg(map_from_arrays(collect_list("i"), collect_list("c")).as("cm"))
+      .select(col("label").as("cell"),
+        transform(sequence(lit(0), lit(Dim - 1)), i => element_at(col("cm"), i)).as("centroid"))
+      .withColumn("cnrm", norm(col("centroid")))
+    // rank cells per vector by centroid cosine (broadcast: tiny table)
+    val wCell = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell"))
+    val ranked = e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
+        (dot(col("v"), col("centroid")) / (col("nrm") * col("cnrm"))).as("csim"))
+      .withColumn("crank", row_number().over(wCell))
+    // index side: each vector in its single nearest cell
+    val indexed = ranked.filter(col("crank") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("w"),
+        col("nrm").as("wnrm"), col("cell"))
+    // query side: probe the IvfProbes nearest cells
+    val probes = ranked.filter(col("crank") <= IvfProbes)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("neighbor_id"))
+    probes.join(indexed, Seq("cell")).filter(col("vec_id") =!= col("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"),
+        round(dot(col("v"), col("w")) / (col("nrm") * col("wnrm")), 6).as("sim"))
+      .distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select("vec_id", "rank", "neighbor_id", "sim")
+      .orderBy("vec_id", "rank")
+  }
+
   // ------------------------------------------ q43 embedding near-dup
 
   /** Embedding near-dup threshold. The synthetic vectors are well
@@ -269,7 +317,8 @@ object VectorOps {
     "q40_cosine_topk" -> (q40CosineTopk _),
     "q41_ann_lsh" -> (q41AnnLsh _),
     "q42_label_centroids" -> (q42LabelCentroids _),
-    "q43_cos_neardup" -> (q43CosNeardup _)
+    "q43_cos_neardup" -> (q43CosNeardup _),
+    "q44_ivf_topk" -> (q44IvfTopk _)
   )
 
   /** q41 is approximate by design → no oracle (driver rows-only check). */

@@ -36,6 +36,19 @@ class VectorOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     info(f"mean recall@5 = $recall%.3f")
   }
 
+  test("IVF recall@5 vs brute force, every query answered") {
+    val exact = topkSets(VectorOps.q40CosineTopk(spark, dir))
+    val ivf = topkSets(VectorOps.q44IvfTopk(spark, dir))
+    assert(ivf.keySet == exact.keySet, "IVF must answer every query vector")
+    val recall = exact.map { case (q, ex) =>
+      (ex intersect ivf.getOrElse(q, Set.empty)).size.toDouble / ex.size
+    }.sum / exact.size
+    // 10 cells, 3 probes → ~30% of the space scanned; labels are only
+    // weakly cohesive on this data, so the floor is modest
+    assert(recall >= 0.3, s"mean IVF recall@5 $recall < 0.3")
+    info(f"mean IVF recall@5 = $recall%.3f")
+  }
+
   test("brute-force top-k: k rows per vector, sims sorted and in [-1,1]") {
     val rows = VectorOps.q40CosineTopk(spark, dir).collect()
     val byVec = rows.groupBy(_.getAs[Long]("vec_id"))
