@@ -198,6 +198,37 @@ object TextOps {
        |    AS fp_bucket
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Rolling-hash base/modulus (Rabin-Karp over token hashes; the
+    * modulus is the same 32-bit prime the MinHash permutations use so
+    * acc*B + h stays far below 2^63 in both engines). */
+  val RollB = 31L
+
+  /** q48: polynomial rolling-hash fingerprint over the token sequence
+    * — ORDER-SENSITIVE (unlike the md5 content hash of q33, which
+    * normalizes; and unlike SimHash, which is a bag): transposed
+    * tokens change the fingerprint. fold: h = (h·B + md5₆₀(t)) mod P.
+    * Pure per-doc map; the one-pass left fold is the streaming-friendly
+    * shape (a chunker would emit window hashes the same way). */
+  def q48RollingHash(s: SparkSession, dir: String): DataFrame =
+    tokenized(s, dir)
+      .select(col("doc_id"),
+        aggregate(
+          transform(col("w"), t => conv(substring(md5(t), 1, 15), 16, 10).cast("long") % MinhashP),
+          lit(0L),
+          (acc, h) => (acc * RollB + h) % MinhashP).as("rolling_hash"))
+      .orderBy("doc_id")
+
+  /** lazy: references MinhashP, which is declared further down the
+    * object — an eager val would interpolate its pre-init value 0. */
+  lazy val q48Sql: String =
+    s"""SELECT doc_id,
+       |  list_reduce(
+       |    list_prepend(0::BIGINT,
+       |      list_transform(string_split_regex(text, '\\s+'),
+       |        t -> CAST(('0x' || substring(md5(t), 1, 15))::UBIGINT % $MinhashP AS BIGINT))),
+       |    (acc, h) -> (acc * $RollB + h) % $MinhashP) AS rolling_hash
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------ q34 exact dedup
 
   /** q34: exact deduplication summary by source — docs, distinct
@@ -525,7 +556,8 @@ object TextOps {
     "q36_minhash_sig" -> (q36MinhashSig _),
     "q37_neardup_lsh" -> (q37NeardupLsh _),
     "q38_simhash" -> (q38Simhash _),
-    "q39_neardup_capped" -> (q39NeardupCapped _)
+    "q39_neardup_capped" -> (q39NeardupCapped _),
+    "q48_rolling_hash" -> (q48RollingHash _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -538,6 +570,7 @@ object TextOps {
     "q36_minhash_sig" -> q36Sql,
     "q37_neardup_lsh" -> q37Sql,
     "q38_simhash" -> q38Sql,
-    "q39_neardup_capped" -> q39Sql
+    "q39_neardup_capped" -> q39Sql,
+    "q48_rolling_hash" -> q48Sql
   )
 }
