@@ -50,27 +50,33 @@ object Bench {
     run(Generator.messages(spark, conf.copy(totalMensagens = 5000)))
 
     // the exact CLI pipelines (produce = generate+serialize+write,
-    // consume = read+[parse]+metrics), timed around their actions
-    serde("produce_avro") = time(Main.produce(spark, conf, tmp, avro = true).collect())
-    serde("produce_json") = time(Main.produce(spark, conf, tmp, avro = false).collect())
+    // consume = read+[parse]+metrics). EVERY mode gets one untimed
+    // warm-up pass immediately before its timed pass — the same
+    // discipline phase 2 applies per query. Round 1 timed each mode
+    // once, cold, in a fixed order, and the ordering artifacts were
+    // visible (json TRANSPORTE measured slower than json E2E_PARSE,
+    // which is impossible in steady state: transport skips the parse).
     val e2e = conf.copy(benchMode = "E2E_PARSE")
     val transp = conf.copy(benchMode = "TRANSPORTE")
-    serde("consume_avro_e2e") = time(Main.consume(spark, e2e, tmp, avro = true).collect())
-    serde("consume_json_e2e") = time(Main.consume(spark, e2e, tmp, avro = false).collect())
-    serde("consume_avro_transporte") =
-      time(Main.consume(spark, transp, tmp, avro = true).collect())
-    serde("consume_json_transporte") =
-      time(Main.consume(spark, transp, tmp, avro = false).collect())
+    val serdeRuns: Seq[(String, () => Unit)] = Seq(
+      "produce_avro" -> (() => Main.produce(spark, conf, tmp, avro = true).collect()),
+      "produce_json" -> (() => Main.produce(spark, conf, tmp, avro = false).collect()),
+      "consume_avro_e2e" -> (() => Main.consume(spark, e2e, tmp, avro = true).collect()),
+      "consume_json_e2e" -> (() => Main.consume(spark, e2e, tmp, avro = false).collect()),
+      "consume_avro_transporte" -> (() => Main.consume(spark, transp, tmp, avro = true).collect()),
+      "consume_json_transporte" -> (() => Main.consume(spark, transp, tmp, avro = false).collect()))
+    serdeRuns.foreach { case (name, go) =>
+      go() // warm: JIT, codegen cache, page cache for this mode's files
+      serde(name) = time(go())
+    }
 
     // ---- phase 2: headline queries at the SF dir
     val headline = Seq(
       "q10_pricing_summary", "q11_revenue_nation", "q12_top_customers",
       "q13_window_orders", "q17_distinct", "q20_latest_by_key", "q21_tumbling",
-      // q39 (df-capped candidates) is deliberately absent: with no hot
-      // shingles at sf0.1 it does q35's work PLUS verification — its
-      // win only materializes on corpora with hot shingles (PERF.md §3)
       "q30_textstats", "q35_jaccard_pairs", "q37_neardup_lsh", "q38_simhash",
-      "q40_cosine_topk", "q41_ann_lsh", "q45_media_meta")
+      "q39_neardup_capped", "q40_cosine_topk", "q41_ann_lsh", "q43_cos_neardup",
+      "q45_media_meta")
     // one untimed pass per query (JIT + codegen warm-up), then the
     // timed steady-state pass — the reference's warm-up discipline
     // (README.md benchmark methodology) applied per plan
@@ -99,10 +105,17 @@ object Bench {
     val msgsPerSecAvro = conf.totalMensagens / serde("consume_avro_e2e")
     val qs = (serde ++ qtimes).map { case (k, v) => s""""$k":${num(v, 3)}""" }
       .mkString("{", ",", "}")
-    println(
+    val json =
       s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,""" +
         s""""sf":"$sfDir","cpus":$cpus,"serde_msgs":${conf.totalMensagens},""" +
-        s""""avro_e2e_msgs_per_sec":${num(msgsPerSecAvro, 1)}}""")
+        s""""avro_e2e_msgs_per_sec":${num(msgsPerSecAvro, 1)}}"""
+    // machine-readable copy: sbt decorates stdout with [info]/[error]
+    // prefixes, so a parser scraping the log can fail — also write the
+    // JSON to a file (driver/BENCH consumers read this path)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
+    catch { case e: Exception => System.err.println(s"[bench] write $outPath: $e") }
+    println(json)
     spark.stop()
   }
 }

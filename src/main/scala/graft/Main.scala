@@ -85,13 +85,18 @@ object Main {
     val raw = spark.read.parquet(s"$dir/messages_raw_$fmt")
     val parsed = conf.benchMode match {
       case "TRANSPORTE" =>
-        // size-only projection (O15): no decode
+        // size-only projection (O15): no decode of `valor`. The record
+        // timestamp is a TOP-LEVEL column (the wire metadata a Kafka
+        // consumer sees without deserializing), so transport mode can
+        // still report a real duration / throughput — with a constant
+        // ts every derived rate hit the zero-guards and the one mode
+        // whose purpose is transport throughput printed 0.00.
         // no decode => no sequencia; the warm-up filter (a processed-
         // count heuristic in the reference) does not apply here
         raw.select(col("particao"),
           length(col("valor")).cast("long").as("bytes"),
           lit(true).as("ok"),
-          lit(Generator.BaseTs).as("ts"),
+          col("timestamp").as("ts"),
           lit(Long.MaxValue).as("seq"))
       case _ => // E2E_PARSE: full decode (O13/O14)
         val payload =

@@ -139,6 +139,13 @@ case class ToAvro(child: Expression, schemaJson: String)
 
   private def writeValue(value: Any, dt: DataType, schema: Schema,
       enc: BinaryEncoder): Unit = (dt: @unchecked) match {
+    // the payload schema has no nullable/union fields, so a null here
+    // is caller error — fail with the field type instead of the opaque
+    // NullPointerException the raw cast below would throw
+    case _ if value == null =>
+      throw new IllegalArgumentException(
+        s"graft_to_avro: null value for a non-nullable ${dt.simpleString} field — " +
+          "the Avro payload schema declares no union/nullable fields")
     case StringType  => enc.writeString(value.asInstanceOf[UTF8String].toString)
     case LongType    => enc.writeLong(value.asInstanceOf[Long])
     case IntegerType => enc.writeInt(value.asInstanceOf[Int])

@@ -29,7 +29,9 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   */
 object MultimodalOps {
 
-  val MediaPath = "/root/repo/fixtures/media.parquet"
+  /** Resolved via the shared configurable fixture root (see
+    * [[graft.sources.GenFixtures.FixturesRoot]]). */
+  val MediaPath = s"${graft.sources.GenFixtures.FixturesRoot}/media.parquet"
   val FrameSize = 64
   val HeaderLen = 11
 

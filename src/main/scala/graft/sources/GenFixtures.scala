@@ -16,14 +16,23 @@ object GenFixtures {
     totalMensagens = 5000, tamanhoMensagemKB = 1, numParticoes = 18,
     warmupMensagens = 0, seed = 42)
 
+  /** Fixture root, configurable so a relocated repo / alternate fixture
+    * set works without recompiling: -Dgraft.fixtures.dir beats
+    * $GRAFT_FIXTURES_DIR beats the committed default. Read once at
+    * class init — the oracle SQL strings interpolate the same value. */
+  val FixturesRoot: String =
+    sys.props.get("graft.fixtures.dir")
+      .orElse(sys.env.get("GRAFT_FIXTURES_DIR"))
+      .getOrElse("/root/repo/fixtures")
+
   /** Canonical committed location, used by the messages queries. */
-  val MessagesPath = "/root/repo/fixtures/messages.parquet"
+  val MessagesPath = s"$FixturesRoot/messages.parquet"
 
   /** Media fixture sizing (see MultimodalOps GRFT container). */
   val MediaRows = 300L
 
   def main(args: Array[String]): Unit = {
-    val out = args.headOption.getOrElse("/root/repo/fixtures")
+    val out = args.headOption.getOrElse(FixturesRoot)
     val spark = GraftSession.getOrCreate("graft-fixtures")
     try {
       Generator.messages(spark, FixtureConf)

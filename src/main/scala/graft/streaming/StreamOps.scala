@@ -40,8 +40,13 @@ object StreamOps {
     if (java.nio.file.Files.isDirectory(f)) path
     else {
       val d = java.nio.file.Files.createTempDirectory("graft_stream_")
+      val link = d.resolve(f.getFileName)
+      // deleteOnExit runs LIFO and cannot remove a non-empty dir —
+      // register child (the symlink) AFTER the parent so it is deleted
+      // first and both actually go away
       d.toFile.deleteOnExit()
-      java.nio.file.Files.createSymbolicLink(d.resolve(f.getFileName), f)
+      java.nio.file.Files.createSymbolicLink(link, f)
+      link.toFile.deleteOnExit()
       d.toString
     }
   }
