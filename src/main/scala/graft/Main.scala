@@ -33,7 +33,12 @@ object Main {
     val (mode, dir) = (args(0).toUpperCase, args(1))
     val conf = EngineConf.fromEnv()
     val spark = GraftSession.getOrCreate(s"graft-$mode")
-    try {
+    // O22: running progress at the reference's 100k cadence
+    // (overridable via GRAFT_PROGRESS_EVERY), covering every action
+    // the pipeline runs
+    val every = sys.env.get("GRAFT_PROGRESS_EVERY").map(_.trim.toLong)
+      .getOrElse(graft.operators.ProgressTicker.IntervaloLog)
+    try graft.operators.ProgressTicker.withTicker(spark, every) {
       val report = mode match {
         case "PRODUTOR_AVRO"   => produce(spark, conf, dir, avro = true)
         case "PRODUTOR_JSON"   => produce(spark, conf, dir, avro = false)
@@ -58,22 +63,37 @@ object Main {
     val msgs = Generator.messages(spark, conf)
     val raw = if (avro) Generator.rawAvro(msgs) else Generator.rawJson(msgs)
     val fmt = if (avro) "avro" else "json"
-    // repartition by the explicit partition column (O7) — mirrors the
-    // producer's (i-1)%P record partitioner on the wire layout;
-    // COMPRESSION_TYPE maps onto the file codec (the reference's
-    // producer compression axis — ConfiguracaoKafka.java:112-118;
-    // parquet accepts the same names: none/lz4/snappy/gzip/zstd)
-    raw.repartition(conf.numParticoes, col("particao"))
-      .write.mode("overwrite").partitionBy("particao")
-      .option("compression", conf.compressionType.toLowerCase)
-      .parquet(s"$dir/messages_raw_$fmt")
-    // metrics over what was actually written (the producer callback
-    // counts sent-record sizes) — generate+serialize runs ONCE, in the
-    // write above; the report only re-reads lengths
-    val written = spark.read.parquet(s"$dir/messages_raw_$fmt")
-    Metrics.report(
-      written.filter(col("sequencia") > conf.warmupMensagens),
-      octet_length(col("valor")).cast("long"), col("sucesso"), col("timestamp"), conf)
+    graft.sources.KafkaIO.brokersFromEnv() match {
+      case Some(brokers) =>
+        // live topic write (reference: ProdutorAvro.java:69-95) — the
+        // explicit partition column pins the (i-1)%P record partitioner
+        val sink = graft.sources.KafkaIO
+          .toSinkFrame(raw.repartition(conf.numParticoes, col("particao")))
+        graft.sources.KafkaIO.writeBatch(sink, brokers,
+          graft.sources.KafkaIO.topicoMensagens(avro), conf.compressionType.toLowerCase)
+        // producer-callback metrics: over what was sent
+        Metrics.report(
+          raw.filter(col("sequencia") > conf.warmupMensagens),
+          octet_length(col("valor")).cast("long"), col("sucesso"), col("timestamp"), conf)
+      case None =>
+        // offline analogue: topic → partitioned parquet dir.
+        // repartition by the explicit partition column (O7) — mirrors the
+        // producer's (i-1)%P record partitioner on the wire layout;
+        // COMPRESSION_TYPE maps onto the file codec (the reference's
+        // producer compression axis — ConfiguracaoKafka.java:112-118;
+        // parquet accepts the same names: none/lz4/snappy/gzip/zstd)
+        raw.repartition(conf.numParticoes, col("particao"))
+          .write.mode("overwrite").partitionBy("particao")
+          .option("compression", conf.compressionType.toLowerCase)
+          .parquet(s"$dir/messages_raw_$fmt")
+        // metrics over what was actually written (the producer callback
+        // counts sent-record sizes) — generate+serialize runs ONCE, in the
+        // write above; the report only re-reads lengths
+        val written = spark.read.parquet(s"$dir/messages_raw_$fmt")
+        Metrics.report(
+          written.filter(col("sequencia") > conf.warmupMensagens),
+          octet_length(col("valor")).cast("long"), col("sucesso"), col("timestamp"), conf)
+    }
   }
 
   /** Read + optional parse + metrics (reference consume path,
@@ -82,7 +102,17 @@ object Main {
     * pruning means the parse expression is never even evaluated. */
   def consume(spark: SparkSession, conf: EngineConf, dir: String, avro: Boolean): DataFrame = {
     val fmt = if (avro) "avro" else "json"
-    val raw = spark.read.parquet(s"$dir/messages_raw_$fmt")
+    val raw = graft.sources.KafkaIO.brokersFromEnv() match {
+      case Some(brokers) =>
+        // live topic scan (reference: ConsumidorAvro.java:57-121);
+        // task-per-topic-partition replaces thread-per-partition. The
+        // Kafka record timestamp replaces the stored column; ok/
+        // sequencia come out of the decode exactly like the file path.
+        graft.sources.KafkaIO.fromSourceFrame(
+          graft.sources.KafkaIO.readAll(spark, brokers,
+            graft.sources.KafkaIO.topicoMensagens(avro)))
+      case None => spark.read.parquet(s"$dir/messages_raw_$fmt")
+    }
     val parsed = conf.benchMode match {
       case "TRANSPORTE" =>
         // size-only projection (O15): no decode of `valor`. The record
