@@ -381,6 +381,115 @@ object VectorOps {
        |        / (a.nrm * b.nrm), 6) >= $NearDupCos
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  // --------------------------------------------------- q47 ANN recall
+
+  /** Fixed LSH geometry for the recall-certification query: q41 sizes
+    * its bucket space to the database (planesFor), which an offline
+    * SQL oracle cannot replicate — so q47 pins the SAME mechanics
+    * (hyperplane sign buckets, multi-table OR, single-bit probes) at a
+    * fixed 6 planes × 6 tables. At the driver's sf0.01 gate this IS
+    * q41's adaptive configuration (planesFor(500) = 6). */
+  val RecallPlanes = 6
+
+  /** q47: ANN recall@k, oracle-checked — the hyperplane-LSH top-k is
+    * recomputed end-to-end by DuckDB (the deterministic hyperplane
+    * components are interpolated into the oracle SQL as literals, and
+    * every projection folds in the same sequential order), joined
+    * against the exact top-k, and reduced to one recall row. This
+    * promotes the spec-only recall floor into a driver-checkable
+    * hash: n_hits / (k · n_queries) is pinned exactly. */
+  def q47AnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val withBuckets = withBucketCols(e, RecallPlanes, Tables)
+    val cand = withBuckets.select(col("vec_id").as("neighbor_id"), col("v").as("w"),
+        col("nrm").as("wnrm"), tableStructs(Tables).as("tb"))
+      .select(col("neighbor_id"), col("w"), col("wnrm"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val probes = explode(array(probeMasks(RecallPlanes, 1).map(lit(_)): _*))
+    val q = withBuckets.select(col("vec_id"), col("v"), col("nrm"), tableStructs(Tables).as("tb"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"), probes.as("flip"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("tbl"),
+        expr("int(bucket ^ flip)").as("bucket"))
+    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("neighbor_id"))
+    val approx = q.join(cand, Seq("tbl", "bucket")).filter(col("vec_id") =!= col("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"),
+        round(dot(col("v"), col("w")) / (col("nrm") * col("wnrm")), 6).as("sim"))
+      .distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select("vec_id", "neighbor_id")
+    val exact = q40CosineTopk(s, dir).select("vec_id", "neighbor_id")
+    val nQueries = exact.select("vec_id").distinct().count()
+    val hits = exact.join(approx, Seq("vec_id", "neighbor_id"), "left_semi")
+    hits.agg(count(lit(1)).as("n_hits"))
+      .select(lit(nQueries).as("n_queries"), col("n_hits"),
+        (col("n_hits").cast("double") / lit(TopK.toDouble * nQueries)).as("recall_at_k"))
+  }
+
+  /** The oracle recomputes the full LSH pipeline: plane projections as
+    * literal-coefficient sums in the SAME left-to-right order as the
+    * codegen'd DotProduct fold, sign-bit buckets, 6-table union,
+    * single-bit probes, rounded re-rank — then recall vs exact. */
+  def q47Sql: String = {
+    // sequential-fold projection: ((v[1]*c1 + v[2]*c2) + ...) — matches
+    // DotProduct's loop order bit-for-bit
+    def proj(hp: Array[Double]): String =
+      hp.zipWithIndex.map { case (c, i) => s"v[${i + 1}]*(${c.toString})" }.mkString(" + ")
+    def bucketExpr(t: Int): String = {
+      val hp = hyperplanes(t, RecallPlanes)
+      (0 until RecallPlanes).map { p =>
+        s"(CASE WHEN ${proj(hp(p))} >= 0 THEN ${1 << p} ELSE 0 END)"
+      }.mkString(" + ")
+    }
+    val bucketRows = (0 until Tables).map { t =>
+      s"SELECT vec_id, v, nrm, $t AS tbl, ${bucketExpr(t)} AS bucket FROM n"
+    }.mkString("\n  UNION ALL ")
+    val flips = probeMasks(RecallPlanes, 1).mkString(", ")
+    s"""WITH d AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM d
+       |), buckets AS (
+       |  $bucketRows
+       |), probes AS (
+       |  SELECT vec_id, v, nrm, tbl, xor(bucket, flip) AS bucket
+       |  FROM buckets CROSS JOIN (SELECT unnest([$flips]) AS flip)
+       |), cand AS (
+       |  SELECT DISTINCT q.vec_id, c.vec_id AS neighbor_id,
+       |    round(list_sum([q.v[i] * c.v[i] for i in range(1, $Dim + 1)])
+       |          / (q.nrm * c.nrm), 6) AS sim
+       |  FROM probes q JOIN buckets c ON q.tbl = c.tbl AND q.bucket = c.bucket
+       |    AND q.vec_id <> c.vec_id
+       |), approx AS (
+       |  SELECT vec_id, neighbor_id FROM (
+       |    SELECT vec_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank
+       |    FROM cand)
+       |  WHERE rank <= $TopK
+       |), sims AS (
+       |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+       |    round(list_sum([a.v[i] * b.v[i] for i in range(1, $Dim + 1)])
+       |          / (a.nrm * b.nrm), 6) AS sim
+       |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+       |), exact AS (
+       |  SELECT vec_id, neighbor_id FROM (
+       |    SELECT vec_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank
+       |    FROM sims)
+       |  WHERE rank <= $TopK
+       |)
+       |SELECT (SELECT count(DISTINCT vec_id) FROM exact) AS n_queries,
+       |  count(*) AS n_hits,
+       |  CAST(count(*) AS DOUBLE)
+       |    / ($TopK * (SELECT count(DISTINCT vec_id) FROM exact)) AS recall_at_k
+       |FROM exact e
+       |WHERE EXISTS (SELECT 1 FROM approx a
+       |              WHERE a.vec_id = e.vec_id AND a.neighbor_id = e.neighbor_id)""".stripMargin
+  }
+
   // --------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -388,13 +497,16 @@ object VectorOps {
     "q41_ann_lsh" -> (q41AnnLsh _),
     "q42_label_centroids" -> (q42LabelCentroids _),
     "q43_cos_neardup" -> (q43CosNeardup _),
-    "q44_ivf_topk" -> (q44IvfTopk _)
+    "q44_ivf_topk" -> (q44IvfTopk _),
+    "q47_ann_recall" -> (q47AnnRecall _)
   )
 
-  /** q41 is approximate by design → no oracle (driver rows-only check). */
+  /** q41 is approximate by design → no oracle (driver rows-only check);
+    * its recall is hash-pinned via q47's fixed-geometry twin. */
   val oracle: Map[String, String] = Map(
     "q40_cosine_topk" -> q40Sql,
     "q42_label_centroids" -> q42Sql,
-    "q43_cos_neardup" -> q43Sql
+    "q43_cos_neardup" -> q43Sql,
+    "q47_ann_recall" -> q47Sql
   )
 }

@@ -57,6 +57,13 @@ class VectorOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lsh == exact, s"LSH candidates missed exact survivors")
   }
 
+  test("q47 recall certification: fixed-geometry LSH recall@5 >= 0.5") {
+    val r = VectorOps.q47AnnRecall(spark, dir).collect().head
+    assert(r.getAs[Long]("n_queries") > 0)
+    assert(r.getAs[Double]("recall_at_k") >= 0.5,
+      s"certified recall ${r.getAs[Double]("recall_at_k")} < 0.5")
+  }
+
   test("brute-force top-k: k rows per vector, sims sorted and in [-1,1]") {
     val rows = VectorOps.q40CosineTopk(spark, dir).collect()
     val byVec = rows.groupBy(_.getAs[Long]("vec_id"))
