@@ -180,6 +180,48 @@ object Queries {
        |  SELECT 'json' AS formato, particao, bytes_json AS bytes FROM $mSql
        |) GROUP BY ROLLUP(formato, particao) ORDER BY formato, particao""".stripMargin
 
+  /** The registry schema id the wire-format profile pins (any positive
+    * int works; the reference's serializer fetches it from the registry
+    * at runtime — util/ConfiguracaoKafka.java:150-156). */
+  val WireSchemaId = 7
+
+  /** Q49: Confluent wire-format round trip as one oracle-checked
+    * profile — Avro-encode each payload, frame it (magic 0x00 + 4-byte
+    * big-endian schema id), then EXTRACT the id from the frame, strip
+    * the header, decode the body, and prove field fidelity. The oracle
+    * cannot run Avro, so it pins the same facts from the fixture's
+    * stored lengths and columns: wire = body + 5, id extraction = the
+    * constant, decoded sequencia/id sums = the stored columns. */
+  def q49ConfluentWire(s: SparkSession, dir: String): DataFrame = {
+    val payload = struct(col("id"), col("timestamp"), col("sequencia"),
+      col("dados"), col("versao"))
+    val wire = GraftFunctions.confluentWrap(
+      graft.functions.AvroSerde.to_avro(payload, graft.model.SchemaDef.mensagemAvroJson),
+      WireSchemaId)
+    val decoded = graft.functions.AvroSerde.from_avro(
+      GraftFunctions.confluentStrip(col("wire")), graft.model.SchemaDef.mensagemAvroJson)
+    msgs(s).withColumn("wire", wire)
+      .select(col("id"), col("sequencia"), col("wire"),
+        GraftFunctions.confluentSchemaId(col("wire")).as("sid"), decoded.as("dec"))
+      .agg(count(lit(1)).as("n"),
+        min("sid").as("min_schema_id"), max("sid").as("max_schema_id"),
+        sum(octet_length(col("wire")).cast("long")).as("total_wire_bytes"),
+        sum(octet_length(GraftFunctions.confluentStrip(col("wire"))).cast("long"))
+          .as("total_body_bytes"),
+        sum(col("dec.sequencia")).as("sum_seq"),
+        sum(when(col("dec.id") === col("id"), 1L).otherwise(0L)).as("n_id_ok"))
+  }
+
+  val q49Sql: String =
+    s"""SELECT count(*) AS n,
+       |  CAST($WireSchemaId AS INT) AS min_schema_id,
+       |  CAST($WireSchemaId AS INT) AS max_schema_id,
+       |  CAST(sum(bytes_avro) + 5 * count(*) AS BIGINT) AS total_wire_bytes,
+       |  CAST(sum(bytes_avro) AS BIGINT) AS total_body_bytes,
+       |  CAST(sum(sequencia) AS BIGINT) AS sum_seq,
+       |  count(*) AS n_id_ok
+       |FROM $mSql""".stripMargin
+
   // ------------------------------------------------------------------- tpch
 
   /** Q10: pricing summary (hash agg, partial+final; TPC-H Q1 shape).
@@ -390,6 +432,60 @@ object Queries {
       |  count(DISTINCT l_orderkey) AS pedidos_distintos,
       |  count(*) AS linhas
       |FROM lineitem""".stripMargin
+
+  /** Buckets for the co-located join demo (q50). */
+  val JoinBuckets = 8
+
+  /** Memoized bucketed-table setup per (dir, fixture signature): write
+    * lineitem/orders bucketed + sorted on the join key ONCE, as
+    * external tables under a temp path, and reuse across invocations.
+    * Returns the two table names. */
+  private val bucketedTables =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), (String, String)]
+
+  private def ensureBucketed(s: SparkSession, dir: String): (String, String) =
+    bucketedTables.getOrElseUpdate((dir, graft.sources.FsSig.of(s"$dir/lineitem.parquet")), {
+      val id = math.abs((dir + System.nanoTime()).hashCode).toString
+      val (liTbl, oTbl) = (s"graft_li_$id", s"graft_o_$id")
+      val base = java.nio.file.Files.createTempDirectory("graft_bucketed_").toString
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .write.bucketBy(JoinBuckets, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$base/lineitem").format("parquet").saveAsTable(liTbl)
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .write.bucketBy(JoinBuckets, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$base/orders").format("parquet").saveAsTable(oTbl)
+      (liTbl, oTbl)
+    })
+
+  /** Q50: bucketed co-located join — lineitem ⋈ orders on the order
+    * key with BOTH sides pre-bucketed on it, so the join needs NO
+    * exchange on either input (PlanSpec asserts zero shuffles below
+    * the join). This is the at-rest layout a 100 TB deployment uses
+    * for its hottest join: the shuffle is paid once at write time and
+    * amortized over every subsequent join. The merge hint pins the
+    * sort-merge strategy (a broadcast would also skip the shuffle, but
+    * only while one side stays small). */
+  def q50BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val (liTbl, oTbl) = ensureBucketed(s, dir)
+    val revenue = dec(col("l_extendedprice"), 12, 2) *
+      (dec(lit(1), 3, 2) - dec(col("l_discount"), 4, 2))
+    s.table(liTbl).hint("merge")
+      .join(s.table(oTbl), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(sum(revenue).cast("double").as("receita"), count(lit(1)).as("n_itens"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q50Sql: String =
+    """SELECT o_orderpriority,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |           (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+      |    AS receita,
+      |  count(*) AS n_itens
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
   // ----------------------------------------------------------------- events
 
@@ -662,7 +758,9 @@ object Queries {
     "q24_range_join" -> (q24RangeJoin _),
     "q25_grouping_sets" -> (q25GroupingSets _),
     "q26_pivot_events" -> (q26PivotEvents _),
-    "q27_percentiles" -> (q27Percentiles _)
+    "q27_percentiles" -> (q27Percentiles _),
+    "q49_confluent_wire" -> (q49ConfluentWire _),
+    "q50_bucketed_join" -> (q50BucketedJoin _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -689,6 +787,8 @@ object Queries {
     "q24_range_join" -> q24Sql,
     "q25_grouping_sets" -> q25Sql,
     "q26_pivot_events" -> q26Sql,
-    "q27_percentiles" -> q27Sql
+    "q27_percentiles" -> q27Sql,
+    "q49_confluent_wire" -> q49Sql,
+    "q50_bucketed_join" -> q50Sql
   )
 }

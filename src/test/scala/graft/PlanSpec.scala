@@ -65,6 +65,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"q43 must equi-join on (table, probed bucket):\n$plan")
   }
 
+  test("bucketed join (q50): no exchange below the join, both scans bucketed") {
+    val df = Queries.q50BucketedJoin(spark, dir)
+    df.collect() // AQE final plan exists only after an action
+    val plan = physical(df)
+    // the join is the bottom-most operator: its subtree is everything
+    // from the SortMergeJoin line to the end of the final-plan section
+    val finalSection = plan.split("== Initial Plan ==").head
+    val joinIdx = finalSection.indexOf("SortMergeJoin")
+    assert(joinIdx >= 0, s"expected a sort-merge join:\n$plan")
+    val joinSubtree = finalSection.substring(joinIdx)
+    assert(!joinSubtree.contains("Exchange"),
+      s"bucketed join must not shuffle its inputs:\n$joinSubtree")
+    assert("Bucketed: true".r.findAllIn(joinSubtree).length == 2,
+      s"both scans must read bucketed layouts:\n$joinSubtree")
+  }
+
   test("dot-product hot path stays inside whole-stage codegen") {
     val df = VectorOps.q40CosineTopk(spark, dir)
     assert(physical(df).contains("dotproduct("),
