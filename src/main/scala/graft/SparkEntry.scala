@@ -18,11 +18,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Queries.all ++ TextOps.all ++ VectorOps.all ++ MultimodalOps.all ++ Map(
       "sq1_stream_tumbling" ->
-        ((s: SparkSession, dir: String) => StreamOps.sq1StreamTumbling(s, dir)))
+        ((s: SparkSession, dir: String) => StreamOps.sq1StreamTumbling(s, dir)),
+      "sq2_stream_dedup" ->
+        ((s: SparkSession, dir: String) => StreamOps.sq2StreamDedup(s, dir)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Queries.oracle ++ TextOps.oracle ++ VectorOps.oracle ++ MultimodalOps.oracle ++ Map(
-      "sq1_stream_tumbling" -> Queries.q21Sql)
+      "sq1_stream_tumbling" -> Queries.q21Sql,
+      "sq2_stream_dedup" -> StreamOps.sq2Sql)
 }

@@ -32,4 +32,28 @@ object SkewOps {
       .groupBy(keys.map(col): _*)
       .agg(sum("__n").as("n"), sum("__s").as("total"))
   }
+
+  /** Skew-resilient equi-join: the PROBE side's rows are salted by a
+    * uniform hash of a row-identity column, the BUILD side is
+    * replicated once per salt, and the join key becomes (key, salt) —
+    * so a hot probe key spreads over `salts` reducers instead of
+    * hammering one. Semantically identical to
+    * `probe.join(build, probeKey === buildKey)` when `buildKey` is
+    * unique on the build side (each probe row meets exactly one
+    * replica). This is the manual fallback for the case AQE skew-join
+    * cannot fix: a single hot KEY inside one shuffle partition whose
+    * matching build rows must co-locate.
+    *
+    * Cost model: build side ships `salts`× (bounded, choose salts ~
+    * hot-key fan-out / target partition size); probe side ships 1×. */
+  def saltedJoin(probe: DataFrame, build: DataFrame,
+      probeKey: String, buildKey: String,
+      idCol: Column, salts: Int = 16): DataFrame = {
+    require(salts > 0)
+    val sp = probe.withColumn("__salt", pmod(xxhash64(idCol), lit(salts.toLong)))
+    val sb = build.withColumn("__salt",
+      explode(array((0 until salts).map(s => lit(s.toLong)): _*)))
+    sp.join(sb, sp("__salt") === sb("__salt") && col(probeKey) === col(buildKey))
+      .drop("__salt")
+  }
 }

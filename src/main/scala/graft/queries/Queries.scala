@@ -487,6 +487,27 @@ object Queries {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Q51: the same join as q50 executed through the SKEW-SALTED
+    * strategy (`SkewOps.saltedJoin`): lineitem rows salted by a uniform
+    * hash, orders replicated once per salt, equi-join on
+    * (orderkey, salt). Same oracle as the plain join — the salting is
+    * a physical strategy, not a semantic change — so the hash check
+    * proves the rewrite is identity-preserving. At 100 TB this is the
+    * fallback for a hot key whose matching rows AQE cannot split
+    * (salting changes the KEY, not just the partition). */
+  def q51SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+    val o = t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+    val revenue = dec(col("l_extendedprice"), 12, 2) *
+      (dec(lit(1), 3, 2) - dec(col("l_discount"), 4, 2))
+    graft.operators.SkewOps
+      .saltedJoin(li, o, "l_orderkey", "o_orderkey",
+        idCol = col("l_orderkey") * 31 + col("l_extendedprice"), salts = 8)
+      .groupBy("o_orderpriority")
+      .agg(sum(revenue).cast("double").as("receita"), count(lit(1)).as("n_itens"))
+      .orderBy("o_orderpriority")
+  }
+
   // ----------------------------------------------------------------- events
 
   /** events with `ts` as a proper TimestampType. The driver parquet
@@ -686,6 +707,28 @@ object Queries {
       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
       |ORDER BY status, prioridade""".stripMargin
 
+  /** Q52: sketch aggregates — HyperLogLog++ distinct counts and
+    * t-digest-style approximate percentiles next to their exact twins.
+    * At 100 TB the exact forms (q17's count_distinct, q27's
+    * percentile_cont) shuffle every distinct value / sort every group;
+    * the sketches are fixed-size mergeable state (map-side partials,
+    * no value shuffle). Rows-only: DuckDB's sketches use different
+    * algorithms/seeds, so there is no cross-engine hash — the relative
+    * error vs the exact twins is spec-asserted instead (ScaleOpsSpec). */
+  def q52Sketches(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        expr("approx_percentile(value, array(0.5, 0.9), 10000)").as("approx_p"),
+        expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY value)").as("exact_p50"))
+      .select(col("event_type"), col("approx_users"), col("exact_users"),
+        col("approx_p").getItem(0).as("approx_p50"),
+        col("approx_p").getItem(1).as("approx_p90"),
+        col("exact_p50"))
+      .orderBy("event_type")
+
   /** Session gap: a new session starts after 30 min of inactivity. */
   val SessionGapUs: Long = 30L * 60 * 1000000
 
@@ -760,7 +803,11 @@ object Queries {
     "q26_pivot_events" -> (q26PivotEvents _),
     "q27_percentiles" -> (q27Percentiles _),
     "q49_confluent_wire" -> (q49ConfluentWire _),
-    "q50_bucketed_join" -> (q50BucketedJoin _)
+    "q50_bucketed_join" -> (q50BucketedJoin _),
+    "q51_salted_join" -> (q51SaltedJoin _),
+    // rows-only (sketches have no cross-engine oracle; error bounds
+    // are spec-asserted in ScaleOpsSpec)
+    "q52_sketches" -> (q52Sketches _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -789,6 +836,8 @@ object Queries {
     "q26_pivot_events" -> q26Sql,
     "q27_percentiles" -> q27Sql,
     "q49_confluent_wire" -> q49Sql,
-    "q50_bucketed_join" -> q50Sql
+    "q50_bucketed_join" -> q50Sql,
+    // identical ANSI text: the salted join must be identity-preserving
+    "q51_salted_join" -> q50Sql
   )
 }

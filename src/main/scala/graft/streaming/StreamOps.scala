@@ -98,6 +98,42 @@ object StreamOps {
     s.table(name).orderBy("janela_ms", "event_type")
   }
 
+  /** documents schema for the file stream source (driver testdata). */
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** SQ2: STREAMING exact deduplication — the training-data dedup
+    * primitive run as a real streaming query: normalized-text md5
+    * fingerprints deduped per source with `dropDuplicates` state,
+    * append mode (each (source, fp) emitted exactly once, on first
+    * sight). The emitted SET is deterministic even though arrival
+    * order is not, so the batch DISTINCT is the oracle. Unbounded
+    * corpora would add `withWatermark` + dropDuplicatesWithinWatermark
+    * to expire state; on the bounded fixture the state is the
+    * fingerprint set itself. */
+  def sq2StreamDedup(s: SparkSession, dir: String): DataFrame = {
+    val name = s"sq2_${System.nanoTime()}"
+    val fp = md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+    val q = s.readStream.schema(documentsSchema)
+      .parquet(stageAsDir(s"$dir/documents.parquet"))
+      .select(col("source"), fp.as("fp"))
+      .dropDuplicates("source", "fp")
+      .writeStream.queryName(name).format("memory")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name).orderBy("source", "fp")
+  }
+
+  /** SQ2's DuckDB oracle: the batch distinct over the same input. */
+  val sq2Sql: String =
+    """SELECT DISTINCT source,
+      |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      |FROM documents ORDER BY source, fp""".stripMargin
+
   /** The reference's running metrics counters as a streaming
     * aggregation over the messages stream (O18 parity): one global
     * state row, updated per micro-batch. */

@@ -45,6 +45,35 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(salted.sameElements(direct))
   }
 
+  test("salted join equals plain join (q51 vs direct)") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .select("o_orderkey", "o_orderpriority")
+    val direct = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"), sum("l_quantity").as("q"))
+      .orderBy("o_orderpriority").collect()
+    val salted = SkewOps.saltedJoin(li, o, "l_orderkey", "o_orderkey",
+        idCol = col("l_orderkey") + col("l_quantity"), salts = 8)
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"), sum("l_quantity").as("q"))
+      .orderBy("o_orderpriority").collect()
+    assert(salted.sameElements(direct))
+  }
+
+  test("sketch aggregates (q52) track their exact twins within bounds") {
+    val rows = Queries.q52Sketches(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (approx, exact) = (r.getAs[Long]("approx_users"), r.getAs[Long]("exact_users"))
+      val relErr = math.abs(approx - exact).toDouble / exact
+      assert(relErr <= 0.05, s"HLL++ error $relErr > 5% (${r.getAs[String]("event_type")})")
+      // percentile sketch at accuracy 10000 on 2-decimal values: tight
+      val (ap50, ep50) = (r.getAs[Double]("approx_p50"), r.getAs[Double]("exact_p50"))
+      assert(math.abs(ap50 - ep50) <= math.max(1.0, 0.05 * math.abs(ep50)),
+        s"approx p50 $ap50 vs exact $ep50")
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS li_b")
     spark.sql("DROP TABLE IF EXISTS o_b")
