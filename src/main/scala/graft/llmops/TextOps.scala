@@ -583,6 +583,69 @@ object TextOps {
        |  CAST(sum(CASE WHEN vote > 0 THEN 1::BIGINT << bit ELSE 0 END) AS BIGINT) AS simhash
        |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------- q53 simhash near-dup
+
+  /** Max Hamming distance for SimHash near-duplicates, and the band
+    * split that makes the bucket join EXACT: with the 60-bit
+    * fingerprint cut into `HammingMax + 1 = 4` disjoint 15-bit bands,
+    * any pair within Hamming 3 differs in at most 3 bands — pigeonhole
+    * guarantees at least one band matches exactly. Unlike MinHash-LSH
+    * (probabilistic recall), this bucketing loses NOTHING. */
+  val HammingMax = 3
+  val SimhashBands = 4
+  private val BandBits = 60 / SimhashBands
+
+  /** q53: SimHash near-duplicate PAIRS — completes the SimHash dedup
+    * story (q38 emits the fingerprints; this finds the neighbors). The
+    * join key is a 15-bit band chunk, so candidate volume is governed
+    * by band-bucket occupancy, never all-pairs; the exact Hamming
+    * verify is one codegen'd `bit_count(xor)` per candidate. The
+    * oracle recomputes it all-pairs in DuckDB (exact by pigeonhole,
+    * so both formulations provably agree). */
+  def q53SimhashNeardup(s: SparkSession, dir: String): DataFrame = {
+    val sh = q38Simhash(s, dir).select(col("doc_id"), col("simhash"))
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      explode(array((0 until SimhashBands).map { b =>
+        struct(lit(b).as("band"),
+          expr(s"(simhash >> ${b * BandBits}) & ${(1 << BandBits) - 1}").as("bits"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bits"))
+    val a = banded.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"),
+      col("band"), col("bits"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"),
+      col("band"), col("bits"))
+    a.join(b, Seq("band", "bits")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(sh_a ^ sh_b)").cast("int").as("hamming"))
+      .filter(col("hamming") <= HammingMax)
+      .distinct() // a close pair matches in up to all 4 bands
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val q53Sql: String =
+    s"""WITH tok0 AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split_regex(text, '\\s+'))) AS t
+       |  FROM documents
+       |), tok AS (
+       |  SELECT doc_id,
+       |    CAST(('0x' || substring(md5(t), 1, 15))::UBIGINT AS BIGINT) AS h
+       |  FROM tok0
+       |), bits AS (
+       |  SELECT doc_id, bit, CASE WHEN (h >> bit) % 2 = 1 THEN 1 ELSE -1 END AS v
+       |  FROM tok CROSS JOIN (SELECT unnest(range(0, 60)) AS bit)
+       |), votes AS (
+       |  SELECT doc_id, bit, sum(v) AS vote FROM bits GROUP BY doc_id, bit
+       |), sh AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN vote > 0 THEN 1::BIGINT << bit ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM votes GROUP BY doc_id
+       |)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $HammingMax
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // --------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -596,7 +659,8 @@ object TextOps {
     "q37_neardup_lsh" -> (q37NeardupLsh _),
     "q38_simhash" -> (q38Simhash _),
     "q39_neardup_capped" -> (q39NeardupCapped _),
-    "q48_rolling_hash" -> (q48RollingHash _)
+    "q48_rolling_hash" -> (q48RollingHash _),
+    "q53_simhash_neardup" -> (q53SimhashNeardup _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -610,6 +674,7 @@ object TextOps {
     "q37_neardup_lsh" -> q37Sql,
     "q38_simhash" -> q38Sql,
     "q39_neardup_capped" -> q39Sql,
-    "q48_rolling_hash" -> q48Sql
+    "q48_rolling_hash" -> q48Sql,
+    "q53_simhash_neardup" -> q53Sql
   )
 }

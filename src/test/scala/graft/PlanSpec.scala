@@ -51,6 +51,9 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "exact Jaccard must join on the shingle inverted index")
     assert(!j37.contains("CartesianProduct") && !j37.contains("BroadcastNestedLoop"),
       "LSH path must join on (band, bucket-hash)")
+    val j53 = physical(TextOps.q53SimhashNeardup(spark, dir))
+    assert(!j53.contains("CartesianProduct") && !j53.contains("BroadcastNestedLoop"),
+      "SimHash near-dup must join on the 15-bit band chunks")
   }
 
   test("ANN path joins on LSH buckets; only the brute-force baseline is quadratic") {
