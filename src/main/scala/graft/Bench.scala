@@ -76,7 +76,7 @@ object Bench {
       "q13_window_orders", "q17_distinct", "q20_latest_by_key", "q21_tumbling",
       "q30_textstats", "q35_jaccard_pairs", "q37_neardup_lsh", "q38_simhash",
       "q39_neardup_capped", "q40_cosine_topk", "q41_ann_lsh", "q43_cos_neardup",
-      "q45_media_meta")
+      "q45_media_meta", "q50_bucketed_join", "q53_simhash_neardup")
     // one untimed pass per query (JIT + codegen warm-up), then the
     // timed steady-state pass — the reference's warm-up discipline
     // (README.md benchmark methodology) applied per plan

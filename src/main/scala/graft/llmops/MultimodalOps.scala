@@ -156,6 +156,55 @@ object MultimodalOps {
        |  CAST(('0x' || substring(fhx, ${2 * FrameSize - 1}, 2))::INT AS BIGINT) AS last_byte
        |FROM fr ORDER BY media_id, frame_no""".stripMargin
 
+  // ---------------------------------------------- q54 frame features
+
+  /** q54: per-frame FEATURE EXTRACTION without a codec — byte-level
+    * statistics (mean/min/max) of every sampled frame, computed as
+    * pure column expressions (explode over byte positions + integer
+    * aggregation; one final division). This is the map-side prep shape
+    * a real feature extractor consumes: rows multiply per sampled
+    * frame and byte, bytes-per-row never do, and the whole pipeline
+    * stays inside whole-stage codegen. */
+  def q54FrameFeatures(s: SparkSession, dir: String): DataFrame = {
+    val nf = beU16(col("content"), 10)
+    media(s).filter(col("media_type") === "video")
+      .select(col("media_id"), col("content"),
+        explode(sequence(lit(0), ((nf - 1) / SampleEvery).cast("int"))).as("s_i"))
+      .select(col("media_id"), (col("s_i") * SampleEvery).as("frame_no"),
+        expr(s"substring(content, ${HeaderLen + 1} + s_i * $SampleEvery * $FrameSize, " +
+          s"$FrameSize)").as("frame"))
+      .select(col("media_id"), col("frame_no"), col("frame"),
+        explode(sequence(lit(1), lit(FrameSize))).as("i"))
+      .withColumn("b", conv(hex(expr("substring(frame, i, 1)")), 16, 10).cast("long"))
+      .groupBy("media_id", "frame_no")
+      .agg((sum("b").cast("double") / FrameSize).as("mean_byte"),
+        min("b").as("min_byte"), max("b").as("max_byte"))
+      .orderBy("media_id", "frame_no")
+  }
+
+  val q54Sql: String =
+    s"""WITH v AS (
+       |  SELECT media_id, hex(content) AS hx,
+       |    ${beU16Sql(10)} AS nf
+       |  FROM $mediaSql WHERE media_type = 'video'
+       |), idx AS (
+       |  SELECT media_id, hx, unnest(range(0, (nf - 1) // $SampleEvery + 1)) AS s_i FROM v
+       |), fr AS (
+       |  SELECT media_id, s_i * $SampleEvery AS frame_no,
+       |    substring(hx, CAST(${2 * HeaderLen} + s_i * $SampleEvery * ${2 * FrameSize} + 1 AS INT),
+       |      ${2 * FrameSize}) AS fhx
+       |  FROM idx
+       |), bytes AS (
+       |  SELECT media_id, frame_no,
+       |    unnest([('0x' || substring(fhx, 2 * i + 1, 2))::INT for i in range(0, $FrameSize)]) AS b
+       |  FROM fr
+       |)
+       |SELECT media_id, frame_no,
+       |  CAST(sum(b) AS DOUBLE) / $FrameSize AS mean_byte,
+       |  CAST(min(b) AS BIGINT) AS min_byte,
+       |  CAST(max(b) AS BIGINT) AS max_byte
+       |FROM bytes GROUP BY media_id, frame_no ORDER BY media_id, frame_no""".stripMargin
+
   // ------------------------------------------- decode (stub boundary)
 
   /** Decoded-media features (what a real codec would yield). */
@@ -209,11 +258,13 @@ object MultimodalOps {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_media_meta" -> (q45MediaMeta _),
-    "q46_frame_sample" -> (q46FrameSample _)
+    "q46_frame_sample" -> (q46FrameSample _),
+    "q54_frame_features" -> (q54FrameFeatures _)
   )
 
   val oracle: Map[String, String] = Map(
     "q45_media_meta" -> q45Sql,
-    "q46_frame_sample" -> q46Sql
+    "q46_frame_sample" -> q46Sql,
+    "q54_frame_features" -> q54Sql
   )
 }
