@@ -20,12 +20,15 @@ object SparkEntry {
       "sq1_stream_tumbling" ->
         ((s: SparkSession, dir: String) => StreamOps.sq1StreamTumbling(s, dir)),
       "sq2_stream_dedup" ->
-        ((s: SparkSession, dir: String) => StreamOps.sq2StreamDedup(s, dir)))
+        ((s: SparkSession, dir: String) => StreamOps.sq2StreamDedup(s, dir)),
+      "sq3_stream_join" ->
+        ((s: SparkSession, dir: String) => StreamOps.sq3StreamJoin(s, dir)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Queries.oracle ++ TextOps.oracle ++ VectorOps.oracle ++ MultimodalOps.oracle ++ Map(
       "sq1_stream_tumbling" -> Queries.q21Sql,
-      "sq2_stream_dedup" -> StreamOps.sq2Sql)
+      "sq2_stream_dedup" -> StreamOps.sq2Sql,
+      "sq3_stream_join" -> StreamOps.sq3Sql)
 }

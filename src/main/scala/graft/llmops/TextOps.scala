@@ -646,6 +646,147 @@ object TextOps {
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= $HammingMax
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ------------------------------------------------- q55 vocabulary top-k
+
+  /** Per-language vocabulary size cutoff for q55. */
+  val VocabTopK = 10
+
+  /** q55: corpus vocabulary statistics — per-language top-K tokens by
+    * total occurrences (ties broken lexicographically) with document
+    * frequency. The vocabulary-building op of a training-data pipeline:
+    * token frequency tables feed BPE training, stopword induction and
+    * df-capping (q39's cap is exactly a cut of this table).
+    *
+    * Scale shape: explode → ONE hash-agg shuffle keyed by (lang, token)
+    * with map-side partial aggregation (hot tokens pre-combine inside
+    * each partition, so the shuffle carries the vocabulary, not the
+    * corpus), then the top-K window runs over the aggregated vocab —
+    * never over raw tokens. The distinct-doc count rides the same
+    * aggregation (Catalyst plans count+count_distinct as one expand). */
+  def q55VocabTopk(s: SparkSession, dir: String): DataFrame = {
+    val tok = tokenized(s, dir)
+      .select(col("lang"), col("doc_id"), explode(col("w")).as("token"))
+    val vocab = tok.groupBy("lang", "token")
+      .agg(count(lit(1)).as("n"), count_distinct(col("doc_id")).as("df"))
+    val w = Window.partitionBy("lang").orderBy(col("n").desc, col("token").asc)
+    // filter on the raw int rank (InferWindowGroupLimit pattern-matches
+    // `rank <= literal`; a cast in between blocks the per-partition
+    // top-k pushdown), widen to long only in the output projection
+    vocab.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= VocabTopK)
+      .select(col("lang"), col("rk").cast("long").as("rk"), col("token"), col("n"), col("df"))
+      .orderBy("lang", "rk")
+  }
+
+  val q55Sql: String =
+    s"""WITH tok AS (
+       |  SELECT lang, doc_id, unnest(string_split_regex(text, '\\s+')) AS token
+       |  FROM documents
+       |), vocab AS (
+       |  SELECT lang, token, count(*) AS n, count(DISTINCT doc_id) AS df
+       |  FROM tok GROUP BY lang, token
+       |), rk AS (
+       |  SELECT lang, token, n, df,
+       |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, token ASC) AS rk
+       |  FROM vocab
+       |)
+       |SELECT lang, rk, token, n, df FROM rk WHERE rk <= $VocabTopK
+       |ORDER BY lang, rk""".stripMargin
+
+  // ------------------------------------------------- q56 sequence packing
+
+  /** Context-window token budget for q56 (tokens per packed sequence). */
+  val PackBudget = 2048
+
+  /** q56: sequence packing — assign documents to fixed token-budget
+    * context windows, the sample-construction op of an LLM training
+    * pipeline (docs are concatenated into PackBudget-token sequences;
+    * a doc belongs to the chunk where its first token lands).
+    *
+    * Deterministic by construction: chunk id is a pure function of the
+    * running token count over a total (lang, doc_id) order — no
+    * partition sensitivity. Scale shape: the running sum is one window
+    * per lang partition; at 100 TB the same plan range-partitions by
+    * (lang, doc_id) and each partition scans once — no per-doc joins,
+    * and the emitted chunk summary is |corpus|/budget rows, not tokens. */
+  def q56SeqPack(s: SparkSession, dir: String): DataFrame = {
+    val tk = tokenized(s, dir)
+      .select(col("lang"), col("doc_id"), size(col("w")).cast("long").as("tk"))
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+    tk.withColumn("start_tok", sum("tk").over(w) - col("tk"))
+      .withColumn("chunk", expr(s"start_tok div $PackBudget"))
+      .groupBy("lang", "chunk")
+      .agg(count(lit(1)).as("n_docs"), sum("tk").as("chunk_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("lang", "chunk")
+  }
+
+  val q56Sql: String =
+    s"""WITH tk AS (
+       |  SELECT lang, doc_id,
+       |    CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS tk
+       |  FROM documents
+       |), packed AS (
+       |  SELECT lang, doc_id, tk,
+       |    (CAST(sum(tk) OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) - tk)
+       |      // $PackBudget AS chunk
+       |  FROM tk
+       |)
+       |SELECT lang, chunk, count(*) AS n_docs,
+       |  CAST(sum(tk) AS BIGINT) AS chunk_tokens,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM packed GROUP BY lang, chunk ORDER BY lang, chunk""".stripMargin
+
+  // -------------------------------------------- q57 stratified sampling
+
+  /** q57 keep-rates (percent) per language stratum: downsample the
+    * overrepresented English partition, keep the rest whole. */
+  val SampleKeepPct: Seq[(String, Int)] = Seq("en" -> 30)
+
+  /** Fraction (out of 10) of kept docs routed to train (rest → eval). */
+  val TrainOutOf10 = 9
+
+  /** q57: deterministic stratified sampling + train/eval split — the
+    * reproducible corpus-mixing op. Sampling decisions are pure
+    * functions of doc_id (independent md5-derived uniform buckets, one
+    * for keep, one for split), so the sample is identical across
+    * engines, reruns and cluster layouts: no rand(), no partition
+    * sensitivity, and adding data never flips existing decisions —
+    * exactly how a 100 TB pipeline keeps splits stable across
+    * incremental ingests. Embarrassingly parallel filter; the summary
+    * is one small aggregation. */
+  def q57StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    def bucket(salt: String, mod: Int): Column =
+      conv(substring(md5(concat(lit(salt), col("doc_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long") % mod
+    val keepPct = SampleKeepPct.foldRight(lit(100): Column) { case ((l, p), els) =>
+      when(col("lang") === l, lit(p)).otherwise(els)
+    }
+    docs(s, dir)
+      .filter(bucket("s|", 100) < keepPct)
+      .withColumn("split",
+        when(bucket("t|", 10) < TrainOutOf10, lit("train")).otherwise(lit("eval")))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("tot_chars"))
+      .orderBy("lang", "split")
+  }
+
+  val q57Sql: String =
+    s"""WITH t AS (
+       |  SELECT lang, n_chars,
+       |    ('0x' || substring(md5('s|' || CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT
+       |      % 100 AS u,
+       |    ('0x' || substring(md5('t|' || CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT
+       |      % 10 AS v
+       |  FROM documents
+       |)
+       |SELECT lang,
+       |  CASE WHEN v < $TrainOutOf10 THEN 'train' ELSE 'eval' END AS split,
+       |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS tot_chars
+       |FROM t
+       |WHERE u < (CASE WHEN lang = 'en' THEN 30 ELSE 100 END)
+       |GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
+
   // --------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -660,7 +801,10 @@ object TextOps {
     "q38_simhash" -> (q38Simhash _),
     "q39_neardup_capped" -> (q39NeardupCapped _),
     "q48_rolling_hash" -> (q48RollingHash _),
-    "q53_simhash_neardup" -> (q53SimhashNeardup _)
+    "q53_simhash_neardup" -> (q53SimhashNeardup _),
+    "q55_vocab_topk" -> (q55VocabTopk _),
+    "q56_seq_pack" -> (q56SeqPack _),
+    "q57_stratified_sample" -> (q57StratifiedSample _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -675,6 +819,9 @@ object TextOps {
     "q38_simhash" -> q38Sql,
     "q39_neardup_capped" -> q39Sql,
     "q48_rolling_hash" -> q48Sql,
-    "q53_simhash_neardup" -> q53Sql
+    "q53_simhash_neardup" -> q53Sql,
+    "q55_vocab_topk" -> q55Sql,
+    "q56_seq_pack" -> q56Sql,
+    "q57_stratified_sample" -> q57Sql
   )
 }

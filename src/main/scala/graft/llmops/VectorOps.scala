@@ -490,6 +490,72 @@ object VectorOps {
        |              WHERE a.vec_id = e.vec_id AND a.neighbor_id = e.neighbor_id)""".stripMargin
   }
 
+  // ---------------------------------------------- q58 int8 quantization
+
+  /** Quantization levels for q58 (int8 codes 0..255). */
+  val QLevels = 255
+
+  /** q58: per-vector int8 scalar quantization + reconstruction-error
+    * profile — the embedding-compression op of a vector pipeline (4×
+    * smaller storage before the ANN index; IVF/PQ systems run exactly
+    * this min-max code assignment per vector or per block).
+    *
+    * Per-row map only — embarrassingly parallel, zero shuffle; the
+    * profile rows are ordered by vec_id. Engine-portable numerics: all
+    * arithmetic element-wise on doubles in a FIXED fold order (64
+    * explicit left-assoc terms, codegen'd — no interpreted HOFs on the
+    * per-element path), codes are integral (floor then clamp commutes
+    * with DuckDB's clamp-then-cast), and the q_sum checksum pins the
+    * exact code assignment, not just the error magnitude. A flat range
+    * (vmax == vmin) quantizes to code 0 with zero error. */
+  def q58Quantize(s: SparkSession, dir: String): DataFrame = {
+    val base = emb(s, dir)
+      .select(col("vec_id"), col("label"), col("embedding").as("v"))
+      .withColumn("vmin", array_min(col("v")).cast("double"))
+      .withColumn("vmax", array_max(col("v")).cast("double"))
+      .withColumn("rng", col("vmax") - col("vmin"))
+      .withColumn("scale", (col("vmax") - col("vmin")) / lit(QLevels.toDouble))
+    def x(i: Int): Column = element_at(col("v"), i).cast("double")
+    def qi(i: Int): Column =
+      when(col("rng") === 0d, lit(0L))
+        .otherwise(least(floor((x(i) - col("vmin")) * lit(QLevels.toDouble) / col("rng")),
+          lit(QLevels.toLong)))
+    def e2(i: Int): Column = {
+      val d = x(i) - (col("vmin") + qi(i).cast("double") * col("scale"))
+      d * d
+    }
+    base.select(col("vec_id"), col("label"), col("vmin"), col("vmax"),
+      (1 to Dim).map(qi).reduceLeft(_ + _).as("q_sum"),
+      (1 to Dim).map(e2).reduceLeft(_ + _).as("sse"))
+      .orderBy("vec_id")
+  }
+
+  val q58Sql: String = {
+    val qTerm = (v: String) =>
+      s"""CASE WHEN rng = 0 THEN 0::BIGINT
+         |ELSE CAST(least(floor(($v - vmin) * $QLevels.0 / rng), $QLevels.0) AS BIGINT) END"""
+        .stripMargin.replace("\n", " ")
+    s"""WITH d AS (
+       |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), mm AS (
+       |  SELECT vec_id, label, v,
+       |    list_min(v) AS vmin, list_max(v) AS vmax,
+       |    list_max(v) - list_min(v) AS rng,
+       |    (list_max(v) - list_min(v)) / $QLevels.0 AS scale
+       |  FROM d
+       |), qz AS (
+       |  SELECT vec_id, label, v, vmin, vmax, scale,
+       |    [${qTerm("v[i]")} for i in range(1, $Dim + 1)] AS qs
+       |  FROM mm
+       |)
+       |SELECT vec_id, label, vmin, vmax,
+       |  CAST(list_sum(qs) AS BIGINT) AS q_sum,
+       |  list_sum([(v[i] - (vmin + qs[i] * scale)) * (v[i] - (vmin + qs[i] * scale))
+       |            for i in range(1, $Dim + 1)]) AS sse
+       |FROM qz ORDER BY vec_id""".stripMargin
+  }
+
   // --------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -498,7 +564,8 @@ object VectorOps {
     "q42_label_centroids" -> (q42LabelCentroids _),
     "q43_cos_neardup" -> (q43CosNeardup _),
     "q44_ivf_topk" -> (q44IvfTopk _),
-    "q47_ann_recall" -> (q47AnnRecall _)
+    "q47_ann_recall" -> (q47AnnRecall _),
+    "q58_embed_quantize" -> (q58Quantize _)
   )
 
   /** q41 is approximate by design → no oracle (driver rows-only check);
@@ -507,6 +574,7 @@ object VectorOps {
     "q40_cosine_topk" -> q40Sql,
     "q42_label_centroids" -> q42Sql,
     "q43_cos_neardup" -> q43Sql,
-    "q47_ann_recall" -> q47Sql
+    "q47_ann_recall" -> q47Sql,
+    "q58_embed_quantize" -> q58Sql
   )
 }

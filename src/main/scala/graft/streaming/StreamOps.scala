@@ -134,6 +134,51 @@ object StreamOps {
       |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
       |FROM documents ORDER BY source, fp""".stripMargin
 
+  /** SQ3: STREAM-STREAM interval join — click→purchase attribution as
+    * two live streams (the q18 as-of family's streaming sibling): every
+    * purchase within one hour after a click by the same user, inner
+    * join in append mode. Both sides carry watermarks and the join
+    * condition carries the event-time range, so Spark bounds the join
+    * state: click state expires once the purchase-side watermark passes
+    * click_ts + 1 h, purchase state symmetrically — at scale the state
+    * store holds one watermark-window of events per side, not the
+    * stream. An inner join's emitted SET is arrival-order independent
+    * (each qualifying pair is emitted exactly once), so the batch
+    * interval join is the oracle — streaming/batch equivalence is the
+    * check, like sq1/sq2. */
+  def sq3StreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val name = s"sq3_${System.nanoTime()}"
+    def side(evType: String, prefix: String): DataFrame =
+      eventsStream(s, dir)
+        .filter(col("event_type") === evType)
+        .select(col("event_id").as(s"${prefix}_id"), col("user_id").as(s"${prefix}_user"),
+          col("ts").as(s"${prefix}_ts"))
+        .withWatermark(s"${prefix}_ts", "2 hours")
+    val clicks = side("click", "click")
+    val purchases = side("purchase", "purchase")
+    val q = clicks.join(purchases,
+      expr("""click_user = purchase_user
+             |AND purchase_ts >= click_ts
+             |AND purchase_ts <= click_ts + INTERVAL 1 HOUR""".stripMargin))
+      .select(col("click_user").as("user_id"), col("click_id"), col("purchase_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("delta_us"))
+      .writeStream.queryName(name).format("memory")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name).orderBy("click_id", "purchase_id")
+  }
+
+  /** SQ3's DuckDB oracle: the identical interval join in batch. */
+  val sq3Sql: String =
+    """SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id,
+      |  epoch_us(CAST(b.ts AS TIMESTAMP)) - epoch_us(CAST(a.ts AS TIMESTAMP)) AS delta_us
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id
+      | AND a.event_type = 'click' AND b.event_type = 'purchase'
+      | AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP)
+      | AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+      |ORDER BY click_id, purchase_id""".stripMargin
+
   /** The reference's running metrics counters as a streaming
     * aggregation over the messages stream (O18 parity): one global
     * state row, updated per micro-batch. */

@@ -98,6 +98,34 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"dot product fell out of codegen: $simLine")
   }
 
+  test("vocab top-k: partial+final agg, rank pushed down as WindowGroupLimit") {
+    val plan = physical(TextOps.q55VocabTopk(spark, dir))
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      "vocab aggregation must map-side combine — the shuffle carries the vocab, not the corpus")
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-lang top-k must push below the full sort:\n$plan")
+  }
+
+  test("packing and sampling plans: no joins, one pass over the corpus") {
+    val p56 = physical(TextOps.q56SeqPack(spark, dir))
+    assert(!p56.contains("Join"), "sequence packing is window+agg, never a join")
+    val p57 = physical(TextOps.q57StratifiedSample(spark, dir))
+    assert(!p57.contains("Join"), "hash-based sampling needs no join")
+    // the sampling predicate must evaluate map-side, before the shuffle
+    val filterIdx = p57.indexOf("Filter")
+    val exchangeIdx = p57.indexOf("Exchange")
+    assert(filterIdx > exchangeIdx && exchangeIdx >= 0,
+      s"sample filter must run below the aggregation exchange:\n$p57")
+  }
+
+  test("quantization (q58) is map-only: no join/agg, only the output-order exchange") {
+    val plan = physical(VectorOps.q58Quantize(spark, dir))
+    assert(!plan.contains("Join") && !plan.contains("HashAggregate"),
+      "quantization must stay a per-row map")
+    assert("Exchange".r.findAllIn(plan).length == 1 && plan.contains("rangepartitioning"),
+      s"only the deterministic output ordering may shuffle:\n$plan")
+  }
+
   test("metrics aggregation is partial+final (map-side combine)") {
     val plan = physical(Queries.q01Metrics(spark, dir))
     val hashAggs = "HashAggregate".r.findAllIn(plan).length

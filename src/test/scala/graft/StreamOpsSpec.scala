@@ -65,6 +65,22 @@ class StreamOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "post-recovery aggregate must equal the batch result")
   }
 
+  test("SQ3 stream-stream interval join equals the batch interval join") {
+    val streamed = StreamOps.sq3StreamJoin(spark, dir).collect()
+    val ev = StreamOps.eventsBatch(spark, dir)
+    val a = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("cts"))
+    val b = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("u2"), col("ts").as("pts"))
+    val batch = a.join(b, col("user_id") === col("u2") &&
+        col("pts") >= col("cts") && col("pts") <= col("cts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (unix_micros(col("pts")) - unix_micros(col("cts"))).as("delta_us"))
+      .orderBy("click_id", "purchase_id").collect()
+    assert(batch.nonEmpty, "fixture must contain click->purchase pairs")
+    assert(streamed.sameElements(batch))
+  }
+
   test("streaming metrics with idle-stop match batch counters") {
     import graft.model.SchemaDef
     val fixture = graft.sources.GenFixtures.MessagesPath

@@ -75,6 +75,52 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(agree - j) < 0.5, s"sig agreement $agree vs jaccard $j")
   }
 
+  test("vocab top-k: dense ranks, non-increasing counts, df <= n") {
+    val rows = TextOps.q55VocabTopk(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length).toSeq)
+      val ns = sorted.map(_.getAs[Long]("n")).toSeq
+      assert(ns == ns.sorted.reverse, "counts must be non-increasing in rank")
+      rs.foreach(r => assert(r.getAs[Long]("df") <= r.getAs[Long]("n")))
+    }
+  }
+
+  test("seq packing: token totals conserved, chunk doc-ranges disjoint") {
+    val chunks = TextOps.q56SeqPack(spark, dir).collect()
+    val expected = spark.read.parquet(s"$dir/documents.parquet")
+      .select(size(split(col("text"), "\\s+")).cast("long").as("tk"))
+      .agg(sum("tk")).head().getLong(0)
+    assert(chunks.map(_.getAs[Long]("chunk_tokens")).sum == expected,
+      "every token must land in exactly one chunk")
+    chunks.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("chunk"))
+      sorted.foreach(r => assert(r.getAs[Long]("n_docs") >= 1))
+      sorted.sliding(2).foreach {
+        case Array(x, y) =>
+          assert(x.getAs[Long]("last_doc") < y.getAs[Long]("first_doc"),
+            "doc ranges of consecutive chunks must not overlap")
+        case _ =>
+      }
+    }
+  }
+
+  test("stratified sample: deterministic, en downsampled, other strata whole") {
+    val a = TextOps.q57StratifiedSample(spark, dir).collect()
+    val b = TextOps.q57StratifiedSample(spark, dir).collect()
+    assert(a.sameElements(b), "hash-based sampling must be reproducible")
+    val kept = a.groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    val totals = spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("en") < totals("en"), "en stratum must be downsampled")
+    totals.keys.filterNot(_ == "en").foreach { l =>
+      assert(kept(l) == totals(l), s"stratum $l must be kept whole")
+    }
+  }
+
   test("simhash: near-dup pairs are hamming-close, fingerprints fit 60 bits") {
     val sh = TextOps.q38Simhash(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -81,4 +81,19 @@ class VectorOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // members should on average point toward their own centroid
     rows.foreach(r => assert(r.getAs[Double]("cohesion") > 0.0))
   }
+
+  test("int8 quantization: one row per vector, codes bounded, sse within bound") {
+    val rows = VectorOps.q58Quantize(spark, dir).collect()
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(rows.length == n)
+    rows.foreach { r =>
+      val qsum = r.getAs[Long]("q_sum")
+      assert(qsum >= 0 && qsum <= VectorOps.QLevels.toLong * VectorOps.Dim)
+      // per-element reconstruction error is < one quantization step
+      val scale = (r.getAs[Double]("vmax") - r.getAs[Double]("vmin")) / VectorOps.QLevels
+      val sse = r.getAs[Double]("sse")
+      assert(sse >= 0.0 && sse <= VectorOps.Dim * scale * scale + 1e-12,
+        s"sse $sse exceeds the worst-case ${VectorOps.Dim} * step^2 bound")
+    }
+  }
 }
