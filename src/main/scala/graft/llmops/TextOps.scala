@@ -787,6 +787,62 @@ object TextOps {
        |WHERE u < (CASE WHEN lang = 'en' THEN 30 ELSE 100 END)
        |GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
 
+  // ------------------------------------------------ q59 decontamination
+
+  /** The held-out benchmark source for q59 (its docs are the "eval
+    * set"); threshold fraction of shared shingles that flags a doc. */
+  val EvalSource = "src0"
+  val ContamThreshold = 0.2
+
+  /** q59: benchmark decontamination — for every training document, the
+    * fraction of its shingles that also occur anywhere in the eval
+    * corpus; docs above the threshold are flagged for removal. The
+    * standard pre-training hygiene op (eval answers leaking into train
+    * data inflate benchmark scores).
+    *
+    * Scale shape: the eval corpus is small by construction (benchmark
+    * suites are MBs, not TBs), so its distinct-shingle set BROADCASTS —
+    * the contamination check is a map-side broadcast left-join over the
+    * train shingles plus one per-doc aggregation: no all-pairs, no
+    * big-to-big shuffle join, reuses the persisted shingle index. Uses
+    * trigram shingles to share that index; production decontamination
+    * raises n (8-13) which only shrinks the hit rate, not the plan. */
+  def q59Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+    val evalIds = docs(s, dir).filter(col("source") === EvalSource).select("doc_id")
+    val evalSh = sh.join(broadcast(evalIds), Seq("doc_id"))
+      .select("shingle").distinct().withColumn("hit", lit(1L))
+    val trainSh = sh.join(broadcast(evalIds), Seq("doc_id"), "left_anti")
+    trainSh.join(broadcast(evalSh), Seq("shingle"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"), sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("contamination", col("n_hit").cast("double") / col("n_sh"))
+      .withColumn("contaminated", col("contamination") >= ContamThreshold)
+      .orderBy("doc_id")
+  }
+
+  val q59Sql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, $shinglesSql AS sh
+       |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents)
+       |), ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sh
+       |), eval_ids AS (SELECT doc_id FROM documents WHERE source = '$EvalSource'
+       |), eval_sh AS (
+       |  SELECT DISTINCT shingle FROM ex
+       |  WHERE doc_id IN (SELECT doc_id FROM eval_ids)
+       |), train AS (
+       |  SELECT * FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM eval_ids)
+       |)
+       |SELECT t.doc_id, count(*) AS n_sh,
+       |  CAST(sum(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_hit,
+       |  CAST(sum(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*) AS contamination,
+       |  (CAST(sum(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*)) >= $ContamThreshold AS contaminated
+       |FROM train t LEFT JOIN eval_sh e USING (shingle)
+       |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -804,7 +860,8 @@ object TextOps {
     "q53_simhash_neardup" -> (q53SimhashNeardup _),
     "q55_vocab_topk" -> (q55VocabTopk _),
     "q56_seq_pack" -> (q56SeqPack _),
-    "q57_stratified_sample" -> (q57StratifiedSample _)
+    "q57_stratified_sample" -> (q57StratifiedSample _),
+    "q59_decontaminate" -> (q59Decontaminate _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -822,6 +879,7 @@ object TextOps {
     "q53_simhash_neardup" -> q53Sql,
     "q55_vocab_topk" -> q55Sql,
     "q56_seq_pack" -> q56Sql,
-    "q57_stratified_sample" -> q57Sql
+    "q57_stratified_sample" -> q57Sql,
+    "q59_decontaminate" -> q59Sql
   )
 }

@@ -508,6 +508,42 @@ object Queries {
       .orderBy("o_orderpriority")
   }
 
+  /** Memoized lang-partitioned documents layout per (dir, fixture
+    * signature): written once with `partitionBy("lang")`, reused across
+    * invocations — the pay-layout-once twin of [[ensureBucketed]] for
+    * partition PRUNING rather than shuffle elision. */
+  private val partitionedDocs =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), String]
+
+  private def ensureLangPartitioned(s: SparkSession, dir: String): String =
+    partitionedDocs.getOrElseUpdate((dir, graft.sources.FsSig.of(s"$dir/documents.parquet")), {
+      val base = java.nio.file.Files.createTempDirectory("graft_partdocs_").toString
+      t(s, dir, "documents").write.partitionBy("lang").mode("overwrite").parquet(base)
+      base
+    })
+
+  /** Q60: partition-pruned scan over a hive-partitioned layout — the
+    * documents corpus written `partitionBy(lang)`, then queried for one
+    * language. The scan prunes at the DIRECTORY level (PlanSpec asserts
+    * the predicate lands in PartitionFilters, not data filters): at
+    * 100 TB a single-language query reads that language's files and
+    * nothing else — no row-level filtering, no listing cost for the
+    * rest of the corpus. This is the at-rest layout for any column a
+    * pipeline routinely slices on (lang, source, date). */
+  def q60PartitionPruning(s: SparkSession, dir: String): DataFrame = {
+    val p = ensureLangPartitioned(s, dir)
+    s.read.parquet(p).filter(col("lang") === "en")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("tot_chars"))
+      .orderBy("source")
+  }
+
+  val q60Sql: String =
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS tot_chars
+      |FROM documents WHERE lang = 'en'
+      |GROUP BY source ORDER BY source""".stripMargin
+
   // ----------------------------------------------------------------- events
 
   /** events with `ts` as a proper TimestampType. The driver parquet
@@ -805,6 +841,7 @@ object Queries {
     "q49_confluent_wire" -> (q49ConfluentWire _),
     "q50_bucketed_join" -> (q50BucketedJoin _),
     "q51_salted_join" -> (q51SaltedJoin _),
+    "q60_partition_pruning" -> (q60PartitionPruning _),
     // rows-only (sketches have no cross-engine oracle; error bounds
     // are spec-asserted in ScaleOpsSpec)
     "q52_sketches" -> (q52Sketches _)
@@ -838,6 +875,7 @@ object Queries {
     "q49_confluent_wire" -> q49Sql,
     "q50_bucketed_join" -> q50Sql,
     // identical ANSI text: the salted join must be identity-preserving
-    "q51_salted_join" -> q50Sql
+    "q51_salted_join" -> q50Sql,
+    "q60_partition_pruning" -> q60Sql
   )
 }

@@ -126,6 +126,25 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"only the deterministic output ordering may shuffle:\n$plan")
   }
 
+  test("decontamination (q59): eval shingle set broadcasts, no big-to-big shuffle join") {
+    val plan = physical(TextOps.q59Decontaminate(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the eval shingle set must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"the contamination check must not shuffle the train shingles for a join:\n$plan")
+  }
+
+  test("partitioned layout (q60): lang predicate prunes partitions at the scan") {
+    val df = Queries.q60PartitionPruning(spark, dir)
+    val scan = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scan.contains("PartitionFilters: [") &&
+      scan.replaceAll("(?s).*PartitionFilters: \\[", "").takeWhile(_ != ']').contains("lang"),
+      s"lang = 'en' must land in PartitionFilters:\n$scan")
+    assert(!scan.contains("PushedFilters: [IsNotNull(lang)"),
+      "lang must be a directory predicate, not a row-level data filter")
+  }
+
   test("metrics aggregation is partial+final (map-side combine)") {
     val plan = physical(Queries.q01Metrics(spark, dir))
     val hashAggs = "HashAggregate".r.findAllIn(plan).length
