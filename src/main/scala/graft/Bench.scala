@@ -19,7 +19,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     (full execution, zero sink cost — `.count()` would let Catalyst
   *     prune the plan to a metadata scan).
   *
-  * One JVM-warmup action runs first and is not reported.
+  * SELF-DIAGNOSING (round-2 verdict #1: the driver's numbers ran
+  * 3-13× the builder's same-config measurements, and a single cold
+  * pass cannot say why). Every entry is measured as ONE untimed warm
+  * pass + `SPARK_GRAFT_BENCH_PASSES` (≥3) timed passes; the headline
+  * number is the MEDIAN of the timed passes and the JSON carries the
+  * full `{warm, timed[]}` detail per entry, so the variance source is
+  * readable from the artifact itself:
+  *   warm ≈ timed       → steady-state cost (environment if still slow)
+  *   warm ≫ timed       → one-time build (cache/layout/JIT) dominated
+  *   timed high-variance → box contention during the run
+  * `shingle_index_hit` additionally reports whether any TIMED pass
+  * rebuilt the persisted shingle index (it never should — a miss means
+  * the timed number includes a build cost steady state would not pay).
   */
 object Bench {
 
@@ -33,29 +45,45 @@ object Bench {
   private def run(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  final case class Timing(warm: Double, timed: Seq[Double]) {
+    def median: Double = {
+      val s = timed.sorted
+      if (s.isEmpty) -1.0
+      else if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+  }
+
+  /** One warm pass + `passes` timed passes. */
+  private def measure(passes: Int)(go: () => Unit): Timing = {
+    val warm = time(go())
+    Timing(warm, (1 to passes).map(_ => time(go())))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
       .getOrElse(Runtime.getRuntime.availableProcessors())
+    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption).filter(_ >= 1).getOrElse(3)
     val spark = GraftSession.builder("graft-bench", cores = cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // ---- phase 1: serde, the reference's README workload shape
     val conf = EngineConf(totalMensagens = 100000, tamanhoMensagemKB = 1,
       warmupMensagens = 0, seed = 42)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_bench_").toString
-    val serde = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val tmp = graft.operators.PlanCache.tempDir("graft_bench_")
+    val results = scala.collection.mutable.LinkedHashMap[String, Timing]()
 
     // JVM/codegen warm-up (not reported)
     run(Generator.messages(spark, conf.copy(totalMensagens = 5000)))
 
     // the exact CLI pipelines (produce = generate+serialize+write,
-    // consume = read+[parse]+metrics). EVERY mode gets one untimed
-    // warm-up pass immediately before its timed pass — the same
-    // discipline phase 2 applies per query. Round 1 timed each mode
-    // once, cold, in a fixed order, and the ordering artifacts were
-    // visible (json TRANSPORTE measured slower than json E2E_PARSE,
-    // which is impossible in steady state: transport skips the parse).
+    // consume = read+[parse]+metrics). The warm pass covers JIT,
+    // codegen cache and page cache for each mode's files — round 1
+    // timed each mode once, cold, in a fixed order, and the ordering
+    // artifacts were visible (json TRANSPORTE measured slower than
+    // json E2E_PARSE, impossible in steady state).
     val e2e = conf.copy(benchMode = "E2E_PARSE")
     val transp = conf.copy(benchMode = "TRANSPORTE")
     val serdeRuns: Seq[(String, () => Unit)] = Seq(
@@ -65,10 +93,7 @@ object Bench {
       "consume_json_e2e" -> (() => Main.consume(spark, e2e, tmp, avro = false).collect()),
       "consume_avro_transporte" -> (() => Main.consume(spark, transp, tmp, avro = true).collect()),
       "consume_json_transporte" -> (() => Main.consume(spark, transp, tmp, avro = false).collect()))
-    serdeRuns.foreach { case (name, go) =>
-      go() // warm: JIT, codegen cache, page cache for this mode's files
-      serde(name) = time(go())
-    }
+    serdeRuns.foreach { case (name, go) => results(name) = measure(passes)(go) }
 
     // ---- phase 2: headline queries at the SF dir
     val headline = Seq(
@@ -76,23 +101,28 @@ object Bench {
       "q13_window_orders", "q17_distinct", "q20_latest_by_key", "q21_tumbling",
       "q30_textstats", "q35_jaccard_pairs", "q37_neardup_lsh", "q38_simhash",
       "q39_neardup_capped", "q40_cosine_topk", "q41_ann_lsh", "q43_cos_neardup",
-      "q45_media_meta", "q50_bucketed_join", "q53_simhash_neardup")
-    // one untimed pass per query (JIT + codegen warm-up), then the
-    // timed steady-state pass — the reference's warm-up discipline
-    // (README.md benchmark methodology) applied per plan
-    val qtimes = scala.collection.mutable.LinkedHashMap[String, Double]()
+      "q45_media_meta", "q50_bucketed_join", "q53_simhash_neardup",
+      // round-2 operators, added so r3+ regressions are visible
+      "q55_vocab_topk", "q56_seq_pack", "q57_stratified_sample",
+      "q59_decontaminate", "q60_partition_pruning", "sq1_stream_tumbling")
+    // shingle-index misses during TIMED passes only (warm passes are
+    // expected to build it once per session+dir)
+    var timedIndexMisses = 0L
     headline.foreach { name =>
       SparkEntry.queries.get(name) match {
         case None => System.err.println(s"[bench] unknown headline query: $name")
         case Some(fn) =>
           // per-query isolation: one failure must not lose the run
           try {
-            run(fn(spark, sfDir))
-            qtimes(name) = time(run(fn(spark, sfDir)))
+            val warm = time(run(fn(spark, sfDir)))
+            val missesBefore = graft.llmops.TextOps.shingleCacheStats._2
+            val timed = (1 to passes).map(_ => time(run(fn(spark, sfDir))))
+            timedIndexMisses += graft.llmops.TextOps.shingleCacheStats._2 - missesBefore
+            results(name) = Timing(warm, timed)
           } catch {
             case e: Throwable =>
               System.err.println(s"[bench] $name failed: ${e.getMessage}")
-              qtimes(name) = -1.0
+              results(name) = Timing(-1.0, Seq.empty)
           }
       }
     }
@@ -101,17 +131,25 @@ object Bench {
     // default locale and would emit comma decimals (invalid JSON)
     def num(v: Double, places: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${places}f", Double.box(v))
-    val total = serde.values.sum + qtimes.values.filter(_ >= 0).sum
-    val msgsPerSecAvro = conf.totalMensagens / serde("consume_avro_e2e")
-    val qs = (serde ++ qtimes).map { case (k, v) => s""""$k":${num(v, 3)}""" }
+    val medians = results.map { case (k, t) => k -> t.median }
+    val total = medians.values.filter(_ >= 0).sum
+    val msgsPerSecAvro = conf.totalMensagens / medians("consume_avro_e2e")
+    val qs = medians.map { case (k, v) => s""""$k":${num(v, 3)}""" }
       .mkString("{", ",", "}")
+    val detail = results.map { case (k, t) =>
+      val timed = t.timed.map(num(_, 3)).mkString("[", ",", "]")
+      s""""$k":{"warm":${num(t.warm, 3)},"timed":$timed}"""
+    }.mkString("{", ",", "}")
     val json =
       s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,""" +
+        s""""detail":$detail,"timed_passes":$passes,""" +
+        s""""shingle_index_hit":${timedIndexMisses == 0},""" +
         s""""sf":"$sfDir","cpus":$cpus,"serde_msgs":${conf.totalMensagens},""" +
         s""""avro_e2e_msgs_per_sec":${num(msgsPerSecAvro, 1)}}"""
     // machine-readable copy: sbt decorates stdout with [info]/[error]
     // prefixes, so a parser scraping the log can fail — also write the
-    // JSON to a file (driver/BENCH consumers read this path)
+    // JSON to a file: SPARK_GRAFT_BENCH_OUT if set, else bench_out.json
+    // in the cwd (the well-known path, see README "Benchmark output")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
     catch { case e: Exception => System.err.println(s"[bench] write $outPath: $e") }

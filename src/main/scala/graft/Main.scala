@@ -36,7 +36,16 @@ object Main {
     // O22: running progress at the reference's 100k cadence
     // (overridable via GRAFT_PROGRESS_EVERY), covering every action
     // the pipeline runs
-    val every = sys.env.get("GRAFT_PROGRESS_EVERY").map(_.trim.toLong)
+    // defensive parse: a non-numeric or non-positive override falls
+    // back to the default cadence with a warning instead of crashing
+    // before mode dispatch
+    val every = sys.env.get("GRAFT_PROGRESS_EVERY")
+      .flatMap { v =>
+        val parsed = scala.util.Try(v.trim.toLong).toOption.filter(_ > 0)
+        if (parsed.isEmpty)
+          System.err.println(s"GRAFT_PROGRESS_EVERY inválido ('$v'); usando padrão")
+        parsed
+      }
       .getOrElse(graft.operators.ProgressTicker.IntervaloLog)
     try graft.operators.ProgressTicker.withTicker(spark, every) {
       val report = mode match {

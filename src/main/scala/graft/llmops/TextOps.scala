@@ -276,24 +276,31 @@ object TextOps {
       .distinct()
   }
 
-  /** Persisted shingle index, memoized per (session, dir, fixture
-    * signature). The near-dup queries reference this subplan three
-    * times (candidate generation + both exact-verify sides) and it is
-    * the most expensive subplan in the module (posexplode + two
-    * windows + distinct) — without persist Spark RE-EXECUTES it per
-    * reference (3× the slowest bench cost in round 1). MEMORY_AND_DISK
-    * so a corpus larger than executor memory spills instead of
-    * recomputing; at 100 TB the same role is played by materializing
-    * the index to a temp parquet once per dedup run. Keyed on the
-    * documents file signature so a regenerated fixture invalidates. */
-  private val shingleCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Long), DataFrame]
+  /** Persisted shingle index, memoized per (session, dir) and guarded
+    * by the fixture signature. The near-dup queries reference this
+    * subplan three times (candidate generation + both exact-verify
+    * sides) and it is the most expensive subplan in the module
+    * (posexplode + two windows + distinct) — without persist Spark
+    * RE-EXECUTES it per reference (3× the slowest bench cost in round
+    * 1). MEMORY_AND_DISK so a corpus larger than executor memory spills
+    * instead of recomputing; at 100 TB the same role is played by
+    * materializing the index to a temp parquet once per dedup run.
+    * PlanCache unpersists superseded entries (regenerated fixture, or
+    * eviction past the size bound) — the round-2 TrieMap pinned them
+    * for the JVM lifetime. */
+  private[graft] val shingleCache =
+    new graft.operators.PlanCache[DataFrame]("shingle_index")((_, df) => df.unpersist())
+
+  /** Cache counters for the bench's self-diagnosis: a timed near-dup
+    * pass that misses this cache is paying the index build the steady
+    * state would not. */
+  def shingleCacheStats: (Long, Long) = (shingleCache.hits, shingleCache.misses)
 
   private def shingles(s: SparkSession, dir: String): DataFrame =
-    shingleCache.getOrElseUpdate(
-      (s, dir, graft.sources.FsSig.of(s"$dir/documents.parquet")),
+    shingleCache.get(s, dir, graft.sources.FsSig.of(s"$dir/documents.parquet")) {
       shingleRows(s, dir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 
   private val shinglesSql =
     """list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
@@ -705,15 +712,45 @@ object TextOps {
     *
     * Deterministic by construction: chunk id is a pure function of the
     * running token count over a total (lang, doc_id) order — no
-    * partition sensitivity. Scale shape: the running sum is one window
-    * per lang partition; at 100 TB the same plan range-partitions by
-    * (lang, doc_id) and each partition scans once — no per-doc joins,
-    * and the emitted chunk summary is |corpus|/budget rows, not tokens. */
+    * partition sensitivity.
+    *
+    * Scale shape: a DISTRIBUTED two-phase prefix sum. The naive
+    * formulation (round 2) was `sum(tk) over (partition by lang order
+    * by doc_id)` — ONE task per language, and at 100 TB the dominant
+    * language IS the corpus. Here the corpus is range-partitioned by
+    * (lang, doc_id) into bounded chunks, each partition computes its
+    * LOCAL running sums, a tiny per-(partition, lang) totals table
+    * (≤ partitions × languages rows) yields each partition's starting
+    * offset, and offset + local running sum = the same global prefix
+    * sum — every phase is partition-parallel. Range bounds come from a
+    * deterministic sample, and the output is a pure function of the
+    * global prefix sums, so the result is partition-layout-independent
+    * (same oracle as the single-window plan). */
   def q56SeqPack(s: SparkSession, dir: String): DataFrame = {
     val tk = tokenized(s, dir)
       .select(col("lang"), col("doc_id"), size(col("w")).cast("long").as("tk"))
-    val w = Window.partitionBy("lang").orderBy("doc_id")
-    tk.withColumn("start_tok", sum("tk").over(w) - col("tk"))
+    // explicit partition count: an AQE-coalesced read could renumber
+    // spark_partition_id between the two references of `parted`
+    val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val parted = tk.repartitionByRange(nPart, col("lang"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    // per-(partition, lang) token totals: partitions × languages rows
+    val totals = parted.groupBy("pid", "lang").agg(sum("tk").as("tot"))
+    // partition offsets = earlier partitions' totals for the same lang.
+    // A self-join over the TINY totals table — not a window over the
+    // corpus partitioned by lang alone
+    val offs = totals.as("a")
+      .join(totals.as("b"),
+        col("a.lang") === col("b.lang") && col("b.pid") < col("a.pid"), "left")
+      .groupBy(col("a.pid").as("pid"), col("a.lang").as("lang"))
+      .agg(coalesce(sum(col("b.tot")), lit(0L)).as("off"))
+    // local running sum within each (partition, lang) slice — bounded
+    // work per task — plus the broadcast offset = global prefix sum
+    val localW = Window.partitionBy("pid", "lang").orderBy("doc_id")
+    parted
+      .withColumn("local_run", sum("tk").over(localW))
+      .join(broadcast(offs), Seq("pid", "lang"))
+      .withColumn("start_tok", col("off") + col("local_run") - col("tk"))
       .withColumn("chunk", expr(s"start_tok div $PackBudget"))
       .groupBy("lang", "chunk")
       .agg(count(lit(1)).as("n_docs"), sum("tk").as("chunk_tokens"),

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+import java.util.concurrent.atomic.AtomicLong
+
+/** Memoized session-scoped materializations — persisted subplans,
+  * bucketed-table layouts, partitioned rewrites — keyed by
+  * (SparkSession, key) and guarded by a fixture signature.
+  *
+  * Lifecycle rules (each one is an observed failure mode, not theory):
+  *  - the SESSION is part of the key: catalog tables and persisted RDDs
+  *    die with their owning session, so an entry built under a stopped
+  *    session must never be served to a new one (the sbt suite
+  *    stops/creates sessions in one JVM);
+  *  - a changed fixture signature REPLACES the entry and RELEASES the
+  *    stale value (unpersist / drop table / delete dir) — without the
+  *    release, superseded persisted DataFrames stay pinned for the JVM
+  *    lifetime and a long-lived bench loop accumulates unbounded cache;
+  *  - entries whose session has stopped are dropped eagerly on every
+  *    access (their distributed state is already gone; only local
+  *    resources — temp dirs — still need release);
+  *  - the map is BOUNDED: past `maxEntries` the oldest entry is
+  *    released and evicted, so a session that loops over many fixture
+  *    dirs cannot grow the cache without limit.
+  *
+  * Hit/miss counters feed the bench's self-diagnosis (`BENCH_r{N}`'s
+  * `shingle_index_hit`): a timed pass that MISSES the cache is paying a
+  * build cost the steady state would not, and the JSON should say so.
+  */
+final class PlanCache[V](val name: String, maxEntries: Int = 8)(
+    release: (SparkSession, V) => Unit) {
+
+  private final case class Entry(sig: Long, value: V)
+
+  // LinkedHashMap for insertion-order eviction; all access synchronized
+  // (builds are rare and expensive, contention is irrelevant)
+  private val entries =
+    scala.collection.mutable.LinkedHashMap.empty[(SparkSession, String), Entry]
+  private val hitCount = new AtomicLong
+  private val missCount = new AtomicLong
+
+  private def releaseQuietly(s: SparkSession, v: V): Unit =
+    try release(s, v)
+    catch { case e: Exception => System.err.println(s"[$name] release: $e") }
+
+  /** The memoized value for (s, key) at fixture signature `sig`,
+    * building (and registering) it on miss or signature change. */
+  def get(s: SparkSession, key: String, sig: Long)(build: => V): V = synchronized {
+    // stopped sessions: distributed state is gone; drop the entries
+    // (local-resource release like temp dirs is the JVM shutdown
+    // hook's job — see PlanCache.tempDir)
+    entries.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    entries.get((s, key)) match {
+      case Some(e) if e.sig == sig =>
+        hitCount.incrementAndGet()
+        e.value
+      case stale =>
+        missCount.incrementAndGet()
+        stale.foreach(e => releaseQuietly(s, e.value))
+        entries.remove((s, key))
+        while (entries.size >= maxEntries) {
+          val (k, e) = entries.head
+          releaseQuietly(k._1, e.value)
+          entries.remove(k)
+        }
+        val v = build
+        entries((s, key)) = Entry(sig, v)
+        v
+    }
+  }
+
+  def hits: Long = hitCount.get
+  def misses: Long = missCount.get
+  def size: Int = synchronized(entries.size)
+
+  /** Release and drop every entry (test hook). */
+  def clear(): Unit = synchronized {
+    entries.foreach { case ((sess, _), e) =>
+      if (!sess.sparkContext.isStopped) releaseQuietly(sess, e.value)
+    }
+    entries.clear()
+  }
+}
+
+object PlanCache {
+
+  private val tmpDirs = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+  private lazy val hookInstalled: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      tmpDirs.synchronized(tmpDirs.foreach(deleteRecursively))))
+  }
+
+  /** A temp directory registered for recursive deletion at JVM exit —
+    * layout caches (bucketed tables, partitioned rewrites) write under
+    * these, and nothing else ever cleaned them up. */
+  def tempDir(prefix: String): String = {
+    hookInstalled
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    tmpDirs.synchronized(tmpDirs += p)
+    p.toString
+  }
+
+  /** Recursive delete, used for both exit cleanup and eager release of
+    * a superseded layout. */
+  def deleteRecursively(p: java.nio.file.Path): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p)) {
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+    } catch { case _: Exception => () }
+}

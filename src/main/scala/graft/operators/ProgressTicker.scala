@@ -36,9 +36,12 @@ final class ProgressTicker(
     val m = e.taskMetrics
     if (m != null) synchronized {
       // produce-shaped jobs count written records, consume-shaped jobs
-      // count read ones; intermediate (shuffle) tasks contribute 0
-      records += m.inputMetrics.recordsRead + m.outputMetrics.recordsWritten
-      bytes += m.inputMetrics.bytesRead + m.outputMetrics.bytesWritten
+      // count read ones; intermediate (shuffle) tasks contribute 0. A
+      // task that BOTH reads and writes (a parquet rewrite, produce's
+      // write-then-reread) must count once, not twice — the reference's
+      // counter is per-message, so take the larger side, not the sum
+      records += math.max(m.inputMetrics.recordsRead, m.outputMetrics.recordsWritten)
+      bytes += math.max(m.inputMetrics.bytesRead, m.outputMetrics.bytesWritten)
       while (records >= nextTick) {
         sink(nextTick, bytes / (1024.0 * 1024.0))
         nextTick += every

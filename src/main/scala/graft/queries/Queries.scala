@@ -436,18 +436,29 @@ object Queries {
   /** Buckets for the co-located join demo (q50). */
   val JoinBuckets = 8
 
-  /** Memoized bucketed-table setup per (dir, fixture signature): write
-    * lineitem/orders bucketed + sorted on the join key ONCE, as
-    * external tables under a temp path, and reuse across invocations.
-    * Returns the two table names. */
-  private val bucketedTables =
-    scala.collection.concurrent.TrieMap.empty[(String, Long), (String, String)]
+  /** Memoized bucketed-table setup, keyed per (SESSION, dir) and
+    * guarded by the fixture signature: write lineitem/orders bucketed +
+    * sorted on the join key ONCE, as external tables under a temp path,
+    * and reuse across invocations. The session is in the key because
+    * saveAsTable registers in the owning session's catalog — a new
+    * session in the same JVM (the sbt suite lifecycle) must rebuild,
+    * not be served table names its catalog has never seen. Superseded
+    * entries drop their tables and delete their layout dir; the temp
+    * dirs are also registered for JVM-exit cleanup. */
+  private final case class BucketedLayout(liTbl: String, oTbl: String, base: String)
 
-  private def ensureBucketed(s: SparkSession, dir: String): (String, String) =
-    bucketedTables.getOrElseUpdate((dir, graft.sources.FsSig.of(s"$dir/lineitem.parquet")), {
+  private val bucketedTables =
+    new graft.operators.PlanCache[BucketedLayout]("bucketed_tables")({ (sess, v) =>
+      sess.sql(s"DROP TABLE IF EXISTS ${v.liTbl}")
+      sess.sql(s"DROP TABLE IF EXISTS ${v.oTbl}")
+      graft.operators.PlanCache.deleteRecursively(java.nio.file.Paths.get(v.base))
+    })
+
+  private def ensureBucketed(s: SparkSession, dir: String): (String, String) = {
+    val layout = bucketedTables.get(s, dir, graft.sources.FsSig.of(s"$dir/lineitem.parquet")) {
       val id = math.abs((dir + System.nanoTime()).hashCode).toString
       val (liTbl, oTbl) = (s"graft_li_$id", s"graft_o_$id")
-      val base = java.nio.file.Files.createTempDirectory("graft_bucketed_").toString
+      val base = graft.operators.PlanCache.tempDir("graft_bucketed_")
       t(s, dir, "lineitem")
         .select("l_orderkey", "l_extendedprice", "l_discount")
         .write.bucketBy(JoinBuckets, "l_orderkey").sortBy("l_orderkey")
@@ -456,8 +467,10 @@ object Queries {
         .select("o_orderkey", "o_orderpriority")
         .write.bucketBy(JoinBuckets, "o_orderkey").sortBy("o_orderkey")
         .option("path", s"$base/orders").format("parquet").saveAsTable(oTbl)
-      (liTbl, oTbl)
-    })
+      BucketedLayout(liTbl, oTbl, base)
+    }
+    (layout.liTbl, layout.oTbl)
+  }
 
   /** Q50: bucketed co-located join — lineitem ⋈ orders on the order
     * key with BOTH sides pre-bucketed on it, so the join needs NO
@@ -508,19 +521,22 @@ object Queries {
       .orderBy("o_orderpriority")
   }
 
-  /** Memoized lang-partitioned documents layout per (dir, fixture
-    * signature): written once with `partitionBy("lang")`, reused across
-    * invocations — the pay-layout-once twin of [[ensureBucketed]] for
-    * partition PRUNING rather than shuffle elision. */
+  /** Memoized lang-partitioned documents layout per (session, dir),
+    * fixture-signature-guarded: written once with `partitionBy("lang")`,
+    * reused across invocations — the pay-layout-once twin of
+    * [[ensureBucketed]] for partition PRUNING rather than shuffle
+    * elision. Superseded layouts are deleted; dirs also registered for
+    * JVM-exit cleanup. */
   private val partitionedDocs =
-    scala.collection.concurrent.TrieMap.empty[(String, Long), String]
+    new graft.operators.PlanCache[String]("partitioned_docs")((_, base) =>
+      graft.operators.PlanCache.deleteRecursively(java.nio.file.Paths.get(base)))
 
   private def ensureLangPartitioned(s: SparkSession, dir: String): String =
-    partitionedDocs.getOrElseUpdate((dir, graft.sources.FsSig.of(s"$dir/documents.parquet")), {
-      val base = java.nio.file.Files.createTempDirectory("graft_partdocs_").toString
+    partitionedDocs.get(s, dir, graft.sources.FsSig.of(s"$dir/documents.parquet")) {
+      val base = graft.operators.PlanCache.tempDir("graft_partdocs_")
       t(s, dir, "documents").write.partitionBy("lang").mode("overwrite").parquet(base)
       base
-    })
+    }
 
   /** Q60: partition-pruned scan over a hive-partitioned layout — the
     * documents corpus written `partitionBy(lang)`, then queried for one

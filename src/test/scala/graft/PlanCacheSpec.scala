@@ -1,0 +1,81 @@
+package graft
+
+import graft.operators.PlanCache
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.storage.StorageLevel
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Lifecycle of the session-scoped materialization cache: signature
+  * changes must RELEASE the stale value (unpersist/drop/delete), not
+  * just replace the mapping; the map is bounded; stopped sessions are
+  * never served. (Round-2 advice: the TrieMap caches pinned superseded
+  * persisted DataFrames for the JVM lifetime and served catalog table
+  * names across session restarts.) */
+class PlanCacheSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.builder("plancache-test", cores = 2).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("hit on same signature, release + rebuild on a new signature") {
+    val released = scala.collection.mutable.ArrayBuffer.empty[String]
+    val c = new PlanCache[String]("t1")((_, v) => released += v)
+    var builds = 0
+    def build(v: String): String = { builds += 1; v }
+
+    assert(c.get(spark, "k", sig = 1L)(build("a")) == "a")
+    assert(c.get(spark, "k", sig = 1L)(build("IGNORED")) == "a") // hit
+    assert(builds == 1 && released.isEmpty)
+    assert((c.hits, c.misses) == (1L, 1L))
+
+    // regenerated fixture: new signature invalidates AND releases
+    assert(c.get(spark, "k", sig = 2L)(build("b")) == "b")
+    assert(builds == 2 && released.toSeq == Seq("a"))
+  }
+
+  test("a superseded persisted DataFrame is actually unpersisted") {
+    val c = new PlanCache[org.apache.spark.sql.DataFrame]("t2")((_, df) => df.unpersist())
+    // distinct plans per build: the cache manager keys persisted data
+    // by logical plan, so an identical rebuild would re-register the
+    // released plan and mask the unpersist
+    def mk(n: Int) = spark.range(n).toDF("v").persist(StorageLevel.MEMORY_AND_DISK)
+    val first = c.get(spark, "k", sig = 1L)(mk(10))
+    first.count()
+    assert(first.storageLevel != StorageLevel.NONE)
+    c.get(spark, "k", sig = 2L)(mk(20)) // invalidate
+    assert(first.storageLevel == StorageLevel.NONE,
+      "stale persisted entry must be unpersisted on replacement")
+  }
+
+  test("bounded: past maxEntries the oldest entry is released") {
+    val released = scala.collection.mutable.ArrayBuffer.empty[String]
+    val c = new PlanCache[String]("t3", maxEntries = 2)((_, v) => released += v)
+    c.get(spark, "k1", 1L)("v1")
+    c.get(spark, "k2", 1L)("v2")
+    c.get(spark, "k3", 1L)("v3")
+    assert(c.size == 2 && released.toSeq == Seq("v1"))
+  }
+
+  test("entries are keyed by session: a second session rebuilds") {
+    val c = new PlanCache[String]("t4")((_, _) => ())
+    var builds = 0
+    c.get(spark, "k", 1L) { builds += 1; "a" }
+    val other = spark.newSession()
+    c.get(other, "k", 1L) { builds += 1; "b" }
+    assert(builds == 2, "different sessions must not share entries")
+  }
+
+  test("temp dirs are tracked and recursively deletable") {
+    val d = PlanCache.tempDir("graft_cache_spec_")
+    val sub = java.nio.file.Paths.get(d, "x")
+    java.nio.file.Files.createDirectories(sub)
+    java.nio.file.Files.writeString(sub.resolve("f.txt"), "data")
+    PlanCache.deleteRecursively(java.nio.file.Paths.get(d))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(d)))
+  }
+}

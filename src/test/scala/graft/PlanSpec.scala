@@ -106,9 +106,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"per-lang top-k must push below the full sort:\n$plan")
   }
 
-  test("packing and sampling plans: no joins, one pass over the corpus") {
+  test("packing (q56): distributed prefix sum, no per-language serial window") {
     val p56 = physical(TextOps.q56SeqPack(spark, dir))
-    assert(!p56.contains("Join"), "sequence packing is window+agg, never a join")
+    // the round-2 shape was `sum(tk) over (partition by lang order by
+    // doc_id)` — one task per language; at 100 TB the dominant
+    // language IS the corpus. No window may partition by lang alone
+    // (partition spec = cols before the first ASC/DESC order col).
+    val langOnlyWindow = """windowspecdefinition\(lang#\d+, \w+#\d+ (ASC|DESC)""".r
+    assert(langOnlyWindow.findFirstIn(p56).isEmpty,
+      s"q56 must not run a window partitioned by lang alone:\n$p56")
+    // the per-partition offset table joins back as a broadcast; the
+    // corpus itself is never shuffle-joined
+    assert(p56.contains("BroadcastHashJoin") && !p56.contains("SortMergeJoin"),
+      s"offsets must broadcast-join back:\n$p56")
+  }
+
+  test("sampling plan (q57): no joins, one pass over the corpus") {
     val p57 = physical(TextOps.q57StratifiedSample(spark, dir))
     assert(!p57.contains("Join"), "hash-based sampling needs no join")
     // the sampling predicate must evaluate map-side, before the shuffle
