@@ -38,13 +38,16 @@ object GraftSession {
 
   /** Expose the engine's custom Catalyst expressions to SQL — the
     * `spark.sql(...)` API surface: graft_dot (codegen'd dot product),
-    * graft_to_avro / graft_from_avro (payload-schema Avro serde). */
+    * graft_polyhash (codegen'd rolling hash), graft_to_avro /
+    * graft_from_avro (payload-schema Avro serde). */
   def registerFunctions(s: SparkSession): Unit = {
-    import graft.functions.{DotProduct, FromAvro, ToAvro}
+    import graft.functions.{DotProduct, FromAvro, ToAvro, TokenPolyHash}
     import graft.model.SchemaDef
     val reg = s.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_dot",
       exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_polyhash",
+      exprs => TokenPolyHash(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_to_avro",
       exprs => ToAvro(exprs.head, SchemaDef.mensagemAvroJson), "built-in")
     reg.createOrReplaceTempFunction("graft_from_avro",

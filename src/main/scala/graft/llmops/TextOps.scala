@@ -208,14 +208,18 @@ object TextOps {
     * normalizes; and unlike SimHash, which is a bag): transposed
     * tokens change the fingerprint. fold: h = (h·B + md5₆₀(t)) mod P.
     * Pure per-doc map; the one-pass left fold is the streaming-friendly
-    * shape (a chunker would emit window hashes the same way). */
+    * shape (a chunker would emit window hashes the same way).
+    *
+    * The fold runs as a codegen'd tight loop
+    * (graft.functions.TokenPolyHash) — the round-2 shape was an
+    * `aggregate(transform(...))` HOF chain, CodegenFallback and
+    * interpreted per element, exactly the pattern PERF.md tells the
+    * engine to avoid. Bit-identical results (same md5₆₀ per token,
+    * same left fold, same modulus). */
   def q48RollingHash(s: SparkSession, dir: String): DataFrame =
     tokenized(s, dir)
       .select(col("doc_id"),
-        aggregate(
-          transform(col("w"), t => conv(substring(md5(t), 1, 15), 16, 10).cast("long") % MinhashP),
-          lit(0L),
-          (acc, h) => (acc * RollB + h) % MinhashP).as("rolling_hash"))
+        graft.functions.TextExprs.polyHash(col("w")).as("rolling_hash"))
       .orderBy("doc_id")
 
   /** lazy: references MinhashP, which is declared further down the

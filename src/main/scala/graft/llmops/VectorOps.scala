@@ -320,15 +320,26 @@ object VectorOps {
   /** q43: embedding-cosine near-duplicate pairs — the vector-space
     * member of the dedup family (exact text dedup → q34, shingle
     * near-dup → q35/q37, semantic near-dup → this). Candidates come
-    * from the SAME hyperplane-LSH tables as q41 — an equi-join on
+    * from hyperplane-LSH tables (q41's mechanics) — an equi-join on
     * (table, bucket XOR probe-mask) that shuffles O(n·tables·probes)
     * rows — then exact cosine keeps pairs ≥ threshold. Never all-pairs:
     * the cross-join formulation this replaces is O(n²) rows through
-    * the executors and dies at 100×. */
+    * the executors and dies at 100×.
+    *
+    * FIXED geometry (RecallPlanes × Tables), and the oracle recomputes
+    * the SAME LSH pipeline in SQL (the q47 pattern) rather than the
+    * all-pairs truth: the round-2 oracle was the exact pair set, which
+    * only hash-matched while empirical recall happened to be 1.0 at
+    * the tested scale — a recall drop anywhere else would have failed
+    * the gate (or silently under-reported duplicates while passing
+    * it). Now the hash pins the pipeline's own semantics at any SF;
+    * the recall-vs-exact quality claim is asserted separately
+    * (VectorOpsSpec survivors == all-pairs at the tested scales), the
+    * same division of labor as q41/q47. */
   def q43CosNeardup(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir).select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", norm(col("v")))
-    val planes = planesFor(nVectors(s, dir))
+    val planes = RecallPlanes
     val wb = withBucketCols(e, planes, Tables)
     val right = wb.select(col("vec_id").as("vec_b"), col("v").as("w"),
         col("nrm").as("wnrm"), tableStructs(Tables).as("tb"))
@@ -366,20 +377,51 @@ object VectorOps {
       .orderBy("vec_a", "vec_b")
   }
 
-  val q43Sql: String =
+  /** Sequential-fold projection against literal coefficients:
+    * ((v[1]*c1 + v[2]*c2) + ...) — matches DotProduct's loop order
+    * bit-for-bit, so sign buckets agree across engines. */
+  private def sqlProj(hp: Array[Double]): String =
+    hp.zipWithIndex.map { case (c, i) => s"v[${i + 1}]*(${c.toString})" }.mkString(" + ")
+
+  /** Sign-bit bucket expression for hash table `t` at fixed planes. */
+  private def sqlBucketExpr(t: Int, planes: Int): String = {
+    val hp = hyperplanes(t, planes)
+    (0 until planes).map { p =>
+      s"(CASE WHEN ${sqlProj(hp(p))} >= 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+  }
+
+  /** `buckets` CTE body: one row per (vector, table) with its bucket. */
+  private def sqlBucketRows(planes: Int): String =
+    (0 until Tables).map { t =>
+      s"SELECT vec_id, v, nrm, $t AS tbl, ${sqlBucketExpr(t, planes)} AS bucket FROM n"
+    }.mkString("\n  UNION ALL ")
+
+  /** The oracle recomputes q43's OWN pipeline: fixed hyperplane sign
+    * buckets, multi-table OR, radius-2 probes, exact rounded cosine ≥
+    * threshold — not the all-pairs truth (see q43CosNeardup scaladoc). */
+  def q43Sql: String = {
+    val flips = probeMasks(RecallPlanes, NearDupProbeRadius).mkString(", ")
     s"""WITH d AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings
        |), n AS (
        |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM d
+       |), buckets AS (
+       |  ${sqlBucketRows(RecallPlanes)}
+       |), probes AS (
+       |  SELECT vec_id, v, nrm, tbl, xor(bucket, flip) AS bucket
+       |  FROM buckets CROSS JOIN (SELECT unnest([$flips]) AS flip)
        |)
-       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |  round(list_sum([a.v[i] * b.v[i] for i in range(1, $Dim + 1)])
-       |        / (a.nrm * b.nrm), 6) AS sim
-       |FROM n a JOIN n b ON a.vec_id < b.vec_id
-       |WHERE round(list_sum([a.v[i] * b.v[i] for i in range(1, $Dim + 1)])
-       |        / (a.nrm * b.nrm), 6) >= $NearDupCos
+       |SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b,
+       |  round(list_sum([a.v[i] * c.v[i] for i in range(1, $Dim + 1)])
+       |        / (a.nrm * c.nrm), 6) AS sim
+       |FROM probes a JOIN buckets c ON a.tbl = c.tbl AND a.bucket = c.bucket
+       |  AND a.vec_id < c.vec_id
+       |WHERE round(list_sum([a.v[i] * c.v[i] for i in range(1, $Dim + 1)])
+       |        / (a.nrm * c.nrm), 6) >= $NearDupCos
        |ORDER BY vec_a, vec_b""".stripMargin
+  }
 
   // --------------------------------------------------- q47 ANN recall
 
@@ -421,11 +463,17 @@ object VectorOps {
       .filter(col("rank") <= TopK)
       .select("vec_id", "neighbor_id")
     val exact = q40CosineTopk(s, dir).select("vec_id", "neighbor_id")
-    val nQueries = exact.select("vec_id").distinct().count()
     val hits = exact.join(approx, Seq("vec_id", "neighbor_id"), "left_semi")
+    // n_queries folds into the single-row result as a 1×1 cross join —
+    // the round-2 shape ran exact.distinct().count() at PLAN
+    // CONSTRUCTION time, executing the full quadratic q40 subplan
+    // before (and then again inside) the query's own action
+    val nq = exact.agg(count_distinct(col("vec_id")).as("n_queries"))
     hits.agg(count(lit(1)).as("n_hits"))
-      .select(lit(nQueries).as("n_queries"), col("n_hits"),
-        (col("n_hits").cast("double") / lit(TopK.toDouble * nQueries)).as("recall_at_k"))
+      .crossJoin(nq)
+      .select(col("n_queries"), col("n_hits"),
+        (col("n_hits").cast("double") /
+          (lit(TopK.toDouble) * col("n_queries"))).as("recall_at_k"))
   }
 
   /** The oracle recomputes the full LSH pipeline: plane projections as
@@ -433,19 +481,6 @@ object VectorOps {
     * codegen'd DotProduct fold, sign-bit buckets, 6-table union,
     * single-bit probes, rounded re-rank — then recall vs exact. */
   def q47Sql: String = {
-    // sequential-fold projection: ((v[1]*c1 + v[2]*c2) + ...) — matches
-    // DotProduct's loop order bit-for-bit
-    def proj(hp: Array[Double]): String =
-      hp.zipWithIndex.map { case (c, i) => s"v[${i + 1}]*(${c.toString})" }.mkString(" + ")
-    def bucketExpr(t: Int): String = {
-      val hp = hyperplanes(t, RecallPlanes)
-      (0 until RecallPlanes).map { p =>
-        s"(CASE WHEN ${proj(hp(p))} >= 0 THEN ${1 << p} ELSE 0 END)"
-      }.mkString(" + ")
-    }
-    val bucketRows = (0 until Tables).map { t =>
-      s"SELECT vec_id, v, nrm, $t AS tbl, ${bucketExpr(t)} AS bucket FROM n"
-    }.mkString("\n  UNION ALL ")
     val flips = probeMasks(RecallPlanes, 1).mkString(", ")
     s"""WITH d AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -453,7 +488,7 @@ object VectorOps {
        |), n AS (
        |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM d
        |), buckets AS (
-       |  $bucketRows
+       |  ${sqlBucketRows(RecallPlanes)}
        |), probes AS (
        |  SELECT vec_id, v, nrm, tbl, xor(bucket, flip) AS bucket
        |  FROM buckets CROSS JOIN (SELECT unnest([$flips]) AS flip)
@@ -463,6 +498,130 @@ object VectorOps {
        |          / (q.nrm * c.nrm), 6) AS sim
        |  FROM probes q JOIN buckets c ON q.tbl = c.tbl AND q.bucket = c.bucket
        |    AND q.vec_id <> c.vec_id
+       |), approx AS (
+       |  SELECT vec_id, neighbor_id FROM (
+       |    SELECT vec_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank
+       |    FROM cand)
+       |  WHERE rank <= $TopK
+       |), sims AS (
+       |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+       |    round(list_sum([a.v[i] * b.v[i] for i in range(1, $Dim + 1)])
+       |          / (a.nrm * b.nrm), 6) AS sim
+       |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+       |), exact AS (
+       |  SELECT vec_id, neighbor_id FROM (
+       |    SELECT vec_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank
+       |    FROM sims)
+       |  WHERE rank <= $TopK
+       |)
+       |SELECT (SELECT count(DISTINCT vec_id) FROM exact) AS n_queries,
+       |  count(*) AS n_hits,
+       |  CAST(count(*) AS DOUBLE)
+       |    / ($TopK * (SELECT count(DISTINCT vec_id) FROM exact)) AS recall_at_k
+       |FROM exact e
+       |WHERE EXISTS (SELECT 1 FROM approx a
+       |              WHERE a.vec_id = e.vec_id AND a.neighbor_id = e.neighbor_id)""".stripMargin
+  }
+
+  // --------------------------------------------------- q61 IVF recall
+
+  /** Fixed coarse-quantizer geometry for the IVF recall certification:
+    * q44 sizes its cells from the DATA (per-label centroid means),
+    * which an offline SQL oracle can only replicate by re-deriving
+    * unrounded centroid cosines — and the cell RANKING there rides on
+    * unrounded float comparisons. The certification variant pins
+    * `IvfCells` deterministic pseudo-random centroids (same
+    * hash-derived construction as the LSH hyperplanes) interpolated
+    * into the oracle as literals, with centroid cosines rounded before
+    * ranking — every step cross-engine exact. */
+  val IvfCells = 10
+
+  private[llmops] def ivfCentroids(cells: Int): Array[Array[Double]] =
+    Array.tabulate(cells, Dim) { (c, d) =>
+      val h = scala.util.hashing.MurmurHash3.productHash((seed, "ivf", c, d))
+      h.toDouble / Int.MaxValue
+    }
+
+  /** q61: IVF recall@k, oracle-checked — the q47 twin for the IVF
+    * family (q44 stays the adaptive production path, rows-only; this
+    * pins the mechanics). DuckDB recomputes cell assignment (argmax
+    * centroid cosine over the fixed quantizer), `IvfProbes`-cell
+    * probing, exact re-rank, and the recall@k against the exact top-k
+    * — one hash-pinned row (n_queries, n_hits, recall_at_k). */
+  def q61IvfRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val cents = ivfCentroids(IvfCells)
+    val cnorms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+    // (cell, rounded centroid cosine) per vector — centroid norms are
+    // Scala-computed literals so both engines divide by the same double
+    val cellStructs = array((0 until IvfCells).map { c =>
+      struct(lit(c).as("cell"),
+        round(dot(col("v"), array(cents(c).map(lit(_)): _*)) /
+          (col("nrm") * lit(cnorms(c))), 6).as("csim"))
+    }: _*)
+    val wCell = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell"))
+    val ranked = e.select(col("vec_id"), col("v"), col("nrm"), explode(cellStructs).as("cs"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("cs.cell").as("cell"), col("cs.csim").as("csim"))
+      .withColumn("crank", row_number().over(wCell))
+    val indexed = ranked.filter(col("crank") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("w"),
+        col("nrm").as("wnrm"), col("cell"))
+    val probes = ranked.filter(col("crank") <= IvfProbes)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("neighbor_id"))
+    val approx = probes.join(indexed, Seq("cell")).filter(col("vec_id") =!= col("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"),
+        round(dot(col("v"), col("w")) / (col("nrm") * col("wnrm")), 6).as("sim"))
+      .distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select("vec_id", "neighbor_id")
+    val exact = q40CosineTopk(s, dir).select("vec_id", "neighbor_id")
+    val hits = exact.join(approx, Seq("vec_id", "neighbor_id"), "left_semi")
+    val nq = exact.agg(count_distinct(col("vec_id")).as("n_queries"))
+    hits.agg(count(lit(1)).as("n_hits"))
+      .crossJoin(nq)
+      .select(col("n_queries"), col("n_hits"),
+        (col("n_hits").cast("double") /
+          (lit(TopK.toDouble) * col("n_queries"))).as("recall_at_k"))
+  }
+
+  def q61Sql: String = {
+    val cents = ivfCentroids(IvfCells)
+    val cnorms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+    // one row per cell: rounded cosine to the literal centroid, same
+    // left-assoc fold and literal norm as the Spark side
+    val cellRows = (0 until IvfCells).map { c =>
+      val projTerms = sqlProj(cents(c))
+      s"SELECT vec_id, v, nrm, $c AS cell, " +
+        s"round(($projTerms) / (nrm * (${cnorms(c).toString})), 6) AS csim FROM n"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH d AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM d
+       |), cellsims AS (
+       |  $cellRows
+       |), ranked AS (
+       |  SELECT vec_id, v, nrm, cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS crank
+       |  FROM cellsims
+       |), indexed AS (
+       |  SELECT vec_id AS neighbor_id, v AS w, nrm AS wnrm, cell
+       |  FROM ranked WHERE crank = 1
+       |), probes AS (
+       |  SELECT vec_id, v, nrm, cell FROM ranked WHERE crank <= $IvfProbes
+       |), cand AS (
+       |  SELECT DISTINCT q.vec_id, c.neighbor_id,
+       |    round(list_sum([q.v[i] * c.w[i] for i in range(1, $Dim + 1)])
+       |          / (q.nrm * c.wnrm), 6) AS sim
+       |  FROM probes q JOIN indexed c ON q.cell = c.cell
+       |    AND q.vec_id <> c.neighbor_id
        |), approx AS (
        |  SELECT vec_id, neighbor_id FROM (
        |    SELECT vec_id, neighbor_id,
@@ -565,16 +724,19 @@ object VectorOps {
     "q43_cos_neardup" -> (q43CosNeardup _),
     "q44_ivf_topk" -> (q44IvfTopk _),
     "q47_ann_recall" -> (q47AnnRecall _),
-    "q58_embed_quantize" -> (q58Quantize _)
+    "q58_embed_quantize" -> (q58Quantize _),
+    "q61_ivf_recall" -> (q61IvfRecall _)
   )
 
-  /** q41 is approximate by design → no oracle (driver rows-only check);
-    * its recall is hash-pinned via q47's fixed-geometry twin. */
+  /** q41/q44 are approximate by design → no oracle (driver rows-only
+    * check); their recall is hash-pinned via the fixed-geometry twins
+    * q47 (LSH) and q61 (IVF). */
   val oracle: Map[String, String] = Map(
     "q40_cosine_topk" -> q40Sql,
     "q42_label_centroids" -> q42Sql,
     "q43_cos_neardup" -> q43Sql,
     "q47_ann_recall" -> q47Sql,
-    "q58_embed_quantize" -> q58Sql
+    "q58_embed_quantize" -> q58Sql,
+    "q61_ivf_recall" -> q61Sql
   )
 }

@@ -33,27 +33,68 @@ object SkewOps {
       .agg(sum("__n").as("n"), sum("__s").as("total"))
   }
 
-  /** Skew-resilient equi-join: the PROBE side's rows are salted by a
-    * uniform hash of a row-identity column, the BUILD side is
-    * replicated once per salt, and the join key becomes (key, salt) —
-    * so a hot probe key spreads over `salts` reducers instead of
-    * hammering one. Semantically identical to
+  /** Skew-resilient equi-join that salts ONLY detected hot keys: a
+    * cheap frequency pass over the probe keys (partial aggregation
+    * collapses each hot key map-side, so the sketch itself cannot
+    * skew) finds keys above `hotRowThreshold`; hot probe rows get a
+    * uniform hash salt, hot build rows replicate once per salt, and
+    * EVERY cold row keeps salt 0 — one equi-join on (key, salt) serves
+    * both populations. Semantically identical to
     * `probe.join(build, probeKey === buildKey)` when `buildKey` is
     * unique on the build side (each probe row meets exactly one
     * replica). This is the manual fallback for the case AQE skew-join
     * cannot fix: a single hot KEY inside one shuffle partition whose
     * matching build rows must co-locate.
     *
-    * Cost model: build side ships `salts`× (bounded, choose salts ~
-    * hot-key fan-out / target partition size); probe side ships 1×. */
+    * Cost model (the round-2 version replicated the ENTIRE build side
+    * `salts`×): build amplification = |hot build rows| × salts +
+    * |cold build rows| × 1 — it tracks the number of HOT keys, which
+    * is small by definition. Probe ships 1×; the hot-key set
+    * broadcasts (≤ |probe| / hotRowThreshold rows by construction,
+    * and the identical sketch subplan on both sides reuses one
+    * broadcast exchange). */
   def saltedJoin(probe: DataFrame, build: DataFrame,
       probeKey: String, buildKey: String,
-      idCol: Column, salts: Int = 16): DataFrame = {
-    require(salts > 0)
-    val sp = probe.withColumn("__salt", pmod(xxhash64(idCol), lit(salts.toLong)))
-    val sb = build.withColumn("__salt",
-      explode(array((0 until salts).map(s => lit(s.toLong)): _*)))
+      idCol: Column, salts: Int = 16,
+      hotRowThreshold: Long = 100000L): DataFrame = {
+    val sp = saltedProbeSide(probe, probeKey, idCol, salts, hotRowThreshold)
+    val sb = saltedBuildSide(probe, build, probeKey, buildKey, salts, hotRowThreshold)
     sp.join(sb, sp("__salt") === sb("__salt") && col(probeKey) === col(buildKey))
       .drop("__salt")
+  }
+
+  /** Probe keys with more than `hotRowThreshold` rows — the salting
+    * candidates. Bounded by |probe| / threshold rows, so it broadcasts. */
+  private def hotKeys(probe: DataFrame, probeKey: String, hotRowThreshold: Long): DataFrame =
+    probe.groupBy(col(probeKey).as("__hk"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > hotRowThreshold)
+      .select("__hk")
+
+  private def saltedProbeSide(probe: DataFrame, probeKey: String,
+      idCol: Column, salts: Int, hotRowThreshold: Long): DataFrame = {
+    require(salts > 0)
+    val hot = broadcast(hotKeys(probe, probeKey, hotRowThreshold))
+    probe.join(hot, probe(probeKey) === hot("__hk"), "left")
+      .withColumn("__salt",
+        when(col("__hk").isNotNull, pmod(xxhash64(idCol), lit(salts.toLong)))
+          .otherwise(lit(0L)))
+      .drop("__hk")
+  }
+
+  /** Build side with per-row salt replication: hot rows explode into
+    * `salts` replicas, cold rows stay single with salt 0. Exposed
+    * package-private so specs can assert the amplification bound. */
+  private[graft] def saltedBuildSide(probe: DataFrame, build: DataFrame,
+      probeKey: String, buildKey: String,
+      salts: Int, hotRowThreshold: Long): DataFrame = {
+    require(salts > 0)
+    val hot = broadcast(hotKeys(probe, probeKey, hotRowThreshold))
+    build.join(hot, build(buildKey) === hot("__hk"), "left")
+      .withColumn("__salt",
+        explode(when(col("__hk").isNotNull,
+            array((0 until salts).map(s => lit(s.toLong)): _*))
+          .otherwise(array(lit(0L)))))
+      .drop("__hk")
   }
 }

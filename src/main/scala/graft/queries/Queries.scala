@@ -501,13 +501,18 @@ object Queries {
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
   /** Q51: the same join as q50 executed through the SKEW-SALTED
-    * strategy (`SkewOps.saltedJoin`): lineitem rows salted by a uniform
-    * hash, orders replicated once per salt, equi-join on
-    * (orderkey, salt). Same oracle as the plain join — the salting is
-    * a physical strategy, not a semantic change — so the hash check
-    * proves the rewrite is identity-preserving. At 100 TB this is the
-    * fallback for a hot key whose matching rows AQE cannot split
-    * (salting changes the KEY, not just the partition). */
+    * strategy (`SkewOps.saltedJoin`): orderkeys detected hot by the
+    * frequency sketch get their lineitem rows hash-salted and their
+    * order row replicated per salt; every other key joins plain with
+    * salt 0 — one equi-join on (orderkey, salt) serves both. Same
+    * oracle as the plain join — the salting is a physical strategy,
+    * not a semantic change — so the hash check proves the rewrite is
+    * identity-preserving ACROSS both populations (the threshold sits
+    * inside lineitem's 1–7 rows-per-order fan-out precisely so the
+    * checked query exercises the salted AND the cold path). At 100 TB
+    * this is the fallback for a hot key whose matching rows AQE cannot
+    * split (salting changes the KEY, not just the partition), and the
+    * build side amplifies by hot keys × salts, not |orders| × salts. */
   def q51SaltedJoin(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
     val o = t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
@@ -515,7 +520,8 @@ object Queries {
       (dec(lit(1), 3, 2) - dec(col("l_discount"), 4, 2))
     graft.operators.SkewOps
       .saltedJoin(li, o, "l_orderkey", "o_orderkey",
-        idCol = col("l_orderkey") * 31 + col("l_extendedprice"), salts = 8)
+        idCol = col("l_orderkey") * 31 + col("l_extendedprice"), salts = 8,
+        hotRowThreshold = 3)
       .groupBy("o_orderpriority")
       .agg(sum(revenue).cast("double").as("receita"), count(lit(1)).as("n_itens"))
       .orderBy("o_orderpriority")
@@ -764,9 +770,17 @@ object Queries {
     * At 100 TB the exact forms (q17's count_distinct, q27's
     * percentile_cont) shuffle every distinct value / sort every group;
     * the sketches are fixed-size mergeable state (map-side partials,
-    * no value shuffle). Rows-only: DuckDB's sketches use different
-    * algorithms/seeds, so there is no cross-engine hash — the relative
-    * error vs the exact twins is spec-asserted instead (ScaleOpsSpec). */
+    * no value shuffle).
+    *
+    * HASH-CHECKABLE even though DuckDB's sketches use different
+    * algorithms/seeds: the query emits the exact twins plus
+    * `within_bounds` BOOLEANS computed in-query (HLL++ relative error
+    * ≤ 5%; approx percentile within max(1.0, 5%·|exact|)); the oracle
+    * recomputes the exact side and pins the booleans `true`. A sketch
+    * regression (seed change, accuracy change, broken merge) flips a
+    * boolean and fails the hash — the raw approx values themselves
+    * stay out of the output precisely because they are
+    * engine-specific. */
   def q52Sketches(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
       .groupBy("event_type")
@@ -774,12 +788,26 @@ object Queries {
         approx_count_distinct(col("user_id")).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"),
         expr("approx_percentile(value, array(0.5, 0.9), 10000)").as("approx_p"),
-        expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY value)").as("exact_p50"))
-      .select(col("event_type"), col("approx_users"), col("exact_users"),
-        col("approx_p").getItem(0).as("approx_p50"),
-        col("approx_p").getItem(1).as("approx_p90"),
-        col("exact_p50"))
+        expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY value)").as("exact_p50"),
+        expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY value)").as("exact_p90"))
+      .select(col("event_type"), col("exact_users"), col("exact_p50"), col("exact_p90"),
+        (abs(col("approx_users") - col("exact_users")).cast("double") /
+          col("exact_users") <= 0.05).as("users_within_bounds"),
+        (abs(col("approx_p").getItem(0) - col("exact_p50")) <=
+          greatest(lit(1.0), abs(col("exact_p50")) * 0.05)).as("p50_within_bounds"),
+        (abs(col("approx_p").getItem(1) - col("exact_p90")) <=
+          greatest(lit(1.0), abs(col("exact_p90")) * 0.05)).as("p90_within_bounds"))
       .orderBy("event_type")
+
+  val q52Sql: String =
+    """SELECT event_type,
+      |  count(DISTINCT user_id) AS exact_users,
+      |  percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS exact_p50,
+      |  percentile_cont(0.9) WITHIN GROUP (ORDER BY value) AS exact_p90,
+      |  true AS users_within_bounds,
+      |  true AS p50_within_bounds,
+      |  true AS p90_within_bounds
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** Session gap: a new session starts after 30 min of inactivity. */
   val SessionGapUs: Long = 30L * 60 * 1000000
@@ -858,8 +886,6 @@ object Queries {
     "q50_bucketed_join" -> (q50BucketedJoin _),
     "q51_salted_join" -> (q51SaltedJoin _),
     "q60_partition_pruning" -> (q60PartitionPruning _),
-    // rows-only (sketches have no cross-engine oracle; error bounds
-    // are spec-asserted in ScaleOpsSpec)
     "q52_sketches" -> (q52Sketches _)
   )
 
@@ -892,6 +918,9 @@ object Queries {
     "q50_bucketed_join" -> q50Sql,
     // identical ANSI text: the salted join must be identity-preserving
     "q51_salted_join" -> q50Sql,
-    "q60_partition_pruning" -> q60Sql
+    "q60_partition_pruning" -> q60Sql,
+    // exact twins + pinned-true bound booleans (sketch values are
+    // engine-specific; a sketch regression flips a boolean)
+    "q52_sketches" -> q52Sql
   )
 }

@@ -37,14 +37,35 @@ object KafkaOffsets {
     s"""{"$topic":{$inner}}"""
   }
 
+  /** Security/auth passthrough mirroring the reference's client config
+    * (ConfiguracaoKafka.java:133-139 and :169-175: SASL_SSL + PLAIN
+    * with a JAAS line built from CLUSTER_API_KEY/CLUSTER_API_SECRET):
+    * the same env names produce the same client properties, prefixed
+    * `kafka.` for the Spark source/sink passthrough. Protocol and
+    * mechanism are overridable (KAFKA_SECURITY_PROTOCOL /
+    * KAFKA_SASL_MECHANISM) for non-Confluent clusters; no credentials
+    * in the env → empty map (plaintext broker, the offline default). */
+  def securityOptions(env: Map[String, String] = sys.env): Map[String, String] =
+    (env.get("CLUSTER_API_KEY"), env.get("CLUSTER_API_SECRET")) match {
+      case (Some(key), Some(secret)) if key.nonEmpty && secret.nonEmpty => Map(
+        "kafka.security.protocol" -> env.getOrElse("KAFKA_SECURITY_PROTOCOL", "SASL_SSL"),
+        "kafka.sasl.mechanism" -> env.getOrElse("KAFKA_SASL_MECHANISM", "PLAIN"),
+        "kafka.sasl.jaas.config" ->
+          ("org.apache.kafka.common.security.plain.PlainLoginModule required " +
+            s"username='$key' password='$secret';"))
+      case _ => Map.empty
+    }
+
   /** Spark Kafka SINK options carrying the reference producer's tuned
     * physical knobs (ConfiguracaoKafka.java:140-148) — batching,
-    * lingering, buffer sizing, compression, acks — as `kafka.*`
-    * passthroughs. Pure builder (no broker needed offline). */
+    * lingering, buffer sizing, compression, acks — plus the security
+    * passthrough, as `kafka.*` options. Pure builder (no broker needed
+    * offline). */
   def producerOptions(
       topic: String, compression: String = "lz4", acks: String = "1",
       batchBytes: Int = 32768, lingerMs: Int = 10,
-      bufferBytes: Long = 64L * 1024 * 1024, maxRequestBytes: Int = 3 * 1024 * 1024)
+      bufferBytes: Long = 64L * 1024 * 1024, maxRequestBytes: Int = 3 * 1024 * 1024,
+      env: Map[String, String] = sys.env)
       : Map[String, String] = Map(
     "topic" -> topic,
     "kafka.acks" -> acks,
@@ -52,19 +73,21 @@ object KafkaOffsets {
     "kafka.batch.size" -> batchBytes.toString,
     "kafka.linger.ms" -> lingerMs.toString,
     "kafka.buffer.memory" -> bufferBytes.toString,
-    "kafka.max.request.size" -> maxRequestBytes.toString)
+    "kafka.max.request.size" -> maxRequestBytes.toString) ++ securityOptions(env)
 
   /** Reader options for a tail scan: per-partition starts plus
     * `minPartitions` so Spark splits hot partitions into more tasks
     * than topic partitions when asked (scale lever the reference's
-    * fixed thread-per-partition model lacks). */
+    * fixed thread-per-partition model lacks), plus the security
+    * passthrough. */
   def tailScanOptions(
       topic: String, beginning: Map[Int, Long], end: Map[Int, Long],
-      target: Long, minPartitions: Option[Int] = None): Map[String, String] = {
+      target: Long, minPartitions: Option[Int] = None,
+      env: Map[String, String] = sys.env): Map[String, String] = {
     val base = Map(
       "subscribe" -> topic,
       "startingOffsets" -> startingOffsetsJson(topic, seekEndMinusN(beginning, end, target)),
       "endingOffsets" -> "latest")
-    base ++ minPartitions.map(n => "minPartitions" -> n.toString)
+    base ++ minPartitions.map(n => "minPartitions" -> n.toString) ++ securityOptions(env)
   }
 }

@@ -75,6 +75,29 @@ class KafkaIOSpec extends AnyFunSuite with BeforeAndAfterAll {
       opts("kafka.compression.type") == "lz4" && opts("kafka.acks") == "1")
   }
 
+  test("security passthrough mirrors the reference's SASL client config") {
+    // the reference builds SASL_SSL/PLAIN from CLUSTER_API_KEY/SECRET
+    // (ConfiguracaoKafka.java:133-139); same env names, same JAAS line
+    val env = Map("CLUSTER_API_KEY" -> "AK", "CLUSTER_API_SECRET" -> "SC")
+    val sec = KafkaOffsets.securityOptions(env)
+    assert(sec("kafka.security.protocol") == "SASL_SSL")
+    assert(sec("kafka.sasl.mechanism") == "PLAIN")
+    assert(sec("kafka.sasl.jaas.config") ==
+      "org.apache.kafka.common.security.plain.PlainLoginModule required " +
+        "username='AK' password='SC';")
+    // overridable for non-Confluent clusters
+    assert(KafkaOffsets.securityOptions(env +
+      ("KAFKA_SECURITY_PROTOCOL" -> "SASL_PLAINTEXT"))("kafka.security.protocol")
+      == "SASL_PLAINTEXT")
+    // no credentials -> plaintext (no security options at all)
+    assert(KafkaOffsets.securityOptions(Map.empty).isEmpty)
+    // and both option builders carry the passthrough
+    assert(KafkaOffsets.producerOptions("t", env = env)
+      .contains("kafka.sasl.jaas.config"))
+    assert(KafkaOffsets.tailScanOptions("t", Map(0 -> 0L), Map(0 -> 10L), 5L, env = env)
+      .contains("kafka.sasl.jaas.config"))
+  }
+
   test("streaming source constructs against the kafka provider") {
     val e = intercept[Exception] {
       KafkaIO.readLatestStream(spark, "broker:9092", "carga-sandbox-avro")

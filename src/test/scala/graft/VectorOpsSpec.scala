@@ -64,6 +64,38 @@ class VectorOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"certified recall ${r.getAs[Double]("recall_at_k")} < 0.5")
   }
 
+  test("q61 IVF certification: fixed-quantizer recall row is well-formed") {
+    val r = VectorOps.q61IvfRecall(spark, dir).collect().head
+    assert(r.getAs[Long]("n_queries") > 0)
+    val recall = r.getAs[Double]("recall_at_k")
+    assert(recall > 0.0 && recall <= 1.0, s"recall $recall out of range")
+    info(f"certified IVF recall@5 = $recall%.3f")
+  }
+
+  test("recall certifications construct their plans without running a job") {
+    // the round-2 q47 ran exact.distinct().count() at plan-construction
+    // time — the full quadratic q40 subplan executed before the query's
+    // own action. n_queries now folds into the plan itself.
+    val jobs = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.add(j.stageInfos.map(_.name).mkString(";")); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      VectorOps.q47AnnRecall(spark, dir).queryExecution.executedPlan
+      VectorOps.q61IvfRecall(spark, dir).queryExecution.executedPlan
+      org.apache.spark.graft.ListenerBridge.waitUntilEmpty(spark.sparkContext)
+      // spark.read.parquet's file-listing/schema jobs are metadata-cheap
+      // and inherent to source construction; anything else (the round-2
+      // quadratic count) is a real plan-time execution
+      val real = jobs.toArray(Array.empty[String])
+        .filterNot(_.startsWith("parquet at "))
+      assert(real.isEmpty, s"plan construction ran Spark job(s): ${real.mkString(", ")}")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("brute-force top-k: k rows per vector, sims sorted and in [-1,1]") {
     val rows = VectorOps.q40CosineTopk(spark, dir).collect()
     val byVec = rows.groupBy(_.getAs[Long]("vec_id"))
