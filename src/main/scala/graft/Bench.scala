@@ -104,7 +104,10 @@ object Bench {
       "q45_media_meta", "q50_bucketed_join", "q53_simhash_neardup",
       // round-2 operators, added so r3+ regressions are visible
       "q55_vocab_topk", "q56_seq_pack", "q57_stratified_sample",
-      "q59_decontaminate", "q60_partition_pruning", "sq1_stream_tumbling")
+      "q59_decontaminate", "q60_partition_pruning", "sq1_stream_tumbling",
+      // round-3 operators
+      "q48_rolling_hash", "q62_repetition", "q63_chunk_overlap",
+      "sq4_stream_sliding")
     // shingle-index misses during TIMED passes only (warm passes are
     // expected to build it once per session+dir)
     var timedIndexMisses = 0L

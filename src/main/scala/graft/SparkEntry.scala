@@ -22,7 +22,9 @@ object SparkEntry {
       "sq2_stream_dedup" ->
         ((s: SparkSession, dir: String) => StreamOps.sq2StreamDedup(s, dir)),
       "sq3_stream_join" ->
-        ((s: SparkSession, dir: String) => StreamOps.sq3StreamJoin(s, dir)))
+        ((s: SparkSession, dir: String) => StreamOps.sq3StreamJoin(s, dir)),
+      "sq4_stream_sliding" ->
+        ((s: SparkSession, dir: String) => StreamOps.sq4StreamSliding(s, dir)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +32,6 @@ object SparkEntry {
     Queries.oracle ++ TextOps.oracle ++ VectorOps.oracle ++ MultimodalOps.oracle ++ Map(
       "sq1_stream_tumbling" -> Queries.q21Sql,
       "sq2_stream_dedup" -> StreamOps.sq2Sql,
-      "sq3_stream_join" -> StreamOps.sq3Sql)
+      "sq3_stream_join" -> StreamOps.sq3Sql,
+      "sq4_stream_sliding" -> StreamOps.sq4Sql)
 }

@@ -828,6 +828,125 @@ object TextOps {
        |WHERE u < (CASE WHEN lang = 'en' THEN 30 ELSE 100 END)
        |GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
 
+  // ------------------------------------------------ q62 repetition ratio
+
+  /** q62: repetition/duplication profile per document — the
+    * Gopher/C4-style quality signals that catch boilerplate and
+    * degenerate (looping) text before training: duplicate-token and
+    * duplicate-trigram fractions plus top-token dominance. Documents
+    * high on any of these are near-certain low-quality.
+    *
+    * Scale shape: tokens and trigrams explode once each and aggregate
+    * BY doc_id — every shuffle key is the uniform doc_id, partial
+    * aggregation collapses per-doc counts map-side, and the output is
+    * one row per document. All ratios are integer-count subtractions
+    * with ONE final division (zero-guarded), so results are
+    * partition-independent and engine-exact. */
+  def q62Repetition(s: SparkSession, dir: String): DataFrame = {
+    val tokCounts = tokenized(s, dir)
+      .select(col("doc_id"), explode(col("w")).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tok"), count(lit(1)).as("d_tok"), max("c").as("top_tok"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val triCounts = tokenized(s, dir)
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "tk")))
+      .select(col("doc_id"), col("tk"),
+        lead("tk", 1).over(w).as("t2"), lead("tk", 2).over(w).as("t3"))
+      .filter(col("t3").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tk"), col("t2"), col("t3")).as("tri"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tri"), count_distinct(col("tri")).as("d_tri"))
+    def frac(n: Column, d: Column): Column =
+      when(n === 0, lit(0.0)).otherwise((n - d).cast("double") / n)
+    tokCounts.join(triCounts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"), col("d_tok"),
+        frac(col("n_tok"), col("d_tok")).as("dup_tok_frac"),
+        frac(coalesce(col("n_tri"), lit(0L)), coalesce(col("d_tri"), lit(0L)))
+          .as("dup_tri_frac"),
+        (col("top_tok").cast("double") / col("n_tok")).as("top_tok_frac"))
+      .orderBy("doc_id")
+  }
+
+  val q62Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents
+      |), tc AS (
+      |  SELECT doc_id, sum(c) AS n_tok, count(*) AS d_tok, max(c) AS top_tok
+      |  FROM (SELECT doc_id, t, count(*) AS c
+      |        FROM (SELECT doc_id, unnest(w) AS t FROM toks) GROUP BY doc_id, t)
+      |  GROUP BY doc_id
+      |), tri AS (
+      |  SELECT doc_id,
+      |    len(tris) AS n_tri, len(list_distinct(tris)) AS d_tri
+      |  FROM (SELECT doc_id, [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |        for i in range(1, len(w) - 1)] AS tris FROM toks)
+      |)
+      |SELECT tc.doc_id, CAST(n_tok AS BIGINT) AS n_tok, d_tok,
+      |  CASE WHEN n_tok = 0 THEN 0.0
+      |       ELSE CAST(n_tok - d_tok AS DOUBLE) / n_tok END AS dup_tok_frac,
+      |  CASE WHEN coalesce(n_tri, 0) = 0 THEN 0.0
+      |       ELSE CAST(coalesce(n_tri, 0) - coalesce(d_tri, 0) AS DOUBLE)
+      |            / coalesce(n_tri, 0) END AS dup_tri_frac,
+      |  CAST(top_tok AS DOUBLE) / n_tok AS top_tok_frac
+      |FROM tc LEFT JOIN tri ON tc.doc_id = tri.doc_id
+      |ORDER BY tc.doc_id""".stripMargin
+
+  // ------------------------------------------- q63 chunking with overlap
+
+  /** Chunk window and stride (tokens) for q63 — overlap = W − S. */
+  val ChunkTokens = 64
+  val ChunkStride = 48
+
+  /** q63: sliding-window document chunking with overlap — the
+    * RAG/embedding-prep op (long documents become overlapping
+    * fixed-size passages; the overlap keeps boundary context in at
+    * least one chunk). Complements q56: packing concatenates SHORT
+    * docs up to a budget, chunking splits LONG docs down to one.
+    *
+    * Chunk boundaries are pure integer functions of the per-doc token
+    * count — n_chunks = 1 if n ≤ W else ⌈(n−W)/S⌉+1, chunk i covers
+    * [i·S, min(i·S+W, n)) — so the op is a per-doc map (size + one
+    * sequence explode): zero shuffle at any scale beyond the output
+    * ordering, and deterministic under any partitioning. */
+  def q63ChunkOverlap(s: SparkSession, dir: String): DataFrame = {
+    val (cw, cs) = (ChunkTokens.toLong, ChunkStride.toLong)
+    tokenized(s, dir)
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_tok"))
+      .withColumn("n_chunks",
+        when(col("n_tok") <= cw, lit(1L))
+          // integer `div`: Column./ is double division
+          .otherwise(expr(s"(n_tok - $cw + $cs - 1) div $cs") + 1))
+      .select(col("doc_id"), col("n_tok"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * cs).as("start_tok"),
+        least(col("chunk_id") * cs + cw, col("n_tok")).as("end_tok"))
+      .withColumn("n_in_chunk", col("end_tok") - col("start_tok"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  val q63Sql: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tok
+       |  FROM documents
+       |), nc AS (
+       |  SELECT doc_id, n_tok,
+       |    CASE WHEN n_tok <= $ChunkTokens THEN 1
+       |         ELSE (n_tok - $ChunkTokens + $ChunkStride - 1) // $ChunkStride + 1
+       |    END AS n_chunks
+       |  FROM tk
+       |), ch AS (
+       |  SELECT doc_id, n_tok, unnest(range(0, n_chunks)) AS chunk_id FROM nc
+       |)
+       |SELECT doc_id, chunk_id,
+       |  chunk_id * $ChunkStride AS start_tok,
+       |  least(chunk_id * $ChunkStride + $ChunkTokens, n_tok) AS end_tok,
+       |  least(chunk_id * $ChunkStride + $ChunkTokens, n_tok)
+       |    - chunk_id * $ChunkStride AS n_in_chunk
+       |FROM ch ORDER BY doc_id, chunk_id""".stripMargin
+
   // ------------------------------------------------ q59 decontamination
 
   /** The held-out benchmark source for q59 (its docs are the "eval
@@ -902,7 +1021,9 @@ object TextOps {
     "q55_vocab_topk" -> (q55VocabTopk _),
     "q56_seq_pack" -> (q56SeqPack _),
     "q57_stratified_sample" -> (q57StratifiedSample _),
-    "q59_decontaminate" -> (q59Decontaminate _)
+    "q59_decontaminate" -> (q59Decontaminate _),
+    "q62_repetition" -> (q62Repetition _),
+    "q63_chunk_overlap" -> (q63ChunkOverlap _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -921,6 +1042,8 @@ object TextOps {
     "q55_vocab_topk" -> q55Sql,
     "q56_seq_pack" -> q56Sql,
     "q57_stratified_sample" -> q57Sql,
-    "q59_decontaminate" -> q59Sql
+    "q59_decontaminate" -> q59Sql,
+    "q62_repetition" -> q62Sql,
+    "q63_chunk_overlap" -> q63Sql
   )
 }

@@ -361,6 +361,40 @@ object VectorOps {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** The PRODUCTION near-dup path: identical pipeline to q43 but with
+    * the n-ADAPTIVE plane count (planesFor keeps bucket occupancy at
+    * TargetBucket as the corpus grows — fixed planes degrade toward
+    * per-bucket quadratic at scale). Not oracle-registered because a
+    * static SQL text cannot know the data-dependent geometry; instead
+    * VectorOpsSpec asserts it equals both the fixed-geometry q43 and
+    * the exact all-pairs survivors at the tested scales. At the
+    * driver's sf0.01 gate planesFor(500) = RecallPlanes = 6, so q43's
+    * certified geometry IS this path's configuration there. */
+  def cosNeardupAdaptive(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val planes = planesFor(nVectors(s, dir))
+    val wb = withBucketCols(e, planes, Tables)
+    val right = wb.select(col("vec_id").as("vec_b"), col("v").as("w"),
+        col("nrm").as("wnrm"), tableStructs(Tables).as("tb"))
+      .select(col("vec_b"), col("w"), col("wnrm"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val flips = explode(array(probeMasks(planes, NearDupProbeRadius).map(lit(_)): _*))
+    val left = wb.select(col("vec_id").as("vec_a"), col("v"), col("nrm"),
+        tableStructs(Tables).as("tb"))
+      .select(col("vec_a"), col("v"), col("nrm"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"), flips.as("flip"))
+      .select(col("vec_a"), col("v"), col("nrm"), col("tbl"),
+        expr("int(bucket ^ flip)").as("bucket"))
+    left.join(right, Seq("tbl", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(dot(col("v"), col("w")) / (col("nrm") * col("wnrm")), 6).as("sim"))
+      .filter(col("sim") >= NearDupCos)
+      .distinct()
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** The all-pairs exact formulation q43 replaced — kept as the
     * correctness baseline the spec compares against (same role q40
     * plays for q41/q44). Quadratic by construction; never registered

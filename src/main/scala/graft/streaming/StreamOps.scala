@@ -98,6 +98,49 @@ object StreamOps {
     s.table(name).orderBy("janela_ms", "event_type")
   }
 
+  /** SQ4: SLIDING-window streaming aggregation — 1-hour windows every
+    * 30 minutes (each event lands in exactly two overlapping windows),
+    * the moving-average/trend shape of a monitoring pipeline. Same
+    * complete-mode AvailableNow discipline as SQ1; the oracle is the
+    * batch equivalent with the two window starts enumerated per event
+    * (windows are epoch-aligned in slide increments, exactly Spark's
+    * `window(ts, size, slide)` semantics). State is one entry per
+    * (window, event_type) — 2× SQ1's, still bounded by time span, and
+    * a watermark would expire it on an unbounded stream. */
+  def sq4Plan(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("janela_w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("soma_valor"))
+      .select(unix_millis(col("janela_w.start")).as("janela_ms"), col("event_type"), col("n"),
+        col("soma_valor"))
+
+  def sq4StreamSliding(s: SparkSession, dir: String): DataFrame = {
+    val name = s"sq4_${System.nanoTime()}"
+    val q = sq4Plan(eventsStream(s, dir))
+      .writeStream.queryName(name).format("memory")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name).orderBy("janela_ms", "event_type")
+  }
+
+  /** SQ4's DuckDB oracle: per event, the two epoch-aligned 30-minute
+    * slide starts whose 1-hour window covers it (exact micros
+    * arithmetic — no window filter needed: s0 = ts − ts mod slide and
+    * s0 − slide always both cover ts at size = 2·slide). */
+  val sq4Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, value, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+      |), w AS (
+      |  SELECT event_type, value,
+      |    (us - (us % 1800000000) - k * 1800000000) // 1000 AS janela_ms
+      |  FROM e CROSS JOIN (SELECT unnest([0, 1]) AS k)
+      |)
+      |SELECT janela_ms, event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS soma_valor
+      |FROM w GROUP BY janela_ms, event_type
+      |ORDER BY janela_ms, event_type""".stripMargin
+
   /** documents schema for the file stream source (driver testdata). */
   val documentsSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),

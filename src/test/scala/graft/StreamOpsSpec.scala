@@ -65,6 +65,18 @@ class StreamOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "post-recovery aggregate must equal the batch result")
   }
 
+  test("SQ4 sliding-window streaming equals batch; every event in two windows") {
+    val streamed = StreamOps.sq4StreamSliding(spark, dir).collect()
+    val batchEvents = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val batch = StreamOps.sq4Plan(batchEvents).orderBy("janela_ms", "event_type").collect()
+    assert(streamed.sameElements(batch), "streaming sliding window must equal batch")
+    // 1 h windows every 30 min: each event lands in exactly 2 windows
+    val totalN = streamed.map(_.getAs[Long]("n")).sum
+    val nEvents = spark.read.parquet(s"$dir/events.parquet").count()
+    assert(totalN == 2 * nEvents, s"expected 2x$nEvents rows across windows, got $totalN")
+  }
+
   test("SQ3 stream-stream interval join equals the batch interval join") {
     val streamed = StreamOps.sq3StreamJoin(spark, dir).collect()
     val ev = StreamOps.eventsBatch(spark, dir)

@@ -106,6 +106,47 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("repetition: fractions bounded, counts consistent") {
+    val rows = TextOps.q62Repetition(spark, dir).collect()
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.length == nDocs, "one repetition profile row per document")
+    rows.foreach { r =>
+      val (n, d) = (r.getAs[Long]("n_tok"), r.getAs[Long]("d_tok"))
+      assert(d >= 1 && d <= n)
+      Seq("dup_tok_frac", "dup_tri_frac", "top_tok_frac").foreach { c =>
+        val v = r.getAs[Double](c)
+        assert(v >= 0.0 && v <= 1.0, s"$c = $v out of range")
+      }
+      // word-salad corpus reuses tokens heavily: dup_tok_frac must not
+      // be degenerate-zero everywhere (guards a broken distinct count)
+    }
+    assert(rows.count(_.getAs[Double]("dup_tok_frac") > 0) > rows.length / 2)
+  }
+
+  test("chunking: stride geometry, full coverage, overlap = W - S") {
+    val rows = TextOps.q63ChunkOverlap(spark, dir).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.size == nDocs, "every document chunks (short docs -> 1 chunk)")
+    rows.values.foreach { ch =>
+      val sorted = ch.sortBy(_.getAs[Long]("chunk_id"))
+      assert(sorted.head.getAs[Long]("start_tok") == 0)
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getAs[Long]("chunk_id") == i)
+        assert(r.getAs[Long]("start_tok") == i.toLong * TextOps.ChunkStride)
+        val nIn = r.getAs[Long]("n_in_chunk")
+        assert(nIn >= 1 && nIn <= TextOps.ChunkTokens)
+      }
+      // chunks overlap by W - S: each next chunk starts before the
+      // previous ends, and the last chunk reaches the document end
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("start_tok") < a.getAs[Long]("end_tok"))
+        case _ => ()
+      }
+    }
+  }
+
   test("stratified sample: deterministic, en downsampled, other strata whole") {
     val a = TextOps.q57StratifiedSample(spark, dir).collect()
     val b = TextOps.q57StratifiedSample(spark, dir).collect()

@@ -55,6 +55,9 @@ class VectorOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val lsh = VectorOps.q43CosNeardup(spark, dir).collect().map(_.toString).toSeq
     val exact = VectorOps.cosNeardupExact(spark, dir).collect().map(_.toString).toSeq
     assert(lsh == exact, s"LSH candidates missed exact survivors")
+    // and the n-adaptive production geometry finds the same survivors
+    val adaptive = VectorOps.cosNeardupAdaptive(spark, dir).collect().map(_.toString).toSeq
+    assert(adaptive == exact, s"adaptive-geometry candidates missed exact survivors")
   }
 
   test("q47 recall certification: fixed-geometry LSH recall@5 >= 0.5") {
