@@ -37,20 +37,14 @@ object GraftSession {
   }
 
   /** Expose the engine's custom Catalyst expressions to SQL — the
-    * `spark.sql(...)` API surface: graft_dot (codegen'd dot product),
-    * graft_polyhash (codegen'd rolling hash), graft_to_avro /
-    * graft_from_avro (payload-schema Avro serde). */
+    * `spark.sql(...)` API surface — for ad-hoc sessions built without
+    * `spark.sql.extensions=graft.GraftExtensions` (cluster deployments
+    * use the extensions path; both read the same definition list, see
+    * [[GraftExtensions.functions]]). */
   def registerFunctions(s: SparkSession): Unit = {
-    import graft.functions.{DotProduct, FromAvro, ToAvro, TokenPolyHash}
-    import graft.model.SchemaDef
     val reg = s.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("graft_dot",
-      exprs => DotProduct(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction("graft_polyhash",
-      exprs => TokenPolyHash(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction("graft_to_avro",
-      exprs => ToAvro(exprs.head, SchemaDef.mensagemAvroJson), "built-in")
-    reg.createOrReplaceTempFunction("graft_from_avro",
-      exprs => FromAvro(exprs.head, SchemaDef.mensagemAvroJson), "built-in")
+    GraftExtensions.functions.foreach { case (name, _, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
 }

@@ -205,6 +205,70 @@ object MultimodalOps {
        |  CAST(max(b) AS BIGINT) AS max_byte
        |FROM bytes GROUP BY media_id, frame_no ORDER BY media_id, frame_no""".stripMargin
 
+  // ------------------------------------------------ q66 scene cuts
+
+  /** Byte-sum delta between adjacent frames that flags a scene cut. */
+  val CutDelta = 800L
+
+  /** q66: scene-change detection per video — adjacent-frame byte-sum
+    * deltas (the cheap luminance-delta heuristic of a real
+    * frame-sampling pipeline, over EVERY frame, not the q46 sample),
+    * flagged against a fixed threshold and summarized per video. The
+    * temporal member of the multimodal family: q45 reads headers, q46
+    * samples, q54 extracts per-frame features, this one compares
+    * frames ALONG TIME.
+    *
+    * Scale shape: frames explode per video (rows multiply, bytes per
+    * row never do), the per-frame byte sum is an integer aggregation,
+    * and the lag window partitions by media_id — a video's frame count
+    * is bounded by its duration, so no partition degenerates. All
+    * comparisons are on exact integer sums: engine-identical. */
+  def q66SceneCuts(s: SparkSession, dir: String): DataFrame = {
+    val nf = beU16(col("content"), 10)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("frame_no")
+    media(s).filter(col("media_type") === "video")
+      .select(col("media_id"), col("content"),
+        explode(sequence(lit(0), (nf - 1).cast("int"))).as("frame_no"))
+      .select(col("media_id"), col("frame_no"),
+        expr(s"substring(content, ${HeaderLen + 1} + frame_no * $FrameSize, $FrameSize)")
+          .as("frame"))
+      .select(col("media_id"), col("frame_no"), col("frame"),
+        explode(sequence(lit(1), lit(FrameSize))).as("i"))
+      .withColumn("b", conv(hex(expr("substring(frame, i, 1)")), 16, 10).cast("long"))
+      .groupBy("media_id", "frame_no").agg(sum("b").as("bsum"))
+      .withColumn("delta", abs(col("bsum") - lag("bsum", 1).over(w)))
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("delta") >= CutDelta, 1L).otherwise(0L)).as("n_cuts"),
+        coalesce(max("delta"), lit(0L)).as("max_delta"))
+      .orderBy("media_id")
+  }
+
+  val q66Sql: String =
+    s"""WITH v AS (
+       |  SELECT media_id, hex(content) AS hx,
+       |    ${beU16Sql(10)} AS nf
+       |  FROM $mediaSql WHERE media_type = 'video'
+       |), fr AS (
+       |  SELECT media_id, unnest(range(0, nf)) AS frame_no, hx FROM v
+       |), sums AS (
+       |  SELECT media_id, frame_no,
+       |    list_sum([('0x' || substring(hx,
+       |        CAST(${2 * HeaderLen} + frame_no * ${2 * FrameSize} + 2 * i + 1 AS INT),
+       |        2))::INT
+       |      for i in range(0, $FrameSize)]) AS bsum
+       |  FROM fr
+       |), deltas AS (
+       |  SELECT media_id, frame_no, bsum,
+       |    abs(bsum - lag(bsum) OVER (PARTITION BY media_id ORDER BY frame_no)) AS delta
+       |  FROM sums
+       |)
+       |SELECT media_id, count(*) AS n_frames,
+       |  CAST(sum(CASE WHEN delta >= $CutDelta THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+       |  CAST(coalesce(max(delta), 0) AS BIGINT) AS max_delta
+       |FROM deltas GROUP BY media_id ORDER BY media_id""".stripMargin
+
   // ------------------------------------------- decode (stub boundary)
 
   /** Decoded-media features (what a real codec would yield). */
@@ -259,12 +323,14 @@ object MultimodalOps {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_media_meta" -> (q45MediaMeta _),
     "q46_frame_sample" -> (q46FrameSample _),
-    "q54_frame_features" -> (q54FrameFeatures _)
+    "q54_frame_features" -> (q54FrameFeatures _),
+    "q66_scene_cuts" -> (q66SceneCuts _)
   )
 
   val oracle: Map[String, String] = Map(
     "q45_media_meta" -> q45Sql,
     "q46_frame_sample" -> q46Sql,
-    "q54_frame_features" -> q54Sql
+    "q54_frame_features" -> q54Sql,
+    "q66_scene_cuts" -> q66Sql
   )
 }

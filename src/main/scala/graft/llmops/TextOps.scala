@@ -892,6 +892,74 @@ object TextOps {
       |FROM tc LEFT JOIN tri ON tc.doc_id = tri.doc_id
       |ORDER BY tc.doc_id""".stripMargin
 
+  // ---------------------------------------------- q64 bigram LM scoring
+
+  /** q64: language-model quality scoring — per-document average
+    * negative log-likelihood under an add-one-smoothed corpus BIGRAM
+    * model: P(v|u) = (c(u,v)+1) / (c(u)+V). The perplexity-filter op
+    * of a training pipeline (documents improbable under the corpus's
+    * own n-gram statistics are noise/garble; at production scale the
+    * LM is trained on a held-out slice and the scorer is identical).
+    *
+    * Scale shape: bigram counting is one partial-aggregated shuffle
+    * keyed by the bigram (hot bigrams pre-combine map-side); scoring
+    * joins each document bigram to the count tables by bigram/context
+    * key. At 100 TB the LM table would be capped to top-K bigrams
+    * (exactly q55's vocabulary cut) and BROADCAST — the join shape is
+    * already the capped one. Determinism: P is a ratio of exact
+    * integers (one IEEE division, identical in both engines), ln is
+    * rounded to 6 dp BEFORE the DECIMAL sum, one final division. */
+  def q64LmScore(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val toks = tokenized(s, dir)
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "t")))
+    val bigrams = toks
+      .withColumn("t2", lead("t", 1).over(w))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"), col("t"), col("t2"))
+    val cuv = bigrams.groupBy("t", "t2").agg(count(lit(1)).as("cuv"))
+    val cu = cuv.groupBy("t").agg(sum("cuv").as("cu"))
+    val vocab = toks.agg(count_distinct(col("t")).as("v_size"))
+    val nll = bigrams
+      .join(cuv, Seq("t", "t2"))
+      .join(cu, Seq("t"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        round(-log((col("cuv") + 1).cast("double") / (col("cu") + col("v_size"))), 6)
+          .as("nll"))
+    nll.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("nll").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double") / count(lit(1))).as("avg_nll"))
+      .orderBy("doc_id")
+  }
+
+  val q64Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents
+      |), bg AS (
+      |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1]
+      |      for i in range(1, len(w))]) AS b
+      |  FROM toks
+      |), cuv AS (
+      |  SELECT b, count(*) AS cuv FROM bg GROUP BY b
+      |), cu AS (
+      |  SELECT split_part(b, ' ', 1) AS u, sum(cuv) AS cu FROM cuv GROUP BY u
+      |), vocab AS (
+      |  SELECT count(DISTINCT t) AS v_size
+      |  FROM (SELECT unnest(w) AS t FROM toks)
+      |), nll AS (
+      |  SELECT doc_id,
+      |    round(-ln(CAST(cuv + 1 AS DOUBLE) / (cu + v_size)), 6) AS nll
+      |  FROM bg
+      |  JOIN cuv USING (b)
+      |  JOIN cu ON split_part(b, ' ', 1) = u
+      |  CROSS JOIN vocab
+      |)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  CAST(sum(CAST(nll AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_nll
+      |FROM nll GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------- q63 chunking with overlap
 
   /** Chunk window and stride (tokens) for q63 — overlap = W − S. */
@@ -1003,6 +1071,104 @@ object TextOps {
        |FROM train t LEFT JOIN eval_sh e USING (shingle)
        |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------- q67 dedup clusters
+
+  /** Fixpoint-iteration safety cap (components this deep don't exist
+    * in a near-dup graph; the loop converges in diameter hops). */
+  private val MaxCcIters = 50
+
+  /** q67: near-duplicate CLUSTER assignment — connected components
+    * over the SimHash near-dup pair graph (q53's edges), labeling
+    * every clustered document with its canonical representative
+    * (minimum doc_id in the component) and the component size. This is
+    * the step a dedup pipeline runs AFTER pair generation: survivors
+    * are chosen per CLUSTER, not per pair (pairs alone double-count
+    * overlapping duplicates).
+    *
+    * Iterative min-label propagation — the standard distributed
+    * connected-components idiom (GraphX/GraphFrames do exactly this):
+    * each round, every node takes the min label among itself and its
+    * neighbors; converges in component-diameter rounds. The driver
+    * loop holds NO data — each iteration is a distributed
+    * join+aggregate keyed by doc_id, with the previous generation
+    * persisted and released (near-dup components have tiny diameters,
+    * so rounds are few; at 100 TB each round is one shuffle of the
+    * EDGE set, and the alternating large-star/small-star variant drops
+    * in unchanged if diameters grow). The result is a pure function of
+    * the edge set (min label), independent of iteration order. */
+  def q67DedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = q53SimhashNeardup(s, dir).select(col("doc_a"), col("doc_b"))
+    val sym = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("root", col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < MaxCcIters) {
+        val neighborMin = sym
+          .join(labels.select(col("doc_id").as("doc_b"), col("root").as("nroot")),
+            Seq("doc_b"))
+          .groupBy(col("doc_a").as("doc_id")).agg(min("nroot").as("mroot"))
+        val next = labels.join(neighborMin, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("root"), coalesce(col("mroot"), col("root"))).as("root"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        changed = next.join(labels.withColumnRenamed("root", "old"), Seq("doc_id"))
+          .filter(col("root") =!= col("old")).count()
+        labels.unpersist()
+        labels = next
+        iter += 1
+      }
+      require(changed == 0, s"connected components did not converge in $MaxCcIters rounds")
+      val sizes = labels.groupBy("root").agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, Seq("root"))
+        .select(col("doc_id"), col("root").as("cluster_root"), col("cluster_size"))
+        .orderBy("doc_id")
+    } finally sym.unpersist()
+  }
+
+  /** The oracle recomputes the same components with a recursive CTE
+    * over the all-pairs SimHash edges: min reachable doc_id ==
+    * min-label fixpoint (both are "minimum over the component"). */
+  val q67Sql: String =
+    s"""WITH RECURSIVE tok0 AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split_regex(text, '\\s+'))) AS t
+       |  FROM documents
+       |), tok AS (
+       |  SELECT doc_id,
+       |    CAST(('0x' || substring(md5(t), 1, 15))::UBIGINT AS BIGINT) AS h
+       |  FROM tok0
+       |), bits AS (
+       |  SELECT doc_id, bit, CASE WHEN (h >> bit) % 2 = 1 THEN 1 ELSE -1 END AS v
+       |  FROM tok CROSS JOIN (SELECT unnest(range(0, 60)) AS bit)
+       |), votes AS (
+       |  SELECT doc_id, bit, sum(v) AS vote FROM bits GROUP BY doc_id, bit
+       |), sh AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN vote > 0 THEN 1::BIGINT << bit ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM votes GROUP BY doc_id
+       |), pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= $HammingMax
+       |), sym AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs
+       |), reach(a, b) AS (
+       |  SELECT a, b FROM sym
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN sym e ON r.b = e.a
+       |), roots AS (
+       |  SELECT a AS doc_id, least(a, min(b)) AS cluster_root
+       |  FROM reach GROUP BY a
+       |)
+       |SELECT doc_id, cluster_root,
+       |  count(*) OVER (PARTITION BY cluster_root) AS cluster_size
+       |FROM roots ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1023,7 +1189,9 @@ object TextOps {
     "q57_stratified_sample" -> (q57StratifiedSample _),
     "q59_decontaminate" -> (q59Decontaminate _),
     "q62_repetition" -> (q62Repetition _),
-    "q63_chunk_overlap" -> (q63ChunkOverlap _)
+    "q63_chunk_overlap" -> (q63ChunkOverlap _),
+    "q64_lm_score" -> (q64LmScore _),
+    "q67_dedup_clusters" -> (q67DedupClusters _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -1044,6 +1212,8 @@ object TextOps {
     "q57_stratified_sample" -> q57Sql,
     "q59_decontaminate" -> q59Sql,
     "q62_repetition" -> q62Sql,
-    "q63_chunk_overlap" -> q63Sql
+    "q63_chunk_overlap" -> q63Sql,
+    "q64_lm_score" -> q64Sql,
+    "q67_dedup_clusters" -> q67Sql
   )
 }

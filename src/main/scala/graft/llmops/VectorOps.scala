@@ -683,6 +683,85 @@ object VectorOps {
        |              WHERE a.vec_id = e.vec_id AND a.neighbor_id = e.neighbor_id)""".stripMargin
   }
 
+  // ------------------------------------------ q65 truncation fidelity
+
+  /** Truncation widths profiled by q65 (Matryoshka-style prefixes). */
+  val TruncDims = Seq(16, 32, 48)
+
+  /** q65: embedding truncation fidelity — how much cosine structure
+    * survives keeping only the first d dimensions (the
+    * Matryoshka/dimension-reduction eval a pipeline runs before
+    * shipping truncated embeddings to a cheaper index): over the exact
+    * top-k pairs (q40), the mean/max absolute gap between the full
+    * cosine and the d-prefix cosine, per d ∈ {16, 32, 48}.
+    *
+    * Scale shape: the pair set is k·n rows (already the top-k, not all
+    * pairs); per pair the three truncated cosines are codegen'd
+    * dot-product folds over array prefixes, exploded to (dim, gap)
+    * rows and aggregated — one shuffle keyed by the 3-value dim.
+    * Numerics: every similarity is rounded to 6 dp before the gap, the
+    * gap re-rounded (differences of 6 dp decimals are grid-exact in
+    * both engines), DECIMAL-summed, one final division. */
+  def q65TruncFidelity(s: SparkSession, dir: String): DataFrame = {
+    val pairs = q40CosineTopk(s, dir).select(col("vec_id"), col("neighbor_id"), col("sim"))
+    val va = emb(s, dir).select(col("vec_id"), col("embedding").as("v"))
+    val vb = emb(s, dir).select(col("vec_id").as("neighbor_id"), col("embedding").as("w"))
+    val structs = array(TruncDims.map { d =>
+      val sv = slice(col("v"), 1, d)
+      val sw = slice(col("w"), 1, d)
+      struct(lit(d).as("dim"),
+        round(dot(sv, sw) / (norm(sv) * norm(sw)), 6).as("tsim"))
+    }: _*)
+    pairs.join(va, Seq("vec_id")).join(vb, Seq("neighbor_id"))
+      .select(col("sim"), explode(structs).as("ds"))
+      .select(col("ds.dim").as("dim"),
+        round(abs(col("sim") - col("ds.tsim")), 6).as("gap"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n_pairs"),
+        (sum(col("gap").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double") / count(lit(1))).as("mean_gap"),
+        max("gap").as("max_gap"))
+      .orderBy("dim")
+  }
+
+  def q65Sql: String = {
+    val dimRows = TruncDims.map { d =>
+      s"""SELECT pairs.vec_id AS vec_id, pairs.neighbor_id AS neighbor_id, $d AS dim,
+         |    round(list_sum([a.v[i] * b.v[i] for i in range(1, $d + 1)])
+         |      / (sqrt(list_sum([a.v[i] * a.v[i] for i in range(1, $d + 1)]))
+         |         * sqrt(list_sum([b.v[i] * b.v[i] for i in range(1, $d + 1)]))), 6)
+         |      AS tsim
+         |  FROM pairs JOIN n a ON a.vec_id = pairs.vec_id
+         |             JOIN n b ON b.vec_id = pairs.neighbor_id""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH d AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM d
+       |), sims AS (
+       |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+       |    round(list_sum([a.v[i] * b.v[i] for i in range(1, $Dim + 1)])
+       |          / (a.nrm * b.nrm), 6) AS sim
+       |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+       |), pairs AS (
+       |  SELECT vec_id, neighbor_id, sim FROM (
+       |    SELECT vec_id, neighbor_id, sim,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank
+       |    FROM sims)
+       |  WHERE rank <= $TopK
+       |), trunc AS (
+       |  $dimRows
+       |), gaps AS (
+       |  SELECT dim, round(abs(pairs.sim - trunc.tsim), 6) AS gap
+       |  FROM trunc JOIN pairs USING (vec_id, neighbor_id)
+       |)
+       |SELECT dim, count(*) AS n_pairs,
+       |  CAST(sum(CAST(gap AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean_gap,
+       |  max(gap) AS max_gap
+       |FROM gaps GROUP BY dim ORDER BY dim""".stripMargin
+  }
+
   // ---------------------------------------------- q58 int8 quantization
 
   /** Quantization levels for q58 (int8 codes 0..255). */
@@ -759,7 +838,8 @@ object VectorOps {
     "q44_ivf_topk" -> (q44IvfTopk _),
     "q47_ann_recall" -> (q47AnnRecall _),
     "q58_embed_quantize" -> (q58Quantize _),
-    "q61_ivf_recall" -> (q61IvfRecall _)
+    "q61_ivf_recall" -> (q61IvfRecall _),
+    "q65_trunc_fidelity" -> (q65TruncFidelity _)
   )
 
   /** q41/q44 are approximate by design → no oracle (driver rows-only
@@ -771,6 +851,7 @@ object VectorOps {
     "q43_cos_neardup" -> q43Sql,
     "q47_ann_recall" -> q47Sql,
     "q58_embed_quantize" -> q58Sql,
-    "q61_ivf_recall" -> q61Sql
+    "q61_ivf_recall" -> q61Sql,
+    "q65_trunc_fidelity" -> q65Sql
   )
 }

@@ -60,6 +60,25 @@ class MultimodalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("scene cuts: one row per video, frame counts match headers") {
+    val rows = MultimodalOps.q66SceneCuts(spark, "").collect()
+    val videos = media.filter(col("media_type") === "video")
+      .select(col("media_id"), col("meta.n_frames")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows.length == videos.size, "every video gets a scene-cut profile")
+    rows.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      assert(r.getAs[Long]("n_frames") == videos(id).toLong,
+        s"frame count mismatch for media $id")
+      // n-1 adjacent deltas bound the cut count; single-frame videos
+      // have none
+      assert(r.getAs[Long]("n_cuts") <= r.getAs[Long]("n_frames") - 1)
+      assert(r.getAs[Long]("max_delta") >= 0)
+    }
+    // md5-noise frames: adjacent deltas routinely exceed the threshold
+    assert(rows.map(_.getAs[Long]("n_cuts")).sum > 0, "expected some cuts on noise frames")
+  }
+
   test("frame sampling covers every video with ceil(n/4) frames") {
     val perVideo = MultimodalOps.q46FrameSample(spark, "")
       .groupBy("media_id").count()

@@ -123,6 +123,18 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.count(_.getAs[Double]("dup_tok_frac") > 0) > rows.length / 2)
   }
 
+  test("LM score: every multi-token doc scored, NLL positive and finite") {
+    val rows = TextOps.q64LmScore(spark, dir).collect()
+    val multiTok = spark.read.parquet(s"$dir/documents.parquet")
+      .where(org.apache.spark.sql.functions.expr("size(split(text, '\\\\s+')) >= 2")).count()
+    assert(rows.length == multiTok, "every doc with >= 2 tokens has bigrams to score")
+    rows.foreach { r =>
+      val nll = r.getAs[Double]("avg_nll")
+      assert(nll > 0.0 && !nll.isInfinite && !nll.isNaN, s"bad avg_nll $nll")
+      assert(r.getAs[Long]("n_bigrams") >= 1)
+    }
+  }
+
   test("chunking: stride geometry, full coverage, overlap = W - S") {
     val rows = TextOps.q63ChunkOverlap(spark, dir).collect()
       .groupBy(_.getAs[Long]("doc_id"))
@@ -144,6 +156,26 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
           assert(b.getAs[Long]("start_tok") < a.getAs[Long]("end_tok"))
         case _ => ()
       }
+    }
+  }
+
+  test("dedup clusters: pairs co-clustered, root is the cluster minimum") {
+    val clusters = TextOps.q67DedupClusters(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_root"), r.getAs[Long]("cluster_size"))).toMap
+    val pairs = TextOps.q53SimhashNeardup(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(pairs.nonEmpty && clusters.nonEmpty)
+    // every near-dup pair lands in one cluster
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a)._1 == clusters(b)._1, s"pair ($a,$b) split across clusters")
+    }
+    // root is the minimum member; size counts the members
+    val byRoot = clusters.groupBy(_._2._1)
+    byRoot.foreach { case (root, members) =>
+      assert(members.keys.min == root, s"root $root is not the cluster minimum")
+      assert(members.forall(_._2._2 == members.size))
+      assert(members.size >= 2, "clustered docs come from pairs, so size >= 2")
     }
   }
 

@@ -110,6 +110,21 @@ class VectorOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("truncation fidelity: one row per width, gaps shrink as dims grow") {
+    val rows = VectorOps.q65TruncFidelity(spark, dir).collect()
+      .sortBy(_.getAs[Int]("dim"))
+    assert(rows.map(_.getAs[Int]("dim")).toSeq == VectorOps.TruncDims)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_pairs") > 0)
+      val (mean, mx) = (r.getAs[Double]("mean_gap"), r.getAs[Double]("max_gap"))
+      assert(mean >= 0.0 && mean <= 2.0 && mx >= mean)
+    }
+    // more retained dimensions → better cosine fidelity
+    val means = rows.map(_.getAs[Double]("mean_gap"))
+    assert(means.zip(means.tail).forall { case (lo, hi) => hi <= lo },
+      s"mean gap must not grow with dim: ${means.toSeq}")
+  }
+
   test("label centroids: cohesion exceeds global cross-label baseline") {
     val rows = VectorOps.q42LabelCentroids(spark, dir).collect()
     assert(rows.length == 10)
