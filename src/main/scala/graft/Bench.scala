@@ -107,7 +107,8 @@ object Bench {
       "q59_decontaminate", "q60_partition_pruning", "sq1_stream_tumbling",
       // round-3 operators
       "q48_rolling_hash", "q62_repetition", "q63_chunk_overlap",
-      "sq4_stream_sliding")
+      "sq4_stream_sliding", "q64_lm_score", "q65_trunc_fidelity",
+      "q66_scene_cuts", "q67_dedup_clusters", "sq5_stream_enrich")
     // shingle-index misses during TIMED passes only (warm passes are
     // expected to build it once per session+dir)
     var timedIndexMisses = 0L

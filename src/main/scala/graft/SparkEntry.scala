@@ -24,7 +24,9 @@ object SparkEntry {
       "sq3_stream_join" ->
         ((s: SparkSession, dir: String) => StreamOps.sq3StreamJoin(s, dir)),
       "sq4_stream_sliding" ->
-        ((s: SparkSession, dir: String) => StreamOps.sq4StreamSliding(s, dir)))
+        ((s: SparkSession, dir: String) => StreamOps.sq4StreamSliding(s, dir)),
+      "sq5_stream_enrich" ->
+        ((s: SparkSession, dir: String) => StreamOps.sq5StreamEnrich(s, dir)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +35,6 @@ object SparkEntry {
       "sq1_stream_tumbling" -> Queries.q21Sql,
       "sq2_stream_dedup" -> StreamOps.sq2Sql,
       "sq3_stream_join" -> StreamOps.sq3Sql,
-      "sq4_stream_sliding" -> StreamOps.sq4Sql)
+      "sq4_stream_sliding" -> StreamOps.sq4Sql,
+      "sq5_stream_enrich" -> StreamOps.sq5Sql)
 }

@@ -141,6 +141,37 @@ object StreamOps {
       |FROM w GROUP BY janela_ms, event_type
       |ORDER BY janela_ms, event_type""".stripMargin
 
+  /** SQ5: STREAM-STATIC enrichment join — the live event stream joined
+    * to a static dimension table (customer segments) and aggregated
+    * per segment. The most common production streaming shape: the
+    * static side BROADCASTS (re-read per micro-batch, no state at
+    * all for the join itself — only the aggregation keeps state, one
+    * row per (segment, event_type)). Arrival order cannot affect a
+    * complete-mode aggregate over an inner equi-join, so the batch
+    * join+aggregate is the oracle. */
+  def sq5StreamEnrich(s: SparkSession, dir: String): DataFrame = {
+    val name = s"sq5_${System.nanoTime()}"
+    val cust = s.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val q = eventsStream(s, dir)
+      .join(broadcast(cust), col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment", "event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("soma_valor"))
+      .writeStream.queryName(name).format("memory")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name).orderBy("c_mktsegment", "event_type")
+  }
+
+  /** SQ5's DuckDB oracle: the identical batch join + aggregation. */
+  val sq5Sql: String =
+    """SELECT c_mktsegment, event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS soma_valor
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY c_mktsegment, event_type
+      |ORDER BY c_mktsegment, event_type""".stripMargin
+
   /** documents schema for the file stream source (driver testdata). */
   val documentsSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),

@@ -70,6 +70,21 @@ class PlanCacheSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(builds == 2, "different sessions must not share entries")
   }
 
+  test("regenerating a fixture (FsSig change) invalidates and releases") {
+    val dir = PlanCache.tempDir("graft_fixture_spec_")
+    val f = java.nio.file.Paths.get(dir, "t.parquet")
+    spark.range(5).write.mode("overwrite").parquet(f.toString)
+    val released = scala.collection.mutable.ArrayBuffer.empty[String]
+    val c = new PlanCache[String]("t5")((_, v) => released += v)
+    def get(v: String) = c.get(spark, dir, graft.sources.FsSig.of(f.toString))(v)
+    assert(get("first") == "first")
+    assert(get("IGNORED") == "first") // same files -> hit
+    // regenerate: new file lengths/mtimes -> new signature
+    spark.range(500).write.mode("overwrite").parquet(f.toString)
+    assert(get("second") == "second", "regenerated fixture must rebuild")
+    assert(released.toSeq == Seq("first"), "stale entry must be released")
+  }
+
   test("temp dirs are tracked and recursively deletable") {
     val d = PlanCache.tempDir("graft_cache_spec_")
     val sub = java.nio.file.Paths.get(d, "x")

@@ -158,6 +158,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "lang must be a directory predicate, not a row-level data filter")
   }
 
+  test("round-3 text ops: doc_id-keyed plans, no cartesian blowups") {
+    val p62 = physical(TextOps.q62Repetition(spark, dir))
+    assert(!p62.contains("CartesianProduct") && !p62.contains("BroadcastNestedLoop"),
+      s"repetition profile must join per-doc aggregates on doc_id:\n$p62")
+    val p64 = physical(TextOps.q64LmScore(spark, dir))
+    assert(!p64.contains("CartesianProduct"), s"LM scoring must equi-join on bigram keys:\n$p64")
+    // the only nested-loop allowed in q64 is the 1-row vocab-size broadcast
+    assert("BroadcastNestedLoop".r.findAllIn(p64).length <= 1,
+      s"unexpected non-equi join in the LM score plan:\n$p64")
+  }
+
   test("metrics aggregation is partial+final (map-side combine)") {
     val plan = physical(Queries.q01Metrics(spark, dir))
     val hashAggs = "HashAggregate".r.findAllIn(plan).length

@@ -77,6 +77,21 @@ class StreamOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(totalN == 2 * nEvents, s"expected 2x$nEvents rows across windows, got $totalN")
   }
 
+  test("SQ5 stream-static enrichment equals the batch join+aggregate") {
+    import org.apache.spark.sql.functions._
+    val streamed = StreamOps.sq5StreamEnrich(spark, dir).collect()
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .join(cust, col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment", "event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("soma_valor"))
+      .orderBy("c_mktsegment", "event_type").collect()
+    assert(streamed.sameElements(batch), "stream-static join must equal batch")
+  }
+
   test("SQ3 stream-stream interval join equals the batch interval join") {
     val streamed = StreamOps.sq3StreamJoin(spark, dir).collect()
     val ev = StreamOps.eventsBatch(spark, dir)
