@@ -1097,13 +1097,25 @@ object TextOps {
     * in unchanged if diameters grow). The result is a pure function of
     * the edge set (min label), independent of iteration order. */
   def q67DedupClusters(s: SparkSession, dir: String): DataFrame = {
+    // materialize the PAIR set once (the union below references it
+    // twice; without the persist the whole SimHash pipeline — the
+    // expensive part — would execute once per reference)
     val pairs = q53SimhashNeardup(s, dir).select(col("doc_a"), col("doc_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sym = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager localCheckpoint per generation: an iterative DataFrame
+    // fixpoint MUST truncate lineage — each round's plan references
+    // the previous one twice, so without the cut the logical tree
+    // doubles per iteration and analysis/cache bookkeeping costs go
+    // exponential (observed: CacheManager plan-string rendering OOM'd
+    // a 4 GB driver at iteration ~15). On a cluster with failure
+    // tolerance requirements this becomes checkpoint() to reliable
+    // storage; the algorithm is unchanged.
     var labels = sym.select(col("doc_a").as("doc_id")).distinct()
       .withColumn("root", col("doc_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     try {
       var changed = 1L
       var iter = 0
@@ -1115,10 +1127,9 @@ object TextOps {
         val next = labels.join(neighborMin, Seq("doc_id"), "left")
           .select(col("doc_id"),
             least(col("root"), coalesce(col("mroot"), col("root"))).as("root"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .localCheckpoint()
         changed = next.join(labels.withColumnRenamed("root", "old"), Seq("doc_id"))
           .filter(col("root") =!= col("old")).count()
-        labels.unpersist()
         labels = next
         iter += 1
       }
@@ -1127,7 +1138,10 @@ object TextOps {
       labels.join(sizes, Seq("root"))
         .select(col("doc_id"), col("root").as("cluster_root"), col("cluster_size"))
         .orderBy("doc_id")
-    } finally sym.unpersist()
+    } finally {
+      sym.unpersist()
+      pairs.unpersist()
+    }
   }
 
   /** The oracle recomputes the same components with a recursive CTE

@@ -91,15 +91,16 @@ object VectorOps {
   val TargetBucket = 10
   val seed = 42L
 
-  /** Memoized row count per (dir, fixture signature) — keyed on the
-    * embeddings file's (name, length, mtime) fold so a regenerated
-    * fixture at the same path invalidates instead of silently serving
-    * a stale count into [[planesFor]] bucket sizing. */
-  private val embCount = scala.collection.concurrent.TrieMap.empty[(String, Long), Long]
+  /** Memoized row count per (session, dir), fixture-signature guarded
+    * (PlanCache like every other memo: a regenerated fixture at the
+    * same path invalidates instead of silently serving a stale count
+    * into [[planesFor]] bucket sizing, and the map stays bounded). */
+  private val embCount =
+    new graft.operators.PlanCache[Long]("emb_count")((_, _) => ())
 
   private def nVectors(s: SparkSession, dir: String): Long = {
     val p = s"$dir/embeddings.parquet"
-    embCount.getOrElseUpdate((p, graft.sources.FsSig.of(p)), emb(s, dir).count())
+    embCount.get(s, p, graft.sources.FsSig.of(p))(emb(s, dir).count())
   }
 
   /** Sign-bit count per table for a database of n vectors. */
