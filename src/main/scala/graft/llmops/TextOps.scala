@@ -1183,6 +1183,106 @@ object TextOps {
        |  count(*) OVER (PARTITION BY cluster_root) AS cluster_size
        |FROM roots ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------ q68 mixing weights
+
+  /** Target token share per language for the q68 mixture (sums to 1). */
+  val MixTarget: Seq[(String, Double)] =
+    Seq("en" -> 0.3, "es" -> 0.175, "fr" -> 0.175, "de" -> 0.175, "zh" -> 0.175)
+
+  /** q68: corpus mixing weights — per-language sampling weights that
+    * move the corpus toward a target token distribution WITHOUT
+    * upsampling (keep_weight ≤ 1 everywhere): scale = min over
+    * languages of actual/target, keep_weight = target·scale/actual.
+    * The data-mixing op of a training pipeline (every real pre-training
+    * run reweights sources/languages toward a recipe).
+    *
+    * One aggregation (per-lang token totals), a 5-row min for the
+    * scale, broadcast back — all arithmetic is ratios of exact integer
+    * counts with identical expression shapes in both engines. */
+  def q68MixWeights(s: SparkSession, dir: String): DataFrame = {
+    val target = MixTarget.foldRight(lit(0.0)) { case ((l, p), els) =>
+      when(col("lang") === l, lit(p)).otherwise(els)
+    }
+    val actual = tokenized(s, dir)
+      .select(col("lang"), size(col("w")).cast("long").as("tk"))
+      .groupBy("lang").agg(sum("tk").as("actual_tokens"))
+      .withColumn("target_share", target)
+    val scale = actual
+      .select(min(col("actual_tokens").cast("double") / col("target_share")).as("scale"))
+    actual.crossJoin(broadcast(scale))
+      .select(col("lang"), col("actual_tokens"), col("target_share"),
+        (col("target_share") * col("scale") / col("actual_tokens")).as("keep_weight"),
+        (col("target_share") * col("scale")).as("achieved_tokens"))
+      .orderBy("lang")
+  }
+
+  val q68Sql: String = {
+    val target = MixTarget.foldRight("0.0") { case ((l, p), els) =>
+      s"CASE WHEN lang = '$l' THEN $p ELSE $els END"
+    }
+    s"""WITH actual AS (
+       |  SELECT lang,
+       |    CAST(sum(len(string_split_regex(text, '\\s+'))) AS BIGINT) AS actual_tokens,
+       |    $target AS target_share
+       |  FROM documents GROUP BY lang
+       |), sc AS (
+       |  SELECT min(CAST(actual_tokens AS DOUBLE) / target_share) AS scale FROM actual
+       |)
+       |SELECT lang, actual_tokens, target_share,
+       |  target_share * scale / actual_tokens AS keep_weight,
+       |  target_share * scale AS achieved_tokens
+       |FROM actual CROSS JOIN sc ORDER BY lang""".stripMargin
+  }
+
+  // ------------------------------------------ q69 modality agreement
+
+  /** q69: cross-modal dedup agreement — how much the TEXT near-dup
+    * signal (SimHash pairs, q53) and the EMBEDDING near-dup signal
+    * (LSH cosine pairs, q43; the fixture aligns doc_id == vec_id)
+    * agree: pair counts per modality, their intersection, and the
+    * Jaccard agreement. The pipeline-tuning question this answers:
+    * does semantic dedup add anything over lexical dedup (and vice
+    * versa) on this corpus?
+    *
+    * Composes two existing certified pipelines with one equi-join on
+    * the pair key and three tiny aggregates — the cross-operator
+    * composition shape, not a new algorithm. */
+  def q69ModalityAgreement(s: SparkSession, dir: String): DataFrame = {
+    val t = q53SimhashNeardup(s, dir).select(col("doc_a"), col("doc_b"))
+    val e = graft.llmops.VectorOps.q43CosNeardup(s, dir)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val nt = t.agg(count(lit(1)).as("n_text"))
+    val ne = e.agg(count(lit(1)).as("n_embed"))
+    val nb = t.join(e, Seq("doc_a", "doc_b")).agg(count(lit(1)).as("n_both"))
+    nt.crossJoin(ne).crossJoin(nb)
+      .select(col("n_text"), col("n_embed"), col("n_both"),
+        when(col("n_text") + col("n_embed") - col("n_both") === 0, lit(0.0))
+          .otherwise(col("n_both").cast("double") /
+            (col("n_text") + col("n_embed") - col("n_both"))).as("agreement"))
+  }
+
+  /** The oracle nests both modalities' full certified pipelines as
+    * subqueries (DuckDB allows WITH inside a parenthesized subquery). */
+  def q69Sql: String =
+    s"""WITH tpairs AS (
+       |  SELECT doc_a, doc_b FROM (${q53Sql.replace("\n", "\n  ")})
+       |), epairs AS (
+       |  SELECT vec_a AS doc_a, vec_b AS doc_b
+       |  FROM (${graft.llmops.VectorOps.q43Sql.replace("\n", "\n  ")})
+       |)
+       |SELECT
+       |  (SELECT count(*) FROM tpairs) AS n_text,
+       |  (SELECT count(*) FROM epairs) AS n_embed,
+       |  (SELECT count(*) FROM tpairs JOIN epairs USING (doc_a, doc_b)) AS n_both,
+       |  CASE WHEN (SELECT count(*) FROM tpairs) + (SELECT count(*) FROM epairs)
+       |            - (SELECT count(*) FROM tpairs JOIN epairs USING (doc_a, doc_b)) = 0
+       |       THEN 0.0
+       |       ELSE CAST((SELECT count(*) FROM tpairs JOIN epairs USING (doc_a, doc_b))
+       |                 AS DOUBLE)
+       |            / ((SELECT count(*) FROM tpairs) + (SELECT count(*) FROM epairs)
+       |               - (SELECT count(*) FROM tpairs JOIN epairs USING (doc_a, doc_b)))
+       |  END AS agreement""".stripMargin
+
   // --------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1205,7 +1305,9 @@ object TextOps {
     "q62_repetition" -> (q62Repetition _),
     "q63_chunk_overlap" -> (q63ChunkOverlap _),
     "q64_lm_score" -> (q64LmScore _),
-    "q67_dedup_clusters" -> (q67DedupClusters _)
+    "q67_dedup_clusters" -> (q67DedupClusters _),
+    "q68_mix_weights" -> (q68MixWeights _),
+    "q69_modality_agreement" -> (q69ModalityAgreement _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -1228,6 +1330,8 @@ object TextOps {
     "q62_repetition" -> q62Sql,
     "q63_chunk_overlap" -> q63Sql,
     "q64_lm_score" -> q64Sql,
-    "q67_dedup_clusters" -> q67Sql
+    "q67_dedup_clusters" -> q67Sql,
+    "q68_mix_weights" -> q68Sql,
+    "q69_modality_agreement" -> q69Sql
   )
 }

@@ -159,6 +159,36 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("mix weights: no upsampling, binding language keeps weight 1") {
+    val rows = TextOps.q68MixWeights(spark, dir).collect()
+    assert(rows.map(_.getAs[String]("lang")).toSet == TextOps.MixTarget.map(_._1).toSet)
+    rows.foreach { r =>
+      val w = r.getAs[Double]("keep_weight")
+      assert(w > 0.0 && w <= 1.0 + 1e-12, s"keep_weight $w outside (0, 1]")
+      assert(r.getAs[Double]("achieved_tokens") <= r.getAs[Long]("actual_tokens") + 1e-6)
+    }
+    // the scale is set by the scarcest language relative to its target:
+    // that one is kept whole
+    assert(rows.exists(r => math.abs(r.getAs[Double]("keep_weight") - 1.0) < 1e-12),
+      "exactly the binding language must keep weight 1")
+    // achieved tokens realize the target proportions
+    val achieved = rows.map(r => r.getAs[String]("lang") -> r.getAs[Double]("achieved_tokens")).toMap
+    val total = achieved.values.sum
+    TextOps.MixTarget.foreach { case (l, share) =>
+      assert(math.abs(achieved(l) / total - share) < 1e-9,
+        s"achieved share for $l deviates from target $share")
+    }
+  }
+
+  test("modality agreement: counts consistent, agreement bounded") {
+    val r = TextOps.q69ModalityAgreement(spark, dir).collect().head
+    val (nt, ne, nb) = (r.getAs[Long]("n_text"), r.getAs[Long]("n_embed"),
+      r.getAs[Long]("n_both"))
+    assert(nb <= math.min(nt, ne), "intersection cannot exceed either modality")
+    val a = r.getAs[Double]("agreement")
+    assert(a >= 0.0 && a <= 1.0)
+  }
+
   test("dedup clusters: pairs co-clustered, root is the cluster minimum") {
     val clusters = TextOps.q67DedupClusters(spark, dir).collect()
       .map(r => r.getAs[Long]("doc_id") ->
