@@ -1183,6 +1183,115 @@ object TextOps {
        |  count(*) OVER (PARTITION BY cluster_root) AS cluster_size
        |FROM roots ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- q70 BPE merges
+
+  /** Merge rounds learned by q70. */
+  val BpeRounds = 3
+
+  /** One greedy left-to-right BPE merge of the adjacent pair (a, b)
+    * over a symbol array, as element-wise expressions: position i
+    * emits the merged symbol when (sᵢ, sᵢ₊₁) = (a, b), is dropped when
+    * the PREVIOUS position matched (with a ≠ b that is exactly
+    * sᵢ₋₁ = a ∧ sᵢ = b — the emit and skip conditions are mutually
+    * exclusive, so no sequential state is needed), and passes through
+    * otherwise. Identical comprehension in the DuckDB oracle. */
+  private def mergeOnce(syms: Column, a: String, b: String): Column =
+    filter(
+      // try_element_at: out-of-range lookups yield NULL (ANSI-safe),
+      // matching DuckDB's out-of-range list index semantics; null
+      // comparisons are false in `when`, and the i > 0 guard
+      // short-circuits before the 1-based lookup of the predecessor
+      transform(syms, (x, i) =>
+        when(x === lit(a) && try_element_at(syms, i + 2) === lit(b), lit(a + b))
+          .when(i > 0 && x === lit(b) &&
+            try_element_at(syms, i) === lit(a), lit(null: String))
+          .otherwise(x)),
+      x => x.isNotNull)
+
+  /** q70: BPE merge-rule learning — `BpeRounds` rounds of the
+    * byte-pair-encoding vocabulary induction every modern tokenizer
+    * starts from: count adjacent symbol pairs over the word vocabulary
+    * weighted by corpus frequency, merge the most frequent pair
+    * everywhere, repeat. Emits (rank, left_sym, right_sym, pair_count).
+    *
+    * Scale shape: THE key property of BPE learning is that after one
+    * pass builds the word-frequency table, every round runs over the
+    * VOCABULARY (distinct words × their symbol arrays), never the
+    * corpus — at 100 TB the vocab is millions of rows while the corpus
+    * is trillions of tokens. The per-round argmax is one tiny
+    * aggregation; like AQE itself, the driver reads ONE row per round
+    * to parameterize the next plan (runtime adaptivity, k bounded
+    * driver actions, no data materialized driver-side).
+    *
+    * Self-pairs (a == b) are excluded from merge candidates: greedy
+    * overlap resolution for identical symbols needs run-parity state
+    * that buys nothing on natural-language corpora (documented
+    * limitation; the element-wise merge above is exact for a ≠ b). */
+  def q70BpeMerges(s: SparkSession, dir: String): DataFrame = {
+    var vocab = tokenized(s, dir)
+      .select(explode(col("w")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("syms", split(col("word"), ""))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    (1 to BpeRounds).foreach { r =>
+      val best = vocab
+        .select(col("freq"), col("syms"), posexplode(col("syms")).as(Seq("i", "x")))
+        .withColumn("nxt", try_element_at(col("syms"), col("i") + 2))
+        .filter(col("nxt").isNotNull && col("x") =!= col("nxt"))
+        .groupBy("x", "nxt").agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("x"), col("nxt"))
+        .limit(1).collect()(0)
+      val (a, b, cnt) = (best.getAs[String]("x"), best.getAs[String]("nxt"),
+        best.getAs[Long]("cnt"))
+      merges += ((r.toLong, a, b, cnt))
+      vocab = vocab.withColumn("syms", mergeOnce(col("syms"), a, b))
+    }
+    import s.implicits._
+    merges.toSeq.toDF("rank", "left_sym", "right_sym", "pair_count").orderBy("rank")
+  }
+
+  /** The oracle unrolls the same `BpeRounds` rounds as CTE chains:
+    * per-round pair counts → argmax (same tie-break) → element-wise
+    * merge comprehension (same emit/skip conditions). */
+  val q70Sql: String = {
+    def round(r: Int): String = {
+      val (v, best, vNext) = (s"vocab$r", s"best$r", s"vocab${r + 1}")
+      s"""$best AS (
+         |  SELECT x AS a, nxt AS b, cnt FROM (
+         |    SELECT p.x, p.nxt, sum(freq) AS cnt FROM (
+         |      SELECT freq,
+         |        unnest([{'x': syms[i], 'nxt': syms[i+1]}
+         |                for i in range(1, len(syms))]) AS p
+         |      FROM $v) t
+         |    WHERE p.x <> p.nxt
+         |    GROUP BY p.x, p.nxt)
+         |  ORDER BY cnt DESC, x, nxt LIMIT 1
+         |), $vNext AS (
+         |  SELECT word, freq,
+         |    list_filter([CASE
+         |        WHEN syms[i] = b1.a AND i < len(syms) AND syms[i+1] = b1.b
+         |          THEN b1.a || b1.b
+         |        WHEN i > 1 AND syms[i-1] = b1.a AND syms[i] = b1.b THEN NULL
+         |        ELSE syms[i] END
+         |      for i in range(1, len(syms) + 1)], s -> s IS NOT NULL) AS syms
+         |  FROM $v CROSS JOIN $best b1
+         |)""".stripMargin
+    }
+    val rounds = (1 to BpeRounds).map(round).mkString(",\n")
+    val out = (1 to BpeRounds).map { r =>
+      s"SELECT $r::BIGINT AS rank, a AS left_sym, b AS right_sym, " +
+        s"CAST(cnt AS BIGINT) AS pair_count FROM best$r"
+    }.mkString("\nUNION ALL ")
+    s"""WITH vocab1 AS (
+       |  SELECT word, count(*) AS freq, string_split(word, '') AS syms
+       |  FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS word FROM documents)
+       |  GROUP BY word
+       |),
+       |$rounds
+       |$out
+       |ORDER BY rank""".stripMargin
+  }
+
   // ------------------------------------------------ q68 mixing weights
 
   /** Target token share per language for the q68 mixture (sums to 1). */
@@ -1307,7 +1416,8 @@ object TextOps {
     "q64_lm_score" -> (q64LmScore _),
     "q67_dedup_clusters" -> (q67DedupClusters _),
     "q68_mix_weights" -> (q68MixWeights _),
-    "q69_modality_agreement" -> (q69ModalityAgreement _)
+    "q69_modality_agreement" -> (q69ModalityAgreement _),
+    "q70_bpe_merges" -> (q70BpeMerges _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -1332,6 +1442,7 @@ object TextOps {
     "q64_lm_score" -> q64Sql,
     "q67_dedup_clusters" -> q67Sql,
     "q68_mix_weights" -> q68Sql,
-    "q69_modality_agreement" -> q69Sql
+    "q69_modality_agreement" -> q69Sql,
+    "q70_bpe_merges" -> q70Sql
   )
 }

@@ -159,6 +159,19 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("BPE merges: k distinct non-self pairs with positive weighted counts") {
+    val rows = TextOps.q70BpeMerges(spark, dir).collect()
+    assert(rows.length == TextOps.BpeRounds)
+    assert(rows.map(_.getAs[Long]("rank")).toSeq == (1L to TextOps.BpeRounds).toSeq)
+    val pairs = rows.map(r => (r.getAs[String]("left_sym"), r.getAs[String]("right_sym")))
+    assert(pairs.distinct.length == pairs.length, "each round learns a new pair")
+    rows.foreach { r =>
+      assert(r.getAs[String]("left_sym") != r.getAs[String]("right_sym"),
+        "self-pairs are excluded by design")
+      assert(r.getAs[Long]("pair_count") > 0)
+    }
+  }
+
   test("mix weights: no upsampling, binding language keeps weight 1") {
     val rows = TextOps.q68MixWeights(spark, dir).collect()
     assert(rows.map(_.getAs[String]("lang")).toSet == TextOps.MixTarget.map(_._1).toSet)
