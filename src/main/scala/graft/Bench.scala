@@ -93,7 +93,10 @@ object Bench {
       "consume_json_e2e" -> (() => Main.consume(spark, e2e, tmp, avro = false).collect()),
       "consume_avro_transporte" -> (() => Main.consume(spark, transp, tmp, avro = true).collect()),
       "consume_json_transporte" -> (() => Main.consume(spark, transp, tmp, avro = false).collect()))
-    serdeRuns.foreach { case (name, go) => results(name) = measure(passes)(go) }
+    serdeRuns.foreach { case (name, go) =>
+      results(name) = measure(passes)(go)
+      flush(results, passes, 0L, conf, sfDir, cpus, partial = true)
+    }
 
     // ---- phase 2: headline queries at the SF dir
     val headline = Seq(
@@ -108,7 +111,8 @@ object Bench {
       // round-3 operators
       "q48_rolling_hash", "q62_repetition", "q63_chunk_overlap",
       "sq4_stream_sliding", "q64_lm_score", "q65_trunc_fidelity",
-      "q66_scene_cuts", "q67_dedup_clusters", "sq5_stream_enrich")
+      "q66_scene_cuts", "q67_dedup_clusters", "sq5_stream_enrich",
+      "q68_mix_weights", "q69_modality_agreement", "q70_bpe_merges")
     // shingle-index misses during TIMED passes only (warm passes are
     // expected to build it once per session+dir)
     var timedIndexMisses = 0L
@@ -128,16 +132,32 @@ object Bench {
               System.err.println(s"[bench] $name failed: ${e.getMessage}")
               results(name) = Timing(-1.0, Seq.empty)
           }
+          // flush after EVERY entry: a killed/timed-out run still
+          // leaves a parseable partial artifact at the well-known path
+          flush(results, passes, timedIndexMisses, conf, sfDir, cpus, partial = true)
       }
     }
+    val json = flush(results, passes, timedIndexMisses, conf, sfDir, cpus, partial = false)
+    println(json)
+    spark.stop()
+  }
 
+  /** Build the bench JSON from the results so far and write it to the
+    * well-known output path (sbt decorates stdout with [info]/[error]
+    * prefixes, so consumers read the file — SPARK_GRAFT_BENCH_OUT if
+    * set, else ./bench_out.json; see README "Benchmark output").
+    * `partial` marks in-progress snapshots. Returns the JSON line. */
+  private def flush(results: collection.Map[String, Timing], passes: Int,
+      timedIndexMisses: Long, conf: EngineConf, sfDir: String, cpus: Int,
+      partial: Boolean): String = {
     // locale-fixed formatting: the f-interpolator honors the JVM
     // default locale and would emit comma decimals (invalid JSON)
     def num(v: Double, places: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${places}f", Double.box(v))
     val medians = results.map { case (k, t) => k -> t.median }
     val total = medians.values.filter(_ >= 0).sum
-    val msgsPerSecAvro = conf.totalMensagens / medians("consume_avro_e2e")
+    val msgsPerSecAvro = medians.get("consume_avro_e2e")
+      .filter(_ > 0).map(conf.totalMensagens / _).getOrElse(0.0)
     val qs = medians.map { case (k, v) => s""""$k":${num(v, 3)}""" }
       .mkString("{", ",", "}")
     val detail = results.map { case (k, t) =>
@@ -147,17 +167,12 @@ object Bench {
     val json =
       s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,""" +
         s""""detail":$detail,"timed_passes":$passes,""" +
-        s""""shingle_index_hit":${timedIndexMisses == 0},""" +
+        s""""shingle_index_hit":${timedIndexMisses == 0},"partial":$partial,""" +
         s""""sf":"$sfDir","cpus":$cpus,"serde_msgs":${conf.totalMensagens},""" +
         s""""avro_e2e_msgs_per_sec":${num(msgsPerSecAvro, 1)}}"""
-    // machine-readable copy: sbt decorates stdout with [info]/[error]
-    // prefixes, so a parser scraping the log can fail — also write the
-    // JSON to a file: SPARK_GRAFT_BENCH_OUT if set, else bench_out.json
-    // in the cwd (the well-known path, see README "Benchmark output")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
     catch { case e: Exception => System.err.println(s"[bench] write $outPath: $e") }
-    println(json)
-    spark.stop()
+    json
   }
 }

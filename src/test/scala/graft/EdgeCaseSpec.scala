@@ -1,0 +1,72 @@
+package graft
+
+import graft.llmops.TextOps
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Row, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Degenerate-input robustness: a real pipeline meets empty partitions
+  * and single-document sources long before 100 TB. Every text operator
+  * must return an EMPTY (or well-defined minimal) result on an empty
+  * corpus — not throw — and survive a one-document corpus (windows,
+  * prefix sums, near-dup joins and the CC fixpoint all have n=0/n=1
+  * edge paths). */
+class EdgeCaseSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var emptyDir: String = _
+  private var oneDir: String = _
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.builder("edge-test", cores = 2).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import scala.jdk.CollectionConverters._
+    emptyDir = graft.operators.PlanCache.tempDir("graft_edge_empty_")
+    spark.createDataFrame(List.empty[Row].asJava, docSchema)
+      .write.parquet(s"$emptyDir/documents.parquet")
+    oneDir = graft.operators.PlanCache.tempDir("graft_edge_one_")
+    spark.createDataFrame(
+      List(Row(1L, "one tiny document about spark", "en", "src0", 29L)).asJava, docSchema)
+      .write.parquet(s"$oneDir/documents.parquet")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private val textOps = Seq(
+    "q30" -> (TextOps.q30TextStats _), "q32" -> (TextOps.q32Quality _),
+    "q34" -> (TextOps.q34ExactDedup _), "q35" -> (TextOps.q35JaccardPairs _),
+    "q37" -> (TextOps.q37NeardupLsh _), "q38" -> (TextOps.q38Simhash _),
+    "q48" -> (TextOps.q48RollingHash _), "q53" -> (TextOps.q53SimhashNeardup _),
+    "q55" -> (TextOps.q55VocabTopk _), "q56" -> (TextOps.q56SeqPack _),
+    "q57" -> (TextOps.q57StratifiedSample _), "q62" -> (TextOps.q62Repetition _),
+    "q63" -> (TextOps.q63ChunkOverlap _), "q67" -> (TextOps.q67DedupClusters _))
+
+  test("every text operator returns empty on an empty corpus, without throwing") {
+    textOps.foreach { case (name, fn) =>
+      val n = fn(spark, emptyDir).count()
+      assert(n == 0, s"$name returned $n rows on an empty corpus")
+    }
+  }
+
+  test("single-document corpus: per-doc ops emit one row, pair ops emit none") {
+    val perDoc = Seq("q38" -> (TextOps.q38Simhash _), "q48" -> (TextOps.q48RollingHash _),
+      "q62" -> (TextOps.q62Repetition _), "q63" -> (TextOps.q63ChunkOverlap _))
+    perDoc.foreach { case (name, fn) =>
+      assert(fn(spark, oneDir).count() == 1, s"$name must emit one row for one doc")
+    }
+    Seq("q35" -> (TextOps.q35JaccardPairs _), "q53" -> (TextOps.q53SimhashNeardup _),
+      "q67" -> (TextOps.q67DedupClusters _)).foreach { case (name, fn) =>
+      assert(fn(spark, oneDir).count() == 0, s"$name must emit no pairs for one doc")
+    }
+    // packing: one doc -> one chunk summary row
+    assert(TextOps.q56SeqPack(spark, oneDir).count() == 1)
+  }
+}
