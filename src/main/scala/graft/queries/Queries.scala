@@ -785,7 +785,11 @@ object Queries {
     events(s, dir)
       .groupBy("event_type")
       .agg(
-        approx_count_distinct(col("user_id")).as("approx_users"),
+        // rsd 1%: the default 5% makes the pinned 5% bound a ~1σ claim
+        // that fails sporadically at other scales (observed at sf0.1);
+        // at 1% rsd the 5% boolean is ~5σ — a real regression detector,
+        // and the sketch stays a few KB of register state
+        approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"),
         expr("approx_percentile(value, array(0.5, 0.9), 10000)").as("approx_p"),
         expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY value)").as("exact_p50"),
