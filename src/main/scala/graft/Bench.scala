@@ -112,7 +112,8 @@ object Bench {
       "q48_rolling_hash", "q62_repetition", "q63_chunk_overlap",
       "sq4_stream_sliding", "q64_lm_score", "q65_trunc_fidelity",
       "q66_scene_cuts", "q67_dedup_clusters", "sq5_stream_enrich",
-      "q68_mix_weights", "q69_modality_agreement", "q70_bpe_merges")
+      "q68_mix_weights", "q69_modality_agreement", "q70_bpe_merges",
+      "q71_bpe_tokenize")
     // shingle-index misses during TIMED passes only (warm passes are
     // expected to build it once per session+dir)
     var timedIndexMisses = 0L

@@ -1227,7 +1227,10 @@ object TextOps {
     * overlap resolution for identical symbols needs run-parity state
     * that buys nothing on natural-language corpora (documented
     * limitation; the element-wise merge above is exact for a ≠ b). */
-  def q70BpeMerges(s: SparkSession, dir: String): DataFrame = {
+  /** The BPE learning loop shared by q70 (the merges) and q71 (the
+    * merged vocabulary applied back to the corpus). */
+  private def bpeLearn(s: SparkSession, dir: String)
+      : (Seq[(Long, String, String, Long)], DataFrame) = {
     var vocab = tokenized(s, dir)
       .select(explode(col("w")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
@@ -1246,14 +1249,44 @@ object TextOps {
       merges += ((r.toLong, a, b, cnt))
       vocab = vocab.withColumn("syms", mergeOnce(col("syms"), a, b))
     }
+    (merges.toSeq, vocab)
+  }
+
+  def q70BpeMerges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    merges.toSeq.toDF("rank", "left_sym", "right_sym", "pair_count").orderBy("rank")
+    bpeLearn(s, dir)._1.toDF("rank", "left_sym", "right_sym", "pair_count").orderBy("rank")
+  }
+
+  /** q71: the learned BPE vocabulary APPLIED back to the corpus —
+    * per-language symbol accounting under the real (post-merge)
+    * tokenizer: whitespace tokens, total BPE symbols, and symbols per
+    * token. This is the number a training pipeline actually budgets
+    * with (context windows, mixing, cost are all in tokenizer units,
+    * not whitespace units — q56/q68 would consume exactly this).
+    *
+    * Scale shape: the corpus joins the (small, broadcast) merged
+    * vocabulary on the word — tokenize-by-lookup, the production
+    * shape; per-word symbol counts aggregate by lang. Integer sums,
+    * one final division. */
+  def q71BpeTokenize(s: SparkSession, dir: String): DataFrame = {
+    val vocab = bpeLearn(s, dir)._2
+      .select(col("word"), size(col("syms")).cast("long").as("bpe_len"))
+    tokenized(s, dir)
+      .select(col("lang"), col("doc_id"), explode(col("w")).as("word"))
+      .join(broadcast(vocab), Seq("word"))
+      .groupBy("lang")
+      .agg(count_distinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("ws_tokens"),
+        sum("bpe_len").as("bpe_symbols"),
+        (sum("bpe_len").cast("double") / count(lit(1))).as("symbols_per_token"))
+      .orderBy("lang")
   }
 
   /** The oracle unrolls the same `BpeRounds` rounds as CTE chains:
     * per-round pair counts → argmax (same tie-break) → element-wise
-    * merge comprehension (same emit/skip conditions). */
-  val q70Sql: String = {
+    * merge comprehension (same emit/skip conditions). Shared by the
+    * q70 (merges) and q71 (application) oracles. */
+  private val bpeCtes: String = {
     def round(r: Int): String = {
       val (v, best, vNext) = (s"vocab$r", s"best$r", s"vocab${r + 1}")
       s"""$best AS (
@@ -1278,19 +1311,38 @@ object TextOps {
          |)""".stripMargin
     }
     val rounds = (1 to BpeRounds).map(round).mkString(",\n")
-    val out = (1 to BpeRounds).map { r =>
-      s"SELECT $r::BIGINT AS rank, a AS left_sym, b AS right_sym, " +
-        s"CAST(cnt AS BIGINT) AS pair_count FROM best$r"
-    }.mkString("\nUNION ALL ")
-    s"""WITH vocab1 AS (
+    s"""vocab1 AS (
        |  SELECT word, count(*) AS freq, string_split(word, '') AS syms
        |  FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS word FROM documents)
        |  GROUP BY word
        |),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  val q70Sql: String = {
+    val out = (1 to BpeRounds).map { r =>
+      s"SELECT $r::BIGINT AS rank, a AS left_sym, b AS right_sym, " +
+        s"CAST(cnt AS BIGINT) AS pair_count FROM best$r"
+    }.mkString("\nUNION ALL ")
+    s"""WITH $bpeCtes
        |$out
        |ORDER BY rank""".stripMargin
   }
+
+  val q71Sql: String =
+    s"""WITH $bpeCtes,
+       |vlen AS (
+       |  SELECT word, len(syms) AS bpe_len FROM vocab${BpeRounds + 1}
+       |), tok AS (
+       |  SELECT lang, doc_id, unnest(string_split_regex(text, '\\s+')) AS word
+       |  FROM documents
+       |)
+       |SELECT lang, count(DISTINCT doc_id) AS n_docs,
+       |  count(*) AS ws_tokens,
+       |  CAST(sum(bpe_len) AS BIGINT) AS bpe_symbols,
+       |  CAST(sum(bpe_len) AS DOUBLE) / count(*) AS symbols_per_token
+       |FROM tok JOIN vlen USING (word)
+       |GROUP BY lang ORDER BY lang""".stripMargin
 
   // ------------------------------------------------ q68 mixing weights
 
@@ -1417,7 +1469,8 @@ object TextOps {
     "q67_dedup_clusters" -> (q67DedupClusters _),
     "q68_mix_weights" -> (q68MixWeights _),
     "q69_modality_agreement" -> (q69ModalityAgreement _),
-    "q70_bpe_merges" -> (q70BpeMerges _)
+    "q70_bpe_merges" -> (q70BpeMerges _),
+    "q71_bpe_tokenize" -> (q71BpeTokenize _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -1443,6 +1496,7 @@ object TextOps {
     "q67_dedup_clusters" -> q67Sql,
     "q68_mix_weights" -> q68Sql,
     "q69_modality_agreement" -> q69Sql,
-    "q70_bpe_merges" -> q70Sql
+    "q70_bpe_merges" -> q70Sql,
+    "q71_bpe_tokenize" -> q71Sql
   )
 }

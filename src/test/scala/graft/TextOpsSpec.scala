@@ -172,6 +172,19 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("BPE tokenize: symbol counts bounded by chars below, tokens above") {
+    val rows = TextOps.q71BpeTokenize(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ws, sym) = (r.getAs[Long]("ws_tokens"), r.getAs[Long]("bpe_symbols"))
+      // every word is at least one symbol; merges can only shrink the
+      // initial char decomposition
+      assert(sym >= ws, s"${r.getAs[String]("lang")}: fewer symbols than words")
+      val spt = r.getAs[Double]("symbols_per_token")
+      assert(spt >= 1.0 && spt < 20.0, s"symbols_per_token $spt implausible")
+    }
+  }
+
   test("mix weights: no upsampling, binding language keeps weight 1") {
     val rows = TextOps.q68MixWeights(spark, dir).collect()
     assert(rows.map(_.getAs[String]("lang")).toSet == TextOps.MixTarget.map(_._1).toSet)
