@@ -117,4 +117,19 @@ class CoreSpec extends AnyFunSuite {
     assert(m("totalMensagens") == 100L)
     assert(m("mensagensSucesso") == 99L)
   }
+
+  test("driver contract: oracle keys resolve, registries disjoint, entry non-empty") {
+    val q = SparkEntry.queries
+    val o = SparkEntry.oracleSql
+    // an oracle for a query that does not exist would silently weaken
+    // the gate (the driver skips unknown names)
+    assert(o.keySet.subsetOf(q.keySet), s"oracle-only keys: ${o.keySet -- q.keySet}")
+    // the merged map must not shadow: component registries stay disjoint
+    val parts = Seq(graft.queries.Queries.all, graft.llmops.TextOps.all,
+      graft.llmops.VectorOps.all, graft.llmops.MultimodalOps.all)
+    val streaming = 5 // sq1..sq5, added inline in SparkEntry
+    assert(q.size == parts.map(_.size).sum + streaming,
+      "duplicate query names across registries would shadow silently")
+    assert(SparkEntry.entry(spark).count() > 0, "driver smoke: entry must return rows")
+  }
 }

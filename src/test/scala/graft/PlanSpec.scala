@@ -169,6 +169,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"unexpected non-equi join in the LM score plan:\n$p64")
   }
 
+  test("BPE tokenize (q71): the merged vocabulary broadcasts to the corpus join") {
+    val plan = physical(TextOps.q71BpeTokenize(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"tokenize-by-lookup must broadcast the vocabulary:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian in q71:\n$plan")
+  }
+
   test("metrics aggregation is partial+final (map-side combine)") {
     val plan = physical(Queries.q01Metrics(spark, dir))
     val hashAggs = "HashAggregate".r.findAllIn(plan).length
