@@ -52,6 +52,11 @@ object Bench {
       else if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
+    /** Steady-state cost under contention: the box can only make a
+      * pass SLOWER, never faster, so the min is the least-contended
+      * observation (round-3 verdict #3 — a median of 3 under 3× pass
+      * spreads is a coin flip). Reported next to the median. */
+    def min: Double = if (timed.isEmpty) -1.0 else timed.min
   }
 
   /** One warm pass + `passes` timed passes. */
@@ -93,10 +98,25 @@ object Bench {
       "consume_json_e2e" -> (() => Main.consume(spark, e2e, tmp, avro = false).collect()),
       "consume_avro_transporte" -> (() => Main.consume(spark, transp, tmp, avro = true).collect()),
       "consume_json_transporte" -> (() => Main.consume(spark, transp, tmp, avro = false).collect()))
-    serdeRuns.foreach { case (name, go) =>
-      results(name) = measure(passes)(go)
-      flush(results, passes, 0L, conf, sfDir, cpus, partial = true)
+    // serde phase hardening (round-3 verdict #3: these are the
+    // headline reference-parity numbers and showed 3× pass spreads
+    // under box contention): ≥5 timed passes each — they are
+    // seconds-cheap — and the passes are INTERLEAVED round-robin
+    // across the six entries, so one contention burst degrades one
+    // pass of every entry instead of every pass of one entry
+    val serdePasses = math.max(passes, 5)
+    val serdeWarm = serdeRuns.map { case (name, go) => name -> time(go()) }.toMap
+    val serdeTimed = scala.collection.mutable.LinkedHashMap[String, Vector[Double]](
+      serdeRuns.map { case (name, _) => name -> Vector.empty[Double] }: _*)
+    (1 to serdePasses).foreach { _ =>
+      serdeRuns.foreach { case (name, go) =>
+        serdeTimed(name) = serdeTimed(name) :+ time(go())
+      }
     }
+    serdeRuns.foreach { case (name, _) =>
+      results(name) = Timing(serdeWarm(name), serdeTimed(name))
+    }
+    flush(results, passes, 0L, conf, sfDir, cpus, partial = true)
 
     // ---- phase 2: headline queries at the SF dir
     val headline = Seq(
@@ -113,7 +133,12 @@ object Bench {
       "sq4_stream_sliding", "q64_lm_score", "q65_trunc_fidelity",
       "q66_scene_cuts", "q67_dedup_clusters", "sq5_stream_enrich",
       "q68_mix_weights", "q69_modality_agreement", "q70_bpe_merges",
-      "q71_bpe_tokenize")
+      "q71_bpe_tokenize",
+      // round-4: the cheap previously-uncovered entries (verdict #5 —
+      // regressions in them were invisible) + the new capped LM
+      "q42_label_centroids", "q46_frame_sample", "q52_sketches",
+      "q54_frame_features", "q58_embed_quantize", "q61_ivf_recall",
+      "sq2_stream_dedup", "sq3_stream_join", "q72_lm_score_capped")
     // shingle-index misses during TIMED passes only (warm passes are
     // expected to build it once per session+dir)
     var timedIndexMisses = 0L
@@ -163,11 +188,15 @@ object Bench {
       .mkString("{", ",", "}")
     val detail = results.map { case (k, t) =>
       val timed = t.timed.map(num(_, 3)).mkString("[", ",", "]")
-      s""""$k":{"warm":${num(t.warm, 3)},"timed":$timed}"""
+      s""""$k":{"warm":${num(t.warm, 3)},"min":${num(t.min, 3)},"timed":$timed}"""
     }.mkString("{", ",", "}")
+    // steady-state view (min-of-N): under contention the min is the
+    // honest per-entry cost; the headline `queries` stays the median
+    val qmins = results.map { case (k, t) => s""""$k":${num(t.min, 3)}""" }
+      .mkString("{", ",", "}")
     val json =
       s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,""" +
-        s""""detail":$detail,"timed_passes":$passes,""" +
+        s""""queries_min":$qmins,"detail":$detail,"timed_passes":$passes,""" +
         s""""shingle_index_hit":${timedIndexMisses == 0},"partial":$partial,""" +
         s""""sf":"$sfDir","cpus":$cpus,"serde_msgs":${conf.totalMensagens},""" +
         s""""avro_e2e_msgs_per_sec":${num(msgsPerSecAvro, 1)}}"""

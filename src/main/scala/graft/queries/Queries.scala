@@ -448,11 +448,15 @@ object Queries {
   private final case class BucketedLayout(liTbl: String, oTbl: String, base: String)
 
   private val bucketedTables =
-    new graft.operators.PlanCache[BucketedLayout]("bucketed_tables")({ (sess, v) =>
-      sess.sql(s"DROP TABLE IF EXISTS ${v.liTbl}")
-      sess.sql(s"DROP TABLE IF EXISTS ${v.oTbl}")
-      graft.operators.PlanCache.deleteRecursively(java.nio.file.Paths.get(v.base))
-    })
+    new graft.operators.PlanCache[BucketedLayout]("bucketed_tables")(
+      { (sess, v) =>
+        sess.sql(s"DROP TABLE IF EXISTS ${v.liTbl}")
+        sess.sql(s"DROP TABLE IF EXISTS ${v.oTbl}")
+        graft.operators.PlanCache.deleteRecursively(java.nio.file.Paths.get(v.base))
+      },
+      // local phase for stopped-session eviction: the catalog died
+      // with the session, the layout dir did not
+      v => graft.operators.PlanCache.deleteRecursively(java.nio.file.Paths.get(v.base)))
 
   private def ensureBucketed(s: SparkSession, dir: String): (String, String) = {
     val layout = bucketedTables.get(s, dir, graft.sources.FsSig.of(s"$dir/lineitem.parquet")) {
@@ -534,8 +538,11 @@ object Queries {
     * elision. Superseded layouts are deleted; dirs also registered for
     * JVM-exit cleanup. */
   private val partitionedDocs =
-    new graft.operators.PlanCache[String]("partitioned_docs")((_, base) =>
-      graft.operators.PlanCache.deleteRecursively(java.nio.file.Paths.get(base)))
+    new graft.operators.PlanCache[String]("partitioned_docs")(
+      (_, base) =>
+        graft.operators.PlanCache.deleteRecursively(java.nio.file.Paths.get(base)),
+      base =>
+        graft.operators.PlanCache.deleteRecursively(java.nio.file.Paths.get(base)))
 
   private def ensureLangPartitioned(s: SparkSession, dir: String): String =
     partitionedDocs.get(s, dir, graft.sources.FsSig.of(s"$dir/documents.parquet")) {

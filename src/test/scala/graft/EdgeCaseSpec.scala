@@ -47,7 +47,12 @@ class EdgeCaseSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q48" -> (TextOps.q48RollingHash _), "q53" -> (TextOps.q53SimhashNeardup _),
     "q55" -> (TextOps.q55VocabTopk _), "q56" -> (TextOps.q56SeqPack _),
     "q57" -> (TextOps.q57StratifiedSample _), "q62" -> (TextOps.q62Repetition _),
-    "q63" -> (TextOps.q63ChunkOverlap _), "q67" -> (TextOps.q67DedupClusters _))
+    "q63" -> (TextOps.q63ChunkOverlap _), "q67" -> (TextOps.q67DedupClusters _),
+    // round-3 ADVICE: q70/q71 were excluded from the sweep and the BPE
+    // argmax indexed an empty collect on an empty corpus; the loop now
+    // stops early with fewer-than-BpeRounds merges
+    "q64" -> (TextOps.q64LmScore _), "q70" -> (TextOps.q70BpeMerges _),
+    "q71" -> (TextOps.q71BpeTokenize _), "q72" -> (TextOps.q72LmScoreCapped _))
 
   test("every text operator returns empty on an empty corpus, without throwing") {
     textOps.foreach { case (name, fn) =>
@@ -68,5 +73,22 @@ class EdgeCaseSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     // packing: one doc -> one chunk summary row
     assert(TextOps.q56SeqPack(spark, oneDir).count() == 1)
+  }
+
+  test("BPE learning stops early when the vocabulary has no mergeable pair") {
+    // every word is a single symbol → zero adjacent pairs → the merge
+    // loop must emit ZERO merges (not index an empty argmax) and the
+    // tokenizer must degrade to 1 symbol per token
+    import scala.jdk.CollectionConverters._
+    val dir = graft.operators.PlanCache.tempDir("graft_edge_1char_")
+    spark.createDataFrame(
+      List(Row(1L, "a b a c", "en", "src0", 7L)).asJava, docSchema)
+      .write.parquet(s"$dir/documents.parquet")
+    assert(TextOps.q70BpeMerges(spark, dir).count() == 0,
+      "no mergeable pair -> no merge rules")
+    val t = TextOps.q71BpeTokenize(spark, dir).collect()
+    assert(t.length == 1 && t.head.getAs[Long]("ws_tokens") == 4L &&
+      t.head.getAs[Long]("bpe_symbols") == 4L,
+      "single-char words tokenize to exactly one symbol each")
   }
 }

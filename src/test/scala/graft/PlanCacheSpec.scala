@@ -85,6 +85,29 @@ class PlanCacheSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(released.toSeq == Seq("first"), "stale entry must be released")
   }
 
+  // This test stops the shared session and swaps in a fresh one (only
+  // the spark-free temp-dir test runs after it). Round-3 ADVICE:
+  // dropping a stopped session's entries skipped release entirely, so
+  // disk-backed layouts lingered until JVM exit; the local-release
+  // phase must run at eviction time.
+  test("stopped-session eviction releases LOCAL resources (layout dirs) eagerly") {
+    val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
+    val c = new PlanCache[String]("t6")(
+      (_, _) => (),
+      v => { deleted += v; PlanCache.deleteRecursively(java.nio.file.Paths.get(v)) })
+    val dir = PlanCache.tempDir("graft_stopped_sess_")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "layout.bin"), "x")
+    c.get(spark, "k", 1L)(dir)
+    spark.stop()
+    val fresh = GraftSession.builder("plancache-test-2", cores = 2).getOrCreate()
+    spark = fresh // afterAll stops this one
+    c.get(fresh, "other", 1L)("v2") // any access sweeps dead sessions
+    assert(deleted.toSeq == Seq(dir),
+      "local release must run when the stopped session's entry is dropped")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir)),
+      "the orphaned layout dir must be gone before JVM exit")
+  }
+
   test("temp dirs are tracked and recursively deletable") {
     val d = PlanCache.tempDir("graft_cache_spec_")
     val sub = java.nio.file.Paths.get(d, "x")

@@ -121,6 +121,63 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"offsets must broadcast-join back:\n$p56")
   }
 
+  test("packing (q56): pid-consistent across branches — cached parted + serial-window equality") {
+    // round-3 ADVICE (medium), confirmed live on inspection: before
+    // the persist, the executed plan materialized TWO independent
+    // range exchanges (column pruning broke canonical equality for the
+    // offsets branch, defeating exchange reuse), each drawing its own
+    // RangePartitioner sample — boundary rows could get different pids
+    // in totals vs. the window. The persisted `parted` substitutes on
+    // the ANALYZED plan, so all three references read one cached RDD.
+    val df = TextOps.q56SeqPack(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("InMemoryTableScan"),
+      s"q56's range-partitioned frame must be read from the single cached RDD:\n$plan")
+    // semantic pin, partitioning-independent: the distributed prefix
+    // sum must equal the serial one-window-per-language formulation
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("doc_id")
+    val expected = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("lang"), col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("long").as("tk"))
+      .withColumn("run", sum("tk").over(w))
+      .withColumn("chunk", expr(s"(run - tk) div ${TextOps.PackBudget}"))
+      .groupBy("lang", "chunk")
+      .agg(count(lit(1)).as("n_docs"), sum("tk").as("chunk_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("lang", "chunk")
+      .collect().toSeq
+    assert(df.collect().toSeq == expected,
+      "distributed two-phase prefix sum must equal the serial window result")
+  }
+
+  test("modality agreement (q69): pair pipelines materialize once, plan reads no files") {
+    // round-3 verdict #1: nt/nb and ne/nb each referenced an expensive
+    // pipeline twice with no persist. Both pair sets are now eagerly
+    // checkpointed at construction, so the aggregation plan must read
+    // ONLY the two checkpointed RDDs — any FileScan would mean a
+    // pipeline re-executes inside the final query.
+    val df = TextOps.q69ModalityAgreement(spark, dir)
+    val plan = physical(df)
+    assert(!plan.contains("FileScan"),
+      s"q69 must aggregate over the checkpointed pair sets, not re-run the pipelines:\n$plan")
+    assert(plan.contains("ExistingRDD"),
+      s"q69's leaves should be the checkpointed pair RDDs:\n$plan")
+  }
+
+  test("capped LM (q72): scoring joins broadcast, top-K is distributed, corpus never shuffle-joined") {
+    val df = TextOps.q72LmScoreCapped(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"capped LM + context tables must broadcast to the scoring join:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"the corpus must never shuffle against the LM table:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the top-K cut must be distributed partial top-K, not a global sort:\n$plan")
+  }
+
   test("sampling plan (q57): no joins, one pass over the corpus") {
     val p57 = physical(TextOps.q57StratifiedSample(spark, dir))
     assert(!p57.contains("Join"), "hash-based sampling needs no join")
