@@ -112,11 +112,15 @@ object Bench {
       serdeRuns.foreach { case (name, go) =>
         serdeTimed(name) = serdeTimed(name) :+ time(go())
       }
+      // crash-artifact guarantee inside the (now longer) serde phase:
+      // a run killed mid-phase still leaves a parseable partial with
+      // every completed round-robin pass, matching phase 2's
+      // flush-after-every-entry discipline (round-4 ADVICE)
+      serdeRuns.foreach { case (name, _) =>
+        results(name) = Timing(serdeWarm(name), serdeTimed(name))
+      }
+      flush(results, passes, serdePasses, 0L, conf, sfDir, cpus, partial = true)
     }
-    serdeRuns.foreach { case (name, _) =>
-      results(name) = Timing(serdeWarm(name), serdeTimed(name))
-    }
-    flush(results, passes, 0L, conf, sfDir, cpus, partial = true)
 
     // ---- phase 2: headline queries at the SF dir
     val headline = Seq(
@@ -138,7 +142,9 @@ object Bench {
       // regressions in them were invisible) + the new capped LM
       "q42_label_centroids", "q46_frame_sample", "q52_sketches",
       "q54_frame_features", "q58_embed_quantize", "q61_ivf_recall",
-      "sq2_stream_dedup", "sq3_stream_join", "q72_lm_score_capped")
+      "sq2_stream_dedup", "sq3_stream_join", "q72_lm_score_capped",
+      // round-5 operators
+      "q73_bpe_exhausted")
     // shingle-index misses during TIMED passes only (warm passes are
     // expected to build it once per session+dir)
     var timedIndexMisses = 0L
@@ -160,10 +166,12 @@ object Bench {
           }
           // flush after EVERY entry: a killed/timed-out run still
           // leaves a parseable partial artifact at the well-known path
-          flush(results, passes, timedIndexMisses, conf, sfDir, cpus, partial = true)
+          flush(results, passes, serdePasses, timedIndexMisses, conf, sfDir, cpus,
+            partial = true)
       }
     }
-    val json = flush(results, passes, timedIndexMisses, conf, sfDir, cpus, partial = false)
+    val json =
+      flush(results, passes, serdePasses, timedIndexMisses, conf, sfDir, cpus, partial = false)
     println(json)
     spark.stop()
   }
@@ -174,8 +182,8 @@ object Bench {
     * set, else ./bench_out.json; see README "Benchmark output").
     * `partial` marks in-progress snapshots. Returns the JSON line. */
   private def flush(results: collection.Map[String, Timing], passes: Int,
-      timedIndexMisses: Long, conf: EngineConf, sfDir: String, cpus: Int,
-      partial: Boolean): String = {
+      serdePasses: Int, timedIndexMisses: Long, conf: EngineConf, sfDir: String,
+      cpus: Int, partial: Boolean): String = {
     // locale-fixed formatting: the f-interpolator honors the JVM
     // default locale and would emit comma decimals (invalid JSON)
     def num(v: Double, places: Int): String =
@@ -196,7 +204,12 @@ object Bench {
       .mkString("{", ",", "}")
     val json =
       s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,""" +
+        // timed_passes describes phase-2 query entries; the serde
+        // entries run math.max(passes,5) interleaved passes and carry
+        // their own count (round-4 ADVICE: one global count
+        // misdescribed the serde detail arrays)
         s""""queries_min":$qmins,"detail":$detail,"timed_passes":$passes,""" +
+        s""""serde_timed_passes":$serdePasses,""" +
         s""""shingle_index_hit":${timedIndexMisses == 0},"partial":$partial,""" +
         s""""sf":"$sfDir","cpus":$cpus,"serde_msgs":${conf.totalMensagens},""" +
         s""""avro_e2e_msgs_per_sec":${num(msgsPerSecAvro, 1)}}"""

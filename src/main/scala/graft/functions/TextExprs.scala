@@ -91,13 +91,19 @@ case class TokenPolyHash(child: Expression) extends UnaryExpression {
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
-      // ev.isNull is only an assignable variable when `nullable`; with
-      // containsNull=false input the element check is statically elided
-      val onNullElem =
-        if (nullable) s"${ev.isNull} = true; break;"
-        else "throw new IllegalStateException(\"graft_polyhash: null element in non-null array\");"
+      // per-element check only when the element TYPE admits nulls:
+      // with containsNull=false the guard is statically elided even
+      // when the array itself is nullable (nullSafeCodeGen already
+      // short-circuits the array-level null, and gating on the
+      // expression-level `nullable` — which is also true in that case
+      // — would emit a dead check per element). containsNull=true
+      // implies `nullable`, so ev.isNull is assignable here.
+      val elemMayBeNull = child.dataType match {
+        case ArrayType(_, containsNull) => containsNull
+        case _ => true
+      }
       val nullCheck =
-        if (nullable) s"if ($a.isNullAt($i)) { $onNullElem }"
+        if (elemMayBeNull) s"if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }"
         else ""
       s"""
          |int $n = $a.numElements();

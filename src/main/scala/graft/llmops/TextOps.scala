@@ -1425,12 +1425,17 @@ object TextOps {
     * overlap resolution for identical symbols needs run-parity state
     * that buys nothing on natural-language corpora (documented
     * limitation; the element-wise merge above is exact for a ≠ b). */
-  /** The BPE learning loop shared by q70 (the merges) and q71 (the
-    * merged vocabulary applied back to the corpus). */
-  private def bpeLearn(s: SparkSession, dir: String)
+  /** The BPE learning loop shared by q70 (the merges), q71 (the
+    * merged vocabulary applied back to the corpus) and q73 (the
+    * exhaustion-regime certification). `project` maps each corpus
+    * word before learning (identity for the real tokenizer; q73
+    * projects to the first character to force a pair-free vocab). */
+  private def bpeLearn(s: SparkSession, dir: String,
+      project: Column => Column = identity)
       : (Seq[(Long, String, String, Long)], DataFrame) = {
     var vocab = tokenized(s, dir)
-      .select(explode(col("w")).as("word"))
+      .select(explode(col("w")).as("raw_word"))
+      .select(project(col("raw_word")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .withColumn("syms", split(col("word"), ""))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
@@ -1494,8 +1499,22 @@ object TextOps {
   /** The oracle unrolls the same `BpeRounds` rounds as CTE chains:
     * per-round pair counts → argmax (same tie-break) → element-wise
     * merge comprehension (same emit/skip conditions). Shared by the
-    * q70 (merges) and q71 (application) oracles. */
-  private val bpeCtes: String = {
+    * q70 (merges) and q71 (application) oracles.
+    *
+    * Exhaustion parity with `bpeLearn`'s early exit: each vocab chain
+    * step LEFT-joins its best-pair row, so when a round has NO
+    * mergeable pair (best_r empty) the NULL-joined CASE arms all fall
+    * through to `ELSE syms[i]` and vocab{r+1} = vocab_r — the chain
+    * carries the last merged state forward instead of emptying, and
+    * q71Sql tokenizes with the same vocabulary Spark applies. (q70Sql
+    * is unaffected: an empty best_r contributes zero UNION-ALL rows,
+    * matching the shorter Spark merge list.)
+    *
+    * `wordSrc` is the corpus word subquery (one `word` column) the
+    * vocabulary is built over — the real whitespace tokenizer for
+    * q70/q71, the q73 first-character projection for the exhaustion
+    * certification. */
+  private def bpeCtesOver(wordSrc: String): String = {
     def round(r: Int): String = {
       val (v, best, vNext) = (s"vocab$r", s"best$r", s"vocab${r + 1}")
       s"""$best AS (
@@ -1516,17 +1535,23 @@ object TextOps {
          |        WHEN i > 1 AND syms[i-1] = b1.a AND syms[i] = b1.b THEN NULL
          |        ELSE syms[i] END
          |      for i in range(1, len(syms) + 1)], s -> s IS NOT NULL) AS syms
-         |  FROM $v CROSS JOIN $best b1
+         |  FROM $v LEFT JOIN $best b1 ON TRUE
          |)""".stripMargin
     }
     val rounds = (1 to BpeRounds).map(round).mkString(",\n")
     s"""vocab1 AS (
        |  SELECT word, count(*) AS freq, string_split(word, '') AS syms
-       |  FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS word FROM documents)
+       |  FROM ($wordSrc)
        |  GROUP BY word
        |),
        |$rounds""".stripMargin
   }
+
+  /** The real corpus word source: whitespace tokens of `documents`. */
+  private val bpeWordSrc: String =
+    "SELECT unnest(string_split_regex(text, '\\s+')) AS word FROM documents"
+
+  private val bpeCtes: String = bpeCtesOver(bpeWordSrc)
 
   val q70Sql: String = {
     val out = (1 to BpeRounds).map { r =>
@@ -1552,6 +1577,67 @@ object TextOps {
        |  CAST(sum(bpe_len) AS DOUBLE) / count(*) AS symbols_per_token
        |FROM tok JOIN vlen USING (word)
        |GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ------------------------------------- q73 BPE exhaustion certification
+
+  /** q73: BPE early-exit certification — the q71 accounting run over a
+    * corpus projection (every word truncated to its FIRST character)
+    * that guarantees a pair-free vocabulary: single-symbol words have
+    * no adjacent pairs, so round 1 finds no mergeable pair and the
+    * learner must stop with ZERO merges while still applying the
+    * (unmerged) vocabulary. The emitted `n_merges` column pins the
+    * early exit itself, and the per-language symbol accounting pins
+    * that the post-exhaustion vocabulary is the last valid state
+    * (bpe_symbols == ws_tokens, symbols_per_token == 1.0).
+    *
+    * This makes the exhaustion regime a DRIVER-CHECKED oracle pair
+    * rather than a local-only spec: the DuckDB chain (q73Sql) takes
+    * the same LEFT-JOIN no-op path on every round, so a regression in
+    * either engine's exhaustion semantics breaks the hash (round-4
+    * ADVICE: the q71 oracle silently emptied on exhausted corpora and
+    * nothing driver-side would have caught it). */
+  def q73BpeExhausted(s: SparkSession, dir: String): DataFrame = {
+    val proj: Column => Column = w => substring(w, 1, 1)
+    val (merges, learned) = bpeLearn(s, dir, proj)
+    val vocab = learned
+      .select(col("word"), size(col("syms")).cast("long").as("bpe_len"))
+    tokenized(s, dir)
+      .select(col("lang"), col("doc_id"), explode(col("w")).as("raw_word"))
+      .select(col("lang"), col("doc_id"), proj(col("raw_word")).as("word"))
+      .join(broadcast(vocab), Seq("word"))
+      .groupBy("lang")
+      .agg(count_distinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("ws_tokens"),
+        sum("bpe_len").as("bpe_symbols"),
+        (sum("bpe_len").cast("double") / count(lit(1))).as("symbols_per_token"))
+      .withColumn("n_merges", lit(merges.size.toLong))
+      .orderBy("lang")
+  }
+
+  val q73Sql: String = {
+    val firstCharSrc =
+      s"SELECT substring(word, 1, 1) AS word FROM ($bpeWordSrc)"
+    val mergeCount = (1 to BpeRounds)
+      .map(r => s"(SELECT count(*) FROM best$r)").mkString(" + ")
+    s"""WITH ${bpeCtesOver(firstCharSrc)},
+       |vlen AS (
+       |  SELECT word, len(syms) AS bpe_len FROM vocab${BpeRounds + 1}
+       |), tok0 AS (
+       |  SELECT lang, doc_id, unnest(string_split_regex(text, '\\s+')) AS word
+       |  FROM documents
+       |), tok AS (
+       |  SELECT lang, doc_id, substring(word, 1, 1) AS word FROM tok0
+       |), nm AS (
+       |  SELECT CAST($mergeCount AS BIGINT) AS n_merges
+       |)
+       |SELECT lang, count(DISTINCT doc_id) AS n_docs,
+       |  count(*) AS ws_tokens,
+       |  CAST(sum(bpe_len) AS BIGINT) AS bpe_symbols,
+       |  CAST(sum(bpe_len) AS DOUBLE) / count(*) AS symbols_per_token,
+       |  nm.n_merges
+       |FROM tok JOIN vlen USING (word) CROSS JOIN nm
+       |GROUP BY lang, nm.n_merges ORDER BY lang""".stripMargin
+  }
 
   // ------------------------------------------------ q68 mixing weights
 
@@ -1700,7 +1786,8 @@ object TextOps {
     "q69_modality_agreement" -> (q69ModalityAgreement _),
     "q70_bpe_merges" -> (q70BpeMerges _),
     "q71_bpe_tokenize" -> (q71BpeTokenize _),
-    "q72_lm_score_capped" -> (q72LmScoreCapped _)
+    "q72_lm_score_capped" -> (q72LmScoreCapped _),
+    "q73_bpe_exhausted" -> (q73BpeExhausted _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -1728,6 +1815,7 @@ object TextOps {
     "q69_modality_agreement" -> q69Sql,
     "q70_bpe_merges" -> q70Sql,
     "q71_bpe_tokenize" -> q71Sql,
-    "q72_lm_score_capped" -> q72Sql
+    "q72_lm_score_capped" -> q72Sql,
+    "q73_bpe_exhausted" -> q73Sql
   )
 }

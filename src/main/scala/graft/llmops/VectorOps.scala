@@ -337,28 +337,47 @@ object VectorOps {
     * the recall-vs-exact quality claim is asserted separately
     * (VectorOpsSpec survivors == all-pairs at the tested scales), the
     * same division of labor as q41/q47. */
-  def q43CosNeardup(s: SparkSession, dir: String): DataFrame = {
+  def q43CosNeardup(s: SparkSession, dir: String): DataFrame =
+    cosNeardupPipeline(s, dir, RecallPlanes)
+
+  /** The LSH near-dup pipeline shared by the certified fixed-geometry
+    * q43 and the n-adaptive production twin — parameterized only by
+    * the plane count.
+    *
+    * Shuffle discipline (round-5 rework; the previous shape carried
+    * the 128-float vector payload through the probe explode, a
+    * `tables × probes` ≈ 132× amplification of ~512 B/row that
+    * dominated the join shuffle and re-ran the cosine for every
+    * bucket a pair met in): the candidate join moves NARROW
+    * (id, tbl, bucket) rows only, candidate pairs are deduplicated
+    * BEFORE any arithmetic, and the vectors are fetched once per
+    * distinct pair by two id equi-joins. At 100 TB this is the only
+    * viable shape — the index shuffle is O(n·tables·probes) ids, not
+    * O(n·tables·probes) embeddings, and the dot-product count equals
+    * the distinct candidate set instead of the bucket-collision
+    * multiset. Output is identical (same distinct pair set, same
+    * rounded cosines). */
+  private def cosNeardupPipeline(s: SparkSession, dir: String, planes: Int): DataFrame = {
     val e = emb(s, dir).select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", norm(col("v")))
-    val planes = RecallPlanes
     val wb = withBucketCols(e, planes, Tables)
-    val right = wb.select(col("vec_id").as("vec_b"), col("v").as("w"),
-        col("nrm").as("wnrm"), tableStructs(Tables).as("tb"))
-      .select(col("vec_b"), col("w"), col("wnrm"),
-        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val right = wb.select(col("vec_id").as("vec_b"), tableStructs(Tables).as("tb"))
+      .select(col("vec_b"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
     val flips = explode(array(probeMasks(planes, NearDupProbeRadius).map(lit(_)): _*))
-    val left = wb.select(col("vec_id").as("vec_a"), col("v"), col("nrm"),
-        tableStructs(Tables).as("tb"))
-      .select(col("vec_a"), col("v"), col("nrm"),
-        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"), flips.as("flip"))
-      .select(col("vec_a"), col("v"), col("nrm"), col("tbl"),
-        expr("int(bucket ^ flip)").as("bucket"))
-    left.join(right, Seq("tbl", "bucket"))
+    val left = wb.select(col("vec_id").as("vec_a"), tableStructs(Tables).as("tb"))
+      .select(col("vec_a"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"),
+        flips.as("flip"))
+      .select(col("vec_a"), col("tbl"), expr("int(bucket ^ flip)").as("bucket"))
+    val cand = left.join(right, Seq("tbl", "bucket"))
       .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b")
+      .distinct() // a pair can meet in several tables/probed buckets
+    val va = e.select(col("vec_id").as("vec_a"), col("v"), col("nrm"))
+    val vb = e.select(col("vec_id").as("vec_b"), col("v").as("w"), col("nrm").as("wnrm"))
+    cand.join(va, Seq("vec_a")).join(vb, Seq("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         round(dot(col("v"), col("w")) / (col("nrm") * col("wnrm")), 6).as("sim"))
       .filter(col("sim") >= NearDupCos)
-      .distinct() // a pair can meet in several tables/probed buckets
       .orderBy("vec_a", "vec_b")
   }
 
@@ -371,30 +390,8 @@ object VectorOps {
     * the exact all-pairs survivors at the tested scales. At the
     * driver's sf0.01 gate planesFor(500) = RecallPlanes = 6, so q43's
     * certified geometry IS this path's configuration there. */
-  def cosNeardupAdaptive(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir).select(col("vec_id"), col("embedding").as("v"))
-      .withColumn("nrm", norm(col("v")))
-    val planes = planesFor(nVectors(s, dir))
-    val wb = withBucketCols(e, planes, Tables)
-    val right = wb.select(col("vec_id").as("vec_b"), col("v").as("w"),
-        col("nrm").as("wnrm"), tableStructs(Tables).as("tb"))
-      .select(col("vec_b"), col("w"), col("wnrm"),
-        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-    val flips = explode(array(probeMasks(planes, NearDupProbeRadius).map(lit(_)): _*))
-    val left = wb.select(col("vec_id").as("vec_a"), col("v"), col("nrm"),
-        tableStructs(Tables).as("tb"))
-      .select(col("vec_a"), col("v"), col("nrm"),
-        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"), flips.as("flip"))
-      .select(col("vec_a"), col("v"), col("nrm"), col("tbl"),
-        expr("int(bucket ^ flip)").as("bucket"))
-    left.join(right, Seq("tbl", "bucket"))
-      .filter(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"),
-        round(dot(col("v"), col("w")) / (col("nrm") * col("wnrm")), 6).as("sim"))
-      .filter(col("sim") >= NearDupCos)
-      .distinct()
-      .orderBy("vec_a", "vec_b")
-  }
+  def cosNeardupAdaptive(s: SparkSession, dir: String): DataFrame =
+    cosNeardupPipeline(s, dir, planesFor(nVectors(s, dir)))
 
   /** The all-pairs exact formulation q43 replaced — kept as the
     * correctness baseline the spec compares against (same role q40

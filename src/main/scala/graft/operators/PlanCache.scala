@@ -86,10 +86,16 @@ final class PlanCache[V](val name: String, maxEntries: Int = 8)(
   def misses: Long = missCount.get
   def size: Int = synchronized(entries.size)
 
-  /** Release and drop every entry (test hook). */
+  /** Release and drop every entry (test hook). Mirrors `get`'s
+    * eviction split: live sessions get the full release, stopped ones
+    * the local-resource phase (their distributed state is gone, but
+    * layout temp dirs are not — round-4 ADVICE: dropping them here
+    * without releaseLocal leaked exactly the dirs the stopped-session
+    * sweep in `get` was added to reclaim). */
   def clear(): Unit = synchronized {
     entries.foreach { case ((sess, _), e) =>
       if (!sess.sparkContext.isStopped) releaseQuietly(sess, e.value)
+      else releaseLocalQuietly(e.value)
     }
     entries.clear()
   }

@@ -52,7 +52,8 @@ class EdgeCaseSpec extends AnyFunSuite with BeforeAndAfterAll {
     // argmax indexed an empty collect on an empty corpus; the loop now
     // stops early with fewer-than-BpeRounds merges
     "q64" -> (TextOps.q64LmScore _), "q70" -> (TextOps.q70BpeMerges _),
-    "q71" -> (TextOps.q71BpeTokenize _), "q72" -> (TextOps.q72LmScoreCapped _))
+    "q71" -> (TextOps.q71BpeTokenize _), "q72" -> (TextOps.q72LmScoreCapped _),
+    "q73" -> (TextOps.q73BpeExhausted _))
 
   test("every text operator returns empty on an empty corpus, without throwing") {
     textOps.foreach { case (name, fn) =>
@@ -90,5 +91,33 @@ class EdgeCaseSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.length == 1 && t.head.getAs[Long]("ws_tokens") == 4L &&
       t.head.getAs[Long]("bpe_symbols") == 4L,
       "single-char words tokenize to exactly one symbol each")
+    // the driver-checked exhaustion certification (q73) must agree
+    val c = TextOps.q73BpeExhausted(spark, dir).collect()
+    assert(c.length == 1 && c.head.getAs[Long]("n_merges") == 0L &&
+      c.head.getAs[Long]("bpe_symbols") == c.head.getAs[Long]("ws_tokens"),
+      "q73 pins zero merges and 1 symbol per token on a pair-free vocab")
+  }
+
+  test("BPE merges then exhausts when the vocabulary collapses mid-run") {
+    // 'ab ab ab': round 1 merges (a,b) -> every word is one symbol ->
+    // rounds 2..BpeRounds find no pair. The learner must keep the ONE
+    // valid merge and tokenize with the post-merge vocabulary (the
+    // round-4 ADVICE regime where the oracle's CROSS JOIN chain
+    // emptied; DuckDB parity of the LEFT-JOIN chain was validated on
+    // this exact fixture and is driver-pinned via q73's projection)
+    import scala.jdk.CollectionConverters._
+    val dir = graft.operators.PlanCache.tempDir("graft_edge_midrun_")
+    spark.createDataFrame(
+      List(Row(1L, "ab ab ab", "en", "src0", 8L)).asJava, docSchema)
+      .write.parquet(s"$dir/documents.parquet")
+    val m = TextOps.q70BpeMerges(spark, dir).collect()
+    assert(m.length == 1 && m.head.getAs[String]("left_sym") == "a" &&
+      m.head.getAs[String]("right_sym") == "b" &&
+      m.head.getAs[Long]("pair_count") == 3L,
+      "exactly one merge (a,b) weighted by corpus frequency")
+    val t = TextOps.q71BpeTokenize(spark, dir).collect()
+    assert(t.length == 1 && t.head.getAs[Long]("ws_tokens") == 3L &&
+      t.head.getAs[Long]("bpe_symbols") == 3L,
+      "the single learned merge applies: 'ab' is one symbol, not two")
   }
 }

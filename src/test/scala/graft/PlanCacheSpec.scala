@@ -108,6 +108,27 @@ class PlanCacheSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the orphaned layout dir must be gone before JVM exit")
   }
 
+  // Round-4 ADVICE: clear() dropped stopped-session entries without
+  // the local-release phase, leaking exactly the layout dirs the
+  // get() sweep above reclaims — both eviction paths must run the
+  // same lifecycle. (Also stops and swaps the shared session.)
+  test("clear() releases LOCAL resources of stopped-session entries") {
+    val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
+    val c = new PlanCache[String]("t7")(
+      (_, _) => (),
+      v => { deleted += v; PlanCache.deleteRecursively(java.nio.file.Paths.get(v)) })
+    val dir = PlanCache.tempDir("graft_clear_stopped_")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "layout.bin"), "x")
+    c.get(spark, "k", 1L)(dir)
+    spark.stop()
+    spark = GraftSession.builder("plancache-test-3", cores = 2).getOrCreate()
+    c.clear()
+    assert(deleted.toSeq == Seq(dir),
+      "clear() must run the local-release phase for stopped-session entries")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir)),
+      "the orphaned layout dir must be gone after clear()")
+  }
+
   test("temp dirs are tracked and recursively deletable") {
     val d = PlanCache.tempDir("graft_cache_spec_")
     val sub = java.nio.file.Paths.get(d, "x")
