@@ -144,7 +144,8 @@ object Bench {
       "q54_frame_features", "q58_embed_quantize", "q61_ivf_recall",
       "sq2_stream_dedup", "sq3_stream_join", "q72_lm_score_capped",
       // round-5 operators
-      "q73_bpe_exhausted")
+      "q73_bpe_exhausted", "q74_kmeans_codebook", "q75_pagerank",
+      "q76_zorder_pruned")
     // shingle-index misses during TIMED passes only (warm passes are
     // expected to build it once per session+dir)
     var timedIndexMisses = 0L

@@ -1759,6 +1759,92 @@ object TextOps {
        |               - (SELECT count(*) FROM tpairs JOIN epairs USING (doc_a, doc_b)))
        |  END AS agreement""".stripMargin
 
+  // ------------------------------------ q75 near-dup-graph PageRank
+
+  /** Fixed-point scale, iteration count and output size for q75. */
+  val PrScale = 1000000000L
+  val PrIters = 5
+  val PrTopK = 20
+
+  /** q75: PageRank over the near-dup similarity graph — the
+    * "canonical-document" ranking of a dedup pipeline: within a
+    * near-dup neighborhood, the highest-rank node is the best keep
+    * candidate (most-corroborated copy), a weighted refinement of
+    * q67's min-id cluster representative. Edges are q53's certified
+    * SimHash pair set, symmetrized; damping 0.85, `PrIters` rounds.
+    *
+    * Determinism discipline: ranks are FIXED-POINT integers
+    * (`PrScale` = 1e9 per node at init) and every update is integer
+    * arithmetic — `rank div deg` contributions, `(85 · inflow) div
+    * 100` damping — so both engines walk bit-identical trajectories
+    * (double-sum PageRank differs by partition order; the q64/q74
+    * rule). Overflow bound: `85 · inflow` must stay under 2^63, i.e.
+    * a single node may absorb up to ~1.1e17/PrScale ≈ 1e8 full-rank
+    * neighbors' whole mass; past that, the sum column widens to
+    * DECIMAL(38,0) (one-line change), the documented trade.
+    *
+    * Scale shape: the edge set materializes ONCE (localCheckpoint —
+    * the q69 pattern; the q53 LSH subplan must not re-run per
+    * iteration), each round is one equi-join + partial-agg'd sum on
+    * the dst key, and the driver holds no data. The undirected
+    * near-dup graph has no dangling nodes (every node has degree
+    * ≥ 1), so no leaked-mass correction term is needed. */
+  def q75Pagerank(s: SparkSession, dir: String): DataFrame = {
+    val pairs = q53SimhashNeardup(s, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst").localCheckpoint()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
+    var rank = deg.select(col("src").as("doc_id"), col("deg"),
+      lit(PrScale).as("pr_rank"))
+    for (_ <- 1 to PrIters) {
+      val contrib = edges
+        .join(rank, edges("src") === rank("doc_id"))
+        .select(col("dst"), expr("pr_rank div deg").as("w"))
+        .groupBy("dst").agg(sum("w").as("inflow"))
+      rank = deg.join(contrib, deg("src") === contrib("dst"), "left")
+        .select(col("src").as("doc_id"), col("deg"),
+          (lit(15L * PrScale / 100) +
+            expr("(85 * coalesce(inflow, CAST(0 AS BIGINT))) div 100")).as("pr_rank"))
+    }
+    rank.orderBy(col("pr_rank").desc, col("doc_id")).limit(PrTopK)
+  }
+
+  /** Oracle: the same q53 pair subquery, symmetrized, with the
+    * `PrIters` rounds unrolled as CTE chains in the same integer
+    * arithmetic (`//`, `(85 · x) // 100` — DuckDB's `//` and Spark's
+    * `div` both truncate toward zero; all quantities here are
+    * non-negative, so truncation == floor in both). */
+  def q75Sql: String = {
+    def iter(r: Int): String = {
+      val (prev, next) = (s"r${r - 1}", s"r$r")
+      s"""c$r AS (
+         |  SELECT e.dst, sum(r.pr_rank // r.deg) AS inflow
+         |  FROM edges e JOIN $prev r ON e.src = r.doc_id
+         |  GROUP BY e.dst
+         |), $next AS (
+         |  SELECT d.src AS doc_id, d.deg,
+         |    ${15L * PrScale / 100} + (85 * coalesce(c.inflow, 0)) // 100 AS pr_rank
+         |  FROM deg d LEFT JOIN c$r c ON d.src = c.dst
+         |)""".stripMargin
+    }
+    val iters = (1 to PrIters).map(iter).mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT doc_a, doc_b FROM (${q53Sql.replace("\n", "\n  ")})
+       |), edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+       |), deg AS (
+       |  SELECT src, count(*) AS deg FROM edges GROUP BY src
+       |), r0 AS (
+       |  SELECT src AS doc_id, deg, $PrScale::BIGINT AS pr_rank FROM deg
+       |),
+       |$iters
+       |SELECT doc_id, deg, CAST(pr_rank AS BIGINT) AS pr_rank FROM r$PrIters
+       |ORDER BY pr_rank DESC, doc_id LIMIT $PrTopK""".stripMargin
+  }
+
   // --------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1787,7 +1873,8 @@ object TextOps {
     "q70_bpe_merges" -> (q70BpeMerges _),
     "q71_bpe_tokenize" -> (q71BpeTokenize _),
     "q72_lm_score_capped" -> (q72LmScoreCapped _),
-    "q73_bpe_exhausted" -> (q73BpeExhausted _)
+    "q73_bpe_exhausted" -> (q73BpeExhausted _),
+    "q75_pagerank" -> (q75Pagerank _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -1816,6 +1903,7 @@ object TextOps {
     "q70_bpe_merges" -> q70Sql,
     "q71_bpe_tokenize" -> q71Sql,
     "q72_lm_score_capped" -> q72Sql,
-    "q73_bpe_exhausted" -> q73Sql
+    "q73_bpe_exhausted" -> q73Sql,
+    "q75_pagerank" -> q75Sql
   )
 }

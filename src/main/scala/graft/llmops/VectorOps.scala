@@ -826,6 +826,185 @@ object VectorOps {
        |FROM qz ORDER BY vec_id""".stripMargin
   }
 
+  // --------------------------- q74 k-means codebook (IVF/PQ training)
+
+  /** Codebook size and Lloyd iterations for q74. */
+  val KmK = 8
+  val KmIters = 3
+
+  /** Global-grid int8 codes: ONE (min, max) over every element of the
+    * corpus (two scalar aggregates, broadcast back), then the q58
+    * clamp-floor code per element. Unlike q58's per-vector grid (a
+    * storage codec), the SHARED grid preserves geometry across
+    * vectors, which is what a codebook trainer needs. Codes ride as
+    * integer-valued doubles so the codegen'd [[graft.functions
+    * .VectorExprs.dot]] drives the distance arithmetic exactly
+    * (values ≤ 255, every sum far inside 2^53 — bit-exact in both
+    * engines). */
+  private def kmCodes(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), col("embedding").as("v"))
+    val mm = e.select(min(array_min(col("v")).cast("double")).as("gmin"),
+      max(array_max(col("v")).cast("double")).as("gmax"))
+    def x(i: Int): Column = element_at(col("v"), i).cast("double")
+    def code(i: Int): Column =
+      when(col("gmax") === col("gmin"), lit(0d))
+        .otherwise(least(
+          floor((x(i) - col("gmin")) * lit(QLevels.toDouble) / (col("gmax") - col("gmin"))),
+          lit(QLevels.toDouble)))
+    e.crossJoin(broadcast(mm))
+      .select(col("vec_id"), array((1 to Dim).map(code): _*).as("c"))
+  }
+
+  /** Map-side assignment against literal centroids: per centroid,
+    * dist² = |x|² + |c|² − 2·x·c with |c|² folded to a constant and
+    * x·c one codegen'd dot against a literal array — the whole
+    * assignment is a PURE MAP (no join), exactly what a 1000-executor
+    * Lloyd step must be: centroids broadcast as plan literals, one
+    * pass over the data, partial-agg'd update. Ties break on the
+    * smaller centroid id via lexicographic struct ordering. */
+  private def kmAssign(codes: DataFrame, cents: Seq[Seq[Long]]): DataFrame = {
+    val cd = col("cdbl")
+    val cand = cents.zipWithIndex.map { case (cent, k) =>
+      val carr = array(cent.map(v => lit(v.toDouble)): _*)
+      val c2 = cent.map(v => v.toDouble * v).sum
+      struct((col("a2") + lit(c2) - lit(2d) * dot(cd, carr)).as("d2"),
+        lit(k).as("cid"))
+    }
+    codes.withColumn("cdbl", col("c").cast("array<double>"))
+      .withColumn("a2", dot(cd, cd))
+      .withColumn("best", least(cand: _*))
+      .select(col("vec_id"), col("c"),
+        col("best.cid").as("cid"), col("best.d2").cast("long").as("d2"))
+  }
+
+  /** Lloyd's loop: deterministic seed (the KmK smallest vec_ids —
+    * ingest-stable, no rand()), then KmIters rounds of map-side
+    * assignment + partial-agg'd centroid update with FLOOR division
+    * (all-integer arithmetic: the one cross-engine-safe way to update
+    * centroids, since averaged doubles differ by partition order —
+    * the q64/q70 determinism discipline). Per round the driver reads
+    * K centroid rows (bounded, AQE-style) to parameterize the next
+    * map-literal plan — no lineage growth across rounds. An empty
+    * cluster keeps its previous centroid. */
+  private def kmeansLearn(s: SparkSession, dir: String)
+      : (Seq[Seq[Long]], DataFrame) = {
+    val codes = kmCodes(s, dir)
+    // driver-side re-sort: seed k must be the kth-smallest vec_id
+    // regardless of how the K collected rows arrive
+    var cents: Seq[Seq[Long]] = codes.orderBy("vec_id").limit(KmK).collect()
+      .sortBy(_.getLong(0))
+      .map(r => r.getSeq[Double](1).map(_.toLong).toSeq).toSeq
+    if (cents.isEmpty) return (Nil, codes)
+    for (_ <- 1 to KmIters) {
+      val upd = kmAssign(codes, cents)
+        .select(col("cid"), posexplode(col("c")).as(Seq("i", "v")))
+        .groupBy("cid", "i")
+        .agg(sum(col("v").cast("long")).as("s"), count(lit(1)).as("n"))
+        .withColumn("cv", expr("s div n"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("cv")))),
+          x => x.getField("cv")).as("c"))
+        .collect()
+      val m = upd.map(r => r.getInt(0) -> r.getSeq[Long](1).toSeq).toMap
+      cents = cents.indices.map(k => m.getOrElse(k, cents(k)))
+    }
+    (cents, codes)
+  }
+
+  /** q74: k-means codebook training — the trainer that PRODUCES the
+    * coarse quantizer q44's IVF search consumes (and the PQ codebook
+    * shape every billion-scale ANN index trains first). Runs Lloyd's
+    * over the globally-quantized corpus and emits one row per
+    * centroid: population, the centroid's code checksum, and its
+    * inertia (Σ dist² of assigned vectors) — the convergence numbers
+    * a codebook job reports.
+    *
+    * Scale shape: init and update read K driver rows per round
+    * (bounded); assignment is a literal-broadcast pure map; the
+    * update is one partial-agg'd (cid, dim) aggregation whose shuffle
+    * carries K·Dim rows, never the corpus. */
+  def q74KmeansCodebook(s: SparkSession, dir: String): DataFrame = {
+    val (cents, codes) = kmeansLearn(s, dir)
+    if (cents.isEmpty)
+      return codes.select(lit(0).as("cid"), lit(0L).as("n_assigned"),
+        lit(0L).as("inertia"), lit(0L).as("centroid_sum")).limit(0)
+    val centroidSum = cents.zipWithIndex.foldRight(lit(0L)) { case ((cent, k), els) =>
+      when(col("cid") === k, lit(cent.sum)).otherwise(els)
+    }
+    kmAssign(codes, cents)
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_assigned"), sum("d2").as("inertia"))
+      .withColumn("centroid_sum", centroidSum)
+      .orderBy("cid")
+  }
+
+  /** The oracle unrolls the same KmIters Lloyd rounds as CTE chains —
+    * same global grid, same seed, same tie-break, same floor-division
+    * update, same empty-cluster carry (LEFT JOIN + coalesce, the q71
+    * exhaustion pattern). All-integer arithmetic end to end, so the
+    * hash pins every assignment and every centroid, not just the
+    * final aggregate magnitudes. */
+  val q74Sql: String = {
+    def iter(r: Int): String = {
+      val (prev, next) = (s"cent${r - 1}", s"cent$r")
+      s"""dist$r AS (
+         |  SELECT x.vec_id, x.c, ct.cid,
+         |    list_sum([(x.c[i] - ct.c[i]) * (x.c[i] - ct.c[i])
+         |              for i in range(1, $Dim + 1)]) AS d2
+         |  FROM codes x CROSS JOIN $prev ct
+         |), asg$r AS (
+         |  SELECT vec_id, c, cid, d2 FROM (
+         |    SELECT vec_id, c, cid, d2,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |    FROM dist$r) WHERE rn = 1
+         |), sums$r AS (
+         |  SELECT cid, i, sum(c[i]) AS s, count(*) AS n
+         |  FROM (SELECT cid, c, unnest(range(1, $Dim + 1)) AS i FROM asg$r)
+         |  GROUP BY cid, i
+         |), $next AS (
+         |  SELECT p.cid, coalesce(u.c, p.c) AS c
+         |  FROM $prev p LEFT JOIN (
+         |    SELECT cid, list(s // n ORDER BY i) AS c FROM sums$r GROUP BY cid
+         |  ) u USING (cid)
+         |)""".stripMargin
+    }
+    val iters = (1 to KmIters).map(iter).mkString(",\n")
+    s"""WITH d AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), mm AS (
+       |  SELECT min(list_min(v)) AS gmin, max(list_max(v)) AS gmax FROM d
+       |), codes AS (
+       |  SELECT vec_id,
+       |    [CASE WHEN gmax = gmin THEN 0::BIGINT
+       |      ELSE CAST(least(floor((v[i] - gmin) * $QLevels.0 / (gmax - gmin)),
+       |                      $QLevels.0) AS BIGINT) END
+       |     for i in range(1, $Dim + 1)] AS c
+       |  FROM d CROSS JOIN mm
+       |), cent0 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, c
+       |  FROM (SELECT vec_id, c FROM codes ORDER BY vec_id LIMIT $KmK)
+       |),
+       |$iters,
+       |fdist AS (
+       |  SELECT x.vec_id, ct.cid,
+       |    list_sum([(x.c[i] - ct.c[i]) * (x.c[i] - ct.c[i])
+       |              for i in range(1, $Dim + 1)]) AS d2
+       |  FROM codes x CROSS JOIN cent$KmIters ct
+       |), fasg AS (
+       |  SELECT vec_id, cid, d2 FROM (
+       |    SELECT vec_id, cid, d2,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |    FROM fdist) WHERE rn = 1
+       |), csum AS (
+       |  SELECT cid, CAST(list_sum(c) AS BIGINT) AS centroid_sum FROM cent$KmIters
+       |)
+       |SELECT cid::INT AS cid, count(*) AS n_assigned,
+       |  CAST(sum(d2) AS BIGINT) AS inertia, centroid_sum
+       |FROM fasg JOIN csum USING (cid)
+       |GROUP BY cid, centroid_sum ORDER BY cid""".stripMargin
+  }
+
   // --------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -837,7 +1016,8 @@ object VectorOps {
     "q47_ann_recall" -> (q47AnnRecall _),
     "q58_embed_quantize" -> (q58Quantize _),
     "q61_ivf_recall" -> (q61IvfRecall _),
-    "q65_trunc_fidelity" -> (q65TruncFidelity _)
+    "q65_trunc_fidelity" -> (q65TruncFidelity _),
+    "q74_kmeans_codebook" -> (q74KmeansCodebook _)
   )
 
   /** q41/q44 are approximate by design → no oracle (driver rows-only
@@ -850,6 +1030,7 @@ object VectorOps {
     "q47_ann_recall" -> q47Sql,
     "q58_embed_quantize" -> q58Sql,
     "q61_ivf_recall" -> q61Sql,
-    "q65_trunc_fidelity" -> q65Sql
+    "q65_trunc_fidelity" -> q65Sql,
+    "q74_kmeans_codebook" -> q74Sql
   )
 }

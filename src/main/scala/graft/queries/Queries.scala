@@ -573,6 +573,118 @@ object Queries {
       |FROM documents WHERE lang = 'en'
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // -------------------------------------------------- q76 z-order layout
+
+  /** Z-order grid resolution: ZBits bits per dimension →
+    * 2^(2·ZBits) = 64 coarse Morton buckets. */
+  val ZBits = 3
+  /** The 2-D query box q76 slices (static across SFs). */
+  val ZLoU = 10L
+  val ZHiU = 40L
+  val ZLoV = 50.0
+  val ZHiV = 200.0
+
+  /** Morton interleave of two ZBits-bit bucket indices (u gets the
+    * odd bit positions). */
+  private[graft] def morton(ub: Int, vb: Int): Int =
+    (0 until ZBits).foldLeft(0) { (z, i) =>
+      z | (((ub >> i) & 1) << (2 * i + 1)) | (((vb >> i) & 1) << (2 * i))
+    }
+
+  /** Memoized z-ordered events layout per (session, dir): the corpus
+    * written `partitionBy(zb)` where zb is the Morton code of the
+    * (user_id, value) grid cell, plus the grid bounds the bucket
+    * arithmetic needs at query time. Same lifecycle as the q50/q60
+    * layouts (signature-guarded, released when superseded). */
+  private val zorderedEvents =
+    new graft.operators.PlanCache[(String, Long, Long, Double, Double)]("zordered_events")(
+      (_, e) =>
+        graft.operators.PlanCache.deleteRecursively(java.nio.file.Paths.get(e._1)),
+      e =>
+        graft.operators.PlanCache.deleteRecursively(java.nio.file.Paths.get(e._1)))
+
+  private def ensureZordered(s: SparkSession, dir: String)
+      : (String, Long, Long, Double, Double) =
+    zorderedEvents.get(s, dir, graft.sources.FsSig.of(s"$dir/events.parquet")) {
+      val base = graft.operators.PlanCache.tempDir("graft_zorder_")
+      val e = events(s, dir)
+      val b = e.agg(min("user_id").as("a"), max("user_id").as("b"),
+        min("value").as("c"), max("value").as("d")).collect().head
+      val (uMin, uMax) = (b.getLong(0), b.getLong(1))
+      val (vMin, vMax) = (b.getDouble(2), b.getDouble(3))
+      val cells = 1 << ZBits
+      val ub =
+        if (uMax == uMin) lit(0L)
+        else least((col("user_id") - uMin) * cells / lit(uMax - uMin + 1),
+          lit(cells - 1)).cast("long")
+      val vb =
+        if (vMax == vMin) lit(0L)
+        else least(floor((col("value") - vMin) * cells / (vMax - vMin)),
+          lit((cells - 1).toDouble)).cast("long")
+      val zb = (0 until ZBits).foldLeft(lit(0L)) { (z, i) =>
+        z.bitwiseOR(shiftleft(shiftright(ub, i).bitwiseAND(1), 2 * i + 1))
+          .bitwiseOR(shiftleft(shiftright(vb, i).bitwiseAND(1), 2 * i))
+      }
+      e.withColumn("zb", zb.cast("int"))
+        .write.partitionBy("zb").mode("overwrite").parquet(base)
+      (base, uMin, uMax, vMin, vMax)
+    }
+
+  /** Q76: Z-ORDER layout + 2-D pruned range scan — the multi-column
+    * generalization of q60's single-column hive partitioning (the
+    * Delta/Iceberg OPTIMIZE ZORDER idea, composed from Spark
+    * primitives): events land in directories keyed by the Morton code
+    * of their (user_id, value) grid cell, so a 2-D box predicate
+    * prunes to the intersecting cells at the DIRECTORY level. The
+    * driver enumerates the ≤ 2^(2·ZBits) intersecting buckets from
+    * the memoized grid bounds (a bounded 1-row read at layout-build
+    * time, the AQE pattern) and the scan carries `zb IN (...)` as a
+    * PartitionFilter (PlanSpec-asserted) with the exact box predicate
+    * as the row-level residue. At 100 TB either dimension alone is
+    * hive-partitionable, but a BOX query over two needs the
+    * interleaved layout — one dimension's partitioning makes the
+    * other's pruning impossible.
+    *
+    * The oracle is the plain (layout-free) SQL over events — the
+    * q50/q60 identity-preservation check: the layout may only change
+    * WHERE rows live, never which rows answer. Money-style sums go
+    * through exact integer cents (the no-double-sums rule). */
+  def q76ZorderPruned(s: SparkSession, dir: String): DataFrame = {
+    val (base, uMin, uMax, vMin, vMax) = ensureZordered(s, dir)
+    val cells = 1 << ZBits
+    def ubOf(u: Long): Int =
+      if (uMax == uMin) 0
+      else math.min(((u - uMin) * cells / (uMax - uMin + 1)).toInt, cells - 1)
+    def vbOf(v: Double): Int =
+      if (vMax == vMin) 0
+      else math.min(math.floor((v - vMin) * cells / (vMax - vMin)).toInt, cells - 1)
+    val zbs =
+      if (ZLoU > uMax || ZHiU < uMin || ZLoV > vMax || ZHiV < vMin) Seq.empty[Int]
+      else for {
+        ub <- ubOf(math.max(ZLoU, uMin)) to ubOf(math.min(ZHiU, uMax))
+        vb <- vbOf(math.max(ZLoV, vMin)) to vbOf(math.min(ZHiV, vMax))
+      } yield morton(ub, vb)
+    val pruned =
+      if (zbs.isEmpty) s.read.parquet(base).filter(lit(false))
+      else s.read.parquet(base).filter(col("zb").isin(zbs: _*))
+    pruned
+      .filter(col("user_id").between(ZLoU, ZHiU) &&
+        col("value").between(ZLoV, ZHiV))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        (sum(round(col("value") * 100).cast("long")).cast("double") / 100.0)
+          .as("tot_value"))
+      .orderBy("event_type")
+  }
+
+  val q76Sql: String =
+    s"""SELECT event_type, count(*) AS n_events,
+       |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+       |    AS tot_value
+       |FROM events
+       |WHERE user_id BETWEEN $ZLoU AND $ZHiU AND value BETWEEN $ZLoV AND $ZHiV
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ----------------------------------------------------------------- events
 
   /** events with `ts` as a proper TimestampType. The driver parquet
@@ -897,6 +1009,7 @@ object Queries {
     "q50_bucketed_join" -> (q50BucketedJoin _),
     "q51_salted_join" -> (q51SaltedJoin _),
     "q60_partition_pruning" -> (q60PartitionPruning _),
+    "q76_zorder_pruned" -> (q76ZorderPruned _),
     "q52_sketches" -> (q52Sketches _)
   )
 
@@ -930,6 +1043,7 @@ object Queries {
     // identical ANSI text: the salted join must be identity-preserving
     "q51_salted_join" -> q50Sql,
     "q60_partition_pruning" -> q60Sql,
+    "q76_zorder_pruned" -> q76Sql,
     // exact twins + pinned-true bound booleans (sketch values are
     // engine-specific; a sketch regression flips a boolean)
     "q52_sketches" -> q52Sql

