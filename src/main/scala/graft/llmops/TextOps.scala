@@ -1759,6 +1759,73 @@ object TextOps {
        |               - (SELECT count(*) FROM tpairs JOIN epairs USING (doc_a, doc_b)))
        |  END AS agreement""".stripMargin
 
+  // ------------------------- q77 cross-doc duplicated n-gram coverage
+
+  /** Span length for the substring-level duplication metric. */
+  val DupGramN = 8
+
+  /** q77: cross-document duplicated n-gram coverage — the
+    * SUBSTRING-level dedup metric (how much of each document is made
+    * of 8-grams that occur elsewhere in the corpus), the signal
+    * behind span-level training-data dedup: document-level near-dup
+    * (q35/q37/q53) misses boilerplate spans embedded in otherwise
+    * unique documents, and this measures exactly that residue.
+    *
+    * Shape: occurrence-level 8-grams via posexplode + 7 codegen'd
+    * window leads (the shingleRows idiom — no interpreted HOFs),
+    * hashed to 60-bit md5 keys so the shuffle never carries gram
+    * STRINGS; within-doc occurrences partial-agg to (doc, gram,
+    * count) FIRST (map-side combine collapses intra-doc repeats
+    * before any shuffle), then one windowed sum per gram key gives
+    * the corpus frequency in the same pass that keeps per-doc rows —
+    * no self-join, the gram subplan executes once. Hot boilerplate
+    * grams are bounded by distinct docs per gram after the combine;
+    * AQE splits the residual skew. */
+  def q77DupNgramCoverage(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val leadCols = (1 until DupGramN).map(k => lead("tk", k).over(w).as(s"t$k"))
+    val gramParts = col("tk") +: (1 until DupGramN).map(k => col(s"t$k"))
+    val grams = tokenized(s, dir)
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "tk")))
+      .select(col("doc_id") +: col("tk") +: leadCols: _*)
+      .filter(col(s"t${DupGramN - 1}").isNotNull)
+      .select(col("doc_id"),
+        conv(substring(md5(concat_ws(" ", gramParts: _*)), 1, 15), 16, 10)
+          .cast("long").as("g"))
+    val perDocGram = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    perDocGram
+      .withColumn("freq", sum("c").over(Window.partitionBy("g")))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_grams"),
+        sum(when(col("freq") >= 2, col("c")).otherwise(lit(0L))).as("n_dup"))
+      .withColumn("dup_ratio", col("n_dup").cast("double") / col("n_grams"))
+      .orderBy("doc_id")
+  }
+
+  val q77Sql: String = {
+    val gram = (0 until DupGramN).map(k => s"w[i + $k]").mkString(" || ' ' || ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents
+       |), g0 AS (
+       |  SELECT doc_id,
+       |    unnest([$gram for i in range(1, len(w) - ${DupGramN - 2})]) AS gram
+       |  FROM tok
+       |), gh AS (
+       |  SELECT doc_id,
+       |    CAST(('0x' || substring(md5(gram), 1, 15))::UBIGINT AS BIGINT) AS g
+       |  FROM g0
+       |), dg AS (
+       |  SELECT doc_id, g, count(*) AS c FROM gh GROUP BY doc_id, g
+       |), fr AS (
+       |  SELECT doc_id, c, sum(c) OVER (PARTITION BY g) AS freq FROM dg
+       |)
+       |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+       |  CAST(sum(CASE WHEN freq >= 2 THEN c ELSE 0 END) AS BIGINT) AS n_dup,
+       |  CAST(sum(CASE WHEN freq >= 2 THEN c ELSE 0 END) AS DOUBLE) / sum(c)
+       |    AS dup_ratio
+       |FROM fr GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------ q75 near-dup-graph PageRank
 
   /** Fixed-point scale, iteration count and output size for q75. */
@@ -1874,7 +1941,8 @@ object TextOps {
     "q71_bpe_tokenize" -> (q71BpeTokenize _),
     "q72_lm_score_capped" -> (q72LmScoreCapped _),
     "q73_bpe_exhausted" -> (q73BpeExhausted _),
-    "q75_pagerank" -> (q75Pagerank _)
+    "q75_pagerank" -> (q75Pagerank _),
+    "q77_dup_ngrams" -> (q77DupNgramCoverage _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -1904,6 +1972,7 @@ object TextOps {
     "q71_bpe_tokenize" -> q71Sql,
     "q72_lm_score_capped" -> q72Sql,
     "q73_bpe_exhausted" -> q73Sql,
-    "q75_pagerank" -> q75Sql
+    "q75_pagerank" -> q75Sql,
+    "q77_dup_ngrams" -> q77Sql
   )
 }

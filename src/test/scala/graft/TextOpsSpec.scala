@@ -258,6 +258,38 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "no node can hold more than the whole graph's mass")
   }
 
+  test("dup-ngram coverage (q77): ratios consistent, duplicate spans fully covered, unique docs zero") {
+    val rows = TextOps.q77DupNgramCoverage(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, d) = (r.getAs[Long]("n_grams"), r.getAs[Long]("n_dup"))
+      assert(n > 0 && d >= 0 && d <= n, s"n_dup $d out of [0, $n]")
+      assert(math.abs(r.getAs[Double]("dup_ratio") - d.toDouble / n) < 1e-12)
+    }
+    // controlled fixture: two identical 10-token docs (every 8-gram
+    // occurs twice -> ratio 1.0) and one unique doc (ratio 0.0)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val dup = "a b c d e f g h i j"
+    val uniq = "k l m n o p q r s t"
+    val d2 = graft.operators.PlanCache.tempDir("graft_q77_fix_")
+    spark.createDataFrame(List(
+      Row(1L, dup, "en", "s0", dup.length.toLong),
+      Row(2L, dup, "en", "s0", dup.length.toLong),
+      Row(3L, uniq, "en", "s0", uniq.length.toLong)).asJava, schema)
+      .write.parquet(s"$d2/documents.parquet")
+    val m = TextOps.q77DupNgramCoverage(spark, d2).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("dup_ratio")).toMap
+    assert(m(1L) == 1.0 && m(2L) == 1.0,
+      "exact-duplicate docs must be 100% covered by duplicated grams")
+    assert(m(3L) == 0.0, "a unique doc shares no 8-gram with the corpus")
+  }
+
   test("stratified sample: deterministic, en downsampled, other strata whole") {
     val a = TextOps.q57StratifiedSample(spark, dir).collect()
     val b = TextOps.q57StratifiedSample(spark, dir).collect()
