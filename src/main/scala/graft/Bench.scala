@@ -145,7 +145,8 @@ object Bench {
       "sq2_stream_dedup", "sq3_stream_join", "q72_lm_score_capped",
       // round-5 operators
       "q73_bpe_exhausted", "q74_kmeans_codebook", "q75_pagerank",
-      "q76_zorder_pruned", "q77_dup_ngrams")
+      "q76_zorder_pruned", "q77_dup_ngrams", "q78_semdedup",
+      "q79_dedup_survivors", "q80_cms_topk", "q81_bm25")
     // shingle-index misses during TIMED passes only (warm passes are
     // expected to build it once per session+dir)
     var timedIndexMisses = 0L

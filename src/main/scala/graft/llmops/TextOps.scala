@@ -1342,10 +1342,11 @@ object TextOps {
     }
   }
 
-  /** The oracle recomputes the same components with a recursive CTE
-    * over the all-pairs SimHash edges: min reachable doc_id ==
+  /** The recursive-CTE component chain shared by q67's and q79's
+    * oracles: the all-pairs SimHash edges, their symmetric closure,
+    * and per-doc min-reachable-doc_id (`roots`) — min reachable ==
     * min-label fixpoint (both are "minimum over the component"). */
-  val q67Sql: String =
+  private val ccChainSql: String =
     s"""WITH RECURSIVE tok0 AS (
        |  SELECT doc_id, unnest(list_distinct(string_split_regex(text, '\\s+'))) AS t
        |  FROM documents
@@ -1376,10 +1377,156 @@ object TextOps {
        |), roots AS (
        |  SELECT a AS doc_id, least(a, min(b)) AS cluster_root
        |  FROM reach GROUP BY a
-       |)
+       |)""".stripMargin
+
+  val q67Sql: String =
+    s"""$ccChainSql
        |SELECT doc_id, cluster_root,
        |  count(*) OVER (PARTITION BY cluster_root) AS cluster_size
        |FROM roots ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------- q79 dedup survivor choice
+
+  /** q79: CANONICAL-SURVIVOR selection — the step that turns q67's
+    * cluster labels into the final keep/drop decision a dedup
+    * pipeline writes out: within every near-dup cluster exactly one
+    * document survives, chosen by an explicit deterministic quality
+    * rule (longest text, doc_id as tiebreak — the "keep the most
+    * complete copy" policy C4/RefinedWeb-style pipelines apply);
+    * documents in no cluster survive trivially. Emits one verdict row
+    * per document: (doc_id, cluster_root, cluster_size, kept).
+    *
+    * Scale shape: q67's component labeling (edge-set joins with
+    * lineage cuts), one broadcast-sized left join of the corpus
+    * against the label table (labels exist ONLY for clustered docs —
+    * a tiny fraction of the corpus), and a per-cluster window whose
+    * partitions are cluster-sized (bounded by the largest near-dup
+    * family, never the corpus). */
+  def q79DedupSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val labels = q67DedupClusters(s, dir)
+      .select(col("doc_id"), col("cluster_root"), col("cluster_size"))
+    val verdicts = docs(s, dir).select(col("doc_id"), col("n_chars"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("cluster_root"), col("doc_id")).as("cluster_root"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
+    val w = Window.partitionBy("cluster_root")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    verdicts
+      .withColumn("kept", row_number().over(w) === 1)
+      .select("doc_id", "cluster_root", "cluster_size", "kept")
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: the shared component chain re-derives the labels; the
+    * survivor rule is the same window over the corpus-wide verdict
+    * table (singletons get their own cluster and survive). */
+  val q79Sql: String =
+    s"""$ccChainSql, lab AS (
+       |  SELECT doc_id, cluster_root,
+       |    count(*) OVER (PARTITION BY cluster_root) AS cluster_size
+       |  FROM roots
+       |), alld AS (
+       |  SELECT d.doc_id, d.n_chars,
+       |    coalesce(l.cluster_root, d.doc_id) AS cluster_root,
+       |    coalesce(l.cluster_size, 1) AS cluster_size
+       |  FROM documents d LEFT JOIN lab l USING (doc_id)
+       |)
+       |SELECT doc_id, cluster_root, cluster_size,
+       |  row_number() OVER (PARTITION BY cluster_root
+       |                     ORDER BY n_chars DESC, doc_id) = 1 AS kept
+       |FROM alld ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------- q81 BM25 retrieval
+
+  /** BM25 parameters (Robertson's k1/b defaults) and cuts for q81. */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25Terms = 8
+  val Bm25TopDocs = 10
+
+  /** q81: BM25 retrieval scoring — the ranked-retrieval op a training
+    * pipeline runs for corpus search and decontamination triage: each
+    * query term scores every containing document with
+    * idf⁺·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) and the top docs per
+    * term survive. Query terms are the corpus's own top-frequency
+    * vocabulary cut (deterministic, data-derived — no fixture list);
+    * idf is the BM25+ form ln((N−df+0.5)/(df+0.5)+1), positive even
+    * for terms in most documents.
+    *
+    * Scale shape: an inverted-index build is exactly this tf
+    * aggregation — one partial-agg'd shuffle keyed by (term, doc);
+    * the query-term cut and df/N/avgdl statistics are broadcast-sized;
+    * per-term top-k is a rank window that pushes down as
+    * WindowGroupLimit (the q55 shape), so the shuffle carries
+    * candidate postings, never the corpus. Determinism: ln rounded to
+    * 6 dp before the product, one outer 6-dp round, identical
+    * association order in both engines (the q64 discipline). */
+  def q81Bm25(s: SparkSession, dir: String): DataFrame = {
+    val tok = tokenized(s, dir).select(col("doc_id"), explode(col("w")).as("t"))
+    val qterms = tok.groupBy("t").agg(count(lit(1)).as("ctot"))
+      .orderBy(col("ctot").desc, col("t")).limit(Bm25Terms).select("t")
+    val dls = tokenized(s, dir)
+      .select(col("doc_id"), size(col("w")).cast("long").as("dl"))
+    val stats = dls.agg(count(lit(1)).as("n_docs"),
+      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    val tf = tok.join(broadcast(qterms), Seq("t"))
+      .groupBy("t", "doc_id").agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(dfs), Seq("t"))
+      .join(dls, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        round(log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+          + lit(1.0)), 6))
+      .withColumn("score",
+        round(col("idf") * (col("tf") * (lit(Bm25K1) + lit(1.0)))
+          / (col("tf") + lit(Bm25K1) * (lit(1.0) - lit(Bm25B)
+            + lit(Bm25B) * col("dl") / col("avgdl"))), 6))
+    val w = Window.partitionBy("t").orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= Bm25TopDocs)
+      .select(col("t").as("term"), col("rnk"), col("doc_id"), col("score"))
+      .orderBy("term", "rnk")
+  }
+
+  /** Oracle: identical formula text — same rounding points, same
+    * association order, same tie-breaks. */
+  val q81Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents
+       |), tok AS (
+       |  SELECT doc_id, unnest(w) AS t FROM toks
+       |), qterms AS (
+       |  SELECT t FROM (SELECT t, count(*) AS ctot FROM tok GROUP BY t
+       |                 ORDER BY ctot DESC, t LIMIT $Bm25Terms)
+       |), dls AS (
+       |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM toks
+       |), stats AS (
+       |  SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+       |  FROM dls
+       |), tf AS (
+       |  SELECT t, doc_id, count(*) AS tf
+       |  FROM tok JOIN qterms USING (t) GROUP BY t, doc_id
+       |), dfs AS (
+       |  SELECT t, count(*) AS df FROM tf GROUP BY t
+       |), scored AS (
+       |  SELECT tf.t, tf.doc_id,
+       |    round(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 6)
+       |          * (tf * ($Bm25K1 + 1.0))
+       |          / (tf + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dl / avgdl)), 6)
+       |      AS score
+       |  FROM tf JOIN dfs USING (t) JOIN dls USING (doc_id) CROSS JOIN stats
+       |), ranked AS (
+       |  SELECT t, doc_id, score,
+       |    CAST(row_number() OVER (PARTITION BY t ORDER BY score DESC, doc_id)
+       |         AS INT) AS rnk
+       |  FROM scored
+       |)
+       |SELECT t AS term, rnk, doc_id, score
+       |FROM ranked WHERE rnk <= $Bm25TopDocs
+       |ORDER BY term, rnk""".stripMargin
 
   // ------------------------------------------------- q70 BPE merges
 
@@ -1942,7 +2089,9 @@ object TextOps {
     "q72_lm_score_capped" -> (q72LmScoreCapped _),
     "q73_bpe_exhausted" -> (q73BpeExhausted _),
     "q75_pagerank" -> (q75Pagerank _),
-    "q77_dup_ngrams" -> (q77DupNgramCoverage _)
+    "q77_dup_ngrams" -> (q77DupNgramCoverage _),
+    "q79_dedup_survivors" -> (q79DedupSurvivors _),
+    "q81_bm25" -> (q81Bm25 _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -1973,6 +2122,8 @@ object TextOps {
     "q72_lm_score_capped" -> q72Sql,
     "q73_bpe_exhausted" -> q73Sql,
     "q75_pagerank" -> q75Sql,
-    "q77_dup_ngrams" -> q77Sql
+    "q77_dup_ngrams" -> q77Sql,
+    "q79_dedup_survivors" -> q79Sql,
+    "q81_bm25" -> q81Sql
   )
 }

@@ -938,13 +938,14 @@ object VectorOps {
       .orderBy("cid")
   }
 
-  /** The oracle unrolls the same KmIters Lloyd rounds as CTE chains —
-    * same global grid, same seed, same tie-break, same floor-division
+  /** The Lloyd-chain CTEs shared by q74's and q78's oracles — same
+    * global grid, same seed, same tie-break, same floor-division
     * update, same empty-cluster carry (LEFT JOIN + coalesce, the q71
-    * exhaustion pattern). All-integer arithmetic end to end, so the
-    * hash pins every assignment and every centroid, not just the
-    * final aggregate magnitudes. */
-  val q74Sql: String = {
+    * exhaustion pattern) — ending at `fasg`, the final per-vector
+    * assignment. All-integer arithmetic end to end, so the hash pins
+    * every assignment and every centroid, not just the final
+    * aggregate magnitudes. */
+  private def kmChainSql: String = {
     def iter(r: Int): String = {
       val (prev, next) = (s"cent${r - 1}", s"cent$r")
       s"""dist$r AS (
@@ -996,14 +997,87 @@ object VectorOps {
        |    SELECT vec_id, cid, d2,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
        |    FROM fdist) WHERE rn = 1
-       |), csum AS (
+       |)""".stripMargin
+  }
+
+  val q74Sql: String =
+    s"""$kmChainSql, csum AS (
        |  SELECT cid, CAST(list_sum(c) AS BIGINT) AS centroid_sum FROM cent$KmIters
        |)
        |SELECT cid::INT AS cid, count(*) AS n_assigned,
        |  CAST(sum(d2) AS BIGINT) AS inertia, centroid_sum
        |FROM fasg JOIN csum USING (cid)
        |GROUP BY cid, centroid_sum ORDER BY cid""".stripMargin
+
+  // ------------------------------- q78 SemDeDup (semantic dedup)
+
+  /** Within-cell cosine threshold for q78. The synthetic corpus is
+    * well spread (within-cell max cosine ≈ 0.51 — the [[NearDupCos]]
+    * note); 0.35 drops ~15–19% of the corpus at the tested scales so
+    * the prune path is exercised at every SF. Real corpora dedup at
+    * ≥ 0.95. */
+  val SemCosThresh = 0.35
+
+  /** q78: SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540) — partition the embedding space with q74's
+    * trained k-means codebook, then inside each cell drop every
+    * vector that has a lower-id neighbor with cosine ≥
+    * [[SemCosThresh]] (the relational keep-min-id form of
+    * keep-one-per-ε-ball). Emits one verdict row per vector:
+    * (vec_id, cid, kept) — the per-document decision table a
+    * curation pipeline joins back against the corpus.
+    *
+    * Scale shape: assignment is q74's literal-broadcast pure map
+    * (one pass, no join); the candidate join is a cid equi-join
+    * moving NARROW (vec_id, cid) rows with the vectors fetched once
+    * per distinct pair by id equi-joins (q43's shuffle discipline —
+    * embeddings never ride the pair explosion). Pair count is
+    * Σ n_cell², which the trainer keeps bounded by scaling K with
+    * the corpus (SemDeDup runs K ≈ 10⁵ at web scale for ~10³-row
+    * cells); the cosine is the codegen'd [[graft.functions
+    * .VectorExprs.dot]] at 6 dp — the cross-engine-stable rounding
+    * q43 certified. */
+  def q78Semdedup(s: SparkSession, dir: String): DataFrame = {
+    val (cents, codes) = kmeansLearn(s, dir)
+    if (cents.isEmpty)
+      return codes.select(col("vec_id"), lit(0).as("cid"),
+        lit(true).as("kept")).limit(0)
+    val asg = kmAssign(codes, cents).select(col("vec_id"), col("cid"))
+    val e = emb(s, dir).select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val pairs = asg.select(col("vec_id").as("vec_a"), col("cid"))
+      .join(asg.select(col("vec_id").as("vec_b"), col("cid")), Seq("cid"))
+      .filter(col("vec_a") < col("vec_b"))
+    val drops = pairs
+      .join(e.select(col("vec_id").as("vec_a"), col("v"), col("nrm")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("v").as("w"),
+        col("nrm").as("wnrm")), Seq("vec_b"))
+      .filter(round(dot(col("v"), col("w")) / (col("nrm") * col("wnrm")), 6)
+        >= SemCosThresh)
+      .select(col("vec_b").as("vec_id")).distinct()
+    asg.join(drops.withColumn("hit", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"), col("hit").isNull.as("kept"))
+      .orderBy("vec_id")
   }
+
+  /** Oracle: the shared Lloyd chain re-derives the assignments, then
+    * the drop set is the same lower-id-neighbor rule over within-cell
+    * pairs with the q43-certified 6-dp rounded cosine. */
+  val q78Sql: String =
+    s"""$kmChainSql, vv AS (
+       |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+       |  FROM d
+       |), drops AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM fasg a JOIN fasg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  JOIN vv va ON va.vec_id = a.vec_id
+       |  JOIN vv vb ON vb.vec_id = b.vec_id
+       |  WHERE round(list_sum([va.v[i] * vb.v[i] for i in range(1, $Dim + 1)])
+       |        / (va.nrm * vb.nrm), 6) >= $SemCosThresh
+       |)
+       |SELECT f.vec_id, f.cid::INT AS cid, d.vec_id IS NULL AS kept
+       |FROM fasg f LEFT JOIN drops d USING (vec_id)
+       |ORDER BY vec_id""".stripMargin
 
   // --------------------------------------------------------- registry
 
@@ -1017,7 +1091,8 @@ object VectorOps {
     "q58_embed_quantize" -> (q58Quantize _),
     "q61_ivf_recall" -> (q61IvfRecall _),
     "q65_trunc_fidelity" -> (q65TruncFidelity _),
-    "q74_kmeans_codebook" -> (q74KmeansCodebook _)
+    "q74_kmeans_codebook" -> (q74KmeansCodebook _),
+    "q78_semdedup" -> (q78Semdedup _)
   )
 
   /** q41/q44 are approximate by design → no oracle (driver rows-only
@@ -1031,6 +1106,7 @@ object VectorOps {
     "q58_embed_quantize" -> q58Sql,
     "q61_ivf_recall" -> q61Sql,
     "q65_trunc_fidelity" -> q65Sql,
-    "q74_kmeans_codebook" -> q74Sql
+    "q74_kmeans_codebook" -> q74Sql,
+    "q78_semdedup" -> q78Sql
   )
 }

@@ -932,6 +932,63 @@ object Queries {
       |  true AS p90_within_bounds
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Count-min-sketch geometry for q80: additive error fraction,
+    * confidence, fixed seed (determinism), heavy-hitter cut. */
+  val CmsEps = 0.001
+  val CmsConf = 0.99
+  val CmsSeed = 42
+  val HhTopK = 20
+
+  /** Q80: heavy hitters CERTIFIED by a count-min sketch — the q52
+    * pattern for the other classic streaming summary: the exact
+    * top-K keys (the oracle-checkable twin) are probed against a
+    * count-min sketch built in one distributed pass, and the query
+    * emits `within_bounds` booleans pinning the CMS guarantee
+    * (estimate never undercounts; overcount ≤ ⌈eps·N⌉ at the fixed
+    * seed). A sketch regression — seed drift, broken merge, changed
+    * geometry — flips a boolean and fails the hash; the raw estimates
+    * stay out of the output because they are engine-specific.
+    *
+    * Scale shape: the sketch is FIXED-SIZE mergeable state (map-side
+    * partials, no value shuffle — the summary a 1000-executor
+    * pre-pass ships to find candidate keys without grouping the
+    * stream); the exact side is one partial-agg'd groupBy. The
+    * driver reads exactly two bounded results (the sketch row and
+    * the K candidate rows — the q70 bounded-read discipline). */
+  def q80CmsTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, dir)
+    val agg = ev.agg(
+      count_min_sketch(col("user_id"), lit(CmsEps), lit(CmsConf),
+        lit(CmsSeed)).as("sk"),
+      count(lit(1)).as("n")).head()
+    val n = agg.getAs[Long]("n")
+    if (n == 0)
+      return Seq.empty[(Int, Long, Long, Boolean)]
+        .toDF("hh_rank", "user_id", "exact_cnt", "within_bounds")
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(agg.getAs[Array[Byte]]("sk"))
+    val top = ev.groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("user_id")).limit(HhTopK).collect()
+    val bound = math.ceil(CmsEps * n).toLong
+    top.zipWithIndex.map { case (r, i) =>
+      val uid = r.getAs[Long]("user_id")
+      val cnt = r.getAs[Long]("exact_cnt")
+      val est = cms.estimateCount(uid)
+      (i + 1, uid, cnt, est >= cnt && est <= cnt + bound)
+    }.toSeq.toDF("hh_rank", "user_id", "exact_cnt", "within_bounds")
+  }
+
+  val q80Sql: String =
+    s"""SELECT CAST(row_number() OVER (ORDER BY exact_cnt DESC, user_id) AS INT)
+       |    AS hh_rank,
+       |  user_id, exact_cnt, true AS within_bounds
+       |FROM (
+       |  SELECT user_id, count(*) AS exact_cnt FROM events
+       |  GROUP BY user_id ORDER BY exact_cnt DESC, user_id LIMIT $HhTopK
+       |)
+       |ORDER BY hh_rank""".stripMargin
+
   /** Session gap: a new session starts after 30 min of inactivity. */
   val SessionGapUs: Long = 30L * 60 * 1000000
 
@@ -1010,7 +1067,8 @@ object Queries {
     "q51_salted_join" -> (q51SaltedJoin _),
     "q60_partition_pruning" -> (q60PartitionPruning _),
     "q76_zorder_pruned" -> (q76ZorderPruned _),
-    "q52_sketches" -> (q52Sketches _)
+    "q52_sketches" -> (q52Sketches _),
+    "q80_cms_topk" -> (q80CmsTopk _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -1046,6 +1104,7 @@ object Queries {
     "q76_zorder_pruned" -> q76Sql,
     // exact twins + pinned-true bound booleans (sketch values are
     // engine-specific; a sketch regression flips a boolean)
-    "q52_sketches" -> q52Sql
+    "q52_sketches" -> q52Sql,
+    "q80_cms_topk" -> q80Sql
   )
 }

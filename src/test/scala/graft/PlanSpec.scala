@@ -106,6 +106,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"per-lang top-k must push below the full sort:\n$plan")
   }
 
+  test("bm25 (q81): postings partial-agg'd, per-term top-k pushed as WindowGroupLimit, stats broadcast") {
+    val plan = physical(TextOps.q81Bm25(spark, dir))
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      "the tf/inverted-index aggregation must map-side combine")
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-term top-k must push below the full sort:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"only broadcast-sized stats may cross the postings:\n$plan")
+  }
+
   test("packing (q56): distributed prefix sum, no per-language serial window") {
     val p56 = physical(TextOps.q56SeqPack(spark, dir))
     // the round-2 shape was `sum(tk) over (partition by lang order by
@@ -196,6 +206,26 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"only the scalar grid-bounds broadcast may join:\n$plan")
     assert(plan.contains("HashAggregate"),
       s"q74's per-centroid stats should be a partial-agg'd hash aggregate:\n$plan")
+  }
+
+  test("semdedup (q78): cell equi-join over narrow id rows, no cartesian, vectors fetched by id") {
+    val plan = physical(VectorOps.q78Semdedup(spark, dir))
+    assert(!plan.contains("CartesianProduct"),
+      s"q78 pairs must equi-join on the cell id, never all-pairs:\n$plan")
+    // the only nested-loops are 1-row (gmin, gmax) grid broadcasts —
+    // one per reference to the assignment map (pair build side, pair
+    // probe side, verdict join); anything more means a data-sized
+    // cross join crept in
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 3,
+      s"only scalar grid-bound broadcasts may nested-loop:\n$plan")
+  }
+
+  test("survivors (q79): label join + per-cluster window, no cartesian") {
+    val plan = physical(TextOps.q79DedupSurvivors(spark, dir))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"q79 must join corpus to labels by doc_id:\n$plan")
+    assert(plan.contains("Window"),
+      s"the survivor rule is a per-cluster window rank:\n$plan")
   }
 
   test("capped LM (q72): scoring joins broadcast, top-K is distributed, corpus never shuffle-joined") {

@@ -92,6 +92,22 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("CMS heavy hitters (q80): ranked exactly, bounds pinned, deterministic") {
+    val rows = Queries.q80CmsTopk(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= Queries.HhTopK)
+    // contiguous ranks, counts descending with doc-id tiebreak
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Int]("hh_rank") == i + 1)
+      assert(r.getAs[Boolean]("within_bounds"),
+        s"CMS bound violated for user ${r.getAs[Long]("user_id")}")
+    }
+    val cnts = rows.map(_.getAs[Long]("exact_cnt"))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b })
+    // fixed seed -> bit-identical rerun
+    val again = Queries.q80CmsTopk(spark, dir).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS li_b")
     spark.sql("DROP TABLE IF EXISTS o_b")

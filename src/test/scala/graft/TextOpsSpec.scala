@@ -235,6 +235,68 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("dedup survivors (q79): one survivor per cluster, longest-text rule, singletons kept") {
+    val verdicts = TextOps.q79DedupSurvivors(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_root"),
+        r.getAs[Long]("cluster_size"), r.getAs[Boolean]("kept")))
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(verdicts.length == nDocs, "one verdict row per document")
+    val chars = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_chars")).toMap
+    val byCluster = verdicts.groupBy(_._2)
+    byCluster.foreach { case (root, members) =>
+      assert(members.count(_._4) == 1, s"cluster $root must keep exactly one")
+      assert(members.forall(_._3 == members.length),
+        s"cluster $root sizes inconsistent")
+      // the survivor is the longest text, doc_id as tiebreak
+      val want = members.map(_._1).minBy(id => (-chars(id), id))
+      assert(members.find(_._4).get._1 == want,
+        s"cluster $root kept the wrong survivor")
+    }
+    // singletons are their own root and trivially survive
+    verdicts.filter(_._3 == 1L).foreach { case (id, root, _, kept) =>
+      assert(root == id && kept, s"singleton $id must self-root and survive")
+    }
+    // clustered verdicts agree with q67's labels
+    val labels = TextOps.q67DedupClusters(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_root")).toMap
+    verdicts.filter(_._3 > 1L).foreach { case (id, root, _, _) =>
+      assert(labels(id) == root, s"doc $id root drifted from q67")
+    }
+    assert(byCluster.exists(_._2.length > 1), "fixture must contain real clusters")
+  }
+
+  test("bm25 (q81): full term coverage, ranks contiguous, scores positive and sorted") {
+    val rows = TextOps.q81Bm25(spark, dir).collect()
+      .map(r => (r.getAs[String]("term"), r.getAs[Int]("rnk"),
+        r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+    val byTerm = rows.groupBy(_._1)
+    assert(byTerm.size == TextOps.Bm25Terms, s"want ${TextOps.Bm25Terms} query terms")
+    byTerm.foreach { case (term, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to rs.length), s"$term ranks not contiguous")
+      assert(rs.length <= TextOps.Bm25TopDocs)
+      val scores = sorted.map(_._4)
+      assert(scores.forall(_ > 0.0), s"$term has non-positive BM25+ scores")
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"$term scores not sorted: ${scores.toSeq}")
+    }
+    // the query terms are the corpus's own top-frequency vocabulary cut
+    val topTerms = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(split(col("text"), "\\s+")).as("t"))
+      .groupBy("t").count().orderBy(col("count").desc, col("t"))
+      .limit(TextOps.Bm25Terms).collect().map(_.getString(0)).toSet
+    assert(byTerm.keySet == topTerms, "query terms drifted from the vocab cut")
+    // every scored doc really contains its term
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    rows.foreach { case (term, _, id, _) =>
+      assert(texts(id).split("\\s+").contains(term), s"doc $id lacks term $term")
+    }
+  }
+
   test("pagerank (q75): deterministic, damping floor holds, hubs outrank leaves") {
     val a = TextOps.q75Pagerank(spark, dir).collect()
     val b = TextOps.q75Pagerank(spark, dir).collect()

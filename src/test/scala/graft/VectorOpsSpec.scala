@@ -169,6 +169,35 @@ class VectorOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("semdedup (q78): verdicts equal the brute-force within-cell rule, drops nonzero") {
+    val out = VectorOps.q78Semdedup(spark, dir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cid"), r.getAs[Boolean]("kept")))
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(out.length == n, "one verdict row per vector")
+    assert(out.exists(!_._3), "threshold must actually drop something at sf0.001")
+    assert(out.count(_._3) > out.length / 2, "most of the corpus survives")
+    // brute-force recompute: same fold-order dot, same 6-dp HALF_UP
+    // round, same exists-lower-id-neighbor rule — driver-side over the
+    // 500-vector fixture
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[collection.Seq[Float]]("embedding"))
+      .toMap
+    def dotD(a: collection.Seq[Float], b: collection.Seq[Float]): Double =
+      a.indices.foldLeft(0d)((acc, i) => acc + a(i).toDouble * b(i).toDouble)
+    def cos(a: collection.Seq[Float], b: collection.Seq[Float]): Double = BigDecimal(
+      dotD(a, b) / (math.sqrt(dotD(a, a)) * math.sqrt(dotD(b, b))))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val cellOf = out.map(t => t._1 -> t._2).toMap
+    out.foreach { case (id, cid, kept) =>
+      val hasLowerNeighbor = cellOf.exists { case (o, c) =>
+        c == cid && o < id && cos(vecs(o), vecs(id)) >= VectorOps.SemCosThresh
+      }
+      assert(kept == !hasLowerNeighbor,
+        s"vec $id in cell $cid: kept=$kept but lower-id-neighbor=$hasLowerNeighbor")
+    }
+  }
+
   test("kmeans codebook (q74): corpora smaller than K train a truncated codebook") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
