@@ -146,7 +146,10 @@ object Bench {
       // round-5 operators
       "q73_bpe_exhausted", "q74_kmeans_codebook", "q75_pagerank",
       "q76_zorder_pruned", "q77_dup_ngrams", "q78_semdedup",
-      "q79_dedup_survivors", "q80_cms_topk", "q81_bm25")
+      "q79_dedup_survivors", "q80_cms_topk", "q81_bm25",
+      // round-5 second batch: funnel, quota, PQ/ADC, streaming sessions
+      "q82_funnel", "q83_source_quota", "q84_pq_adc_recall",
+      "sq6_sessionize")
     // shingle-index misses during TIMED passes only (warm passes are
     // expected to build it once per session+dir)
     var timedIndexMisses = 0L

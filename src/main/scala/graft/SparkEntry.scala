@@ -26,7 +26,9 @@ object SparkEntry {
       "sq4_stream_sliding" ->
         ((s: SparkSession, dir: String) => StreamOps.sq4StreamSliding(s, dir)),
       "sq5_stream_enrich" ->
-        ((s: SparkSession, dir: String) => StreamOps.sq5StreamEnrich(s, dir)))
+        ((s: SparkSession, dir: String) => StreamOps.sq5StreamEnrich(s, dir)),
+      "sq6_sessionize" ->
+        ((s: SparkSession, dir: String) => StreamOps.sq6Sessionize(s, dir)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -36,5 +38,6 @@ object SparkEntry {
       "sq2_stream_dedup" -> StreamOps.sq2Sql,
       "sq3_stream_join" -> StreamOps.sq3Sql,
       "sq4_stream_sliding" -> StreamOps.sq4Sql,
-      "sq5_stream_enrich" -> StreamOps.sq5Sql)
+      "sq5_stream_enrich" -> StreamOps.sq5Sql,
+      "sq6_sessionize" -> Queries.q22Sql)
 }

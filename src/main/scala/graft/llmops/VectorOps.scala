@@ -945,6 +945,25 @@ object VectorOps {
     * assignment. All-integer arithmetic end to end, so the hash pins
     * every assignment and every centroid, not just the final
     * aggregate magnitudes. */
+  /** The `d`/`mm`/`codes` CTE bodies shared by the q74/q78 Lloyd chain
+    * and q84's per-subspace PQ chains — DuckDB's recomputation of
+    * [[kmCodes]] (global-grid integer codes). Emitted WITHOUT the
+    * leading `WITH` so callers splice it into their own chain. */
+  private def kmCodesSql: String =
+    s"""d AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), mm AS (
+       |  SELECT min(list_min(v)) AS gmin, max(list_max(v)) AS gmax FROM d
+       |), codes AS (
+       |  SELECT vec_id,
+       |    [CASE WHEN gmax = gmin THEN 0::BIGINT
+       |      ELSE CAST(least(floor((v[i] - gmin) * $QLevels.0 / (gmax - gmin)),
+       |                      $QLevels.0) AS BIGINT) END
+       |     for i in range(1, $Dim + 1)] AS c
+       |  FROM d CROSS JOIN mm
+       |)""".stripMargin
+
   private def kmChainSql: String = {
     def iter(r: Int): String = {
       val (prev, next) = (s"cent${r - 1}", s"cent$r")
@@ -970,19 +989,7 @@ object VectorOps {
          |)""".stripMargin
     }
     val iters = (1 to KmIters).map(iter).mkString(",\n")
-    s"""WITH d AS (
-       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |  FROM embeddings
-       |), mm AS (
-       |  SELECT min(list_min(v)) AS gmin, max(list_max(v)) AS gmax FROM d
-       |), codes AS (
-       |  SELECT vec_id,
-       |    [CASE WHEN gmax = gmin THEN 0::BIGINT
-       |      ELSE CAST(least(floor((v[i] - gmin) * $QLevels.0 / (gmax - gmin)),
-       |                      $QLevels.0) AS BIGINT) END
-       |     for i in range(1, $Dim + 1)] AS c
-       |  FROM d CROSS JOIN mm
-       |), cent0 AS (
+    s"""WITH $kmCodesSql, cent0 AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, c
        |  FROM (SELECT vec_id, c FROM codes ORDER BY vec_id LIMIT $KmK)
        |),
@@ -1079,6 +1086,247 @@ object VectorOps {
        |FROM fasg f LEFT JOIN drops d USING (vec_id)
        |ORDER BY vec_id""".stripMargin
 
+  // ------------------------ q84 product quantization + ADC recall
+
+  /** PQ geometry: M subspaces × PqSubDim dims, PqK centroids per
+    * subspace, PqIters integer-Lloyd rounds (the q74 arithmetic
+    * discipline — every code, centroid and distance is an exact
+    * integer in both engines). */
+  val PqM = 4
+  val PqSubDim: Int = Dim / PqM
+  val PqK = 8
+  val PqIters = 2
+
+  private def pqSlice(c: Column, m: Int): Column =
+    slice(c, m * PqSubDim + 1, PqSubDim)
+
+  /** d²(x, literal centroid) = |x|² + |c|² − 2·x·c with |c|² folded to
+    * a constant — the kmAssign shape on a subspace slice. Exact for
+    * integer-valued inputs (all terms ≪ 2⁵³). */
+  private def sqDistLit(x: Column, cent: Seq[Long]): Column = {
+    val carr = array(cent.map(v => lit(v.toDouble)): _*)
+    val c2 = cent.map(v => v.toDouble * v).sum
+    dot(x, x) + lit(c2) - lit(2d) * dot(x, carr)
+  }
+
+  /** Per-subspace integer Lloyd — q74's trainer run over the M slices
+    * of the global-grid codes IN ONE PASS PER ROUND: the M assignment
+    * expressions are literal-broadcast pure maps stacked in a single
+    * projection, exploded to (m, cid, dim) and partial-agg'd, so one
+    * PQ round costs exactly one corpus scan regardless of M (the shape
+    * a 1000-executor PQ trainer needs). Seeds are slices of the PqK
+    * smallest vec_ids' codes; floor-division updates; empty clusters
+    * keep their previous centroid — all the q74 determinism rules. */
+  private def pqLearn(s: SparkSession, dir: String)
+      : (Seq[Seq[Seq[Long]]], DataFrame) = {
+    val codes = kmCodes(s, dir)
+    val seed = codes.orderBy("vec_id").limit(PqK).collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).map(_.toLong).toSeq).toSeq
+    if (seed.isEmpty) return (Nil, codes)
+    var cents: Seq[Seq[Seq[Long]]] = (0 until PqM).map(m =>
+      seed.map(c => c.slice(m * PqSubDim, (m + 1) * PqSubDim)))
+    for (_ <- 1 to PqIters) {
+      val withC = codes.withColumn("cdbl", col("c").cast("array<double>"))
+      val asgCols = (0 until PqM).map { m =>
+        val sub = pqSlice(col("cdbl"), m)
+        val cand = cents(m).zipWithIndex.map { case (cent, k) =>
+          struct(sqDistLit(sub, cent).as("d2"), lit(k).as("cid"))
+        }
+        struct(lit(m).as("m"), least(cand: _*).getField("cid").as("cid"),
+          pqSlice(col("c"), m).as("sc"))
+      }
+      val upd = withC.select(explode(array(asgCols: _*)).as("a"))
+        .select(col("a.m").as("m"), col("a.cid").as("cid"),
+          posexplode(col("a.sc")).as(Seq("i", "v")))
+        .groupBy("m", "cid", "i")
+        .agg(sum(col("v").cast("long")).as("s"), count(lit(1)).as("n"))
+        .withColumn("cv", expr("s div n"))
+        .groupBy("m", "cid")
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("cv")))),
+          x => x.getField("cv")).as("c"))
+        .collect()
+      val byKey = upd.map(r =>
+        (r.getInt(0), r.getInt(1)) -> r.getSeq[Long](2).toSeq).toMap
+      cents = (0 until PqM).map(m =>
+        cents(m).indices.map(k => byKey.getOrElse((m, k), cents(m)(k))))
+    }
+    (cents, codes)
+  }
+
+  /** q84: product quantization + asymmetric-distance recall
+    * certification — the billion-scale ANN memory codec (Jégou et al.
+    * 2011): train [[PqM]] sub-codebooks, encode every vector as M
+    * small centroid ids, then score query→database pairs by ADC
+    * (sum over subspaces of d²(query slice, centroid of the
+    * neighbor's code)) and certify ADC top-k recall against the exact
+    * integer-L2 top-k on the same codes. One hash-pinned row
+    * (n_queries, n_hits, recall_at_k) — the q47/q61 pattern for the
+    * third classic ANN family.
+    *
+    * Scale shape: training is one scan per round (see [[pqLearn]]);
+    * encoding is a literal-broadcast pure map (M·PqK dot products,
+    * whole-stage codegen'd); production ADC scans an IVF cell with a
+    * BROADCAST 32-entry LUT per query — this certification query
+    * instead scores ALL pairs because its exact baseline is already
+    * quadratic (the q40/q47 eval-query caveat, knowingly embedded).
+    * The PQ index stores M bytes per vector instead of 4·Dim — the
+    * whole point of the codec at 100 TB.
+    *
+    * On the SYNTHETIC UNIFORM corpus the absolute recall is low
+    * (~0.10 at sf0.001/sf0.01) — uniform random vectors are PQ's
+    * worst case (no cluster structure for the sub-codebooks to
+    * exploit) — but ~10× the random-pick baseline TopK/(n−1)≈0.01,
+    * which the spec asserts. The hash pins the PIPELINE (codes,
+    * centroids, every ranked pair), not a quality bar. */
+  def q84PqAdcRecall(s: SparkSession, dir: String): DataFrame = {
+    val (cents, codes) = pqLearn(s, dir)
+    if (cents.isEmpty)
+      return codes.select(lit(0L).as("n_queries"), lit(0L).as("n_hits"),
+        lit(0d).as("recall_at_k")).limit(0)
+    val withC = codes.withColumn("cdbl", col("c").cast("array<double>"))
+    val asg = (0 until PqM).foldLeft(withC) { (df, m) =>
+      val cand = cents(m).zipWithIndex.map { case (cent, k) =>
+        struct(sqDistLit(pqSlice(col("cdbl"), m), cent).as("d2"),
+          lit(k).as("cid"))
+      }
+      df.withColumn(s"cid_$m", least(cand: _*).getField("cid"))
+    }
+    val db = asg.select(col("vec_id").as("neighbor_id") +:
+      (0 until PqM).map(m => col(s"cid_$m")): _*)
+    val pairs = withC.select(col("vec_id"), col("cdbl")).crossJoin(db)
+      .filter(col("vec_id") =!= col("neighbor_id"))
+    val adcDist = (0 until PqM).map { m =>
+      val sub = pqSlice(col("cdbl"), m)
+      cents(m).zipWithIndex.foldRight(lit(null).cast("double")) {
+        case ((cent, k), els) =>
+          when(col(s"cid_$m") === k, sqDistLit(sub, cent)).otherwise(els)
+      }
+    }.reduce(_ + _)
+    val wa = Window.partitionBy("vec_id").orderBy(col("adist"), col("neighbor_id"))
+    val approx = pairs.withColumn("adist", adcDist.cast("long"))
+      .withColumn("rank", row_number().over(wa)).filter(col("rank") <= TopK)
+      .select("vec_id", "neighbor_id")
+    val ex = withC.select(col("vec_id"), col("cdbl"))
+      .crossJoin(withC.select(col("vec_id").as("neighbor_id"),
+        col("cdbl").as("w")))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("d2", (dot(col("cdbl"), col("cdbl")) + dot(col("w"), col("w"))
+        - lit(2d) * dot(col("cdbl"), col("w"))).cast("long"))
+    val we = Window.partitionBy("vec_id").orderBy(col("d2"), col("neighbor_id"))
+    val exact = ex.withColumn("rank", row_number().over(we))
+      .filter(col("rank") <= TopK).select("vec_id", "neighbor_id")
+    val hits = exact.join(approx, Seq("vec_id", "neighbor_id"), "left_semi")
+    val nq = exact.agg(count_distinct(col("vec_id")).as("n_queries"))
+    hits.agg(count(lit(1)).as("n_hits"))
+      .crossJoin(nq)
+      .select(col("n_queries"), col("n_hits"),
+        (col("n_hits").cast("double") /
+          (lit(TopK.toDouble) * col("n_queries"))).as("recall_at_k"))
+  }
+
+  /** Oracle: DuckDB re-runs the ENTIRE PQ pipeline — global-grid
+    * codes, M per-subspace integer Lloyd chains (sliced-list twins of
+    * the q74 chain), final per-subspace assignments, per-pair ADC
+    * sums, exact integer-L2 top-k — and reduces to the same single
+    * recall row. All-integer arithmetic end to end pins every code,
+    * every centroid and every ranked pair. */
+  def q84Sql: String = {
+    def chain(m: Int): String = {
+      val lo = m * PqSubDim + 1
+      val hi = (m + 1) * PqSubDim
+      def iter(r: Int): String = {
+        val (prev, next) = (s"cent${r - 1}_$m", s"cent${r}_$m")
+        s"""dist${r}_$m AS (
+           |  SELECT x.vec_id, x.c, ct.cid,
+           |    list_sum([(x.c[i] - ct.c[i]) * (x.c[i] - ct.c[i])
+           |              for i in range(1, $PqSubDim + 1)]) AS d2
+           |  FROM scodes_$m x CROSS JOIN $prev ct
+           |), asg${r}_$m AS (
+           |  SELECT vec_id, c, cid FROM (
+           |    SELECT vec_id, c, cid,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+           |    FROM dist${r}_$m) WHERE rn = 1
+           |), sums${r}_$m AS (
+           |  SELECT cid, i, sum(c[i]) AS s, count(*) AS n
+           |  FROM (SELECT cid, c, unnest(range(1, $PqSubDim + 1)) AS i
+           |        FROM asg${r}_$m)
+           |  GROUP BY cid, i
+           |), $next AS (
+           |  SELECT p.cid, coalesce(u.c, p.c) AS c
+           |  FROM $prev p LEFT JOIN (
+           |    SELECT cid, list(s // n ORDER BY i) AS c FROM sums${r}_$m GROUP BY cid
+           |  ) u USING (cid)
+           |)""".stripMargin
+      }
+      s"""scodes_$m AS (
+         |  SELECT vec_id, c[$lo:$hi] AS c FROM codes
+         |), cent0_$m AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, c
+         |  FROM (SELECT vec_id, c FROM scodes_$m ORDER BY vec_id LIMIT $PqK)
+         |),
+         |${(1 to PqIters).map(iter).mkString(",\n")},
+         |fdist_$m AS (
+         |  SELECT x.vec_id, ct.cid,
+         |    list_sum([(x.c[i] - ct.c[i]) * (x.c[i] - ct.c[i])
+         |              for i in range(1, $PqSubDim + 1)]) AS d2
+         |  FROM scodes_$m x CROSS JOIN cent${PqIters}_$m ct
+         |), fasg_$m AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |    FROM fdist_$m) WHERE rn = 1
+         |)""".stripMargin
+    }
+    val chains = (0 until PqM).map(chain).mkString(",\n")
+    val centU = (0 until PqM).map(m =>
+      s"SELECT $m AS m, cid, c FROM cent${PqIters}_$m").mkString("\n  UNION ALL ")
+    val codeU = (0 until PqM).map(m =>
+      s"SELECT vec_id, $m AS m, cid FROM fasg_$m").mkString("\n  UNION ALL ")
+    s"""WITH $kmCodesSql,
+       |$chains,
+       |centpq AS (
+       |  $centU
+       |), pqcode AS (
+       |  $codeU
+       |), adc AS (
+       |  SELECT q.vec_id, pc.vec_id AS neighbor_id,
+       |    CAST(sum(list_sum(
+       |      [(q.c[pc.m * $PqSubDim + i] - ct.c[i])
+       |       * (q.c[pc.m * $PqSubDim + i] - ct.c[i])
+       |       for i in range(1, $PqSubDim + 1)])) AS BIGINT) AS adist
+       |  FROM codes q
+       |  CROSS JOIN pqcode pc
+       |  JOIN centpq ct ON ct.m = pc.m AND ct.cid = pc.cid
+       |  WHERE q.vec_id <> pc.vec_id
+       |  GROUP BY q.vec_id, pc.vec_id
+       |), appr AS (
+       |  SELECT vec_id, neighbor_id FROM (
+       |    SELECT vec_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY vec_id
+       |                         ORDER BY adist, neighbor_id) AS rn
+       |    FROM adc) WHERE rn <= $TopK
+       |), exd AS (
+       |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+       |    CAST(list_sum([(a.c[i] - b.c[i]) * (a.c[i] - b.c[i])
+       |                   for i in range(1, $Dim + 1)]) AS BIGINT) AS d2
+       |  FROM codes a CROSS JOIN codes b WHERE a.vec_id <> b.vec_id
+       |), exact AS (
+       |  SELECT vec_id, neighbor_id FROM (
+       |    SELECT vec_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY vec_id
+       |                         ORDER BY d2, neighbor_id) AS rn
+       |    FROM exd) WHERE rn <= $TopK
+       |)
+       |SELECT (SELECT count(DISTINCT vec_id) FROM exact) AS n_queries,
+       |  (SELECT count(*) FROM exact e
+       |   JOIN appr a USING (vec_id, neighbor_id)) AS n_hits,
+       |  CAST((SELECT count(*) FROM exact e
+       |        JOIN appr a USING (vec_id, neighbor_id)) AS DOUBLE)
+       |    / ($TopK.0 * (SELECT count(DISTINCT vec_id) FROM exact))
+       |    AS recall_at_k""".stripMargin
+  }
+
   // --------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1092,7 +1340,8 @@ object VectorOps {
     "q61_ivf_recall" -> (q61IvfRecall _),
     "q65_trunc_fidelity" -> (q65TruncFidelity _),
     "q74_kmeans_codebook" -> (q74KmeansCodebook _),
-    "q78_semdedup" -> (q78Semdedup _)
+    "q78_semdedup" -> (q78Semdedup _),
+    "q84_pq_adc_recall" -> (q84PqAdcRecall _)
   )
 
   /** q41/q44 are approximate by design → no oracle (driver rows-only
@@ -1107,6 +1356,7 @@ object VectorOps {
     "q61_ivf_recall" -> q61Sql,
     "q65_trunc_fidelity" -> q65Sql,
     "q74_kmeans_codebook" -> q74Sql,
-    "q78_semdedup" -> q78Sql
+    "q78_semdedup" -> q78Sql,
+    "q84_pq_adc_recall" -> q84Sql
   )
 }

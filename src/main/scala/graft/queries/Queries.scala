@@ -1035,6 +1035,115 @@ object Queries {
        |  min(us) AS inicio_us, max(us) - min(us) AS duracao_us
        |FROM sess GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin
 
+  /** Q82: event funnel — ordered view → click → purchase conversion,
+    * the sequence-analytics query every event pipeline runs. Step
+    * timestamps are CONDITIONAL window minima chained over the SAME
+    * `user_id` partitioning (t2's condition reads t1, t3's reads t2),
+    * so Catalyst plans ONE Exchange and stacks the Window nodes on the
+    * shared sort — a single shuffle of the event set, no joins, no
+    * self-unions. The final reduction is a global aggregate of four
+    * distinct-user counts plus zero-guarded conversion ratios (the
+    * q19 discipline).
+    *
+    * Scale shape: one hash shuffle on user_id (the funnel's natural
+    * key); per-user state is four longs inside the window sort; the
+    * global distinct-counts partial-aggregate before the single-row
+    * reduce. */
+  def q82Funnel(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    events(s, dir).withColumn("us", unix_micros(col("ts")))
+      .withColumn("t1",
+        min(when(col("event_type") === "view", col("us"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" && col("us") > col("t1"),
+          col("us"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("us") > col("t2"),
+          col("us"))).over(w))
+      .agg(
+        count_distinct(col("user_id")).as("n_users"),
+        count_distinct(when(col("t1").isNotNull, col("user_id"))).as("n_view"),
+        count_distinct(when(col("t2").isNotNull, col("user_id"))).as("n_view_click"),
+        count_distinct(when(col("t3").isNotNull, col("user_id"))).as("n_full_funnel"))
+      .select(col("n_users"), col("n_view"), col("n_view_click"),
+        col("n_full_funnel"),
+        when(col("n_view") > 0,
+          col("n_view_click").cast("double") / col("n_view")).as("conv_click"),
+        when(col("n_view_click") > 0,
+          col("n_full_funnel").cast("double") / col("n_view_click"))
+          .as("conv_purchase"))
+  }
+
+  val q82Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events
+      |), w1 AS (
+      |  SELECT *, min(CASE WHEN event_type = 'view' THEN us END)
+      |    OVER (PARTITION BY user_id) AS t1 FROM e
+      |), w2 AS (
+      |  SELECT *, min(CASE WHEN event_type = 'click' AND us > t1 THEN us END)
+      |    OVER (PARTITION BY user_id) AS t2 FROM w1
+      |), w3 AS (
+      |  SELECT *, min(CASE WHEN event_type = 'purchase' AND us > t2 THEN us END)
+      |    OVER (PARTITION BY user_id) AS t3 FROM w2
+      |), agg AS (
+      |  SELECT count(DISTINCT user_id) AS n_users,
+      |    count(DISTINCT CASE WHEN t1 IS NOT NULL THEN user_id END) AS n_view,
+      |    count(DISTINCT CASE WHEN t2 IS NOT NULL THEN user_id END) AS n_view_click,
+      |    count(DISTINCT CASE WHEN t3 IS NOT NULL THEN user_id END) AS n_full_funnel
+      |  FROM w3
+      |)
+      |SELECT n_users, n_view, n_view_click, n_full_funnel,
+      |  CASE WHEN n_view > 0
+      |       THEN CAST(n_view_click AS DOUBLE) / n_view END AS conv_click,
+      |  CASE WHEN n_view_click > 0
+      |       THEN CAST(n_full_funnel AS DOUBLE) / n_view_click END AS conv_purchase
+      |FROM agg""".stripMargin
+
+  /** Per-source document cap for q83 (training-mix quota). */
+  val QuotaCap = 15
+
+  /** Q83: per-source quota capping — "at most N documents per source",
+    * the corpus-mixing quota every training-data build enforces (cap
+    * a crawled domain, cap a source shard). Selection is deterministic
+    * and ingest-stable: the N smallest `(md5(doc_id), doc_id)` per
+    * source — no rand(), the q57 discipline.
+    *
+    * Scale shape: the naive form is `row_number() OVER (PARTITION BY
+    * source ORDER BY hash)` — every row of a hot source onto one
+    * reducer. This query instead runs [[graft.operators
+    * .QuotaAggregator]]: a typed Aggregator whose partial state is the
+    * cap smallest survivors + a count, so the quota resolves in
+    * MAP-SIDE partial aggregation and the shuffle carries ≤ cap rows
+    * per (source, task) regardless of how hot the source is. The
+    * selection is a set function of the input (merge-order
+    * independent), so the window-idiom SQL is its exact oracle. */
+  def q83SourceQuota(s: SparkSession, dir: String): DataFrame = {
+    val quota = udaf(new graft.operators.QuotaAggregator(QuotaCap))
+    t(s, dir, "documents")
+      .select(col("source"), md5(col("doc_id").cast("string")).as("h"),
+        col("doc_id"))
+      .groupBy("source")
+      .agg(quota(col("h"), col("doc_id")).as("st"))
+      .select(col("source"), col("st.n").as("n_docs"),
+        size(col("st.top")).cast("bigint").as("n_kept"),
+        expr("aggregate(st.top, 0L, (acc, x) -> acc + x._2)").as("kept_id_sum"))
+      .orderBy("source")
+  }
+
+  val q83Sql: String =
+    s"""WITH r AS (
+       |  SELECT source, doc_id,
+       |    row_number() OVER (PARTITION BY source
+       |                       ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+       |  FROM documents
+       |)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(count(*) FILTER (WHERE rk <= $QuotaCap) AS BIGINT) AS n_kept,
+       |  CAST(sum(doc_id) FILTER (WHERE rk <= $QuotaCap) AS BIGINT) AS kept_id_sum
+       |FROM r GROUP BY source ORDER BY source""".stripMargin
+
   // --------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1068,7 +1177,9 @@ object Queries {
     "q60_partition_pruning" -> (q60PartitionPruning _),
     "q76_zorder_pruned" -> (q76ZorderPruned _),
     "q52_sketches" -> (q52Sketches _),
-    "q80_cms_topk" -> (q80CmsTopk _)
+    "q80_cms_topk" -> (q80CmsTopk _),
+    "q82_funnel" -> (q82Funnel _),
+    "q83_source_quota" -> (q83SourceQuota _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -1105,6 +1216,8 @@ object Queries {
     // exact twins + pinned-true bound booleans (sketch values are
     // engine-specific; a sketch regression flips a boolean)
     "q52_sketches" -> q52Sql,
-    "q80_cms_topk" -> q80Sql
+    "q80_cms_topk" -> q80Sql,
+    "q82_funnel" -> q82Sql,
+    "q83_source_quota" -> q83Sql
   )
 }

@@ -348,11 +348,20 @@ object StreamOps {
     import s.implicits._
     val ev = eventsBatch(s, dir)
     val closed = sessionizeStateful(ev, gapUs).as[Session]
-    // final open sessions: flatMapGroupsWithState in batch mode emits
-    // only what fn returns; recover each user's last session from the
-    // same deterministic walk
-    val finals = ev
-      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+    closed.unionAll(finalOpenSessions(ev, gapUs)).toDF()
+      .orderBy("user_id", "sid")
+  }
+
+  /** Each user's final OPEN session, recovered from the same
+    * deterministic walk the stateful fn runs. flatMapGroupsWithState
+    * only emits sessions a LATER event closes; without a timeout tick
+    * the last session per user stays in state, so both the batch
+    * runner and the streaming sq6 recover it with this pass. */
+  private def finalOpenSessions(ev: DataFrame, gapUs: Long)
+      : org.apache.spark.sql.Dataset[Session] = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    ev.select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
       .as[Ev]
       .groupByKey(_.user_id)
       .mapGroups { (uid, evs) =>
@@ -366,7 +375,32 @@ object StreamOps {
         }
         Session(uid, st.sid, st.n, st.startUs, st.lastUs - st.startUs)
       }
-    closed.unionAll(finals).toDF()
+  }
+
+  /** SQ6: the stateful sessionizer run as a REAL streaming query —
+    * flatMapGroupsWithState (append, NoTimeout) over the event file
+    * stream emits every session CLOSED by a later event; the final
+    * open session per user cannot emit without a timeout tick, so it
+    * is recovered batch-side by [[finalOpenSessions]] (the identical
+    * walk) and unioned. Oracle: the batch lag/cumulative-sum
+    * sessionization SQL (q22) — streaming/batch equivalence is the
+    * check, the same discipline as sq1.
+    *
+    * Scale shape: state is ONE SessionState row per live user (four
+    * longs), shuffled once on user_id; on an unbounded stream a
+    * `GroupStateTimeout.EventTimeTimeout` + watermark would both
+    * expire idle users and emit their final session, replacing the
+    * batch-side recovery pass. */
+  def sq6Sessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val name = s"sq6_${System.nanoTime()}"
+    val gapUs = graft.queries.Queries.SessionGapUs
+    val q = sessionizeStateful(eventsStream(s, dir), gapUs)
+      .writeStream.queryName(name).format("memory")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name).as[Session]
+      .unionAll(finalOpenSessions(eventsBatch(s, dir), gapUs)).toDF()
       .orderBy("user_id", "sid")
   }
 
