@@ -900,19 +900,34 @@ object Queries {
     * boolean and fails the hash — the raw approx values themselves
     * stay out of the output precisely because they are
     * engine-specific. */
-  def q52Sketches(s: SparkSession, dir: String): DataFrame =
-    events(s, dir)
-      .groupBy("event_type")
+  def q52Sketches(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    // The distinct counts and the percentile family aggregate
+    // SEPARATELY, then join on the 5-row group key: one Aggregate
+    // mixing countDistinct with value-buffer aggregates goes through
+    // the two-level distinct rewrite, which keys the FIRST level by
+    // (group, distinct-col) — every percentile buffer is then built
+    // per (event_type, user_id) and merged per user, ~|distinct keys|
+    // buffer merges instead of |groups| (measured 6.2 -> 1.9 s at
+    // sf0.1, identical output).
+    val users = ev.groupBy("event_type")
       .agg(
         // rsd 1%: the default 5% makes the pinned 5% bound a ~1σ claim
         // that fails sporadically at other scales (observed at sf0.1);
         // at 1% rsd the 5% boolean is ~5σ — a real regression detector,
         // and the sketch stays a few KB of register state
         approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
-        countDistinct(col("user_id")).as("exact_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+    val pcts = ev.groupBy("event_type")
+      .agg(
         expr("approx_percentile(value, array(0.5, 0.9), 10000)").as("approx_p"),
-        expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY value)").as("exact_p50"),
-        expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY value)").as("exact_p90"))
+        // one exact-percentile buffer for both fractions: percentile's
+        // array form interpolates identically to percentile_cont
+        expr("percentile(value, array(0.5, 0.9))").as("exact_ps"))
+      .select(col("event_type"), col("approx_p"),
+        col("exact_ps").getItem(0).as("exact_p50"),
+        col("exact_ps").getItem(1).as("exact_p90"))
+    users.join(pcts, Seq("event_type"))
       .select(col("event_type"), col("exact_users"), col("exact_p50"), col("exact_p90"),
         (abs(col("approx_users") - col("exact_users")).cast("double") /
           col("exact_users") <= 0.05).as("users_within_bounds"),
@@ -921,6 +936,7 @@ object Queries {
         (abs(col("approx_p").getItem(1) - col("exact_p90")) <=
           greatest(lit(1.0), abs(col("exact_p90")) * 0.05)).as("p90_within_bounds"))
       .orderBy("event_type")
+  }
 
   val q52Sql: String =
     """SELECT event_type,

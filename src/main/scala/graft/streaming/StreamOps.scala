@@ -57,6 +57,39 @@ object StreamOps {
     s.readStream.schema(eventsSchema).parquet(stageAsDir(s"$dir/events.parquet"))
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
 
+  /** State-store partition count for the stateful streaming queries.
+    *
+    * `spark.sql.shuffle.partitions` is frozen into a streaming
+    * checkpoint at FIRST START and sizes the number of state stores —
+    * and the right number tracks STATE VOLUME (keys × row size), not
+    * the batch scan width the session tunes for. Inheriting the batch
+    * setting (32 here; 200+ on a real cluster) pays per-store
+    * fixed costs — snapshot/delta files, maintenance threads, commit
+    * round-trips — on stores holding a few thousand keys each:
+    * measured on sq3, 32→8 stores cut the stream-stream join from
+    * 8.2 s to ~3.4 s at sf0.1 with identical output. At production
+    * state volume the same sizing runs the OTHER way (more stores
+    * than cores, so no store outgrows executor memory); the point is
+    * that it is a state-layer knob, deliberately decoupled from the
+    * batch shuffle width. */
+  val StreamStatePartitions = 8
+
+  /** Run `body` (which must START its streaming query inside the
+    * call) with `spark.sql.shuffle.partitions` scoped to
+    * [[StreamStatePartitions]], restoring the session's batch setting
+    * after. Safe because the partition count is captured by the query
+    * at start; bench/verify run entries sequentially. */
+  private def withStreamShuffle[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, StreamStatePartitions.toString)
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   /** SQ1 logical plan: tumbling 1-hour window × event_type, count and
     * exact-DECIMAL value sum — shared verbatim by the batch oracle
     * query (q21) and the streaming run. */
@@ -78,10 +111,12 @@ object StreamOps {
     * semantics are exercised separately in [[sq1Append]]. */
   def sq1StreamTumbling(s: SparkSession, dir: String): DataFrame = {
     val name = s"sq1_${System.nanoTime()}"
-    val q = sq1Plan(eventsStream(s, dir))
-      .writeStream.queryName(name).format("memory")
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStreamShuffle(s) {
+      val q = sq1Plan(eventsStream(s, dir))
+        .writeStream.queryName(name).format("memory")
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     s.table(name).orderBy("janela_ms", "event_type")
   }
 
@@ -91,10 +126,12 @@ object StreamOps {
     * asserted in StreamOpsSpec, not oracle-compared. */
   def sq1Append(s: SparkSession, dir: String, delay: String = "1 hour"): DataFrame = {
     val name = s"sq1a_${System.nanoTime()}"
-    val q = sq1Plan(eventsStream(s, dir).withWatermark("ts", delay))
-      .writeStream.queryName(name).format("memory")
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStreamShuffle(s) {
+      val q = sq1Plan(eventsStream(s, dir).withWatermark("ts", delay))
+        .writeStream.queryName(name).format("memory")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     s.table(name).orderBy("janela_ms", "event_type")
   }
 
@@ -117,10 +154,12 @@ object StreamOps {
 
   def sq4StreamSliding(s: SparkSession, dir: String): DataFrame = {
     val name = s"sq4_${System.nanoTime()}"
-    val q = sq4Plan(eventsStream(s, dir))
-      .writeStream.queryName(name).format("memory")
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStreamShuffle(s) {
+      val q = sq4Plan(eventsStream(s, dir))
+        .writeStream.queryName(name).format("memory")
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     s.table(name).orderBy("janela_ms", "event_type")
   }
 
@@ -153,14 +192,16 @@ object StreamOps {
     val name = s"sq5_${System.nanoTime()}"
     val cust = s.read.parquet(s"$dir/customer.parquet")
       .select(col("c_custkey"), col("c_mktsegment"))
-    val q = eventsStream(s, dir)
-      .join(broadcast(cust), col("user_id") === col("c_custkey"))
-      .groupBy("c_mktsegment", "event_type")
-      .agg(count(lit(1)).as("n"),
-        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("soma_valor"))
-      .writeStream.queryName(name).format("memory")
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStreamShuffle(s) {
+      val q = eventsStream(s, dir)
+        .join(broadcast(cust), col("user_id") === col("c_custkey"))
+        .groupBy("c_mktsegment", "event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("soma_valor"))
+        .writeStream.queryName(name).format("memory")
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     s.table(name).orderBy("c_mktsegment", "event_type")
   }
 
@@ -192,13 +233,15 @@ object StreamOps {
   def sq2StreamDedup(s: SparkSession, dir: String): DataFrame = {
     val name = s"sq2_${System.nanoTime()}"
     val fp = md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
-    val q = s.readStream.schema(documentsSchema)
-      .parquet(stageAsDir(s"$dir/documents.parquet"))
-      .select(col("source"), fp.as("fp"))
-      .dropDuplicates("source", "fp")
-      .writeStream.queryName(name).format("memory")
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStreamShuffle(s) {
+      val q = s.readStream.schema(documentsSchema)
+        .parquet(stageAsDir(s"$dir/documents.parquet"))
+        .select(col("source"), fp.as("fp"))
+        .dropDuplicates("source", "fp")
+        .writeStream.queryName(name).format("memory")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     s.table(name).orderBy("source", "fp")
   }
 
@@ -230,15 +273,17 @@ object StreamOps {
         .withWatermark(s"${prefix}_ts", "2 hours")
     val clicks = side("click", "click")
     val purchases = side("purchase", "purchase")
-    val q = clicks.join(purchases,
-      expr("""click_user = purchase_user
-             |AND purchase_ts >= click_ts
-             |AND purchase_ts <= click_ts + INTERVAL 1 HOUR""".stripMargin))
-      .select(col("click_user").as("user_id"), col("click_id"), col("purchase_id"),
-        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("delta_us"))
-      .writeStream.queryName(name).format("memory")
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStreamShuffle(s) {
+      val q = clicks.join(purchases,
+        expr("""click_user = purchase_user
+               |AND purchase_ts >= click_ts
+               |AND purchase_ts <= click_ts + INTERVAL 1 HOUR""".stripMargin))
+        .select(col("click_user").as("user_id"), col("click_id"), col("purchase_id"),
+          (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("delta_us"))
+        .writeStream.queryName(name).format("memory")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     s.table(name).orderBy("click_id", "purchase_id")
   }
 
@@ -395,10 +440,12 @@ object StreamOps {
     import s.implicits._
     val name = s"sq6_${System.nanoTime()}"
     val gapUs = graft.queries.Queries.SessionGapUs
-    val q = sessionizeStateful(eventsStream(s, dir), gapUs)
-      .writeStream.queryName(name).format("memory")
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStreamShuffle(s) {
+      val q = sessionizeStateful(eventsStream(s, dir), gapUs)
+        .writeStream.queryName(name).format("memory")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     s.table(name).as[Session]
       .unionAll(finalOpenSessions(eventsBatch(s, dir), gapUs)).toDF()
       .orderBy("user_id", "sid")
