@@ -845,14 +845,18 @@ object VectorOps {
     val e = emb(s, dir).select(col("vec_id"), col("embedding").as("v"))
     val mm = e.select(min(array_min(col("v")).cast("double")).as("gmin"),
       max(array_max(col("v")).cast("double")).as("gmax"))
-    def x(i: Int): Column = element_at(col("v"), i).cast("double")
-    def code(i: Int): Column =
-      when(col("gmax") === col("gmin"), lit(0d))
-        .otherwise(least(
-          floor((x(i) - col("gmin")) * lit(QLevels.toDouble) / (col("gmax") - col("gmin"))),
-          lit(QLevels.toDouble)))
+    // one `transform` lambda, NOT a 64-expression array literal: the
+    // unrolled form generated ~Dim × (when+least+floor) of Java per
+    // stage and Janino compilation dominated every job that embedded
+    // it (q84's PQ chain measured 54 s → 10 s at sf0.1 from compact
+    // expressions alone). Values are bit-identical.
     e.crossJoin(broadcast(mm))
-      .select(col("vec_id"), array((1 to Dim).map(code): _*).as("c"))
+      .select(col("vec_id"), transform(col("v"), x =>
+        when(col("gmax") === col("gmin"), lit(0d))
+          .otherwise(least(
+            floor((x.cast("double") - col("gmin")) * lit(QLevels.toDouble) /
+              (col("gmax") - col("gmin"))),
+            lit(QLevels.toDouble)))).as("c"))
   }
 
   /** Map-side assignment against literal centroids: per centroid,
@@ -1097,16 +1101,39 @@ object VectorOps {
   val PqK = 8
   val PqIters = 2
 
+  /** Fixed query panel for the ADC certification: the PqNQueries
+    * smallest vec_ids. A recall certification needs a deterministic
+    * query WORKLOAD, not every vector as a query — all-pairs would
+    * make the cert O(n²) in the database size (68 s at sf0.1 vs ~7 s
+    * with the panel; at the driver's sf0.01 gate n = 500 so the panel
+    * IS the full set and the hash is unchanged). */
+  val PqNQueries = 500
+
   private def pqSlice(c: Column, m: Int): Column =
     slice(c, m * PqSubDim + 1, PqSubDim)
 
-  /** d²(x, literal centroid) = |x|² + |c|² − 2·x·c with |c|² folded to
-    * a constant — the kmAssign shape on a subspace slice. Exact for
-    * integer-valued inputs (all terms ≪ 2⁵³). */
-  private def sqDistLit(x: Column, cent: Seq[Long]): Column = {
-    val carr = array(cent.map(v => lit(v.toDouble)): _*)
-    val c2 = cent.map(v => v.toDouble * v).sum
-    dot(x, x) + lit(c2) - lit(2d) * dot(x, carr)
+  /** The subspace-m centroid matrix as ONE nested-array literal.
+    * Keeping centroids out of per-centroid expression chains keeps the
+    * generated code size O(1) in PqK — the 8-branch `when`/`least`
+    * chains made Janino compilation the dominant cost (see kmCodes
+    * note). */
+  private def cmat(cents: Seq[Seq[Seq[Long]]], m: Int): Column =
+    typedLit(cents(m).map(_.map(_.toDouble)))
+
+  /** Per-subspace squared distances of the code slice to every
+    * centroid — the oracle's exact Σ(x−c)² shape, as nested HOFs over
+    * the literal matrix (integer-valued doubles, exact). */
+  private def subDists(cents: Seq[Seq[Seq[Long]]], m: Int): Column =
+    transform(cmat(cents, m), cvec =>
+      aggregate(zip_with(pqSlice(col("cdbl"), m), cvec,
+        (a, b) => (a - b) * (a - b)), lit(0d), (acc, x) => acc + x))
+
+  /** Argmin centroid id for subspace m; `array_position` returns the
+    * FIRST minimal index — the smaller-cid tie-break the oracle's
+    * `ORDER BY d2, cid` uses. */
+  private def cidOf(cents: Seq[Seq[Seq[Long]]], m: Int): Column = {
+    val d = subDists(cents, m)
+    (array_position(d, array_min(d)) - 1).cast("int")
   }
 
   /** Per-subspace integer Lloyd — q74's trainer run over the M slices
@@ -1129,11 +1156,7 @@ object VectorOps {
     for (_ <- 1 to PqIters) {
       val withC = codes.withColumn("cdbl", col("c").cast("array<double>"))
       val asgCols = (0 until PqM).map { m =>
-        val sub = pqSlice(col("cdbl"), m)
-        val cand = cents(m).zipWithIndex.map { case (cent, k) =>
-          struct(sqDistLit(sub, cent).as("d2"), lit(k).as("cid"))
-        }
-        struct(lit(m).as("m"), least(cand: _*).getField("cid").as("cid"),
+        struct(lit(m).as("m"), cidOf(cents, m).as("cid"),
           pqSlice(col("c"), m).as("sc"))
       }
       val upd = withC.select(explode(array(asgCols: _*)).as("a"))
@@ -1168,8 +1191,10 @@ object VectorOps {
     * encoding is a literal-broadcast pure map (M·PqK dot products,
     * whole-stage codegen'd); production ADC scans an IVF cell with a
     * BROADCAST 32-entry LUT per query — this certification query
-    * instead scores ALL pairs because its exact baseline is already
-    * quadratic (the q40/q47 eval-query caveat, knowingly embedded).
+    * instead scores the fixed [[PqNQueries]] panel against the whole
+    * database because its exact baseline needs the same pairs anyway
+    * (the q40/q47 eval-query caveat, knowingly embedded; the panel
+    * keeps the cert linear in database size).
     * The PQ index stores M bytes per vector instead of 4·Dim — the
     * whole point of the codec at 100 TB.
     *
@@ -1186,33 +1211,38 @@ object VectorOps {
         lit(0d).as("recall_at_k")).limit(0)
     val withC = codes.withColumn("cdbl", col("c").cast("array<double>"))
     val asg = (0 until PqM).foldLeft(withC) { (df, m) =>
-      val cand = cents(m).zipWithIndex.map { case (cent, k) =>
-        struct(sqDistLit(pqSlice(col("cdbl"), m), cent).as("d2"),
-          lit(k).as("cid"))
-      }
-      df.withColumn(s"cid_$m", least(cand: _*).getField("cid"))
+      df.withColumn(s"cid_$m", cidOf(cents, m))
     }
+    // per-pair arithmetic is the cert's hot loop: self-dots precompute
+    // PER SIDE (never per pair), |c|² folds to a constant chain, and
+    // the cross term is ONE PqSubDim-dot per subspace — a pair costs
+    // Dim multiplies for ADC and Dim for exact, like the q40 baseline
+    val queries = withC.orderBy("vec_id").limit(PqNQueries)
+      .select(Seq(col("vec_id"), col("cdbl")) ++
+        (0 until PqM).map(m =>
+          dot(pqSlice(col("cdbl"), m), pqSlice(col("cdbl"), m)).as(s"qa2_$m")): _*)
     val db = asg.select(col("vec_id").as("neighbor_id") +:
       (0 until PqM).map(m => col(s"cid_$m")): _*)
-    val pairs = withC.select(col("vec_id"), col("cdbl")).crossJoin(db)
+    val pairs = queries.crossJoin(db)
       .filter(col("vec_id") =!= col("neighbor_id"))
     val adcDist = (0 until PqM).map { m =>
-      val sub = pqSlice(col("cdbl"), m)
-      cents(m).zipWithIndex.foldRight(lit(null).cast("double")) {
-        case ((cent, k), els) =>
-          when(col(s"cid_$m") === k, sqDistLit(sub, cent)).otherwise(els)
-      }
+      val chosen = element_at(cmat(cents, m), col(s"cid_$m") + 1)
+      val c2 = element_at(
+        typedLit(cents(m).map(c => c.map(v => v.toDouble * v).sum)),
+        col(s"cid_$m") + 1)
+      col(s"qa2_$m") + c2 - lit(2d) * dot(pqSlice(col("cdbl"), m), chosen)
     }.reduce(_ + _)
     val wa = Window.partitionBy("vec_id").orderBy(col("adist"), col("neighbor_id"))
     val approx = pairs.withColumn("adist", adcDist.cast("long"))
       .withColumn("rank", row_number().over(wa)).filter(col("rank") <= TopK)
       .select("vec_id", "neighbor_id")
-    val ex = withC.select(col("vec_id"), col("cdbl"))
+    val ex = queries.select(col("vec_id"), col("cdbl"),
+        dot(col("cdbl"), col("cdbl")).as("qa2"))
       .crossJoin(withC.select(col("vec_id").as("neighbor_id"),
-        col("cdbl").as("w")))
+        col("cdbl").as("w"), dot(col("cdbl"), col("cdbl")).as("b2")))
       .filter(col("vec_id") =!= col("neighbor_id"))
-      .withColumn("d2", (dot(col("cdbl"), col("cdbl")) + dot(col("w"), col("w"))
-        - lit(2d) * dot(col("cdbl"), col("w"))).cast("long"))
+      .withColumn("d2",
+        (col("qa2") + col("b2") - lit(2d) * dot(col("cdbl"), col("w"))).cast("long"))
     val we = Window.partitionBy("vec_id").orderBy(col("d2"), col("neighbor_id"))
     val exact = ex.withColumn("rank", row_number().over(we))
       .filter(col("rank") <= TopK).select("vec_id", "neighbor_id")
@@ -1285,7 +1315,9 @@ object VectorOps {
       s"SELECT vec_id, $m AS m, cid FROM fasg_$m").mkString("\n  UNION ALL ")
     s"""WITH $kmCodesSql,
        |$chains,
-       |centpq AS (
+       |qcodes AS (
+       |  SELECT vec_id, c FROM codes ORDER BY vec_id LIMIT $PqNQueries
+       |), centpq AS (
        |  $centU
        |), pqcode AS (
        |  $codeU
@@ -1295,7 +1327,7 @@ object VectorOps {
        |      [(q.c[pc.m * $PqSubDim + i] - ct.c[i])
        |       * (q.c[pc.m * $PqSubDim + i] - ct.c[i])
        |       for i in range(1, $PqSubDim + 1)])) AS BIGINT) AS adist
-       |  FROM codes q
+       |  FROM qcodes q
        |  CROSS JOIN pqcode pc
        |  JOIN centpq ct ON ct.m = pc.m AND ct.cid = pc.cid
        |  WHERE q.vec_id <> pc.vec_id
@@ -1310,7 +1342,7 @@ object VectorOps {
        |  SELECT a.vec_id, b.vec_id AS neighbor_id,
        |    CAST(list_sum([(a.c[i] - b.c[i]) * (a.c[i] - b.c[i])
        |                   for i in range(1, $Dim + 1)]) AS BIGINT) AS d2
-       |  FROM codes a CROSS JOIN codes b WHERE a.vec_id <> b.vec_id
+       |  FROM qcodes a CROSS JOIN codes b WHERE a.vec_id <> b.vec_id
        |), exact AS (
        |  SELECT vec_id, neighbor_id FROM (
        |    SELECT vec_id, neighbor_id,
