@@ -149,7 +149,7 @@ object Bench {
       "q79_dedup_survivors", "q80_cms_topk", "q81_bm25",
       // round-5 second batch: funnel, quota, PQ/ADC, streaming sessions
       "q82_funnel", "q83_source_quota", "q84_pq_adc_recall",
-      "sq6_sessionize")
+      "sq6_sessionize", "q85_audio_energy")
     // shingle-index misses during TIMED passes only (warm passes are
     // expected to build it once per session+dir)
     var timedIndexMisses = 0L
@@ -175,9 +175,13 @@ object Bench {
             partial = true)
       }
     }
-    val json =
+    val (compactLine, _) =
       flush(results, passes, serdePasses, timedIndexMisses, conf, sfDir, cpus, partial = false)
-    println(json)
+    // stdout carries the COMPACT line only: the full line (detail,
+    // mins) grew past what the driver's log scrape windows (BENCH_r04
+    // captured only the tail of a ~6 KB line → parsed: null); the
+    // complete JSON always lands in bench_out.json
+    println(compactLine)
     spark.stop()
   }
 
@@ -185,10 +189,11 @@ object Bench {
     * well-known output path (sbt decorates stdout with [info]/[error]
     * prefixes, so consumers read the file — SPARK_GRAFT_BENCH_OUT if
     * set, else ./bench_out.json; see README "Benchmark output").
-    * `partial` marks in-progress snapshots. Returns the JSON line. */
+    * `partial` marks in-progress snapshots. Returns (compact headline
+    * line for stdout, full line written to the file). */
   private def flush(results: collection.Map[String, Timing], passes: Int,
       serdePasses: Int, timedIndexMisses: Long, conf: EngineConf, sfDir: String,
-      cpus: Int, partial: Boolean): String = {
+      cpus: Int, partial: Boolean): (String, String) = {
     // locale-fixed formatting: the f-interpolator honors the JVM
     // default locale and would emit comma decimals (invalid JSON)
     def num(v: Double, places: Int): String =
@@ -207,20 +212,24 @@ object Bench {
     // honest per-entry cost; the headline `queries` stays the median
     val qmins = results.map { case (k, t) => s""""$k":${num(t.min, 3)}""" }
       .mkString("{", ",", "}")
-    val json =
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,""" +
-        // timed_passes describes phase-2 query entries; the serde
-        // entries run math.max(passes,5) interleaved passes and carry
-        // their own count (round-4 ADVICE: one global count
-        // misdescribed the serde detail arrays)
-        s""""queries_min":$qmins,"detail":$detail,"timed_passes":$passes,""" +
-        s""""serde_timed_passes":$serdePasses,""" +
+    val tailFields =
+      // timed_passes describes phase-2 query entries; the serde
+      // entries run math.max(passes,5) interleaved passes and carry
+      // their own count (round-4 ADVICE: one global count
+      // misdescribed the serde detail arrays)
+      s""""timed_passes":$passes,"serde_timed_passes":$serdePasses,""" +
         s""""shingle_index_hit":${timedIndexMisses == 0},"partial":$partial,""" +
         s""""sf":"$sfDir","cpus":$cpus,"serde_msgs":${conf.totalMensagens},""" +
         s""""avro_e2e_msgs_per_sec":${num(msgsPerSecAvro, 1)}}"""
+    val headline =
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,""" +
+        tailFields
+    val full =
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,""" +
+        s""""queries_min":$qmins,"detail":$detail,""" + tailFields
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), full + "\n")
     catch { case e: Exception => System.err.println(s"[bench] write $outPath: $e") }
-    json
+    (headline, full)
   }
 }

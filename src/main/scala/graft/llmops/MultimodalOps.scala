@@ -318,19 +318,104 @@ object MultimodalOps {
       .toDF()
   }
 
+  // ----------------------------------------- q85 audio energy / VAD
+
+  /** Analysis-window size in samples (one container frame) and the
+    * voiced-energy cut. The fixture's pseudorandom bytes give
+    * per-window Σ(b−128)² ≈ 349 600 ± 39 000 (uniform-byte moments),
+    * so the threshold at the mean splits windows into both classes at
+    * every SF — the segmentation logic is exercised, not
+    * degenerate. */
+  val AudioWin: Int = FrameSize
+  val VadThreshold = 350000L
+
+  /** q85: audio energy profile + VAD-style segmentation — the audio
+    * sibling of q54/q66 (the third modality's per-window feature op):
+    * per analysis window of [[AudioWin]] samples, energy = Σ(b−128)²
+    * (integer-exact in both engines); a window is "voiced" above
+    * [[VadThreshold]]; contiguous voiced runs are segments (the
+    * lag-based run-start count, q22's discipline on window index
+    * instead of time). Emits per-file window/voiced/segment counts and
+    * total energy — what a speech-data curation pass keeps per clip.
+    *
+    * Scale shape: the per-byte explode is two partial-agg'd
+    * aggregations (bytes→window energy, windows→file), both keyed by
+    * media_id — one shuffle each, no payload bytes past the energy
+    * pass; the run-length window sorts ≤65 535 window rows per file.
+    * (A custom codegen'd expression could fold the byte explode into
+    * one pass — the TokenPolyHash move — if the explode volume ever
+    * dominates; at 64 B windows it is 1 row per 64 payload bytes.) */
+  def q85AudioEnergy(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nf = beU16(col("content"), 10)
+    val wE = Window.partitionBy("media_id").orderBy("w_i")
+    media(s).filter(col("media_type") === "audio")
+      .select(col("media_id"), col("content"),
+        explode(sequence(lit(0), (nf - 1).cast("int"))).as("w_i"))
+      .select(col("media_id"), col("w_i"),
+        expr(s"substring(content, ${HeaderLen + 1} + w_i * $AudioWin, $AudioWin)")
+          .as("win"))
+      .select(col("media_id"), col("w_i"), col("win"),
+        explode(sequence(lit(1), lit(AudioWin))).as("i"))
+      .withColumn("d",
+        conv(hex(expr("substring(win, i, 1)")), 16, 10).cast("long") - 128)
+      .groupBy("media_id", "w_i")
+      .agg(sum(col("d") * col("d")).as("e"))
+      .withColumn("voiced", col("e") > VadThreshold)
+      .withColumn("newseg", col("voiced") &&
+        !coalesce(lag(col("voiced"), 1).over(wE), lit(false)))
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(col("voiced").cast("long")).as("n_voiced"),
+        sum(col("newseg").cast("long")).as("n_segments"),
+        sum("e").as("energy_total"))
+      .orderBy("media_id")
+  }
+
+  val q85Sql: String =
+    s"""WITH a AS (
+       |  SELECT media_id, hex(content) AS hx, ${beU16Sql(10)} AS nf
+       |  FROM $mediaSql WHERE media_type = 'audio'
+       |), w AS (
+       |  SELECT media_id, CAST(unnest(range(0, nf)) AS BIGINT) AS w_i, hx FROM a
+       |), b AS (
+       |  SELECT media_id, w_i,
+       |    unnest([('0x' || substring(hx,
+       |        CAST(${2 * HeaderLen} + w_i * ${2 * AudioWin} + 2 * i + 1 AS INT),
+       |        2))::INT - 128
+       |      for i in range(0, $AudioWin)]) AS d
+       |  FROM w
+       |), e AS (
+       |  SELECT media_id, w_i, CAST(sum(d * d) AS BIGINT) AS e
+       |  FROM b GROUP BY media_id, w_i
+       |), seg AS (
+       |  SELECT media_id, w_i, e, e > $VadThreshold AS voiced,
+       |    (e > $VadThreshold AND NOT coalesce(
+       |       lag(e > $VadThreshold) OVER (PARTITION BY media_id ORDER BY w_i),
+       |       false)) AS newseg
+       |  FROM e
+       |)
+       |SELECT media_id, count(*) AS n_windows,
+       |  CAST(count(*) FILTER (voiced) AS BIGINT) AS n_voiced,
+       |  CAST(count(*) FILTER (newseg) AS BIGINT) AS n_segments,
+       |  CAST(sum(e) AS BIGINT) AS energy_total
+       |FROM seg GROUP BY media_id ORDER BY media_id""".stripMargin
+
   // --------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_media_meta" -> (q45MediaMeta _),
     "q46_frame_sample" -> (q46FrameSample _),
     "q54_frame_features" -> (q54FrameFeatures _),
-    "q66_scene_cuts" -> (q66SceneCuts _)
+    "q66_scene_cuts" -> (q66SceneCuts _),
+    "q85_audio_energy" -> (q85AudioEnergy _)
   )
 
   val oracle: Map[String, String] = Map(
     "q45_media_meta" -> q45Sql,
     "q46_frame_sample" -> q46Sql,
     "q54_frame_features" -> q54Sql,
-    "q66_scene_cuts" -> q66Sql
+    "q66_scene_cuts" -> q66Sql,
+    "q85_audio_energy" -> q85Sql
   )
 }
