@@ -44,7 +44,16 @@ object VectorOps {
   def q40CosineTopk(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir).select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", norm(col("v")))
+    // the embeddings table is one small parquet file → a 1-partition
+    // scan, and the nested-loop join streams ITS partitioning: without
+    // this spread the entire n² dot-product pass runs on one core.
+    // The partition count is EXPLICIT — AQE would coalesce a plain
+    // column repartition of n tiny rows straight back to one partition
+    // (measured: 5.0 s base, 8+ s with repartition(col), 1.5 s with
+    // the explicit spread at sf0.1). On a cluster the scan side is
+    // many splits and this is a no-op-sized shuffle of n id+vec rows.
     val a = e.select(col("vec_id"), col("v"), col("nrm"))
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
     val b = e.select(col("vec_id").as("neighbor_id"), col("v").as("w"), col("nrm").as("wnrm"))
     val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("neighbor_id"))
     a.crossJoin(b).filter(col("vec_id") =!= col("neighbor_id"))
@@ -1221,6 +1230,10 @@ object VectorOps {
       .select(Seq(col("vec_id"), col("cdbl")) ++
         (0 until PqM).map(m =>
           dot(pqSlice(col("cdbl"), m), pqSlice(col("cdbl"), m)).as(s"qa2_$m")): _*)
+      // the limit collapses to one partition and the pair join streams
+      // it — spread on the window's own key (explicit count: AQE would
+      // coalesce a tiny shuffle back; the q40 note)
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
     val db = asg.select(col("vec_id").as("neighbor_id") +:
       (0 until PqM).map(m => col(s"cid_$m")): _*)
     val pairs = queries.crossJoin(db)
