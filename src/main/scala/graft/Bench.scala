@@ -119,7 +119,7 @@ object Bench {
       serdeRuns.foreach { case (name, _) =>
         results(name) = Timing(serdeWarm(name), serdeTimed(name))
       }
-      flush(results, passes, serdePasses, 0L, conf, sfDir, cpus, partial = true)
+      flush(results, passes, serdePasses, 0L, 0L, conf, sfDir, cpus, partial = true)
     }
 
     // ---- phase 2: headline queries at the SF dir
@@ -153,6 +153,7 @@ object Bench {
     // shingle-index misses during TIMED passes only (warm passes are
     // expected to build it once per session+dir)
     var timedIndexMisses = 0L
+    var timedLabelMisses = 0L
     headline.foreach { name =>
       SparkEntry.queries.get(name) match {
         case None => System.err.println(s"[bench] unknown headline query: $name")
@@ -161,8 +162,10 @@ object Bench {
           try {
             val warm = time(run(fn(spark, sfDir)))
             val missesBefore = graft.llmops.TextOps.shingleCacheStats._2
+            val labelMissesBefore = graft.llmops.TextOps.labelCacheStats._2
             val timed = (1 to passes).map(_ => time(run(fn(spark, sfDir))))
             timedIndexMisses += graft.llmops.TextOps.shingleCacheStats._2 - missesBefore
+            timedLabelMisses += graft.llmops.TextOps.labelCacheStats._2 - labelMissesBefore
             results(name) = Timing(warm, timed)
           } catch {
             case e: Throwable =>
@@ -171,12 +174,13 @@ object Bench {
           }
           // flush after EVERY entry: a killed/timed-out run still
           // leaves a parseable partial artifact at the well-known path
-          flush(results, passes, serdePasses, timedIndexMisses, conf, sfDir, cpus,
-            partial = true)
+          flush(results, passes, serdePasses, timedIndexMisses, timedLabelMisses,
+            conf, sfDir, cpus, partial = true)
       }
     }
     val (compactLine, _) =
-      flush(results, passes, serdePasses, timedIndexMisses, conf, sfDir, cpus, partial = false)
+      flush(results, passes, serdePasses, timedIndexMisses, timedLabelMisses,
+        conf, sfDir, cpus, partial = false)
     // stdout carries the COMPACT line only: the full line (detail,
     // mins) grew past what the driver's log scrape windows (BENCH_r04
     // captured only the tail of a ~6 KB line → parsed: null); the
@@ -192,7 +196,8 @@ object Bench {
     * `partial` marks in-progress snapshots. Returns (compact headline
     * line for stdout, full line written to the file). */
   private def flush(results: collection.Map[String, Timing], passes: Int,
-      serdePasses: Int, timedIndexMisses: Long, conf: EngineConf, sfDir: String,
+      serdePasses: Int, timedIndexMisses: Long, timedLabelMisses: Long,
+      conf: EngineConf, sfDir: String,
       cpus: Int, partial: Boolean): (String, String) = {
     // locale-fixed formatting: the f-interpolator honors the JVM
     // default locale and would emit comma decimals (invalid JSON)
@@ -218,7 +223,8 @@ object Bench {
       // their own count (round-4 ADVICE: one global count
       // misdescribed the serde detail arrays)
       s""""timed_passes":$passes,"serde_timed_passes":$serdePasses,""" +
-        s""""shingle_index_hit":${timedIndexMisses == 0},"partial":$partial,""" +
+        s""""shingle_index_hit":${timedIndexMisses == 0},""" +
+        s""""label_cache_hit":${timedLabelMisses == 0},"partial":$partial,""" +
         s""""sf":"$sfDir","cpus":$cpus,"serde_msgs":${conf.totalMensagens},""" +
         s""""avro_e2e_msgs_per_sec":${num(msgsPerSecAvro, 1)}}"""
     val headline =

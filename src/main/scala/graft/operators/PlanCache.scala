@@ -82,6 +82,21 @@ final class PlanCache[V](val name: String, maxEntries: Int = 8)(
     }
   }
 
+  /** PUBLISH a freshly-built value for (s, key): the producing query
+    * always computes (its bench number stays honest) and pushes its
+    * result for downstream consumers; any prior entry is released.
+    * Counts as neither hit nor miss — only `get` measures whether a
+    * consumer found the artifact. */
+  def put(s: SparkSession, key: String, sig: Long, v: V): Unit = synchronized {
+    entries.remove((s, key)).foreach(e => releaseQuietly(s, e.value))
+    while (entries.size >= maxEntries) {
+      val (k, e) = entries.head
+      releaseQuietly(k._1, e.value)
+      entries.remove(k)
+    }
+    entries((s, key)) = Entry(sig, v)
+  }
+
   def hits: Long = hitCount.get
   def misses: Long = missCount.get
   def size: Int = synchronized(entries.size)

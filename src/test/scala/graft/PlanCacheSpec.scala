@@ -129,6 +129,17 @@ class PlanCacheSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the orphaned layout dir must be gone after clear()")
   }
 
+  test("put() publishes for consumers, releases the replaced value, counts no hit/miss") {
+    val released = scala.collection.mutable.ArrayBuffer.empty[String]
+    val c = new PlanCache[String]("t8")((_, v) => released += v)
+    c.put(spark, "k", 1L, "v1")
+    c.put(spark, "k", 1L, "v2") // producer re-publishes → old value released
+    assert(released.toSeq == Seq("v1"), "replaced published value must be released")
+    assert(c.hits == 0 && c.misses == 0, "publishing is neither a hit nor a miss")
+    assert(c.get(spark, "k", 1L)(fail("consumer must not rebuild")) == "v2")
+    assert(c.hits == 1, "consumer get() after publish is a hit")
+  }
+
   test("temp dirs are tracked and recursively deletable") {
     val d = PlanCache.tempDir("graft_cache_spec_")
     val sub = java.nio.file.Paths.get(d, "x")
