@@ -149,7 +149,7 @@ object Bench {
       "q79_dedup_survivors", "q80_cms_topk", "q81_bm25",
       // round-5 second batch: funnel, quota, PQ/ADC, streaming sessions
       "q82_funnel", "q83_source_quota", "q84_pq_adc_recall",
-      "sq6_sessionize", "q85_audio_energy")
+      "sq6_sessionize", "q85_audio_energy", "q86_thumbnail")
     // shingle-index misses during TIMED passes only (warm passes are
     // expected to build it once per session+dir)
     var timedIndexMisses = 0L

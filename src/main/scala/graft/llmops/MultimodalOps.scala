@@ -401,6 +401,58 @@ object MultimodalOps {
        |  CAST(sum(e) AS BIGINT) AS energy_total
        |FROM seg GROUP BY media_id ORDER BY media_id""".stripMargin
 
+  // ------------------------------------------- q86 image resize
+
+  /** Image-grid geometry: the image payload is [[FrameSize]] bytes
+    * viewed as an ImgSide×ImgSide grayscale grid; resize is a 2×2
+    * box-filter downsample to ThumbSide×ThumbSide (floor-average —
+    * integer-exact in both engines). */
+  val ImgSide = 8
+  val ThumbSide = 4
+
+  /** q86: image resize (thumbnail) — the remaining named multimodal
+    * op (decode / feature-extract / RESIZE / frame-sample): a 2×2
+    * box-filter downsample over the decoded pixel grid, emitted as
+    * (media_id, ty, tx, v) thumbnail pixels. The kernel reads each
+    * source pixel EXACTLY ONCE via four offset substrings per target
+    * pixel — a pure per-row map (explode ×16), no shuffle but the
+    * output ordering; the shape a `mapInPandas`/codec resize would
+    * fill with a real image library, run here as codegen'd column
+    * arithmetic so the oracle can pin every output pixel. */
+  def q86Thumbnail(s: SparkSession, dir: String): DataFrame = {
+    def px(dy: Int, dx: Int) =
+      conv(hex(expr(s"substring(content, ${HeaderLen + 1} + " +
+        s"(2 * ty + $dy) * $ImgSide + (2 * tx + $dx), 1)")), 16, 10).cast("long")
+    media(s).filter(col("media_type") === "image")
+      .select(col("media_id"), col("content"),
+        explode(sequence(lit(0), lit(ThumbSide * ThumbSide - 1))).as("p"))
+      .withColumn("ty", (col("p") / ThumbSide).cast("int"))
+      .withColumn("tx", pmod(col("p"), lit(ThumbSide)).cast("int"))
+      .select(col("media_id"), col("ty"), col("tx"),
+        floor((px(0, 0) + px(0, 1) + px(1, 0) + px(1, 1)) / 4).cast("long").as("v"))
+      .orderBy("media_id", "ty", "tx")
+  }
+
+  val q86Sql: String = {
+    def b(dy: Int, dx: Int) =
+      s"""('0x' || substring(hx,
+         |  CAST(2 * (${HeaderLen} + (2 * ty + $dy) * $ImgSide + (2 * tx + $dx)) + 1 AS INT),
+         |  2))::INT""".stripMargin
+    s"""WITH i AS (
+       |  SELECT media_id, hex(content) AS hx FROM $mediaSql
+       |  WHERE media_type = 'image'
+       |), t AS (
+       |  SELECT media_id, CAST(p // $ThumbSide AS INT) AS ty,
+       |    CAST(p % $ThumbSide AS INT) AS tx, hx
+       |  FROM (SELECT media_id, hx,
+       |          unnest(range(0, ${ThumbSide * ThumbSide})) AS p FROM i)
+       |)
+       |SELECT media_id, ty, tx,
+       |  CAST(floor((${b(0, 0)} + ${b(0, 1)} + ${b(1, 0)} + ${b(1, 1)}) / 4)
+       |    AS BIGINT) AS v
+       |FROM t ORDER BY media_id, ty, tx""".stripMargin
+  }
+
   // --------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -408,7 +460,8 @@ object MultimodalOps {
     "q46_frame_sample" -> (q46FrameSample _),
     "q54_frame_features" -> (q54FrameFeatures _),
     "q66_scene_cuts" -> (q66SceneCuts _),
-    "q85_audio_energy" -> (q85AudioEnergy _)
+    "q85_audio_energy" -> (q85AudioEnergy _),
+    "q86_thumbnail" -> (q86Thumbnail _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -416,6 +469,7 @@ object MultimodalOps {
     "q46_frame_sample" -> q46Sql,
     "q54_frame_features" -> q54Sql,
     "q66_scene_cuts" -> q66Sql,
-    "q85_audio_energy" -> q85Sql
+    "q85_audio_energy" -> q85Sql,
+    "q86_thumbnail" -> q86Sql
   )
 }

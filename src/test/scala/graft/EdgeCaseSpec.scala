@@ -63,6 +63,28 @@ class EdgeCaseSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("round-5 operators are total on empty inputs") {
+    import scala.jdk.CollectionConverters._
+    val evSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType),
+      StructField("ts", LongType)))
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    spark.createDataFrame(List.empty[Row].asJava, evSchema)
+      .write.mode("overwrite").parquet(s"$emptyDir/events.parquet")
+    spark.createDataFrame(List.empty[Row].asJava, embSchema)
+      .write.mode("overwrite").parquet(s"$emptyDir/embeddings.parquet")
+    // global funnel aggregate: one all-zero row, null conversions
+    val f = graft.queries.Queries.q82Funnel(spark, emptyDir).collect()
+    assert(f.length == 1 && f.head.getLong(0) == 0 && f.head.isNullAt(4),
+      "empty funnel must be one zero row with null conversion")
+    assert(graft.queries.Queries.q83SourceQuota(spark, emptyDir).count() == 0)
+    assert(graft.llmops.VectorOps.q84PqAdcRecall(spark, emptyDir).count() == 0)
+  }
+
   test("single-document corpus: per-doc ops emit one row, pair ops emit none") {
     val perDoc = Seq("q38" -> (TextOps.q38Simhash _), "q48" -> (TextOps.q48RollingHash _),
       "q62" -> (TextOps.q62Repetition _), "q63" -> (TextOps.q63ChunkOverlap _))
