@@ -97,6 +97,21 @@ class Round5Spec extends AnyFunSuite with BeforeAndAfterAll {
       s"ADC recall $recall must beat random $baseline by 3x+")
   }
 
+  test("q85 audio energy: two partial-agg'd aggregations, no join") {
+    val plan = graft.llmops.MultimodalOps.q85AudioEnergy(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "audio energy must not join")
+    assert("partial_sum|partial_count".r.findAllIn(plan).nonEmpty,
+      s"byte->window and window->file aggs must map-side combine:\n$plan")
+  }
+
+  test("q86 thumbnail: pure per-row map — no join, no aggregate") {
+    val plan = graft.llmops.MultimodalOps.q86Thumbnail(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("HashAggregate"),
+      s"resize must stay a per-row map:\n$plan")
+  }
+
   test("sq6 streaming sessionization equals the batch lag/cumsum result (q22)") {
     val got = StreamOps.sq6Sessionize(spark, dir).collect()
     val want = Queries.q22Sessionize(spark, dir).collect()
