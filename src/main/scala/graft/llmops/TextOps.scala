@@ -1337,9 +1337,24 @@ object TextOps {
     // expensive part — would execute once per reference)
     val pairs = q53SimhashNeardup(s, dir).select(col("doc_a"), col("doc_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ADAPTIVE ITERATION SIZING: the loop's frames are the EDGE SET,
+    // not the corpus — size its shuffle partitioning to the
+    // materialized edge count (~free on the persisted pairs; 271 k
+    // edges → 5 partitions at sf0.1 instead of the session's
+    // scan-width 32), clamped to the session setting so 100 TB edge
+    // volume keeps the full width. The remaining loop cost is real
+    // work — the near-dup families are near-cliques (271 k edges over
+    // 2.8 k clustered docs at sf0.1), each round joining the full
+    // symmetric edge set; rounds ≈ component diameter ≈ 2-3.
+    val key = "spark.sql.shuffle.partitions"
+    val prevParts = s.conf.get(key)
+    val loopParts = math.max(1L, math.min(prevParts.toLong,
+      pairs.count() / 65536 + 1)).toInt
     val sym = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .repartition(loopParts)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    s.conf.set(key, loopParts.toString)
     try {
       val labels =
         if (s.conf.getOption("graft.cc.impl").contains("largestar"))
@@ -1354,6 +1369,7 @@ object TextOps {
         graft.sources.FsSig.of(s"$dir/documents.parquet"), out)
       out
     } finally {
+      s.conf.set(key, prevParts)
       sym.unpersist()
       pairs.unpersist()
     }
