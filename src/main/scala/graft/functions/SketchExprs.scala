@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionDescription}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.util.sketch.CountMinSketch
+
+/** Probe a serialized count-min sketch for a key's estimated count.
+  *
+  * The production shape: the sketch is a FIXED-SIZE aggregate built in
+  * one distributed pass (`count_min_sketch(...)`), broadcast as a
+  * 1-row relation, and probed row-by-row on the executor side — so a
+  * bound/certification check (q80's `within_bounds`) is computed as a
+  * DataFrame expression, never a driver loop. CodegenFallback is fine
+  * here: the probe side is a bounded candidate set (top-K rows), not
+  * the event stream.
+  *
+  * Every input row carries a fresh copy of the same broadcast sketch
+  * bytes (UnsafeRow.getBinary copies), so the deserialized sketch is
+  * cached per expression instance keyed by byte equality — one parse
+  * per task instead of one per row.
+  */
+@ExpressionDescription(usage = "graft_cms_estimate(sketch, key) - CMS estimated count for key")
+case class CmsEstimate(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, LongType | IntegerType | StringType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_cms_estimate needs (binary, long|int|string), got $l / $r")
+    }
+
+  @transient private var cachedBytes: Array[Byte] = _
+  @transient private var cachedCms: CountMinSketch = _
+
+  override def nullSafeEval(sk: Any, key: Any): Any = {
+    val bytes = sk.asInstanceOf[Array[Byte]]
+    if (cachedCms == null || !java.util.Arrays.equals(bytes, cachedBytes)) {
+      cachedBytes = bytes
+      cachedCms = CountMinSketch.readFrom(bytes)
+    }
+    key match {
+      case s: org.apache.spark.unsafe.types.UTF8String =>
+        cachedCms.estimateCount(s.toString)
+      case other => cachedCms.estimateCount(other)
+    }
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CmsEstimate =
+    copy(left = l, right = r)
+}
+
+object SketchExprs {
+  /** Estimated count of `key` in the serialized CMS `sketch`. */
+  def cmsEstimate(sketch: Column, key: Column): Column =
+    ColumnBridge.column(CmsEstimate(
+      ColumnBridge.expression(sketch), ColumnBridge.expression(key)))
+}

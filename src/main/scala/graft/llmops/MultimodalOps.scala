@@ -338,18 +338,56 @@ object MultimodalOps {
     * instead of time). Emits per-file window/voiced/segment counts and
     * total energy — what a speech-data curation pass keeps per clip.
     *
-    * Scale shape: the per-byte explode is two partial-agg'd
-    * aggregations (bytes→window energy, windows→file), both keyed by
-    * media_id — one shuffle each, no payload bytes past the energy
-    * pass; the run-length window sorts ≤65 535 window rows per file.
-    * (A custom codegen'd expression could fold the byte explode into
-    * one pass — the TokenPolyHash move — if the explode volume ever
-    * dominates; at 64 B windows it is 1 row per 64 payload bytes.) */
-  def q85AudioEnergy(s: SparkSession, dir: String): DataFrame = {
+    * Scale shape: window energy is a codegen'd [[graft.functions
+    * .ByteWindowEnergy]] slice loop — ONE row per 64-byte window
+    * straight off the frame explode (the TokenPolyHash move; round-5
+    * verdict #2 — the prior per-byte explode multiplied window rows
+    * ×64 through an extra (media_id, w_i) aggregation exchange, the
+    * bit-identical twin [[audioEnergyExplodeOf]] keeps that shape
+    * spec-checkable). One media_id exchange total: the run-length
+    * window provides it and the final aggregation reuses it; the
+    * window sorts ≤65 535 window rows per file. The frame explode is
+    * gated on nf > 0 — `sequence` DESCENDS when start > stop, so a
+    * corrupt/foreign container declaring n_frames = 0 would otherwise
+    * yield phantom [0, −1] windows; with the gate it degrades to zero
+    * rows exactly like the oracle's empty `range(0, nf)`. */
+  def q85AudioEnergy(s: SparkSession, dir: String): DataFrame =
+    audioEnergyOf(media(s).filter(col("media_type") === "audio"))
+
+  /** q85's core over any (media_id, content) audio frame, factored so
+    * specs can feed crafted containers (nf = 0, truncated payloads). */
+  def audioEnergyOf(audio: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val nf = beU16(col("content"), 10)
     val wE = Window.partitionBy("media_id").orderBy("w_i")
-    media(s).filter(col("media_type") === "audio")
+    audio
+      .filter(nf > 0)
+      .select(col("media_id"), col("content"),
+        explode(sequence(lit(0), (nf - 1).cast("int"))).as("w_i"))
+      .select(col("media_id"), col("w_i"),
+        graft.functions.MediaExprs.winEnergy(col("content"),
+          lit(HeaderLen) + col("w_i") * AudioWin, lit(AudioWin)).as("e"))
+      .withColumn("voiced", col("e") > VadThreshold)
+      .withColumn("newseg", col("voiced") &&
+        !coalesce(lag(col("voiced"), 1).over(wE), lit(false)))
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(col("voiced").cast("long")).as("n_voiced"),
+        sum(col("newseg").cast("long")).as("n_segments"),
+        sum("e").as("energy_total"))
+      .orderBy("media_id")
+  }
+
+  /** The replaced per-byte explode formulation — kept as q85's
+    * certification twin (bit-identity with [[audioEnergyOf]] is
+    * spec-asserted; it also carries the original 64-rows-per-window
+    * shape the Scaladoc above contrasts against). */
+  def audioEnergyExplodeOf(audio: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nf = beU16(col("content"), 10)
+    val wE = Window.partitionBy("media_id").orderBy("w_i")
+    audio
+      .filter(nf > 0)
       .select(col("media_id"), col("content"),
         explode(sequence(lit(0), (nf - 1).cast("int"))).as("w_i"))
       .select(col("media_id"), col("w_i"),

@@ -1346,30 +1346,35 @@ object TextOps {
     // work — the near-dup families are near-cliques (271 k edges over
     // 2.8 k clustered docs at sf0.1), each round joining the full
     // symmetric edge set; rounds ≈ component diameter ≈ 2-3.
-    val key = "spark.sql.shuffle.partitions"
-    val prevParts = s.conf.get(key)
-    val loopParts = math.max(1L, math.min(prevParts.toLong,
+    val loopParts = math.max(1L, math.min(
+      s.conf.get("spark.sql.shuffle.partitions").toLong,
       pairs.count() / 65536 + 1)).toInt
     val sym = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .repartition(loopParts)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    s.conf.set(key, loopParts.toString)
     try {
-      val labels =
-        if (s.conf.getOption("graft.cc.impl").contains("largestar"))
-          ccLargeSmallStar(sym)
-        else ccMinLabel(sym)
-      val sizes = labels.groupBy("root").agg(count(lit(1)).as("cluster_size"))
-      val out = labels.join(sizes, Seq("root"))
-        .select(col("doc_id"), col("root").as("cluster_root"), col("cluster_size"))
-        .orderBy("doc_id")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      labelCache.put(s, dir,
-        graft.sources.FsSig.of(s"$dir/documents.parquet"), out)
-      out
+      // the CC loop's internal joins/aggregations shuffle at session
+      // width unless scoped — ConfScope carries the single-threaded
+      // contract (round-5 ADVICE) and drift detection; the loop runs
+      // its actions (localCheckpoint per generation) INSIDE the scope,
+      // while the final labels→sizes join below executes lazily at the
+      // caller's action, back at full session width by design
+      graft.operators.ConfScope.withShufflePartitions(s, loopParts) {
+        val labels =
+          if (s.conf.getOption("graft.cc.impl").contains("largestar"))
+            ccLargeSmallStar(sym)
+          else ccMinLabel(sym)
+        val sizes = labels.groupBy("root").agg(count(lit(1)).as("cluster_size"))
+        val out = labels.join(sizes, Seq("root"))
+          .select(col("doc_id"), col("root").as("cluster_root"), col("cluster_size"))
+          .orderBy("doc_id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        labelCache.put(s, dir,
+          graft.sources.FsSig.of(s"$dir/documents.parquet"), out)
+        out
+      }
     } finally {
-      s.conf.set(key, prevParts)
       sym.unpersist()
       pairs.unpersist()
     }

@@ -901,34 +901,35 @@ object VectorOps {
     * cluster keeps its previous centroid. */
   private def kmeansLearn(s: SparkSession, dir: String)
       : (Seq[Seq[Long]], DataFrame) = {
-    // persist across the 1 + KmIters driver actions of the training
-    // loop (each would otherwise rescan + requantize the corpus — the
-    // q67 pair-set discipline); released before return, so the caller's
-    // one lazy downstream pass recomputes codes exactly once
-    val codes = kmCodes(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      // driver-side re-sort: seed k must be the kth-smallest vec_id
-      // regardless of how the K collected rows arrive
-      var cents: Seq[Seq[Long]] = codes.orderBy("vec_id").limit(KmK).collect()
-        .sortBy(_.getLong(0))
-        .map(r => r.getSeq[Double](1).map(_.toLong).toSeq).toSeq
-      if (cents.isEmpty) return (Nil, codes)
-      for (_ <- 1 to KmIters) {
-        val upd = kmAssign(codes, cents)
-          .select(col("cid"), posexplode(col("c")).as(Seq("i", "v")))
-          .groupBy("cid", "i")
-          .agg(sum(col("v").cast("long")).as("s"), count(lit(1)).as("n"))
-          .withColumn("cv", expr("s div n"))
-          .groupBy("cid")
-          .agg(transform(array_sort(collect_list(struct(col("i"), col("cv")))),
-            x => x.getField("cv")).as("c"))
-          .collect()
-        val m = upd.map(r => r.getInt(0) -> r.getSeq[Long](1).toSeq).toMap
-        cents = cents.indices.map(k => m.getOrElse(k, cents(k)))
-      }
-      (cents, codes)
-    } finally codes.unpersist()
+    // materialize ONCE via eager localCheckpoint (the q69/q75 edge-set
+    // discipline): the 1 + KmIters training actions AND the caller's
+    // final job — which references the codes subplan from several
+    // branches (assignment, panel, exact baseline) — all read the
+    // checkpointed blocks instead of rescanning + requantizing the
+    // corpus per reference (round-5 ADVICE: the old persist/unpersist
+    // released before the caller's job). Blocks are freed by the
+    // ContextCleaner once the checkpointed plan is unreachable.
+    val codes = kmCodes(s, dir).localCheckpoint()
+    // driver-side re-sort: seed k must be the kth-smallest vec_id
+    // regardless of how the K collected rows arrive
+    var cents: Seq[Seq[Long]] = codes.orderBy("vec_id").limit(KmK).collect()
+      .sortBy(_.getLong(0))
+      .map(r => r.getSeq[Double](1).map(_.toLong).toSeq).toSeq
+    if (cents.isEmpty) return (Nil, codes)
+    for (_ <- 1 to KmIters) {
+      val upd = kmAssign(codes, cents)
+        .select(col("cid"), posexplode(col("c")).as(Seq("i", "v")))
+        .groupBy("cid", "i")
+        .agg(sum(col("v").cast("long")).as("s"), count(lit(1)).as("n"))
+        .withColumn("cv", expr("s div n"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("cv")))),
+          x => x.getField("cv")).as("c"))
+        .collect()
+      val m = upd.map(r => r.getInt(0) -> r.getSeq[Long](1).toSeq).toMap
+      cents = cents.indices.map(k => m.getOrElse(k, cents(k)))
+    }
+    (cents, codes)
   }
 
   /** q74: k-means codebook training — the trainer that PRODUCES the
@@ -1162,11 +1163,9 @@ object VectorOps {
     * keep their previous centroid — all the q74 determinism rules. */
   private def pqLearn(s: SparkSession, dir: String)
       : (Seq[Seq[Seq[Long]]], DataFrame) = {
-    // persist across the 1 + PqIters training actions (the kmeansLearn
-    // discipline); released before return
-    val codes = kmCodes(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+    // one eager localCheckpoint shared by the 1 + PqIters training
+    // actions and q84's multi-branch final job (the kmeansLearn note)
+    val codes = kmCodes(s, dir).localCheckpoint()
     val seed = codes.orderBy("vec_id").limit(PqK).collect()
       .sortBy(_.getLong(0))
       .map(_.getSeq[Double](1).map(_.toLong).toSeq).toSeq
@@ -1195,7 +1194,6 @@ object VectorOps {
         cents(m).indices.map(k => byKey.getOrElse((m, k), cents(m)(k))))
     }
     (cents, codes)
-    } finally codes.unpersist()
   }
 
   /** q84: product quantization + asymmetric-distance recall

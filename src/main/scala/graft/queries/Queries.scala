@@ -968,31 +968,30 @@ object Queries {
     * Scale shape: the sketch is FIXED-SIZE mergeable state (map-side
     * partials, no value shuffle — the summary a 1000-executor
     * pre-pass ships to find candidate keys without grouping the
-    * stream); the exact side is one partial-agg'd groupBy. The
-    * driver reads exactly two bounded results (the sketch row and
-    * the K candidate rows — the q70 bounded-read discipline). */
+    * stream); the exact side is one partial-agg'd groupBy cut to K by
+    * TakeOrderedAndProject. The sketch row broadcast-cross-joins the K
+    * candidates and `within_bounds` evaluates DISTRIBUTED through the
+    * [[graft.functions.CmsEstimate]] probe expression (the q52
+    * in-query discipline — round-5 verdict #3: no driver loop, no
+    * collect; empty input degrades to zero rows with no driver
+    * branch). The rank window runs AFTER the limit, over ≤ K rows. */
   def q80CmsTopk(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val ev = events(s, dir)
-    val agg = ev.agg(
+    val sk = ev.agg(
       count_min_sketch(col("user_id"), lit(CmsEps), lit(CmsConf),
         lit(CmsSeed)).as("sk"),
-      count(lit(1)).as("n")).head()
-    val n = agg.getAs[Long]("n")
-    if (n == 0)
-      return Seq.empty[(Int, Long, Long, Boolean)]
-        .toDF("hh_rank", "user_id", "exact_cnt", "within_bounds")
-    val cms = org.apache.spark.util.sketch.CountMinSketch
-      .readFrom(agg.getAs[Array[Byte]]("sk"))
+      count(lit(1)).as("n"))
     val top = ev.groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
-      .orderBy(col("exact_cnt").desc, col("user_id")).limit(HhTopK).collect()
-    val bound = math.ceil(CmsEps * n).toLong
-    top.zipWithIndex.map { case (r, i) =>
-      val uid = r.getAs[Long]("user_id")
-      val cnt = r.getAs[Long]("exact_cnt")
-      val est = cms.estimateCount(uid)
-      (i + 1, uid, cnt, est >= cnt && est <= cnt + bound)
-    }.toSeq.toDF("hh_rank", "user_id", "exact_cnt", "within_bounds")
+      .orderBy(col("exact_cnt").desc, col("user_id")).limit(HhTopK)
+      .withColumn("hh_rank", row_number().over(
+        Window.orderBy(col("exact_cnt").desc, col("user_id"))))
+    val est = graft.functions.SketchExprs.cmsEstimate(col("sk"), col("user_id"))
+    top.crossJoin(broadcast(sk))
+      .select(col("hh_rank"), col("user_id"), col("exact_cnt"),
+        (est >= col("exact_cnt") &&
+          est <= col("exact_cnt") + ceil(col("n") * lit(CmsEps)))
+          .as("within_bounds"))
+      .orderBy("hh_rank")
   }
 
   val q80Sql: String =
@@ -1057,14 +1056,18 @@ object Queries {
     * `user_id` partitioning (t2's condition reads t1, t3's reads t2),
     * so Catalyst plans ONE Exchange and stacks the Window nodes on the
     * shared sort — a single shuffle of the event set, no joins, no
-    * self-unions. The final reduction is a global aggregate of four
-    * distinct-user counts plus zero-guarded conversion ratios (the
-    * q19 discipline).
+    * self-unions. The distinct-user counts then resolve through a
+    * per-user pre-aggregate — the step timestamps are window CONSTANTS
+    * within each user, so `max` per user preserves them exactly and
+    * the four distinct counts become plain non-null counts over one
+    * row per user. No `count_distinct` survives, so Catalyst plans no
+    * Expand: the old formulation expanded every EVENT row 4× before
+    * partial aggregation (round-5 verdict #1).
     *
     * Scale shape: one hash shuffle on user_id (the funnel's natural
-    * key); per-user state is four longs inside the window sort; the
-    * global distinct-counts partial-aggregate before the single-row
-    * reduce. */
+    * key); the per-user aggregate reuses that partitioning (zero new
+    * exchange — plan-asserted); only one row per user reaches the
+    * single-row final reduce's partial aggregates. */
   def q82Funnel(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id")
     events(s, dir).withColumn("us", unix_micros(col("ts")))
@@ -1076,11 +1079,13 @@ object Queries {
       .withColumn("t3",
         min(when(col("event_type") === "purchase" && col("us") > col("t2"),
           col("us"))).over(w))
+      .groupBy("user_id")
+      .agg(max("t1").as("t1"), max("t2").as("t2"), max("t3").as("t3"))
       .agg(
-        count_distinct(col("user_id")).as("n_users"),
-        count_distinct(when(col("t1").isNotNull, col("user_id"))).as("n_view"),
-        count_distinct(when(col("t2").isNotNull, col("user_id"))).as("n_view_click"),
-        count_distinct(when(col("t3").isNotNull, col("user_id"))).as("n_full_funnel"))
+        count(lit(1)).as("n_users"),
+        count(col("t1")).as("n_view"),
+        count(col("t2")).as("n_view_click"),
+        count(col("t3")).as("n_full_funnel"))
       .select(col("n_users"), col("n_view"), col("n_view_click"),
         col("n_full_funnel"),
         when(col("n_view") > 0,

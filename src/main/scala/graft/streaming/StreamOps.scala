@@ -77,18 +77,12 @@ object StreamOps {
   /** Run `body` (which must START its streaming query inside the
     * call) with `spark.sql.shuffle.partitions` scoped to
     * [[StreamStatePartitions]], restoring the session's batch setting
-    * after. Safe because the partition count is captured by the query
-    * at start; bench/verify run entries sequentially. */
-  private def withStreamShuffle[T](s: SparkSession)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.getOption(key)
-    s.conf.set(key, StreamStatePartitions.toString)
-    try body
-    finally prev match {
-      case Some(v) => s.conf.set(key, v)
-      case None => s.conf.unset(key)
-    }
-  }
+    * after. The partition count is captured by the streaming query at
+    * start; the session-conf mutation itself rides on [[graft
+    * .operators.ConfScope]]'s single-threaded contract (see its
+    * scaladoc — concurrent callers must `newSession()` first). */
+  private def withStreamShuffle[T](s: SparkSession)(body: => T): T =
+    graft.operators.ConfScope.withShufflePartitions(s, StreamStatePartitions)(body)
 
   /** SQ1 logical plan: tumbling 1-hour window × event_type, count and
     * exact-DECIMAL value sum — shared verbatim by the batch oracle

@@ -82,6 +82,9 @@ class EdgeCaseSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(f.length == 1 && f.head.getLong(0) == 0 && f.head.isNullAt(4),
       "empty funnel must be one zero row with null conversion")
     assert(graft.queries.Queries.q83SourceQuota(spark, emptyDir).count() == 0)
+    // q80's empty case degrades in-plan (no driver branch): zero
+    // candidates cross-join the empty-corpus sketch row to zero rows
+    assert(graft.queries.Queries.q80CmsTopk(spark, emptyDir).count() == 0)
     assert(graft.llmops.VectorOps.q84PqAdcRecall(spark, emptyDir).count() == 0)
   }
 

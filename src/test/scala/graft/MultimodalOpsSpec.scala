@@ -79,6 +79,28 @@ class MultimodalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.getAs[Long]("n_cuts")).sum > 0, "expected some cuts on noise frames")
   }
 
+  test("q85: codegen'd window energy is bit-identical to the per-byte explode twin") {
+    val audio = media.filter(col("media_type") === "audio")
+      .select("media_id", "content")
+    val fast = MultimodalOps.audioEnergyOf(audio).collect().map(_.toSeq).toSeq
+    val slow = MultimodalOps.audioEnergyExplodeOf(audio).collect().map(_.toSeq).toSeq
+    assert(fast.nonEmpty && fast == slow,
+      "ByteWindowEnergy must reproduce the explode formulation bit-for-bit")
+  }
+
+  test("q85: a container declaring n_frames = 0 yields zero rows, not phantom windows") {
+    // sequence(0, nf-1) DESCENDS when nf = 0 ([0, -1]); the nf > 0 gate
+    // must make a corrupt/foreign fixture degrade like the oracle's
+    // empty range(0, nf)
+    val s = spark
+    import s.implicits._
+    val hdr: Array[Byte] = "GRFT".getBytes("US-ASCII") ++
+      Array[Byte](2, 0x01, 0x00, 0x00, 0x01, 0x00, 0x00) // kind=audio, nf=0
+    val corrupt = Seq((1L, hdr)).toDF("media_id", "content")
+    assert(MultimodalOps.audioEnergyOf(corrupt).count() == 0)
+    assert(MultimodalOps.audioEnergyExplodeOf(corrupt).count() == 0)
+  }
+
   test("frame sampling covers every video with ceil(n/4) frames") {
     val perVideo = MultimodalOps.q46FrameSample(spark, "")
       .groupBy("media_id").count()

@@ -25,14 +25,16 @@ class Round5Spec extends AnyFunSuite with BeforeAndAfterAll {
   test("q82 funnel: the three conditional window minima share ONE user_id shuffle") {
     val plan = Queries.q82Funnel(spark, dir).queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), "funnel must not join — windows over one partitioning")
-    // count only SINGLE-KEY user_id exchanges (the window shuffle);
-    // the distinct-count rewrite adds an Expand exchange whose key
-    // list merely STARTS with user_id
     val userExchanges = "hashpartitioning\\(user_id#\\d+L, \\d+\\)".r.findAllIn(plan).length
     assert(userExchanges == 1,
       s"chained step windows must reuse a single user_id Exchange, found $userExchanges:\n$plan")
     assert("Window".r.findAllIn(plan).length >= 3,
       "t1/t2/t3 are three Window nodes on the shared sort")
+    // the per-user pre-aggregate replaces the four count_distincts:
+    // no Expand may survive anywhere (the old plan expanded every
+    // event row 4x before partial aggregation)
+    assert(!plan.contains("Expand"),
+      s"distinct counts must resolve via the per-user pre-aggregate, not Expand:\n$plan")
   }
 
   test("q82 funnel: steps are monotonically non-increasing") {
@@ -97,12 +99,20 @@ class Round5Spec extends AnyFunSuite with BeforeAndAfterAll {
       s"ADC recall $recall must beat random $baseline by 3x+")
   }
 
-  test("q85 audio energy: two partial-agg'd aggregations, no join") {
+  test("q85 audio energy: codegen'd window energy, one media_id exchange, no join") {
     val plan = graft.llmops.MultimodalOps.q85AudioEnergy(spark, dir)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), "audio energy must not join")
+    assert(plan.toLowerCase.contains("bytewindowenergy"),
+      s"window energy must be the codegen'd slice loop, not the byte explode:\n$plan")
+    // the per-byte explode's extra (media_id, w_i) aggregation is gone:
+    // the run-length window provides the single media_id exchange and
+    // the final aggregation reuses it
+    val exchanges = "Exchange hashpartitioning\\(media_id".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"window rows must shuffle once on media_id, found $exchanges:\n$plan")
     assert("partial_sum|partial_count".r.findAllIn(plan).nonEmpty,
-      s"byte->window and window->file aggs must map-side combine:\n$plan")
+      s"window->file agg must map-side combine:\n$plan")
   }
 
   test("q86 thumbnail: pure per-row map — no join, no aggregate") {

@@ -93,6 +93,14 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("CMS heavy hitters (q80): ranked exactly, bounds pinned, deterministic") {
+    // the bound check is computed IN-QUERY: the probe expression is in
+    // the plan and no driver-materialized local relation replaces the
+    // distributed candidates (round-5 verdict #3)
+    val plan = Queries.q80CmsTopk(spark, dir).queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("cmsestimate"),
+      s"within_bounds must probe the sketch via the CmsEstimate expression:\n$plan")
+    assert(!plan.contains("LocalTableScan"),
+      s"q80 must not collect candidates to the driver:\n$plan")
     val rows = Queries.q80CmsTopk(spark, dir).collect()
     assert(rows.nonEmpty && rows.length <= Queries.HhTopK)
     // contiguous ranks, counts descending with doc-id tiebreak
