@@ -28,7 +28,9 @@ object SparkEntry {
       "sq5_stream_enrich" ->
         ((s: SparkSession, dir: String) => StreamOps.sq5StreamEnrich(s, dir)),
       "sq6_sessionize" ->
-        ((s: SparkSession, dir: String) => StreamOps.sq6Sessionize(s, dir)))
+        ((s: SparkSession, dir: String) => StreamOps.sq6Sessionize(s, dir)),
+      "sq7_sessionize_timeout" ->
+        ((s: SparkSession, dir: String) => StreamOps.sq7SessionizeTimeout(s, dir)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -39,5 +41,6 @@ object SparkEntry {
       "sq3_stream_join" -> StreamOps.sq3Sql,
       "sq4_stream_sliding" -> StreamOps.sq4Sql,
       "sq5_stream_enrich" -> StreamOps.sq5Sql,
-      "sq6_sessionize" -> Queries.q22Sql)
+      "sq6_sessionize" -> Queries.q22Sql,
+      "sq7_sessionize_timeout" -> Queries.q22Sql)
 }

@@ -335,6 +335,14 @@ object StreamOps {
   /** Internal typed event row (public: encoders generate accessor code). */
   final case class Ev(user_id: Long, event_id: Long, us: Long)
 
+  /** [[Ev]] plus the raw watermarked timestamp column: the event-time
+    * watermark tag lives on the `ts` ATTRIBUTE, so the timeout variant
+    * must carry it through the projection into the typed row —
+    * Spark's streaming checker rejects EventTimeTimeout when no input
+    * column of the flatMap is watermarked. */
+  final case class EvW(user_id: Long, event_id: Long, us: Long,
+      ts: java.sql.Timestamp)
+
   /** Custom stateful sessionization via flatMapGroupsWithState — the
     * KeyValueGroupedDataset custom-state API the engine exposes for
     * session semantics the built-in windows can't express. Gap rule
@@ -426,10 +434,11 @@ object StreamOps {
     * check, the same discipline as sq1.
     *
     * Scale shape: state is ONE SessionState row per live user (four
-    * longs), shuffled once on user_id; on an unbounded stream a
-    * `GroupStateTimeout.EventTimeTimeout` + watermark would both
-    * expire idle users and emit their final session, replacing the
-    * batch-side recovery pass. */
+    * longs), shuffled once on user_id; the unbounded-stream production
+    * shape — `GroupStateTimeout.EventTimeTimeout` + watermark expiring
+    * idle users and emitting their final session with no recovery
+    * pass — is [[sessionizeStatefulTimeout]], spec-asserted equal on
+    * the fixture. */
   def sq6Sessionize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val name = s"sq6_${System.nanoTime()}"
@@ -442,6 +451,116 @@ object StreamOps {
     }
     s.table(name).as[Session]
       .unionAll(finalOpenSessions(eventsBatch(s, dir), gapUs)).toDF()
+      .orderBy("user_id", "sid")
+  }
+
+  /** The PRODUCTION twin of [[sessionizeStateful]]: watermark +
+    * `GroupStateTimeout.EventTimeTimeout` — the shape a 24/7 unbounded
+    * pipeline runs. Each update arms a per-user timeout at
+    * `lastUs + gap`; when the watermark (fed by other users' traffic)
+    * passes it, the state expires and the FINAL session emits from the
+    * timeout branch — no batch-side recovery pass, state stays one row
+    * per LIVE user (idle users are evicted, which the NoTimeout
+    * variant never does — the property that makes this the unbounded
+    * shape).
+    *
+    * Equivalence to q22 is exact for every user whose timeout the
+    * final watermark passes; users still "live" at end-of-input
+    * (lastUs + gap beyond the watermark) remain in state, exactly as
+    * they would mid-stream — both halves spec-asserted
+    * (StreamOpsSpec): with a stream-end flush tick the output equals
+    * q22 row-for-row, and without one the only withheld rows are
+    * still-open final sessions. */
+  def sessionizeStatefulTimeout(events: DataFrame, gapUs: Long,
+      delay: String = "0 seconds"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+
+    val typed = events
+      .withWatermark("ts", delay)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("ts"))
+      .as[EvW]
+
+    def fn(userId: Long, evs: Iterator[EvW],
+        state: org.apache.spark.sql.streaming.GroupState[SessionState]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator.single(Session(userId, s.sid, s.n, s.startUs, s.lastUs - s.startUs))
+      } else {
+        val sorted = evs.toArray.sortBy(e => (e.us, e.event_id))
+        var out = List.empty[Session]
+        var st = state.getOption.orNull
+        sorted.foreach { e =>
+          st = st match {
+            case null => SessionState(1L, e.us, e.us, 1L)
+            case s if e.us - s.lastUs > gapUs =>
+              out ::= Session(userId, s.sid, s.n, s.startUs, s.lastUs - s.startUs)
+              SessionState(s.sid + 1, e.us, e.us, 1L)
+            case s => s.copy(lastUs = e.us, n = s.n + 1)
+          }
+        }
+        if (st != null) {
+          state.update(st)
+          // event-time timeouts are millisecond-based; arm at the gap
+          // boundary (floor to ms keeps the boundary conservative: a
+          // session can only expire once the watermark is PAST it)
+          state.setTimeoutTimestamp(st.lastUs / 1000 + gapUs / 1000)
+        }
+        out.reverseIterator
+      }
+    }
+
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState(org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(fn)
+      .toDF()
+  }
+
+  /** Run the EventTimeTimeout sessionizer as a real streaming query
+    * over `srcDir` (a directory of events parquet files — callers may
+    * stage extra "flush tick" files alongside the fixture). Returns
+    * every emitted session: closed-by-event AND timed-out finals; no
+    * recovery union. */
+  def sq6SessionizeTimeout(s: SparkSession, srcDir: String): DataFrame = {
+    val name = s"sq6t_${System.nanoTime()}"
+    val gapUs = graft.queries.Queries.SessionGapUs
+    withStreamShuffle(s) {
+      val src = s.readStream.schema(eventsSchema).parquet(stageAsDir(srcDir))
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val q = sessionizeStatefulTimeout(src, gapUs)
+        .writeStream.queryName(name).format("memory")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    s.table(name).orderBy("user_id", "sid")
+  }
+
+  /** SQ7: the EventTimeTimeout sessionizer driven to completion by a
+    * staged flush tick — a sentinel event one gap + one minute past the
+    * fixture's max event time (standing in for the later traffic an
+    * unbounded stream always has), filtered back out of the result.
+    * With the watermark past every real user's gap boundary, every
+    * final session emits from the TIMEOUT branch — so the oracle is
+    * the batch q22 SQL with no recovery union anywhere: the
+    * production shape, driver-hash-checked. */
+  def sq7SessionizeTimeout(s: SparkSession, dir: String): DataFrame = {
+    val gapUs = graft.queries.Queries.SessionGapUs
+    val work = java.nio.file.Files.createTempDirectory("graft_sq7_")
+    work.toFile.deleteOnExit()
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    raw.write.mode("append").parquet(work.toString)
+    val maxTsNanos = raw.agg(max("ts")).head().getLong(0)
+    val flushTsNanos = maxTsNanos + (gapUs + 60L * 1000000) * 1000
+    raw.limit(1).select(
+      lit(-1L).as("event_id"), lit(-1L).as("user_id"),
+      lit("view").as("event_type"), lit(0d).as("value"),
+      lit(flushTsNanos).as("ts"))
+      .write.mode("append").parquet(work.toString)
+    sq6SessionizeTimeout(s, work.toString)
+      .filter(col("user_id") >= 0)
       .orderBy("user_id", "sid")
   }
 

@@ -42,6 +42,45 @@ class StreamOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("EventTimeTimeout sessionizer equals batch q22 once a flush tick advances the watermark") {
+    // the certified-twin drill: a sentinel event far past every real
+    // user's gap boundary (the traffic an unbounded stream always has)
+    // lets the watermark expire every real session — the timeout
+    // variant must then reproduce q22 row-for-row with NO batch-side
+    // recovery pass
+    val streamed = StreamOps.sq7SessionizeTimeout(spark, dir).collect()
+    val batch = Queries.q22Sessionize(spark, dir).collect()
+    assert(streamed.length == batch.length,
+      s"flush-tick timeout run must close every session: ${streamed.length} vs ${batch.length}")
+    assert(streamed.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
+  }
+
+  test("EventTimeTimeout sessionizer withholds ONLY still-open final sessions without a flush") {
+    // end-of-input mid-stream shape: users whose gap boundary the final
+    // watermark has not passed stay in state — everything else emits
+    val gapUs = Queries.SessionGapUs
+    val streamed = StreamOps.sq6SessionizeTimeout(spark, s"$dir/events.parquet")
+      .collect().map(_.toSeq).toSet
+    val batch = Queries.q22Sessionize(spark, dir).collect()
+    val batchSet = batch.map(_.toSeq).toSet
+    assert(streamed.subsetOf(batchSet), "every emitted session must be a q22 session")
+    val lastSid = batch.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).max)
+    val maxUs = StreamOps.eventsBatch(spark, dir)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val withheld = batch.filter(r => !streamed.contains(r.toSeq))
+    assert(withheld.nonEmpty, "the fixture's stream-end sessions cannot all have expired")
+    withheld.foreach { r =>
+      val (uid, sid) = (r.getLong(0), r.getLong(1))
+      assert(sid == lastSid(uid),
+        s"withheld session ($uid, $sid) is not the user's final session")
+      val lastUs = r.getLong(3) + r.getLong(4) // inicio_us + duracao_us
+      // ms-floored timeout arm must sit at/after the final watermark
+      // (1 ms slack for the flooring on both sides)
+      assert(lastUs / 1000 + gapUs / 1000 + 1 >= maxUs / 1000,
+        s"withheld session ($uid, $sid) should have timed out: last=$lastUs max=$maxUs")
+    }
+  }
+
   test("checkpoint recovery: restart resumes state, reads only new files") {
     import org.apache.spark.sql.functions._
     val work = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
