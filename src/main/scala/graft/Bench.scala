@@ -149,7 +149,18 @@ object Bench {
       "q79_dedup_survivors", "q80_cms_topk", "q81_bm25",
       // round-5 second batch: funnel, quota, PQ/ADC, streaming sessions
       "q82_funnel", "q83_source_quota", "q84_pq_adc_recall",
-      "sq6_sessionize", "q85_audio_energy", "q86_thumbnail")
+      "sq6_sessionize", "q85_audio_energy", "q86_thumbnail",
+      // round-6: the 26 previously-untimed entries (round-5 verdict #2
+      // — regressions in them were invisible; all individually cheap)
+      // + the new EventTimeTimeout sessionizer
+      "q01_metrics", "q02_por_particao", "q03_warmup", "q04_transporte",
+      "q05_tail_scan", "q06_rollup_formato", "q10_pricing_sql",
+      "q14_rollup_orders", "q15_setops", "q16_semi_anti", "q18_asof_join",
+      "q19_cube_orders", "q22_sessionize", "q24_range_join",
+      "q25_grouping_sets", "q26_pivot_events", "q27_percentiles",
+      "q31_langid", "q32_quality", "q33_fingerprint", "q34_exact_dedup",
+      "q36_minhash_sig", "q44_ivf_topk", "q47_ann_recall",
+      "q49_confluent_wire", "q51_salted_join", "sq7_sessionize_timeout")
     // shingle-index misses during TIMED passes only (warm passes are
     // expected to build it once per session+dir)
     var timedIndexMisses = 0L
