@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-validation runner (PERF.md §3): materializes the 10×
+  * HOT-SHINGLE document corpus and the 4× vector set from a base SF
+  * dir, then times target operators on base vs scaled, printing one
+  * JSON line per op (and a final summary line).
+  *
+  * The salted corpus construction (round-2 discipline, now committed
+  * as a tool so every round can re-run it): each of the 10 copies
+  * interleaves a per-copy salt token between every pair of original
+  * tokens. Trigrams like (salt, word, salt) then carry the word's own
+  * document frequency — the hot-shingle regime (boilerplate, stock
+  * phrases) that separates df-bounded near-dup designs from Σ freq²
+  * detonations. Copies do not collide across salts, so corpus-level
+  * stats scale ~10× while within-copy structure matches the base.
+  * Vectors: 4 copies, each dimension shifted by a small per-copy
+  * constant — distinct vectors, same geometry class.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=<base> SPARK_GRAFT_SCALE_OUT=<dir>
+  *        sbt "runMain graft.ScaleCheck [op,op,...]"
+  */
+object ScaleCheck {
+
+  private def time(f: => Unit): Double = {
+    val t0 = System.nanoTime()
+    f
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def run(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  /** Build the scaled tables once (idempotent per out dir). */
+  def materialize(s: SparkSession, base: String, out: String): Unit = {
+    val docsOut = s"$out/documents.parquet"
+    val embOut = s"$out/embeddings.parquet"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(docsOut))) {
+      val docs = s.read.parquet(s"$base/documents.parquet")
+      val copies = (0 until 10).map { c =>
+        docs.select(
+          (col("doc_id") + lit(c * 10000000L)).as("doc_id"),
+          regexp_replace(col("text"), "\\s+", s" salt$c ").as("text"),
+          col("lang"), col("source"))
+      }
+      copies.reduce(_ unionAll _)
+        .withColumn("n_chars", length(col("text")))
+        .repartition(32)
+        .write.mode("overwrite").parquet(docsOut)
+    }
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(embOut))) {
+      val emb = s.read.parquet(s"$base/embeddings.parquet")
+      val copies = (0 until 4).map { c =>
+        emb.select(
+          (col("vec_id") + lit(c * 10000000L)).as("vec_id"),
+          transform(col("embedding"),
+            x => (x + lit(c * 0.01f)).cast("float")).as("embedding"),
+          col("label"))
+      }
+      copies.reduce(_ unionAll _)
+        .repartition(8)
+        .write.mode("overwrite").parquet(embOut)
+    }
+  }
+
+  val DefaultOps: Seq[String] = Seq(
+    "q77_dup_ngrams", "q81_bm25", "q78_semdedup", "q84_pq_adc_recall",
+    "q75_pagerank", "q67_dedup_clusters")
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "/tmp/graft_scale10")
+    val ops = args.headOption.map(_.split(",").map(_.trim).toSeq)
+      .getOrElse(DefaultOps)
+    val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors())
+    val spark = GraftSession.builder("graft-scale", cores = cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(out).mkdirs()
+    materialize(spark, base, out)
+
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+
+    val lines = ops.flatMap { name =>
+      SparkEntry.queries.get(name) match {
+        case None => System.err.println(s"[scale] unknown op: $name"); None
+        case Some(fn) =>
+          val bw = time(run(fn(spark, base)))
+          val b = math.min(time(run(fn(spark, base))), time(run(fn(spark, base))))
+          val sw = time(run(fn(spark, out)))
+          val sc = math.min(time(run(fn(spark, out))), time(run(fn(spark, out))))
+          val line =
+            s"""{"op":"$name","base_warm":${num(bw)},"base":${num(b)},""" +
+              s""""scaled_warm":${num(sw)},"scaled":${num(sc)},""" +
+              s""""growth":${num(sc / b)}}"""
+          println(line)
+          Some(line)
+      }
+    }
+    println(s"""{"scale_check":"done","base":"$base","scaled":"$out","ops":${lines.size}}""")
+    spark.stop()
+  }
+}
