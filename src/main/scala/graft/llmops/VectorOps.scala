@@ -504,18 +504,31 @@ object VectorOps {
       .filter(col("rank") <= TopK)
       .select("vec_id", "neighbor_id")
     val exact = q40CosineTopk(s, dir).select("vec_id", "neighbor_id")
-    val hits = exact.join(approx, Seq("vec_id", "neighbor_id"), "left_semi")
-    // n_queries folds into the single-row result as a 1×1 cross join —
-    // the round-2 shape ran exact.distinct().count() at PLAN
-    // CONSTRUCTION time, executing the full quadratic q40 subplan
-    // before (and then again inside) the query's own action
-    val nq = exact.agg(count_distinct(col("vec_id")).as("n_queries"))
-    hits.agg(count(lit(1)).as("n_hits"))
-      .crossJoin(nq)
+    recallRow(exact, approx)
+  }
+
+  /** Reduce (exact top-k, approx top-k) to the one recall row every
+    * certification query emits — as ONE pass over each side: the exact
+    * pairs LEFT-join a hit marker and a single aggregation computes
+    * n_queries and n_hits together. The previous shape referenced the
+    * `exact` subplan twice (a left_semi for hits, a separate agg for
+    * n_queries); measured wall time is unchanged at sf0.1 — Spark's
+    * exchange reuse already shared the duplicated exact side — but the
+    * single-reference form doesn't depend on that optimization firing
+    * (reuse requires byte-identical exchange subplans, which a future
+    * edit to either branch would silently break). No persist and no
+    * construction-time job (the recall certifications are
+    * listener-asserted to build their plans without running one).
+    * `approx` pairs are distinct by construction, so the left join
+    * cannot double-count. `coalesce` keeps the empty-corpus row at
+    * n_hits = 0 (sum over zero rows is null; count was 0). */
+  private def recallRow(exact: DataFrame, approx: DataFrame): DataFrame =
+    exact.join(approx.withColumn("hit", lit(1)), Seq("vec_id", "neighbor_id"), "left")
+      .agg(count_distinct(col("vec_id")).as("n_queries"),
+        coalesce(sum(col("hit")), lit(0)).cast("long").as("n_hits"))
       .select(col("n_queries"), col("n_hits"),
         (col("n_hits").cast("double") /
           (lit(TopK.toDouble) * col("n_queries"))).as("recall_at_k"))
-  }
 
   /** The oracle recomputes the full LSH pipeline: plane projections as
     * literal-coefficient sums in the SAME left-to-right order as the
@@ -622,13 +635,7 @@ object VectorOps {
       .filter(col("rank") <= TopK)
       .select("vec_id", "neighbor_id")
     val exact = q40CosineTopk(s, dir).select("vec_id", "neighbor_id")
-    val hits = exact.join(approx, Seq("vec_id", "neighbor_id"), "left_semi")
-    val nq = exact.agg(count_distinct(col("vec_id")).as("n_queries"))
-    hits.agg(count(lit(1)).as("n_hits"))
-      .crossJoin(nq)
-      .select(col("n_queries"), col("n_hits"),
-        (col("n_hits").cast("double") /
-          (lit(TopK.toDouble) * col("n_queries"))).as("recall_at_k"))
+    recallRow(exact, approx)
   }
 
   def q61Sql: String = {
@@ -1269,13 +1276,7 @@ object VectorOps {
     val we = Window.partitionBy("vec_id").orderBy(col("d2"), col("neighbor_id"))
     val exact = ex.withColumn("rank", row_number().over(we))
       .filter(col("rank") <= TopK).select("vec_id", "neighbor_id")
-    val hits = exact.join(approx, Seq("vec_id", "neighbor_id"), "left_semi")
-    val nq = exact.agg(count_distinct(col("vec_id")).as("n_queries"))
-    hits.agg(count(lit(1)).as("n_hits"))
-      .crossJoin(nq)
-      .select(col("n_queries"), col("n_hits"),
-        (col("n_hits").cast("double") /
-          (lit(TopK.toDouble) * col("n_queries"))).as("recall_at_k"))
+    recallRow(exact, approx)
   }
 
   /** Oracle: DuckDB re-runs the ENTIRE PQ pipeline — global-grid
