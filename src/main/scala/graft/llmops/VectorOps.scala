@@ -158,12 +158,33 @@ object VectorOps {
     (0 to radius).flatMap(k => combos(0, k))
   }
 
+  /** The q43 candidate-join discipline for the LSH top-k paths: the
+    * (tbl, bucket) equi-join moves NARROW (id, tbl, bucket) rows,
+    * pairs dedupe BEFORE any arithmetic (a pair can meet in up to
+    * Tables × probe-mask buckets — ~42 coincidences at radius 1 on 6
+    * tables, each previously paying a Dim-wide dot on 512 B rows),
+    * and the vectors join back by id ONCE per distinct pair. At
+    * 100 TB the index shuffle must carry ids, not embeddings. Emits
+    * (vec_id, neighbor_id, sim) rounded to the certified 6 dp. */
+  private def lshPairSims(e: DataFrame, q: DataFrame, cand: DataFrame): DataFrame = {
+    val pairs = q.join(cand, Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .select("vec_id", "neighbor_id").distinct()
+    pairs
+      .join(e.select(col("vec_id"), col("v"), col("nrm")), Seq("vec_id"))
+      .join(e.select(col("vec_id").as("neighbor_id"), col("v").as("w"),
+        col("nrm").as("wnrm")), Seq("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"),
+        round(dot(col("v"), col("w")) / (col("nrm") * col("wnrm")), 6).as("sim"))
+  }
+
   /** q41: ANN top-k via multi-table hyperplane-LSH with single-bit
     * multi-probe. Join key = (table, bucket) — an equi-join Catalyst
     * plans as a hash join on a uniform key — instead of the O(n²)
-    * cross join; exact cosine re-rank runs only within probed buckets.
-    * Rows-only driver check (approximate by design); the recall floor
-    * vs q40 is asserted in VectorOpsSpec. */
+    * cross join; exact cosine re-rank runs only within probed buckets,
+    * once per distinct candidate pair ([[lshPairSims]]). Rows-only
+    * driver check (approximate by design); the recall floor vs q40 is
+    * asserted in VectorOpsSpec. */
   def q41AnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir).select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", norm(col("v")))
@@ -172,22 +193,17 @@ object VectorOps {
     val planes = planesFor(nVectors(s, dir))
     val withBuckets = withBucketCols(e, planes, Tables)
     // candidate side: each vector in its own bucket per table
-    val cand = withBuckets.select(col("vec_id").as("neighbor_id"), col("v").as("w"),
-        col("nrm").as("wnrm"), tableStructs(Tables).as("tb"))
-      .select(col("neighbor_id"), col("w"), col("wnrm"),
-        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val cand = withBuckets.select(col("vec_id").as("neighbor_id"),
+        tableStructs(Tables).as("tb"))
+      .select(col("neighbor_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
     // query side: own bucket + single-bit-flip probes, per table
     val probes = explode(array(probeMasks(planes, 1).map(lit(_)): _*))
-    val q = withBuckets.select(col("vec_id"), col("v"), col("nrm"), tableStructs(Tables).as("tb"))
-      .select(col("vec_id"), col("v"), col("nrm"),
+    val q = withBuckets.select(col("vec_id"), tableStructs(Tables).as("tb"))
+      .select(col("vec_id"),
         col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"), probes.as("flip"))
-      .select(col("vec_id"), col("v"), col("nrm"), col("tbl"),
-        expr("int(bucket ^ flip)").as("bucket"))
+      .select(col("vec_id"), col("tbl"), expr("int(bucket ^ flip)").as("bucket"))
     val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("neighbor_id"))
-    q.join(cand, Seq("tbl", "bucket")).filter(col("vec_id") =!= col("neighbor_id"))
-      .select(col("vec_id"), col("neighbor_id"),
-        round(dot(col("v"), col("w")) / (col("nrm") * col("wnrm")), 6).as("sim"))
-      .distinct() // a pair can meet in several tables/probed buckets
+    lshPairSims(e, q, cand)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
       .select("vec_id", "rank", "neighbor_id", "sim")
@@ -485,21 +501,16 @@ object VectorOps {
     val e = emb(s, dir).select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", norm(col("v")))
     val withBuckets = withBucketCols(e, RecallPlanes, Tables)
-    val cand = withBuckets.select(col("vec_id").as("neighbor_id"), col("v").as("w"),
-        col("nrm").as("wnrm"), tableStructs(Tables).as("tb"))
-      .select(col("neighbor_id"), col("w"), col("wnrm"),
-        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val cand = withBuckets.select(col("vec_id").as("neighbor_id"),
+        tableStructs(Tables).as("tb"))
+      .select(col("neighbor_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
     val probes = explode(array(probeMasks(RecallPlanes, 1).map(lit(_)): _*))
-    val q = withBuckets.select(col("vec_id"), col("v"), col("nrm"), tableStructs(Tables).as("tb"))
-      .select(col("vec_id"), col("v"), col("nrm"),
+    val q = withBuckets.select(col("vec_id"), tableStructs(Tables).as("tb"))
+      .select(col("vec_id"),
         col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"), probes.as("flip"))
-      .select(col("vec_id"), col("v"), col("nrm"), col("tbl"),
-        expr("int(bucket ^ flip)").as("bucket"))
+      .select(col("vec_id"), col("tbl"), expr("int(bucket ^ flip)").as("bucket"))
     val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("neighbor_id"))
-    val approx = q.join(cand, Seq("tbl", "bucket")).filter(col("vec_id") =!= col("neighbor_id"))
-      .select(col("vec_id"), col("neighbor_id"),
-        round(dot(col("v"), col("w")) / (col("nrm") * col("wnrm")), 6).as("sim"))
-      .distinct()
+    val approx = lshPairSims(e, q, cand)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
       .select("vec_id", "neighbor_id")
