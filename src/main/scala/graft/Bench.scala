@@ -160,7 +160,8 @@ object Bench {
       "q25_grouping_sets", "q26_pivot_events", "q27_percentiles",
       "q31_langid", "q32_quality", "q33_fingerprint", "q34_exact_dedup",
       "q36_minhash_sig", "q44_ivf_topk", "q47_ann_recall",
-      "q49_confluent_wire", "q51_salted_join", "sq7_sessionize_timeout")
+      "q49_confluent_wire", "q51_salted_join", "sq7_sessionize_timeout",
+      "q87_bloom_decontaminate")
     // shingle-index misses during TIMED passes only (warm passes are
     // expected to build it once per session+dir)
     var timedIndexMisses = 0L

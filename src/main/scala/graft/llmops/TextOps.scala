@@ -1179,6 +1179,86 @@ object TextOps {
        |FROM train t LEFT JOIN eval_sh e USING (shingle)
        |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin
 
+  // --------------------------------- q87 bloom-certified decontamination
+
+  /** Bloom capacity / fpp for q87 — sized for the eval shingle volume
+    * of a far larger corpus than any tested SF (over-capacity only
+    * lowers the realized fpr, which strengthens the pinned booleans);
+    * ~1.2 MB serialized — the broadcastable summary. */
+  val BloomItems = 1000000L
+  val BloomFpp = 0.01
+
+  /** q87: the q59 decontamination check through a BLOOM FILTER — the
+    * at-scale shape when the eval shingle set is too large to
+    * broadcast as rows: the filter is FIXED-SIZE mergeable state built
+    * in one distributed aggregate (Spark's runtime-filter
+    * BloomFilterAggregate surfaced as a Column), broadcast as one row,
+    * probed map-side via [[graft.functions.BloomContains]] — the
+    * q52/q80 sketch-certification discipline applied to membership.
+    * Emits q59's exact per-doc profile (the certified twin, computed
+    * in the same query) plus two pinned booleans: `bloom_no_miss` — a
+    * Bloom filter has NO false negatives, so a bit lost to a broken
+    * merge flips it — and `bloom_fp_bounded` — the realized per-doc
+    * false-positive count stays inside a generous Binomial bound
+    * (10 + 5% of probes: P(exceed) ~1e-9 per doc at fpp = 1%, so it is
+    * a WIRING check that a saturated filter flips, not a quality bar;
+    * the q52 ≥5σ boolean discipline). Shingles enter the filter as
+    * xxhash64 keys on both build and probe sides. */
+  def q87BloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+    val evalIds = docs(s, dir).filter(col("source") === EvalSource).select("doc_id")
+    val evalSh = sh.join(broadcast(evalIds), Seq("doc_id"))
+      .select("shingle").distinct()
+    val bloom = evalSh.agg(graft.functions.SketchExprs
+      .bloomAgg(xxhash64(col("shingle")), BloomItems, BloomFpp).as("bf"))
+    val exactSet = evalSh.withColumn("hit", lit(1L))
+    val trainSh = sh.join(broadcast(evalIds), Seq("doc_id"), "left_anti")
+    trainSh
+      .join(broadcast(exactSet), Seq("shingle"), "left")
+      .crossJoin(broadcast(bloom))
+      .withColumn("bloom_hit", graft.functions.SketchExprs
+        .bloomContains(col("bf"), xxhash64(col("shingle"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"),
+        sum(col("bloom_hit").cast("long")).as("n_bloom"))
+      .select(col("doc_id"), col("n_sh"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_sh")).as("contamination"),
+        (col("n_hit").cast("double") / col("n_sh") >= ContamThreshold)
+          .as("contaminated"),
+        (col("n_bloom") >= col("n_hit")).as("bloom_no_miss"),
+        ((col("n_bloom") - col("n_hit")).cast("double") <=
+          lit(10d) + (col("n_sh") - col("n_hit")) * 0.05).as("bloom_fp_bounded"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: q59's exact per-doc chain with the two certification
+    * booleans pinned true — the bloom side stays out of the output
+    * because it is engine-specific; the booleans ARE the check. */
+  val q87Sql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, $shinglesSql AS sh
+       |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents)
+       |), ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sh
+       |), eval_ids AS (SELECT doc_id FROM documents WHERE source = '$EvalSource'
+       |), eval_sh AS (
+       |  SELECT DISTINCT shingle FROM ex
+       |  WHERE doc_id IN (SELECT doc_id FROM eval_ids)
+       |), train AS (
+       |  SELECT * FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM eval_ids)
+       |)
+       |SELECT t.doc_id, count(*) AS n_sh,
+       |  CAST(sum(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_hit,
+       |  CAST(sum(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*) AS contamination,
+       |  (CAST(sum(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*)) >= $ContamThreshold AS contaminated,
+       |  true AS bloom_no_miss,
+       |  true AS bloom_fp_bounded
+       |FROM train t LEFT JOIN eval_sh e USING (shingle)
+       |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------- q67 dedup clusters
 
   /** Fixpoint-iteration safety cap (components this deep don't exist
@@ -2121,6 +2201,7 @@ object TextOps {
     "q56_seq_pack" -> (q56SeqPack _),
     "q57_stratified_sample" -> (q57StratifiedSample _),
     "q59_decontaminate" -> (q59Decontaminate _),
+    "q87_bloom_decontaminate" -> (q87BloomDecontaminate _),
     "q62_repetition" -> (q62Repetition _),
     "q63_chunk_overlap" -> (q63ChunkOverlap _),
     "q64_lm_score" -> (q64LmScore _),
@@ -2154,6 +2235,7 @@ object TextOps {
     "q56_seq_pack" -> q56Sql,
     "q57_stratified_sample" -> q57Sql,
     "q59_decontaminate" -> q59Sql,
+    "q87_bloom_decontaminate" -> q87Sql,
     "q62_repetition" -> q62Sql,
     "q63_chunk_overlap" -> q63Sql,
     "q64_lm_score" -> q64Sql,

@@ -54,7 +54,8 @@ class EdgeCaseSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q64" -> (TextOps.q64LmScore _), "q70" -> (TextOps.q70BpeMerges _),
     "q71" -> (TextOps.q71BpeTokenize _), "q72" -> (TextOps.q72LmScoreCapped _),
     "q73" -> (TextOps.q73BpeExhausted _), "q75" -> (TextOps.q75Pagerank _),
-    "q77" -> (TextOps.q77DupNgramCoverage _))
+    "q77" -> (TextOps.q77DupNgramCoverage _),
+    "q87" -> (TextOps.q87BloomDecontaminate _))
 
   test("every text operator returns empty on an empty corpus, without throwing") {
     textOps.foreach { case (name, fn) =>

@@ -377,4 +377,22 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(d <= 20, s"near-dup pair hamming distance $d > 20")
     }
   }
+
+  test("bloom decontamination (q87): exact twin equals q59, certification booleans hold") {
+    val rows = TextOps.q87BloomDecontaminate(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // the pinned booleans: no false negatives ever; false positives
+    // inside the generous wiring bound
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("bloom_no_miss"),
+        s"bloom lost a true hit for doc ${r.getLong(0)} — broken merge?")
+      assert(r.getAs[Boolean]("bloom_fp_bounded"),
+        s"bloom fp count out of bound for doc ${r.getLong(0)} — saturated filter?")
+    }
+    // the exact columns are q59 verbatim (same formula, same rows)
+    val q59 = TextOps.q59Decontaminate(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val q87 = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(q87 == q59, "q87's exact side must equal q59 row-for-row")
+  }
 }
