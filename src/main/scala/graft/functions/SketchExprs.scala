@@ -86,11 +86,16 @@ case class BloomContains(left: Expression, right: Expression)
 
   override def nullSafeEval(bf: Any, key: Any): Any = {
     val bytes = bf.asInstanceOf[Array[Byte]]
-    if (cachedBloom == null || !java.util.Arrays.equals(bytes, cachedBytes)) {
-      cachedBytes = bytes
+    // reference-equality fast path FIRST: with the filter as a plan
+    // literal (q87's shape) every row carries the same array instance,
+    // so the ~MB byte comparison never runs on the hot path — paying
+    // it per row is exactly the hazard the q87 scaladoc documents
+    if (!(bytes eq cachedBytes) &&
+        (cachedBloom == null || !java.util.Arrays.equals(bytes, cachedBytes))) {
       cachedBloom = org.apache.spark.util.sketch.BloomFilter
         .readFrom(new java.io.ByteArrayInputStream(bytes))
     }
+    cachedBytes = bytes
     cachedBloom.mightContainLong(key.asInstanceOf[Long])
   }
 

@@ -1203,21 +1203,35 @@ object TextOps {
     * (10 + 5% of probes: P(exceed) ~1e-9 per doc at fpp = 1%, so it is
     * a WIRING check that a saturated filter flips, not a quality bar;
     * the q52 ≥5σ boolean discipline). Shingles enter the filter as
-    * xxhash64 keys on both build and probe sides. */
+    * xxhash64 keys on both build and probe sides.
+    *
+    * The filter is trained by ONE aggregate action over the eval side
+    * at plan construction and embedded as a PLAN LITERAL — the shape
+    * Spark's own runtime filters inject. The broadcast-1-row-column
+    * alternative (the q80 CMS shape) is a trap at this row volume:
+    * every probe row copies the ~1.2 MB binary out of the joined row
+    * (UnsafeRow.getBinary) and re-validates the probe's cache against
+    * it — measured 23 s vs ~2 s at sf0.1. A literal deserializes once
+    * per task (reference-equality cache hit). The construction action
+    * is bounded by the EVAL corpus, small by construction — the same
+    * property q59's row broadcast rests on. */
   def q87BloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(s, dir)
     val evalIds = docs(s, dir).filter(col("source") === EvalSource).select("doc_id")
     val evalSh = sh.join(broadcast(evalIds), Seq("doc_id"))
       .select("shingle").distinct()
-    val bloom = evalSh.agg(graft.functions.SketchExprs
+    val bloomBytes = evalSh.agg(graft.functions.SketchExprs
       .bloomAgg(xxhash64(col("shingle")), BloomItems, BloomFpp).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val bloomHit =
+      if (bloomBytes == null) lit(false) // no eval docs -> empty filter
+      else graft.functions.SketchExprs.bloomContains(
+        lit(bloomBytes), xxhash64(col("shingle")))
     val exactSet = evalSh.withColumn("hit", lit(1L))
     val trainSh = sh.join(broadcast(evalIds), Seq("doc_id"), "left_anti")
     trainSh
       .join(broadcast(exactSet), Seq("shingle"), "left")
-      .crossJoin(broadcast(bloom))
-      .withColumn("bloom_hit", graft.functions.SketchExprs
-        .bloomContains(col("bf"), xxhash64(col("shingle"))))
+      .withColumn("bloom_hit", bloomHit)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_sh"),
         sum(coalesce(col("hit"), lit(0L))).as("n_hit"),
