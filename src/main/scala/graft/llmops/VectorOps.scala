@@ -316,10 +316,13 @@ object VectorOps {
     val probes = ranked.filter(col("crank") <= IvfProbes)
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
     val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("neighbor_id"))
+    // no dedup needed, unlike the LSH paths: a neighbor is indexed in
+    // exactly ONE cell and the probe set holds distinct cells, so a
+    // (query, neighbor) pair meets at most once — a distinct here
+    // would be a full extra exchange of the candidate pairs
     probes.join(indexed, Seq("cell")).filter(col("vec_id") =!= col("neighbor_id"))
       .select(col("vec_id"), col("neighbor_id"),
         round(dot(col("v"), col("w")) / (col("nrm") * col("wnrm")), 6).as("sim"))
-      .distinct()
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
       .select("vec_id", "rank", "neighbor_id", "sim")
@@ -638,10 +641,11 @@ object VectorOps {
     val probes = ranked.filter(col("crank") <= IvfProbes)
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
     val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("neighbor_id"))
+    // pairs meet at most once (one cell per neighbor, distinct probe
+    // cells) — no dedup exchange, the q44 note
     val approx = probes.join(indexed, Seq("cell")).filter(col("vec_id") =!= col("neighbor_id"))
       .select(col("vec_id"), col("neighbor_id"),
         round(dot(col("v"), col("w")) / (col("nrm") * col("wnrm")), 6).as("sim"))
-      .distinct()
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
       .select("vec_id", "neighbor_id")
