@@ -118,6 +118,28 @@ class CoreSpec extends AnyFunSuite {
     assert(m("mensagensSucesso") == 99L)
   }
 
+  test("ConfScope: scoped width applies inside, restores after body, drift, and failure") {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    val inside = graft.operators.ConfScope.withShufflePartitions(spark, 7) {
+      spark.conf.get(key)
+    }
+    assert(inside == "7" && spark.conf.get(key) == prev)
+    // a body that mutates the conf itself (the drift the contract
+    // warns about): the helper still restores the ORIGINAL value
+    graft.operators.ConfScope.withShufflePartitions(spark, 7) {
+      spark.conf.set(key, "13")
+    }
+    assert(spark.conf.get(key) == prev)
+    // the restore runs on the failure path too
+    intercept[RuntimeException] {
+      graft.operators.ConfScope.withShufflePartitions(spark, 7) {
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(spark.conf.get(key) == prev)
+  }
+
   test("driver contract: oracle keys resolve, registries disjoint, entry non-empty") {
     val q = SparkEntry.queries
     val o = SparkEntry.oracleSql
