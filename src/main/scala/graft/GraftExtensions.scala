@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, FromAvro, ToAvro, TokenPolyHash}
+import graft.functions.{BloomContains, ByteWindowEnergy, CmsEstimate, DotProduct, FromAvro, ToAvro, TokenPolyHash}
 import graft.model.SchemaDef
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -35,5 +35,11 @@ object GraftExtensions {
     ("graft_to_avro", "graft_to_avro(struct) - Avro-encode the payload struct",
       (exprs: Seq[Expression]) => ToAvro(exprs.head, SchemaDef.mensagemAvroJson)),
     ("graft_from_avro", "graft_from_avro(bin) - Avro-decode the payload struct",
-      (exprs: Seq[Expression]) => FromAvro(exprs.head, SchemaDef.mensagemAvroJson)))
+      (exprs: Seq[Expression]) => FromAvro(exprs.head, SchemaDef.mensagemAvroJson)),
+    ("graft_cms_estimate", "graft_cms_estimate(sketch, key) - CMS estimated count for key",
+      (exprs: Seq[Expression]) => CmsEstimate(exprs(0), exprs(1))),
+    ("graft_bloom_contains", "graft_bloom_contains(bloom, key) - Bloom membership for a long key",
+      (exprs: Seq[Expression]) => BloomContains(exprs(0), exprs(1))),
+    ("graft_win_energy", "graft_win_energy(bin, start, len) - sum of squared (byte-128) over a slice",
+      (exprs: Seq[Expression]) => ByteWindowEnergy(exprs(0), exprs(1), exprs(2))))
 }

@@ -27,6 +27,11 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d == 11.0)
     val h = spark.sql("SELECT graft_polyhash(array('a', 'b')) AS h").head().getLong(0)
     assert(h > 0)
+    // the round-6 sketch/media expressions ride the same injector
+    val e = spark.sql("SELECT graft_win_energy(X'80', 0L, 1) AS e").head().getLong(0)
+    assert(e == 0L, "0x80 is exactly the 128 midpoint: zero energy")
+    assert(spark.catalog.functionExists("graft_cms_estimate"))
+    assert(spark.catalog.functionExists("graft_bloom_contains"))
   }
 
   test("derived sessions inherit the injected functions") {

@@ -158,5 +158,15 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         |  'versao', '1.0'))).sequencia AS seq""".stripMargin)
       .head().getLong(0)
     assert(rt == 2L)
+    // round-6 expressions: window energy over a known byte slice...
+    val e = spark.sql(
+      "SELECT graft_win_energy(X'00FF80', 0L, 3) AS e").head().getLong(0)
+    assert(e == 128L * 128 + 127 * 127 + 0, s"energy was $e")
+    // ...and the sketch probes, fed by their builder aggregates
+    val cms = spark.sql(
+      """SELECT graft_cms_estimate(
+        |  (SELECT count_min_sketch(x, 0.01D, 0.99D, 42) FROM range(5) v(x)),
+        |  3L) AS c""".stripMargin).head().getLong(0)
+    assert(cms >= 1L, s"cms estimate was $cms")
   }
 }
