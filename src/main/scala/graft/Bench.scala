@@ -161,7 +161,9 @@ object Bench {
       "q31_langid", "q32_quality", "q33_fingerprint", "q34_exact_dedup",
       "q36_minhash_sig", "q44_ivf_topk", "q47_ann_recall",
       "q49_confluent_wire", "q51_salted_join", "sq7_sessionize_timeout",
-      "q87_bloom_decontaminate")
+      "q87_bloom_decontaminate",
+      // round-7 operators
+      "q88_containment")
     // shingle-index misses during TIMED passes only (warm passes are
     // expected to build it once per session+dir)
     var timedIndexMisses = 0L

@@ -554,6 +554,115 @@ object TextOps {
        |WHERE CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ------------------------------------------- q88 containment dedup
+
+  /** A document is CONTAINED in another when at least this fraction of
+    * ITS shingles also occur in the other — the asymmetric metric that
+    * catches a small doc embedded in a large one (quoted posts, boiler-
+    * plate wrappers, licence headers), which every symmetric-Jaccard
+    * pass structurally misses: a 100-shingle doc inside a 900-shingle
+    * doc has containment 1.0 but Jaccard 1/9 (ContainmentSpec pins
+    * exactly that case). */
+  val ContainThresh = 0.8
+
+  /** q88: containment near-dup pairs over any (doc_id, shingle) row
+    * set, factored so specs can feed crafted small-in-big corpora.
+    * Same two-stage shape as q39 — frequency-capped candidate
+    * generation with a SOUND upper bound, then exact verification on
+    * the full sets: common ≤ rare_common + least(hot_a, hot_b), and
+    * max-side containment = common / least(na, nb), so
+    * bound / least(na, nb) ≥ the true value — among pairs sharing at
+    * least one rare shingle the bound drops no qualifying pair (see
+    * the oracle note for the all-hot boundary). Emits both directions
+    * per pair: cont_a = the fraction of A's shingles found in B,
+    * cont_b symmetric. */
+  private[graft] def containmentOf(rows: DataFrame): DataFrame = {
+    val withDf = rows.withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
+    val perDoc = withDf.groupBy("doc_id").agg(count(lit(1)).as("n_sh"),
+      sum(when(col("df") > MaxShingleDf, 1L).otherwise(0L)).as("n_hot"))
+    val rare = withDf.filter(col("df") <= MaxShingleDf)
+    val ca = rare.select(col("doc_id").as("doc_a"), col("shingle"))
+    val cb = rare.select(col("doc_id").as("doc_b"), col("shingle"))
+    val rareCommon = ca.join(cb, Seq("shingle")).filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("rare_common"))
+    val maxCommon = col("rare_common") + least(col("hot_a"), col("hot_b"))
+    val cand = rareCommon
+      .join(perDoc.select(col("doc_id").as("doc_a"), col("n_sh").as("na"),
+        col("n_hot").as("hot_a")), Seq("doc_a"))
+      .join(perDoc.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"),
+        col("n_hot").as("hot_b")), Seq("doc_b"))
+      .filter(maxCommon.cast("double") / least(col("na"), col("nb")) >= ContainThresh)
+      .select("doc_a", "doc_b")
+    val shA = rows.select(col("doc_id").as("doc_a"), col("shingle"))
+    val shB = rows.select(col("doc_id").as("doc_b"), col("shingle"))
+    val common = cand.join(shA, Seq("doc_a")).join(shB, Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+    val counts = rows.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    common
+      .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
+      .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("common").cast("double") / col("na")).as("cont_a"),
+        (col("common").cast("double") / col("nb")).as("cont_b"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= ContainThresh)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** q88 over the corpus: the persisted shingle index feeds candidate
+    * generation AND both verification sides (the q35/q37/q39 reuse).
+    * Cost discipline is q39's — the rare-shingle join bounds Σ freq²,
+    * verification tracks output size. */
+  def q88Containment(s: SparkSession, dir: String): DataFrame =
+    containmentOf(shingles(s, dir))
+
+  /** Oracle: mirrors the capped pipeline (the q39 pattern — rare-index
+    * candidates, bound filter, full-set verification), because the
+    * rare-common join anchors candidates: a pair whose EVERY shared
+    * shingle is hot is outside the index's reach (q39's documented
+    * boundary — such docs are corpus-wide boilerplate, which exact
+    * dedup q34 and n-gram coverage q77 catch). ContainmentSpec asserts
+    * capped == layout-free full-index output on the fixture, so the
+    * boundary is pinned empirically, not assumed. */
+  val q88Sql: String =
+    s"""WITH sh0 AS (
+       |  SELECT doc_id, unnest($shinglesSql) AS shingle
+       |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents)
+       |), dfed AS (
+       |  SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM sh0
+       |), perdoc AS (
+       |  SELECT doc_id, count(*) AS n_sh,
+       |    count(*) FILTER (df > $MaxShingleDf) AS n_hot
+       |  FROM dfed GROUP BY doc_id
+       |), rare AS (
+       |  SELECT doc_id, shingle FROM dfed WHERE df <= $MaxShingleDf
+       |), rc AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS rare_common
+       |  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), cand AS (
+       |  SELECT doc_a, doc_b
+       |  FROM rc
+       |  JOIN perdoc pa ON pa.doc_id = doc_a
+       |  JOIN perdoc pb ON pb.doc_id = doc_b
+       |  WHERE CAST(rare_common + least(pa.n_hot, pb.n_hot) AS DOUBLE)
+       |      / least(pa.n_sh, pb.n_sh) >= $ContainThresh
+       |), common AS (
+       |  SELECT doc_a, doc_b, count(*) AS common
+       |  FROM cand
+       |  JOIN sh0 sa ON sa.doc_id = doc_a
+       |  JOIN sh0 sb ON sb.doc_id = doc_b AND sb.shingle = sa.shingle
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_a, doc_b,
+       |  CAST(common AS DOUBLE) / pa.n_sh AS cont_a,
+       |  CAST(common AS DOUBLE) / pb.n_sh AS cont_b
+       |FROM common
+       |JOIN perdoc pa ON pa.doc_id = doc_a
+       |JOIN perdoc pb ON pb.doc_id = doc_b
+       |WHERE greatest(CAST(common AS DOUBLE) / pa.n_sh,
+       |               CAST(common AS DOUBLE) / pb.n_sh) >= $ContainThresh
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // -------------------------------------------------------- q38 simhash
 
   /** q38: 60-bit SimHash per document over whitespace tokens — each
@@ -2209,6 +2318,7 @@ object TextOps {
     "q37_neardup_lsh" -> (q37NeardupLsh _),
     "q38_simhash" -> (q38Simhash _),
     "q39_neardup_capped" -> (q39NeardupCapped _),
+    "q88_containment" -> (q88Containment _),
     "q48_rolling_hash" -> (q48RollingHash _),
     "q53_simhash_neardup" -> (q53SimhashNeardup _),
     "q55_vocab_topk" -> (q55VocabTopk _),
@@ -2243,6 +2353,7 @@ object TextOps {
     "q37_neardup_lsh" -> q37Sql,
     "q38_simhash" -> q38Sql,
     "q39_neardup_capped" -> q39Sql,
+    "q88_containment" -> q88Sql,
     "q48_rolling_hash" -> q48Sql,
     "q53_simhash_neardup" -> q53Sql,
     "q55_vocab_topk" -> q55Sql,
