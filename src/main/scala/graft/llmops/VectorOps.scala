@@ -1188,10 +1188,20 @@ object VectorOps {
     // one eager localCheckpoint shared by the 1 + PqIters training
     // actions and q84's multi-branch final job (the kmeansLearn note)
     val codes = kmCodes(s, dir).localCheckpoint()
+    (pqLearnOn(codes), codes)
+  }
+
+  /** The PQ trainer over ANY (vec_id, c: array&lt;double&gt;) frame —
+    * q84 feeds the global-grid codes, q89 the coarse-cell RESIDUALS
+    * (train-on-residuals is what makes IVF-PQ's codebooks spend their
+    * 8 centroids on within-cell structure instead of re-encoding cell
+    * position). Caller must have materialized `codes` (checkpoint):
+    * this runs 1 + PqIters actions over it. */
+  private def pqLearnOn(codes: DataFrame): Seq[Seq[Seq[Long]]] = {
     val seed = codes.orderBy("vec_id").limit(PqK).collect()
       .sortBy(_.getLong(0))
       .map(_.getSeq[Double](1).map(_.toLong).toSeq).toSeq
-    if (seed.isEmpty) return (Nil, codes)
+    if (seed.isEmpty) return Nil
     var cents: Seq[Seq[Seq[Long]]] = (0 until PqM).map(m =>
       seed.map(c => c.slice(m * PqSubDim, (m + 1) * PqSubDim)))
     for (_ <- 1 to PqIters) {
@@ -1215,7 +1225,7 @@ object VectorOps {
       cents = (0 until PqM).map(m =>
         cents(m).indices.map(k => byKey.getOrElse((m, k), cents(m)(k))))
     }
-    (cents, codes)
+    cents
   }
 
   /** q84: product quantization + asymmetric-distance recall
@@ -1300,54 +1310,60 @@ object VectorOps {
     * sums, exact integer-L2 top-k — and reduces to the same single
     * recall row. All-integer arithmetic end to end pins every code,
     * every centroid and every ranked pair. */
-  def q84Sql: String = {
-    def chain(m: Int): String = {
-      val lo = m * PqSubDim + 1
-      val hi = (m + 1) * PqSubDim
-      def iter(r: Int): String = {
-        val (prev, next) = (s"cent${r - 1}_$m", s"cent${r}_$m")
-        s"""dist${r}_$m AS (
-           |  SELECT x.vec_id, x.c, ct.cid,
-           |    list_sum([(x.c[i] - ct.c[i]) * (x.c[i] - ct.c[i])
-           |              for i in range(1, $PqSubDim + 1)]) AS d2
-           |  FROM scodes_$m x CROSS JOIN $prev ct
-           |), asg${r}_$m AS (
-           |  SELECT vec_id, c, cid FROM (
-           |    SELECT vec_id, c, cid,
-           |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-           |    FROM dist${r}_$m) WHERE rn = 1
-           |), sums${r}_$m AS (
-           |  SELECT cid, i, sum(c[i]) AS s, count(*) AS n
-           |  FROM (SELECT cid, c, unnest(range(1, $PqSubDim + 1)) AS i
-           |        FROM asg${r}_$m)
-           |  GROUP BY cid, i
-           |), $next AS (
-           |  SELECT p.cid, coalesce(u.c, p.c) AS c
-           |  FROM $prev p LEFT JOIN (
-           |    SELECT cid, list(s // n ORDER BY i) AS c FROM sums${r}_$m GROUP BY cid
-           |  ) u USING (cid)
-           |)""".stripMargin
-      }
-      s"""scodes_$m AS (
-         |  SELECT vec_id, c[$lo:$hi] AS c FROM codes
-         |), cent0_$m AS (
-         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, c
-         |  FROM (SELECT vec_id, c FROM scodes_$m ORDER BY vec_id LIMIT $PqK)
-         |),
-         |${(1 to PqIters).map(iter).mkString(",\n")},
-         |fdist_$m AS (
-         |  SELECT x.vec_id, ct.cid,
+  /** The per-subspace PQ Lloyd chain as DuckDB CTEs — the oracle twin
+    * of [[pqLearnOn]], parameterized on the source relation (`codes`
+    * for q84, the coarse-cell residual frame for q89). Ends at
+    * `fasg_$m` (final per-vector subspace assignment) and
+    * `cent${PqIters}_$m` (final subspace centroids). */
+  private def pqChainSql(src: String)(m: Int): String = {
+    val lo = m * PqSubDim + 1
+    val hi = (m + 1) * PqSubDim
+    def iter(r: Int): String = {
+      val (prev, next) = (s"cent${r - 1}_$m", s"cent${r}_$m")
+      s"""dist${r}_$m AS (
+         |  SELECT x.vec_id, x.c, ct.cid,
          |    list_sum([(x.c[i] - ct.c[i]) * (x.c[i] - ct.c[i])
          |              for i in range(1, $PqSubDim + 1)]) AS d2
-         |  FROM scodes_$m x CROSS JOIN cent${PqIters}_$m ct
-         |), fasg_$m AS (
-         |  SELECT vec_id, cid FROM (
-         |    SELECT vec_id, cid,
+         |  FROM scodes_$m x CROSS JOIN $prev ct
+         |), asg${r}_$m AS (
+         |  SELECT vec_id, c, cid FROM (
+         |    SELECT vec_id, c, cid,
          |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-         |    FROM fdist_$m) WHERE rn = 1
+         |    FROM dist${r}_$m) WHERE rn = 1
+         |), sums${r}_$m AS (
+         |  SELECT cid, i, sum(c[i]) AS s, count(*) AS n
+         |  FROM (SELECT cid, c, unnest(range(1, $PqSubDim + 1)) AS i
+         |        FROM asg${r}_$m)
+         |  GROUP BY cid, i
+         |), $next AS (
+         |  SELECT p.cid, coalesce(u.c, p.c) AS c
+         |  FROM $prev p LEFT JOIN (
+         |    SELECT cid, list(s // n ORDER BY i) AS c FROM sums${r}_$m GROUP BY cid
+         |  ) u USING (cid)
          |)""".stripMargin
     }
-    val chains = (0 until PqM).map(chain).mkString(",\n")
+    s"""scodes_$m AS (
+       |  SELECT vec_id, c[$lo:$hi] AS c FROM $src
+       |), cent0_$m AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, c
+       |  FROM (SELECT vec_id, c FROM scodes_$m ORDER BY vec_id LIMIT $PqK)
+       |),
+       |${(1 to PqIters).map(iter).mkString(",\n")},
+       |fdist_$m AS (
+       |  SELECT x.vec_id, ct.cid,
+       |    list_sum([(x.c[i] - ct.c[i]) * (x.c[i] - ct.c[i])
+       |              for i in range(1, $PqSubDim + 1)]) AS d2
+       |  FROM scodes_$m x CROSS JOIN cent${PqIters}_$m ct
+       |), fasg_$m AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |    FROM fdist_$m) WHERE rn = 1
+       |)""".stripMargin
+  }
+
+  def q84Sql: String = {
+    val chains = (0 until PqM).map(pqChainSql("codes")).mkString(",\n")
     val centU = (0 until PqM).map(m =>
       s"SELECT $m AS m, cid, c FROM cent${PqIters}_$m").mkString("\n  UNION ALL ")
     val codeU = (0 until PqM).map(m =>
@@ -1398,6 +1414,190 @@ object VectorOps {
        |    AS recall_at_k""".stripMargin
   }
 
+  // ------------------------ q89 IVF-PQ + ADC recall (IVFADC)
+
+  /** q89: the COMBINED IVF-PQ index certification — Jégou et al.
+    * 2011's IVFADC, the layout a billion-scale ANN deployment actually
+    * ships (FAISS's IndexIVFPQ): q74's k-means as the coarse
+    * quantizer partitions the corpus into cells, each vector stores
+    * only its cell id + the PQ code of its RESIDUAL (code − cell
+    * centroid — so the sub-codebooks spend their centroids on
+    * within-cell structure instead of re-encoding cell position), and
+    * a query probes the [[IvfProbes]] nearest cells scoring candidates
+    * by ADC over its own per-cell residual. Recall@[[TopK]] is
+    * certified against the exact integer-L2 top-k over the FULL
+    * database, so probing misses count — the IVF half is certified,
+    * not just the PQ half (q84 certifies PQ alone; q61 IVF alone).
+    *
+    * Scale shape: coarse training/assignment and PQ training are the
+    * q74/q84 one-scan-per-round literal-broadcast maps; the candidate
+    * set is a cid EQUI-JOIN (narrow query-residual rows × cell rows —
+    * never a cross join); memory per vector is KmK-choice + M bytes.
+    * All-integer arithmetic end to end (residuals are differences of
+    * integer codes), so the oracle re-runs the entire pipeline
+    * bit-identically. Absolute recall on the uniform synthetic corpus
+    * is low (the q84 caveat squared: no cluster structure AND 3/8
+    * cell coverage) — the spec asserts the ≥2× random-baseline floor;
+    * the hash pins the pipeline. */
+  def q89IvfpqRecall(s: SparkSession, dir: String): DataFrame = {
+    val (coarse, codes) = kmeansLearn(s, dir)
+    if (coarse.isEmpty)
+      return codes.select(lit(0L).as("n_queries"), lit(0L).as("n_hits"),
+        lit(0d).as("recall_at_k")).limit(0)
+    val coarseMat = typedLit(coarse.map(_.map(_.toDouble)))
+    // residual frame (vec_id, cid, c): integer-valued doubles, the
+    // pqLearnOn contract; checkpointed — it feeds 1 + PqIters trainer
+    // actions plus the final job's db/encode branches (the kmeansLearn
+    // note applies verbatim)
+    val res = kmAssign(codes, coarse)
+      .withColumn("rc", zip_with(col("c").cast("array<double>"),
+        element_at(coarseMat, col("cid") + 1), (a, b) => a - b))
+      .select(col("vec_id"), col("cid"), col("rc").as("c"))
+      .localCheckpoint()
+    val pq = pqLearnOn(res.select("vec_id", "c"))
+    // database side: cell id + M residual-codebook ids per vector
+    val enc = (0 until PqM).foldLeft(res.withColumn("cdbl", col("c"))) {
+      (df, m) => df.withColumn(s"pc_$m", cidOf(pq, m))
+    }
+    val db = enc.select(Seq(col("vec_id").as("neighbor_id"), col("cid")) ++
+      (0 until PqM).map(m => col(s"pc_$m")): _*)
+    // query panel probes its IvfProbes nearest cells: per-centroid
+    // (d2, cid) structs, array_sort's lexicographic order = the
+    // kmAssign tie-break, slice keeps the probe set
+    val withC = codes.withColumn("cdbl", col("c").cast("array<double>"))
+    val qp = withC.orderBy("vec_id").limit(PqNQueries)
+    val cd = col("cdbl")
+    val cand = coarse.zipWithIndex.map { case (cent, k) =>
+      val carr = array(cent.map(v => lit(v.toDouble)): _*)
+      val c2 = cent.map(v => v.toDouble * v).sum
+      struct((col("a2") + lit(c2) - lit(2d) * dot(cd, carr)).as("d2"),
+        lit(k).as("cid"))
+    }
+    val probes = qp.withColumn("a2", dot(cd, cd))
+      .select(col("vec_id"), col("cdbl"),
+        explode(slice(array_sort(array(cand: _*)), 1, IvfProbes)).as("p"))
+      .select(col("vec_id"), col("cdbl"), col("p.cid").as("cid"))
+    // per-(query, cell) residual + per-subspace self-dots (the q84
+    // per-side precompute — a pair costs Dim multiplies); the limit's
+    // single partition spreads on the window's own key (the q40 note)
+    val qres = probes
+      .withColumn("rq", zip_with(col("cdbl"),
+        element_at(coarseMat, col("cid") + 1), (a, b) => a - b))
+      .select(Seq(col("vec_id"), col("cid"), col("rq")) ++
+        (0 until PqM).map(m =>
+          dot(pqSlice(col("rq"), m), pqSlice(col("rq"), m)).as(s"qa2_$m")): _*)
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+    // candidates: cid equi-join; each (query, neighbor) pair occurs at
+    // most once (a db row has exactly one cell), so no distinct
+    val pairs = qres.join(db, Seq("cid"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+    val adcDist = (0 until PqM).map { m =>
+      val chosen = element_at(cmat(pq, m), col(s"pc_$m") + 1)
+      val c2 = element_at(
+        typedLit(pq(m).map(c => c.map(v => v.toDouble * v).sum)),
+        col(s"pc_$m") + 1)
+      col(s"qa2_$m") + c2 - lit(2d) * dot(pqSlice(col("rq"), m), chosen)
+    }.reduce(_ + _)
+    val wa = Window.partitionBy("vec_id").orderBy(col("adist"), col("neighbor_id"))
+    val approx = pairs.withColumn("adist", adcDist.cast("long"))
+      .withColumn("rank", row_number().over(wa)).filter(col("rank") <= TopK)
+      .select("vec_id", "neighbor_id")
+    // exact integer-L2 baseline over the FULL database — the q84 shape
+    val ex = qp.select(col("vec_id"), col("cdbl"), dot(cd, cd).as("qa2"))
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .crossJoin(withC.select(col("vec_id").as("neighbor_id"),
+        col("cdbl").as("w"), dot(col("cdbl"), col("cdbl")).as("b2")))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("d2",
+        (col("qa2") + col("b2") - lit(2d) * dot(col("cdbl"), col("w"))).cast("long"))
+    val we = Window.partitionBy("vec_id").orderBy(col("d2"), col("neighbor_id"))
+    val exact = ex.withColumn("rank", row_number().over(we))
+      .filter(col("rank") <= TopK).select("vec_id", "neighbor_id")
+    recallRow(exact, approx)
+  }
+
+  /** Oracle: DuckDB re-runs the ENTIRE IVFADC pipeline — the shared
+    * coarse Lloyd chain, residuals, M residual-sourced PQ chains
+    * ([[pqChainSql]]), probe ranking, per-cell query residuals,
+    * per-pair ADC sums, exact full-database top-k — and reduces to
+    * the same single recall row. */
+  def q89Sql: String = {
+    val chains = (0 until PqM).map(pqChainSql("res")).mkString(",\n")
+    val centU = (0 until PqM).map(m =>
+      s"SELECT $m AS m, cid, c FROM cent${PqIters}_$m").mkString("\n  UNION ALL ")
+    val codeU = (0 until PqM).map(m =>
+      s"SELECT vec_id, $m AS m, cid FROM fasg_$m").mkString("\n  UNION ALL ")
+    s"""$kmChainSql,
+       |res AS MATERIALIZED (
+       |  -- MATERIALIZED: every PQ chain's scodes slices re-reference
+       |  -- this relation, and it nests the whole coarse chain — the
+       |  -- default inlining re-evaluates that chain once per
+       |  -- reference (minutes instead of seconds at sf0.001)
+       |  SELECT x.vec_id, f.cid,
+       |    [x.c[i] - ct.c[i] for i in range(1, $Dim + 1)] AS c
+       |  FROM codes x JOIN fasg f USING (vec_id)
+       |  JOIN cent$KmIters ct ON ct.cid = f.cid
+       |),
+       |$chains,
+       |qp AS (
+       |  SELECT vec_id, c FROM codes ORDER BY vec_id LIMIT $PqNQueries
+       |), qcd AS (
+       |  SELECT q.vec_id, ct.cid,
+       |    list_sum([(q.c[i] - ct.c[i]) * (q.c[i] - ct.c[i])
+       |              for i in range(1, $Dim + 1)]) AS d2
+       |  FROM qp q CROSS JOIN cent$KmIters ct
+       |), probes AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |    FROM qcd) WHERE rn <= $IvfProbes
+       |), qres AS (
+       |  SELECT p.vec_id, p.cid,
+       |    [q.c[i] - ct.c[i] for i in range(1, $Dim + 1)] AS rq
+       |  FROM probes p JOIN qp q USING (vec_id)
+       |  JOIN cent$KmIters ct ON ct.cid = p.cid
+       |), centpq AS (
+       |  $centU
+       |), pqcode AS (
+       |  $codeU
+       |), adc AS (
+       |  SELECT qr.vec_id, r.vec_id AS neighbor_id,
+       |    CAST(sum(list_sum(
+       |      [(qr.rq[pc.m * $PqSubDim + i] - ct.c[i])
+       |       * (qr.rq[pc.m * $PqSubDim + i] - ct.c[i])
+       |       for i in range(1, $PqSubDim + 1)])) AS BIGINT) AS adist
+       |  FROM qres qr
+       |  JOIN res r ON r.cid = qr.cid AND r.vec_id <> qr.vec_id
+       |  JOIN pqcode pc ON pc.vec_id = r.vec_id
+       |  JOIN centpq ct ON ct.m = pc.m AND ct.cid = pc.cid
+       |  GROUP BY qr.vec_id, r.vec_id
+       |), appr AS (
+       |  SELECT vec_id, neighbor_id FROM (
+       |    SELECT vec_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY vec_id
+       |                         ORDER BY adist, neighbor_id) AS rn
+       |    FROM adc) WHERE rn <= $TopK
+       |), exd AS (
+       |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+       |    CAST(list_sum([(a.c[i] - b.c[i]) * (a.c[i] - b.c[i])
+       |                   for i in range(1, $Dim + 1)]) AS BIGINT) AS d2
+       |  FROM qp a CROSS JOIN codes b WHERE a.vec_id <> b.vec_id
+       |), exact AS (
+       |  SELECT vec_id, neighbor_id FROM (
+       |    SELECT vec_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY vec_id
+       |                         ORDER BY d2, neighbor_id) AS rn
+       |    FROM exd) WHERE rn <= $TopK
+       |)
+       |SELECT (SELECT count(DISTINCT vec_id) FROM exact) AS n_queries,
+       |  (SELECT count(*) FROM exact e
+       |   JOIN appr a USING (vec_id, neighbor_id)) AS n_hits,
+       |  CAST((SELECT count(*) FROM exact e
+       |        JOIN appr a USING (vec_id, neighbor_id)) AS DOUBLE)
+       |    / ($TopK.0 * (SELECT count(DISTINCT vec_id) FROM exact))
+       |    AS recall_at_k""".stripMargin
+  }
+
   // --------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1412,7 +1612,8 @@ object VectorOps {
     "q65_trunc_fidelity" -> (q65TruncFidelity _),
     "q74_kmeans_codebook" -> (q74KmeansCodebook _),
     "q78_semdedup" -> (q78Semdedup _),
-    "q84_pq_adc_recall" -> (q84PqAdcRecall _)
+    "q84_pq_adc_recall" -> (q84PqAdcRecall _),
+    "q89_ivfpq_recall" -> (q89IvfpqRecall _)
   )
 
   /** q41/q44 are approximate by design → no oracle (driver rows-only
@@ -1428,6 +1629,7 @@ object VectorOps {
     "q65_trunc_fidelity" -> q65Sql,
     "q74_kmeans_codebook" -> q74Sql,
     "q78_semdedup" -> q78Sql,
-    "q84_pq_adc_recall" -> q84Sql
+    "q84_pq_adc_recall" -> q84Sql,
+    "q89_ivfpq_recall" -> q89Sql
   )
 }
