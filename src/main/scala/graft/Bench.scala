@@ -163,7 +163,7 @@ object Bench {
       "q49_confluent_wire", "q51_salted_join", "sq7_sessionize_timeout",
       "q87_bloom_decontaminate",
       // round-7 operators
-      "q88_containment", "q89_ivfpq_recall")
+      "q88_containment", "q89_ivfpq_recall", "sq8_stream_sketch")
     // shingle-index misses during TIMED passes only (warm passes are
     // expected to build it once per session+dir)
     var timedIndexMisses = 0L

@@ -30,7 +30,9 @@ object SparkEntry {
       "sq6_sessionize" ->
         ((s: SparkSession, dir: String) => StreamOps.sq6Sessionize(s, dir)),
       "sq7_sessionize_timeout" ->
-        ((s: SparkSession, dir: String) => StreamOps.sq7SessionizeTimeout(s, dir)))
+        ((s: SparkSession, dir: String) => StreamOps.sq7SessionizeTimeout(s, dir)),
+      "sq8_stream_sketch" ->
+        ((s: SparkSession, dir: String) => StreamOps.sq8StreamSketch(s, dir)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -42,5 +44,6 @@ object SparkEntry {
       "sq4_stream_sliding" -> StreamOps.sq4Sql,
       "sq5_stream_enrich" -> StreamOps.sq5Sql,
       "sq6_sessionize" -> Queries.q22Sql,
-      "sq7_sessionize_timeout" -> Queries.q22Sql)
+      "sq7_sessionize_timeout" -> Queries.q22Sql,
+      "sq8_stream_sketch" -> StreamOps.sq8Sql)
 }

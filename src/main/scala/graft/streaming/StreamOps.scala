@@ -207,6 +207,60 @@ object StreamOps {
       |GROUP BY c_mktsegment, event_type
       |ORDER BY c_mktsegment, event_type""".stripMargin
 
+  /** SQ8: STREAMING SKETCH certification — per-window HLL++ distinct
+    * users run as a REAL streaming query (complete mode, AvailableNow,
+    * the sq1 discipline). Exact distinct is the one aggregate a 24/7
+    * stream cannot afford: its state is every distinct key ever seen,
+    * and Spark rejects distinct aggregates in streaming outright — the
+    * HLL++ register set (fixed-size, mergeable, merge-order-
+    * independent) is the production answer, making this the streaming
+    * face of q52's sketch-certification discipline. Factored so the
+    * spec can pin streamed == batch sketch equivalence (register
+    * max-merge across micro-batches is exact, so the streamed estimate
+    * must equal the batch one bit-for-bit). */
+  private[graft] def sq8Streamed(s: SparkSession, dir: String): DataFrame = {
+    val name = s"sq8_${System.nanoTime()}"
+    withStreamShuffle(s) {
+      val q = eventsStream(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("janela_w"))
+        // rsd 1%: the q52 calibration — the pinned 5% bound is ~5σ, a
+        // regression detector rather than a coin flip
+        .agg(count(lit(1)).as("n"),
+          approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+        .select(unix_millis(col("janela_w.start")).as("janela_ms"),
+          col("n"), col("approx_users"))
+        .writeStream.queryName(name).format("memory")
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    s.table(name)
+  }
+
+  /** The certification wrapper: streamed sketch vs the batch exact
+    * twin, compared IN-QUERY — only oracle-reproducible columns plus
+    * the within-bounds boolean reach the output (the q52/q80 rule:
+    * raw sketch estimates are engine-specific, so they stay out). */
+  def sq8StreamSketch(s: SparkSession, dir: String): DataFrame = {
+    val exact = s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("janela"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+      .select(unix_millis(col("janela")).as("janela_ms"), col("exact_users"))
+    sq8Streamed(s, dir).join(exact, Seq("janela_ms"))
+      .select(col("janela_ms"), col("n"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")).cast("double") /
+          col("exact_users") <= 0.05).as("users_within_bounds"))
+      .orderBy("janela_ms")
+  }
+
+  /** SQ8's DuckDB oracle: exact per-window counts, boolean pinned
+    * true (the q52 pattern). */
+  val sq8Sql: String =
+    """SELECT epoch_ms(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))) AS janela_ms,
+      |  count(*) AS n, count(DISTINCT user_id) AS exact_users,
+      |  true AS users_within_bounds
+      |FROM events GROUP BY 1 ORDER BY janela_ms""".stripMargin
+
   /** documents schema for the file stream source (driver testdata). */
   val documentsSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),

@@ -147,6 +147,27 @@ class StreamOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.sameElements(batch))
   }
 
+  test("SQ8 streamed HLL++ sketch equals the batch sketch bit-for-bit; bounds hold") {
+    // register max-merge across micro-batches is exact, so the
+    // streamed estimate must EQUAL the batch one, not just approximate
+    // the same truth — the strongest streaming/batch equivalence a
+    // sketch admits
+    val streamed = StreamOps.sq8Streamed(spark, dir)
+      .orderBy("janela_ms").collect()
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("janela"))
+      .agg(count(lit(1)).as("n"),
+        approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+      .select(unix_millis(col("janela")).as("janela_ms"), col("n"), col("approx_users"))
+      .orderBy("janela_ms").collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.sameElements(batch))
+    val cert = StreamOps.sq8StreamSketch(spark, dir).collect()
+    assert(cert.forall(_.getAs[Boolean]("users_within_bounds")),
+      "1%-rsd HLL++ must sit inside the 5% certification bound")
+  }
+
   test("streaming metrics with idle-stop match batch counters") {
     import graft.model.SchemaDef
     val fixture = graft.sources.GenFixtures.MessagesPath
