@@ -67,7 +67,11 @@ object ScaleCheck {
 
   val DefaultOps: Seq[String] = Seq(
     "q77_dup_ngrams", "q81_bm25", "q78_semdedup", "q84_pq_adc_recall",
-    "q75_pagerank", "q67_dedup_clusters", "q87_bloom_decontaminate")
+    "q75_pagerank", "q67_dedup_clusters", "q87_bloom_decontaminate",
+    // round-7: containment rides the same hot-shingle regime as the
+    // Jaccard family; IVFADC adds coarse+residual training to q84's
+    // panel-bounded cert shape
+    "q88_containment", "q89_ivfpq_recall")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
