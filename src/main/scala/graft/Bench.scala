@@ -168,7 +168,7 @@ object Bench {
     // expected to build it once per session+dir)
     var timedIndexMisses = 0L
     var timedLabelMisses = 0L
-    var timedCodebookMisses = 0L
+    var timedArtifactMisses = 0L
     headline.foreach { name =>
       SparkEntry.queries.get(name) match {
         case None => System.err.println(s"[bench] unknown headline query: $name")
@@ -178,12 +178,13 @@ object Bench {
             val warm = time(run(fn(spark, sfDir)))
             val missesBefore = graft.llmops.TextOps.shingleCacheStats._2
             val labelMissesBefore = graft.llmops.TextOps.labelCacheStats._2
-            val cbMissesBefore = graft.llmops.VectorOps.codebookCacheStats._2
+            val cbMissesBefore = graft.llmops.VectorOps.codebookCacheStats._2 +
+              graft.llmops.TextOps.bpeCacheStats._2
             val timed = (1 to passes).map(_ => time(run(fn(spark, sfDir))))
             timedIndexMisses += graft.llmops.TextOps.shingleCacheStats._2 - missesBefore
             timedLabelMisses += graft.llmops.TextOps.labelCacheStats._2 - labelMissesBefore
-            timedCodebookMisses +=
-              graft.llmops.VectorOps.codebookCacheStats._2 - cbMissesBefore
+            timedArtifactMisses += graft.llmops.VectorOps.codebookCacheStats._2 +
+              graft.llmops.TextOps.bpeCacheStats._2 - cbMissesBefore
             results(name) = Timing(warm, timed)
           } catch {
             case e: Throwable =>
@@ -193,12 +194,12 @@ object Bench {
           // flush after EVERY entry: a killed/timed-out run still
           // leaves a parseable partial artifact at the well-known path
           flush(results, passes, serdePasses, timedIndexMisses, timedLabelMisses,
-            timedCodebookMisses, conf, sfDir, cpus, partial = true)
+            timedArtifactMisses, conf, sfDir, cpus, partial = true)
       }
     }
     val (compactLine, _) =
       flush(results, passes, serdePasses, timedIndexMisses, timedLabelMisses,
-        timedCodebookMisses, conf, sfDir, cpus, partial = false)
+        timedArtifactMisses, conf, sfDir, cpus, partial = false)
     // stdout carries the COMPACT line only: the full line (detail,
     // mins) grew past what the driver's log scrape windows (BENCH_r04
     // captured only the tail of a ~6 KB line → parsed: null); the
@@ -215,7 +216,7 @@ object Bench {
     * line for stdout, full line written to the file). */
   private def flush(results: collection.Map[String, Timing], passes: Int,
       serdePasses: Int, timedIndexMisses: Long, timedLabelMisses: Long,
-      timedCodebookMisses: Long, conf: EngineConf, sfDir: String,
+      timedArtifactMisses: Long, conf: EngineConf, sfDir: String,
       cpus: Int, partial: Boolean): (String, String) = {
     // locale-fixed formatting: the f-interpolator honors the JVM
     // default locale and would emit comma decimals (invalid JSON)
@@ -243,7 +244,7 @@ object Bench {
       s""""timed_passes":$passes,"serde_timed_passes":$serdePasses,""" +
         s""""shingle_index_hit":${timedIndexMisses == 0},""" +
         s""""label_cache_hit":${timedLabelMisses == 0},""" +
-        s""""codebook_cache_hit":${timedCodebookMisses == 0},"partial":$partial,""" +
+        s""""artifact_cache_hit":${timedArtifactMisses == 0},"partial":$partial,""" +
         s""""sf":"$sfDir","cpus":$cpus,"serde_msgs":${conf.totalMensagens},""" +
         s""""avro_e2e_msgs_per_sec":${num(msgsPerSecAvro, 1)}}"""
     val headline =

@@ -1859,9 +1859,23 @@ object TextOps {
     (merges.toSeq, vocab)
   }
 
+  /** Learned-tokenizer artifact cache (the q74-codebook rule applied
+    * to BPE): q70 is the TRAINER — always learns (honest bench),
+    * publishes; q71 consumes the merge table + merged vocabulary
+    * instead of re-running the 1 + BpeRounds driver-action learning
+    * loop per call. q73's projected variant stays uncached (its
+    * corpus is the certification projection, not this artifact). */
+  private[graft] val bpeCache =
+    new graft.operators.PlanCache[(Seq[(Long, String, String, Long)], DataFrame)](
+      "bpe_vocab")((_, _) => ())
+
+  def bpeCacheStats: (Long, Long) = (bpeCache.hits, bpeCache.misses)
+
   def q70BpeMerges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    bpeLearn(s, dir)._1.toDF("rank", "left_sym", "right_sym", "pair_count").orderBy("rank")
+    val learned = bpeLearn(s, dir)
+    bpeCache.put(s, dir, graft.sources.FsSig.of(s"$dir/documents.parquet"), learned)
+    learned._1.toDF("rank", "left_sym", "right_sym", "pair_count").orderBy("rank")
   }
 
   /** q71: the learned BPE vocabulary APPLIED back to the corpus —
@@ -1876,7 +1890,8 @@ object TextOps {
     * shape; per-word symbol counts aggregate by lang. Integer sums,
     * one final division. */
   def q71BpeTokenize(s: SparkSession, dir: String): DataFrame = {
-    val vocab = bpeLearn(s, dir)._2
+    val vocab = bpeCache.get(s, dir,
+        graft.sources.FsSig.of(s"$dir/documents.parquet"))(bpeLearn(s, dir))._2
       .select(col("word"), size(col("syms")).cast("long").as("bpe_len"))
     tokenized(s, dir)
       .select(col("lang"), col("doc_id"), explode(col("w")).as("word"))
