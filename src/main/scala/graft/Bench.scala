@@ -163,7 +163,8 @@ object Bench {
       "q49_confluent_wire", "q51_salted_join", "sq7_sessionize_timeout",
       "q87_bloom_decontaminate",
       // round-7 operators
-      "q88_containment", "q89_ivfpq_recall", "sq8_stream_sketch")
+      "q88_containment", "q89_ivfpq_recall", "sq8_stream_sketch",
+      "q90_source_overlap", "q91_vocab_coverage")
     // shingle-index misses during TIMED passes only (warm passes are
     // expected to build it once per session+dir)
     var timedIndexMisses = 0L

@@ -742,29 +742,107 @@ object TextOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** The SimHash fingerprint CTE chain (ending at `sh`) shared by the
+    * q53 oracle and the pair-graph consumers' oracles (q90). */
+  private val simhashShCtes: String =
+    """WITH tok0 AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split_regex(text, '\s+'))) AS t
+      |  FROM documents
+      |), tok AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substring(md5(t), 1, 15))::UBIGINT AS BIGINT) AS h
+      |  FROM tok0
+      |), bits AS (
+      |  SELECT doc_id, bit, CASE WHEN (h >> bit) % 2 = 1 THEN 1 ELSE -1 END AS v
+      |  FROM tok CROSS JOIN (SELECT unnest(range(0, 60)) AS bit)
+      |), votes AS (
+      |  SELECT doc_id, bit, sum(v) AS vote FROM bits GROUP BY doc_id, bit
+      |), sh AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN vote > 0 THEN 1::BIGINT << bit ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM votes GROUP BY doc_id
+      |)""".stripMargin
+
   val q53Sql: String =
-    s"""WITH tok0 AS (
-       |  SELECT doc_id, unnest(list_distinct(string_split_regex(text, '\\s+'))) AS t
-       |  FROM documents
-       |), tok AS (
-       |  SELECT doc_id,
-       |    CAST(('0x' || substring(md5(t), 1, 15))::UBIGINT AS BIGINT) AS h
-       |  FROM tok0
-       |), bits AS (
-       |  SELECT doc_id, bit, CASE WHEN (h >> bit) % 2 = 1 THEN 1 ELSE -1 END AS v
-       |  FROM tok CROSS JOIN (SELECT unnest(range(0, 60)) AS bit)
-       |), votes AS (
-       |  SELECT doc_id, bit, sum(v) AS vote FROM bits GROUP BY doc_id, bit
-       |), sh AS (
-       |  SELECT doc_id,
-       |    CAST(sum(CASE WHEN vote > 0 THEN 1::BIGINT << bit ELSE 0 END) AS BIGINT) AS simhash
-       |  FROM votes GROUP BY doc_id
-       |)
+    s"""$simhashShCtes
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= $HammingMax
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ------------------------------------- q90 cross-source overlap
+
+  /** q90: cross-source near-dup OVERLAP MATRIX — which sources mirror
+    * each other (syndication, scraper overlap, mirror sites): the q53
+    * near-dup pair graph aggregated to ordered source pairs, with
+    * pair counts, the distinct documents involved per side, and each
+    * side's share of its source — the table a curation pass reads to
+    * decide "drop source B, it is 80% source A". Same-source rows are
+    * the matrix diagonal (intra-source duplication).
+    *
+    * Scale shape: the pair graph is the certified q53 band-bucket
+    * join (never all-pairs); source attribution is two id equi-joins
+    * against the narrow (doc_id, source) projection (the q43/q79
+    * shuffle discipline — text never rides the pairs); the final
+    * aggregation is keyed by source pairs, bounded by min(#pairs,
+    * #sources²). */
+  def q90SourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val src = docs(s, dir).select(col("doc_id"), col("source"))
+    val perSrc = src.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val attributed = q53SimhashNeardup(s, dir)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"),
+        when(col("sa") <= col("sb"), col("doc_a")).otherwise(col("doc_b")).as("da"),
+        when(col("sa") <= col("sb"), col("doc_b")).otherwise(col("doc_a")).as("db"))
+    attributed.groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("da")).as("n_docs_a"),
+        countDistinct(col("db")).as("n_docs_b"))
+      .join(perSrc.select(col("source").as("src_a"), col("n_docs").as("ta")), Seq("src_a"))
+      .join(perSrc.select(col("source").as("src_b"), col("n_docs").as("tb")), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_pairs"),
+        col("n_docs_a"), col("n_docs_b"),
+        (col("n_docs_a").cast("double") / col("ta")).as("share_a"),
+        (col("n_docs_b").cast("double") / col("tb")).as("share_b"))
+      .orderBy("src_a", "src_b")
+  }
+
+  /** Oracle: the shared SimHash chain, all-pairs near-dup edges (the
+    * q53 pigeonhole-exact equivalence), the same side-normalization
+    * and per-source shares. */
+  val q90Sql: String =
+    s"""$simhashShCtes,
+       |nd AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= $HammingMax
+       |), ds AS (
+       |  SELECT doc_id, source FROM documents
+       |), per AS (
+       |  SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+       |), ap AS (
+       |  SELECT least(x.source, y.source) AS src_a,
+       |    greatest(x.source, y.source) AS src_b,
+       |    CASE WHEN x.source <= y.source THEN doc_a ELSE doc_b END AS da,
+       |    CASE WHEN x.source <= y.source THEN doc_b ELSE doc_a END AS db
+       |  FROM nd
+       |  JOIN ds x ON x.doc_id = doc_a
+       |  JOIN ds y ON y.doc_id = doc_b
+       |), ag AS (
+       |  SELECT src_a, src_b, count(*) AS n_pairs,
+       |    count(DISTINCT da) AS n_docs_a, count(DISTINCT db) AS n_docs_b
+       |  FROM ap GROUP BY 1, 2
+       |)
+       |SELECT src_a, src_b, n_pairs, n_docs_a, n_docs_b,
+       |  CAST(n_docs_a AS DOUBLE) / pa.n_docs AS share_a,
+       |  CAST(n_docs_b AS DOUBLE) / pb.n_docs AS share_b
+       |FROM ag
+       |JOIN per pa ON pa.source = src_a
+       |JOIN per pb ON pb.source = src_b
+       |ORDER BY src_a, src_b""".stripMargin
 
   // ------------------------------------------------- q55 vocabulary top-k
 
@@ -812,6 +890,58 @@ object TextOps {
        |)
        |SELECT lang, rk, token, n, df FROM rk WHERE rk <= $VocabTopK
        |ORDER BY lang, rk""".stripMargin
+
+  // --------------------------------------- q91 vocabulary coverage
+
+  /** Vocabulary budget for the q91 coverage eval. */
+  val CovVocabV = 16
+
+  /** q91: vocabulary COVERAGE / UNK-rate — the eval that sizes a
+    * vocabulary: with the top-[[CovVocabV]] words per language as the
+    * vocab (q55's cut, same count-desc/lexicographic tie-break), what
+    * fraction of token OCCURRENCES and of distinct TYPES falls
+    * outside it. unk_rate is what a fixed-vocab tokenizer would map
+    * to <unk>; every vocab-size decision (and the q72 bigram-table
+    * cap) trades this number against table size.
+    *
+    * Scale shape: q55's — one partial-agg'd (lang, word) aggregation
+    * (the shuffle carries the vocabulary, never the corpus), then the
+    * rank window and the coverage roll-up both run over vocab rows.
+    * Integer sums, one final division each. */
+  def q91VocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val counts = tokenized(s, dir)
+      .select(col("lang"), explode(col("w")).as("word"))
+      .groupBy("lang", "word").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("word"))
+    counts.withColumn("rk", row_number().over(w))
+      .groupBy("lang")
+      .agg(sum("cnt").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("rk") <= CovVocabV, col("cnt")).otherwise(0L)).as("vocab_tokens"))
+      .select(col("lang"), col("n_tokens"), col("n_types"), col("vocab_tokens"),
+        (lit(1d) - col("vocab_tokens").cast("double") / col("n_tokens")).as("unk_rate"),
+        (greatest(col("n_types") - CovVocabV, lit(0L)).cast("double") /
+          col("n_types")).as("oov_type_rate"))
+      .orderBy("lang")
+  }
+
+  val q91Sql: String =
+    s"""WITH tok AS (
+       |  SELECT lang, unnest(string_split_regex(text, '\\s+')) AS word
+       |  FROM documents
+       |), vocab AS (
+       |  SELECT lang, word, count(*) AS cnt FROM tok GROUP BY lang, word
+       |), rk AS (
+       |  SELECT lang, cnt,
+       |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, word ASC) AS rk
+       |  FROM vocab
+       |)
+       |SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_tokens, count(*) AS n_types,
+       |  CAST(sum(CASE WHEN rk <= $CovVocabV THEN cnt ELSE 0 END) AS BIGINT) AS vocab_tokens,
+       |  1.0 - CAST(sum(CASE WHEN rk <= $CovVocabV THEN cnt ELSE 0 END) AS DOUBLE)
+       |    / sum(cnt) AS unk_rate,
+       |  CAST(greatest(count(*) - $CovVocabV, 0) AS DOUBLE) / count(*) AS oov_type_rate
+       |FROM rk GROUP BY lang ORDER BY lang""".stripMargin
 
   // ------------------------------------------------- q56 sequence packing
 
@@ -2336,7 +2466,9 @@ object TextOps {
     "q88_containment" -> (q88Containment _),
     "q48_rolling_hash" -> (q48RollingHash _),
     "q53_simhash_neardup" -> (q53SimhashNeardup _),
+    "q90_source_overlap" -> (q90SourceOverlap _),
     "q55_vocab_topk" -> (q55VocabTopk _),
+    "q91_vocab_coverage" -> (q91VocabCoverage _),
     "q56_seq_pack" -> (q56SeqPack _),
     "q57_stratified_sample" -> (q57StratifiedSample _),
     "q59_decontaminate" -> (q59Decontaminate _),
@@ -2371,7 +2503,9 @@ object TextOps {
     "q88_containment" -> q88Sql,
     "q48_rolling_hash" -> q48Sql,
     "q53_simhash_neardup" -> q53Sql,
+    "q90_source_overlap" -> q90Sql,
     "q55_vocab_topk" -> q55Sql,
+    "q91_vocab_coverage" -> q91Sql,
     "q56_seq_pack" -> q56Sql,
     "q57_stratified_sample" -> q57Sql,
     "q59_decontaminate" -> q59Sql,
