@@ -722,7 +722,8 @@ object TextOps {
     * verify is one codegen'd `bit_count(xor)` per candidate. The
     * oracle recomputes it all-pairs in DuckDB (exact by pigeonhole,
     * so both formulations provably agree). */
-  def q53SimhashNeardup(s: SparkSession, dir: String): DataFrame = {
+  /** The raw q53 pair plan (no caching side effects). */
+  private def simhashPairPlan(s: SparkSession, dir: String): DataFrame = {
     val sh = q38Simhash(s, dir).select(col("doc_id"), col("simhash"))
     val banded = sh.select(col("doc_id"), col("simhash"),
       explode(array((0 until SimhashBands).map { b =>
@@ -741,6 +742,33 @@ object TextOps {
       .distinct() // a close pair matches in up to all 4 bands
       .orderBy("doc_a", "doc_b")
   }
+
+  def q53SimhashNeardup(s: SparkSession, dir: String): DataFrame = {
+    val pairs = simhashPairPlan(s, dir)
+    // the PRODUCER rule (q67 labels / q74 codebook): q53 always
+    // computes — its bench number is the honest pair-graph build —
+    // and publishes for the four graph consumers (q67/q69/q75/q90)
+    pairCache.put(s, dir, graft.sources.FsSig.of(s"$dir/documents.parquet"),
+      simhashPairPlan(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    pairs
+  }
+
+  /** The q53 near-dup pair graph as a session ARTIFACT — the most
+    * multiply-consumed frame in the module after the shingle index
+    * (clustering q67, modality agreement q69, PageRank q75, source
+    * overlap q90 all start from it). Published by q53's runs, built
+    * on demand otherwise; MEMORY_AND_DISK like the shingle index. */
+  private[graft] val pairCache =
+    new graft.operators.PlanCache[DataFrame]("simhash_pairs")((_, df) => df.unpersist())
+
+  def pairCacheStats: (Long, Long) = (pairCache.hits, pairCache.misses)
+
+  /** Consumer face of the pair graph (the kmeansLearn pattern). */
+  private def simhashPairs(s: SparkSession, dir: String): DataFrame =
+    pairCache.get(s, dir, graft.sources.FsSig.of(s"$dir/documents.parquet"))(
+      simhashPairPlan(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** The SimHash fingerprint CTE chain (ending at `sh`) shared by the
     * q53 oracle and the pair-graph consumers' oracles (q90). */
@@ -790,7 +818,7 @@ object TextOps {
   def q90SourceOverlap(s: SparkSession, dir: String): DataFrame = {
     val src = docs(s, dir).select(col("doc_id"), col("source"))
     val perSrc = src.groupBy("source").agg(count(lit(1)).as("n_docs"))
-    val attributed = q53SimhashNeardup(s, dir)
+    val attributed = simhashPairs(s, dir)
       .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), Seq("doc_a"))
       .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), Seq("doc_b"))
       .select(least(col("sa"), col("sb")).as("src_a"),
@@ -1668,7 +1696,7 @@ object TextOps {
     // materialize the PAIR set once (the union below references it
     // twice; without the persist the whole SimHash pipeline — the
     // expensive part — would execute once per reference)
-    val pairs = q53SimhashNeardup(s, dir).select(col("doc_a"), col("doc_b"))
+    val pairs = simhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // ADAPTIVE ITERATION SIZING: the loop's frames are the EDGE SET,
     // not the corpus — size its shuffle partitioning to the
@@ -2259,7 +2287,7 @@ object TextOps {
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
     val both = Await.result(Future.sequence(Seq(
-      Future(q53SimhashNeardup(s, dir).select(col("doc_a"), col("doc_b"))
+      Future(simhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
         .localCheckpoint()),
       Future(graft.llmops.VectorOps.q43CosNeardup(s, dir)
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
@@ -2395,7 +2423,7 @@ object TextOps {
     * near-dup graph has no dangling nodes (every node has degree
     * ≥ 1), so no leaked-mass correction term is needed. */
   def q75Pagerank(s: SparkSession, dir: String): DataFrame = {
-    val pairs = q53SimhashNeardup(s, dir).select(col("doc_a"), col("doc_b"))
+    val pairs = simhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst").localCheckpoint()
