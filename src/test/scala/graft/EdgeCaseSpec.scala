@@ -55,7 +55,10 @@ class EdgeCaseSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q71" -> (TextOps.q71BpeTokenize _), "q72" -> (TextOps.q72LmScoreCapped _),
     "q73" -> (TextOps.q73BpeExhausted _), "q75" -> (TextOps.q75Pagerank _),
     "q77" -> (TextOps.q77DupNgramCoverage _),
-    "q87" -> (TextOps.q87BloomDecontaminate _))
+    "q87" -> (TextOps.q87BloomDecontaminate _),
+    // round-7 operators join the sweep
+    "q88" -> (TextOps.q88Containment _), "q90" -> (TextOps.q90SourceOverlap _),
+    "q91" -> (TextOps.q91VocabCoverage _))
 
   test("every text operator returns empty on an empty corpus, without throwing") {
     textOps.foreach { case (name, fn) =>
@@ -87,6 +90,7 @@ class EdgeCaseSpec extends AnyFunSuite with BeforeAndAfterAll {
     // candidates cross-join the empty-corpus sketch row to zero rows
     assert(graft.queries.Queries.q80CmsTopk(spark, emptyDir).count() == 0)
     assert(graft.llmops.VectorOps.q84PqAdcRecall(spark, emptyDir).count() == 0)
+    assert(graft.llmops.VectorOps.q89IvfpqRecall(spark, emptyDir).count() == 0)
   }
 
   test("single-document corpus: per-doc ops emit one row, pair ops emit none") {
