@@ -2281,7 +2281,9 @@ object TextOps {
     * scheduler threads, so construction wall-clock is max(text, embed)
     * rather than their sum. The downstream plan reads only the two
     * checkpointed RDDs (PlanSpec-asserted: no file scan survives in
-    * q69's plan). */
+    * q69's plan). Both branches read the session ARTIFACT faces
+    * (simhashPairs / VectorOps.cosPairs): after q53 and q43 have run,
+    * q69 pays only the pair-set checkpoints, not either pipeline. */
   def q69ModalityAgreement(s: SparkSession, dir: String): DataFrame = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
@@ -2289,7 +2291,7 @@ object TextOps {
     val both = Await.result(Future.sequence(Seq(
       Future(simhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
         .localCheckpoint()),
-      Future(graft.llmops.VectorOps.q43CosNeardup(s, dir)
+      Future(graft.llmops.VectorOps.cosPairs(s, dir)
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
         .localCheckpoint()))), Duration.Inf)
     val (t, e) = (both.head, both(1))

@@ -365,8 +365,29 @@ object VectorOps {
     * the recall-vs-exact quality claim is asserted separately
     * (VectorOpsSpec survivors == all-pairs at the tested scales), the
     * same division of labor as q41/q47. */
-  def q43CosNeardup(s: SparkSession, dir: String): DataFrame =
-    cosNeardupPipeline(s, dir, RecallPlanes)
+  def q43CosNeardup(s: SparkSession, dir: String): DataFrame = {
+    val pairs = cosNeardupPipeline(s, dir, RecallPlanes)
+    // producer rule (the q53/q70/q74 pattern): q43 always computes —
+    // its bench number is the honest pipeline cost — and publishes
+    // its certified pair set for q69's semantic branch
+    cosPairCache.put(s, dir, embSig(dir),
+      cosNeardupPipeline(s, dir, RecallPlanes)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    pairs
+  }
+
+  /** q43's certified cosine near-dup pair set as a session artifact
+    * (consumed by q69's embedding branch). */
+  private[graft] val cosPairCache =
+    new graft.operators.PlanCache[DataFrame]("cos_pairs")((_, df) => df.unpersist())
+
+  def cosPairCacheStats: (Long, Long) = (cosPairCache.hits, cosPairCache.misses)
+
+  /** Consumer face of the q43 pair set (the simhashPairs pattern). */
+  private[graft] def cosPairs(s: SparkSession, dir: String): DataFrame =
+    cosPairCache.get(s, dir, embSig(dir))(
+      cosNeardupPipeline(s, dir, RecallPlanes)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** The LSH near-dup pipeline shared by the certified fixed-geometry
     * q43 and the n-adaptive production twin — parameterized only by

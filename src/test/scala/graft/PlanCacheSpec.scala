@@ -129,15 +129,24 @@ class PlanCacheSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the orphaned layout dir must be gone after clear()")
   }
 
-  test("put() publishes for consumers, releases the replaced value, counts no hit/miss") {
+  test("put() publishes for consumers, keeps same-sig artifacts, counts no hit/miss") {
     val released = scala.collection.mutable.ArrayBuffer.empty[String]
     val c = new PlanCache[String]("t8")((_, v) => released += v)
     c.put(spark, "k", 1L, "v1")
-    c.put(spark, "k", 1L, "v2") // producer re-publishes → old value released
-    assert(released.toSeq == Seq("v1"), "replaced published value must be released")
+    // same-sig republish (every bench warm+timed pass): the existing
+    // artifact is KEPT and the incoming value never evaluated —
+    // releasing it would uncache the identical-plan replacement too
+    // (Spark's cache manager keys by sameResult plan), leaving the
+    // published DataFrame silently unpersisted after each producer run
+    c.put(spark, "k", 1L, fail("same-sig republish must not build"))
+    assert(released.isEmpty, "same-sig republish must release nothing")
     assert(c.hits == 0 && c.misses == 0, "publishing is neither a hit nor a miss")
-    assert(c.get(spark, "k", 1L)(fail("consumer must not rebuild")) == "v2")
+    assert(c.get(spark, "k", 1L)(fail("consumer must not rebuild")) == "v1")
     assert(c.hits == 1, "consumer get() after publish is a hit")
+    // a REAL signature change replaces and releases the stale value
+    c.put(spark, "k", 2L, "v2")
+    assert(released.toSeq == Seq("v1"), "stale-sig published value must be released")
+    assert(c.get(spark, "k", 2L)(fail("consumer must not rebuild")) == "v2")
   }
 
   test("temp dirs are tracked and recursively deletable") {

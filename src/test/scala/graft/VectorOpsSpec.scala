@@ -60,6 +60,25 @@ class VectorOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(adaptive == exact, s"adaptive-geometry candidates missed exact survivors")
   }
 
+  test("q43 publishes its pair set; the q69 consumer face reads it without rebuilding") {
+    // the producer/consumer artifact contract (the q53/q74 pattern):
+    // a q43 run must leave the persisted pair set in cosPairCache so
+    // q69's embedding branch pays only the checkpoint, not the LSH
+    // pipeline
+    val q43 = VectorOps.q43CosNeardup(spark, dir)
+    q43.collect()
+    val (hitsBefore, missesBefore) = VectorOps.cosPairCacheStats
+    val consumed = VectorOps.cosPairs(spark, dir)
+    val (hitsAfter, missesAfter) = VectorOps.cosPairCacheStats
+    assert(hitsAfter == hitsBefore + 1 && missesAfter == missesBefore,
+      "consumer face must HIT the published artifact, not rebuild the pipeline")
+    assert(consumed.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+      "the published pair set must be persisted")
+    assert(consumed.collect().map(_.toString).toSeq ==
+      q43.collect().map(_.toString).toSeq,
+      "the artifact must be the certified q43 pair set")
+  }
+
   test("q47 recall certification: fixed-geometry LSH recall@5 >= 0.5") {
     val r = VectorOps.q47AnnRecall(spark, dir).collect().head
     assert(r.getAs[Long]("n_queries") > 0)
