@@ -182,14 +182,16 @@ object Bench {
             val cbMissesBefore = graft.llmops.VectorOps.codebookCacheStats._2 +
               graft.llmops.TextOps.bpeCacheStats._2 +
               graft.llmops.TextOps.pairCacheStats._2 +
-              graft.llmops.VectorOps.cosPairCacheStats._2
+              graft.llmops.VectorOps.cosPairCacheStats._2 +
+              graft.llmops.VectorOps.exactTopkCacheStats._2
             val timed = (1 to passes).map(_ => time(run(fn(spark, sfDir))))
             timedIndexMisses += graft.llmops.TextOps.shingleCacheStats._2 - missesBefore
             timedLabelMisses += graft.llmops.TextOps.labelCacheStats._2 - labelMissesBefore
             timedArtifactMisses += graft.llmops.VectorOps.codebookCacheStats._2 +
               graft.llmops.TextOps.bpeCacheStats._2 +
               graft.llmops.TextOps.pairCacheStats._2 +
-              graft.llmops.VectorOps.cosPairCacheStats._2 - cbMissesBefore
+              graft.llmops.VectorOps.cosPairCacheStats._2 +
+              graft.llmops.VectorOps.exactTopkCacheStats._2 - cbMissesBefore
             results(name) = Timing(warm, timed)
           } catch {
             case e: Throwable =>

@@ -79,6 +79,23 @@ class VectorOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the artifact must be the certified q43 pair set")
   }
 
+  test("q40 publishes the exact top-k; the certification consumer face reads it") {
+    // the shared baseline of q47/q61/q65: one n² build per
+    // session+fixture, consumed persisted everywhere else
+    val q40 = VectorOps.q40CosineTopk(spark, dir)
+    q40.collect()
+    val (hitsBefore, missesBefore) = VectorOps.exactTopkCacheStats
+    val consumed = VectorOps.exactTopk(spark, dir)
+    val (hitsAfter, missesAfter) = VectorOps.exactTopkCacheStats
+    assert(hitsAfter == hitsBefore + 1 && missesAfter == missesBefore,
+      "consumer face must HIT the published exact top-k, not rebuild the cross join")
+    assert(consumed.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+      "the published exact top-k must be persisted")
+    assert(consumed.collect().map(_.toString).toSeq ==
+      q40.collect().map(_.toString).toSeq,
+      "the artifact must be the q40 result")
+  }
+
   test("q47 recall certification: fixed-geometry LSH recall@5 >= 0.5") {
     val r = VectorOps.q47AnnRecall(spark, dir).collect().head
     assert(r.getAs[Long]("n_queries") > 0)
