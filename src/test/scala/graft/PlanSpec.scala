@@ -176,6 +176,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"q69's leaves should be the checkpointed pair RDDs:\n$plan")
   }
 
+  test("recall certifications (q47/q61) read the persisted exact top-k, not a fresh cross join") {
+    // the exact side is the published q40 artifact: both certification
+    // plans must reference it through an InMemoryTableScan leaf —
+    // exactly one cross join may remain (the LSH/IVF side has none;
+    // a second brute-force pass would mean the consumer face rebuilt)
+    for (df <- Seq(VectorOps.q47AnnRecall(spark, dir),
+                   VectorOps.q61IvfRecall(spark, dir))) {
+      val plan = physical(df)
+      assert(plan.contains("InMemoryTableScan"),
+        s"cert must read the persisted exact top-k artifact:\n$plan")
+    }
+  }
+
   test("pagerank (q75): edge set materializes once, iterations never re-run the pair pipeline") {
     // the q69 discipline applied to an ITERATIVE consumer: the q53 LSH
     // subplan must appear zero times in the composed 5-round plan —
