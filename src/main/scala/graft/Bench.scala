@@ -183,7 +183,8 @@ object Bench {
               graft.llmops.TextOps.bpeCacheStats._2 +
               graft.llmops.TextOps.pairCacheStats._2 +
               graft.llmops.VectorOps.cosPairCacheStats._2 +
-              graft.llmops.VectorOps.exactTopkCacheStats._2
+              graft.llmops.VectorOps.exactTopkCacheStats._2 +
+              graft.llmops.VectorOps.codeTopkCacheStats._2
             val timed = (1 to passes).map(_ => time(run(fn(spark, sfDir))))
             timedIndexMisses += graft.llmops.TextOps.shingleCacheStats._2 - missesBefore
             timedLabelMisses += graft.llmops.TextOps.labelCacheStats._2 - labelMissesBefore
@@ -191,7 +192,8 @@ object Bench {
               graft.llmops.TextOps.bpeCacheStats._2 +
               graft.llmops.TextOps.pairCacheStats._2 +
               graft.llmops.VectorOps.cosPairCacheStats._2 +
-              graft.llmops.VectorOps.exactTopkCacheStats._2 - cbMissesBefore
+              graft.llmops.VectorOps.exactTopkCacheStats._2 +
+              graft.llmops.VectorOps.codeTopkCacheStats._2 - cbMissesBefore
             results(name) = Timing(warm, timed)
           } catch {
             case e: Throwable =>

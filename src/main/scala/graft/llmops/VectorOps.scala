@@ -972,6 +972,39 @@ object VectorOps {
   private def kmCodesCk(s: SparkSession, dir: String): DataFrame =
     codesCache.get(s, dir, embSig(dir))(kmCodes(s, dir).localCheckpoint())
 
+  /** Exact integer-L2 top-k of the PqNQueries panel against the full
+    * code frame — the baseline BOTH PQ certifications (q84/q89) join
+    * their recall rows against; semantically one computation, built
+    * once per (session, fixture) and consumed persisted (the
+    * exactTopkCache pattern at the code level). persist() is lazy, so
+    * consumers run no job at plan construction. */
+  private[graft] val codeTopkCache =
+    new graft.operators.PlanCache[DataFrame]("code_topk")((_, df) => df.unpersist())
+
+  def codeTopkCacheStats: (Long, Long) = (codeTopkCache.hits, codeTopkCache.misses)
+
+  private def codeExactTopk(s: SparkSession, dir: String): DataFrame =
+    codeTopkCache.get(s, dir, embSig(dir))(
+      codeExactTopkPlan(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  private def codeExactTopkPlan(s: SparkSession, dir: String): DataFrame = {
+    val withC = kmCodesCk(s, dir).withColumn("cdbl", col("c").cast("array<double>"))
+    val qp = withC.orderBy("vec_id").limit(PqNQueries)
+    // per-side self-dots, one Dim-dot per pair; the limit's single
+    // partition spreads on the window's own key (the q40 note)
+    val ex = qp.select(col("vec_id"), col("cdbl"), dot(col("cdbl"), col("cdbl")).as("qa2"))
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .crossJoin(withC.select(col("vec_id").as("neighbor_id"),
+        col("cdbl").as("w"), dot(col("cdbl"), col("cdbl")).as("b2")))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("d2",
+        (col("qa2") + col("b2") - lit(2d) * dot(col("cdbl"), col("w"))).cast("long"))
+    val we = Window.partitionBy("vec_id").orderBy(col("d2"), col("neighbor_id"))
+    ex.withColumn("rank", row_number().over(we))
+      .filter(col("rank") <= TopK).select("vec_id", "neighbor_id")
+  }
+
   /** Map-side assignment against literal centroids: per centroid,
     * dist² = |x|² + |c|² − 2·x·c with |c|² folded to a constant and
     * x·c one codegen'd dot against a literal array — the whole
@@ -1380,17 +1413,7 @@ object VectorOps {
     val approx = pairs.withColumn("adist", adcDist.cast("long"))
       .withColumn("rank", row_number().over(wa)).filter(col("rank") <= TopK)
       .select("vec_id", "neighbor_id")
-    val ex = queries.select(col("vec_id"), col("cdbl"),
-        dot(col("cdbl"), col("cdbl")).as("qa2"))
-      .crossJoin(withC.select(col("vec_id").as("neighbor_id"),
-        col("cdbl").as("w"), dot(col("cdbl"), col("cdbl")).as("b2")))
-      .filter(col("vec_id") =!= col("neighbor_id"))
-      .withColumn("d2",
-        (col("qa2") + col("b2") - lit(2d) * dot(col("cdbl"), col("w"))).cast("long"))
-    val we = Window.partitionBy("vec_id").orderBy(col("d2"), col("neighbor_id"))
-    val exact = ex.withColumn("rank", row_number().over(we))
-      .filter(col("rank") <= TopK).select("vec_id", "neighbor_id")
-    recallRow(exact, approx)
+    recallRow(codeExactTopk(s, dir), approx)
   }
 
   /** Oracle: DuckDB re-runs the ENTIRE PQ pipeline — global-grid
@@ -1591,18 +1614,9 @@ object VectorOps {
     val approx = pairs.withColumn("adist", adcDist.cast("long"))
       .withColumn("rank", row_number().over(wa)).filter(col("rank") <= TopK)
       .select("vec_id", "neighbor_id")
-    // exact integer-L2 baseline over the FULL database — the q84 shape
-    val ex = qp.select(col("vec_id"), col("cdbl"), dot(cd, cd).as("qa2"))
-      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-      .crossJoin(withC.select(col("vec_id").as("neighbor_id"),
-        col("cdbl").as("w"), dot(col("cdbl"), col("cdbl")).as("b2")))
-      .filter(col("vec_id") =!= col("neighbor_id"))
-      .withColumn("d2",
-        (col("qa2") + col("b2") - lit(2d) * dot(col("cdbl"), col("w"))).cast("long"))
-    val we = Window.partitionBy("vec_id").orderBy(col("d2"), col("neighbor_id"))
-    val exact = ex.withColumn("rank", row_number().over(we))
-      .filter(col("rank") <= TopK).select("vec_id", "neighbor_id")
-    recallRow(exact, approx)
+    // exact integer-L2 baseline over the FULL database — the shared
+    // codeExactTopk artifact (one build serves q84 and q89)
+    recallRow(codeExactTopk(s, dir), approx)
   }
 
   /** Oracle: DuckDB re-runs the ENTIRE IVFADC pipeline — the shared

@@ -96,6 +96,15 @@ class VectorOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the artifact must be the q40 result")
   }
 
+  test("q84 and q89 share the integer-code exact baseline through codeTopkCache") {
+    VectorOps.q84PqAdcRecall(spark, dir).collect()
+    val (hitsBefore, missesBefore) = VectorOps.codeTopkCacheStats
+    VectorOps.q89IvfpqRecall(spark, dir).collect()
+    val (hitsAfter, missesAfter) = VectorOps.codeTopkCacheStats
+    assert(hitsAfter > hitsBefore && missesAfter == missesBefore,
+      "q89's exact side must consume the baseline q84 already built")
+  }
+
   test("q47 recall certification: fixed-geometry LSH recall@5 >= 0.5") {
     val r = VectorOps.q47AnnRecall(spark, dir).collect().head
     assert(r.getAs[Long]("n_queries") > 0)
