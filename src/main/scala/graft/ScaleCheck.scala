@@ -67,6 +67,11 @@ object ScaleCheck {
 
   val DefaultOps: Seq[String] = Seq(
     "q77_dup_ngrams", "q81_bm25", "q78_semdedup", "q84_pq_adc_recall",
+    // q53 BEFORE its graph consumers: the producer's own build is the
+    // number (previously only visible inside q75/q67 warm passes), and
+    // the consumers then read the published artifact — the bench's
+    // steady-state shape reproduced in the drill
+    "q53_simhash_neardup",
     "q75_pagerank", "q67_dedup_clusters", "q87_bloom_decontaminate",
     // round-7: containment rides the same hot-shingle regime as the
     // Jaccard family; IVFADC adds coarse+residual training to q84's
