@@ -875,6 +875,119 @@ object TextOps {
        |JOIN per pb ON pb.source = src_b
        |ORDER BY src_a, src_b""".stripMargin
 
+  // --------------------------------- q92 incremental dedup (batch vs index)
+
+  /** New-batch membership for q92: doc_id ≡ 0 (mod [[IncrMod]]) plays
+    * the role of "today's crawl"; the rest is the historical corpus. */
+  val IncrMod = 5
+
+  /** q92: INCREMENTAL deduplication — a new batch of documents checked
+    * against the historical corpus, the daily-ingest shape every
+    * production pipeline runs (all other dedup ops here are
+    * within-corpus). Per new document: `exact_dup` (its normalized-text
+    * fingerprint already exists in history), `near_dup` (MinHash-LSH
+    * candidate against a history doc verified at Jaccard ≥ 0.5 — q37's
+    * exact machinery, restricted to new×history pairs), and the
+    * resulting `keep` verdict.
+    *
+    * Scale shape: the history side collapses to two reusable index
+    * artifacts — a DISTINCT fingerprint set (exact) and the banded
+    * signature table (near) — while the new batch (small: one day's
+    * crawl vs the whole corpus) is the probe side of both joins. The
+    * exact probe is one fp-keyed equi-join (hash-uniform, no skew); the
+    * near probe joins new bands to history bands on (band, bh), so
+    * candidate volume is LSH-bounded and NO history×history pair is
+    * ever formed. At 100 TB the two history indexes are persisted
+    * parquet built once and appended per batch — exactly how the
+    * fingerprints and signatures here come off the session-cached
+    * shingle index rather than a fresh corpus scan. */
+  def q92IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val isNew = (col("doc_id") % IncrMod) === 0
+    val fp = docs(s, dir).select(col("doc_id"), isNew.as("is_new"),
+      md5(normText(col("text"))).as("fp"))
+    val histFp = fp.filter(!col("is_new")).select("fp").distinct()
+      .withColumn("x_hit", lit(true))
+    val exact = fp.filter(col("is_new"))
+      .join(histFp, Seq("fp"), "left")
+      .select(col("doc_id"), coalesce(col("x_hit"), lit(false)).as("exact_dup"))
+    // q37's signature + banding, split into probe (new) and index
+    // (history) sides — one aggregation serves both
+    val ex = shingles(s, dir).withColumn("h", baseHash(col("shingle")))
+    val sigCols = (0 until MinhashK)
+      .map(j => min((col("h") * aj(j) + bj(j)) % MinhashP).as(s"m$j")) :+
+      count(lit(1)).as("n_sh")
+    val sig = ex.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val banded = sig.select(col("doc_id"), explode(array((0 until Bands).map { bnd =>
+      struct(lit(bnd).as("band"),
+        md5(concat_ws(",", (0 until RowsPerBand).map(r => col(s"m${bnd * RowsPerBand + r}")): _*))
+          .as("bh"))
+    }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bh"))
+    val probe = banded.filter((col("doc_id") % IncrMod) === 0)
+      .select(col("doc_id").as("doc_a"), col("band"), col("bh"))
+    val index = banded.filter((col("doc_id") % IncrMod) =!= 0)
+      .select(col("doc_id").as("doc_b"), col("band"), col("bh"))
+    val cand = probe.join(index, Seq("band", "bh"))
+      .select("doc_a", "doc_b").distinct()
+    val near = verifyJaccard(s, dir, cand, sig.select(col("doc_id"), col("n_sh")))
+      .groupBy("doc_a").agg(count(lit(1)).as("n_near"))
+      .select(col("doc_a").as("doc_id"), col("n_near"))
+    exact.join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("exact_dup"),
+        (coalesce(col("n_near"), lit(0L)) > 0).as("near_dup"),
+        (!(col("exact_dup") || coalesce(col("n_near"), lit(0L)) > 0)).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  lazy val q92Sql: String = {
+    val sigCols = (0 until MinhashK)
+      .map(j => s"min((h * ${aj(j)} + ${bj(j)}) % $MinhashP) AS m$j").mkString(",\n    ")
+    val bandRows = (0 until Bands).map { bnd =>
+      val cols = (0 until RowsPerBand).map(r => s"m${bnd * RowsPerBand + r}").mkString(", ")
+      s"SELECT doc_id, $bnd AS band, md5(concat_ws(',', $cols)) AS bh FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH fp AS (
+       |  SELECT doc_id, doc_id % $IncrMod = 0 AS is_new, md5($normSql) AS fp
+       |  FROM documents
+       |), hist_fp AS (SELECT DISTINCT fp FROM fp WHERE NOT is_new
+       |), sh AS (
+       |  SELECT doc_id, $shinglesSql AS sh
+       |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents)
+       |  WHERE len(w) >= 3
+       |), ex0 AS (SELECT doc_id, unnest(sh) AS shingle FROM sh
+       |), ex AS (SELECT doc_id, ${baseHashSql("shingle")} AS h FROM ex0
+       |), nsh AS (SELECT doc_id, count(*) AS n_sh FROM ex0 GROUP BY doc_id
+       |), sig AS (SELECT doc_id, $sigCols FROM ex GROUP BY doc_id
+       |), banded AS (
+       |  $bandRows
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
+       |  WHERE a.doc_id % $IncrMod = 0 AND b.doc_id % $IncrMod <> 0
+       |), common AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS common
+       |  FROM cand c
+       |  JOIN ex0 a ON a.doc_id = c.doc_a
+       |  JOIN ex0 b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+       |  GROUP BY 1, 2
+       |), near AS (
+       |  SELECT doc_a, count(*) AS n_near FROM (
+       |    SELECT m.doc_a FROM common m
+       |    JOIN nsh na ON na.doc_id = m.doc_a
+       |    JOIN nsh nb ON nb.doc_id = m.doc_b
+       |    WHERE CAST(m.common AS DOUBLE) / (na.n_sh + nb.n_sh - m.common) >= 0.5)
+       |  GROUP BY doc_a
+       |)
+       |SELECT f.doc_id,
+       |  hf.fp IS NOT NULL AS exact_dup,
+       |  coalesce(n.n_near, 0) > 0 AS near_dup,
+       |  NOT (hf.fp IS NOT NULL OR coalesce(n.n_near, 0) > 0) AS keep
+       |FROM fp f
+       |LEFT JOIN hist_fp hf USING (fp)
+       |LEFT JOIN near n ON n.doc_a = f.doc_id
+       |WHERE f.is_new ORDER BY f.doc_id""".stripMargin
+  }
+
   // ------------------------------------------------- q55 vocabulary top-k
 
   /** Per-language vocabulary size cutoff for q55. */
@@ -2500,6 +2613,7 @@ object TextOps {
     "q48_rolling_hash" -> (q48RollingHash _),
     "q53_simhash_neardup" -> (q53SimhashNeardup _),
     "q90_source_overlap" -> (q90SourceOverlap _),
+    "q92_incremental_dedup" -> (q92IncrementalDedup _),
     "q55_vocab_topk" -> (q55VocabTopk _),
     "q91_vocab_coverage" -> (q91VocabCoverage _),
     "q56_seq_pack" -> (q56SeqPack _),
@@ -2537,6 +2651,7 @@ object TextOps {
     "q48_rolling_hash" -> q48Sql,
     "q53_simhash_neardup" -> q53Sql,
     "q90_source_overlap" -> q90Sql,
+    "q92_incremental_dedup" -> q92Sql,
     "q55_vocab_topk" -> q55Sql,
     "q91_vocab_coverage" -> q91Sql,
     "q56_seq_pack" -> q56Sql,

@@ -58,7 +58,8 @@ class EdgeCaseSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q87" -> (TextOps.q87BloomDecontaminate _),
     // round-7 operators join the sweep
     "q88" -> (TextOps.q88Containment _), "q90" -> (TextOps.q90SourceOverlap _),
-    "q91" -> (TextOps.q91VocabCoverage _))
+    "q91" -> (TextOps.q91VocabCoverage _),
+    "q92" -> (TextOps.q92IncrementalDedup _))
 
   test("every text operator returns empty on an empty corpus, without throwing") {
     textOps.foreach { case (name, fn) =>
@@ -100,7 +101,9 @@ class EdgeCaseSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(fn(spark, oneDir).count() == 1, s"$name must emit one row for one doc")
     }
     Seq("q35" -> (TextOps.q35JaccardPairs _), "q53" -> (TextOps.q53SimhashNeardup _),
-      "q67" -> (TextOps.q67DedupClusters _), "q75" -> (TextOps.q75Pagerank _))
+      "q67" -> (TextOps.q67DedupClusters _), "q75" -> (TextOps.q75Pagerank _),
+      // doc 1 is history (1 % IncrMod != 0) → the new batch is empty
+      "q92" -> (TextOps.q92IncrementalDedup _))
       .foreach { case (name, fn) =>
         assert(fn(spark, oneDir).count() == 0, s"$name must emit no pairs for one doc")
       }

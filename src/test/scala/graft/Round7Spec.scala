@@ -60,4 +60,42 @@ class Round7Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.exists(_.getAs[Double]("unk_rate") > 0),
       "vocab budget must leave some token mass uncovered on the fixture")
   }
+
+  test("q92: incremental flags fire per axis; within-batch dups stay invisible") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val histA = (0 until 30).map(i => s"w$i").mkString(" ")
+    val histB = (0 until 30).map(i => s"z$i").mkString(" ")
+    val nearB = ((0 until 29).map(i => s"z$i") :+ "q99").mkString(" ")
+    val fresh = (0 until 30).map(i => s"u$i").mkString(" ")
+    val batchDup = (0 until 30).map(i => s"v$i").mkString(" ")
+    def row(id: Long, t: String) = Row(id, t, "en", "src0", t.length.toLong)
+    val crafted = graft.operators.PlanCache.tempDir("graft_incr_")
+    spark.createDataFrame(List(
+      row(1L, histA), row(2L, histB),          // history (id % 5 != 0)
+      row(5L, histA),                          // exact + near copy of history
+      row(10L, nearB),                         // near-only vs history (1 token differs)
+      row(15L, fresh),                         // genuinely new
+      row(20L, batchDup), row(25L, batchDup)   // dup WITHIN the new batch only
+    ).asJava, docSchema).write.parquet(s"$crafted/documents.parquet")
+    val out = TextOps.q92IncrementalDedup(spark, crafted).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("exact_dup"), r.getAs[Boolean]("near_dup"),
+          r.getAs[Boolean]("keep")))).toMap
+    assert(out.keySet == Set(5L, 10L, 15L, 20L, 25L), "only the new batch is emitted")
+    assert(out(5L) == ((true, true, false)), "identical history copy: both axes fire")
+    assert(out(10L) == ((false, true, false)),
+      "one-token edit: fingerprint differs but LSH+Jaccard catches it")
+    assert(out(15L) == ((false, false, true)), "unseen content survives")
+    // the discriminating property vs q34/q37: incremental dedup checks
+    // ONLY against history — a pair living entirely inside today's
+    // batch is this op's non-goal (a within-batch pass handles it)
+    assert(out(20L) == ((false, false, true)) && out(25L) == ((false, false, true)),
+      "within-batch duplicates must not flag against each other")
+  }
 }
