@@ -164,7 +164,8 @@ object Bench {
       "q87_bloom_decontaminate",
       // round-7 operators
       "q88_containment", "q89_ivfpq_recall", "sq8_stream_sketch",
-      "q90_source_overlap", "q91_vocab_coverage", "q92_incremental_dedup")
+      "q90_source_overlap", "q91_vocab_coverage", "q92_incremental_dedup",
+      "q93_pmi_collocations")
     // shingle-index misses during TIMED passes only (warm passes are
     // expected to build it once per session+dir)
     var timedIndexMisses = 0L

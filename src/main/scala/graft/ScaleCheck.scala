@@ -76,7 +76,10 @@ object ScaleCheck {
     // round-7: containment rides the same hot-shingle regime as the
     // Jaccard family; IVFADC adds coarse+residual training to q84's
     // panel-bounded cert shape
-    "q88_containment", "q89_ivfpq_recall")
+    "q88_containment", "q89_ivfpq_recall",
+    // incremental dedup: the banded probe-vs-index join rides the same
+    // hot-shingle regime; the 10× corpus multiplies both sides
+    "q92_incremental_dedup")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

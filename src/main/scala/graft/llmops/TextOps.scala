@@ -988,6 +988,80 @@ object TextOps {
        |WHERE f.is_new ORDER BY f.doc_id""".stripMargin
   }
 
+  // --------------------------------- q93 PMI collocations (phrase mining)
+
+  /** Minimum pair frequency for q93 — PMI of rare pairs explodes
+    * (a hapax pair of two hapax words maxes the statistic), so every
+    * practical collocation miner floors the count first. */
+  val PmiMinCount = 10
+
+  /** q93: POINTWISE MUTUAL INFORMATION over adjacent token pairs —
+    * the phrase-induction statistic (word2vec-style phrase merging,
+    * multi-word-expression mining for tokenizer vocabularies): pairs
+    * that co-occur far above chance ("new york") get high PMI, pairs
+    * glued by frequency alone get ~0. Complements q64/q72 (conditional
+    * NLL ranks documents; PMI ranks PAIRS) and feeds the same vocab
+    * decisions as q55/q91.
+    *
+    * Scale shape: bigram counting is ONE partial-aggregated shuffle
+    * keyed by the pair — the corpus collapses to the bigram vocabulary
+    * map-side, exactly q64's counting pass. Everything after runs on
+    * vocabulary-sized tables: the unigram table and the two 1-row
+    * totals BROADCAST into the PMI projection, so the corpus is never
+    * re-shuffled. Determinism: both products are exact-integer-valued
+    * doubles (< 2^53 far beyond this fixture), one IEEE division, one
+    * ln, rounded to 6 dp — identical in both engines. */
+  def q93PmiCollocations(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val toks = tokenized(s, dir)
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "t")))
+    val bigrams = toks
+      .withColumn("t2", lead("t", 1).over(w))
+      .filter(col("t2").isNotNull)
+      .select(col("t"), col("t2"))
+    val c2 = bigrams.groupBy("t", "t2").agg(count(lit(1)).as("pair_n"))
+    val c1 = toks.groupBy("t").agg(count(lit(1)).as("n1"))
+    val nTok = toks.agg(count(lit(1)).cast("double").as("n_tok"))
+    val nBg = c2.agg(sum("pair_n").cast("double").as("n_bg"))
+    c2.filter(col("pair_n") >= PmiMinCount)
+      .join(broadcast(c1), Seq("t"))
+      .join(broadcast(c1.select(col("t").as("t2"), col("n1").as("n2"))), Seq("t2"))
+      .crossJoin(broadcast(nTok))
+      .crossJoin(broadcast(nBg))
+      .select(col("t").as("w1"), col("t2").as("w2"), col("pair_n"),
+        round(log(col("pair_n").cast("double") * col("n_tok") * col("n_tok") /
+          (col("n_bg") * col("n1") * col("n2"))), 6).as("pmi"))
+      .orderBy("w1", "w2")
+  }
+
+  val q93Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents
+       |), uni AS (
+       |  SELECT unnest(w) AS t FROM toks
+       |), bg AS (
+       |  SELECT split_part(b, ' ', 1) AS t, split_part(b, ' ', 2) AS t2
+       |  FROM (SELECT unnest([w[i] || ' ' || w[i+1]
+       |      for i in range(1, len(w))]) AS b FROM toks)
+       |), c2 AS (
+       |  SELECT t, t2, count(*) AS pair_n FROM bg GROUP BY t, t2
+       |), c1 AS (
+       |  SELECT t, count(*) AS n1 FROM uni GROUP BY t
+       |), tot AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n_tok FROM uni
+       |), totb AS (
+       |  SELECT CAST(sum(pair_n) AS DOUBLE) AS n_bg FROM c2
+       |)
+       |SELECT c2.t AS w1, c2.t2 AS w2, pair_n,
+       |  round(ln(CAST(pair_n AS DOUBLE) * n_tok * n_tok
+       |    / (n_bg * a.n1 * b.n1)), 6) AS pmi
+       |FROM c2
+       |JOIN c1 a ON a.t = c2.t
+       |JOIN c1 b ON b.t = c2.t2
+       |CROSS JOIN tot CROSS JOIN totb
+       |WHERE pair_n >= $PmiMinCount
+       |ORDER BY w1, w2""".stripMargin
+
   // ------------------------------------------------- q55 vocabulary top-k
 
   /** Per-language vocabulary size cutoff for q55. */
@@ -2614,6 +2688,7 @@ object TextOps {
     "q53_simhash_neardup" -> (q53SimhashNeardup _),
     "q90_source_overlap" -> (q90SourceOverlap _),
     "q92_incremental_dedup" -> (q92IncrementalDedup _),
+    "q93_pmi_collocations" -> (q93PmiCollocations _),
     "q55_vocab_topk" -> (q55VocabTopk _),
     "q91_vocab_coverage" -> (q91VocabCoverage _),
     "q56_seq_pack" -> (q56SeqPack _),
@@ -2652,6 +2727,7 @@ object TextOps {
     "q53_simhash_neardup" -> q53Sql,
     "q90_source_overlap" -> q90Sql,
     "q92_incremental_dedup" -> q92Sql,
+    "q93_pmi_collocations" -> q93Sql,
     "q55_vocab_topk" -> q55Sql,
     "q91_vocab_coverage" -> q91Sql,
     "q56_seq_pack" -> q56Sql,

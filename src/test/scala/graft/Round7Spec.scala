@@ -98,4 +98,34 @@ class Round7Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(20L) == ((false, false, true)) && out(25L) == ((false, false, true)),
       "within-batch duplicates must not flag against each other")
   }
+
+  test("q93: PMI matches the hand formula; glued pairs rank above chance pairs") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    // "a b" repeated 12× → c(a,b)=12, c(b,a)=11, c(a)=c(b)=12, N=24, M=23
+    val t = Seq.fill(12)("a b").mkString(" ")
+    val crafted = graft.operators.PlanCache.tempDir("graft_pmi_")
+    spark.createDataFrame(List(Row(1L, t, "en", "src0", t.length.toLong)).asJava,
+      docSchema).write.parquet(s"$crafted/documents.parquet")
+    val out = TextOps.q93PmiCollocations(spark, crafted).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("pair_n"), r.getAs[Double]("pmi")))).toMap
+    assert(out.keySet == Set("a" -> "b", "b" -> "a"),
+      s"both orders clear PmiMinCount=${TextOps.PmiMinCount}: $out")
+    def pmi(cab: Long) = math.round(
+      math.log(cab.toDouble * 24 * 24 / (23.0 * 12 * 12)) * 1e6) / 1e6
+    assert(out("a" -> "b") == ((12L, pmi(12))), s"hand formula: ${out("a" -> "b")}")
+    assert(out("b" -> "a") == ((11L, pmi(11))))
+    // the statistic's point on the real fixture: SOME qualifying pair
+    // must sit above 0 (above-chance gluing) — all-zero PMI would mean
+    // the op measures nothing on the word-salad corpus
+    val fix = TextOps.q93PmiCollocations(spark, dir).collect()
+    assert(fix.nonEmpty, "fixture must have pairs over the count floor")
+    assert(fix.exists(_.getAs[Double]("pmi") > 0), "above-chance pairs exist")
+  }
 }
