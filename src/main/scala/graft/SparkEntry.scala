@@ -32,7 +32,9 @@ object SparkEntry {
       "sq7_sessionize_timeout" ->
         ((s: SparkSession, dir: String) => StreamOps.sq7SessionizeTimeout(s, dir)),
       "sq8_stream_sketch" ->
-        ((s: SparkSession, dir: String) => StreamOps.sq8StreamSketch(s, dir)))
+        ((s: SparkSession, dir: String) => StreamOps.sq8StreamSketch(s, dir)),
+      "sq9_stream_incr_dedup" ->
+        ((s: SparkSession, dir: String) => StreamOps.sq9StreamIncrDedup(s, dir)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -45,5 +47,6 @@ object SparkEntry {
       "sq5_stream_enrich" -> StreamOps.sq5Sql,
       "sq6_sessionize" -> Queries.q22Sql,
       "sq7_sessionize_timeout" -> Queries.q22Sql,
-      "sq8_stream_sketch" -> StreamOps.sq8Sql)
+      "sq8_stream_sketch" -> StreamOps.sq8Sql,
+      "sq9_stream_incr_dedup" -> StreamOps.sq9Sql)
 }

@@ -178,9 +178,9 @@ object TextOps {
 
   /** Canonical text normalization for fingerprinting: lowercase +
     * whitespace collapse. */
-  private def normText(c: Column): Column =
+  private[graft] def normText(c: Column): Column =
     regexp_replace(lower(trim(c)), "\\s+", " ")
-  private val normSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+  private[graft] val normSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
   /** q33: document fingerprinting — md5 content hash of the normalized
     * text (the exact-dedup key) plus a 60-bit integer prefix usable as

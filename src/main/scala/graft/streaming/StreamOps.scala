@@ -261,6 +261,59 @@ object StreamOps {
       |  true AS users_within_bounds
       |FROM events GROUP BY 1 ORDER BY janela_ms""".stripMargin
 
+  /** SQ9: STREAMING INCREMENTAL DEDUP — q92's exact axis in-flight:
+    * the new-batch document stream (doc_id ≡ 0 mod
+    * [[graft.llmops.TextOps.IncrMod]], same split as q92) probed
+    * against the STATIC history fingerprint index at ingest. This is
+    * the production admission gate: a crawler's output stream checked
+    * against the corpus index before it lands, the streaming face of
+    * q92 exactly as sq2 is the streaming face of q34.
+    *
+    * Scale shape: the history index is a static DataFrame BROADCAST
+    * into every micro-batch (at production index sizes the same left
+    * join shuffles on fp instead — one conf flip, same plan algebra;
+    * or q87's Bloom literal pre-filters and only probable hits join).
+    * The stream side is pure per-row map + join — NO state at all:
+    * arrival order cannot affect a stateless left join, so the batch
+    * probe is the oracle. The near-dup axis stays batch-side (q92):
+    * banded candidate verification needs a pair aggregation that a
+    * no-watermark append stream cannot host. */
+  def sq9StreamIncrDedup(s: SparkSession, dir: String): DataFrame = {
+    val name = s"sq9_${System.nanoTime()}"
+    val incrMod = graft.llmops.TextOps.IncrMod
+    val fp = graft.llmops.TextOps.normText(col("text"))
+    val histFp = s.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % incrMod =!= 0)
+      .select(md5(graft.llmops.TextOps.normText(col("text"))).as("fp"))
+      .distinct()
+      .withColumn("x_hit", lit(true))
+    withStreamShuffle(s) {
+      val q = s.readStream.schema(documentsSchema)
+        .parquet(stageAsDir(s"$dir/documents.parquet"))
+        .filter(col("doc_id") % incrMod === 0)
+        .select(col("doc_id"), md5(fp).as("fp"))
+        .join(broadcast(histFp), Seq("fp"), "left")
+        .select(col("doc_id"),
+          coalesce(col("x_hit"), lit(false)).as("exact_dup"))
+        .writeStream.queryName(name).format("memory")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    s.table(name).orderBy("doc_id")
+  }
+
+  /** SQ9's DuckDB oracle: the identical batch probe (q92's exact
+    * columns). */
+  val sq9Sql: String =
+    s"""WITH fp AS (
+       |  SELECT doc_id, doc_id % ${graft.llmops.TextOps.IncrMod} = 0 AS is_new,
+       |    md5(${graft.llmops.TextOps.normSql}) AS fp
+       |  FROM documents
+       |), hist AS (SELECT DISTINCT fp FROM fp WHERE NOT is_new)
+       |SELECT f.doc_id, h.fp IS NOT NULL AS exact_dup
+       |FROM fp f LEFT JOIN hist h USING (fp)
+       |WHERE f.is_new ORDER BY f.doc_id""".stripMargin
+
   /** documents schema for the file stream source (driver testdata). */
   val documentsSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),

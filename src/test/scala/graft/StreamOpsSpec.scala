@@ -131,6 +131,37 @@ class StreamOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.sameElements(batch), "stream-static join must equal batch")
   }
 
+  test("SQ9 streamed admission gate equals q92's exact axis; positive path fires") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val histA = (0 until 30).map(i => s"w$i").mkString(" ")
+    def row(id: Long, t: String) = Row(id, t, "en", "src0", t.length.toLong)
+    val crafted = graft.operators.PlanCache.tempDir("graft_sq9_")
+    spark.createDataFrame(List(
+      row(1L, histA), row(2L, "other history content entirely"),
+      row(5L, histA),                        // exact copy of history → flags
+      row(10L, "fresh content nothing like history")
+    ).asJava, docSchema).write.parquet(s"$crafted/documents.parquet")
+    val streamed = StreamOps.sq9StreamIncrDedup(spark, crafted).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("exact_dup")).toMap
+    assert(streamed == Map(5L -> true, 10L -> false),
+      s"in-flight probe must flag the history copy only: $streamed")
+    // certified-twin discipline: the stream equals q92's exact column
+    val batch = graft.llmops.TextOps.q92IncrementalDedup(spark, crafted).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("exact_dup")).toMap
+    assert(streamed == batch, "sq9 must equal the batch probe per doc")
+    // fixture run: stateless left join, emitted set must equal batch
+    val fix = StreamOps.sq9StreamIncrDedup(spark, dir).collect()
+    val fixBatch = graft.llmops.TextOps.q92IncrementalDedup(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Boolean]("exact_dup")))
+    assert(fix.map(r => (r.getLong(0), r.getBoolean(1))).sameElements(fixBatch))
+  }
+
   test("SQ3 stream-stream interval join equals the batch interval join") {
     val streamed = StreamOps.sq3StreamJoin(spark, dir).collect()
     val ev = StreamOps.eventsBatch(spark, dir)
