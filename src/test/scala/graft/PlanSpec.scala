@@ -241,6 +241,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"the survivor rule is a per-cluster window rank:\n$plan")
   }
 
+  test("incremental dedup (q92): probe-vs-index equi-joins only, no cartesian") {
+    val plan = physical(TextOps.q92IncrementalDedup(spark, dir))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"q92 must never form all-pairs — banded candidates and fp probes only:\n$plan")
+  }
+
+  test("PMI (q93): corpus collapses at the pair aggregation, vocab tables broadcast") {
+    val plan = physical(TextOps.q93PmiCollocations(spark, dir))
+    assert(!plan.contains("CartesianProduct"), s"no data-relation cartesian:\n$plan")
+    // the only nested-loops are the two 1-row totals (n_tok, n_bg)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 2,
+      s"only the scalar totals may nested-loop:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the unigram lookups must broadcast, never shuffle the pair table:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"nothing may shuffle-join after the pair aggregation:\n$plan")
+  }
+
   test("capped LM (q72): scoring joins broadcast, top-K is distributed, corpus never shuffle-joined") {
     val df = TextOps.q72LmScoreCapped(spark, dir)
     df.collect()
