@@ -183,6 +183,7 @@ object Bench {
             val cbMissesBefore = graft.llmops.VectorOps.codebookCacheStats._2 +
               graft.llmops.TextOps.bpeCacheStats._2 +
               graft.llmops.TextOps.pairCacheStats._2 +
+              graft.llmops.TextOps.sigCacheStats._2 +
               graft.llmops.VectorOps.cosPairCacheStats._2 +
               graft.llmops.VectorOps.exactTopkCacheStats._2 +
               graft.llmops.VectorOps.codeTopkCacheStats._2
@@ -192,6 +193,7 @@ object Bench {
             timedArtifactMisses += graft.llmops.VectorOps.codebookCacheStats._2 +
               graft.llmops.TextOps.bpeCacheStats._2 +
               graft.llmops.TextOps.pairCacheStats._2 +
+              graft.llmops.TextOps.sigCacheStats._2 +
               graft.llmops.VectorOps.cosPairCacheStats._2 +
               graft.llmops.VectorOps.exactTopkCacheStats._2 +
               graft.llmops.VectorOps.codeTopkCacheStats._2 - cbMissesBefore
