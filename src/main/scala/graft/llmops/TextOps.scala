@@ -1073,6 +1073,63 @@ object TextOps {
        |WHERE pair_n >= $PmiMinCount
        |ORDER BY w1, w2""".stripMargin
 
+  // -------------------------------- q94 quality-weighted sampling
+
+  /** q94: QUALITY-WEIGHTED DETERMINISTIC SAMPLING — the data-selection
+    * pass: each document survives with probability proportional to its
+    * quality band (q32's score, floored to bands 0–10), decided by a
+    * content-independent hash of doc_id so the split is reproducible
+    * run-to-run and engine-to-engine with NO RNG state. The keep rule
+    * is integer-exact: keep ⇔ h·10 < band·P with h = md5₆₀(doc_id)
+    * mod P — both sides are exact longs, so no float comparison can
+    * diverge between engines (the q56/q64 determinism discipline).
+    * Emits the per-(source, band) retention table a mixing step
+    * consumes.
+    *
+    * Scale shape: pure per-row map (score + hash + compare) and ONE
+    * (source, band) hash-aggregation with map-side partials — the
+    * corpus collapses to |sources|×11 rows. At 100 TB the same pass
+    * writes the kept rows; the table here is its audit summary. */
+  def q94QualitySample(s: SparkSession, dir: String): DataFrame = {
+    val t = col("w")
+    val scored = tokenized(s, dir).select(col("doc_id"), col("source"),
+      least(size(t).cast("double") / lit(100.0), lit(1.0)).multiply(lit(0.5))
+        .plus((lit(1.0) -
+          length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", "")).cast("double") /
+            length(col("text"))) * lit(0.3))
+        .plus(least(countIn(t, Stop).cast("double") / size(t) * lit(5.0), lit(1.0))
+          * lit(0.2)).as("quality"))
+    scored
+      .select(col("source"),
+        floor(col("quality") * 10).cast("int").as("band"),
+        (baseHash(col("doc_id").cast("string")) * 10 <
+          floor(col("quality") * 10).cast("long") * MinhashP).as("kept"))
+      .groupBy("source", "band")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("source", "band")
+  }
+
+  val q94Sql: String =
+    s"""WITH scored AS (
+       |  SELECT doc_id, source,
+       |    least(CAST(len(w) AS DOUBLE) / 100.0, 1.0) * 0.5
+       |    + (1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+       |        AS DOUBLE) / length(text)) * 0.3
+       |    + least(CAST(${sqlCountIn(Stop)} AS DOUBLE) / len(w) * 5.0, 1.0) * 0.2
+       |      AS quality
+       |  FROM (SELECT doc_id, source, text,
+       |        string_split_regex(text, '\\s+') AS w FROM documents)
+       |), k AS (
+       |  SELECT source, CAST(floor(quality * 10) AS INT) AS band,
+       |    ${baseHashSql("CAST(doc_id AS VARCHAR)")} * 10
+       |      < CAST(floor(quality * 10) AS BIGINT) * $MinhashP AS kept
+       |  FROM scored
+       |)
+       |SELECT source, band, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |FROM k GROUP BY source, band ORDER BY source, band""".stripMargin
+
   // ------------------------------------------------- q55 vocabulary top-k
 
   /** Per-language vocabulary size cutoff for q55. */
@@ -2700,6 +2757,7 @@ object TextOps {
     "q90_source_overlap" -> (q90SourceOverlap _),
     "q92_incremental_dedup" -> (q92IncrementalDedup _),
     "q93_pmi_collocations" -> (q93PmiCollocations _),
+    "q94_quality_sample" -> (q94QualitySample _),
     "q55_vocab_topk" -> (q55VocabTopk _),
     "q91_vocab_coverage" -> (q91VocabCoverage _),
     "q56_seq_pack" -> (q56SeqPack _),
@@ -2739,6 +2797,7 @@ object TextOps {
     "q90_source_overlap" -> q90Sql,
     "q92_incremental_dedup" -> q92Sql,
     "q93_pmi_collocations" -> q93Sql,
+    "q94_quality_sample" -> q94Sql,
     "q55_vocab_topk" -> q55Sql,
     "q91_vocab_coverage" -> q91Sql,
     "q56_seq_pack" -> q56Sql,

@@ -60,7 +60,8 @@ class EdgeCaseSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q88" -> (TextOps.q88Containment _), "q90" -> (TextOps.q90SourceOverlap _),
     "q91" -> (TextOps.q91VocabCoverage _),
     "q92" -> (TextOps.q92IncrementalDedup _),
-    "q93" -> (TextOps.q93PmiCollocations _))
+    "q93" -> (TextOps.q93PmiCollocations _),
+    "q94" -> (TextOps.q94QualitySample _))
 
   test("every text operator returns empty on an empty corpus, without throwing") {
     textOps.foreach { case (name, fn) =>

@@ -128,4 +128,27 @@ class Round7Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fix.nonEmpty, "fixture must have pairs over the count floor")
     assert(fix.exists(_.getAs[Double]("pmi") > 0), "above-chance pairs exist")
   }
+
+  test("q94: retention conserved, rate-0/rate-1 bands exact, sampling non-vacuous") {
+    val rows = TextOps.q94QualitySample(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val corpus = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == corpus,
+      "every document lands in exactly one (source, band) cell")
+    rows.foreach { r =>
+      val (b, n, k) = (r.getAs[Int]("band"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_kept"))
+      assert(k >= 0 && k <= n, s"retention bounds: $r")
+      assert(b >= 0 && b <= 10, s"band domain: $r")
+      // the integer rule's exact endpoints: h·10 < 0 is impossible,
+      // h·10 < 10·P always holds (h < P)
+      if (b == 0) assert(k == 0, s"band 0 must drop everything: $r")
+      if (b == 10) assert(k == n, s"band 10 must keep everything: $r")
+    }
+    // non-vacuity: at least one band is PARTIALLY sampled — all-or-
+    // nothing everywhere would mean the hash gate never actually ran
+    assert(rows.exists(r => r.getAs[Long]("n_kept") > 0 &&
+      r.getAs[Long]("n_kept") < r.getAs[Long]("n_docs")),
+      s"some band must sample strictly between 0 and all: ${rows.mkString(";")}")
+  }
 }
