@@ -79,7 +79,11 @@ object ScaleCheck {
     "q88_containment", "q89_ivfpq_recall",
     // incremental dedup: the banded probe-vs-index join rides the same
     // hot-shingle regime; the 10× corpus multiplies both sides
-    "q92_incremental_dedup")
+    "q92_incremental_dedup",
+    // PMI: the pair aggregation must collapse the 10× corpus to the
+    // (salt-inflated) bigram vocabulary; quality sampling is the
+    // map-only flat-by-construction claim, verified not assumed
+    "q93_pmi_collocations", "q94_quality_sample")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
