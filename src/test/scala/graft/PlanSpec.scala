@@ -259,6 +259,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"nothing may shuffle-join after the pair aggregation:\n$plan")
   }
 
+  test("quality sampling (q94): joinless map + one partial-agg shuffle") {
+    val plan = physical(TextOps.q94QualitySample(spark, dir))
+    assert(!plan.contains("Join"), s"score+hash+compare needs no join:\n$plan")
+    // one aggregation exchange + the output-order exchange, nothing else
+    assert("Exchange".r.findAllIn(plan).size <= 2,
+      s"the corpus must collapse in one (source, band) aggregation:\n$plan")
+  }
+
   test("capped LM (q72): scoring joins broadcast, top-K is distributed, corpus never shuffle-joined") {
     val df = TextOps.q72LmScoreCapped(spark, dir)
     df.collect()
