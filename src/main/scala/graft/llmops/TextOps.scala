@@ -144,10 +144,15 @@ object TextOps {
     * evaluation matches bit-for-bit; only counts/min/max aggregate. */
   def q32Quality(s: SparkSession, dir: String): DataFrame = {
     val t = col("w")
+    // empty text is DEFINED as punct 0 (not NULL, not an error): ANSI
+    // Spark throws DIVIDE_BY_ZERO where DuckDB yields NULL, so the
+    // guard pins one semantics in both engines — an empty document
+    // must score, not kill the 100 TB job (nasty-fixture find)
     val perDoc = tokenized(s, dir).select(col("doc_id"),
       size(t).cast("double").as("nt"),
-      (length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", "")).cast("double") /
-        length(col("text"))).as("punct"),
+      when(length(col("text")) === 0, lit(0.0))
+        .otherwise(length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", "")).cast("double") /
+          length(col("text"))).as("punct"),
       (countIn(t, Stop).cast("double") / size(t)).as("stop"))
     perDoc.select(
         least(col("nt") / lit(100.0), lit(1.0)).multiply(lit(0.5))
@@ -167,8 +172,9 @@ object TextOps {
        |       + least(stop * 5.0, 1.0) * 0.2 AS quality
        |  FROM (SELECT
        |    CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) AS nt,
-       |    CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
-       |      / length(text) AS punct,
+       |    CASE WHEN length(text) = 0 THEN 0.0
+       |         ELSE CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+       |              / length(text) END AS punct,
        |    CAST(${sqlCountIn(Stop)} AS DOUBLE)
        |      / len(string_split_regex(text, '\\s+')) AS stop
        |  FROM documents)
@@ -1092,11 +1098,14 @@ object TextOps {
     * writes the kept rows; the table here is its audit summary. */
   def q94QualitySample(s: SparkSession, dir: String): DataFrame = {
     val t = col("w")
+    // same empty-text guard as q32 (ANSI divide-by-zero; one pinned
+    // semantics in both engines)
     val scored = tokenized(s, dir).select(col("doc_id"), col("source"),
       least(size(t).cast("double") / lit(100.0), lit(1.0)).multiply(lit(0.5))
         .plus((lit(1.0) -
-          length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", "")).cast("double") /
-            length(col("text"))) * lit(0.3))
+          when(length(col("text")) === 0, lit(0.0))
+            .otherwise(length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", "")).cast("double") /
+              length(col("text")))) * lit(0.3))
         .plus(least(countIn(t, Stop).cast("double") / size(t) * lit(5.0), lit(1.0))
           * lit(0.2)).as("quality"))
     scored
@@ -1114,8 +1123,9 @@ object TextOps {
     s"""WITH scored AS (
        |  SELECT doc_id, source,
        |    least(CAST(len(w) AS DOUBLE) / 100.0, 1.0) * 0.5
-       |    + (1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
-       |        AS DOUBLE) / length(text)) * 0.3
+       |    + (1.0 - CASE WHEN length(text) = 0 THEN 0.0
+       |             ELSE CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+       |                  AS DOUBLE) / length(text) END) * 0.3
        |    + least(CAST(${sqlCountIn(Stop)} AS DOUBLE) / len(w) * 5.0, 1.0) * 0.2
        |      AS quality
        |  FROM (SELECT doc_id, source, text,
@@ -2487,11 +2497,19 @@ object TextOps {
       .select(col("lang"), size(col("w")).cast("long").as("tk"))
       .groupBy("lang").agg(sum("tk").as("actual_tokens"))
       .withColumn("target_share", target)
-    val scale = actual
+    // a language OUTSIDE the target mix has share 0: it is dropped
+    // (keep_weight 0, achieved 0) and must not enter the scale min —
+    // unguarded, ANSI Spark throws DIVIDE_BY_ZERO on the first corpus
+    // with an unlisted language where DuckDB yields NULL (nasty-fixture
+    // find; the driver fixture's languages are all listed, so the
+    // guard is invisible there)
+    val scale = actual.filter(col("target_share") > 0)
       .select(min(col("actual_tokens").cast("double") / col("target_share")).as("scale"))
     actual.crossJoin(broadcast(scale))
       .select(col("lang"), col("actual_tokens"), col("target_share"),
-        (col("target_share") * col("scale") / col("actual_tokens")).as("keep_weight"),
+        when(col("target_share") > 0,
+          col("target_share") * col("scale") / col("actual_tokens"))
+          .otherwise(lit(0.0)).as("keep_weight"),
         (col("target_share") * col("scale")).as("achieved_tokens"))
       .orderBy("lang")
   }
@@ -2506,10 +2524,12 @@ object TextOps {
        |    $target AS target_share
        |  FROM documents GROUP BY lang
        |), sc AS (
-       |  SELECT min(CAST(actual_tokens AS DOUBLE) / target_share) AS scale FROM actual
+       |  SELECT min(CAST(actual_tokens AS DOUBLE) / target_share) AS scale
+       |  FROM actual WHERE target_share > 0
        |)
        |SELECT lang, actual_tokens, target_share,
-       |  target_share * scale / actual_tokens AS keep_weight,
+       |  CASE WHEN target_share > 0 THEN target_share * scale / actual_tokens
+       |       ELSE 0.0 END AS keep_weight,
        |  target_share * scale AS achieved_tokens
        |FROM actual CROSS JOIN sc ORDER BY lang""".stripMargin
   }

@@ -36,6 +36,16 @@ object VectorOps {
 
   private def norm(v: Column): Column = graft.functions.VectorExprs.norm(v)
 
+  /** Zero-norm-safe cosine: cos against a zero vector is DEFINED as
+    * 0.0 — never NULL, never an error. Unguarded, ANSI Spark throws
+    * DIVIDE_BY_ZERO on the first degenerate embedding (a failed
+    * encoder emits exactly that at production scale) where DuckDB
+    * yields NULL; the oracles pin the same 0.0 via coalesce around
+    * their divisions. A zero vector therefore ranks below every
+    * genuine neighbor instead of killing the job. */
+  private def cosSim(d: Column, n1: Column, n2: Column): Column =
+    when(n1 * n2 === 0, lit(0.0)).otherwise(d / (n1 * n2))
+
   // ------------------------------------------------------ q40 brute force
 
   /** q40: exact cosine top-k per vector (the ANN correctness oracle).
@@ -87,7 +97,7 @@ object VectorOps {
     val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("neighbor_id"))
     a.crossJoin(b).filter(col("vec_id") =!= col("neighbor_id"))
       .select(col("vec_id"), col("neighbor_id"),
-        round(dot(col("v"), col("w")) / (col("nrm") * col("wnrm")), 6).as("sim"))
+        round(cosSim(dot(col("v"), col("w")), col("nrm"), col("wnrm")), 6).as("sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
       .select("vec_id", "rank", "neighbor_id", "sim")
@@ -102,8 +112,8 @@ object VectorOps {
        |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM d
        |), sims AS (
        |  SELECT a.vec_id, b.vec_id AS neighbor_id,
-       |    round(list_sum([a.v[i] * b.v[i] for i in range(1, $Dim + 1)])
-       |          / (a.nrm * b.nrm), 6) AS sim
+       |    round(coalesce(list_sum([a.v[i] * b.v[i] for i in range(1, $Dim + 1)])
+       |          / (a.nrm * b.nrm), 0.0), 6) AS sim
        |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
        |)
        |SELECT vec_id, rank, neighbor_id, sim FROM (
@@ -204,7 +214,7 @@ object VectorOps {
       .join(e.select(col("vec_id").as("neighbor_id"), col("v").as("w"),
         col("nrm").as("wnrm")), Seq("neighbor_id"))
       .select(col("vec_id"), col("neighbor_id"),
-        round(dot(col("v"), col("w")) / (col("nrm") * col("wnrm")), 6).as("sim"))
+        round(cosSim(dot(col("v"), col("w")), col("nrm"), col("wnrm")), 6).as("sim"))
   }
 
   /** q41: ANN top-k via multi-table hyperplane-LSH with single-bit
@@ -265,8 +275,8 @@ object VectorOps {
         transform(sequence(lit(0), lit(Dim - 1)), i => element_at(col("cm"), i)).as("centroid"))
     val joined = e.join(cent, Seq("label"))
       .select(col("label"),
-        round(dot(col("v"), col("centroid")) /
-          (norm(col("v")) * norm(col("centroid"))), 6).as("cos_to_centroid"))
+        round(cosSim(dot(col("v"), col("centroid")),
+          norm(col("v")), norm(col("centroid"))), 6).as("cos_to_centroid"))
     // no second rounding: re-rounding 6dp values to fewer places lands
     // on exact .5 boundaries where Spark (decimal-string HALF_UP) and
     // DuckDB (binary double) disagree. The 6dp cosines cast to DECIMAL
@@ -295,9 +305,9 @@ object VectorOps {
        |  GROUP BY label
        |), cos AS (
        |  SELECT d.label,
-       |    round(list_sum([d.v[i] * cent.centroid[i] for i in range(1, $Dim + 1)])
+       |    round(coalesce(list_sum([d.v[i] * cent.centroid[i] for i in range(1, $Dim + 1)])
        |      / (sqrt(list_sum(list_transform(d.v, x -> x * x)))
-       |         * sqrt(list_sum(list_transform(cent.centroid, x -> x * x)))), 6)
+       |         * sqrt(list_sum(list_transform(cent.centroid, x -> x * x)))), 0.0), 6)
        |      AS cos_to_centroid
        |  FROM d JOIN cent ON d.label = cent.label
        |)
@@ -335,7 +345,7 @@ object VectorOps {
     val wCell = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell"))
     val ranked = e.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
-        (dot(col("v"), col("centroid")) / (col("nrm") * col("cnrm"))).as("csim"))
+        cosSim(dot(col("v"), col("centroid")), col("nrm"), col("cnrm")).as("csim"))
       .withColumn("crank", row_number().over(wCell))
     // index side: each vector in its single nearest cell
     val indexed = ranked.filter(col("crank") === 1)
@@ -351,7 +361,7 @@ object VectorOps {
     // would be a full extra exchange of the candidate pairs
     probes.join(indexed, Seq("cell")).filter(col("vec_id") =!= col("neighbor_id"))
       .select(col("vec_id"), col("neighbor_id"),
-        round(dot(col("v"), col("w")) / (col("nrm") * col("wnrm")), 6).as("sim"))
+        round(cosSim(dot(col("v"), col("w")), col("nrm"), col("wnrm")), 6).as("sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
       .select("vec_id", "rank", "neighbor_id", "sim")
@@ -455,7 +465,7 @@ object VectorOps {
     val vb = e.select(col("vec_id").as("vec_b"), col("v").as("w"), col("nrm").as("wnrm"))
     cand.join(va, Seq("vec_a")).join(vb, Seq("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        round(dot(col("v"), col("w")) / (col("nrm") * col("wnrm")), 6).as("sim"))
+        round(cosSim(dot(col("v"), col("w")), col("nrm"), col("wnrm")), 6).as("sim"))
       .filter(col("sim") >= NearDupCos)
       .orderBy("vec_a", "vec_b")
   }
@@ -483,7 +493,7 @@ object VectorOps {
     val b = e.select(col("vec_id").as("vec_b"), col("v").as("w"), col("nrm").as("wnrm"))
     a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        round(dot(col("v"), col("w")) / (col("nrm") * col("wnrm")), 6).as("sim"))
+        round(cosSim(dot(col("v"), col("w")), col("nrm"), col("wnrm")), 6).as("sim"))
       .filter(col("sim") >= NearDupCos)
       .orderBy("vec_a", "vec_b")
   }
@@ -525,12 +535,12 @@ object VectorOps {
        |  FROM buckets CROSS JOIN (SELECT unnest([$flips]) AS flip)
        |)
        |SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b,
-       |  round(list_sum([a.v[i] * c.v[i] for i in range(1, $Dim + 1)])
-       |        / (a.nrm * c.nrm), 6) AS sim
+       |  round(coalesce(list_sum([a.v[i] * c.v[i] for i in range(1, $Dim + 1)])
+       |        / (a.nrm * c.nrm), 0.0), 6) AS sim
        |FROM probes a JOIN buckets c ON a.tbl = c.tbl AND a.bucket = c.bucket
        |  AND a.vec_id < c.vec_id
-       |WHERE round(list_sum([a.v[i] * c.v[i] for i in range(1, $Dim + 1)])
-       |        / (a.nrm * c.nrm), 6) >= $NearDupCos
+       |WHERE round(coalesce(list_sum([a.v[i] * c.v[i] for i in range(1, $Dim + 1)])
+       |        / (a.nrm * c.nrm), 0.0), 6) >= $NearDupCos
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
@@ -613,8 +623,8 @@ object VectorOps {
        |  FROM buckets CROSS JOIN (SELECT unnest([$flips]) AS flip)
        |), cand AS (
        |  SELECT DISTINCT q.vec_id, c.vec_id AS neighbor_id,
-       |    round(list_sum([q.v[i] * c.v[i] for i in range(1, $Dim + 1)])
-       |          / (q.nrm * c.nrm), 6) AS sim
+       |    round(coalesce(list_sum([q.v[i] * c.v[i] for i in range(1, $Dim + 1)])
+       |          / (q.nrm * c.nrm), 0.0), 6) AS sim
        |  FROM probes q JOIN buckets c ON q.tbl = c.tbl AND q.bucket = c.bucket
        |    AND q.vec_id <> c.vec_id
        |), approx AS (
@@ -625,8 +635,8 @@ object VectorOps {
        |  WHERE rank <= $TopK
        |), sims AS (
        |  SELECT a.vec_id, b.vec_id AS neighbor_id,
-       |    round(list_sum([a.v[i] * b.v[i] for i in range(1, $Dim + 1)])
-       |          / (a.nrm * b.nrm), 6) AS sim
+       |    round(coalesce(list_sum([a.v[i] * b.v[i] for i in range(1, $Dim + 1)])
+       |          / (a.nrm * b.nrm), 0.0), 6) AS sim
        |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
        |), exact AS (
        |  SELECT vec_id, neighbor_id FROM (
@@ -678,8 +688,8 @@ object VectorOps {
     // Scala-computed literals so both engines divide by the same double
     val cellStructs = array((0 until IvfCells).map { c =>
       struct(lit(c).as("cell"),
-        round(dot(col("v"), array(cents(c).map(lit(_)): _*)) /
-          (col("nrm") * lit(cnorms(c))), 6).as("csim"))
+        round(cosSim(dot(col("v"), array(cents(c).map(lit(_)): _*)),
+          col("nrm"), lit(cnorms(c))), 6).as("csim"))
     }: _*)
     val wCell = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell"))
     val ranked = e.select(col("vec_id"), col("v"), col("nrm"), explode(cellStructs).as("cs"))
@@ -696,7 +706,7 @@ object VectorOps {
     // cells) — no dedup exchange, the q44 note
     val approx = probes.join(indexed, Seq("cell")).filter(col("vec_id") =!= col("neighbor_id"))
       .select(col("vec_id"), col("neighbor_id"),
-        round(dot(col("v"), col("w")) / (col("nrm") * col("wnrm")), 6).as("sim"))
+        round(cosSim(dot(col("v"), col("w")), col("nrm"), col("wnrm")), 6).as("sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
       .select("vec_id", "neighbor_id")
@@ -712,7 +722,7 @@ object VectorOps {
     val cellRows = (0 until IvfCells).map { c =>
       val projTerms = sqlProj(cents(c))
       s"SELECT vec_id, v, nrm, $c AS cell, " +
-        s"round(($projTerms) / (nrm * (${cnorms(c).toString})), 6) AS csim FROM n"
+        s"round(coalesce(($projTerms) / (nrm * (${cnorms(c).toString})), 0.0), 6) AS csim FROM n"
     }.mkString("\n  UNION ALL ")
     s"""WITH d AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -732,8 +742,8 @@ object VectorOps {
        |  SELECT vec_id, v, nrm, cell FROM ranked WHERE crank <= $IvfProbes
        |), cand AS (
        |  SELECT DISTINCT q.vec_id, c.neighbor_id,
-       |    round(list_sum([q.v[i] * c.w[i] for i in range(1, $Dim + 1)])
-       |          / (q.nrm * c.wnrm), 6) AS sim
+       |    round(coalesce(list_sum([q.v[i] * c.w[i] for i in range(1, $Dim + 1)])
+       |          / (q.nrm * c.wnrm), 0.0), 6) AS sim
        |  FROM probes q JOIN indexed c ON q.cell = c.cell
        |    AND q.vec_id <> c.neighbor_id
        |), approx AS (
@@ -744,8 +754,8 @@ object VectorOps {
        |  WHERE rank <= $TopK
        |), sims AS (
        |  SELECT a.vec_id, b.vec_id AS neighbor_id,
-       |    round(list_sum([a.v[i] * b.v[i] for i in range(1, $Dim + 1)])
-       |          / (a.nrm * b.nrm), 6) AS sim
+       |    round(coalesce(list_sum([a.v[i] * b.v[i] for i in range(1, $Dim + 1)])
+       |          / (a.nrm * b.nrm), 0.0), 6) AS sim
        |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
        |), exact AS (
        |  SELECT vec_id, neighbor_id FROM (
@@ -790,7 +800,7 @@ object VectorOps {
       val sv = slice(col("v"), 1, d)
       val sw = slice(col("w"), 1, d)
       struct(lit(d).as("dim"),
-        round(dot(sv, sw) / (norm(sv) * norm(sw)), 6).as("tsim"))
+        round(cosSim(dot(sv, sw), norm(sv), norm(sw)), 6).as("tsim"))
     }: _*)
     pairs.join(va, Seq("vec_id")).join(vb, Seq("neighbor_id"))
       .select(col("sim"), explode(structs).as("ds"))
@@ -807,9 +817,9 @@ object VectorOps {
   def q65Sql: String = {
     val dimRows = TruncDims.map { d =>
       s"""SELECT pairs.vec_id AS vec_id, pairs.neighbor_id AS neighbor_id, $d AS dim,
-         |    round(list_sum([a.v[i] * b.v[i] for i in range(1, $d + 1)])
+         |    round(coalesce(list_sum([a.v[i] * b.v[i] for i in range(1, $d + 1)])
          |      / (sqrt(list_sum([a.v[i] * a.v[i] for i in range(1, $d + 1)]))
-         |         * sqrt(list_sum([b.v[i] * b.v[i] for i in range(1, $d + 1)]))), 6)
+         |         * sqrt(list_sum([b.v[i] * b.v[i] for i in range(1, $d + 1)]))), 0.0), 6)
          |      AS tsim
          |  FROM pairs JOIN n a ON a.vec_id = pairs.vec_id
          |             JOIN n b ON b.vec_id = pairs.neighbor_id""".stripMargin
@@ -821,8 +831,8 @@ object VectorOps {
        |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM d
        |), sims AS (
        |  SELECT a.vec_id, b.vec_id AS neighbor_id,
-       |    round(list_sum([a.v[i] * b.v[i] for i in range(1, $Dim + 1)])
-       |          / (a.nrm * b.nrm), 6) AS sim
+       |    round(coalesce(list_sum([a.v[i] * b.v[i] for i in range(1, $Dim + 1)])
+       |          / (a.nrm * b.nrm), 0.0), 6) AS sim
        |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
        |), pairs AS (
        |  SELECT vec_id, neighbor_id, sim FROM (
@@ -1222,7 +1232,7 @@ object VectorOps {
       .join(e.select(col("vec_id").as("vec_a"), col("v"), col("nrm")), Seq("vec_a"))
       .join(e.select(col("vec_id").as("vec_b"), col("v").as("w"),
         col("nrm").as("wnrm")), Seq("vec_b"))
-      .filter(round(dot(col("v"), col("w")) / (col("nrm") * col("wnrm")), 6)
+      .filter(round(cosSim(dot(col("v"), col("w")), col("nrm"), col("wnrm")), 6)
         >= SemCosThresh)
       .select(col("vec_b").as("vec_id")).distinct()
     asg.join(drops.withColumn("hit", lit(1)), Seq("vec_id"), "left")
@@ -1242,8 +1252,8 @@ object VectorOps {
        |  FROM fasg a JOIN fasg b ON a.cid = b.cid AND a.vec_id < b.vec_id
        |  JOIN vv va ON va.vec_id = a.vec_id
        |  JOIN vv vb ON vb.vec_id = b.vec_id
-       |  WHERE round(list_sum([va.v[i] * vb.v[i] for i in range(1, $Dim + 1)])
-       |        / (va.nrm * vb.nrm), 6) >= $SemCosThresh
+       |  WHERE round(coalesce(list_sum([va.v[i] * vb.v[i] for i in range(1, $Dim + 1)])
+       |        / (va.nrm * vb.nrm), 0.0), 6) >= $SemCosThresh
        |)
        |SELECT f.vec_id, f.cid::INT AS cid, d.vec_id IS NULL AS kept
        |FROM fasg f LEFT JOIN drops d USING (vec_id)

@@ -113,6 +113,59 @@ class EdgeCaseSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(TextOps.q56SeqPack(spark, oneDir).count() == 1)
   }
 
+  test("empty-text documents SCORE (pinned semantics) instead of killing the job") {
+    // ANSI Spark throws DIVIDE_BY_ZERO on length(text)=0 where DuckDB
+    // yields NULL; both engines now pin punct=0 for empty text, so an
+    // empty doc scores nt-and-stop-only: 0.005 + 0.3 + 0 → band 3
+    import scala.jdk.CollectionConverters._
+    val dir = graft.operators.PlanCache.tempDir("graft_edge_emptytext_")
+    spark.createDataFrame(List(
+      Row(1L, "", "en", "src0", 0L),
+      Row(2L, "some ordinary text here", "en", "src0", 23L)).asJava, docSchema)
+      .write.parquet(s"$dir/documents.parquet")
+    val bands = TextOps.q32Quality(spark, dir).collect()
+      .map(r => r.getAs[Int]("band")).toSet
+    assert(bands.contains(3), s"the empty doc must land in band 3: ${bands.mkString(",")}")
+    val q94 = TextOps.q94QualitySample(spark, dir).collect()
+    assert(q94.map(_.getAs[Long]("n_docs")).sum == 2, "both docs score")
+    // q68: a language OUTSIDE the target mix must drop (weight 0), not
+    // divide by its zero target share
+    val mixDir = graft.operators.PlanCache.tempDir("graft_edge_mixlang_")
+    spark.createDataFrame(List(
+      Row(1L, "the quick fox", "en", "src0", 13L),
+      Row(2L, "unlisted language text", "xx", "src0", 22L)).asJava, docSchema)
+      .write.parquet(s"$mixDir/documents.parquet")
+    val mix = TextOps.q68MixWeights(spark, mixDir).collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Double]("keep_weight")).toMap
+    assert(mix("xx") == 0.0, s"zero-target language must drop: $mix")
+    assert(mix("en") > 0.0)
+  }
+
+  test("zero-norm embeddings rank last (cos DEFINED as 0) instead of killing the job") {
+    import scala.jdk.CollectionConverters._
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val dir = graft.operators.PlanCache.tempDir("graft_edge_zerovec_")
+    val dim = 8
+    def vec(f: Int => Float) = (0 until dim).map(f).toArray.toSeq
+    spark.createDataFrame(List(
+      Row(1L, vec(i => 1.0f + i), 0),
+      Row(2L, vec(i => 1.1f + i), 0),
+      Row(3L, vec(_ => 0.0f), 0)).asJava, embSchema)   // the failed-encoder row
+      .write.parquet(s"$dir/embeddings.parquet")
+    val sims = graft.llmops.VectorOps.q40CosineTopk(spark, dir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("sim")))
+    assert(sims.nonEmpty, "q40 must survive the zero vector")
+    sims.filter(t => t._1 == 3L || t._2 == 3L).foreach { t =>
+      assert(t._3 == 0.0, s"every pair touching the zero vector has cos 0: $t")
+    }
+    assert(sims.exists(t => t._1 != 3L && t._2 != 3L && t._3 > 0.9),
+      "genuine neighbors still rank above the zero vector")
+  }
+
   test("BPE learning stops early when the vocabulary has no mergeable pair") {
     // every word is a single symbol → zero adjacent pairs → the merge
     // loop must emit ZERO merges (not index an empty argmax) and the
