@@ -1,0 +1,99 @@
+#!/usr/bin/env python3
+"""Adversarial parity fixtures (driver-side python only — never a code
+dependency): degenerate inputs the clean driver testdata never
+contains, for cross-engine parity sweeps via Verify + check_oracle.
+
+  python3 tools/make_nasty.py /tmp/nasty
+
+writes three fixture dirs:
+  <out>/text    — documents.parquet: empty text, 1/2-token docs,
+                  unicode, an unlisted language, exact dups crossing
+                  the q92 new/history split
+  <out>/vec     — embeddings.parquet: the sf0.001 set with every
+                  vec_id % 17 == 3 zeroed (failed-encoder rows);
+                  documents.parquet copied for ops that need both
+  <out>/events  — events.parquet (timestamp[ns], the driver's physical
+                  type): tied timestamps, zero/negative/huge values,
+                  single-user funnel, a single-event user
+
+Round-7 findings this sweep caught: ANSI DIVIDE_BY_ZERO crashes in
+q32/q94 (empty text), q68 (unlisted language), and the whole cosine
+family q40-q78 (zero-norm embedding) — each fixed by pinning one
+semantics in both engines (punct=0, weight=0, cos=0). Event family
+passed unchanged.
+
+Sweep (per family):
+  SPARK_GRAFT_ONLY=<keys> sbt -batch "runMain graft.Verify <dir> <out>"
+  python3 tools/check_oracle.py <out> <dir>
+"""
+import os
+import shutil
+import sys
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def text_fixture(d):
+    con = duckdb.connect()
+    con.execute(f"""
+COPY (SELECT CAST(doc_id AS BIGINT) AS doc_id, text, lang, source,
+             CAST(length(text) AS BIGINT) AS n_chars FROM (VALUES
+  (1, '', 'en', 'src0'),
+  (2, 'one', 'en', 'src0'),
+  (3, 'two words', 'en', 'src0'),
+  (4, 'три слова юникода', 'ru', 'src1'),
+  (5, '', 'en', 'src0'),
+  (10, 'one', 'en', 'src0'),
+  (15, 'totally fresh content here today', 'en', 'src1'),
+  (20, 'два слова', 'ru', 'src1')
+) t(doc_id, text, lang, source))
+TO '{d}/documents.parquet' (FORMAT PARQUET)""")
+
+
+def vec_fixture(d):
+    con = duckdb.connect()
+    dim = len(con.execute(
+        f"SELECT embedding FROM read_parquet('{SF}/embeddings.parquet') LIMIT 1"
+    ).fetchone()[0])
+    con.execute(f"""
+COPY (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CASE WHEN vec_id % 17 = 3
+            THEN CAST([0.0 for i in range(1, {dim} + 1)] AS FLOAT[])
+            ELSE embedding END AS embedding, label
+      FROM read_parquet('{SF}/embeddings.parquet'))
+TO '{d}/embeddings.parquet' (FORMAT PARQUET)""")
+    shutil.copy(f"{SF}/documents.parquet", f"{d}/documents.parquet")
+
+
+def events_fixture(d):
+    df = pd.DataFrame({
+        "event_id": [1, 2, 3, 4, 5],
+        "ts": pd.to_datetime(["2024-01-01 00:00:00"] * 3 +
+                             ["2024-01-01 10:00:00", "2024-01-02 00:00:00"]),
+        "user_id": [7, 7, 7, 7, 8],
+        "event_type": ["click", "click", "click", "purchase", "view"],
+        "value": [0.0, 0.0, -5.5, 1e15, 2.5],
+        "props": ["{}"] * 5})
+    t = pa.Table.from_pandas(df, schema=pa.schema([
+        ("event_id", pa.int64()), ("ts", pa.timestamp("ns")),
+        ("user_id", pa.int64()), ("event_type", pa.string()),
+        ("value", pa.float64()), ("props", pa.string())]))
+    pq.write_table(t, f"{d}/events.parquet")
+
+
+def main(out):
+    for name, fn in [("text", text_fixture), ("vec", vec_fixture),
+                     ("events", events_fixture)]:
+        d = os.path.join(out, name)
+        os.makedirs(d, exist_ok=True)
+        fn(d)
+        print(f"wrote {d}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/nasty_fixtures")
