@@ -79,6 +79,26 @@ object MultimodalOps {
 
   // ----------------------------------------------- q45 header metadata
 
+  /** TRUE iff the binary is a parseable GRFT container: the full
+    * [[HeaderLen]]-byte header is present and the magic matches.
+    * Foreign/truncated blobs fail the gate and are EXCLUDED — the
+    * production quarantine rule, pinned identically in both engines
+    * (unguarded, Spark computes garbage header fields from short
+    * binaries and DuckDB errors casting the empty hex slice). */
+  private def validHeader(bin: Column): Column =
+    (octet_length(bin) >= HeaderLen) && (substring(hex(bin), 1, 8) === "47524654")
+  private val validHeaderSql =
+    s"octet_length(content) >= $HeaderLen AND substring(hex(content), 1, 8) = '47524654'"
+
+  /** COMPLETE frames/windows actually present in the payload (valid
+    * header assumed). Declared n_frames is capped to this everywhere a
+    * frame is sliced, so a truncated file degrades to its intact
+    * prefix instead of slicing garbage bytes. */
+  private def fullFrames(bin: Column): Column =
+    floor((octet_length(bin).cast("long") - HeaderLen) / lit(FrameSize)).cast("long")
+  private val fullFramesSql =
+    s"(octet_length(content) - $HeaderLen) // $FrameSize"
+
   /** Big-endian u16 at 1-based byte offset `off` of a binary column. */
   private def beU16(bin: Column, off: Int): Column =
     conv(hex(substring(bin, off, 2)), 16, 10).cast("long")
@@ -92,6 +112,7 @@ object MultimodalOps {
     * decoding payload" path. Integer sums + final division only. */
   def q45MediaMeta(s: SparkSession, dir: String): DataFrame =
     media(s)
+      .filter(validHeader(col("content")))
       .select(col("media_type"),
         beU16(col("content"), 6).as("w"),
         beU16(col("content"), 8).as("h"),
@@ -111,7 +132,8 @@ object MultimodalOps {
        |  CAST(sum(${beU16Sql(6)}) AS DOUBLE) / count(*) AS media_largura,
        |  CAST(sum(${beU16Sql(8)}) AS DOUBLE) / count(*) AS media_altura,
        |  CAST(sum(${beU16Sql(10)}) AS BIGINT) AS total_frames
-       |FROM $mediaSql GROUP BY media_type ORDER BY media_type""".stripMargin
+       |FROM $mediaSql WHERE $validHeaderSql
+       |GROUP BY media_type ORDER BY media_type""".stripMargin
 
   // ----------------------------------------------- q46 frame sampling
 
@@ -123,10 +145,11 @@ object MultimodalOps {
     * bytes-per-row; at scale this is the map-side prep for a frame
     * feature-extraction stage. */
   def q46FrameSample(s: SparkSession, dir: String): DataFrame = {
-    val nf = beU16(col("content"), 10)
-    media(s).filter(col("media_type") === "video")
+    val ef = least(beU16(col("content"), 10), fullFrames(col("content")))
+    media(s).filter(col("media_type") === "video" && validHeader(col("content")))
+      .filter(ef > 0)
       .select(col("media_id"), col("content"),
-        explode(sequence(lit(0), ((nf - 1) / SampleEvery).cast("int"))).as("s_i"))
+        explode(sequence(lit(0), ((ef - 1) / SampleEvery).cast("int"))).as("s_i"))
       .select(col("media_id"), (col("s_i") * SampleEvery).as("frame_no"),
         expr(s"substring(content, ${HeaderLen + 1} + s_i * $SampleEvery * $FrameSize, " +
           s"$FrameSize)").as("frame"))
@@ -140,10 +163,11 @@ object MultimodalOps {
   val q46Sql: String =
     s"""WITH v AS (
        |  SELECT media_id, hex(content) AS hx,
-       |    ${beU16Sql(10)} AS nf
-       |  FROM $mediaSql WHERE media_type = 'video'
+       |    least(${beU16Sql(10)}, $fullFramesSql) AS ef
+       |  FROM $mediaSql WHERE media_type = 'video' AND $validHeaderSql
        |), idx AS (
-       |  SELECT media_id, hx, unnest(range(0, (nf - 1) // $SampleEvery + 1)) AS s_i FROM v
+       |  SELECT media_id, hx, unnest(range(0, (ef - 1) // $SampleEvery + 1)) AS s_i
+       |  FROM v WHERE ef > 0
        |), fr AS (
        |  SELECT media_id, s_i * $SampleEvery AS frame_no,
        |    substring(hx, CAST(${2 * HeaderLen} + s_i * $SampleEvery * ${2 * FrameSize} + 1 AS INT),
@@ -166,10 +190,11 @@ object MultimodalOps {
     * frame and byte, bytes-per-row never do, and the whole pipeline
     * stays inside whole-stage codegen. */
   def q54FrameFeatures(s: SparkSession, dir: String): DataFrame = {
-    val nf = beU16(col("content"), 10)
-    media(s).filter(col("media_type") === "video")
+    val ef = least(beU16(col("content"), 10), fullFrames(col("content")))
+    media(s).filter(col("media_type") === "video" && validHeader(col("content")))
+      .filter(ef > 0)
       .select(col("media_id"), col("content"),
-        explode(sequence(lit(0), ((nf - 1) / SampleEvery).cast("int"))).as("s_i"))
+        explode(sequence(lit(0), ((ef - 1) / SampleEvery).cast("int"))).as("s_i"))
       .select(col("media_id"), (col("s_i") * SampleEvery).as("frame_no"),
         expr(s"substring(content, ${HeaderLen + 1} + s_i * $SampleEvery * $FrameSize, " +
           s"$FrameSize)").as("frame"))
@@ -185,10 +210,11 @@ object MultimodalOps {
   val q54Sql: String =
     s"""WITH v AS (
        |  SELECT media_id, hex(content) AS hx,
-       |    ${beU16Sql(10)} AS nf
-       |  FROM $mediaSql WHERE media_type = 'video'
+       |    least(${beU16Sql(10)}, $fullFramesSql) AS ef
+       |  FROM $mediaSql WHERE media_type = 'video' AND $validHeaderSql
        |), idx AS (
-       |  SELECT media_id, hx, unnest(range(0, (nf - 1) // $SampleEvery + 1)) AS s_i FROM v
+       |  SELECT media_id, hx, unnest(range(0, (ef - 1) // $SampleEvery + 1)) AS s_i
+       |  FROM v WHERE ef > 0
        |), fr AS (
        |  SELECT media_id, s_i * $SampleEvery AS frame_no,
        |    substring(hx, CAST(${2 * HeaderLen} + s_i * $SampleEvery * ${2 * FrameSize} + 1 AS INT),
@@ -224,12 +250,13 @@ object MultimodalOps {
     * is bounded by its duration, so no partition degenerates. All
     * comparisons are on exact integer sums: engine-identical. */
   def q66SceneCuts(s: SparkSession, dir: String): DataFrame = {
-    val nf = beU16(col("content"), 10)
+    val ef = least(beU16(col("content"), 10), fullFrames(col("content")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("media_id").orderBy("frame_no")
-    media(s).filter(col("media_type") === "video")
+    media(s).filter(col("media_type") === "video" && validHeader(col("content")))
+      .filter(ef > 0)
       .select(col("media_id"), col("content"),
-        explode(sequence(lit(0), (nf - 1).cast("int"))).as("frame_no"))
+        explode(sequence(lit(0), (ef - 1).cast("int"))).as("frame_no"))
       .select(col("media_id"), col("frame_no"),
         expr(s"substring(content, ${HeaderLen + 1} + frame_no * $FrameSize, $FrameSize)")
           .as("frame"))
@@ -248,10 +275,10 @@ object MultimodalOps {
   val q66Sql: String =
     s"""WITH v AS (
        |  SELECT media_id, hex(content) AS hx,
-       |    ${beU16Sql(10)} AS nf
-       |  FROM $mediaSql WHERE media_type = 'video'
+       |    least(${beU16Sql(10)}, $fullFramesSql) AS ef
+       |  FROM $mediaSql WHERE media_type = 'video' AND $validHeaderSql
        |), fr AS (
-       |  SELECT media_id, unnest(range(0, nf)) AS frame_no, hx FROM v
+       |  SELECT media_id, unnest(range(0, ef)) AS frame_no, hx FROM v
        |), sums AS (
        |  SELECT media_id, frame_no,
        |    list_sum([('0x' || substring(hx,
@@ -358,12 +385,12 @@ object MultimodalOps {
     * specs can feed crafted containers (nf = 0, truncated payloads). */
   def audioEnergyOf(audio: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val nf = beU16(col("content"), 10)
+    val ef = least(beU16(col("content"), 10), fullFrames(col("content")))
     val wE = Window.partitionBy("media_id").orderBy("w_i")
     audio
-      .filter(nf > 0)
+      .filter(validHeader(col("content")) && ef > 0)
       .select(col("media_id"), col("content"),
-        explode(sequence(lit(0), (nf - 1).cast("int"))).as("w_i"))
+        explode(sequence(lit(0), (ef - 1).cast("int"))).as("w_i"))
       .select(col("media_id"), col("w_i"),
         graft.functions.MediaExprs.winEnergy(col("content"),
           lit(HeaderLen) + col("w_i") * AudioWin, lit(AudioWin)).as("e"))
@@ -384,12 +411,12 @@ object MultimodalOps {
     * shape the Scaladoc above contrasts against). */
   def audioEnergyExplodeOf(audio: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val nf = beU16(col("content"), 10)
+    val ef = least(beU16(col("content"), 10), fullFrames(col("content")))
     val wE = Window.partitionBy("media_id").orderBy("w_i")
     audio
-      .filter(nf > 0)
+      .filter(validHeader(col("content")) && ef > 0)
       .select(col("media_id"), col("content"),
-        explode(sequence(lit(0), (nf - 1).cast("int"))).as("w_i"))
+        explode(sequence(lit(0), (ef - 1).cast("int"))).as("w_i"))
       .select(col("media_id"), col("w_i"),
         expr(s"substring(content, ${HeaderLen + 1} + w_i * $AudioWin, $AudioWin)")
           .as("win"))
@@ -412,10 +439,11 @@ object MultimodalOps {
 
   val q85Sql: String =
     s"""WITH a AS (
-       |  SELECT media_id, hex(content) AS hx, ${beU16Sql(10)} AS nf
-       |  FROM $mediaSql WHERE media_type = 'audio'
+       |  SELECT media_id, hex(content) AS hx,
+       |    least(${beU16Sql(10)}, $fullFramesSql) AS ef
+       |  FROM $mediaSql WHERE media_type = 'audio' AND $validHeaderSql
        |), w AS (
-       |  SELECT media_id, CAST(unnest(range(0, nf)) AS BIGINT) AS w_i, hx FROM a
+       |  SELECT media_id, CAST(unnest(range(0, ef)) AS BIGINT) AS w_i, hx FROM a
        |), b AS (
        |  SELECT media_id, w_i,
        |    unnest([('0x' || substring(hx,
@@ -461,7 +489,9 @@ object MultimodalOps {
     def px(dy: Int, dx: Int) =
       conv(hex(expr(s"substring(content, ${HeaderLen + 1} + " +
         s"(2 * ty + $dy) * $ImgSide + (2 * tx + $dx), 1)")), 16, 10).cast("long")
-    media(s).filter(col("media_type") === "image")
+    // the 8×8 grid is one FrameSize payload: gate on it being present
+    media(s).filter(col("media_type") === "image" &&
+        validHeader(col("content")) && fullFrames(col("content")) >= 1)
       .select(col("media_id"), col("content"),
         explode(sequence(lit(0), lit(ThumbSide * ThumbSide - 1))).as("p"))
       .withColumn("ty", (col("p") / ThumbSide).cast("int"))
@@ -478,7 +508,8 @@ object MultimodalOps {
          |  2))::INT""".stripMargin
     s"""WITH i AS (
        |  SELECT media_id, hex(content) AS hx FROM $mediaSql
-       |  WHERE media_type = 'image'
+       |  WHERE media_type = 'image' AND $validHeaderSql
+       |    AND $fullFramesSql >= 1
        |), t AS (
        |  SELECT media_id, CAST(p // $ThumbSide AS INT) AS ty,
        |    CAST(p % $ThumbSide AS INT) AS tx, hx

@@ -15,6 +15,9 @@ writes three fixture dirs:
   <out>/events  — events.parquet (timestamp[ns], the driver's physical
                   type): tied timestamps, zero/negative/huge values,
                   single-user funnel, a single-event user
+  <out>/media   — media.parquet: declared n_frames=0, truncated
+                  payload (5 declared / 1 present), empty binary, one
+                  well-formed row. Point GRAFT_FIXTURES_DIR here.
 
 Round-7 findings this sweep caught: ANSI DIVIDE_BY_ZERO crashes in
 q32/q94 (empty text), q68 (unlisted language), and the whole cosine
@@ -86,9 +89,44 @@ def events_fixture(d):
     pq.write_table(t, f"{d}/events.parquet")
 
 
+def media_fixture(d):
+    import hashlib
+    import struct
+
+    def header(kind, w, h, nf):
+        return b"GRFT" + bytes([kind]) + struct.pack(">HHH", w, h, nf)
+
+    def payload(mid, nbytes, seed=99):
+        out, j = b"", 0
+        while len(out) < nbytes:
+            out += hashlib.md5(f"{seed}-{mid}-{j}".encode()).digest()
+            j += 1
+        return out[:nbytes]
+
+    rows = [
+        (1, "audio", (2, 2, 0, 11), header(2, 2, 2, 0)),
+        (2, "video", (8, 8, 5, 75), header(3, 8, 8, 5) + payload(2, 64)),
+        (3, "image", (0, 0, 0, 0), b""),
+        (4, "audio", (2, 2, 2, 139), header(2, 2, 2, 2) + payload(4, 128)),
+    ]
+    t = pa.Table.from_pydict({
+        "media_id": [r[0] for r in rows],
+        "media_type": [r[1] for r in rows],
+        "meta": [{"width": r[2][0], "height": r[2][1],
+                  "n_frames": r[2][2], "n_bytes": r[2][3]} for r in rows],
+        "content": [r[3] for r in rows]},
+        schema=pa.schema([
+            ("media_id", pa.int64()), ("media_type", pa.string()),
+            ("meta", pa.struct([("width", pa.int32()), ("height", pa.int32()),
+                                ("n_frames", pa.int32()),
+                                ("n_bytes", pa.int64())])),
+            ("content", pa.binary())]))
+    pq.write_table(t, f"{d}/media.parquet")
+
+
 def main(out):
     for name, fn in [("text", text_fixture), ("vec", vec_fixture),
-                     ("events", events_fixture)]:
+                     ("events", events_fixture), ("media", media_fixture)]:
         d = os.path.join(out, name)
         os.makedirs(d, exist_ok=True)
         fn(d)
