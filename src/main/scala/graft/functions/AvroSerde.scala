@@ -202,7 +202,9 @@ case class FromAvro(child: Expression, schemaJson: String)
   @transient private lazy val avroSchema = new Schema.Parser().parse(schemaJson)
   override lazy val dataType: DataType = AvroSchemaMap.toSparkType(
     new Schema.Parser().parse(schemaJson))
-  override def nullable: Boolean = child.nullable
+  // PERMISSIVE like from_json: decode failure yields NULL (see
+  // nullSafeEval), so corrupt bytes surface as ok=false rows
+  override def nullable: Boolean = true
 
   @transient private var decoder: BinaryDecoder = _
 
@@ -245,7 +247,15 @@ case class FromAvro(child: Expression, schemaJson: String)
   override def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[Array[Byte]]
     decoder = DecoderFactory.get().binaryDecoder(bytes, decoder)
-    readValue(dataType, avroSchema, decoder)
+    // PERMISSIVE decode (from_json parity; reference consumer parity —
+    // ConsumidorAvro catches per-record deserialization errors and
+    // counts them): corrupt/truncated bytes yield NULL, the consume
+    // path's `m.isNotNull AS ok` counts the row as an erro, and the
+    // job survives. Unguarded, one corrupt record killed the task —
+    // the Avro path was strictly less tolerant than the JSON path
+    // whose null-on-malformed the `ok` projection already expected.
+    try readValue(dataType, avroSchema, decoder)
+    catch { case scala.util.control.NonFatal(_) => null }
   }
 
   override protected def withNewChildInternal(c: Expression): FromAvro = copy(child = c)

@@ -59,6 +59,24 @@ class SerdeModesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(keys == Set("id", "timestamp", "sequencia", "dados", "versao"))
   }
 
+  test("corrupt Avro bytes decode to NULL and count as erro (reference consumer parity)") {
+    import graft.functions.AvroSerde
+    val raw = Generator.rawAvro(Generator.messages(spark, conf))
+      .select(col("particao"), col("sequencia"),
+        // corrupt every 10th record: truncate to 3 bytes (mid-varint)
+        when(col("sequencia") % 10 === 0, expr("substring(valor, 1, 3)"))
+          .otherwise(col("valor")).as("valor"))
+    val decoded = raw.select(col("sequencia"),
+      AvroSerde.from_avro(col("valor"), SchemaDef.mensagemAvroJson).as("m"))
+    val got = decoded.select(col("sequencia"), col("m").isNotNull.as("ok")).collect()
+    assert(got.length == 200, "every record must survive the decode pass")
+    got.foreach { r =>
+      val expectOk = r.getLong(0) % 10 != 0
+      assert(r.getBoolean(1) == expectOk,
+        s"seq ${r.getLong(0)}: corrupt records must decode to NULL, valid ones must not")
+    }
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
     val r = li.agg(
