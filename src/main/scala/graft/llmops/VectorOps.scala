@@ -602,7 +602,9 @@ object VectorOps {
       .agg(count_distinct(col("vec_id")).as("n_queries"),
         coalesce(sum(col("hit")), lit(0)).cast("long").as("n_hits"))
       .select(col("n_queries"), col("n_hits"),
-        (col("n_hits").cast("double") /
+        // empty panel: (0, 0, NULL) — the oracles' 0/0 → NULL shape;
+        // unguarded, ANSI throws on the zero-query division
+        when(col("n_queries") > 0, col("n_hits").cast("double") /
           (lit(TopK.toDouble) * col("n_queries"))).as("recall_at_k"))
 
   /** The oracle recomputes the full LSH pipeline: plane projections as
@@ -1390,8 +1392,11 @@ object VectorOps {
   def q84PqAdcRecall(s: SparkSession, dir: String): DataFrame = {
     val (cents, codes) = pqLearn(s, dir)
     if (cents.isEmpty)
-      return codes.select(lit(0L).as("n_queries"), lit(0L).as("n_hits"),
-        lit(0d).as("recall_at_k")).limit(0)
+      // empty corpus: the one (0, 0, NULL) row the oracles' 0/0 -> NULL
+      // arithmetic also emits (empty-tables parity sweep)
+      return codes.sparkSession.range(1)
+        .select(lit(0L).as("n_queries"), lit(0L).as("n_hits"),
+          lit(null).cast("double").as("recall_at_k"))
     val withC = codes.withColumn("cdbl", col("c").cast("array<double>"))
     val asg = (0 until PqM).foldLeft(withC) { (df, m) =>
       df.withColumn(s"cid_$m", cidOf(cents, m))
@@ -1564,8 +1569,11 @@ object VectorOps {
   def q89IvfpqRecall(s: SparkSession, dir: String): DataFrame = {
     val (coarse, codes) = kmeansLearn(s, dir)
     if (coarse.isEmpty)
-      return codes.select(lit(0L).as("n_queries"), lit(0L).as("n_hits"),
-        lit(0d).as("recall_at_k")).limit(0)
+      // empty corpus: the one (0, 0, NULL) row the oracles' 0/0 -> NULL
+      // arithmetic also emits (empty-tables parity sweep)
+      return codes.sparkSession.range(1)
+        .select(lit(0L).as("n_queries"), lit(0L).as("n_hits"),
+          lit(null).cast("double").as("recall_at_k"))
     val coarseMat = typedLit(coarse.map(_.map(_.toDouble)))
     // residual frame (vec_id, cid, c): integer-valued doubles, the
     // pqLearnOn contract; checkpointed — it feeds 1 + PqIters trainer

@@ -538,17 +538,25 @@ object Queries {
     * elision. Superseded layouts are deleted; dirs also registered for
     * JVM-exit cleanup. */
   private val partitionedDocs =
-    new graft.operators.PlanCache[String]("partitioned_docs")(
-      (_, base) =>
-        graft.operators.PlanCache.deleteRecursively(java.nio.file.Paths.get(base)),
-      base =>
-        graft.operators.PlanCache.deleteRecursively(java.nio.file.Paths.get(base)))
+    new graft.operators.PlanCache[Option[String]]("partitioned_docs")(
+      (_, base) => base.foreach(b =>
+        graft.operators.PlanCache.deleteRecursively(java.nio.file.Paths.get(b))),
+      base => base.foreach(b =>
+        graft.operators.PlanCache.deleteRecursively(java.nio.file.Paths.get(b))))
 
-  private def ensureLangPartitioned(s: SparkSession, dir: String): String =
+  /** None ⇔ the corpus is empty: `partitionBy` of zero rows writes no
+    * directories at all, so the layout read-back would fail schema
+    * inference — an empty day must short-circuit, not crash
+    * (empty-tables parity sweep). */
+  private def ensureLangPartitioned(s: SparkSession, dir: String): Option[String] =
     partitionedDocs.get(s, dir, graft.sources.FsSig.of(s"$dir/documents.parquet")) {
-      val base = graft.operators.PlanCache.tempDir("graft_partdocs_")
-      t(s, dir, "documents").write.partitionBy("lang").mode("overwrite").parquet(base)
-      base
+      val docs = t(s, dir, "documents")
+      if (docs.isEmpty) None
+      else {
+        val base = graft.operators.PlanCache.tempDir("graft_partdocs_")
+        docs.write.partitionBy("lang").mode("overwrite").parquet(base)
+        Some(base)
+      }
     }
 
   /** Q60: partition-pruned scan over a hive-partitioned layout — the
@@ -560,8 +568,11 @@ object Queries {
     * rest of the corpus. This is the at-rest layout for any column a
     * pipeline routinely slices on (lang, source, date). */
   def q60PartitionPruning(s: SparkSession, dir: String): DataFrame = {
-    val p = ensureLangPartitioned(s, dir)
-    s.read.parquet(p).filter(col("lang") === "en")
+    val src = ensureLangPartitioned(s, dir) match {
+      case Some(p) => s.read.parquet(p)
+      case None    => t(s, dir, "documents") // empty: same schema, no layout
+    }
+    src.filter(col("lang") === "en")
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("tot_chars"))
       .orderBy("source")
@@ -597,19 +608,28 @@ object Queries {
     * arithmetic needs at query time. Same lifecycle as the q50/q60
     * layouts (signature-guarded, released when superseded). */
   private val zorderedEvents =
-    new graft.operators.PlanCache[(String, Long, Long, Double, Double)]("zordered_events")(
-      (_, e) =>
-        graft.operators.PlanCache.deleteRecursively(java.nio.file.Paths.get(e._1)),
-      e =>
-        graft.operators.PlanCache.deleteRecursively(java.nio.file.Paths.get(e._1)))
+    new graft.operators.PlanCache[Option[(String, Long, Long, Double, Double)]]("zordered_events")(
+      (_, e) => e.foreach(x =>
+        graft.operators.PlanCache.deleteRecursively(java.nio.file.Paths.get(x._1))),
+      e => e.foreach(x =>
+        graft.operators.PlanCache.deleteRecursively(java.nio.file.Paths.get(x._1))))
 
+  /** None ⇔ events is empty: the grid bounds are NULL and the
+    * partitioned write would leave nothing to read back — an empty day
+    * must short-circuit, not crash (empty-tables parity sweep). */
   private def ensureZordered(s: SparkSession, dir: String)
-      : (String, Long, Long, Double, Double) =
+      : Option[(String, Long, Long, Double, Double)] =
     zorderedEvents.get(s, dir, graft.sources.FsSig.of(s"$dir/events.parquet")) {
       val base = graft.operators.PlanCache.tempDir("graft_zorder_")
       val e = events(s, dir)
       val b = e.agg(min("user_id").as("a"), max("user_id").as("b"),
         min("value").as("c"), max("value").as("d")).collect().head
+      if (b.isNullAt(0)) None
+      else buildZordered(e, base, b)
+    }
+
+  private def buildZordered(e: DataFrame, base: String,
+      b: org.apache.spark.sql.Row): Option[(String, Long, Long, Double, Double)] = {
       val (uMin, uMax) = (b.getLong(0), b.getLong(1))
       val (vMin, vMax) = (b.getDouble(2), b.getDouble(3))
       val cells = 1 << ZBits
@@ -627,7 +647,7 @@ object Queries {
       }
       e.withColumn("zb", zb.cast("int"))
         .write.partitionBy("zb").mode("overwrite").parquet(base)
-      (base, uMin, uMax, vMin, vMax)
+      Some((base, uMin, uMax, vMin, vMax))
     }
 
   /** Q76: Z-ORDER layout + 2-D pruned range scan — the multi-column
@@ -650,7 +670,15 @@ object Queries {
     * WHERE rows live, never which rows answer. Money-style sums go
     * through exact integer cents (the no-double-sums rule). */
   def q76ZorderPruned(s: SparkSession, dir: String): DataFrame = {
-    val (base, uMin, uMax, vMin, vMax) = ensureZordered(s, dir)
+    val built = ensureZordered(s, dir)
+    if (built.isEmpty)
+      return events(s, dir).filter(lit(false))   // empty day: no layout
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          (sum(round(col("value") * 100).cast("long")).cast("double") / 100.0)
+            .as("tot_value"))
+        .orderBy("event_type")
+    val (base, uMin, uMax, vMin, vMax) = built.get
     val cells = 1 << ZBits
     def ubOf(u: Long): Int =
       if (uMax == uMin) 0

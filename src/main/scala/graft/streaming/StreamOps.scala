@@ -658,14 +658,20 @@ object StreamOps {
     val work = java.nio.file.Files.createTempDirectory("graft_sq7_")
     work.toFile.deleteOnExit()
     val raw = s.read.parquet(s"$dir/events.parquet")
-    raw.write.mode("append").parquet(work.toString)
-    val maxTsNanos = raw.agg(max("ts")).head().getLong(0)
-    val flushTsNanos = maxTsNanos + (gapUs + 60L * 1000000) * 1000
-    raw.limit(1).select(
-      lit(-1L).as("event_id"), lit(-1L).as("user_id"),
-      lit("view").as("event_type"), lit(0d).as("value"),
-      lit(flushTsNanos).as("ts"))
-      .write.mode("append").parquet(work.toString)
+    val maxRow = raw.agg(max("ts")).head()
+    // empty day: no flush tick to stage (max(ts) is NULL) — write one
+    // schema-bearing part file so the staged read still resolves; the
+    // sessionizer then emits zero sessions (empty-tables parity sweep)
+    val staged = if (maxRow.isNullAt(0)) raw.repartition(1) else raw
+    staged.write.mode("append").parquet(work.toString)
+    if (!maxRow.isNullAt(0)) {
+      val flushTsNanos = maxRow.getLong(0) + (gapUs + 60L * 1000000) * 1000
+      raw.limit(1).select(
+        lit(-1L).as("event_id"), lit(-1L).as("user_id"),
+        lit("view").as("event_type"), lit(0d).as("value"),
+        lit(flushTsNanos).as("ts"))
+        .write.mode("append").parquet(work.toString)
+    }
     sq6SessionizeTimeout(s, work.toString)
       .filter(col("user_id") >= 0)
       .orderBy("user_id", "sid")

@@ -18,12 +18,24 @@ writes three fixture dirs:
   <out>/media   — media.parquet: declared n_frames=0, truncated
                   payload (5 declared / 1 present), empty binary, one
                   well-formed row. Point GRAFT_FIXTURES_DIR here.
+  <out>/empty   — ALL ten driver tables, zero rows, exact physical
+                  schemas (the empty-partition / empty-day case); run
+                  the FULL query surface against it.
 
 Round-7 findings this sweep caught: ANSI DIVIDE_BY_ZERO crashes in
 q32/q94 (empty text), q68 (unlisted language), and the whole cosine
 family q40-q78 (zero-norm embedding) — each fixed by pinning one
 semantics in both engines (punct=0, weight=0, cos=0). Event family
 passed unchanged.
+
+Empty-tables findings: the four ANN/PQ certifications divided by a
+zero query-panel (now emit the oracles' one (0, 0, NULL) row), the
+q50/q60/q76 cached layouts crashed read-back (partitionBy of zero rows
+writes no files — now Option-short-circuited), sq7 staged a NULL flush
+tick. Expected residue: q14/q19/q25 mismatch because Spark emits no
+super-aggregate row from rollup/cube/grouping-sets over an empty
+relation where the SQL standard (and DuckDB) emits the grand total —
+pinned as KNOWN DIVERGENCE in EdgeCaseSpec.
 
 Sweep (per family):
   SPARK_GRAFT_ONLY=<keys> sbt -batch "runMain graft.Verify <dir> <out>"
@@ -124,9 +136,18 @@ def media_fixture(d):
     pq.write_table(t, f"{d}/media.parquet")
 
 
+def empty_fixture(d):
+    tables = ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split()
+    for name in tables:
+        t = pq.read_table(f"{SF}/{name}.parquet")
+        pq.write_table(t.slice(0, 0), f"{d}/{name}.parquet")
+
+
 def main(out):
     for name, fn in [("text", text_fixture), ("vec", vec_fixture),
-                     ("events", events_fixture), ("media", media_fixture)]:
+                     ("events", events_fixture), ("media", media_fixture),
+                     ("empty", empty_fixture)]:
         d = os.path.join(out, name)
         os.makedirs(d, exist_ok=True)
         fn(d)
