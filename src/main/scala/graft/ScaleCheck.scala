@@ -83,7 +83,10 @@ object ScaleCheck {
     // PMI: the pair aggregation must collapse the 10× corpus to the
     // (salt-inflated) bigram vocabulary; quality sampling is the
     // map-only flat-by-construction claim, verified not assumed
-    "q93_pmi_collocations", "q94_quality_sample")
+    "q93_pmi_collocations", "q94_quality_sample",
+    // PII redaction: three regex rewrites per row over 10× the chars —
+    // the map-only linearity claim, verified not assumed
+    "q95_pii_redact")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1450,6 +1450,80 @@ object TextOps {
       |FROM tc LEFT JOIN tri ON tc.doc_id = tri.doc_id
       |ORDER BY tc.doc_id""".stripMargin
 
+  // ------------------------------------------------ q95 PII redaction
+
+  /** Patterns deliberately restricted to the Java-regex ∩ RE2 common
+    * subset (no backreferences, no lookaround, ASCII classes only) so
+    * Spark and the DuckDB oracle match byte-identically. */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val IpRe    = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  private val PhoneRe = "\\+[0-9][0-9 ().-]{6,}[0-9]"
+
+  /** q95: PII detection + redaction — the compliance pass every
+    * training corpus goes through before tokenization: emails, IPv4
+    * addresses and international-format phone numbers are counted and
+    * replaced with typed placeholders. Counting and redaction run in a
+    * FIXED cascade (email → IP → phone), each stage matching on the
+    * previous stage's redacted text, so a '+digits' local-part inside
+    * an email can never double-count as a phone; the oracle runs the
+    * identical cascade. `redacted_fp` certifies the redacted BYTES,
+    * not just the counts: md5₆₀ of each redacted document mod 1000003,
+    * summed per source (bounded far below Long overflow at any corpus
+    * size) — if either engine's regex semantics drifted by one byte,
+    * the fingerprint diverges.
+    *
+    * Scale shape: a joinless per-row map (three codegen'd regex
+    * rewrites) followed by ONE partial-aggregated groupBy(source) —
+    * the q94 discipline. No shuffle touches document text; only the
+    * (source, counters) partials move. */
+  def q95PiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val t1 = regexp_replace(col("text"), EmailRe, "<EMAIL>")
+    val t2 = regexp_replace(t1, IpRe, "<IP>")
+    val t3 = regexp_replace(t2, PhoneRe, "<PHONE>")
+    docs(s, dir)
+      .select(col("source"),
+        regexp_count(col("text"), lit(EmailRe)).as("ne"),
+        regexp_count(t1, lit(IpRe)).as("ni"),
+        regexp_count(t2, lit(PhoneRe)).as("np"),
+        (conv(substring(md5(t3), 1, 15), 16, 10).cast("long") % 1000003L).as("h"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("ne") + col("ni") + col("np") > 0, 1L).otherwise(0L))
+          .cast("long").as("docs_with_pii"),
+        sum("ne").cast("long").as("n_emails"),
+        sum("ni").cast("long").as("n_ips"),
+        sum("np").cast("long").as("n_phones"),
+        sum("h").cast("long").as("redacted_fp"))
+      .orderBy("source")
+  }
+
+  val q95Sql: String =
+    s"""WITH r1 AS (
+       |  SELECT source,
+       |    len(regexp_extract_all(text, '$EmailRe')) AS ne,
+       |    regexp_replace(text, '$EmailRe', '<EMAIL>', 'g') AS t1
+       |  FROM documents
+       |), r2 AS (
+       |  SELECT source, ne,
+       |    len(regexp_extract_all(t1, '$IpRe')) AS ni,
+       |    regexp_replace(t1, '$IpRe', '<IP>', 'g') AS t2
+       |  FROM r1
+       |), r3 AS (
+       |  SELECT source, ne, ni,
+       |    len(regexp_extract_all(t2, '$PhoneRe')) AS np,
+       |    regexp_replace(t2, '$PhoneRe', '<PHONE>', 'g') AS t3
+       |  FROM r2
+       |)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN ne + ni + np > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS docs_with_pii,
+       |  CAST(sum(ne) AS BIGINT) AS n_emails,
+       |  CAST(sum(ni) AS BIGINT) AS n_ips,
+       |  CAST(sum(np) AS BIGINT) AS n_phones,
+       |  CAST(sum(CAST(('0x' || substring(md5(t3), 1, 15))::UBIGINT % 1000003
+       |    AS BIGINT)) AS BIGINT) AS redacted_fp
+       |FROM r3 GROUP BY source ORDER BY source""".stripMargin
+
   // ---------------------------------------------- q64 bigram LM scoring
 
   /** q64: language-model quality scoring — per-document average
@@ -2778,6 +2852,7 @@ object TextOps {
     "q92_incremental_dedup" -> (q92IncrementalDedup _),
     "q93_pmi_collocations" -> (q93PmiCollocations _),
     "q94_quality_sample" -> (q94QualitySample _),
+    "q95_pii_redact" -> (q95PiiRedact _),
     "q55_vocab_topk" -> (q55VocabTopk _),
     "q91_vocab_coverage" -> (q91VocabCoverage _),
     "q56_seq_pack" -> (q56SeqPack _),
@@ -2818,6 +2893,7 @@ object TextOps {
     "q92_incremental_dedup" -> q92Sql,
     "q93_pmi_collocations" -> q93Sql,
     "q94_quality_sample" -> q94Sql,
+    "q95_pii_redact" -> q95Sql,
     "q55_vocab_topk" -> q55Sql,
     "q91_vocab_coverage" -> q91Sql,
     "q56_seq_pack" -> q56Sql,

@@ -61,7 +61,8 @@ class EdgeCaseSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q91" -> (TextOps.q91VocabCoverage _),
     "q92" -> (TextOps.q92IncrementalDedup _),
     "q93" -> (TextOps.q93PmiCollocations _),
-    "q94" -> (TextOps.q94QualitySample _))
+    "q94" -> (TextOps.q94QualitySample _),
+    "q95" -> (TextOps.q95PiiRedact _))
 
   test("every text operator returns empty on an empty corpus, without throwing") {
     textOps.foreach { case (name, fn) =>

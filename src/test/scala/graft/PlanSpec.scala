@@ -267,6 +267,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"the corpus must collapse in one (source, band) aggregation:\n$plan")
   }
 
+  test("PII redaction (q95): joinless map + one partial-agg shuffle, no text past the map") {
+    val plan = physical(TextOps.q95PiiRedact(spark, dir))
+    assert(!plan.contains("Join"), s"regex cascade + counters need no join:\n$plan")
+    // one aggregation exchange + the output-order exchange, nothing else
+    assert("Exchange".r.findAllIn(plan).size <= 2,
+      s"the corpus must collapse in one per-source aggregation:\n$plan")
+    assert(plan.contains("partial_"),
+      s"counters must pre-combine map-side before the source shuffle:\n$plan")
+  }
+
   test("capped LM (q72): scoring joins broadcast, top-K is distributed, corpus never shuffle-joined") {
     val df = TextOps.q72LmScoreCapped(spark, dir)
     df.collect()

@@ -151,4 +151,57 @@ class Round7Spec extends AnyFunSuite with BeforeAndAfterAll {
       r.getAs[Long]("n_kept") < r.getAs[Long]("n_docs")),
       s"some band must sample strictly between 0 and all: ${rows.mkString(";")}")
   }
+
+  test("q95: PII cascade counts exactly; email local-parts never double-count as phones") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    def doc(id: Long, text: String, src: String) =
+      Row(id, text, "en", src, text.length.toLong)
+    val rows = List(
+      // 1 email whose local part contains '+digits' — the cascade
+      // must redact it as ONE email, zero phones
+      doc(1, "mail a+5551234567b@example.com for details", "s0"),
+      // 1 intl phone + 1 IPv4 in one doc
+      doc(2, "call +1 (555) 123-4567 or ping 10.0.0.1 now", "s0"),
+      // 2 IPs; the dotted quad must not leak into the phone counter
+      doc(3, "hosts 192.168.1.100 and 8.8.8.8 are up", "s1"),
+      // clean doc: all counters zero but the row still lands in n_docs
+      doc(4, "nothing sensitive in here at all", "s1"))
+    val d = graft.operators.PlanCache.tempDir("graft_r7_pii_")
+    spark.createDataFrame(rows.asJava, schema)
+      .write.parquet(s"$d/documents.parquet")
+    val out = TextOps.q95PiiRedact(spark, d).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(out.keySet == Set("s0", "s1"))
+    val s0 = out("s0")
+    assert(s0.getAs[Long]("n_docs") == 2 && s0.getAs[Long]("docs_with_pii") == 2)
+    assert(s0.getAs[Long]("n_emails") == 1, s"one email, not a phone: $s0")
+    assert(s0.getAs[Long]("n_phones") == 1 && s0.getAs[Long]("n_ips") == 1)
+    val s1 = out("s1")
+    assert(s1.getAs[Long]("n_docs") == 2 && s1.getAs[Long]("docs_with_pii") == 1)
+    assert(s1.getAs[Long]("n_emails") == 0 && s1.getAs[Long]("n_phones") == 0 &&
+      s1.getAs[Long]("n_ips") == 2, s"dotted quads are IPs, not phones: $s1")
+    // byte-level certification: the fingerprint must equal a direct
+    // recomputation from the redacted strings (pins the md5-mod-sum)
+    import org.apache.spark.sql.functions._
+    val fp = spark.read.parquet(s"$d/documents.parquet")
+      .select(col("source"),
+        (conv(substring(md5(
+          regexp_replace(regexp_replace(regexp_replace(col("text"),
+            "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+            "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b", "<IP>"),
+            "\\+[0-9][0-9 ().-]{6,}[0-9]", "<PHONE>")), 1, 15), 16, 10)
+          .cast("long") % 1000003L).as("h"))
+      .groupBy("source").agg(sum("h").cast("long").as("fp"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { case (src, r) =>
+      assert(r.getAs[Long]("redacted_fp") == fp(src),
+        s"fingerprint mismatch for $src")
+    }
+  }
 }

@@ -8,7 +8,9 @@ contains, for cross-engine parity sweeps via Verify + check_oracle.
 writes three fixture dirs:
   <out>/text    — documents.parquet: empty text, 1/2-token docs,
                   unicode, an unlisted language, exact dups crossing
-                  the q92 new/history split
+                  the q92 new/history split, PII-laden docs (email
+                  with +digits local part, intl phone, IPv4s) for the
+                  q95 redaction cascade
   <out>/vec     — embeddings.parquet: the sf0.001 set with every
                   vec_id % 17 == 3 zeroed (failed-encoder rows);
                   documents.parquet copied for ops that need both
@@ -65,7 +67,9 @@ COPY (SELECT CAST(doc_id AS BIGINT) AS doc_id, text, lang, source,
   (5, '', 'en', 'src0'),
   (10, 'one', 'en', 'src0'),
   (15, 'totally fresh content here today', 'en', 'src1'),
-  (20, 'два слова', 'ru', 'src1')
+  (20, 'два слова', 'ru', 'src1'),
+  (25, 'reach jane+42@corp.example.org or +44 20 7946 0958 ok', 'en', 'src1'),
+  (30, 'node 10.1.2.3 mirrors 172.16.254.1 daily', 'en', 'src0')
 ) t(doc_id, text, lang, source))
 TO '{d}/documents.parquet' (FORMAT PARQUET)""")
 
