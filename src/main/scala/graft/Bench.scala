@@ -166,7 +166,7 @@ object Bench {
       "q88_containment", "q89_ivfpq_recall", "sq8_stream_sketch",
       "q90_source_overlap", "q91_vocab_coverage", "q92_incremental_dedup",
       "q93_pmi_collocations", "sq9_stream_incr_dedup", "q94_quality_sample",
-      "q95_pii_redact")
+      "q95_pii_redact", "q96_editdist_verify")
     // shingle-index misses during TIMED passes only (warm passes are
     // expected to build it once per session+dir)
     var timedIndexMisses = 0L

@@ -86,7 +86,10 @@ object ScaleCheck {
     "q93_pmi_collocations", "q94_quality_sample",
     // PII redaction: three regex rewrites per row over 10× the chars —
     // the map-only linearity claim, verified not assumed
-    "q95_pii_redact")
+    "q95_pii_redact",
+    // edit-distance verify: O(la·lb) per CANDIDATE — cost must track
+    // the q53 pair count, not the corpus
+    "q96_editdist_verify")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -901,6 +901,105 @@ object TextOps {
        |JOIN per pb ON pb.source = src_b
        |ORDER BY src_a, src_b""".stripMargin
 
+  // ------------------------------ q96 edit-distance pair verification
+
+  /** Normalized edit similarity at or above this confirms a candidate
+    * pair as a character-level near-duplicate. */
+  val EditSimMin = 0.8
+
+  /** The verify runs on the first [[VerifyPrefix]] characters of each
+    * document (both engines). Levenshtein is O(la·lb) PER PAIR, and
+    * the scale drill proved the full-document formulation detonates:
+    * the 10× hot corpus multiplies candidates AND doubles text, and
+    * the drill never finished. Capping the DP at 256² cells per pair
+    * was STILL too hot at 7.5 M candidates (a single scaled pass blew
+    * 10 min), so the verify is additionally BANDED at [[LevBand]]. */
+  val VerifyPrefix = 256
+
+  /** Banded-DP cutoff: `ceil((1 − EditSimMin) · VerifyPrefix)` = 52.
+    * Spark's thresholded levenshtein runs the O(band · len) diagonal
+    * band with early exit and returns −1 beyond it — and the verdict
+    * stays EXACT: `lev > band ⟹ sim = 1 − lev/maxlen <
+    * 1 − band/maxlen ≤ 1 − band/VerifyPrefix < EditSimMin` for every
+    * `maxlen ≤ VerifyPrefix`, so every banded-out pair is provably
+    * unconfirmed. The DuckDB oracle emulates the band with a CASE on
+    * the full distance (it runs at oracle SF only). */
+  val LevBand: Int = math.ceil((1 - EditSimMin) * VerifyPrefix).toInt
+
+  /** q96: CHARACTER-LEVEL verification of the near-dup candidates —
+    * the second opinion a curation pass wants before deleting data:
+    * SimHash (q53) votes on token sets, so token-order shuffles and
+    * small in-word edits can slip through or score alike; Levenshtein
+    * similarity (1 − dist/maxlen) measures the actual byte-level
+    * rewrite distance. Emits every q53 candidate pair with its exact
+    * edit distance, normalized similarity and a confirmed verdict at
+    * [[EditSimMin]] — the classic two-stage fuzzy-dedup shape
+    * (cheap candidate generation, expensive exact verify on the
+    * bounded candidate set only).
+    *
+    * Scale shape: the pair set is the certified q53 band-bucket join
+    * (never all-pairs, consumed from the session pair-graph
+    * artifact); text attaches via two doc_id equi-joins against the
+    * narrow (doc_id, text) projection, so text rides only to the
+    * BOUNDED pair set, never through a band shuffle; the verify
+    * itself is one codegen'd binary expression per candidate,
+    * prefix-capped at [[VerifyPrefix]] chars AND banded at [[LevBand]]
+    * (both proven necessary by the scale drill — see those vals; the
+    * DuckDB oracle applies the identical prefix and emulates the
+    * band, so the verdict column is engine-exact, including the
+    * provably-unconfirmed banded-out pairs). `maxlen = 0` (two empty
+    * docs) pins similarity 1.0 in both engines — identical empties
+    * are duplicates, not a ÷0. */
+  def q96EditdistVerify(s: SparkSession, dir: String): DataFrame = {
+    val txt = docs(s, dir)
+      .select(col("doc_id"), substring(col("text"), 1, VerifyPrefix).as("text"))
+    simhashPairs(s, dir)
+      .join(txt.select(col("doc_id").as("doc_a"), col("text").as("ta")), Seq("doc_a"))
+      .join(txt.select(col("doc_id").as("doc_b"), col("text").as("tb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("hamming"),
+        levenshtein(col("ta"), col("tb"), LevBand).cast("long").as("lev"),
+        greatest(length(col("ta")), length(col("tb"))).cast("long").as("maxlen"))
+      // lev = −1 ⇔ distance exceeds the band ⇔ provably unconfirmed
+      // (see LevBand); edit_sim is then unknown-by-design → NULL
+      .select(col("doc_a"), col("doc_b"), col("hamming"), col("lev"),
+        when(col("maxlen") === 0, lit(1.0))
+          .when(col("lev") >= 0,
+            lit(1.0) - col("lev").cast("double") / col("maxlen"))
+          .otherwise(lit(null).cast("double"))
+          .as("edit_sim"))
+      .withColumn("confirmed",
+        coalesce(col("edit_sim") >= EditSimMin, lit(false)))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val q96Sql: String =
+    s"""$simhashShCtes,
+       |nd AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= $HammingMax
+       |), px AS (
+       |  SELECT doc_id, substring(text, 1, $VerifyPrefix) AS text FROM documents
+       |), v0 AS (
+       |  SELECT doc_a, doc_b, hamming,
+       |    CAST(levenshtein(x.text, y.text) AS BIGINT) AS lv,
+       |    greatest(length(x.text), length(y.text)) AS maxlen
+       |  FROM nd
+       |  JOIN px x ON x.doc_id = doc_a
+       |  JOIN px y ON y.doc_id = doc_b
+       |), v AS (
+       |  SELECT doc_a, doc_b, hamming,
+       |    CASE WHEN lv <= $LevBand THEN lv ELSE -1 END AS lev,
+       |    CASE WHEN maxlen = 0 THEN 1.0
+       |         WHEN lv <= $LevBand THEN 1.0 - CAST(lv AS DOUBLE) / maxlen
+       |         ELSE NULL END AS edit_sim
+       |  FROM v0
+       |)
+       |SELECT doc_a, doc_b, hamming, lev, edit_sim,
+       |  coalesce(edit_sim >= $EditSimMin, false) AS confirmed
+       |FROM v ORDER BY doc_a, doc_b""".stripMargin
+
   // --------------------------------- q92 incremental dedup (batch vs index)
 
   /** New-batch membership for q92: doc_id ≡ 0 (mod [[IncrMod]]) plays
@@ -2849,6 +2948,7 @@ object TextOps {
     "q48_rolling_hash" -> (q48RollingHash _),
     "q53_simhash_neardup" -> (q53SimhashNeardup _),
     "q90_source_overlap" -> (q90SourceOverlap _),
+    "q96_editdist_verify" -> (q96EditdistVerify _),
     "q92_incremental_dedup" -> (q92IncrementalDedup _),
     "q93_pmi_collocations" -> (q93PmiCollocations _),
     "q94_quality_sample" -> (q94QualitySample _),
@@ -2890,6 +2990,7 @@ object TextOps {
     "q48_rolling_hash" -> q48Sql,
     "q53_simhash_neardup" -> q53Sql,
     "q90_source_overlap" -> q90Sql,
+    "q96_editdist_verify" -> q96Sql,
     "q92_incremental_dedup" -> q92Sql,
     "q93_pmi_collocations" -> q93Sql,
     "q94_quality_sample" -> q94Sql,

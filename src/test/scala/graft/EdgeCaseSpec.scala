@@ -62,7 +62,8 @@ class EdgeCaseSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q92" -> (TextOps.q92IncrementalDedup _),
     "q93" -> (TextOps.q93PmiCollocations _),
     "q94" -> (TextOps.q94QualitySample _),
-    "q95" -> (TextOps.q95PiiRedact _))
+    "q95" -> (TextOps.q95PiiRedact _),
+    "q96" -> (TextOps.q96EditdistVerify _))
 
   test("every text operator returns empty on an empty corpus, without throwing") {
     textOps.foreach { case (name, fn) =>

@@ -277,6 +277,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"counters must pre-combine map-side before the source shuffle:\n$plan")
   }
 
+  test("edit-dist verify (q96): text attaches to the bounded pair set by id equi-join, no cartesian") {
+    val plan = physical(TextOps.q96EditdistVerify(spark, dir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"the verify must ride the q53 band-bucket candidates, never all pairs:\n$plan")
+  }
+
   test("capped LM (q72): scoring joins broadcast, top-K is distributed, corpus never shuffle-joined") {
     val df = TextOps.q72LmScoreCapped(spark, dir)
     df.collect()

@@ -152,6 +152,55 @@ class Round7Spec extends AnyFunSuite with BeforeAndAfterAll {
       s"some band must sample strictly between 0 and all: ${rows.mkString(";")}")
   }
 
+  test("q96: token-order shuffles slip past SimHash and are caught by the edit verify") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    def doc(id: Long, text: String) =
+      Row(id, text, "en", "s0", text.length.toLong)
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val rows = List(
+      doc(10, base),
+      doc(11, base), // exact duplicate: sim 1.0, confirmed
+      // same TOKEN SET, reversed order: identical simhash (hamming 0)
+      // — the candidate SimHash cannot distinguish; the char-level
+      // verify must reject it
+      doc(12, base.split(" ").reverse.mkString(" ")))
+    val d = graft.operators.PlanCache.tempDir("graft_r7_edit_")
+    spark.createDataFrame(rows.asJava, schema)
+      .write.parquet(s"$d/documents.parquet")
+    val out = TextOps.q96EditdistVerify(spark, d).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r).toMap
+    // all three pairs are candidates (identical token set => identical
+    // fingerprint => same band buckets)
+    assert(out.keySet == Set((10L, 11L), (10L, 12L), (11L, 12L)), s"$out")
+    val dup = out((10L, 11L))
+    assert(dup.getAs[Int]("hamming") == 0 && dup.getAs[Long]("lev") == 0 &&
+      dup.getAs[Double]("edit_sim") == 1.0 && dup.getAs[Boolean]("confirmed"))
+    val shuffled = out((10L, 12L))
+    assert(shuffled.getAs[Int]("hamming") == 0,
+      s"SimHash is order-blind by construction: $shuffled")
+    assert(!shuffled.getAs[Boolean]("confirmed") &&
+      shuffled.getAs[Double]("edit_sim") < TextOps.EditSimMin,
+      s"the char-level verify must reject the token shuffle: $shuffled")
+    // similarity is a valid [0,1] fraction (NULL only beyond the DP
+    // band, where lev = -1 and confirmed must be false) and the
+    // verdict is exactly the threshold predicate on every pair
+    out.values.foreach { r =>
+      if (r.isNullAt(r.fieldIndex("edit_sim"))) {
+        assert(r.getAs[Long]("lev") == -1L && !r.getAs[Boolean]("confirmed"))
+      } else {
+        val sim = r.getAs[Double]("edit_sim")
+        assert(sim >= 0.0 && sim <= 1.0)
+        assert(r.getAs[Boolean]("confirmed") == (sim >= TextOps.EditSimMin))
+      }
+    }
+  }
+
   test("q95: PII cascade counts exactly; email local-parts never double-count as phones") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
