@@ -715,12 +715,11 @@ object Queries {
 
   // ----------------------------------------------------------------- events
 
-  /** events with `ts` as a proper TimestampType. The driver parquet
-    * stores TIMESTAMP(NANOS) which Spark reads as long nanos (see
-    * GraftSession nanosAsLong); truncate ns -> us exactly like
-    * DuckDB's CAST(ts_ns AS TIMESTAMP). */
+  /** events with `ts` as a proper TimestampType — the vintage bridge
+    * handles both fixture encodings (TIMESTAMP(NANOS) longs / native
+    * micros), see [[graft.sources.TsBridge]]. */
   private def events(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.sources.TsBridge.normalize(t(s, dir, "events"))
 
   /** Q18: AS-OF join — for every click, the most recent purchase by
     * the same user at or before the click (event attribution).
@@ -1193,6 +1192,103 @@ object Queries {
        |  CAST(sum(doc_id) FILTER (WHERE rk <= $QuotaCap) AS BIGINT) AS kept_id_sum
        |FROM r GROUP BY source ORDER BY source""".stripMargin
 
+  /** Q97: RETENTION COHORTS — the product-analytics matrix every event
+    * pipeline ships: users grouped by first-seen day (their cohort),
+    * then for each (cohort, days-since-cohort) the count of users
+    * still active and the retention ratio vs the cohort's day-0 size.
+    *
+    * Scale shape: the event set collapses FIRST — `distinct (user_id,
+    * day)` partial-aggregates map-side, so the shuffle carries
+    * user-days, not events. The cohort day is then a `min` window over
+    * the SAME user_id partitioning (q82's conditional-window
+    * discipline: one Exchange, no self-join back to the raw events),
+    * and the final aggregate is cohort×days-sized — tiny at any SF.
+    * The retention divisor is a `first_value` window over that tiny
+    * frame (each partition = one cohort's ≤ span-days rows), never the
+    * event relation. Determinism: counts are exact longs; one IEEE
+    * division rounded to 6 dp. */
+  def q97RetentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val active = events(s, dir)
+      .select(col("user_id"), to_date(date_trunc("day", col("ts"))).as("d"))
+      .distinct()
+    val wUser = Window.partitionBy("user_id")
+    val wCohort = Window.partitionBy("cohort_d").orderBy("day_n")
+    active
+      .withColumn("cohort_d", min(col("d")).over(wUser))
+      .groupBy(col("cohort_d"),
+        datediff(col("d"), col("cohort_d")).cast("int").as("day_n"))
+      .agg(count(lit(1)).as("n_users"))
+      .withColumn("retention",
+        round(col("n_users").cast("double") /
+          first(col("n_users")).over(wCohort), 6))
+      .orderBy("cohort_d", "day_n")
+  }
+
+  val q97Sql: String =
+    """WITH active AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      |  FROM events
+      |), f AS (
+      |  SELECT user_id, d, min(d) OVER (PARTITION BY user_id) AS cohort_d
+      |  FROM active
+      |), c AS (
+      |  SELECT cohort_d, CAST(date_diff('day', cohort_d, d) AS INT) AS day_n,
+      |    count(*) AS n_users
+      |  FROM f GROUP BY 1, 2
+      |)
+      |SELECT cohort_d, day_n, n_users,
+      |  round(CAST(n_users AS DOUBLE) /
+      |    first_value(n_users) OVER (PARTITION BY cohort_d ORDER BY day_n),
+      |    6) AS retention
+      |FROM c ORDER BY cohort_d, day_n""".stripMargin
+
+  /** Q98: EVENT-TYPE TRANSITION MATRIX — first-order Markov view of
+    * user behavior (the "what happens after a click" query; also the
+    * shape of next-action models' training counts): for each ordered
+    * pair of event types, how often the second immediately follows the
+    * first within the same user's timeline, and the conditional
+    * probability P(to | from).
+    *
+    * Scale shape: ONE Exchange on user_id for the `lead` window (the
+    * timeline's natural key — same partitioning q22/q82 use), then the
+    * corpus collapses map-side to the |types|² transition matrix (≤ a
+    * few dozen rows at any SF). P(to|from) divides by a `sum` window
+    * over that matrix — never the event relation. Ties in ts break on
+    * event_id in BOTH engines, so `lead` is deterministic. */
+  def q98Transitions(s: SparkSession, dir: String): DataFrame = {
+    val wUser = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val wFrom = Window.partitionBy("from_type")
+    events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("to_type", lead("event_type", 1).over(wUser))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p_next",
+        round(col("n").cast("double") / sum(col("n")).over(wFrom), 6))
+      .orderBy("from_type", "to_type")
+  }
+
+  val q98Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events
+      |), nxt AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |                           ORDER BY us, event_id) AS to_type
+      |  FROM e
+      |), m AS (
+      |  SELECT from_type, to_type, count(*) AS n
+      |  FROM nxt WHERE to_type IS NOT NULL GROUP BY 1, 2
+      |)
+      |SELECT from_type, to_type, n,
+      |  round(CAST(n AS DOUBLE) /
+      |    sum(n) OVER (PARTITION BY from_type), 6) AS p_next
+      |FROM m ORDER BY from_type, to_type""".stripMargin
+
   // --------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1228,7 +1324,9 @@ object Queries {
     "q52_sketches" -> (q52Sketches _),
     "q80_cms_topk" -> (q80CmsTopk _),
     "q82_funnel" -> (q82Funnel _),
-    "q83_source_quota" -> (q83SourceQuota _)
+    "q83_source_quota" -> (q83SourceQuota _),
+    "q97_retention_cohorts" -> (q97RetentionCohorts _),
+    "q98_transitions" -> (q98Transitions _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -1267,6 +1365,8 @@ object Queries {
     "q52_sketches" -> q52Sql,
     "q80_cms_topk" -> q80Sql,
     "q82_funnel" -> q82Sql,
-    "q83_source_quota" -> q83Sql
+    "q83_source_quota" -> q83Sql,
+    "q97_retention_cohorts" -> q97Sql,
+    "q98_transitions" -> q98Sql
   )
 }

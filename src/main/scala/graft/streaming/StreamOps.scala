@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.sources.TsBridge
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, Trigger}
 import org.apache.spark.sql.types._
@@ -23,14 +24,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object StreamOps {
 
-  /** events schema as stored by the driver (ts is TIMESTAMP(NANOS),
-    * surfaced as long nanos under nanosAsLong). */
-  val eventsSchema: StructType = StructType(Seq(
+  /** events schema as stored by the driver, parameterized on the ts
+    * vintage ([[graft.sources.TsBridge]]): TIMESTAMP(NANOS) rounds
+    * surface ts as LONG nanos under nanosAsLong; native-micros rounds
+    * surface TIMESTAMP_NTZ. Streaming sources must declare the schema
+    * up front, so callers probe the file footer first ([[tsTypeAt]]). */
+  def eventsSchema(tsType: DataType = LongType): StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
-    StructField("ts", LongType)))
+    StructField("ts", tsType)))
+
+  /** Footer-only probe of the ts vintage stored at `path` (a parquet
+    * file or a directory of them). */
+  private def tsTypeAt(s: SparkSession, path: String): DataType =
+    s.read.parquet(path).schema("ts").dataType
 
   /** Spark's file stream source lists a DIRECTORY; the testdata tables
     * are single parquet files. Stage a per-run temp dir containing a
@@ -53,9 +62,11 @@ object StreamOps {
 
   /** Streaming source over the events parquet (file source — the
     * offline stand-in for the Kafka source; same DataFrame downstream). */
-  def eventsStream(s: SparkSession, dir: String): DataFrame =
-    s.readStream.schema(eventsSchema).parquet(stageAsDir(s"$dir/events.parquet"))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    val p = s"$dir/events.parquet"
+    TsBridge.normalize(
+      s.readStream.schema(eventsSchema(tsTypeAt(s, p))).parquet(stageAsDir(p)))
+  }
 
   /** State-store partition count for the stateful streaming queries.
     *
@@ -241,8 +252,7 @@ object StreamOps {
     * the within-bounds boolean reach the output (the q52/q80 rule:
     * raw sketch estimates are engine-specific, so they stay out). */
   def sq8StreamSketch(s: SparkSession, dir: String): DataFrame = {
-    val exact = s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val exact = TsBridge.normalize(s.read.parquet(s"$dir/events.parquet"))
       .groupBy(window(col("ts"), "1 hour").getField("start").as("janela"))
       .agg(countDistinct(col("user_id")).as("exact_users"))
       .select(unix_millis(col("janela")).as("janela_ms"), col("exact_users"))
@@ -635,8 +645,9 @@ object StreamOps {
     val name = s"sq6t_${System.nanoTime()}"
     val gapUs = graft.queries.Queries.SessionGapUs
     withStreamShuffle(s) {
-      val src = s.readStream.schema(eventsSchema).parquet(stageAsDir(srcDir))
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val src = TsBridge.normalize(
+        s.readStream.schema(eventsSchema(tsTypeAt(s, srcDir)))
+          .parquet(stageAsDir(srcDir)))
       val q = sessionizeStatefulTimeout(src, gapUs)
         .writeStream.queryName(name).format("memory")
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
@@ -658,18 +669,26 @@ object StreamOps {
     val work = java.nio.file.Files.createTempDirectory("graft_sq7_")
     work.toFile.deleteOnExit()
     val raw = s.read.parquet(s"$dir/events.parquet")
-    val maxRow = raw.agg(max("ts")).head()
+    val maxRow = TsBridge.normalize(raw).agg(max(unix_micros(col("ts")))).head()
     // empty day: no flush tick to stage (max(ts) is NULL) — write one
     // schema-bearing part file so the staged read still resolves; the
     // sessionizer then emits zero sessions (empty-tables parity sweep)
     val staged = if (maxRow.isNullAt(0)) raw.repartition(1) else raw
     staged.write.mode("append").parquet(work.toString)
     if (!maxRow.isNullAt(0)) {
-      val flushTsNanos = maxRow.getLong(0) + (gapUs + 60L * 1000000) * 1000
+      val flushUs = maxRow.getLong(0) + gapUs + 60L * 1000000
+      // the tick file must carry the SAME ts vintage as the staged
+      // fixture — the streaming schema probe reads the whole dir
+      val tickTs = raw.schema("ts").dataType match {
+        case LongType => lit(flushUs * 1000L)
+        case TimestampNTZType =>
+          expr(s"timestamp_micros(${flushUs}L)").cast(TimestampNTZType)
+        case _ => expr(s"timestamp_micros(${flushUs}L)")
+      }
       raw.limit(1).select(
         lit(-1L).as("event_id"), lit(-1L).as("user_id"),
         lit("view").as("event_type"), lit(0d).as("value"),
-        lit(flushTsNanos).as("ts"))
+        tickTs.as("ts"))
         .write.mode("append").parquet(work.toString)
     }
     sq6SessionizeTimeout(s, work.toString)
@@ -680,8 +699,7 @@ object StreamOps {
   /** Batch events with proper timestamps (same conversion as the
     * streaming source). */
   def eventsBatch(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    TsBridge.normalize(s.read.parquet(s"$dir/events.parquet"))
 
   /** Run SQ1 over a directory INCREMENTALLY with a checkpoint: an
     * AvailableNow pass processes whatever files are new since the last
@@ -691,8 +709,8 @@ object StreamOps {
     * asserts it equals only the NEW data after a restart. */
   def sq1Incremental(s: SparkSession, srcDir: String, checkpoint: String,
       outDir: String): Long = {
-    val src = s.readStream.schema(eventsSchema).parquet(srcDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val src = TsBridge.normalize(
+      s.readStream.schema(eventsSchema(tsTypeAt(s, srcDir))).parquet(srcDir))
     val q = sq1Plan(src)
       .writeStream
       .option("checkpointLocation", checkpoint)

@@ -106,8 +106,7 @@ class StreamOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("SQ4 sliding-window streaming equals batch; every event in two windows") {
     val streamed = StreamOps.sq4StreamSliding(spark, dir).collect()
-    val batchEvents = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val batchEvents = StreamOps.eventsBatch(spark, dir)
     val batch = StreamOps.sq4Plan(batchEvents).orderBy("janela_ms", "event_type").collect()
     assert(streamed.sameElements(batch), "streaming sliding window must equal batch")
     // 1 h windows every 30 min: each event lands in exactly 2 windows
@@ -185,8 +184,7 @@ class StreamOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // sketch admits
     val streamed = StreamOps.sq8Streamed(spark, dir)
       .orderBy("janela_ms").collect()
-    val batch = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val batch = StreamOps.eventsBatch(spark, dir)
       .groupBy(window(col("ts"), "1 hour").getField("start").as("janela"))
       .agg(count(lit(1)).as("n"),
         approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
