@@ -2931,6 +2931,200 @@ object TextOps {
        |ORDER BY pr_rank DESC, doc_id LIMIT $PrTopK""".stripMargin
   }
 
+  // -------------------------------------- q99 blocklist safety filter
+
+  /** Terms whose presence alone rejects a document (the "never train
+    * on this" tier of a safety wordlist). */
+  val BlockHard: Seq[String] = Seq("dup")
+
+  /** Terms that reject only in aggregate — a document is dropped when
+    * more than [[BlockSoftMax]] of its tokens are soft-blocked (the
+    * "spammy/low-value vocabulary density" tier). */
+  val BlockSoft: Seq[String] = Seq("slow", "small", "big")
+  val BlockSoftMax = 0.12
+
+  /** q99: BLOCKLIST SAFETY FILTER — the wordlist admission pass every
+    * training-data pipeline runs next to q95's PII scrub: hard terms
+    * reject outright, soft terms reject by density. Emits the full
+    * audit row per document (counts, density, verdict), not just the
+    * survivors — the shape a filtering report needs.
+    *
+    * Scale shape: a pure per-row map — zero shuffles besides the
+    * presentational sort; the wordlists are PLAN LITERALS (30 terms
+    * here). A production blocklist of 10k+ terms outgrows a literal:
+    * that variant explodes tokens and broadcast-joins the term table —
+    * q72's capped-broadcast discipline — trading one narrow explode
+    * for literal-free plans. Determinism: integer counts, one IEEE
+    * division; the keep verdict compares the UNROUNDED density in both
+    * engines (the rounded column is presentational). NULL text
+    * propagates NULL counts/verdict identically in both engines. */
+  def q99BlocklistFilter(s: SparkSession, dir: String): DataFrame = {
+    val ratio = col("n_soft").cast("double") / col("n_tok")
+    tokenized(s, dir)
+      .select(col("doc_id"),
+        size(col("w")).cast("bigint").as("n_tok"),
+        countIn(col("w"), BlockSoft).cast("bigint").as("n_soft"),
+        countIn(col("w"), BlockHard).cast("bigint").as("n_hard"))
+      .select(col("doc_id"), col("n_tok"), col("n_soft"), col("n_hard"),
+        round(ratio, 6).as("soft_ratio"),
+        (col("n_hard") === 0 && ratio < BlockSoftMax).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val q99Sql: String = {
+    val soft = BlockSoft.map(w => s"'$w'").mkString("[", ", ", "]")
+    val hard = BlockHard.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents
+       |), m AS (
+       |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tok,
+       |    CAST(len(list_filter(w, x -> list_contains($soft, x))) AS BIGINT)
+       |      AS n_soft,
+       |    CAST(len(list_filter(w, x -> list_contains($hard, x))) AS BIGINT)
+       |      AS n_hard
+       |  FROM t
+       |)
+       |SELECT doc_id, n_tok, n_soft, n_hard,
+       |  round(CAST(n_soft AS DOUBLE) / n_tok, 6) AS soft_ratio,
+       |  (n_hard = 0 AND CAST(n_soft AS DOUBLE) / n_tok < $BlockSoftMax)
+       |    AS keep
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------- q100 Zipf slope fit
+
+  /** Rank depth for the Zipf fit — real corpora fit the law on the
+    * frequency head; the tail (hapaxes) flattens the regression. */
+  val ZipfTopV = 1000
+
+  /** q100: ZIPF SLOPE — least-squares fit of ln(freq) ~ ln(rank) over
+    * the top-[[ZipfTopV]] token frequencies, the corpus-health
+    * statistic (natural text sits near −1; templated/spammy corpora
+    * flatten, boilerplate-heavy ones steepen). Complements q55 (the
+    * frequencies themselves) and q62 (within-doc repetition) with a
+    * corpus-level distribution-shape number.
+    *
+    * Scale shape: the corpus collapses map-side to the token-frequency
+    * table (q55's counting pass); the rank step is `TakeOrderedAnd
+    * Project` top-K — never a global sort of the vocabulary — and the
+    * regression runs over ≤ K rows. Determinism: ln values are scaled
+    * to 1e6-granularity BIGINTs first, so every regression sum is
+    * EXACT integer arithmetic (float-addition-order-free); the slope
+    * is then computed from those integers with an expression shape
+    * identical to the oracle's (same casts, same association), making
+    * the IEEE result bit-equal. */
+  def q100ZipfSlope(s: SparkSession, dir: String): DataFrame = {
+    val freq = tokenized(s, dir)
+      .select(explode(col("w")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("f"))
+    val tot = freq.agg(count(lit(1)).as("n_types"),
+      sum(col("f")).as("n_tokens"))
+    val pts = freq
+      .orderBy(col("f").desc, col("t")).limit(ZipfTopV)
+      .withColumn("r",
+        row_number().over(Window.orderBy(col("f").desc, col("t"))))
+      .select(
+        round(log(col("r").cast("double")) * 1e6, 0).cast("long").as("x"),
+        round(log(col("f").cast("double")) * 1e6, 0).cast("long").as("y"))
+    val reg = pts.agg(count(lit(1)).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    reg
+      .withColumn("slope",
+        (col("n").cast("double") * col("sxy") - col("sx").cast("double") * col("sy")) /
+          (col("n").cast("double") * col("sxx") - col("sx").cast("double") * col("sx")))
+      .crossJoin(broadcast(tot))
+      .select(col("n_types"), col("n_tokens"),
+        round(col("slope"), 6).as("zipf_slope"),
+        round((col("sy").cast("double") / 1e6 - col("slope") * col("sx") / 1e6) /
+          col("n"), 6).as("zipf_intercept"))
+  }
+
+  val q100Sql: String =
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split_regex(text, '\\s+')) AS t FROM documents
+       |), freq AS (
+       |  SELECT t, count(*) AS f FROM toks GROUP BY t
+       |), tot AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_types,
+       |    CAST(sum(f) AS BIGINT) AS n_tokens FROM freq
+       |), top AS (
+       |  SELECT f, row_number() OVER (ORDER BY f DESC, t) AS r
+       |  FROM freq ORDER BY f DESC, t LIMIT $ZipfTopV
+       |), pts AS (
+       |  SELECT CAST(round(ln(r) * 1e6, 0) AS BIGINT) AS x,
+       |    CAST(round(ln(f) * 1e6, 0) AS BIGINT) AS y FROM top
+       |), reg AS (
+       |  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+       |    sum(x * y) AS sxy, sum(x * x) AS sxx FROM pts
+       |), sl AS (
+       |  SELECT n, sx, sy,
+       |    (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+       |      (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS slope
+       |  FROM reg
+       |)
+       |SELECT n_types, n_tokens, round(slope, 6) AS zipf_slope,
+       |  round((CAST(sy AS DOUBLE) / 1e6 - slope * sx / 1e6) / n, 6)
+       |    AS zipf_intercept
+       |FROM sl CROSS JOIN tot""".stripMargin
+
+  // ------------------------------ q101 positional-index phrase search
+
+  /** q101: PHRASE SEARCH over a positional inverted index — the
+    * retrieval sibling of q81 (BM25 ranks by bag-of-words; a phrase
+    * query needs POSITIONS): build (term, doc, pos) postings, pick the
+    * corpus's top bigram as the query phrase (self-contained and
+    * deterministic: max count, then lexicographic), and count exact
+    * adjacent occurrences per document by joining the two terms'
+    * postings on (doc, pos+1).
+    *
+    * Scale shape: the index IS the posexplode — no shuffle to build.
+    * The phrase-pick is q93's bigram counting pass (corpus collapses
+    * map-side to the bigram vocabulary, then top-1 via
+    * TakeOrderedAndProject). The search joins only the TWO matching
+    * postings lists (the 1-row phrase broadcasts into both filters, so
+    * non-matching postings never shuffle), hash-partitioned by doc_id.
+    * Overlapping occurrences count in both engines (every adjacent
+    * position pair, not regex-style non-overlapping). */
+  def q101PhraseSearch(s: SparkSession, dir: String): DataFrame = {
+    val idx = tokenized(s, dir)
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "t")))
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val phrase = idx
+      .withColumn("t2", lead("t", 1).over(wDoc))
+      .filter(col("t2").isNotNull)
+      .groupBy("t", "t2").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("t"), col("t2")).limit(1)
+      .select(col("t").as("w1"), col("t2").as("w2"))
+    val a = idx.join(broadcast(phrase), col("t") === col("w1"))
+      .select(col("doc_id"), col("pos"))
+    val b = idx.join(broadcast(phrase), col("t") === col("w2"))
+      .select(col("doc_id").as("d2"), col("pos").as("p2"))
+    a.join(b, col("doc_id") === col("d2") && col("p2") === col("pos") + 1)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      .orderBy("doc_id")
+  }
+
+  val q101Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents
+      |), bg AS (
+      |  SELECT split_part(b, ' ', 1) AS t, split_part(b, ' ', 2) AS t2
+      |  FROM (SELECT unnest([w[i] || ' ' || w[i+1]
+      |      for i in range(1, len(w))]) AS b FROM toks)
+      |), topph AS (
+      |  SELECT t AS w1, t2 AS w2
+      |  FROM (SELECT t, t2, count(*) AS c FROM bg GROUP BY t, t2)
+      |  ORDER BY c DESC, t, t2 LIMIT 1
+      |), hits AS (
+      |  SELECT doc_id,
+      |    CAST(len([i for i in range(1, len(w))
+      |              if w[i] = w1 AND w[i+1] = w2]) AS BIGINT) AS n_hits
+      |  FROM toks CROSS JOIN topph
+      |)
+      |SELECT doc_id, n_hits FROM hits WHERE n_hits > 0
+      |ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2949,6 +3143,9 @@ object TextOps {
     "q53_simhash_neardup" -> (q53SimhashNeardup _),
     "q90_source_overlap" -> (q90SourceOverlap _),
     "q96_editdist_verify" -> (q96EditdistVerify _),
+    "q99_blocklist_filter" -> (q99BlocklistFilter _),
+    "q100_zipf_slope" -> (q100ZipfSlope _),
+    "q101_phrase_search" -> (q101PhraseSearch _),
     "q92_incremental_dedup" -> (q92IncrementalDedup _),
     "q93_pmi_collocations" -> (q93PmiCollocations _),
     "q94_quality_sample" -> (q94QualitySample _),
@@ -2991,6 +3188,9 @@ object TextOps {
     "q53_simhash_neardup" -> q53Sql,
     "q90_source_overlap" -> q90Sql,
     "q96_editdist_verify" -> q96Sql,
+    "q99_blocklist_filter" -> q99Sql,
+    "q100_zipf_slope" -> q100Sql,
+    "q101_phrase_search" -> q101Sql,
     "q92_incremental_dedup" -> q92Sql,
     "q93_pmi_collocations" -> q93Sql,
     "q94_quality_sample" -> q94Sql,
