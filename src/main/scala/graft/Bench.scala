@@ -166,7 +166,10 @@ object Bench {
       "q88_containment", "q89_ivfpq_recall", "sq8_stream_sketch",
       "q90_source_overlap", "q91_vocab_coverage", "q92_incremental_dedup",
       "q93_pmi_collocations", "sq9_stream_incr_dedup", "q94_quality_sample",
-      "q95_pii_redact", "q96_editdist_verify")
+      "q95_pii_redact", "q96_editdist_verify",
+      // round-8 operators
+      "q97_retention_cohorts", "q98_transitions", "q99_blocklist_filter",
+      "q100_zipf_slope", "q101_phrase_search")
     // shingle-index misses during TIMED passes only (warm passes are
     // expected to build it once per session+dir)
     var timedIndexMisses = 0L

@@ -258,13 +258,13 @@ object VectorOps {
     * aggregation-shaped (one shuffle by label). Sums here are over
     * per-element products of already-rounded member cosines — ordered
     * rounding keeps both engines identical. */
-  def q42LabelCentroids(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir).select(col("vec_id"), col("label"), col("embedding").as("v"))
-    // centroid = element-wise mean: aggregate array-of-arrays by index
-    // exact DECIMAL accumulation: double avg would depend on partition
-    // order and flip rounded cosines at the 1e-6 boundary
+  /** Per-label element-wise-mean centroids over a (label, v) frame —
+    * exact DECIMAL accumulation: double avg would depend on partition
+    * order and flip rounded cosines at the 1e-6 boundary. Shared by
+    * q42 (cohesion) and q102 (separation). */
+  private def labelCentroids(e: DataFrame): DataFrame = {
     val byIdx = e.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
-    val cent = byIdx.groupBy("label", "i")
+    byIdx.groupBy("label", "i")
       // widen float→double BEFORE decimal, matching the oracle's
       // CAST(CAST(x AS DOUBLE) AS DECIMAL) path exactly
       .agg((sum(col("x").cast("double")
@@ -273,6 +273,12 @@ object VectorOps {
       .groupBy("label").agg(map_from_arrays(collect_list("i"), collect_list("c")).as("cm"))
       .select(col("label"),
         transform(sequence(lit(0), lit(Dim - 1)), i => element_at(col("cm"), i)).as("centroid"))
+  }
+
+  def q42LabelCentroids(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), col("label"), col("embedding").as("v"))
+    // centroid = element-wise mean: aggregate array-of-arrays by index
+    val cent = labelCentroids(e)
     val joined = e.join(cent, Seq("label"))
       .select(col("label"),
         round(cosSim(dot(col("v"), col("centroid")),
@@ -290,8 +296,10 @@ object VectorOps {
       .orderBy("label")
   }
 
-  val q42Sql: String =
-    s"""WITH d AS (
+  /** The shared centroid CTE chain (exact-DECIMAL element means) —
+    * the oracle twin of [[labelCentroids]], used by q42 and q102. */
+  private val centCte: String =
+    s"""d AS (
        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings
        |), byidx AS (
@@ -303,7 +311,10 @@ object VectorOps {
        |          CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS c
        |        FROM byidx GROUP BY label, i)
        |  GROUP BY label
-       |), cos AS (
+       |)""".stripMargin
+
+  val q42Sql: String =
+    s"""WITH $centCte, cos AS (
        |  SELECT d.label,
        |    round(coalesce(list_sum([d.v[i] * cent.centroid[i] for i in range(1, $Dim + 1)])
        |      / (sqrt(list_sum(list_transform(d.v, x -> x * x)))
