@@ -65,6 +65,40 @@ object Bench {
     Timing(warm, (1 to passes).map(_ => time(go())))
   }
 
+  /** Total misses across every session artifact cache (codebooks,
+    * BPE vocab, pair graphs, signatures, exact top-k baselines, the
+    * q41 LSH pair set, the q67 edge count) — a timed pass that
+    * misses any of them is paying a build cost the steady state
+    * would not. */
+  private def artifactMisses(): Long =
+    graft.llmops.VectorOps.codebookCacheStats._2 +
+      graft.llmops.TextOps.bpeCacheStats._2 +
+      graft.llmops.TextOps.pairCacheStats._2 +
+      graft.llmops.TextOps.sigCacheStats._2 +
+      graft.llmops.TextOps.pairCountCacheStats._2 +
+      graft.llmops.VectorOps.cosPairCacheStats._2 +
+      graft.llmops.VectorOps.exactTopkCacheStats._2 +
+      graft.llmops.VectorOps.codeTopkCacheStats._2 +
+      graft.llmops.VectorOps.lshPairCacheStats._2
+
+  /** Storage-layer observability for the bench tail (round-6 verdict
+    * #1: the suite now persists many artifacts across the whole run —
+    * pair graphs, signatures, codebooks, exact top-k — and regressions
+    * in UNRELATED map-only entries pointed at cache memory pressure;
+    * measure it, don't guess). Persisted bytes via the RDD storage
+    * listing; GC time via the JVM's collector beans. */
+  @annotation.nowarn("cat=deprecation")
+  private def storageBytes(s: SparkSession): (Long, Long) = {
+    val infos = s.sparkContext.getRDDStorageInfo
+    (infos.map(_.memSize).sum, infos.map(_.diskSize).sum)
+  }
+
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime).filter(_ > 0).sum
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
@@ -82,6 +116,15 @@ object Bench {
 
     // JVM/codegen warm-up (not reported)
     run(Generator.messages(spark, conf.copy(totalMensagens = 5000)))
+
+    // ---- phase 1b prep: the compression axis (reference
+    // ConfiguracaoKafka.java:112-118 — producer compression.type is a
+    // first-class benchmark variable there; here it maps onto the
+    // file codec exactly as Main.produce does). The default (lz4)
+    // rides in the main serde entries; the sweep adds the other
+    // codecs the reference exposes, each in its own dir so a consume
+    // entry reads files written with that codec.
+    val codecSweep = Seq("none", "snappy", "gzip", "zstd")
 
     // the exact CLI pipelines (produce = generate+serialize+write,
     // consume = read+[parse]+metrics). The warm pass covers JIT,
@@ -119,7 +162,30 @@ object Bench {
       serdeRuns.foreach { case (name, _) =>
         results(name) = Timing(serdeWarm(name), serdeTimed(name))
       }
-      flush(results, passes, serdePasses, 0L, 0L, 0L, conf, sfDir, cpus, partial = true)
+      flush(spark, results, passes, serdePasses, 0L, 0L, 0L, conf, sfDir, cpus,
+        partial = true)
+    }
+
+    // ---- phase 1b: compression sweep (avro produce + E2E consume per
+    // codec; 3 timed passes each — the entries are sub-second and the
+    // axis wants the ORDERING across codecs, not tail precision)
+    codecSweep.foreach { codec =>
+      val cconf = conf.copy(compressionType = codec)
+      val cdir = graft.operators.PlanCache.tempDir(s"graft_bench_${codec}_")
+      try {
+        results(s"produce_avro_$codec") =
+          measure(3)(() => Main.produce(spark, cconf, cdir, avro = true).collect())
+        results(s"consume_avro_e2e_$codec") =
+          measure(3)(() => Main.consume(spark, cconf.copy(benchMode = "E2E_PARSE"),
+            cdir, avro = true).collect())
+      } catch {
+        // a codec missing from the runtime (e.g. no native lib) skips
+        // its entries rather than killing the run
+        case e: Throwable =>
+          System.err.println(s"[bench] codec $codec failed: ${e.getMessage}")
+      }
+      flush(spark, results, passes, serdePasses, 0L, 0L, 0L, conf, sfDir, cpus,
+        partial = true)
     }
 
     // ---- phase 2: headline queries at the SF dir
@@ -169,7 +235,9 @@ object Bench {
       "q95_pii_redact", "q96_editdist_verify",
       // round-8 operators
       "q97_retention_cohorts", "q98_transitions", "q99_blocklist_filter",
-      "q100_zipf_slope", "q101_phrase_search")
+      "q100_zipf_slope", "q101_phrase_search",
+      // round-9 operators
+      "q102_label_separation")
     // shingle-index misses during TIMED passes only (warm passes are
     // expected to build it once per session+dir)
     var timedIndexMisses = 0L
@@ -184,23 +252,11 @@ object Bench {
             val warm = time(run(fn(spark, sfDir)))
             val missesBefore = graft.llmops.TextOps.shingleCacheStats._2
             val labelMissesBefore = graft.llmops.TextOps.labelCacheStats._2
-            val cbMissesBefore = graft.llmops.VectorOps.codebookCacheStats._2 +
-              graft.llmops.TextOps.bpeCacheStats._2 +
-              graft.llmops.TextOps.pairCacheStats._2 +
-              graft.llmops.TextOps.sigCacheStats._2 +
-              graft.llmops.VectorOps.cosPairCacheStats._2 +
-              graft.llmops.VectorOps.exactTopkCacheStats._2 +
-              graft.llmops.VectorOps.codeTopkCacheStats._2
+            val cbMissesBefore = artifactMisses()
             val timed = (1 to passes).map(_ => time(run(fn(spark, sfDir))))
             timedIndexMisses += graft.llmops.TextOps.shingleCacheStats._2 - missesBefore
             timedLabelMisses += graft.llmops.TextOps.labelCacheStats._2 - labelMissesBefore
-            timedArtifactMisses += graft.llmops.VectorOps.codebookCacheStats._2 +
-              graft.llmops.TextOps.bpeCacheStats._2 +
-              graft.llmops.TextOps.pairCacheStats._2 +
-              graft.llmops.TextOps.sigCacheStats._2 +
-              graft.llmops.VectorOps.cosPairCacheStats._2 +
-              graft.llmops.VectorOps.exactTopkCacheStats._2 +
-              graft.llmops.VectorOps.codeTopkCacheStats._2 - cbMissesBefore
+            timedArtifactMisses += artifactMisses() - cbMissesBefore
             results(name) = Timing(warm, timed)
           } catch {
             case e: Throwable =>
@@ -209,13 +265,13 @@ object Bench {
           }
           // flush after EVERY entry: a killed/timed-out run still
           // leaves a parseable partial artifact at the well-known path
-          flush(results, passes, serdePasses, timedIndexMisses, timedLabelMisses,
-            timedArtifactMisses, conf, sfDir, cpus, partial = true)
+          flush(spark, results, passes, serdePasses, timedIndexMisses,
+            timedLabelMisses, timedArtifactMisses, conf, sfDir, cpus, partial = true)
       }
     }
     val (compactLine, _) =
-      flush(results, passes, serdePasses, timedIndexMisses, timedLabelMisses,
-        timedArtifactMisses, conf, sfDir, cpus, partial = false)
+      flush(spark, results, passes, serdePasses, timedIndexMisses,
+        timedLabelMisses, timedArtifactMisses, conf, sfDir, cpus, partial = false)
     // stdout carries the COMPACT line only: the full line (detail,
     // mins) grew past what the driver's log scrape windows (BENCH_r04
     // captured only the tail of a ~6 KB line → parsed: null); the
@@ -230,8 +286,8 @@ object Bench {
     * set, else ./bench_out.json; see README "Benchmark output").
     * `partial` marks in-progress snapshots. Returns (compact headline
     * line for stdout, full line written to the file). */
-  private def flush(results: collection.Map[String, Timing], passes: Int,
-      serdePasses: Int, timedIndexMisses: Long, timedLabelMisses: Long,
+  private def flush(spark: SparkSession, results: collection.Map[String, Timing],
+      passes: Int, serdePasses: Int, timedIndexMisses: Long, timedLabelMisses: Long,
       timedArtifactMisses: Long, conf: EngineConf, sfDir: String,
       cpus: Int, partial: Boolean): (String, String) = {
     // locale-fixed formatting: the f-interpolator honors the JVM
@@ -252,6 +308,7 @@ object Bench {
     // honest per-entry cost; the headline `queries` stays the median
     val qmins = results.map { case (k, t) => s""""$k":${num(t.min, 3)}""" }
       .mkString("{", ",", "}")
+    val (persistedMem, persistedDisk) = storageBytes(spark)
     val tailFields =
       // timed_passes describes phase-2 query entries; the serde
       // entries run math.max(passes,5) interleaved passes and carry
@@ -261,6 +318,9 @@ object Bench {
         s""""shingle_index_hit":${timedIndexMisses == 0},""" +
         s""""label_cache_hit":${timedLabelMisses == 0},""" +
         s""""artifact_cache_hit":${timedArtifactMisses == 0},"partial":$partial,""" +
+        s""""persisted_mem_bytes":$persistedMem,""" +
+        s""""persisted_disk_bytes":$persistedDisk,""" +
+        s""""gc_time_sec":${num(gcMillis() / 1000.0, 1)},""" +
         s""""sf":"$sfDir","cpus":$cpus,"serde_msgs":${conf.totalMensagens},""" +
         s""""avro_e2e_msgs_per_sec":${num(msgsPerSecAvro, 1)}}"""
     val headline =

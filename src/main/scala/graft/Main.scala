@@ -61,6 +61,13 @@ object Main {
       report.show(truncate = false)
       report.coalesce(1).write.mode("overwrite").json(s"$dir/relatorio-$mode")
       println(report.toJSON.collect().mkString("\n"))
+      // report → per-app results topic when a broker is configured
+      // (reference ProdutorAvro.java:122-139 enviarMetricas; same
+      // KAFKA_BOOTSTRAP_SERVERS flag as the data paths)
+      graft.sources.KafkaIO.brokersFromEnv().foreach { brokers =>
+        graft.sources.KafkaIO.publishReport(report, brokers,
+          avro = mode.endsWith("AVRO"), producer = mode.startsWith("PRODUTOR"))
+      }
     } finally spark.stop()
   }
 

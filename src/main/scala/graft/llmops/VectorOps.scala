@@ -217,19 +217,13 @@ object VectorOps {
         round(cosSim(dot(col("v"), col("w")), col("nrm"), col("wnrm")), 6).as("sim"))
   }
 
-  /** q41: ANN top-k via multi-table hyperplane-LSH with single-bit
-    * multi-probe. Join key = (table, bucket) — an equi-join Catalyst
-    * plans as a hash join on a uniform key — instead of the O(n²)
-    * cross join; exact cosine re-rank runs only within probed buckets,
-    * once per distinct candidate pair ([[lshPairSims]]). Rows-only
-    * driver check (approximate by design); the recall floor vs q40 is
-    * asserted in VectorOpsSpec. */
-  def q41AnnLsh(s: SparkSession, dir: String): DataFrame = {
+  /** The q41/q47 candidate pair-sim pipeline at a given plane count:
+    * bucket every vector into `Tables` hash tables, probe own bucket +
+    * single-bit flips on the query side, and emit the deduped
+    * (vec_id, neighbor_id, sim) candidate set ([[lshPairSims]]). */
+  private def lshTopkPairsPlan(s: SparkSession, dir: String, planes: Int): DataFrame = {
     val e = emb(s, dir).select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", norm(col("v")))
-    // size the bucket space to the database; memoized so Bench/Verify
-    // invocations don't pay a count job per plan construction
-    val planes = planesFor(nVectors(s, dir))
     val withBuckets = withBucketCols(e, planes, Tables)
     // candidate side: each vector in its own bucket per table
     val cand = withBuckets.select(col("vec_id").as("neighbor_id"),
@@ -241,8 +235,46 @@ object VectorOps {
       .select(col("vec_id"),
         col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"), probes.as("flip"))
       .select(col("vec_id"), col("tbl"), expr("int(bucket ^ flip)").as("bucket"))
-    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("neighbor_id"))
     lshPairSims(e, q, cand)
+  }
+
+  /** q41's candidate pair-sims as a session ARTIFACT (the q43
+    * cosPairCache discipline, round-6 verdict #2: q41 was the one hot
+    * path rebuilding its probe explode + bucket join per action — the
+    * suite's slowest entry at sf0.1). The top-k window re-runs per
+    * action (cheap); the candidate generation + exact re-rank
+    * arithmetic — the expensive part — builds once per (session,
+    * fixture signature). In production terms: the ANN index build is
+    * a separate stage whose output every query batch reuses. */
+  private[graft] val lshPairCache =
+    new graft.operators.PlanCache[DataFrame]("lsh_topk_pairs")((_, df) => df.unpersist())
+
+  def lshPairCacheStats: (Long, Long) = (lshPairCache.hits, lshPairCache.misses)
+
+  /** q41: ANN top-k via multi-table hyperplane-LSH with single-bit
+    * multi-probe. Join key = (table, bucket) — an equi-join Catalyst
+    * plans as a hash join on a uniform key — instead of the O(n²)
+    * cross join; exact cosine re-rank runs only within probed buckets,
+    * once per distinct candidate pair ([[lshPairSims]]).
+    *
+    * Oracle-checked at the driver's verify SF: the plane count is
+    * n-adaptive ([[planesFor]]), and at the sf0.01 gate (n = 500)
+    * planesFor resolves to [[RecallPlanes]] — the same deterministic
+    * geometry q47 certifies — so [[q41Sql]] recomputes this exact
+    * pipeline (round-6 verdict #4: the adaptive production path
+    * previously rode on a spec-level recall floor only). At any OTHER
+    * n the static SQL text would describe a different geometry; the
+    * driver's correctness gate is pinned to sf0.01, and the recall
+    * floor vs q40 stays asserted in VectorOpsSpec at every scale. */
+  def q41AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    // size the bucket space to the database; memoized so Bench/Verify
+    // invocations don't pay a count job per plan construction
+    val planes = planesFor(nVectors(s, dir))
+    val pairs = lshPairCache.get(s, dir, embSig(dir))(
+      lshTopkPairsPlan(s, dir, planes)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("neighbor_id"))
+    pairs
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
       .select("vec_id", "rank", "neighbor_id", "sim")
@@ -261,7 +293,8 @@ object VectorOps {
   /** Per-label element-wise-mean centroids over a (label, v) frame —
     * exact DECIMAL accumulation: double avg would depend on partition
     * order and flip rounded cosines at the 1e-6 boundary. Shared by
-    * q42 (cohesion) and q102 (separation). */
+    * q42 (cohesion), q44 (the IVF coarse quantizer) and q102
+    * (separation). */
   private def labelCentroids(e: DataFrame): DataFrame = {
     val byIdx = e.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
     byIdx.groupBy("label", "i")
@@ -297,7 +330,8 @@ object VectorOps {
   }
 
   /** The shared centroid CTE chain (exact-DECIMAL element means) —
-    * the oracle twin of [[labelCentroids]], used by q42 and q102. */
+    * the oracle twin of [[labelCentroids]], used by q42, q44 and
+    * q102. */
   private val centCte: String =
     s"""d AS (
        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -328,6 +362,49 @@ object VectorOps {
        |  max(cos_to_centroid) AS max_cos
        |FROM cos GROUP BY label ORDER BY label""".stripMargin
 
+  // ---------------------------------------------- q102 label separation
+
+  /** q102: LABEL SEPARATION — q42's companion statistic: the pairwise
+    * cosine between label centroids (cohesion says how tight each
+    * class is; this says how far apart the classes sit — together
+    * they are the Fisher-style quality read on an embedding space a
+    * curation pass checks before trusting label-based sampling or the
+    * q44 IVF quantizer built from those same centroids).
+    *
+    * Scale shape: everything after [[labelCentroids]]' one aggregation
+    * shuffle operates on the n_labels-sized centroid table — the pair
+    * join is broadcast tiny×tiny (|labels|² pairs, dozens of rows at
+    * any corpus size). Determinism: exact-DECIMAL centroids, one
+    * rounded cosine per pair, ties impossible (label_a < label_b is a
+    * total order). */
+  def q102LabelSeparation(s: SparkSession, dir: String): DataFrame = {
+    val cent = labelCentroids(
+        emb(s, dir).select(col("label"), col("embedding").as("v")))
+      .withColumn("cnrm", norm(col("centroid")))
+    val a = cent.select(col("label").as("label_a"), col("centroid").as("ca"),
+      col("cnrm").as("na"))
+    val b = cent.select(col("label").as("label_b"), col("centroid").as("cb"),
+      col("cnrm").as("nb"))
+    a.join(broadcast(b), col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"),
+        round(cosSim(dot(col("ca"), col("cb")), col("na"), col("nb")), 6)
+          .as("centroid_cos"))
+      .orderBy("label_a", "label_b")
+  }
+
+  val q102Sql: String =
+    s"""WITH $centCte, cn AS (
+       |  SELECT label, centroid,
+       |    sqrt(list_sum(list_transform(centroid, x -> x * x))) AS cnrm
+       |  FROM cent
+       |)
+       |SELECT a.label AS label_a, b.label AS label_b,
+       |  round(coalesce(list_sum([a.centroid[i] * b.centroid[i]
+       |                           for i in range(1, $Dim + 1)])
+       |        / (a.cnrm * b.cnrm), 0.0), 6) AS centroid_cos
+       |FROM cn a JOIN cn b ON a.label < b.label
+       |ORDER BY label_a, label_b""".stripMargin
+
   // --------------------------------------------------- q44 IVF search
 
   /** Coarse cells probed per query vector. */
@@ -339,24 +416,34 @@ object VectorOps {
     * under its nearest centroid's cell, each query probes its
     * `IvfProbes` nearest cells and re-ranks exactly within them.
     * The centroid table is tiny → both assignment joins broadcast;
-    * the search join is an equi-join on the cell id. Rows-only
-    * (approximate); recall vs q40 is spec-asserted. */
+    * the search join is an equi-join on the cell id.
+    *
+    * Oracle-checked (round-6 verdict #4 — this path previously rode
+    * on a spec recall floor only): every cross-engine hazard is
+    * pinned the way q42/q61 pin theirs — centroids accumulate in
+    * exact DECIMAL ([[labelCentroids]], shared with q42; a double sum
+    * would be partition-order dependent), and the cell ranking runs
+    * on centroid cosines ROUNDED to 6 dp before the window (unrounded
+    * float comparisons were the reason q61's scaladoc ruled this path
+    * un-oracle-able; rounding makes the rank — and therefore the
+    * probe set — engine-exact while leaving the IVF semantics
+    * untouched). The data-adaptive geometry (cells = the corpus's own
+    * labels) is re-derived by the SQL text itself, so unlike q41 the
+    * oracle holds at ANY SF. */
   def q44IvfTopk(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir).select(col("vec_id"), col("embedding").as("v"))
-      .withColumn("nrm", norm(col("v")))
-    // centroids: element-wise mean per label (same computation as q42)
-    val byIdx = emb(s, dir).select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
-    val cent = byIdx.groupBy("label", "i")
-      .agg((sum(col("x").cast("double")) / count(lit(1))).as("c"))
-      .groupBy("label").agg(map_from_arrays(collect_list("i"), collect_list("c")).as("cm"))
-      .select(col("label").as("cell"),
-        transform(sequence(lit(0), lit(Dim - 1)), i => element_at(col("cm"), i)).as("centroid"))
+    val e0 = emb(s, dir).select(col("vec_id"), col("label"), col("embedding").as("v"))
+    val e = e0.select(col("vec_id"), col("v")).withColumn("nrm", norm(col("v")))
+    // centroids: exact-DECIMAL element-wise mean per label (the q42
+    // chain — bit-identical to the oracle's centCte)
+    val cent = labelCentroids(e0.select(col("label"), col("v")))
+      .select(col("label").as("cell"), col("centroid"))
       .withColumn("cnrm", norm(col("centroid")))
-    // rank cells per vector by centroid cosine (broadcast: tiny table)
+    // rank cells per vector by ROUNDED centroid cosine (broadcast:
+    // tiny table); ties break on cell id in both engines
     val wCell = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell"))
     val ranked = e.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
-        cosSim(dot(col("v"), col("centroid")), col("nrm"), col("cnrm")).as("csim"))
+        round(cosSim(dot(col("v"), col("centroid")), col("nrm"), col("cnrm")), 6).as("csim"))
       .withColumn("crank", row_number().over(wCell))
     // index side: each vector in its single nearest cell
     val indexed = ranked.filter(col("crank") === 1)
@@ -378,6 +465,45 @@ object VectorOps {
       .select("vec_id", "rank", "neighbor_id", "sim")
       .orderBy("vec_id", "rank")
   }
+
+  /** q44's oracle: DuckDB re-derives the data-adaptive quantizer
+    * itself — exact-DECIMAL label centroids ([[centCte]], shared with
+    * q42), 6-dp-rounded cell ranking, `IvfProbes`-cell probing, exact
+    * rounded re-rank — so the hash holds at any SF (no pinned
+    * geometry needed, unlike [[q41Sql]]). */
+  def q44Sql: String =
+    s"""WITH $centCte, n AS (
+       |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM d
+       |), cn AS (
+       |  SELECT label AS cell, centroid,
+       |    sqrt(list_sum(list_transform(centroid, x -> x * x))) AS cnrm
+       |  FROM cent
+       |), cs AS (
+       |  SELECT vec_id, v, nrm, cell,
+       |    round(coalesce(list_sum([v[i] * centroid[i] for i in range(1, $Dim + 1)])
+       |          / (nrm * cnrm), 0.0), 6) AS csim
+       |  FROM n CROSS JOIN cn
+       |), ranked AS (
+       |  SELECT vec_id, v, nrm, cell, csim,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS crank
+       |  FROM cs
+       |), indexed AS (
+       |  SELECT vec_id AS neighbor_id, v AS w, nrm AS wnrm, cell
+       |  FROM ranked WHERE crank = 1
+       |), probes AS (
+       |  SELECT vec_id, v, nrm, cell FROM ranked WHERE crank <= $IvfProbes
+       |), sims AS (
+       |  SELECT p.vec_id, i.neighbor_id,
+       |    round(coalesce(list_sum([p.v[k] * i.w[k] for k in range(1, $Dim + 1)])
+       |          / (p.nrm * i.wnrm), 0.0), 6) AS sim
+       |  FROM probes p JOIN indexed i USING (cell)
+       |  WHERE p.vec_id <> i.neighbor_id
+       |)
+       |SELECT vec_id, CAST(rank AS INT) AS rank, neighbor_id, sim FROM (
+       |  SELECT vec_id, neighbor_id, sim,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM sims)
+       |WHERE rank <= $TopK ORDER BY vec_id, rank""".stripMargin
 
   // ------------------------------------------ q43 embedding near-dup
 
@@ -665,6 +791,37 @@ object VectorOps {
        |FROM exact e
        |WHERE EXISTS (SELECT 1 FROM approx a
        |              WHERE a.vec_id = e.vec_id AND a.neighbor_id = e.neighbor_id)""".stripMargin
+  }
+
+  /** q41's oracle: the SAME full LSH top-k pipeline as [[q47Sql]]'s
+    * candidate/approx chain, emitting the ranked rows instead of the
+    * recall reduction. Valid exactly where the driver runs it — the
+    * sf0.01 gate, where q41's adaptive planesFor(n) == RecallPlanes
+    * (see [[q41AnnLsh]] scaladoc). */
+  def q41Sql: String = {
+    val flips = probeMasks(RecallPlanes, 1).mkString(", ")
+    s"""WITH d AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM d
+       |), buckets AS (
+       |  ${sqlBucketRows(RecallPlanes)}
+       |), probes AS (
+       |  SELECT vec_id, v, nrm, tbl, xor(bucket, flip) AS bucket
+       |  FROM buckets CROSS JOIN (SELECT unnest([$flips]) AS flip)
+       |), cand AS (
+       |  SELECT DISTINCT q.vec_id, c.vec_id AS neighbor_id,
+       |    round(coalesce(list_sum([q.v[i] * c.v[i] for i in range(1, $Dim + 1)])
+       |          / (q.nrm * c.nrm), 0.0), 6) AS sim
+       |  FROM probes q JOIN buckets c ON q.tbl = c.tbl AND q.bucket = c.bucket
+       |    AND q.vec_id <> c.vec_id
+       |)
+       |SELECT vec_id, CAST(rank AS INT) AS rank, neighbor_id, sim FROM (
+       |  SELECT vec_id, neighbor_id, sim,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM cand)
+       |WHERE rank <= $TopK ORDER BY vec_id, rank""".stripMargin
   }
 
   // --------------------------------------------------- q61 IVF recall
@@ -1745,14 +1902,21 @@ object VectorOps {
     "q74_kmeans_codebook" -> (q74KmeansCodebook _),
     "q78_semdedup" -> (q78Semdedup _),
     "q84_pq_adc_recall" -> (q84PqAdcRecall _),
-    "q89_ivfpq_recall" -> (q89IvfpqRecall _)
+    "q89_ivfpq_recall" -> (q89IvfpqRecall _),
+    "q102_label_separation" -> (q102LabelSeparation _)
   )
 
-  /** q41/q44 are approximate by design → no oracle (driver rows-only
-    * check); their recall is hash-pinned via the fixed-geometry twins
-    * q47 (LSH) and q61 (IVF). */
+  /** Every entry is oracle-checked, including the adaptive ANN paths
+    * (round-6 verdict #4): q44's oracle re-derives the data-adaptive
+    * quantizer at any SF; q41's pins the geometry its planesFor(n)
+    * resolves to at the driver's sf0.01 gate (see each query's
+    * scaladoc). The fixed-geometry certifications q47 (LSH) and q61
+    * (IVF) additionally hash-pin recall rows. */
   val oracle: Map[String, String] = Map(
     "q40_cosine_topk" -> q40Sql,
+    "q41_ann_lsh" -> q41Sql,
+    "q44_ivf_topk" -> q44Sql,
+    "q102_label_separation" -> q102Sql,
     "q42_label_centroids" -> q42Sql,
     "q43_cos_neardup" -> q43Sql,
     "q47_ann_recall" -> q47Sql,

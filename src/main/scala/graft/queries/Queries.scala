@@ -538,26 +538,31 @@ object Queries {
     * elision. Superseded layouts are deleted; dirs also registered for
     * JVM-exit cleanup. */
   private val partitionedDocs =
-    new graft.operators.PlanCache[Option[String]]("partitioned_docs")(
-      (_, base) => base.foreach(b =>
-        graft.operators.PlanCache.deleteRecursively(java.nio.file.Paths.get(b))),
-      base => base.foreach(b =>
-        graft.operators.PlanCache.deleteRecursively(java.nio.file.Paths.get(b))))
+    new graft.operators.PlanCache[Option[(String, DataFrame)]]("partitioned_docs")(
+      (_, e) => e.foreach { case (b, _) =>
+        graft.operators.PlanCache.deleteRecursively(java.nio.file.Paths.get(b)) },
+      e => e.foreach { case (b, _) =>
+        graft.operators.PlanCache.deleteRecursively(java.nio.file.Paths.get(b)) })
 
   /** None ⇔ the corpus is empty: `partitionBy` of zero rows writes no
     * directories at all, so the layout read-back would fail schema
     * inference — an empty day must short-circuit, not crash
-    * (empty-tables parity sweep). */
-  private def ensureLangPartitioned(s: SparkSession, dir: String): Option[String] =
+    * (empty-tables parity sweep). The READ-BACK DataFrame is memoized
+    * with the layout (round-6 verdict #8: re-creating it per
+    * invocation re-ran partition discovery + schema inference over
+    * the multi-directory layout on every bench pass — the layout is
+    * immutable for the life of the cache entry, so the relation and
+    * its file index are too). */
+  private def ensureLangPartitioned(s: SparkSession, dir: String): Option[DataFrame] =
     partitionedDocs.get(s, dir, graft.sources.FsSig.of(s"$dir/documents.parquet")) {
       val docs = t(s, dir, "documents")
       if (docs.isEmpty) None
       else {
         val base = graft.operators.PlanCache.tempDir("graft_partdocs_")
         docs.write.partitionBy("lang").mode("overwrite").parquet(base)
-        Some(base)
+        Some((base, s.read.parquet(base)))
       }
-    }
+    }.map(_._2)
 
   /** Q60: partition-pruned scan over a hive-partitioned layout — the
     * documents corpus written `partitionBy(lang)`, then queried for one
@@ -568,10 +573,8 @@ object Queries {
     * rest of the corpus. This is the at-rest layout for any column a
     * pipeline routinely slices on (lang, source, date). */
   def q60PartitionPruning(s: SparkSession, dir: String): DataFrame = {
-    val src = ensureLangPartitioned(s, dir) match {
-      case Some(p) => s.read.parquet(p)
-      case None    => t(s, dir, "documents") // empty: same schema, no layout
-    }
+    val src = ensureLangPartitioned(s, dir)
+      .getOrElse(t(s, dir, "documents")) // empty: same schema, no layout
     src.filter(col("lang") === "en")
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("tot_chars"))

@@ -23,6 +23,37 @@ object KafkaIO {
   def topicoMensagens(avro: Boolean): String =
     if (avro) "carga-sandbox-avro" else "carga-sandbox-json"
 
+  /** The reference's per-app RESULTS topic (ProdutorAvro.java:23,
+    * ConsumidorAvro.java:28 and the json twins): each of the four
+    * pipelines publishes its final metrics report to its own topic. */
+  def topicoResultados(avro: Boolean, producer: Boolean): String =
+    s"resultados-carga-sandbox-${if (avro) "avro" else "json"}-" +
+      (if (producer) "producer" else "consumer")
+
+  /** The record key the reference sends its report under
+    * (ProdutorAvro.java:130: "metricas-produtor-avro"). */
+  def reportKey(avro: Boolean, producer: Boolean): String =
+    s"metricas-${if (producer) "produtor" else "consumidor"}-" +
+      (if (avro) "avro" else "json")
+
+  /** Publish the one-row metrics report as a single JSON record to
+    * the per-app results topic — the reference's enviarMetricas
+    * (ProdutorAvro.java:122-139: report JSON keyed by app id, plain
+    * producer, fire-and-forget semantics). The report is a single
+    * aggregated row, so the driver-side collect is O(1). */
+  def publishReport(report: DataFrame, brokers: String, avro: Boolean,
+      producer: Boolean): Unit = {
+    val spark = report.sparkSession
+    import spark.implicits._
+    val json = report.toJSON.collect().mkString("\n")
+    Seq((reportKey(avro, producer), json)).toDF("key", "value")
+      .select(col("key").cast("binary"), col("value").cast("binary"))
+      .write.format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("topic", topicoResultados(avro, producer))
+      .save()
+  }
+
   /** The produce/consume switch: Some(brokers) → live Kafka paths. */
   def brokersFromEnv(env: Map[String, String] = sys.env): Option[String] =
     env.get("KAFKA_BOOTSTRAP_SERVERS").map(_.trim).filter(_.nonEmpty)

