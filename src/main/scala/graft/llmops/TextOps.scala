@@ -2050,11 +2050,12 @@ object TextOps {
     * adaptive path for graphs whose diameter could exceed the
     * min-label round budget: both stars strictly flatten trees, so the
     * round count is O(log n) in component size rather than O(diameter).
-    * Near-dup graphs have tiny diameters, so the certified min-label
-    * twin stays the default; this drop-in takes over via
-    * `graft.cc.impl=largestar` (same labels — both compute "min doc_id
-    * reachable", spec-asserted identical on the fixture and on a
-    * long-chain graph that exceeds min-label's cap).
+    * THE DEFAULT ENGINE since round 7 (same-box A/B at sf0.1: ~3.1 s
+    * steady vs min-label's ~3.9 — fewer rounds and each round's
+    * frames are the directed half-edge set); the min-label twin
+    * selects via `graft.cc.impl=minlabel` (same labels — both compute
+    * "min doc_id reachable", spec-asserted identical on the fixture
+    * and on a long-chain graph that exceeds min-label's cap).
     *
     * Representation: directed edge set (u, v) with u > v, deduped,
     * checkpointed per round. large-star links every bigger neighbor of
@@ -2113,13 +2114,14 @@ object TextOps {
     * overlapping duplicates).
     *
     * Two interchangeable components engines behind one interface (the
-    * q44/q61 division of labor): [[ccMinLabel]] (default; one job per
-    * diameter round — near-dup diameters are tiny) and
-    * [[ccLargeSmallStar]] (`graft.cc.impl=largestar`; O(log n) rounds
-    * for adversarial diameters). Both compute min-reachable-doc_id, so
-    * the result — and the oracle — is identical. The driver loop holds
-    * NO data; every round is a distributed join/aggregate over the
-    * EDGE set with lineage cuts. */
+    * q44/q61 division of labor): [[ccLargeSmallStar]] (default since
+    * the round-7 A/B — O(log n) rounds, measured ~20% faster at
+    * sf0.1) and [[ccMinLabel]] (`graft.cc.impl=minlabel`; one job per
+    * diameter round, the simpler certified twin). Both compute
+    * min-reachable-doc_id, so the result — and the oracle — is
+    * identical. The driver loop holds NO data; every round is a
+    * distributed join/aggregate over the EDGE set with lineage
+    * cuts. */
   /** Published cluster-label table (doc_id, cluster_root,
     * cluster_size) — the shingle-index discipline for the OTHER
     * expensive shared artifact: q67 ALWAYS computes (its bench number
@@ -2174,10 +2176,15 @@ object TextOps {
       .repartition(loopParts)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // default = large/small-star (round-7 A/B at sf0.1: ~3.1 s
+      // steady vs min-label's ~3.9 — fewer rounds AND each round's
+      // frames are the directed half-edge set, not the full symmetric
+      // closure); min-label remains selectable (graft.cc.impl=
+      // minlabel) as the simpler certified twin
       val labels =
-        if (s.conf.getOption("graft.cc.impl").contains("largestar"))
-          ccLargeSmallStar(sym)
-        else ccMinLabel(sym)
+        if (s.conf.getOption("graft.cc.impl").contains("minlabel"))
+          ccMinLabel(sym)
+        else ccLargeSmallStar(sym)
       val sizes = labels.groupBy("root").agg(count(lit(1)).as("cluster_size"))
       val out = labels.join(sizes, Seq("root"))
         .select(col("doc_id"), col("root").as("cluster_root"), col("cluster_size"))

@@ -855,14 +855,21 @@ object VectorOps {
     val cents = ivfCentroids(IvfCells)
     val cnorms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
     // (cell, rounded centroid cosine) per vector — centroid norms are
-    // Scala-computed literals so both engines divide by the same double
-    val cellStructs = array((0 until IvfCells).map { c =>
-      struct(lit(c).as("cell"),
+    // Scala-computed literals so both engines divide by the same
+    // double. The cosines are PROJECTION columns (codegen'd) and the
+    // explode's generator carries only column references: Generate
+    // evaluates its generator interpreted, so dots inside the struct
+    // array ran un-codegen'd per row (the q65 lesson; 10 128-dim dots
+    // per vector here).
+    val withCsim = e.select(Seq(col("vec_id"), col("v"), col("nrm")) ++
+      (0 until IvfCells).map { c =>
         round(cosSim(dot(col("v"), array(cents(c).map(lit(_)): _*)),
-          col("nrm"), lit(cnorms(c))), 6).as("csim"))
-    }: _*)
+          col("nrm"), lit(cnorms(c))), 6).as(s"csim_$c")
+      }: _*)
     val wCell = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell"))
-    val ranked = e.select(col("vec_id"), col("v"), col("nrm"), explode(cellStructs).as("cs"))
+    val ranked = withCsim.select(col("vec_id"), col("v"), col("nrm"),
+        explode(array((0 until IvfCells).map(c =>
+          struct(lit(c).as("cell"), col(s"csim_$c").as("csim"))): _*)).as("cs"))
       .select(col("vec_id"), col("v"), col("nrm"),
         col("cs.cell").as("cell"), col("cs.csim").as("csim"))
       .withColumn("crank", row_number().over(wCell))
@@ -966,21 +973,39 @@ object VectorOps {
     val pairs = exactTopk(s, dir).select(col("vec_id"), col("neighbor_id"), col("sim"))
     val va = emb(s, dir).select(col("vec_id"), col("embedding").as("v"))
     val vb = emb(s, dir).select(col("vec_id").as("neighbor_id"), col("embedding").as("w"))
-    val structs = array(TruncDims.map { d =>
-      val sv = slice(col("v"), 1, d)
-      val sw = slice(col("w"), 1, d)
-      struct(lit(d).as("dim"),
-        round(cosSim(dot(sv, sw), norm(sv), norm(sw)), 6).as("tsim"))
-    }: _*)
-    pairs.join(va, Seq("vec_id")).join(vb, Seq("neighbor_id"))
-      .select(col("sim"), explode(structs).as("ds"))
-      .select(col("ds.dim").as("dim"),
-        round(abs(col("sim") - col("ds.tsim")), 6).as("gap"))
-      .groupBy("dim")
-      .agg(count(lit(1)).as("n_pairs"),
-        (sum(col("gap").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
-          .cast("double") / count(lit(1))).as("mean_gap"),
-        max("gap").as("max_gap"))
+    // the truncated cosines are PROJECTION columns, not expressions
+    // inside an explode: Generate evaluates its generator INTERPRETED,
+    // so the original explode(array(struct(..dot..))) shape ran every
+    // sliced dot product un-codegen'd — measured 1.7 s vs 0.3 s for
+    // the identical arithmetic as columns at sf0.1 (the round-6
+    // driver regression on this entry). The per-dim gap stats
+    // aggregate in ONE row (2 aggregates per dim), and the (dim,
+    // stats) output rows unpivot from that single row — the explode
+    // now touches 1 row, not k·n.
+    val gaps = pairs.join(va, Seq("vec_id")).join(vb, Seq("neighbor_id"))
+      .select(Seq(col("sim")) ++ TruncDims.map { d =>
+        val sv = slice(col("v"), 1, d)
+        val sw = slice(col("w"), 1, d)
+        round(abs(col("sim") - round(cosSim(dot(sv, sw), norm(sv), norm(sw)), 6)), 6)
+          .as(s"gap_$d")
+      }: _*)
+    val aggs = Seq(count(lit(1)).as("n_pairs")) ++ TruncDims.flatMap(d => Seq(
+      sum(col(s"gap_$d").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+        .as(s"sum_$d"),
+      max(col(s"gap_$d")).as(s"max_$d")))
+    gaps.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(TruncDims.map { d =>
+        struct(lit(d).as("dim"), col("n_pairs"),
+          // n_pairs = 0 (empty corpus): the guarded division keeps
+          // ANSI from throwing; the filter below then drops the rows,
+          // matching the oracle's empty GROUP BY
+          when(col("n_pairs") > 0,
+            col(s"sum_$d").cast("double") / col("n_pairs")).as("mean_gap"),
+          col(s"max_$d").as("max_gap"))
+      }: _*)).as("r"))
+      .filter(col("r.n_pairs") > 0)
+      .select(col("r.dim").as("dim"), col("r.n_pairs").as("n_pairs"),
+        col("r.mean_gap").as("mean_gap"), col("r.max_gap").as("max_gap"))
       .orderBy("dim")
   }
 

@@ -36,12 +36,14 @@ class CcVariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
     df.collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("root"))).toSet
 
   test("q67 produces identical clusters under both engines on the fixture") {
+    // default engine is large/small-star (round-7 promotion); the
+    // min-label twin selects via conf and must agree row-for-row
     val base = TextOps.q67DedupClusters(spark, dir).collect().map(_.toString).sorted.toSeq
-    spark.conf.set("graft.cc.impl", "largestar")
+    spark.conf.set("graft.cc.impl", "minlabel")
     try {
-      val star = TextOps.q67DedupClusters(spark, dir).collect().map(_.toString).sorted.toSeq
-      assert(base == star,
-        "large-star/small-star must assign the same (doc_id, cluster_root, cluster_size)")
+      val ml = TextOps.q67DedupClusters(spark, dir).collect().map(_.toString).sorted.toSeq
+      assert(base == ml,
+        "min-label must assign the same (doc_id, cluster_root, cluster_size)")
       assert(base.nonEmpty, "fixture should contain near-dup clusters")
     } finally spark.conf.unset("graft.cc.impl")
   }

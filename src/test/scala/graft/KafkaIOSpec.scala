@@ -75,6 +75,29 @@ class KafkaIOSpec extends AnyFunSuite with BeforeAndAfterAll {
       opts("kafka.compression.type") == "lz4" && opts("kafka.acks") == "1")
   }
 
+  test("report publication targets the reference's per-app results topics") {
+    // topic/key naming parity (reference ProdutorAvro.java:23,130 and
+    // the consumer/json twins)
+    assert(KafkaIO.topicoResultados(avro = true, producer = true) ==
+      "resultados-carga-sandbox-avro-producer")
+    assert(KafkaIO.topicoResultados(avro = true, producer = false) ==
+      "resultados-carga-sandbox-avro-consumer")
+    assert(KafkaIO.topicoResultados(avro = false, producer = true) ==
+      "resultados-carga-sandbox-json-producer")
+    assert(KafkaIO.reportKey(avro = true, producer = true) == "metricas-produtor-avro")
+    assert(KafkaIO.reportKey(avro = false, producer = false) == "metricas-consumidor-json")
+    // construction-asserted like the data paths: the write must reach
+    // Spark's kafka provider lookup (no connector jar here)
+    val s = spark
+    import s.implicits._
+    val report = Seq((1900L, 1881L)).toDF("totalMensagens", "mensagensSucesso")
+    val e = intercept[Exception] {
+      KafkaIO.publishReport(report, "broker:9092", avro = true, producer = true)
+    }
+    assert(e.getMessage.toLowerCase.contains("kafka"),
+      s"expected the kafka provider-lookup failure, got: $e")
+  }
+
   test("security passthrough mirrors the reference's SASL client config") {
     // the reference builds SASL_SSL/PLAIN from CLUSTER_API_KEY/SECRET
     // (ConfiguracaoKafka.java:133-139); same env names, same JAAS line
