@@ -82,14 +82,30 @@ object Main {
     graft.sources.KafkaIO.brokersFromEnv() match {
       case Some(brokers) =>
         // live topic write (reference: ProdutorAvro.java:69-95) — the
-        // explicit partition column pins the (i-1)%P record partitioner
+        // explicit partition column pins the (i-1)%P record partitioner.
+        // Avro values ship in the Confluent wire format: the schema id
+        // comes from the registry client (register-or-lookup under the
+        // topic's value subject, exactly what KafkaAvroSerializer does —
+        // ConfiguracaoKafka.java:151-156), then each record frames as
+        // magic 0x00 + 4-byte id + body (the q49-certified layout)
+        val topic = graft.sources.KafkaIO.topicoMensagens(avro)
+        val toSend =
+          if (avro) {
+            val wireId = graft.sources.SchemaRegistryClient.fromEnv()
+              .register(graft.sources.SchemaRegistryClient.valueSubject(topic),
+                SchemaDef.mensagemAvroJson)
+            raw.withColumn("valor",
+              graft.functions.GraftFunctions.confluentWrap(col("valor"), wireId))
+          } else raw
         val sink = graft.sources.KafkaIO
-          .toSinkFrame(raw.repartition(conf.numParticoes, col("particao")))
-        graft.sources.KafkaIO.writeBatch(sink, brokers,
-          graft.sources.KafkaIO.topicoMensagens(avro), conf.compressionType.toLowerCase)
-        // producer-callback metrics: over what was sent
+          .toSinkFrame(toSend.repartition(conf.numParticoes, col("particao")))
+        graft.sources.KafkaIO.writeBatch(sink, brokers, topic,
+          conf.compressionType.toLowerCase)
+        // producer-callback metrics: over what was sent (the serialized
+        // record INCLUDING the wire header, like the reference's
+        // callback sizes)
         Metrics.report(
-          raw.filter(col("sequencia") > conf.warmupMensagens),
+          toSend.filter(col("sequencia") > conf.warmupMensagens),
           octet_length(col("valor")).cast("long"), col("sucesso"), col("timestamp"), conf)
       case None =>
         // offline analogue: topic → partitioned parquet dir.
@@ -118,7 +134,8 @@ object Main {
     * pruning means the parse expression is never even evaluated. */
   def consume(spark: SparkSession, conf: EngineConf, dir: String, avro: Boolean): DataFrame = {
     val fmt = if (avro) "avro" else "json"
-    val raw = graft.sources.KafkaIO.brokersFromEnv() match {
+    val live = graft.sources.KafkaIO.brokersFromEnv()
+    val raw = live match {
       case Some(brokers) =>
         // live topic scan (reference: ConsumidorAvro.java:57-121);
         // task-per-topic-partition replaces thread-per-partition. The
@@ -129,6 +146,15 @@ object Main {
             graft.sources.KafkaIO.topicoMensagens(avro)))
       case None => spark.read.parquet(s"$dir/messages_raw_$fmt")
     }
+    // live Avro values carry the 5-byte Confluent wire header the
+    // producer framed (see produce): strip it before decode — the
+    // consumer-side schemaById resolution the reference performs is
+    // [[graft.sources.SchemaRegistryClient]]; with one static schema
+    // the resolved text equals the compiled SchemaDef, so the decode
+    // plan stays a static expression (no per-record schema dispatch)
+    val avroBody =
+      if (live.isDefined) graft.functions.GraftFunctions.confluentStrip(col("valor"))
+      else col("valor")
     val parsed = conf.benchMode match {
       case "TRANSPORTE" =>
         // size-only projection (O15): no decode of `valor`. The record
@@ -146,7 +172,7 @@ object Main {
           lit(Long.MaxValue).as("seq"))
       case _ => // E2E_PARSE: full decode (O13/O14)
         val payload =
-          if (avro) AvroSerde.from_avro(col("valor"), SchemaDef.mensagemAvroJson)
+          if (avro) AvroSerde.from_avro(avroBody, SchemaDef.mensagemAvroJson)
           else from_json(col("valor").cast("string"), SchemaDef.mensagemType)
         raw.select(col("particao"), length(col("valor")).cast("long").as("bytes"),
             payload.as("m"))
