@@ -228,6 +228,117 @@ object TextOps {
         graft.functions.TextExprs.polyHash(col("w")).as("rolling_hash"))
       .orderBy("doc_id")
 
+  // ------------------------------------------- q103 winnowing fingerprints
+
+  /** Winnowing parameters (Schleimer, Wilkerson & Aiken 2003, "local
+    * algorithms for document fingerprinting" — the MOSS algorithm):
+    * token k-grams of [[WinnowK]], selection windows of [[WinnowW]]
+    * consecutive gram hashes. The guarantee: any token run of at least
+    * k + w − 1 shared by two documents contributes at least one SHARED
+    * fingerprint — unlike uniform sampling (mod-p selection), which
+    * can miss arbitrarily long matches. Expected density 2/(w+1). */
+  val WinnowK = 3
+  val WinnowW = 4
+
+  /** Positions pack into the low [[WinnowPosBits]] bits of the
+    * selection key, so `min(key)` IS the leftmost-minimal (hash, pos)
+    * pair — one plain integer min per window in both engines, no
+    * struct-comparison semantics to cross-check. hash < 2^32 (mod
+    * [[MinhashP]]), pos < 2^20 → key < 2^52, exact in a BIGINT. */
+  val WinnowPosBits = 20
+
+  /** The winnowed fingerprint SET (doc_id, fh, fpos) over any
+    * (doc_id, w: array&lt;string&gt;) frame — factored so specs can
+    * feed crafted corpora (the shared-run guarantee test). Shape: one
+    * doc_id exchange for the position windows; the k-gram assembles
+    * from `lead` (no self-join), the per-window leftmost-minimal pair
+    * is a sliding `min` over a w-row frame, and the fingerprint set is
+    * the distinct selection — all row counts linear in token count. */
+  private[graft] def winnowFingerprintsOf(tok: DataFrame): DataFrame = {
+    val wLead = Window.partitionBy("doc_id").orderBy("pos")
+    val wSel = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, WinnowW - 1)
+    val grams = tok
+      .select(col("doc_id"), (size(col("w")) - WinnowK + 1).as("m"),
+        posexplode(col("w")).as(Seq("pos", "t")))
+      .filter(col("m") >= WinnowW)
+      .withColumn("gram", concat_ws(" ",
+        col("t") +: (1 until WinnowK).map(j => lead("t", j).over(wLead)): _*))
+      // complete k-grams only (the last k−1 positions have no gram)
+      .filter(col("pos") < col("m"))
+      .withColumn("key",
+        baseHash(col("gram")) * (1L << WinnowPosBits) + col("pos"))
+    grams
+      .withColumn("wn", count(lit(1)).over(wSel))
+      .withColumn("selkey", min("key").over(wSel))
+      // complete windows only: the guarantee quantifies over full
+      // w-windows, and the trailing short frames would re-select
+      // already-selected keys anyway
+      .filter(col("wn") === WinnowW)
+      .select(col("doc_id"), col("m"), col("selkey")).distinct()
+      .select(col("doc_id"), col("m"),
+        shiftright(col("selkey"), WinnowPosBits).as("fh"),
+        (col("selkey") % (1L << WinnowPosBits)).as("fpos"),
+        (col("selkey") % MinhashP).as("chk"))
+  }
+
+  /** q103: WINNOWING document fingerprints — the guaranteed-recall
+    * member of the fingerprinting family (q33 = whole-doc content
+    * hash, q48 = order-sensitive rolling hash, q36/q37 = MinHash
+    * sketch): per document, the winnowed fingerprint profile a
+    * plagiarism/overlap detector indexes — gram and window counts,
+    * selected-fingerprint count, a checksum pinning the exact
+    * selection, and the realized density (expected 2/(w+1) ≈ 0.4).
+    * Documents shorter than k + w − 1 tokens have no complete window
+    * and emit nothing (matching the oracle's empty group).
+    *
+    * Scale shape: one corpus pass, one doc_id exchange for the
+    * position windows, per-doc aggregation — no joins, no pair
+    * blowup; the fingerprint INDEX this feeds joins on fh exactly
+    * like q37's band buckets. */
+  def q103Winnowing(s: SparkSession, dir: String): DataFrame =
+    winnowFingerprintsOf(tokenized(s, dir))
+      .groupBy("doc_id", "m")
+      .agg(count(lit(1)).as("n_fp"),
+        sum(col("chk")).as("fp_checksum"))
+      .select(col("doc_id"), col("m").cast("long").as("n_grams"),
+        (col("m") - WinnowW + 1).cast("long").as("n_windows"),
+        col("n_fp"),
+        col("fp_checksum").cast("long").as("fp_checksum"),
+        round(col("n_fp").cast("double") / (col("m") - WinnowW + 1), 6)
+          .as("fp_density"))
+      .orderBy("doc_id")
+
+  lazy val q103Sql: String = {
+    val gram = (1 to WinnowK).map(j => s"w[i + ${j - 1}]").mkString(" || ' ' || ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS w,
+       |    len(string_split_regex(text, '\\s+')) - ${WinnowK - 1} AS m
+       |  FROM documents
+       |), g AS (
+       |  SELECT doc_id, m, i - 1 AS pos,
+       |    CAST(('0x' || substring(md5($gram), 1, 15))::UBIGINT % $MinhashP AS BIGINT)
+       |      * ${1L << WinnowPosBits} + (i - 1) AS key
+       |  FROM (SELECT doc_id, m, w, unnest(range(1, m + 1)) AS i
+       |        FROM tok WHERE m >= $WinnowW)
+       |), wins AS (
+       |  SELECT doc_id, m,
+       |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
+       |                   ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS selkey,
+       |    count(*) OVER (PARTITION BY doc_id ORDER BY pos
+       |                   ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS wn
+       |  FROM g
+       |), sel AS (
+       |  SELECT DISTINCT doc_id, m, selkey FROM wins WHERE wn = $WinnowW
+       |)
+       |SELECT doc_id, CAST(m AS BIGINT) AS n_grams,
+       |  CAST(m - ${WinnowW - 1} AS BIGINT) AS n_windows,
+       |  count(*) AS n_fp,
+       |  CAST(sum(selkey % $MinhashP) AS BIGINT) AS fp_checksum,
+       |  round(CAST(count(*) AS DOUBLE) / (m - ${WinnowW - 1}), 6) AS fp_density
+       |FROM sel GROUP BY doc_id, m ORDER BY doc_id""".stripMargin
+  }
+
   /** lazy: references MinhashP, which is declared further down the
     * object — an eager val would interpolate its pre-init value 0. */
   lazy val q48Sql: String =
@@ -3163,6 +3274,7 @@ object TextOps {
     "q99_blocklist_filter" -> (q99BlocklistFilter _),
     "q100_zipf_slope" -> (q100ZipfSlope _),
     "q101_phrase_search" -> (q101PhraseSearch _),
+    "q103_winnowing" -> (q103Winnowing _),
     "q92_incremental_dedup" -> (q92IncrementalDedup _),
     "q93_pmi_collocations" -> (q93PmiCollocations _),
     "q94_quality_sample" -> (q94QualitySample _),
@@ -3208,6 +3320,7 @@ object TextOps {
     "q99_blocklist_filter" -> q99Sql,
     "q100_zipf_slope" -> q100Sql,
     "q101_phrase_search" -> q101Sql,
+    "q103_winnowing" -> q103Sql,
     "q92_incremental_dedup" -> q92Sql,
     "q93_pmi_collocations" -> q93Sql,
     "q94_quality_sample" -> q94Sql,

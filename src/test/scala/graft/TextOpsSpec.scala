@@ -395,4 +395,56 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val q87 = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(q87 == q59, "q87's exact side must equal q59 row-for-row")
   }
+
+  test("winnowing (q103): profile invariants on the fixture") {
+    val rows = TextOps.q103Winnowing(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val grams = r.getAs[Long]("n_grams")
+      val wins = r.getAs[Long]("n_windows")
+      val fp = r.getAs[Long]("n_fp")
+      assert(wins == grams - TextOps.WinnowW + 1)
+      // at least one fingerprint per window-span, never more than
+      // one selection per window
+      assert(fp >= 1 && fp <= wins)
+      val d = r.getAs[Double]("fp_density")
+      assert(d > 0.0 && d <= 1.0)
+    }
+    // realized corpus-level density sits near the 2/(w+1) expectation
+    val tot = TextOps.q103Winnowing(spark, dir)
+      .agg(sum("n_fp").cast("double") / sum("n_windows")).head().getDouble(0)
+    val expected = 2.0 / (TextOps.WinnowW + 1)
+    assert(math.abs(tot - expected) < 0.25,
+      s"corpus density $tot far from winnowing expectation $expected")
+  }
+
+  test("winnowing guarantee: a shared k+w-1 token run yields a shared fingerprint") {
+    val s = spark
+    import s.implicits._
+    // two documents sharing a 12-token run (> k + w - 1 = 6) inside
+    // otherwise-distinct text; winnowing MUST select at least one
+    // common (hash) fingerprint from the shared run — the property
+    // uniform mod-p sampling cannot promise
+    val shared = (1 to 12).map(i => s"run$i").mkString(" ")
+    val docA = s"alpha beta gamma $shared delta epsilon zeta eta"
+    val docB = s"one two three four five $shared six seven eight nine"
+    val tok = Seq((1L, docA), (2L, docB)).toDF("doc_id", "text")
+      .withColumn("w", split(col("text"), "\\s+"))
+    val fp = TextOps.winnowFingerprintsOf(tok)
+      .select("doc_id", "fh").collect()
+      .groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    assert(fp(1L).intersect(fp(2L)).nonEmpty,
+      "documents sharing a 12-token run must share a winnowed fingerprint")
+  }
+
+  test("winnowing: documents shorter than k + w - 1 tokens emit nothing") {
+    val s = spark
+    import s.implicits._
+    val tok = Seq((1L, "a b c d e"), (2L, "a b c d e f")).toDF("doc_id", "text")
+      .withColumn("w", split(col("text"), "\\s+"))
+    // 5 tokens -> m = 3 < w: no complete window; 6 tokens -> m = 4 = w: one window
+    val got = TextOps.winnowFingerprintsOf(tok)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(got == Set(2L))
+  }
 }
