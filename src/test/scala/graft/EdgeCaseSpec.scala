@@ -63,13 +63,25 @@ class EdgeCaseSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q93" -> (TextOps.q93PmiCollocations _),
     "q94" -> (TextOps.q94QualitySample _),
     "q95" -> (TextOps.q95PiiRedact _),
-    "q96" -> (TextOps.q96EditdistVerify _))
+    "q96" -> (TextOps.q96EditdistVerify _),
+    // round-6/7 operators join the sweep (q100 excluded here: its
+    // global regression aggregate emits ONE null-slope row on an
+    // empty corpus — asserted separately below, same shape as q82)
+    "q99" -> (TextOps.q99BlocklistFilter _),
+    "q101" -> (TextOps.q101PhraseSearch _),
+    "q103" -> (TextOps.q103Winnowing _))
 
   test("every text operator returns empty on an empty corpus, without throwing") {
     textOps.foreach { case (name, fn) =>
       val n = fn(spark, emptyDir).count()
       assert(n == 0, s"$name returned $n rows on an empty corpus")
     }
+    // q100: the corpus-level regression collapses to one row whose
+    // slope is NULL (0-point fit) — the q82 global-aggregate shape
+    val z = TextOps.q100ZipfSlope(spark, emptyDir).collect()
+    assert(z.length == 1 && z.head.getAs[Long]("n_types") == 0 &&
+      z.head.isNullAt(z.head.fieldIndex("zipf_slope")),
+      s"empty-corpus Zipf must be one null-slope row: ${z.mkString}")
   }
 
   test("round-5 operators are total on empty inputs") {
@@ -94,6 +106,10 @@ class EdgeCaseSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q80's empty case degrades in-plan (no driver branch): zero
     // candidates cross-join the empty-corpus sketch row to zero rows
     assert(graft.queries.Queries.q80CmsTopk(spark, emptyDir).count() == 0)
+    // round-6/7 event + vector operators collapse to zero rows
+    assert(graft.queries.Queries.q97RetentionCohorts(spark, emptyDir).count() == 0)
+    assert(graft.queries.Queries.q98Transitions(spark, emptyDir).count() == 0)
+    assert(graft.llmops.VectorOps.q102LabelSeparation(spark, emptyDir).count() == 0)
     // certifications on an empty corpus emit the one (0, 0, NULL) row
     // the oracles' 0/0 -> NULL arithmetic produces — same shape as
     // q47/q61's guarded recallRow
