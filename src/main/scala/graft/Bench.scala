@@ -79,7 +79,8 @@ object Bench {
       graft.llmops.VectorOps.cosPairCacheStats._2 +
       graft.llmops.VectorOps.exactTopkCacheStats._2 +
       graft.llmops.VectorOps.codeTopkCacheStats._2 +
-      graft.llmops.VectorOps.lshPairCacheStats._2
+      graft.llmops.VectorOps.lshPairCacheStats._2 +
+      graft.llmops.VectorOps.ivfCertCacheStats._2
 
   /** Storage-layer observability for the bench tail (round-6 verdict
     * #1: the suite now persists many artifacts across the whole run —
