@@ -89,7 +89,17 @@ object ScaleCheck {
     "q95_pii_redact",
     // edit-distance verify: O(la·lb) per CANDIDATE — cost must track
     // the q53 pair count, not the corpus
-    "q96_editdist_verify")
+    "q96_editdist_verify",
+    // round-8: winnowing is the fingerprinting family's linear-map
+    // claim (the salted 10× corpus also ~2×es tokens per doc, so
+    // grams grow ~20×); phrase search must join only the two matching
+    // postings lists; Zipf must collapse to the vocabulary before the
+    // tiny regression; blocklist is the pure-map claim. The vector
+    // entries ride the 4× set with their round-7 artifact shapes
+    // (build in the warm pass, steady in the timed).
+    "q103_winnowing", "q101_phrase_search", "q100_zipf_slope",
+    "q99_blocklist_filter", "q41_ann_lsh", "q65_trunc_fidelity",
+    "q102_label_separation")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
