@@ -189,6 +189,33 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ANN artifact consumers (q41/q47/q61/q65) read persisted sets, not rebuilt pipelines") {
+    // the round-7 artifact discipline, plan-locked: each consumer's
+    // executed plan must reference its published set through an
+    // InMemoryTableScan leaf — a missing leaf means a future edit
+    // silently restored the per-action pipeline rebuild (the shape
+    // that made q41 the suite's slowest entry)
+    for ((name, df) <- Seq(
+        "q41" -> VectorOps.q41AnnLsh(spark, dir),
+        "q47" -> VectorOps.q47AnnRecall(spark, dir),
+        "q61" -> VectorOps.q61IvfRecall(spark, dir),
+        "q65" -> VectorOps.q65TruncFidelity(spark, dir))) {
+      val plan = physical(df)
+      assert(plan.contains("InMemoryTableScan"),
+        s"$name must consume its published artifact:\n$plan")
+    }
+  }
+
+  test("winnowing (q103): no joins, one doc_id exchange for the position windows") {
+    val plan = physical(TextOps.q103Winnowing(spark, dir))
+    assert(!plan.contains("Join"), s"winnowing needs no join:\n$plan")
+    // exchanges: one hashpartitioning(doc_id) for the windows, one
+    // final aggregation exchange, one rangepartitioning output sort —
+    // nothing corpus-pair-shaped
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("pagerank (q75): edge set materializes once, iterations never re-run the pair pipeline") {
     // the q69 discipline applied to an ITERATIVE consumer: the q53 LSH
     // subplan must appear zero times in the composed 5-round plan —
