@@ -740,27 +740,22 @@ object StreamOps {
   def consumeWithIdleStop(s: SparkSession, path: String, schema: StructType,
       maxIdleEvents: Int = 1): DataFrame = {
     val name = s"metrics_${System.nanoTime()}"
-    val src = s.readStream.schema(schema).parquet(stageAsDir(path))
+    // forked session (the withStreamShuffle discipline): the prompt
+    // idle-reporting cadence — 2 s instead of the 10 s default, so the
+    // stop reacts like the reference's inactivity timeout — applies to
+    // this query alone, never the caller's session
+    val fs = s.newSession()
+    fs.conf.set("spark.sql.streaming.noDataProgressEventInterval", "2000")
+    val src = fs.readStream.schema(schema).parquet(stageAsDir(path))
     var q: StreamingQuery = null
     val listener = new IdleStop(() => q, maxIdleEvents)
-    s.streams.addListener(listener)
-    // report idleness promptly so the stop reacts like the reference's
-    // inactivity timeout rather than the 10 s default cadence
-    val intervalKey = "spark.sql.streaming.noDataProgressEventInterval"
-    val prevInterval = s.conf.getOption(intervalKey)
-    s.conf.set(intervalKey, "2000")
+    fs.streams.addListener(listener)
     try {
       q = streamingMetrics(src)
         .writeStream.queryName(name).format("memory")
         .outputMode("complete").trigger(Trigger.ProcessingTime("500 milliseconds")).start()
       q.awaitTermination()
-    } finally {
-      s.streams.removeListener(listener)
-      prevInterval match {
-        case Some(v) => s.conf.set(intervalKey, v)
-        case None => s.conf.unset(intervalKey)
-      }
-    }
-    s.table(name)
+    } finally fs.streams.removeListener(listener)
+    fs.table(name)
   }
 }
