@@ -2409,6 +2409,80 @@ object TextOps {
        |                     ORDER BY n_chars DESC, doc_id) = 1 AS kept
        |FROM alld ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------ q104 dedup funnel report
+
+  /** q104: the DEDUP FUNNEL REPORT — the one-row summary a dedup run
+    * ships to its operators (and the number a corpus card quotes):
+    * corpus size, the exact-dup axis (distinct normalized fingerprints
+    * per source, copies removed), the near-dup axis (clustered docs,
+    * cluster count), survivors under the q79 keep rule, and the final
+    * keep ratio. Pure COMPOSITION of the certified stages — the exact
+    * fingerprints are q34's (source, md5(norm)) keys, the clusters and
+    * verdicts come from the published q67 label table through q79 —
+    * so the report can never disagree with the stages it summarizes.
+    *
+    * Scale shape: one corpus pass for the exact axis (partial-agg'd
+    * by (source, fp)), one pass over q79's verdict table for the
+    * near-dup/survivor axis, and a broadcast cross join of the two
+    * single-row aggregates. Empty corpus: counts 0, sums NULL, ratio
+    * NULL — identical in both engines. */
+  def q104DedupReport(s: SparkSession, dir: String): DataFrame = {
+    val exact = docs(s, dir)
+      .select(col("source"), md5(normText(col("text"))).as("fp"))
+      .groupBy("source", "fp").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_exact_unique"),
+        sum(col("n") - 1).as("n_exact_dups"))
+    val funnel = q79DedupSurvivors(s, dir)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cluster_size") > 1, 1L).otherwise(0L)).as("n_neardup_docs"),
+        count_distinct(when(col("cluster_size") > 1, col("cluster_root")))
+          .as("n_neardup_clusters"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+    funnel.crossJoin(broadcast(exact))
+      .select(col("n_docs"), col("n_exact_unique"), col("n_exact_dups"),
+        col("n_neardup_docs"), col("n_neardup_clusters"), col("n_kept"),
+        when(col("n_docs") > 0,
+          round(col("n_kept").cast("double") / col("n_docs"), 6)).as("keep_ratio"))
+  }
+
+  /** Oracle: the q79 chain re-derives the verdict table, the exact
+    * axis re-hashes the q34 normalization, and the same two one-row
+    * aggregates cross join. */
+  val q104Sql: String =
+    s"""$ccChainSql, lab AS (
+       |  SELECT doc_id, cluster_root,
+       |    count(*) OVER (PARTITION BY cluster_root) AS cluster_size
+       |  FROM roots
+       |), alld AS (
+       |  SELECT d.doc_id, d.n_chars,
+       |    coalesce(l.cluster_root, d.doc_id) AS cluster_root,
+       |    coalesce(l.cluster_size, 1) AS cluster_size
+       |  FROM documents d LEFT JOIN lab l USING (doc_id)
+       |), verd AS (
+       |  SELECT doc_id, cluster_root, cluster_size,
+       |    row_number() OVER (PARTITION BY cluster_root
+       |                       ORDER BY n_chars DESC, doc_id) = 1 AS kept
+       |  FROM alld
+       |), funnel AS (
+       |  SELECT count(*) AS n_docs,
+       |    CAST(sum(CASE WHEN cluster_size > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_neardup_docs,
+       |    count(DISTINCT CASE WHEN cluster_size > 1 THEN cluster_root END)
+       |      AS n_neardup_clusters,
+       |    CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |  FROM verd
+       |), exu AS (
+       |  SELECT count(*) AS n_exact_unique, CAST(sum(n - 1) AS BIGINT) AS n_exact_dups
+       |  FROM (SELECT source, fp, count(*) AS n
+       |        FROM (SELECT source, md5($normSql) AS fp FROM documents)
+       |        GROUP BY source, fp)
+       |)
+       |SELECT n_docs, n_exact_unique, n_exact_dups, n_neardup_docs,
+       |  n_neardup_clusters, n_kept,
+       |  CASE WHEN n_docs > 0
+       |       THEN round(CAST(n_kept AS DOUBLE) / n_docs, 6) END AS keep_ratio
+       |FROM funnel CROSS JOIN exu""".stripMargin
+
   // ---------------------------------------------- q81 BM25 retrieval
 
   /** BM25 parameters (Robertson's k1/b defaults) and cuts for q81. */
@@ -3275,6 +3349,7 @@ object TextOps {
     "q100_zipf_slope" -> (q100ZipfSlope _),
     "q101_phrase_search" -> (q101PhraseSearch _),
     "q103_winnowing" -> (q103Winnowing _),
+    "q104_dedup_report" -> (q104DedupReport _),
     "q92_incremental_dedup" -> (q92IncrementalDedup _),
     "q93_pmi_collocations" -> (q93PmiCollocations _),
     "q94_quality_sample" -> (q94QualitySample _),
@@ -3321,6 +3396,7 @@ object TextOps {
     "q100_zipf_slope" -> q100Sql,
     "q101_phrase_search" -> q101Sql,
     "q103_winnowing" -> q103Sql,
+    "q104_dedup_report" -> q104Sql,
     "q92_incremental_dedup" -> q92Sql,
     "q93_pmi_collocations" -> q93Sql,
     "q94_quality_sample" -> q94Sql,

@@ -76,6 +76,13 @@ class EdgeCaseSpec extends AnyFunSuite with BeforeAndAfterAll {
       val n = fn(spark, emptyDir).count()
       assert(n == 0, s"$name returned $n rows on an empty corpus")
     }
+    // q104: the funnel report collapses to one row of zero counts /
+    // null sums on an empty corpus (sum over zero rows is NULL in
+    // both engines; the ratio guard keeps ANSI quiet)
+    val fr = TextOps.q104DedupReport(spark, emptyDir).collect()
+    assert(fr.length == 1 && fr.head.getAs[Long]("n_docs") == 0 &&
+      fr.head.isNullAt(fr.head.fieldIndex("keep_ratio")),
+      s"empty-corpus dedup report must be one zero/null row: ${fr.mkString}")
     // q100: the corpus-level regression collapses to one row whose
     // slope is NULL (0-point fit) — the q82 global-aggregate shape
     val z = TextOps.q100ZipfSlope(spark, emptyDir).collect()

@@ -447,4 +447,17 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
     assert(got == Set(2L))
   }
+
+  test("dedup report (q104): the funnel agrees with the stages it summarizes") {
+    val r = TextOps.q104DedupReport(spark, dir).head()
+    val verd = TextOps.q79DedupSurvivors(spark, dir)
+    assert(r.getAs[Long]("n_docs") == verd.count())
+    assert(r.getAs[Long]("n_kept") == verd.filter(col("kept")).count())
+    val ex34 = TextOps.q34ExactDedup(spark, dir)
+      .agg(sum("n_distinct"), sum("n_removed")).head()
+    assert(r.getAs[Long]("n_exact_unique") == ex34.getLong(0))
+    assert(r.getAs[Long]("n_exact_dups") == ex34.getLong(1))
+    assert(r.getAs[Long]("n_neardup_clusters") <= r.getAs[Long]("n_neardup_docs"))
+    assert(r.getAs[Double]("keep_ratio") > 0.0 && r.getAs[Double]("keep_ratio") <= 1.0)
+  }
 }
