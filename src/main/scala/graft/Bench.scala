@@ -238,7 +238,8 @@ object Bench {
       "q97_retention_cohorts", "q98_transitions", "q99_blocklist_filter",
       "q100_zipf_slope", "q101_phrase_search",
       // round-9 operators
-      "q102_label_separation", "q103_winnowing", "q104_dedup_report")
+      "q102_label_separation", "q103_winnowing", "q104_dedup_report",
+      "q105_image_phash")
     // shingle-index misses during TIMED passes only (warm passes are
     // expected to build it once per session+dir)
     var timedIndexMisses = 0L

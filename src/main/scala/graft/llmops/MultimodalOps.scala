@@ -485,12 +485,18 @@ object MultimodalOps {
     * output ordering; the shape a `mapInPandas`/codec resize would
     * fill with a real image library, run here as codegen'd column
     * arithmetic so the oracle can pin every output pixel. */
-  def q86Thumbnail(s: SparkSession, dir: String): DataFrame = {
+  def q86Thumbnail(s: SparkSession, dir: String): DataFrame =
+    thumbnailOf(media(s)).orderBy("media_id", "ty", "tx")
+
+  /** The 2×2 box-filter thumbnail over any (media_id, media_type,
+    * content) frame — factored so q105's perceptual hash composes on
+    * it and specs can feed crafted grids. */
+  private[graft] def thumbnailOf(m: DataFrame): DataFrame = {
     def px(dy: Int, dx: Int) =
       conv(hex(expr(s"substring(content, ${HeaderLen + 1} + " +
         s"(2 * ty + $dy) * $ImgSide + (2 * tx + $dx), 1)")), 16, 10).cast("long")
     // the 8×8 grid is one FrameSize payload: gate on it being present
-    media(s).filter(col("media_type") === "image" &&
+    m.filter(col("media_type") === "image" &&
         validHeader(col("content")) && fullFrames(col("content")) >= 1)
       .select(col("media_id"), col("content"),
         explode(sequence(lit(0), lit(ThumbSide * ThumbSide - 1))).as("p"))
@@ -498,15 +504,16 @@ object MultimodalOps {
       .withColumn("tx", pmod(col("p"), lit(ThumbSide)).cast("int"))
       .select(col("media_id"), col("ty"), col("tx"),
         floor((px(0, 0) + px(0, 1) + px(1, 0) + px(1, 1)) / 4).cast("long").as("v"))
-      .orderBy("media_id", "ty", "tx")
   }
 
-  val q86Sql: String = {
+  /** The thumbnail pixels as a reusable CTE chain (ends at `thumb`),
+    * shared by the q86 and q105 oracles. */
+  private val thumbSqlCte: String = {
     def b(dy: Int, dx: Int) =
       s"""('0x' || substring(hx,
          |  CAST(2 * (${HeaderLen} + (2 * ty + $dy) * $ImgSide + (2 * tx + $dx)) + 1 AS INT),
          |  2))::INT""".stripMargin
-    s"""WITH i AS (
+    s"""i AS (
        |  SELECT media_id, hex(content) AS hx FROM $mediaSql
        |  WHERE media_type = 'image' AND $validHeaderSql
        |    AND $fullFramesSql >= 1
@@ -515,12 +522,75 @@ object MultimodalOps {
        |    CAST(p % $ThumbSide AS INT) AS tx, hx
        |  FROM (SELECT media_id, hx,
        |          unnest(range(0, ${ThumbSide * ThumbSide})) AS p FROM i)
-       |)
-       |SELECT media_id, ty, tx,
-       |  CAST(floor((${b(0, 0)} + ${b(0, 1)} + ${b(1, 0)} + ${b(1, 1)}) / 4)
-       |    AS BIGINT) AS v
-       |FROM t ORDER BY media_id, ty, tx""".stripMargin
+       |), thumb AS (
+       |  SELECT media_id, ty, tx,
+       |    CAST(floor((${b(0, 0)} + ${b(0, 1)} + ${b(1, 0)} + ${b(1, 1)}) / 4)
+       |      AS BIGINT) AS v
+       |  FROM t
+       |)""".stripMargin
   }
+
+  val q86Sql: String =
+    s"""WITH $thumbSqlCte
+       |SELECT media_id, ty, tx, v FROM thumb
+       |ORDER BY media_id, ty, tx""".stripMargin
+
+  // ----------------------------------------- q105 perceptual image hash
+
+  /** aHash width: one bit per thumbnail pixel. */
+  val PhashBits: Int = ThumbSide * ThumbSide
+
+  /** q105: PERCEPTUAL IMAGE HASH (average hash) — the image-dedup
+    * index key: downsample (the certified q86 box filter), then one
+    * bit per thumbnail pixel, set iff the pixel sits strictly above
+    * the thumbnail mean. The defining property — BRIGHTNESS
+    * INVARIANCE: adding a constant to every source pixel shifts both
+    * side of the comparison equally, so the hash is unchanged
+    * (spec-asserted on crafted grids; exact, because the comparison
+    * is the integer cross-multiplication v·bits > Σv, never a float
+    * mean). Near-dup image pairs then join on banded hash chunks
+    * exactly like q53 does for SimHash — the hash IS the index key,
+    * and this fixture's pseudorandom images correctly produce no
+    * near-equal pairs. Emits (media_id, phash, bits_set, v_total).
+    *
+    * Scale shape: pure composition on the per-row thumbnail map —
+    * one media_id window for the total, one aggregation; no joins. */
+  def q105ImagePhash(s: SparkSession, dir: String): DataFrame =
+    imagePhashOf(thumbnailOf(media(s)))
+
+  /** The aHash core over any (media_id, ty, tx, v) thumbnail frame. */
+  private[graft] def imagePhashOf(thumb: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("media_id")
+    thumb
+      .withColumn("p", (col("ty") * ThumbSide + col("tx")).cast("int"))
+      .withColumn("tot", sum("v").over(w))
+      // strict > : a flat image hashes to all-zero bits, not all-one
+      .withColumn("bit",
+        (col("v") * lit(PhashBits.toLong) > col("tot")).cast("long"))
+      .groupBy("media_id")
+      .agg(sum(expr("shiftleft(bit, p)")).as("phash"),
+        sum(col("bit")).as("bits_set"),
+        max(col("tot")).as("v_total"))
+      .select(col("media_id"), col("phash").cast("long").as("phash"),
+        col("bits_set").cast("long").as("bits_set"),
+        col("v_total").cast("long").as("v_total"))
+      .orderBy("media_id")
+  }
+
+  val q105Sql: String =
+    s"""WITH $thumbSqlCte, px AS (
+       |  SELECT media_id, ty * $ThumbSide + tx AS p, v FROM thumb
+       |), tt AS (
+       |  SELECT media_id, sum(v) AS tot FROM px GROUP BY media_id
+       |)
+       |SELECT media_id,
+       |  CAST(sum(CASE WHEN v * $PhashBits > tot THEN (1::BIGINT << p)
+       |                ELSE 0 END) AS BIGINT) AS phash,
+       |  CAST(sum(CASE WHEN v * $PhashBits > tot THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS bits_set,
+       |  CAST(tot AS BIGINT) AS v_total
+       |FROM px JOIN tt USING (media_id)
+       |GROUP BY media_id, tot ORDER BY media_id""".stripMargin
 
   // --------------------------------------------------------- registry
 
@@ -530,7 +600,8 @@ object MultimodalOps {
     "q54_frame_features" -> (q54FrameFeatures _),
     "q66_scene_cuts" -> (q66SceneCuts _),
     "q85_audio_energy" -> (q85AudioEnergy _),
-    "q86_thumbnail" -> (q86Thumbnail _)
+    "q86_thumbnail" -> (q86Thumbnail _),
+    "q105_image_phash" -> (q105ImagePhash _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -539,6 +610,7 @@ object MultimodalOps {
     "q54_frame_features" -> q54Sql,
     "q66_scene_cuts" -> q66Sql,
     "q85_audio_energy" -> q85Sql,
-    "q86_thumbnail" -> q86Sql
+    "q86_thumbnail" -> q86Sql,
+    "q105_image_phash" -> q105Sql
   )
 }

@@ -110,4 +110,35 @@ class MultimodalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("count") =!= col("expect")).count()
     assert(bad == 0)
   }
+
+  test("q105 aHash: brightness-invariant, structure-sensitive") {
+    val s = spark
+    import s.implicits._
+    def img(id: Long, grid: Array[Int]): (Long, String, Array[Byte]) = {
+      require(grid.length == 64)
+      val hdr: Array[Byte] = "GRFT".getBytes("US-ASCII") ++
+        Array[Byte](1, 0x00, 0x08, 0x00, 0x08, 0x00, 0x01) // kind=image, 8x8, nf=1
+      (id, "image", hdr ++ grid.map(v => (v & 0xff).toByte))
+    }
+    // a structured gradient, the same grid +20 brightness (no clipping:
+    // values stay <= 220), and a transposed variant
+    val base = Array.tabulate(64)(p => (p % 8) * 25)
+    val brighter = base.map(_ + 20)
+    val transposed = Array.tabulate(64)(p => ((p / 8) % 8) * 25)
+    val m = Seq(img(1L, base), img(2L, brighter), img(3L, transposed))
+      .toDF("media_id", "media_type", "content")
+    val r = MultimodalOps.imagePhashOf(MultimodalOps.thumbnailOf(m))
+      .collect().map(x => x.getAs[Long]("media_id") ->
+        (x.getAs[Long]("phash"), x.getAs[Long]("bits_set"), x.getAs[Long]("v_total"))).toMap
+    // brightness shift: identical hash, shifted totals
+    assert(r(1L)._1 == r(2L)._1 && r(1L)._2 == r(2L)._2,
+      s"aHash must be brightness-invariant: ${r(1L)} vs ${r(2L)}")
+    assert(r(2L)._3 == r(1L)._3 + 20L * MultimodalOps.PhashBits)
+    // structure change: different hash, same bit count (gradient symmetry)
+    assert(r(1L)._1 != r(3L)._1, "transposing the gradient must change the hash")
+    // a flat image hashes to all-zero bits (strict > mean)
+    val flat = Seq(img(9L, Array.fill(64)(100))).toDF("media_id", "media_type", "content")
+    val fr = MultimodalOps.imagePhashOf(MultimodalOps.thumbnailOf(flat)).head()
+    assert(fr.getAs[Long]("phash") == 0L && fr.getAs[Long]("bits_set") == 0L)
+  }
 }
