@@ -1292,6 +1292,55 @@ object Queries {
       |    sum(n) OVER (PARTITION BY from_type), 6) AS p_next
       |FROM m ORDER BY from_type, to_type""".stripMargin
 
+  /** Q106: FULL-OUTER reconciliation — the audit join every pipeline
+    * runs between two systems that should agree (here: the customer
+    * dimension vs per-user event activity): matched rows, rows only
+    * in the dimension (registered but inactive), rows only in the
+    * events (activity with NO registered customer — a referential
+    * violation, and the class whose count this report exists to prove
+    * is zero). Completes the join family's coverage: full outer is
+    * the one join type that must surface BOTH unmatched sides, so it
+    * always shuffles both inputs (SortMergeJoin on the key — no
+    * broadcast shortcut exists); keyed by user it partitions cleanly
+    * at any scale. Aggregates are DECIMAL-exact; customer_only rows
+    * carry NULL event sums (coalesced to 0 for the count, NULL for
+    * the value — both engines identical). */
+  def q106Reconcile(s: SparkSession, dir: String): DataFrame = {
+    val act = events(s, dir).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).as("v"))
+    val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+    cust.join(act, col("c_custkey") === col("user_id"), "full_outer")
+      .select(
+        when(col("c_custkey").isNotNull && col("user_id").isNotNull, "matched")
+          .when(col("user_id").isNull, "customer_only")
+          .otherwise("events_only").as("status"),
+        col("c_mktsegment"), col("n_events"), col("v"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("c_mktsegment")).as("n_segments"),
+        coalesce(sum("n_events"), lit(0L)).as("total_events"),
+        sum(col("v")).cast("double").as("total_value"))
+      .orderBy("status")
+  }
+
+  val q106Sql: String =
+    """WITH act AS (
+      |  SELECT user_id, count(*) AS n_events,
+      |    sum(CAST(value AS DECIMAL(18,2))) AS v
+      |  FROM events GROUP BY user_id
+      |)
+      |SELECT CASE WHEN c_custkey IS NOT NULL AND user_id IS NOT NULL
+      |            THEN 'matched'
+      |            WHEN user_id IS NULL THEN 'customer_only'
+      |            ELSE 'events_only' END AS status,
+      |  count(*) AS n,
+      |  count(DISTINCT c_mktsegment) AS n_segments,
+      |  CAST(coalesce(sum(n_events), 0) AS BIGINT) AS total_events,
+      |  CAST(sum(v) AS DOUBLE) AS total_value
+      |FROM customer c FULL OUTER JOIN act a ON c.c_custkey = a.user_id
+      |GROUP BY 1 ORDER BY status""".stripMargin
+
   // --------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1329,7 +1378,8 @@ object Queries {
     "q82_funnel" -> (q82Funnel _),
     "q83_source_quota" -> (q83SourceQuota _),
     "q97_retention_cohorts" -> (q97RetentionCohorts _),
-    "q98_transitions" -> (q98Transitions _)
+    "q98_transitions" -> (q98Transitions _),
+    "q106_reconcile" -> (q106Reconcile _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -1370,6 +1420,7 @@ object Queries {
     "q82_funnel" -> q82Sql,
     "q83_source_quota" -> q83Sql,
     "q97_retention_cohorts" -> q97Sql,
-    "q98_transitions" -> q98Sql
+    "q98_transitions" -> q98Sql,
+    "q106_reconcile" -> q106Sql
   )
 }
