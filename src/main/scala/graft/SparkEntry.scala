@@ -34,7 +34,9 @@ object SparkEntry {
       "sq8_stream_sketch" ->
         ((s: SparkSession, dir: String) => StreamOps.sq8StreamSketch(s, dir)),
       "sq9_stream_incr_dedup" ->
-        ((s: SparkSession, dir: String) => StreamOps.sq9StreamIncrDedup(s, dir)))
+        ((s: SparkSession, dir: String) => StreamOps.sq9StreamIncrDedup(s, dir)),
+      "sq10_stream_dedup_ttl" ->
+        ((s: SparkSession, dir: String) => StreamOps.sq10StreamDedupTtl(s, dir)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -48,5 +50,6 @@ object SparkEntry {
       "sq6_sessionize" -> Queries.q22Sql,
       "sq7_sessionize_timeout" -> Queries.q22Sql,
       "sq8_stream_sketch" -> StreamOps.sq8Sql,
-      "sq9_stream_incr_dedup" -> StreamOps.sq9Sql)
+      "sq9_stream_incr_dedup" -> StreamOps.sq9Sql,
+      "sq10_stream_dedup_ttl" -> StreamOps.sq10Sql)
 }

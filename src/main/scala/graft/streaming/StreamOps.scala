@@ -372,6 +372,38 @@ object StreamOps {
       |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
       |FROM documents ORDER BY source, fp""".stripMargin
 
+  /** SQ10: TTL-BOUNDED streaming dedup — the UNBOUNDED-stream shape
+    * sq2's scaladoc promises: `withWatermark` +
+    * `dropDuplicatesWithinWatermark`, so the dedup state holds one
+    * watermark-horizon of keys instead of every key ever seen (the
+    * property that lets a 24/7 dedup gate run forever; sq2's plain
+    * dropDuplicates state grows without bound). Keys = (user_id,
+    * event_type) over the event stream — "first sighting per user
+    * and action within the horizon". Only the KEY columns are
+    * emitted: within one horizon the emitted set equals the batch
+    * DISTINCT (deterministic under any arrival order), which is the
+    * oracle; non-key columns would depend on arrival order. */
+  def sq10StreamDedupTtl(s: SparkSession, dir: String): DataFrame = {
+    val name = s"sq10_${System.nanoTime()}"
+    withStreamShuffle(s) { fs =>
+      val q = eventsStream(fs, dir)
+        .withWatermark("ts", "2 hours")
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select(col("user_id"), col("event_type"))
+        .writeStream.queryName(name).format("memory")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      fs.table(name).orderBy("user_id", "event_type")
+    }
+  }
+
+  /** SQ10's DuckDB oracle: the fixture spans one horizon, so the
+    * emitted key set is the batch distinct. */
+  val sq10Sql: String =
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin
+
   /** SQ3: STREAM-STREAM interval join — click→purchase attribution as
     * two live streams (the q18 as-of family's streaming sibling): every
     * purchase within one hour after a click by the same user, inner
