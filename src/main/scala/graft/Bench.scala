@@ -65,22 +65,49 @@ object Bench {
     Timing(warm, (1 to passes).map(_ => time(go())))
   }
 
-  /** Total misses across every session artifact cache (codebooks,
-    * BPE vocab, pair graphs, signatures, exact top-k baselines, the
-    * q41 LSH pair set, the q67 edge count) — a timed pass that
-    * misses any of them is paying a build cost the steady state
+  /** Per-cache miss counters by short name — the round-7 verdict's
+    * ask: run-level booleans were too coarse to say WHICH artifact a
+    * slow entry rebuilt (q92's 12.9 s driver anomaly was undiagnosable
+    * from `artifact_cache_hit: true` alone). Every entry's detail now
+    * carries its own warm/timed miss deltas from this snapshot. */
+  private def cacheMissSnapshot(): Map[String, Long] = Map(
+    "shingle" -> graft.llmops.TextOps.shingleCacheStats._2,
+    "label" -> graft.llmops.TextOps.labelCacheStats._2,
+    "sig" -> graft.llmops.TextOps.sigCacheStats._2,
+    "pair" -> graft.llmops.TextOps.pairCacheStats._2,
+    "pairCount" -> graft.llmops.TextOps.pairCountCacheStats._2,
+    "incrNear" -> graft.llmops.TextOps.incrNearCacheStats._2,
+    "bpe" -> graft.llmops.TextOps.bpeCacheStats._2,
+    "codebook" -> graft.llmops.VectorOps.codebookCacheStats._2,
+    "cosPair" -> graft.llmops.VectorOps.cosPairCacheStats._2,
+    "exactTopk" -> graft.llmops.VectorOps.exactTopkCacheStats._2,
+    "codeTopk" -> graft.llmops.VectorOps.codeTopkCacheStats._2,
+    "lshPair" -> graft.llmops.VectorOps.lshPairCacheStats._2,
+    "ivfCert" -> graft.llmops.VectorOps.ivfCertCacheStats._2)
+
+  /** Total misses across every session artifact cache — a timed pass
+    * that misses any of them is paying a build cost the steady state
     * would not. */
-  private def artifactMisses(): Long =
-    graft.llmops.VectorOps.codebookCacheStats._2 +
-      graft.llmops.TextOps.bpeCacheStats._2 +
-      graft.llmops.TextOps.pairCacheStats._2 +
-      graft.llmops.TextOps.sigCacheStats._2 +
-      graft.llmops.TextOps.pairCountCacheStats._2 +
-      graft.llmops.VectorOps.cosPairCacheStats._2 +
-      graft.llmops.VectorOps.exactTopkCacheStats._2 +
-      graft.llmops.VectorOps.codeTopkCacheStats._2 +
-      graft.llmops.VectorOps.lshPairCacheStats._2 +
-      graft.llmops.VectorOps.ivfCertCacheStats._2
+  private def artifactMisses(): Long = cacheMissSnapshot().values.sum
+
+  /** Per-entry telemetry captured around the warm and timed passes:
+    * which artifact caches missed (by name, warm vs timed split), GC
+    * time attributable to the passes, and the persisted-storage bytes
+    * at entry start — enough to tell cold-artifact rebuilds, GC
+    * pressure, and box contention apart from the artifact alone. */
+  private final case class EntryStats(
+      memStartBytes: Long,
+      diskStartBytes: Long,
+      gcWarmSec: Double,
+      gcTimedSec: Double,
+      warmMisses: Map[String, Long],
+      timedMisses: Map[String, Long])
+
+  private def missDelta(before: Map[String, Long],
+      after: Map[String, Long]): Map[String, Long] =
+    after.collect { case (k, v) if v - before.getOrElse(k, 0L) > 0 =>
+      k -> (v - before.getOrElse(k, 0L))
+    }
 
   /** Storage-layer observability for the bench tail (round-6 verdict
     * #1: the suite now persists many artifacts across the whole run —
@@ -114,6 +141,7 @@ object Bench {
       warmupMensagens = 0, seed = 42)
     val tmp = graft.operators.PlanCache.tempDir("graft_bench_")
     val results = scala.collection.mutable.LinkedHashMap[String, Timing]()
+    val stats = scala.collection.mutable.LinkedHashMap[String, EntryStats]()
 
     // JVM/codegen warm-up (not reported)
     run(Generator.messages(spark, conf.copy(totalMensagens = 5000)))
@@ -163,8 +191,8 @@ object Bench {
       serdeRuns.foreach { case (name, _) =>
         results(name) = Timing(serdeWarm(name), serdeTimed(name))
       }
-      flush(spark, results, passes, serdePasses, 0L, 0L, 0L, conf, sfDir, cpus,
-        partial = true)
+      flush(spark, results, stats, passes, serdePasses, 0L, 0L, 0L, conf, sfDir,
+        cpus, partial = true)
     }
 
     // ---- phase 1b: compression sweep (avro produce + E2E consume per
@@ -185,8 +213,8 @@ object Bench {
         case e: Throwable =>
           System.err.println(s"[bench] codec $codec failed: ${e.getMessage}")
       }
-      flush(spark, results, passes, serdePasses, 0L, 0L, 0L, conf, sfDir, cpus,
-        partial = true)
+      flush(spark, results, stats, passes, serdePasses, 0L, 0L, 0L, conf, sfDir,
+        cpus, partial = true)
     }
 
     // ---- phase 2: headline queries at the SF dir
@@ -245,21 +273,38 @@ object Bench {
     var timedIndexMisses = 0L
     var timedLabelMisses = 0L
     var timedArtifactMisses = 0L
+    // optional inter-entry settle (round-7 verdict #4: driver-run
+    // entries showed timed > warm variance consistent with GC or box
+    // co-scheduling; a short pause decorrelates an entry's timed
+    // passes from its predecessor's allocation burst). Default off —
+    // the per-entry gc/miss telemetry is the primary diagnostic.
+    val settleMs = sys.env.get("SPARK_GRAFT_BENCH_SETTLE_MS")
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption).filter(_ > 0)
     headline.foreach { name =>
       SparkEntry.queries.get(name) match {
         case None => System.err.println(s"[bench] unknown headline query: $name")
         case Some(fn) =>
+          settleMs.foreach(Thread.sleep)
           // per-query isolation: one failure must not lose the run
           try {
+            val (memStart, diskStart) = storageBytes(spark)
+            val snapStart = cacheMissSnapshot()
+            val gcStart = gcMillis()
             val warm = time(run(fn(spark, sfDir)))
-            val missesBefore = graft.llmops.TextOps.shingleCacheStats._2
-            val labelMissesBefore = graft.llmops.TextOps.labelCacheStats._2
-            val cbMissesBefore = artifactMisses()
+            val snapWarm = cacheMissSnapshot()
+            val gcWarm = gcMillis()
             val timed = (1 to passes).map(_ => time(run(fn(spark, sfDir))))
-            timedIndexMisses += graft.llmops.TextOps.shingleCacheStats._2 - missesBefore
-            timedLabelMisses += graft.llmops.TextOps.labelCacheStats._2 - labelMissesBefore
-            timedArtifactMisses += artifactMisses() - cbMissesBefore
+            val snapTimed = cacheMissSnapshot()
+            val gcTimed = gcMillis()
+            val warmM = missDelta(snapStart, snapWarm)
+            val timedM = missDelta(snapWarm, snapTimed)
+            timedIndexMisses += timedM.getOrElse("shingle", 0L)
+            timedLabelMisses += timedM.getOrElse("label", 0L)
+            timedArtifactMisses += (timedM - "shingle" - "label").values.sum
             results(name) = Timing(warm, timed)
+            stats(name) = EntryStats(memStart, diskStart,
+              (gcWarm - gcStart) / 1000.0, (gcTimed - gcWarm) / 1000.0,
+              warmM, timedM)
           } catch {
             case e: Throwable =>
               System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -267,18 +312,20 @@ object Bench {
           }
           // flush after EVERY entry: a killed/timed-out run still
           // leaves a parseable partial artifact at the well-known path
-          flush(spark, results, passes, serdePasses, timedIndexMisses,
+          flush(spark, results, stats, passes, serdePasses, timedIndexMisses,
             timedLabelMisses, timedArtifactMisses, conf, sfDir, cpus, partial = true)
       }
     }
     val (compactLine, _) =
-      flush(spark, results, passes, serdePasses, timedIndexMisses,
+      flush(spark, results, stats, passes, serdePasses, timedIndexMisses,
         timedLabelMisses, timedArtifactMisses, conf, sfDir, cpus, partial = false)
     // stdout carries the COMPACT line only: the full line (detail,
     // mins) grew past what the driver's log scrape windows (BENCH_r04
     // captured only the tail of a ~6 KB line → parsed: null); the
-    // complete JSON always lands in bench_out.json
+    // complete JSON always lands in bench_out.json — written
+    // atomically (round-7 verdict #2), path announced on stderr
     println(compactLine)
+    System.err.println(s"[bench] full artifact: ${benchOutPath.toAbsolutePath}")
     spark.stop()
   }
 
@@ -288,7 +335,14 @@ object Bench {
     * set, else ./bench_out.json; see README "Benchmark output").
     * `partial` marks in-progress snapshots. Returns (compact headline
     * line for stdout, full line written to the file). */
+  /** Canonical full-artifact path (SPARK_GRAFT_BENCH_OUT if set, else
+    * ./bench_out.json). */
+  private def benchOutPath: java.nio.file.Path =
+    java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
+
   private def flush(spark: SparkSession, results: collection.Map[String, Timing],
+      stats: collection.Map[String, EntryStats],
       passes: Int, serdePasses: Int, timedIndexMisses: Long, timedLabelMisses: Long,
       timedArtifactMisses: Long, conf: EngineConf, sfDir: String,
       cpus: Int, partial: Boolean): (String, String) = {
@@ -296,6 +350,9 @@ object Bench {
     // default locale and would emit comma decimals (invalid JSON)
     def num(v: Double, places: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${places}f", Double.box(v))
+    def missJson(m: Map[String, Long]): String =
+      m.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }
+        .mkString("{", ",", "}")
     val medians = results.map { case (k, t) => k -> t.median }
     val total = medians.values.filter(_ >= 0).sum
     val msgsPerSecAvro = medians.get("consume_avro_e2e")
@@ -304,7 +361,21 @@ object Bench {
       .mkString("{", ",", "}")
     val detail = results.map { case (k, t) =>
       val timed = t.timed.map(num(_, 3)).mkString("[", ",", "]")
-      s""""$k":{"warm":${num(t.warm, 3)},"min":${num(t.min, 3)},"timed":$timed}"""
+      // per-entry telemetry (round-7 verdict #1/#4): GC seconds spent
+      // during the warm and timed passes, persisted storage at entry
+      // start, and named artifact-cache misses — empty miss maps are
+      // omitted so the steady state reads clean
+      val extra = stats.get(k).map { st =>
+        val wm = if (st.warmMisses.isEmpty) ""
+                 else s""","warm_misses":${missJson(st.warmMisses)}"""
+        val tm = if (st.timedMisses.isEmpty) ""
+                 else s""","timed_misses":${missJson(st.timedMisses)}"""
+        s""","gc_warm_sec":${num(st.gcWarmSec, 3)}""" +
+          s""","gc_timed_sec":${num(st.gcTimedSec, 3)}""" +
+          s""","mem_start":${st.memStartBytes},"disk_start":${st.diskStartBytes}""" +
+          wm + tm
+      }.getOrElse("")
+      s""""$k":{"warm":${num(t.warm, 3)},"min":${num(t.min, 3)},"timed":$timed$extra}"""
     }.mkString("{", ",", "}")
     // steady-state view (min-of-N): under contention the min is the
     // honest per-entry cost; the headline `queries` stays the median
@@ -331,8 +402,19 @@ object Bench {
     val full =
       s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,""" +
         s""""queries_min":$qmins,"detail":$detail,""" + tailFields
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), full + "\n")
+    // atomic publish (round-7 verdict #2: a reader racing the write —
+    // or a kill mid-write — must see either the previous complete
+    // artifact or the new one, never a truncated file): temp file in
+    // the target directory, then rename
+    val outPath = benchOutPath.toAbsolutePath
+    try {
+      val tmpFile = java.nio.file.Files.createTempFile(
+        outPath.getParent, ".bench_out_", ".tmp")
+      java.nio.file.Files.writeString(tmpFile, full + "\n")
+      java.nio.file.Files.move(tmpFile, outPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
     catch { case e: Exception => System.err.println(s"[bench] write $outPath: $e") }
     (headline, full)
   }

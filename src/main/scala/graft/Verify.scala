@@ -41,7 +41,20 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // comparison-time geometry guard: q41's oracle SQL encodes the
+    // FIXED RecallPlanes LSH geometry, which equals q41's n-adaptive
+    // planesFor(n) only at the sf0.01 gate. At any other SF the two
+    // texts describe different geometries — skip the oracle (driver
+    // records a rows-only check) rather than compare them silently.
+    val oracles =
+      if (graft.llmops.VectorOps.q41OracleGeometryHolds(spark, sfDir))
+        SparkEntry.oracleSql
+      else {
+        System.err.println(
+          s"[verify] q41 oracle skipped: planesFor(n) != RecallPlanes at $sfDir")
+        SparkEntry.oracleSql - "q41_ann_lsh"
+      }
+    val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

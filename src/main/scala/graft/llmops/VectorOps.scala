@@ -151,6 +151,14 @@ object VectorOps {
     embCount.get(s, p, graft.sources.FsSig.of(p))(emb(s, dir).count())
   }
 
+  /** True iff q41's n-adaptive LSH geometry at this fixture equals the
+    * fixed [[RecallPlanes]] geometry [[q41Sql]] encodes. The oracle
+    * comparison is only meaningful where this holds (the sf0.01 gate);
+    * Verify consults it so a run at any other SF SKIPS q41's oracle
+    * instead of silently comparing two different LSH geometries. */
+  def q41OracleGeometryHolds(s: SparkSession, dir: String): Boolean =
+    planesFor(nVectors(s, dir)) == RecallPlanes
+
   /** Sign-bit count per table for a database of n vectors. */
   def planesFor(n: Long): Int = {
     val ideal = math.ceil(math.log(math.max(1L, n).toDouble / TargetBucket) / math.log(2)).toInt
@@ -700,12 +708,18 @@ object VectorOps {
     * hash: n_hits / (k · n_queries) is pinned exactly. */
   def q47AnnRecall(s: SparkSession, dir: String): DataFrame = {
     // the certification's fixed-geometry pair sims ride the same
-    // artifact discipline as q41's adaptive ones (distinct cache key:
-    // the geometries differ wherever planesFor(n) != RecallPlanes, so
-    // each publishes its own pair set; at the sf0.01 gate they
-    // coincide and both stay cheap). persist() is lazy, preserving the
-    // certs' plan-construction-without-jobs invariant.
-    val pairs = lshPairCache.get(s, s"$dir#cert", embSig(dir))(
+    // artifact discipline as q41's adaptive ones. Cache key: where the
+    // geometries DIFFER (planesFor(n) != RecallPlanes) each publishes
+    // its own pair set under its own key; where they COINCIDE (the
+    // sf0.01 gate) q47 SHARES q41's `dir` entry — two keys holding
+    // sameResult plans would alias in Spark's cache manager, and
+    // evicting either entry would silently unpersist the survivor's
+    // data too (the hazard PlanCache.put's scaladoc documents).
+    // persist() is lazy, preserving the certs'
+    // plan-construction-without-jobs invariant.
+    val certKey = if (planesFor(nVectors(s, dir)) == RecallPlanes) dir
+                  else s"$dir#cert"
+    val pairs = lshPairCache.get(s, certKey, embSig(dir))(
       lshTopkPairsPlan(s, dir, RecallPlanes)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("neighbor_id"))

@@ -50,6 +50,11 @@ object KafkaIO {
       .select(col("key").cast("binary"), col("value").cast("binary"))
       .write.format("kafka")
       .option("kafka.bootstrap.servers", brokers)
+      // same auth surface as the data-path writes: against a secured
+      // cluster (the reference's SASL_SSL deployment) the metrics
+      // publish must not be the one unauthenticated call that throws
+      // AFTER the pipeline succeeded
+      .options(KafkaOffsets.securityOptions())
       .option("topic", topicoResultados(avro, producer))
       .save()
   }

@@ -198,8 +198,14 @@ object HttpSchemaRegistry {
     } yield "Basic " + java.util.Base64.getEncoder
       .encodeToString(s"$k:$s".getBytes("UTF-8"))
 
-  def registerPath(subject: String): String =
-    s"/subjects/${java.net.URLEncoder.encode(subject, "UTF-8")}/versions"
+  /** URLEncoder emits form encoding (space → '+'); a URL PATH segment
+    * needs percent encoding, or a subject with a space registers under
+    * the literal '+' on the server. Post-fix the two divergent chars
+    * ('+' itself round-trips through "%2B" correctly). */
+  def registerPath(subject: String): String = {
+    val enc = java.net.URLEncoder.encode(subject, "UTF-8").replace("+", "%20")
+    s"/subjects/$enc/versions"
+  }
 
   def schemaPath(id: Int): String = s"/schemas/ids/$id"
 

@@ -86,7 +86,10 @@ class SchemaRegistrySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(auth.contains("Basic " + java.util.Base64.getEncoder
       .encodeToString("AK:SC".getBytes("UTF-8"))))
     assert(HttpSchemaRegistry.basicAuth(Map.empty).isEmpty)
-    assert(HttpSchemaRegistry.registerPath("a b-value") == "/subjects/a+b-value/versions")
+    // path segments percent-encode (round-7 ADVICE: URLEncoder's form
+    // encoding would register 'a b' under the literal subject 'a+b')
+    assert(HttpSchemaRegistry.registerPath("a b-value") == "/subjects/a%20b-value/versions")
+    assert(HttpSchemaRegistry.registerPath("a+b-value") == "/subjects/a%2Bb-value/versions")
     assert(HttpSchemaRegistry.schemaPath(7) == "/schemas/ids/7")
     // body escape/parse round-trips the schema (it is JSON full of quotes)
     val body = HttpSchemaRegistry.registerBody(schema)
