@@ -35,6 +35,15 @@ class ScaleCheckSpec extends AnyFunSuite with BeforeAndAfterAll {
       (2L, Array(4.0f, 5.0f, 6.0f), 1))
       .toDF("vec_id", "embedding", "label")
       .write.parquet(s"$base/embeddings.parquet")
+    Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 10L, "click", 1.0, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:30:00"), 10L, "view", 2.0, "{}"),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), 20L, "click", 3.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$base/events.parquet")
+    Seq((10L, "cust10", 1, 5.0, "SEG")).toDF(
+      "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.parquet(s"$base/customer.parquet")
     ScaleCheck.materialize(spark, base, out)
   }
   override def afterAll(): Unit = if (spark != null) spark.stop()
@@ -71,6 +80,19 @@ class ScaleCheckSpec extends AnyFunSuite with BeforeAndAfterAll {
     // token count doubles minus one: n words -> 2n-1 tokens
     val counts = toks.select(size(col("w")).as("n")).collect().map(_.getInt(0)).sorted
     assert(counts.toSeq == Seq(5, 7, 9), s"interleave must give 2n-1 tokens: ${counts.toSeq}")
+  }
+
+  test("scaled events: 10x rows, distinct event_ids, UNCHANGED hot user_ids; dimension unscaled") {
+    val ev = spark.read.parquet(s"$out/events.parquet")
+    assert(ev.count() == 30)
+    assert(ev.select("event_id").distinct().count() == 30, "copy ids must not collide")
+    // the skew/state regime: user_ids (and event types) do NOT scale —
+    // every user becomes a 10x hot key and the sq10 distinct key set
+    // stays fixed while input rows grow
+    assert(ev.select("user_id").distinct().count() == 2)
+    assert(ev.select("user_id", "event_type").distinct().count() == 3)
+    assert(spark.read.parquet(s"$out/customer.parquet").count() == 1,
+      "the customer dimension must copy over unscaled")
   }
 
   test("salts differ across copies so shingles never collide cross-copy") {
