@@ -267,7 +267,10 @@ object Bench {
       "q100_zipf_slope", "q101_phrase_search",
       // round-9 operators
       "q102_label_separation", "q103_winnowing", "q104_dedup_report",
-      "q105_image_phash", "q106_reconcile", "sq10_stream_dedup_ttl")
+      "q105_image_phash", "q106_reconcile", "sq10_stream_dedup_ttl",
+      // round-10 operators
+      "q107_span_dedup", "q108_gopher_rules", "q109_jl_projection",
+      "q110_token_entropy", "sq11_stream_left_join")
     // shingle-index misses during TIMED passes only (warm passes are
     // expected to build it once per session+dir)
     var timedIndexMisses = 0L

@@ -132,7 +132,15 @@ object ScaleCheck {
     // key set (unchanged at 10× input), not the row count. q105 runs
     // as a special drill below (its media fixture is generated, not
     // dir-addressed).
-    "q106_reconcile", "sq10_stream_dedup_ttl", "q105_image_phash")
+    "q106_reconcile", "sq10_stream_dedup_ttl", "q105_image_phash",
+    // round-10: the span cut list rides q77's hot-shingle regime (the
+    // windowed per-gram frequency is the skew point; islands are
+    // per-doc scans); gopher rules + token entropy are the
+    // explode-then-combine linearity claim; JL projection is a pure
+    // linear map over the 4× vectors; the left-outer stream join's
+    // state must track the watermark horizon, not the 10× row count
+    "q107_span_dedup", "q108_gopher_rules", "q110_token_entropy",
+    "q109_jl_projection", "sq11_stream_left_join")
 
   /** q105's drill can't ride the dir mechanism (the media fixture is
     * a generated table at a fixed path), so it scales by GENERATing a

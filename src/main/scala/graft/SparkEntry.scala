@@ -36,7 +36,9 @@ object SparkEntry {
       "sq9_stream_incr_dedup" ->
         ((s: SparkSession, dir: String) => StreamOps.sq9StreamIncrDedup(s, dir)),
       "sq10_stream_dedup_ttl" ->
-        ((s: SparkSession, dir: String) => StreamOps.sq10StreamDedupTtl(s, dir)))
+        ((s: SparkSession, dir: String) => StreamOps.sq10StreamDedupTtl(s, dir)),
+      "sq11_stream_left_join" ->
+        ((s: SparkSession, dir: String) => StreamOps.sq11StreamLeftJoin(s, dir)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -51,5 +53,6 @@ object SparkEntry {
       "sq7_sessionize_timeout" -> Queries.q22Sql,
       "sq8_stream_sketch" -> StreamOps.sq8Sql,
       "sq9_stream_incr_dedup" -> StreamOps.sq9Sql,
-      "sq10_stream_dedup_ttl" -> StreamOps.sq10Sql)
+      "sq10_stream_dedup_ttl" -> StreamOps.sq10Sql,
+      "sq11_stream_left_join" -> StreamOps.sq11Sql)
 }

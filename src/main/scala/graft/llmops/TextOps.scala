@@ -61,6 +61,12 @@ object TextOps {
     s"len(list_filter(string_split_regex(text, '\\s+'), t -> list_contains($list, t)))"
   }
 
+  /** DuckDB membership test of column `c` against [[Stop]]. */
+  private def sqlStopContains(c: String): String = {
+    val list = Stop.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"list_contains($list, $c)"
+  }
+
   // ------------------------------------------------------------ q30 stats
 
   /** q30: corpus text statistics by language. All per-group numbers are
@@ -3358,6 +3364,232 @@ object TextOps {
       |SELECT doc_id, n_hits FROM hits WHERE n_hits > 0
       |ORDER BY doc_id""".stripMargin
 
+  // ------------------- q107 duplicated-span cut list (ExactSubstr plan)
+
+  /** q107: the ACTIONABLE span-level dedup plan — per document, the
+    * maximal token intervals covered by duplicated [[DupGramN]]-grams
+    * (corpus occurrence count ≥ 2), i.e. the cut list an
+    * ExactSubstr-style dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better") would remove. q77 measures
+    * HOW MUCH of each doc is duplicated; this says WHERE: a
+    * gaps-and-islands pass merges overlapping/adjacent duplicated-gram
+    * positions into maximal intervals `(span_start, span_end)`
+    * (0-based token indices, inclusive).
+    *
+    * Scale shape: occurrence-level grams hash to 60-bit keys (the
+    * shuffle never carries gram strings), the corpus frequency is one
+    * windowed count over the gram key (AQE splits hot-boilerplate
+    * skew), and the island merge is two narrow windows partitioned by
+    * doc_id — per-doc sequential scans, embarrassingly parallel across
+    * documents. Nothing driver-side; output is O(dup spans), not
+    * O(grams). */
+  def q107SpanDedup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val leadCols = (1 until DupGramN).map(k => lead("tk", k).over(w).as(s"t$k"))
+    val gramParts = col("tk") +: (1 until DupGramN).map(k => col(s"t$k"))
+    val grams = tokenized(s, dir)
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "tk")))
+      .select(col("doc_id") +: col("pos") +: col("tk") +: leadCols: _*)
+      .filter(col(s"t${DupGramN - 1}").isNotNull)
+      .select(col("doc_id"), col("pos"),
+        conv(substring(md5(concat_ws(" ", gramParts: _*)), 1, 15), 16, 10)
+          .cast("long").as("g"))
+    val dup = grams
+      .withColumn("freq", count(lit(1)).over(Window.partitionBy("g")))
+      .filter(col("freq") >= 2)
+      .select("doc_id", "pos")
+    // spans [p, p+N-1] and [q, q+N-1] cover contiguous tokens iff
+    // q - p <= N; a larger gap starts a new island. lag=NULL (first
+    // row) falls through when()'s three-valued logic to otherwise(1):
+    // the first dup position always opens an island.
+    dup
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(w) <= DupGramN, lit(0L)).otherwise(lit(1L)))
+      .withColumn("island",
+        sum("brk").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "island")
+      .agg(min("pos").cast("long").as("span_start"),
+        (max("pos") + (DupGramN - 1)).cast("long").as("span_end"),
+        (max("pos") + DupGramN - min("pos")).cast("long").as("span_len"))
+      .select("doc_id", "span_start", "span_end", "span_len")
+      .orderBy("doc_id", "span_start")
+  }
+
+  val q107Sql: String = {
+    val gram = (0 until DupGramN).map(k => s"w[pos + $k]").mkString(" || ' ' || ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents
+       |), g0 AS (
+       |  SELECT doc_id, unnest(range(1, len(w) - ${DupGramN - 2})) AS pos, w FROM tok
+       |), gh AS (
+       |  SELECT doc_id, pos - 1 AS pos,
+       |    CAST(('0x' || substring(md5($gram), 1, 15))::UBIGINT AS BIGINT) AS g
+       |  FROM g0
+       |), dup AS (
+       |  SELECT doc_id, pos
+       |  FROM (SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS freq FROM gh)
+       |  WHERE freq >= 2
+       |), isl AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+       |              <= $DupGramN THEN 0 ELSE 1 END AS brk
+       |  FROM dup
+       |), grp AS (
+       |  SELECT doc_id, pos,
+       |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+       |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM isl
+       |)
+       |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       |  CAST(max(pos) + ${DupGramN - 1} AS BIGINT) AS span_end,
+       |  CAST(max(pos) + $DupGramN - min(pos) AS BIGINT) AS span_len
+       |FROM grp GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin
+  }
+
+  // ---------------------------- q108 Gopher-style quality-rule report
+
+  /** Gopher-rule thresholds (Rae et al. 2021 §A1.1, adapted to this
+    * corpus's value ranges so every rule discriminates). */
+  val GopherMinWords = 40
+  val GopherMaxWords = 100000
+  val GopherMinMeanLen = 3.0
+  val GopherMaxMeanLen = 10.0
+  val GopherMinUniqueRatio = 0.3
+  val GopherMaxTopRatio = 0.2
+  val GopherMinStop = 2
+
+  /** Per-doc token-count table (doc_id, tk, c) — the shared input of
+    * q108/q110: ONE explode, with map-side combine collapsing repeats
+    * before the shuffle, so the shuffled volume is distinct tokens per
+    * doc, not occurrences. */
+  private def tokenCounts(s: SparkSession, dir: String): DataFrame =
+    tokenized(s, dir)
+      .select(col("doc_id"), explode(col("w")).as("tk"))
+      .groupBy("doc_id", "tk").agg(count(lit(1)).as("c"))
+
+  /** q108: the Gopher-style QUALITY-RULE REPORT — per-rule violation
+    * counts over the corpus (word-count bounds, mean word length,
+    * unique-token ratio, top-word dominance, stopword floor) plus the
+    * pass-all row: the go/no-go dashboard a filtering pipeline reads
+    * before committing a corpus version. q32 scores documents on a
+    * continuous scale; this is the hard-threshold rulebook with
+    * per-rule attribution.
+    *
+    * All per-doc stats derive from one (doc, token)-combined
+    * aggregation; the final report is a single-row global agg
+    * unpivoted with stack() — constant-size output at any corpus
+    * scale. */
+  def q108GopherRules(s: SparkSession, dir: String): DataFrame = {
+    val perDoc = tokenCounts(s, dir).groupBy("doc_id").agg(
+      sum("c").as("nw"),
+      count(lit(1)).as("nu"),
+      max("c").as("topc"),
+      sum(length(col("tk")) * col("c")).as("chars"),
+      sum(when(col("tk").isin(Stop.map(x => x: Any): _*), col("c"))
+        .otherwise(lit(0L))).as("stp"))
+    val meanLen = col("chars").cast("double") / col("nw")
+    val flags = perDoc.select(
+      when(col("nw") < GopherMinWords || col("nw") > GopherMaxWords, lit(1L))
+        .otherwise(lit(0L)).as("f_words"),
+      when(meanLen < GopherMinMeanLen || meanLen > GopherMaxMeanLen, lit(1L))
+        .otherwise(lit(0L)).as("f_meanlen"),
+      when(col("nu").cast("double") / col("nw") < GopherMinUniqueRatio, lit(1L))
+        .otherwise(lit(0L)).as("f_unique"),
+      when(col("topc").cast("double") / col("nw") > GopherMaxTopRatio, lit(1L))
+        .otherwise(lit(0L)).as("f_top"),
+      when(col("stp") < GopherMinStop, lit(1L)).otherwise(lit(0L)).as("f_stop"))
+    flags
+      .agg(count(lit(1)).as("n_docs"),
+        sum("f_words").as("rw"), sum("f_meanlen").as("rm"),
+        sum("f_unique").as("ru"), sum("f_top").as("rt"), sum("f_stop").as("rs"),
+        sum(when(col("f_words") + col("f_meanlen") + col("f_unique") +
+          col("f_top") + col("f_stop") === 0, lit(1L)).otherwise(lit(0L))).as("rp"))
+      .select(expr("stack(6, 'word_count', rw, 'mean_word_len', rm, " +
+        "'unique_ratio', ru, 'top_word_ratio', rt, 'stopword_min', rs, " +
+        "'pass_all', rp) AS (rule, n)"), col("n_docs"))
+      .select(col("rule"), col("n"),
+        round(col("n").cast("double") / col("n_docs"), 6).as("ratio"))
+      .orderBy("rule")
+  }
+
+  private val tokenCountsSql: String =
+    """SELECT doc_id, t AS tk, count(*) AS c
+      |  FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t
+      |        FROM documents)
+      |  GROUP BY doc_id, t""".stripMargin
+
+  val q108Sql: String =
+    s"""WITH tc AS (
+       |$tokenCountsSql
+       |), pd AS (
+       |  SELECT doc_id, sum(c) AS nw, count(*) AS nu, max(c) AS topc,
+       |    sum(length(tk) * c) AS chars,
+       |    sum(CASE WHEN ${sqlStopContains("tk")} THEN c ELSE 0 END) AS stp
+       |  FROM tc GROUP BY doc_id
+       |), fl AS (
+       |  SELECT
+       |    CASE WHEN nw < $GopherMinWords OR nw > $GopherMaxWords
+       |         THEN 1 ELSE 0 END AS f_words,
+       |    CASE WHEN CAST(chars AS DOUBLE) / nw < $GopherMinMeanLen
+       |           OR CAST(chars AS DOUBLE) / nw > $GopherMaxMeanLen
+       |         THEN 1 ELSE 0 END AS f_meanlen,
+       |    CASE WHEN CAST(nu AS DOUBLE) / nw < $GopherMinUniqueRatio
+       |         THEN 1 ELSE 0 END AS f_unique,
+       |    CASE WHEN CAST(topc AS DOUBLE) / nw > $GopherMaxTopRatio
+       |         THEN 1 ELSE 0 END AS f_top,
+       |    CASE WHEN stp < $GopherMinStop THEN 1 ELSE 0 END AS f_stop
+       |  FROM pd
+       |), ag AS (
+       |  SELECT count(*) AS n_docs, sum(f_words) AS rw, sum(f_meanlen) AS rm,
+       |    sum(f_unique) AS ru, sum(f_top) AS rt, sum(f_stop) AS rs,
+       |    sum(CASE WHEN f_words + f_meanlen + f_unique + f_top + f_stop = 0
+       |             THEN 1 ELSE 0 END) AS rp
+       |  FROM fl
+       |)
+       |SELECT rule, CAST(n AS BIGINT) AS n,
+       |  round(CAST(n AS DOUBLE) / n_docs, 6) AS ratio
+       |FROM (
+       |  SELECT 'word_count' AS rule, rw AS n, n_docs FROM ag UNION ALL
+       |  SELECT 'mean_word_len', rm, n_docs FROM ag UNION ALL
+       |  SELECT 'unique_ratio', ru, n_docs FROM ag UNION ALL
+       |  SELECT 'top_word_ratio', rt, n_docs FROM ag UNION ALL
+       |  SELECT 'stopword_min', rs, n_docs FROM ag UNION ALL
+       |  SELECT 'pass_all', rp, n_docs FROM ag
+       |) ORDER BY rule""".stripMargin
+
+  // -------------------------------- q110 token-entropy quality proxy
+
+  /** q110: per-document Shannon entropy of the token distribution —
+    * the compression-ratio quality proxy (low entropy = repetitive
+    * boilerplate, the signal zlib-ratio filters approximate without
+    * needing a compressor in the engine). H = ln(n) − (Σ c·ln c)/n
+    * over the doc's token counts: integer counts aggregate exactly;
+    * the single double sum is over ≤|vocab per doc| small terms, and
+    * the result rounds to 6 dp — stable across partitionings and
+    * engines. Output also carries n_tokens/n_distinct (the type-token
+    * inputs) per doc. */
+  def q110TokenEntropy(s: SparkSession, dir: String): DataFrame =
+    tokenCounts(s, dir)
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("clogc"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round(log(col("n_tokens").cast("double")) -
+          col("clogc") / col("n_tokens"), 6).as("entropy"))
+      .orderBy("doc_id")
+
+  val q110Sql: String =
+    s"""WITH tc AS (
+       |$tokenCountsSql
+       |)
+       |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |  CAST(count(*) AS BIGINT) AS n_distinct,
+       |  round(ln(CAST(sum(c) AS DOUBLE))
+       |        - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / sum(c), 6)
+       |    AS entropy
+       |FROM tc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3381,6 +3613,9 @@ object TextOps {
     "q101_phrase_search" -> (q101PhraseSearch _),
     "q103_winnowing" -> (q103Winnowing _),
     "q104_dedup_report" -> (q104DedupReport _),
+    "q107_span_dedup" -> (q107SpanDedup _),
+    "q108_gopher_rules" -> (q108GopherRules _),
+    "q110_token_entropy" -> (q110TokenEntropy _),
     "q92_incremental_dedup" -> (q92IncrementalDedup _),
     "q93_pmi_collocations" -> (q93PmiCollocations _),
     "q94_quality_sample" -> (q94QualitySample _),
@@ -3428,6 +3663,9 @@ object TextOps {
     "q101_phrase_search" -> q101Sql,
     "q103_winnowing" -> q103Sql,
     "q104_dedup_report" -> q104Sql,
+    "q107_span_dedup" -> q107Sql,
+    "q108_gopher_rules" -> q108Sql,
+    "q110_token_entropy" -> q110Sql,
     "q92_incremental_dedup" -> q92Sql,
     "q93_pmi_collocations" -> q93Sql,
     "q94_quality_sample" -> q94Sql,

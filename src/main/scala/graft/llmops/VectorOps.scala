@@ -1941,6 +1941,93 @@ object VectorOps {
        |    AS recall_at_k""".stripMargin
   }
 
+  // ------------- q109 JL random-projection distance certification
+
+  /** JL target dimensionality (64 → 16) and the distortion band the
+    * certification checks pairs against. */
+  val ProjDim = 16
+  val JlEps = 0.25
+
+  /** Deterministic Rademacher projection matrix: component (p, d) is
+    * ±1/4 — the 1/√ProjDim scaling is exactly representable at
+    * ProjDim = 16, so the literal plan and the oracle SQL carry the
+    * same exact constants — with the sign drawn from a hash of
+    * (seed, "jl", p, d), reproducible with no RNG state (the
+    * [[hyperplanes]] discipline). */
+  private[graft] def jlPlanes: Array[Array[Double]] =
+    Array.tabulate(ProjDim, Dim) { (p, d) =>
+      val h = scala.util.hashing.MurmurHash3.productHash((seed, "jl", p, d))
+      if (h >= 0) 0.25 else -0.25
+    }
+
+  /** q109: JOHNSON–LINDENSTRAUSS random projection (64 → 16 dims)
+    * with a per-pair distance-distortion certification — the scale
+    * path for every distance-based op downstream (4× less shuffle
+    * volume per embedding) needs this certificate before swapping in
+    * projected vectors. For each consecutive-id pair, the Euclidean
+    * distance before and after projection and their ratio; within_eps
+    * flags |ratio − 1| ≤ [[JlEps]] (the JL guarantee band for this
+    * dim budget).
+    *
+    * Distances come from dot products (‖a−b‖² = a·a + b·b − 2a·b)
+    * through the codegen'd [[dot]]; the 16 projections are dot
+    * products against literal ±0.25 arrays folded left in plane
+    * order — the identical float-op sequence the oracle's list_sum
+    * comprehensions perform. Consecutive-id pairing keeps the
+    * certification panel O(n) and joins narrow (id-equi-join, no
+    * cross join anywhere). */
+  def q109JlProjection(s: SparkSession, dir: String): DataFrame = {
+    val planes = jlPlanes
+    val e = emb(s, dir).select(col("vec_id"), col("embedding").as("v"))
+    val b = e.select((col("vec_id") - 1).as("vec_id"), col("v").as("u"))
+    val d2 = greatest(lit(0.0),
+      dot(col("v"), col("v")) + dot(col("u"), col("u")) -
+        lit(2.0) * dot(col("v"), col("u")))
+    val dOrig = sqrt(d2)
+    val pd2 = planes.map { row =>
+      val arr = array(row.map(lit(_)): _*)
+      val diff = dot(col("v"), arr) - dot(col("u"), arr)
+      diff * diff
+    }.reduce(_ + _)
+    val dProj = sqrt(pd2)
+    e.join(b, "vec_id")
+      .select(col("vec_id"),
+        round(dOrig, 6).as("d_orig"),
+        round(dProj, 6).as("d_proj"),
+        round(when(dOrig === 0.0, lit(1.0)).otherwise(dProj / dOrig), 6).as("ratio"))
+      .withColumn("within_eps", abs(col("ratio") - 1.0) <= JlEps)
+      .orderBy("vec_id")
+  }
+
+  val q109Sql: String = {
+    val mm = jlPlanes.map(_.map(x => if (x > 0) "0.25" else "-0.25")
+      .mkString("[", ", ", "]")).mkString("[", ",\n    ", "]")
+    s"""WITH m AS (SELECT $mm AS mm),
+       |d AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), p AS (
+       |  SELECT a.vec_id,
+       |    greatest(0.0,
+       |      list_sum([a.v[i] * a.v[i] for i in range(1, $Dim + 1)])
+       |      + list_sum([b.v[i] * b.v[i] for i in range(1, $Dim + 1)])
+       |      - 2.0 * list_sum([a.v[i] * b.v[i] for i in range(1, $Dim + 1)])) AS d2,
+       |    list_sum(list_transform(
+       |      [list_sum([a.v[i] * mm[p][i] for i in range(1, $Dim + 1)])
+       |       - list_sum([b.v[i] * mm[p][i] for i in range(1, $Dim + 1)])
+       |       for p in range(1, $ProjDim + 1)],
+       |      x -> x * x)) AS pd2
+       |  FROM d a JOIN d b ON b.vec_id = a.vec_id + 1 CROSS JOIN m
+       |)
+       |SELECT vec_id, round(sqrt(d2), 6) AS d_orig, round(sqrt(pd2), 6) AS d_proj,
+       |  round(CASE WHEN sqrt(d2) = 0.0 THEN 1.0
+       |             ELSE sqrt(pd2) / sqrt(d2) END, 6) AS ratio,
+       |  abs(round(CASE WHEN sqrt(d2) = 0.0 THEN 1.0
+       |                 ELSE sqrt(pd2) / sqrt(d2) END, 6) - 1.0) <= $JlEps
+       |    AS within_eps
+       |FROM p ORDER BY vec_id""".stripMargin
+  }
+
   // --------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1957,7 +2044,8 @@ object VectorOps {
     "q78_semdedup" -> (q78Semdedup _),
     "q84_pq_adc_recall" -> (q84PqAdcRecall _),
     "q89_ivfpq_recall" -> (q89IvfpqRecall _),
-    "q102_label_separation" -> (q102LabelSeparation _)
+    "q102_label_separation" -> (q102LabelSeparation _),
+    "q109_jl_projection" -> (q109JlProjection _)
   )
 
   /** Every entry is oracle-checked, including the adaptive ANN paths
@@ -1971,6 +2059,7 @@ object VectorOps {
     "q41_ann_lsh" -> q41Sql,
     "q44_ivf_topk" -> q44Sql,
     "q102_label_separation" -> q102Sql,
+    "q109_jl_projection" -> q109Sql,
     "q42_label_centroids" -> q42Sql,
     "q43_cos_neardup" -> q43Sql,
     "q47_ann_recall" -> q47Sql,

@@ -451,6 +451,79 @@ object StreamOps {
       | AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 1 HOUR
       |ORDER BY click_id, purchase_id""".stripMargin
 
+  /** SQ11: STREAM-STREAM LEFT OUTER interval join — sq3 with the
+    * unconverted clicks kept: every click emits either its attributed
+    * purchases or, once the join window can no longer be satisfied,
+    * exactly one null-extended row. The outer side is the part inner
+    * joins cannot express on streams: a click's non-conversion is only
+    * KNOWABLE when the global watermark (min of both sides' watermarks)
+    * passes click_ts + 1 h — before that a matching purchase could
+    * still arrive. Spark emits the null-extended row from the state
+    * eviction at that watermark, which the AvailableNow final no-data
+    * batch runs for the drained input; clicks whose window is still
+    * open at the final watermark remain in state and are NOT emitted —
+    * exactly the semantics the oracle encodes with its
+    * `cts + 1 h < final_wm` bound. State stays
+    * one-watermark-horizon-bounded per side, the same as sq3. */
+  def sq11StreamLeftJoin(s: SparkSession, dir: String): DataFrame = {
+    val name = s"sq11_${System.nanoTime()}"
+    withStreamShuffle(s) { fs =>
+      def side(evType: String, prefix: String): DataFrame =
+        eventsStream(fs, dir)
+          .filter(col("event_type") === evType)
+          .select(col("event_id").as(s"${prefix}_id"), col("user_id").as(s"${prefix}_user"),
+            col("ts").as(s"${prefix}_ts"))
+          .withWatermark(s"${prefix}_ts", "2 hours")
+      val clicks = side("click", "click")
+      val purchases = side("purchase", "purchase")
+      val q = clicks.join(purchases,
+        expr("""click_user = purchase_user
+               |AND purchase_ts >= click_ts
+               |AND purchase_ts <= click_ts + INTERVAL 1 HOUR""".stripMargin),
+        "leftOuter")
+        .select(col("click_user").as("user_id"), col("click_id"), col("purchase_id"),
+          (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("delta_us"))
+        .writeStream.queryName(name).format("memory")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      fs.table(name).orderBy(col("click_id"), col("purchase_id").asc_nulls_first)
+    }
+  }
+
+  /** SQ11's DuckDB oracle: the batch interval join UNION ALL the
+    * unconverted clicks whose join window closed under the final
+    * watermark — min(max click ts, max purchase ts) − 2 h, the exact
+    * global watermark the drained streaming query ends with. NULLS
+    * FIRST pins DuckDB's sort to Spark's asc_nulls_first. */
+  val sq11Sql: String =
+    """WITH c AS (
+      |  SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS cts
+      |  FROM events WHERE event_type = 'click'
+      |), p AS (
+      |  SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS pts
+      |  FROM events WHERE event_type = 'purchase'
+      |), wm AS (
+      |  SELECT least((SELECT max(cts) FROM c), (SELECT max(pts) FROM p))
+      |         - INTERVAL 2 HOUR AS w
+      |), matched AS (
+      |  SELECT c.user_id, c.click_id, p.purchase_id,
+      |    epoch_us(p.pts) - epoch_us(c.cts) AS delta_us
+      |  FROM c JOIN p ON c.user_id = p.user_id
+      |   AND p.pts >= c.cts AND p.pts <= c.cts + INTERVAL 1 HOUR
+      |), unmatched AS (
+      |  SELECT c.user_id, c.click_id, CAST(NULL AS BIGINT) AS purchase_id,
+      |    CAST(NULL AS BIGINT) AS delta_us
+      |  FROM c CROSS JOIN wm
+      |  WHERE c.cts + INTERVAL 1 HOUR < wm.w
+      |    AND NOT EXISTS (SELECT 1 FROM p
+      |      WHERE p.user_id = c.user_id
+      |        AND p.pts >= c.cts AND p.pts <= c.cts + INTERVAL 1 HOUR)
+      |)
+      |SELECT user_id, click_id, purchase_id, delta_us FROM matched
+      |UNION ALL
+      |SELECT user_id, click_id, purchase_id, delta_us FROM unmatched
+      |ORDER BY click_id, purchase_id NULLS FIRST""".stripMargin
+
   /** The reference's running metrics counters as a streaming
     * aggregation over the messages stream (O18 parity): one global
     * state row, updated per micro-batch. */
