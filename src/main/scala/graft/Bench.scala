@@ -270,7 +270,8 @@ object Bench {
       "q105_image_phash", "q106_reconcile", "sq10_stream_dedup_ttl",
       // round-10 operators
       "q107_span_dedup", "q108_gopher_rules", "q109_jl_projection",
-      "q110_token_entropy", "sq11_stream_left_join")
+      "q110_token_entropy", "sq11_stream_left_join",
+      "q111_temperature_mix", "q112_user_anomaly", "sq12_stream_rollup")
     // shingle-index misses during TIMED passes only (warm passes are
     // expected to build it once per session+dir)
     var timedIndexMisses = 0L

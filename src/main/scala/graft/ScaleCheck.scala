@@ -140,7 +140,13 @@ object ScaleCheck {
     // linear map over the 4× vectors; the left-outer stream join's
     // state must track the watermark horizon, not the 10× row count
     "q107_span_dedup", "q108_gopher_rules", "q110_token_entropy",
-    "q109_jl_projection", "sq11_stream_left_join")
+    "q109_jl_projection", "sq11_stream_left_join",
+    // batch 2: the anomaly z-scores ride the 10× hot-key events (the
+    // per-user window partitions grow 10×; the (user, hour) combine
+    // must absorb it first); the chained rollup's two state maps must
+    // track the window count, not the 10× row count; the temperature
+    // apportionment must collapse to the source table before any math
+    "q112_user_anomaly", "sq12_stream_rollup", "q111_temperature_mix")
 
   /** q105's drill can't ride the dir mechanism (the media fixture is
     * a generated table at a fixed path), so it scales by GENERATing a

@@ -38,7 +38,9 @@ object SparkEntry {
       "sq10_stream_dedup_ttl" ->
         ((s: SparkSession, dir: String) => StreamOps.sq10StreamDedupTtl(s, dir)),
       "sq11_stream_left_join" ->
-        ((s: SparkSession, dir: String) => StreamOps.sq11StreamLeftJoin(s, dir)))
+        ((s: SparkSession, dir: String) => StreamOps.sq11StreamLeftJoin(s, dir)),
+      "sq12_stream_rollup" ->
+        ((s: SparkSession, dir: String) => StreamOps.sq12StreamRollup(s, dir)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -54,5 +56,6 @@ object SparkEntry {
       "sq8_stream_sketch" -> StreamOps.sq8Sql,
       "sq9_stream_incr_dedup" -> StreamOps.sq9Sql,
       "sq10_stream_dedup_ttl" -> StreamOps.sq10Sql,
-      "sq11_stream_left_join" -> StreamOps.sq11Sql)
+      "sq11_stream_left_join" -> StreamOps.sq11Sql,
+      "sq12_stream_rollup" -> StreamOps.sq12Sql)
 }

@@ -3590,6 +3590,74 @@ object TextOps {
        |    AS entropy
        |FROM tc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // --------------------- q111 temperature-scaled source apportionment
+
+  /** Integer weight scale for the √-temperature apportionment. sqrt is
+    * IEEE-correctly-rounded in every engine, and rounding it to an
+    * integer weight makes ALL downstream arithmetic exact integer
+    * division/modulo — no float-sum ordering can flip a floor. At
+    * 1000, w ≤ 3.2e7 for a 1e9-doc source and w·B stays inside Int64
+    * for budgets to ~2.8e11 docs; beyond that, widen to DECIMAL. */
+  val TempWeightScale = 1000L
+
+  /** q111: √-TEMPERATURE source apportionment — the multilingual-
+    * sampling recipe (α = 0.5 power rebalancing, the standard
+    * flattening between proportional and uniform) as an EXACT integer
+    * largest-remainder apportionment: target_i docs for source i out
+    * of a budget B = N/2, with target ∝ √count. Complements q68
+    * (which downsamples toward an explicit target share recipe);
+    * this derives the recipe from the data with a temperature knob.
+    * keep_ratio > 1 marks sources the recipe would need to upsample.
+    *
+    * Every step after the per-source count is integer: w = round(√n ·
+    * scale), base = ⌊w·B/W⌋ via integer div, remainders ranked for the
+    * leftover seats — both engines compute identical integers, so the
+    * apportionment is deterministic by construction (no float-order
+    * hazard). The windows run over the |sources|-sized table (tiny by
+    * definition at any corpus scale). */
+  def q111TemperatureMix(s: SparkSession, dir: String): DataFrame = {
+    val counts = docs(s, dir).groupBy("source").agg(count(lit(1)).as("n"))
+    val t = counts.withColumn("w",
+      round(sqrt(col("n").cast("double")) * TempWeightScale).cast("long"))
+    val g = t.agg(sum("w").as("tw"), expr("sum(n) div 2").as("b"))
+    val wAll = Window.partitionBy(lit(1))
+    t.crossJoin(broadcast(g))
+      .withColumn("base", expr("(w * b) div tw"))
+      .withColumn("rem", expr("(w * b) % tw"))
+      .withColumn("sb", sum("base").over(wAll))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(lit(1)).orderBy(col("rem").desc, col("source"))))
+      .withColumn("target_n",
+        col("base") + when(col("rk") <= col("b") - col("sb"), lit(1L)).otherwise(lit(0L)))
+      .select(col("source"), col("n").as("n_docs"), col("target_n"),
+        round(col("target_n").cast("double") / col("n"), 6).as("keep_ratio"))
+      .orderBy("source")
+  }
+
+  val q111Sql: String =
+    s"""WITH c AS (
+       |  SELECT source, count(*) AS n FROM documents GROUP BY source
+       |), t AS (
+       |  SELECT source, n,
+       |    CAST(round(sqrt(CAST(n AS DOUBLE)) * $TempWeightScale) AS BIGINT) AS w
+       |  FROM c
+       |), g AS (
+       |  SELECT CAST(sum(w) AS BIGINT) AS tw, CAST(sum(n) // 2 AS BIGINT) AS b FROM t
+       |), r AS (
+       |  SELECT source, n, w, (w * b) // tw AS base, (w * b) % tw AS rem, b
+       |  FROM t CROSS JOIN g
+       |), k AS (
+       |  SELECT source, n, base, b,
+       |    sum(base) OVER () AS sb,
+       |    row_number() OVER (ORDER BY rem DESC, source) AS rk
+       |  FROM r
+       |)
+       |SELECT source, CAST(n AS BIGINT) AS n_docs,
+       |  CAST(base + CASE WHEN rk <= b - sb THEN 1 ELSE 0 END AS BIGINT) AS target_n,
+       |  round(CAST(base + CASE WHEN rk <= b - sb THEN 1 ELSE 0 END AS DOUBLE)
+       |        / n, 6) AS keep_ratio
+       |FROM k ORDER BY source""".stripMargin
+
   // --------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3616,6 +3684,7 @@ object TextOps {
     "q107_span_dedup" -> (q107SpanDedup _),
     "q108_gopher_rules" -> (q108GopherRules _),
     "q110_token_entropy" -> (q110TokenEntropy _),
+    "q111_temperature_mix" -> (q111TemperatureMix _),
     "q92_incremental_dedup" -> (q92IncrementalDedup _),
     "q93_pmi_collocations" -> (q93PmiCollocations _),
     "q94_quality_sample" -> (q94QualitySample _),
@@ -3666,6 +3735,7 @@ object TextOps {
     "q107_span_dedup" -> q107Sql,
     "q108_gopher_rules" -> q108Sql,
     "q110_token_entropy" -> q110Sql,
+    "q111_temperature_mix" -> q111Sql,
     "q92_incremental_dedup" -> q92Sql,
     "q93_pmi_collocations" -> q93Sql,
     "q94_quality_sample" -> q94Sql,

@@ -1341,6 +1341,75 @@ object Queries {
       |FROM customer c FULL OUTER JOIN act a ON c.c_custkey = a.user_id
       |GROUP BY 1 ORDER BY status""".stripMargin
 
+  // -------------------------------------- q112 per-user activity anomaly
+
+  /** Minimum hours of history before a user's own baseline is
+    * meaningful, and the |z| alert threshold. */
+  val AnomalyMinHours = 3
+  val AnomalyZ = 2.0
+
+  /** q112: per-user ACTIVITY-ANOMALY detection — each user's hourly
+    * event count z-scored against that user's own history, |z| ≥
+    * [[AnomalyZ]] flagged (the bot/abuse/outage triage view of an
+    * event stream). The statistics are computed from EXACT integer
+    * sums (n, Σc, Σc²) so the variance and z derive from identical
+    * integers in both engines through an identical expression shape —
+    * no streaming-variance implementation dependence; z rounds to
+    * 6 dp and the threshold applies to the ROUNDED value, so the flag
+    * set is engine-stable.
+    *
+    * Scale shape: (user, hour) partial-agg collapses the stream
+    * before any shuffle; one user-partitioned window pass computes
+    * the three sums; users are independent — embarrassingly parallel,
+    * no global state. Degenerate users (under [[AnomalyMinHours]]
+    * hours, or zero variance — perfectly regular activity) are
+    * excluded rather than divided by zero. */
+  def q112UserAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val wU = Window.partitionBy("user_id")
+    val variance = (col("ss").cast("double") -
+      col("sc").cast("double") * col("sc") / col("n")) / (col("n") - 1)
+    events(s, dir)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("n", count(lit(1)).over(wU))
+      .withColumn("sc", sum("c").over(wU))
+      .withColumn("ss", sum(col("c") * col("c")).over(wU))
+      .filter(col("n") >= AnomalyMinHours)
+      .withColumn("variance", variance)
+      .filter(col("variance") > 0)
+      .withColumn("z", round((col("c").cast("double") -
+        col("sc").cast("double") / col("n")) / sqrt(col("variance")), 6))
+      .filter(abs(col("z")) >= AnomalyZ)
+      .select(col("user_id"), unix_millis(col("hour")).as("hour_ms"),
+        col("c").as("n_events"), col("z"))
+      .orderBy("user_id", "hour_ms")
+  }
+
+  val q112Sql: String =
+    s"""WITH h AS (
+       |  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+       |    count(*) AS c
+       |  FROM events GROUP BY 1, 2
+       |), st AS (
+       |  SELECT user_id, hour, c,
+       |    count(*) OVER (PARTITION BY user_id) AS n,
+       |    sum(c) OVER (PARTITION BY user_id) AS sc,
+       |    sum(c * c) OVER (PARTITION BY user_id) AS ss
+       |  FROM h
+       |), v AS (
+       |  SELECT user_id, hour, c, n, sc,
+       |    (CAST(ss AS DOUBLE) - CAST(sc AS DOUBLE) * sc / n) / (n - 1) AS variance
+       |  FROM st WHERE n >= $AnomalyMinHours
+       |), z AS (
+       |  SELECT user_id, hour, c,
+       |    round((CAST(c AS DOUBLE) - CAST(sc AS DOUBLE) / n)
+       |          / sqrt(variance), 6) AS z
+       |  FROM v WHERE variance > 0
+       |)
+       |SELECT user_id, epoch_ms(hour) AS hour_ms, CAST(c AS BIGINT) AS n_events, z
+       |FROM z WHERE abs(z) >= $AnomalyZ
+       |ORDER BY user_id, hour_ms""".stripMargin
+
   // --------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1379,7 +1448,8 @@ object Queries {
     "q83_source_quota" -> (q83SourceQuota _),
     "q97_retention_cohorts" -> (q97RetentionCohorts _),
     "q98_transitions" -> (q98Transitions _),
-    "q106_reconcile" -> (q106Reconcile _)
+    "q106_reconcile" -> (q106Reconcile _),
+    "q112_user_anomaly" -> (q112UserAnomaly _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -1421,6 +1491,7 @@ object Queries {
     "q83_source_quota" -> q83Sql,
     "q97_retention_cohorts" -> q97Sql,
     "q98_transitions" -> q98Sql,
-    "q106_reconcile" -> q106Sql
-  )
+    "q106_reconcile" -> q106Sql,
+    "q112_user_anomaly" -> q112Sql
+)
 }

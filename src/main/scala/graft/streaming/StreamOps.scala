@@ -524,6 +524,58 @@ object StreamOps {
       |SELECT user_id, click_id, purchase_id, delta_us FROM unmatched
       |ORDER BY click_id, purchase_id NULLS FIRST""".stripMargin
 
+  /** SQ12: CHAINED WINDOWED AGGREGATIONS in one streaming query —
+    * 15-minute counts re-aggregated to hourly inside the SAME query
+    * (two stateful operators back to back, the multi-stateful-operator
+    * capability Spark gained in 3.4; before that the rollup needed a
+    * second query over an intermediate sink). `window_time` gives the
+    * first aggregation's windows an event-time column the second can
+    * window over; append mode + watermark finalize a 15-min window
+    * when the watermark passes its end, and an hourly window when all
+    * its sub-windows have finalized — i.e. when the watermark passes
+    * the HOUR's end. On the drained bounded input the emitted set is
+    * exactly the batch hourly rollup restricted to hours closed under
+    * the final watermark (max ts − 2 h), which is the oracle bound;
+    * the open tail hours stay in state, withheld. n_subwindows
+    * counts the distinct 15-min windows feeding each hour (a
+    * completeness signal at a glance). State is two
+    * watermark-horizon-bounded window maps — scale-safe for 24/7. */
+  def sq12StreamRollup(s: SparkSession, dir: String): DataFrame = {
+    val name = s"sq12_${System.nanoTime()}"
+    withStreamShuffle(s) { fs =>
+      val q15 = eventsStream(fs, dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "15 minutes").as("w15"), col("event_type"))
+        .agg(count(lit(1)).as("n15"))
+      val q = q15
+        .groupBy(window(window_time(col("w15")), "1 hour").as("w1h"), col("event_type"))
+        .agg(sum("n15").as("n_events"), count(lit(1)).as("n_subwindows"))
+        .select(unix_millis(col("w1h.start")).as("janela_ms"), col("event_type"),
+          col("n_events"), col("n_subwindows"))
+        .writeStream.queryName(name).format("memory")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      fs.table(name).orderBy("janela_ms", "event_type")
+    }
+  }
+
+  /** SQ12's DuckDB oracle: the batch hourly rollup over hours fully
+    * closed under the final watermark (max ts − 2 h). */
+  val sq12Sql: String =
+    """WITH wm AS (
+      |  SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 2 HOUR AS w FROM events
+      |), e AS (
+      |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, event_type,
+      |    time_bucket(INTERVAL 15 MINUTE, CAST(ts AS TIMESTAMP)) AS w15
+      |  FROM events
+      |)
+      |SELECT epoch_ms(h) AS janela_ms, event_type,
+      |  count(*) AS n_events,
+      |  CAST(count(DISTINCT w15) AS BIGINT) AS n_subwindows
+      |FROM e CROSS JOIN wm
+      |WHERE h + INTERVAL 1 HOUR <= wm.w
+      |GROUP BY h, event_type ORDER BY janela_ms, event_type""".stripMargin
+
   /** The reference's running metrics counters as a streaming
     * aggregation over the messages stream (O18 parity): one global
     * state row, updated per micro-batch. */

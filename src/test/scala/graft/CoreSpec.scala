@@ -149,7 +149,7 @@ class CoreSpec extends AnyFunSuite {
     // the merged map must not shadow: component registries stay disjoint
     val parts = Seq(graft.queries.Queries.all, graft.llmops.TextOps.all,
       graft.llmops.VectorOps.all, graft.llmops.MultimodalOps.all)
-    val streaming = 11 // sq1..sq11, added inline in SparkEntry
+    val streaming = 12 // sq1..sq12, added inline in SparkEntry
     assert(q.size == parts.map(_.size).sum + streaming,
       "duplicate query names across registries would shadow silently")
     assert(SparkEntry.entry(spark).count() > 0, "driver smoke: entry must return rows")

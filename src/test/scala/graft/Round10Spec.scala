@@ -1,6 +1,7 @@
 package graft
 
 import graft.llmops.{TextOps, VectorOps}
+import graft.queries.Queries
 import graft.streaming.StreamOps
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -157,5 +158,65 @@ class Round10Spec extends AnyFunSuite with BeforeAndAfterAll {
       .select("click_id").collect().map(_.getLong(0)).toSet
     assert(nullClicks.toSet == expected,
       s"unmatched clicks ${nullClicks.toSet.size} vs expected ${expected.size}")
+  }
+
+  // ------------------------------------------------------------- q111
+
+  test("q111: integer apportionment sums exactly to the budget, √-ordered") {
+    val rows = TextOps.q111TemperatureMix(spark, dir).collect()
+    val n = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("target_n")).sum == n / 2,
+      "largest-remainder apportionment must hit the budget exactly")
+    // √-temperature flattens: bigger sources get SMALLER keep ratios
+    val bySize = rows.sortBy(_.getAs[Long]("n_docs"))
+    bySize.map(_.getAs[Double]("keep_ratio")).sliding(2).foreach {
+      case Array(a, b) => assert(a >= b - 0.05, "keep_ratio ~monotone down in size")
+      case _ =>
+    }
+    rows.foreach(r => assert(r.getAs[Long]("target_n") >= 0))
+  }
+
+  // ------------------------------------------------------------- q112
+
+  test("q112: flags are |z| >= threshold with user-local baselines") {
+    val rows = Queries.q112UserAnomaly(spark, dir).collect()
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("z")) >= Queries.AnomalyZ)
+      assert(r.getAs[Long]("n_events") >= 1)
+    }
+    // a user must have at least AnomalyMinHours distinct hours to be
+    // eligible — verify against the raw per-user hour counts
+    val ev = graft.sources.TsBridge.normalize(
+      spark.read.parquet(s"$dir/events.parquet"))
+    val hoursPerUser = ev
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("h")).distinct()
+      .groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(hoursPerUser(r.getAs[Long]("user_id")) >= Queries.AnomalyMinHours)
+    }
+  }
+
+  // ------------------------------------------------------------- sq12
+
+  test("sq12: chained streaming rollup equals batch rollup over closed hours") {
+    val got = StreamOps.sq12StreamRollup(spark, dir).collect()
+      .map(r => (r.getAs[Long]("janela_ms"), r.getAs[String]("event_type"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("n_subwindows"))).toSet
+    val ev = graft.sources.TsBridge.normalize(
+      spark.read.parquet(s"$dir/events.parquet"))
+    val wmMs = ev.agg(max(unix_millis(col("ts")))).head().getLong(0) -
+      2L * 3600 * 1000
+    val expected = ev
+      .groupBy(window(col("ts"), "15 minutes").as("w15"), col("event_type"))
+      .agg(count(lit(1)).as("n15"))
+      .groupBy(window(window_time(col("w15")), "1 hour").as("w1h"), col("event_type"))
+      .agg(sum("n15").as("n_events"), count(lit(1)).as("n_subwindows"))
+      .filter(unix_millis(col("w1h.end")) <= wmMs)
+      .select(unix_millis(col("w1h.start")).as("janela_ms"), col("event_type"),
+        col("n_events"), col("n_subwindows"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected, s"${got.size} streaming vs ${expected.size} batch rows")
   }
 }
