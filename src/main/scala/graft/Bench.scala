@@ -271,7 +271,11 @@ object Bench {
       // round-10 operators
       "q107_span_dedup", "q108_gopher_rules", "q109_jl_projection",
       "q110_token_entropy", "sq11_stream_left_join",
-      "q111_temperature_mix", "q112_user_anomaly", "sq12_stream_rollup")
+      "q111_temperature_mix", "q112_user_anomaly", "sq12_stream_rollup",
+      // round-8 second wave
+      "q113_bloom_join", "q114_gapfill_locf", "q115_rolling_peak",
+      "q116_triangles", "q117_skyline", "q118_fuzzy_join",
+      "q119_hll_incremental", "sq13_stream_profile")
     // shingle-index misses during TIMED passes only (warm passes are
     // expected to build it once per session+dir)
     var timedIndexMisses = 0L

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BloomContains, ByteWindowEnergy, CmsEstimate, DotProduct, FromAvro, ToAvro, TokenPolyHash}
+import graft.functions.{BloomContains, ByteWindowEnergy, CmsEstimate, DotProduct, FromAvro, JaroWinkler, ToAvro, TokenPolyHash}
 import graft.model.SchemaDef
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -41,5 +41,7 @@ object GraftExtensions {
     ("graft_bloom_contains", "graft_bloom_contains(bloom, key) - Bloom membership for a long key",
       (exprs: Seq[Expression]) => BloomContains(exprs(0), exprs(1))),
     ("graft_win_energy", "graft_win_energy(bin, start, len) - sum of squared (byte-128) over a slice",
-      (exprs: Seq[Expression]) => ByteWindowEnergy(exprs(0), exprs(1), exprs(2))))
+      (exprs: Seq[Expression]) => ByteWindowEnergy(exprs(0), exprs(1), exprs(2))),
+    ("graft_jaro_winkler", "graft_jaro_winkler(a, b) - Jaro-Winkler similarity in [0,1]",
+      (exprs: Seq[Expression]) => JaroWinkler(exprs(0), exprs(1))))
 }

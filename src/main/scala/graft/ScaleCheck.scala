@@ -89,6 +89,40 @@ object ScaleCheck {
       s.read.parquet(s"$base/customer.parquet")
         .write.mode("overwrite").parquet(custOut)
     }
+    // 10× orders+lineitem with CONSISTENT key offsets — the q113
+    // bloom-join drill needs both sides to grow together so the claim
+    // under test is "probe-side reduction tracks build-side
+    // selectivity" (the filter stays ~20% selective at any copy
+    // count); 10× part for the skyline (distinct-price level growth)
+    // and the fuzzy join (rows ×10 while the NAME VOCABULARY — the
+    // quadratic scoring space — stays fixed, the dedup-before-scoring
+    // claim).
+    val ordersOut = s"$out/orders.parquet"
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$base/orders.parquet")) &&
+        !java.nio.file.Files.exists(java.nio.file.Paths.get(ordersOut))) {
+      val ord = s.read.parquet(s"$base/orders.parquet")
+      (0 until 10).map(c => ord.withColumn("o_orderkey",
+          col("o_orderkey") + lit(c * 1000000000L)))
+        .reduce(_ unionAll _)
+        .repartition(16)
+        .write.mode("overwrite").parquet(ordersOut)
+      val li = s.read.parquet(s"$base/lineitem.parquet")
+      (0 until 10).map(c => li.withColumn("l_orderkey",
+          col("l_orderkey") + lit(c * 1000000000L)))
+        .reduce(_ unionAll _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    }
+    val partOut = s"$out/part.parquet"
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$base/part.parquet")) &&
+        !java.nio.file.Files.exists(java.nio.file.Paths.get(partOut))) {
+      val pt = s.read.parquet(s"$base/part.parquet")
+      (0 until 10).map(c => pt.withColumn("p_partkey",
+          col("p_partkey") + lit(c * 1000000000L)))
+        .reduce(_ unionAll _)
+        .repartition(8)
+        .write.mode("overwrite").parquet(partOut)
+    }
   }
 
   val DefaultOps: Seq[String] = Seq(
@@ -146,7 +180,21 @@ object ScaleCheck {
     // must absorb it first); the chained rollup's two state maps must
     // track the window count, not the 10× row count; the temperature
     // apportionment must collapse to the source table before any math
-    "q112_user_anomaly", "sq12_stream_rollup", "q111_temperature_mix")
+    "q112_user_anomaly", "sq12_stream_rollup", "q111_temperature_mix",
+    // round-8 second wave: the bloom join's probe reduction must track
+    // build selectivity (both sides ×10, same ~20% filter); gap-fill's
+    // grid is horizon-bounded (10× events collapse to the SAME
+    // (user, day) grid — near-flat is the claim); the rolling peak is
+    // one per-user range-window pass (×10 rows per user → linear);
+    // triangles saturate against the fixed user-pair space (denser
+    // cells, bounded edges); the skyline sweep rides distinct prices,
+    // not rows; the fuzzy join's scoring space is the fixed name
+    // vocabulary (near-flat); HLL sketches ride (day, user) — both
+    // fixed; the transformWithState profile holds one row per user
+    // (state flat, scan linear)
+    "q113_bloom_join", "q114_gapfill_locf", "q115_rolling_peak",
+    "q116_triangles", "q117_skyline", "q118_fuzzy_join",
+    "q119_hll_incremental", "sq13_stream_profile")
 
   /** q105's drill can't ride the dir mechanism (the media fixture is
     * a generated table at a fixed path), so it scales by GENERATing a

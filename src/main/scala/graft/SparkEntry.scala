@@ -1,7 +1,7 @@
 package graft
 
 import graft.llmops.{MultimodalOps, TextOps, VectorOps}
-import graft.queries.Queries
+import graft.queries.{Queries, RelOps}
 import graft.streaming.StreamOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -16,7 +16,7 @@ object SparkEntry {
     * its oracle is the batch SQL — streaming/batch equivalence is the
     * check. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Queries.all ++ TextOps.all ++ VectorOps.all ++ MultimodalOps.all ++ Map(
+    Queries.all ++ RelOps.all ++ TextOps.all ++ VectorOps.all ++ MultimodalOps.all ++ Map(
       "sq1_stream_tumbling" ->
         ((s: SparkSession, dir: String) => StreamOps.sq1StreamTumbling(s, dir)),
       "sq2_stream_dedup" ->
@@ -40,12 +40,14 @@ object SparkEntry {
       "sq11_stream_left_join" ->
         ((s: SparkSession, dir: String) => StreamOps.sq11StreamLeftJoin(s, dir)),
       "sq12_stream_rollup" ->
-        ((s: SparkSession, dir: String) => StreamOps.sq12StreamRollup(s, dir)))
+        ((s: SparkSession, dir: String) => StreamOps.sq12StreamRollup(s, dir)),
+      "sq13_stream_profile" ->
+        ((s: SparkSession, dir: String) => StreamOps.sq13StreamProfile(s, dir)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Queries.oracle ++ TextOps.oracle ++ VectorOps.oracle ++ MultimodalOps.oracle ++ Map(
+    Queries.oracle ++ RelOps.oracle ++ TextOps.oracle ++ VectorOps.oracle ++ MultimodalOps.oracle ++ Map(
       "sq1_stream_tumbling" -> Queries.q21Sql,
       "sq2_stream_dedup" -> StreamOps.sq2Sql,
       "sq3_stream_join" -> StreamOps.sq3Sql,
@@ -57,5 +59,6 @@ object SparkEntry {
       "sq9_stream_incr_dedup" -> StreamOps.sq9Sql,
       "sq10_stream_dedup_ttl" -> StreamOps.sq10Sql,
       "sq11_stream_left_join" -> StreamOps.sq11Sql,
-      "sq12_stream_rollup" -> StreamOps.sq12Sql)
+      "sq12_stream_rollup" -> StreamOps.sq12Sql,
+      "sq13_stream_profile" -> StreamOps.sq13Sql)
 }

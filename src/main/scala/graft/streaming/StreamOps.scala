@@ -915,4 +915,106 @@ object StreamOps {
     } finally fs.streams.removeListener(listener)
     fs.table(name)
   }
+
+  // ---------------------------------------- sq13 transformWithState profile
+
+  /** Per-user profile state for [[sq13StreamProfile]]. */
+  final case class ProfState(firstUs: Long, lastUs: Long, n: Long, sess: Long)
+
+  /** Emitted per-user profile row. */
+  final case class Profile(user_id: Long, n_events: Long, n_sessions: Long,
+      first_ms: Long, last_ms: Long)
+
+  /** SQ13's stateful processor — the arbitrary-stateful-V2 API
+    * (`transformWithState`, Spark 4): a typed ValueState profile per
+    * user (first/last seen, event count, session count under the q22
+    * 30-min gap rule), updated per micro-batch. Batch rows sort in
+    * memory (intra-batch arrival is unordered — the sq6 discipline);
+    * one Profile emits per touched key per batch, and n_events is
+    * monotone, so the max-n row per user is the final profile. */
+  final class ProfileProcessor(gapUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, Profile] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[ProfState] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[ProfState]("profile",
+        org.apache.spark.sql.Encoders.product[ProfState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[Profile] = {
+      val sorted = rows.toArray.sortBy(e => (e.us, e.event_id))
+      if (sorted.isEmpty) return Iterator.empty
+      var st = if (state.exists()) state.get() else null
+      sorted.foreach { e =>
+        st =
+          if (st == null) ProfState(e.us, e.us, 1L, 1L)
+          else if (e.us - st.lastUs > gapUs)
+            ProfState(st.firstUs, e.us, st.n + 1, st.sess + 1)
+          else ProfState(st.firstUs, e.us, st.n + 1, st.sess)
+      }
+      state.update(st)
+      Iterator.single(
+        Profile(key, st.n, st.sess, st.firstUs / 1000, st.lastUs / 1000))
+    }
+  }
+
+  /** SQ13: PER-USER PROFILE via `transformWithState` — the Spark-4
+    * arbitrary-stateful engine (typed ValueState/ListState/MapState,
+    * TTL, timers, RocksDB-backed) that supersedes
+    * [[sessionizeStateful]]'s flatMapGroupsWithState shape: a live
+    * first/last-seen + event-count + session-count profile per user,
+    * the feature-store row a training pipeline maintains per entity.
+    *
+    * Scale shape: state is ONE fixed-width row per user in the
+    * RocksDB store (transformWithState requires the RocksDB provider
+    * — set on the forked session only), shuffled once on user_id;
+    * profiles re-emit per touched key per batch, so downstream
+    * consumers read the latest row per key (here: max-n, since
+    * n_events is monotone). The oracle is the batch profile with the
+    * identical gap rule — streaming/batch equivalence, like sq6. */
+  def sq13StreamProfile(s: SparkSession, dir: String): DataFrame = {
+    val name = s"sq13_${System.nanoTime()}"
+    val gapUs = graft.queries.Queries.SessionGapUs
+    val streamed = withStreamShuffle(s) { fs =>
+      fs.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      import fs.implicits._
+      val typed = eventsStream(fs, dir)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+        .as[Ev]
+      val q = typed.groupByKey(_.user_id)
+        .transformWithState(new ProfileProcessor(gapUs),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .toDF()
+        .writeStream.queryName(name).format("memory")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      fs.table(name)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("n_events").desc)
+    streamed.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("user_id", "n_events", "n_sessions", "first_ms", "last_ms")
+      .orderBy("user_id")
+  }
+
+  /** SQ13's DuckDB oracle: the batch per-user profile under the same
+    * 30-min session-gap rule. */
+  val sq13Sql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+       |  FROM events
+       |), o AS (
+       |  SELECT user_id, us,
+       |    lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS pus
+       |  FROM e
+       |)
+       |SELECT user_id, count(*) AS n_events,
+       |  CAST(sum(CASE WHEN pus IS NULL OR us - pus > ${graft.queries.Queries.SessionGapUs}
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+       |  min(us) // 1000 AS first_ms, max(us) // 1000 AS last_ms
+       |FROM o GROUP BY user_id ORDER BY user_id""".stripMargin
 }

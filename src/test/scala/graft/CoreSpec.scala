@@ -147,9 +147,10 @@ class CoreSpec extends AnyFunSuite {
     // the gate (the driver skips unknown names)
     assert(o.keySet.subsetOf(q.keySet), s"oracle-only keys: ${o.keySet -- q.keySet}")
     // the merged map must not shadow: component registries stay disjoint
-    val parts = Seq(graft.queries.Queries.all, graft.llmops.TextOps.all,
-      graft.llmops.VectorOps.all, graft.llmops.MultimodalOps.all)
-    val streaming = 12 // sq1..sq12, added inline in SparkEntry
+    val parts = Seq(graft.queries.Queries.all, graft.queries.RelOps.all,
+      graft.llmops.TextOps.all, graft.llmops.VectorOps.all,
+      graft.llmops.MultimodalOps.all)
+    val streaming = 13 // sq1..sq13, added inline in SparkEntry
     assert(q.size == parts.map(_.size).sum + streaming,
       "duplicate query names across registries would shadow silently")
     assert(SparkEntry.entry(spark).count() > 0, "driver smoke: entry must return rows")

@@ -1,0 +1,218 @@
+package graft
+
+import graft.functions.FuzzyOps
+import graft.queries.RelOps
+import graft.streaming.StreamOps
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Engine-side invariants for the round-8 second-wave operators
+  * (q113 bloom join, q114 gap-fill, q115 rolling peak, q116
+  * triangles, q117 skyline, q118 fuzzy join, q119 HLL incremental,
+  * sq13 transformWithState profile). Cross-engine value equality is
+  * the DuckDB oracle's job at the sf0.01 gate; these pin semantics
+  * the oracle can't see (identity of physical rewrites at another SF,
+  * brute-force ground truth, plan shape, streaming/batch
+  * equivalence). */
+class RelOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.builder("relops-test", cores = 4).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  // ------------------------------------------------------- jaro-winkler
+
+  test("jaroWinkler matches the published algorithm's pinned values") {
+    def jw(a: String, b: String): Double =
+      FuzzyOps.jaroWinkler(UTF8String.fromString(a), UTF8String.fromString(b))
+    // values pinned against DuckDB jaro_winkler_similarity (the q118
+    // oracle engine) — including the 0.7 boost-threshold gate and the
+    // both-empty → 0 convention
+    assert(math.abs(jw("martha", "marhta") - 0.9611111111111111) < 1e-15)
+    assert(math.abs(jw("dixon", "dicksonx") - 0.8133333333333332) < 1e-15)
+    assert(math.abs(jw("dwayne", "duane") - 0.8400000000000001) < 1e-15)
+    // jaro = 2/3 ≤ 0.7: the 3-char shared prefix must NOT boost
+    assert(math.abs(jw("abcdef", "abcxyz") - 0.6666666666666666) < 1e-15)
+    assert(math.abs(jw("ababab", "bababa") - 0.8333333333333334) < 1e-15)
+    assert(jw("", "") == 0.0 && jw("a", "") == 0.0 && jw("", "abc") == 0.0)
+    assert(jw("abc", "abc") == 1.0)
+    assert(jw("a", "b") == 0.0)
+  }
+
+  // --------------------------------------------------------------- q113
+
+  test("q113: bloom-filtered join is identical to the plain join") {
+    // identity at a SF the oracle gate doesn't run: the bloom is a
+    // physical rewrite, false positives die in the exact join
+    val got = RelOps.q113BloomJoin(spark, dir).collect()
+    val want = spark.read.parquet(s"$dir/lineitem.parquet")
+      .join(spark.read.parquet(s"$dir/orders.parquet")
+          .filter(col("o_orderpriority") === "1-URGENT"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+      .orderBy("l_returnflag").collect()
+    assert(got.map(_.toSeq).toSeq == want.map(_.toSeq).toSeq)
+  }
+
+  test("q113 plan: the bloom probe filters the lineitem side pre-join") {
+    val plan = RelOps.q113BloomJoin(spark, dir).queryExecution.executedPlan.toString
+    // the only xxhash64 in this query is the bloom membership probe;
+    // it must appear (as a Filter over the probe scan), proving the
+    // reduction runs before the join rather than being optimized away
+    assert(plan.contains("xxhash64"), s"bloom probe missing from plan:\n$plan")
+  }
+
+  // --------------------------------------------------------------- q114
+
+  test("q114: gap days are unobserved and carry the latest prior day's sum") {
+    val events = graft.sources.TsBridge.normalize(
+        spark.read.parquet(s"$dir/events.parquet"))
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"),
+        col("value").cast("decimal(18,2)").as("v"))
+    val obs = events.groupBy("user_id", "day")
+      .agg(sum("v").cast("double").as("dv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime) -> r.getDouble(2)).toMap
+    val gaps = RelOps.q114GapfillLocf(spark, dir).collect()
+    assert(gaps.nonEmpty, "sf0.001 events must contain at least one per-user gap day")
+    val dayMs = 86400000L
+    gaps.foreach { r =>
+      val (u, d, fv) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      assert(!obs.contains((u, d)), "an emitted gap day must be unobserved")
+      // latest observed day before the gap carries forward
+      val prior = obs.keys.filter(k => k._1 == u && k._2 < d)
+      assert(prior.nonEmpty, "a gap day always has an observed prior day")
+      val lastDay = prior.map(_._2).max
+      assert(fv == obs((u, lastDay)), "LOCF must carry the latest prior day's sum")
+      assert((d - lastDay) % dayMs == 0 && d - lastDay >= dayMs)
+    }
+  }
+
+  // --------------------------------------------------------------- q115
+
+  test("q115: peak equals the brute-force trailing-24h maximum") {
+    val evs = graft.sources.TsBridge.normalize(
+        spark.read.parquet(s"$dir/events.parquet"))
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byUser = evs.groupBy(_._1)
+    val got = RelOps.q115RollingPeak(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == byUser.keySet)
+    byUser.foreach { case (u, rows) =>
+      val uss = rows.map(_._3).sorted
+      val peak = uss.map(t => uss.count(x => x >= t - RelOps.RollingHorizonUs && x <= t)).max
+      assert(got(u) == peak, s"user $u: peak_n24 ${got(u)} != brute-force $peak")
+    }
+  }
+
+  // --------------------------------------------------------------- q116
+
+  test("q116: triangle count equals brute force on the co-occurrence graph") {
+    // sf0.01: the repeated-co-occurrence graph at sf0.001 has 2 edges
+    // and no triangle — the brute-force equality needs a real graph
+    val dir = "/root/testdata/sf0.01"
+    val g = graft.sources.TsBridge.normalize(
+        spark.read.parquet(s"$dir/events.parquet"))
+      .select(col("event_type").as("et"),
+        expr(s"unix_micros(ts) div ${RelOps.TriBucketUs}").as("b"),
+        col("user_id").as("u"))
+      .distinct().collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val weights = scala.collection.mutable.Map.empty[(Long, Long), Int]
+    g.groupBy(c => (c._1, c._2)).values.foreach { cell =>
+      val us = cell.map(_._3).distinct.sorted
+      for (i <- us.indices; j <- (i + 1) until us.length)
+        weights((us(i), us(j))) = weights.getOrElse((us(i), us(j)), 0) + 1
+    }
+    val edges = weights.filter(_._2 >= RelOps.TriMinCoocc).keySet.toSet
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val nTri = edges.toSeq.map { case (a, b) =>
+      adj.getOrElse(a, Set.empty[Long]).count(c => c > b && edges.contains((b, c)))
+    }.sum
+    val row = RelOps.q116Triangles(spark, dir).collect().head
+    assert(row.getAs[Long]("n_edges") == edges.size)
+    assert(row.getAs[Long]("n_triangles") == nTri,
+      s"degree-ordered count ${row.getAs[Long]("n_triangles")} != brute-force $nTri")
+  }
+
+  // --------------------------------------------------------------- q117
+
+  test("q117: output is exactly the non-dominated set") {
+    val parts = spark.read.parquet(s"$dir/part.parquet")
+      .select("p_partkey", "p_retailprice", "p_size").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    def dominated(x: (Long, Double, Int)) = parts.exists(b =>
+      b._2 <= x._2 && b._3 >= x._3 && (b._2 < x._2 || b._3 > x._3))
+    val got = RelOps.q117Skyline(spark, dir).select("p_partkey").collect()
+      .map(_.getLong(0)).toSet
+    val want = parts.filter(p => !dominated(p)).map(_._1).toSet
+    assert(got == want)
+  }
+
+  // --------------------------------------------------------------- q118
+
+  test("q118: every match is the block-local argmax above threshold") {
+    val parts = spark.read.parquet(s"$dir/part.parquet")
+      .select("p_partkey", "p_name").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def jw(a: String, b: String): Double =
+      math.rint(FuzzyOps.jaroWinkler(
+        UTF8String.fromString(a), UTF8String.fromString(b)) * 1e6) / 1e6
+    val got = RelOps.q118FuzzyJoin(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    got.foreach { case (probe, matched, sim) =>
+      val dirty = parts.find(_._1 == probe).get._2.filterNot("aeiou".contains(_))
+      val block = parts.filter(p => p._2.take(1) == dirty.take(1))
+      val scored = block.map(p => (jw(dirty, p._2), p._1))
+        .filter(_._1 >= RelOps.FuzzyMinSim)
+      val best = scored.minBy { case (s, k) => (-s, k) }
+      assert(sim == best._1 && matched == best._2,
+        s"probe $probe: got ($matched, $sim) want ${best.swap}")
+    }
+  }
+
+  // --------------------------------------------------------------- q119
+
+  test("q119: bounds pinned true; exact cumulative distinct is monotone") {
+    val rows = RelOps.q119HllIncremental(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("within_bounds")),
+      "HLL estimate must stay within 5% of exact at every day")
+    val ns = rows.map(_.getAs[Long]("n_exact"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a <= b },
+      "cumulative distinct users can never decrease")
+  }
+
+  // --------------------------------------------------------------- sq13
+
+  test("sq13: transformWithState profile equals the batch profile") {
+    val got = StreamOps.sq13StreamProfile(spark, dir).collect().map(_.toSeq)
+    val gap = graft.queries.Queries.SessionGapUs
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("us", "event_id")
+    val want = graft.sources.TsBridge.normalize(
+        spark.read.parquet(s"$dir/events.parquet"))
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("pus", lag("us", 1).over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("pus").isNull || col("us") - col("pus") > gap, 1L)
+          .otherwise(0L)).as("n_sessions"),
+        expr("min(us) div 1000").as("first_ms"),
+        expr("max(us) div 1000").as("last_ms"))
+      .orderBy("user_id").collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq)
+  }
+}
