@@ -194,7 +194,17 @@ object ScaleCheck {
     // (state flat, scan linear)
     "q113_bloom_join", "q114_gapfill_locf", "q115_rolling_peak",
     "q116_triangles", "q117_skyline", "q118_fuzzy_join",
-    "q119_hll_incremental", "sq13_stream_profile")
+    "q119_hll_incremental", "sq13_stream_profile",
+    // batch 3: SCD2's islands ride the one user_id shuffle (runs ×10
+    // when every copy extends the timeline); the fingerprint is the
+    // pure-map + partial-agg linearity claim; the A/B readout
+    // collapses to (type, bucket) partials map-side; the sweep rides
+    // session BOUNDARIES (events ×10 but sessions merge — near-flat);
+    // the foreachBatch sink's rewrite cost is the aggregate's size
+    "q120_scd2", "q121_table_checksum", "q122_ab_test",
+    "q123_interval_peak", "sq14_foreach_sink",
+    // JSON extraction: parse+extract fused map work, the linearity claim
+    "q124_json_extract")
 
   /** q105's drill can't ride the dir mechanism (the media fixture is
     * a generated table at a fixed path), so it scales by GENERATing a

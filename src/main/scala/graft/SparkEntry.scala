@@ -42,7 +42,9 @@ object SparkEntry {
       "sq12_stream_rollup" ->
         ((s: SparkSession, dir: String) => StreamOps.sq12StreamRollup(s, dir)),
       "sq13_stream_profile" ->
-        ((s: SparkSession, dir: String) => StreamOps.sq13StreamProfile(s, dir)))
+        ((s: SparkSession, dir: String) => StreamOps.sq13StreamProfile(s, dir)),
+      "sq14_foreach_sink" ->
+        ((s: SparkSession, dir: String) => StreamOps.sq14ForeachBatchSink(s, dir)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -60,5 +62,6 @@ object SparkEntry {
       "sq10_stream_dedup_ttl" -> StreamOps.sq10Sql,
       "sq11_stream_left_join" -> StreamOps.sq11Sql,
       "sq12_stream_rollup" -> StreamOps.sq12Sql,
-      "sq13_stream_profile" -> StreamOps.sq13Sql)
+      "sq13_stream_profile" -> StreamOps.sq13Sql,
+      "sq14_foreach_sink" -> StreamOps.sq14Sql)
 }

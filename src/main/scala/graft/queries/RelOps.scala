@@ -468,6 +468,308 @@ object RelOps {
       |FROM days JOIN fd ON fd.fd <= days.d
       |GROUP BY d ORDER BY day_ms""".stripMargin
 
+  // ----------------------------------------------------- q120 SCD Type 2
+
+  /** q120: SCD TYPE-2 HISTORY BUILD — collapse each user's event-type
+    * timeline into validity intervals (the slowly-changing-dimension
+    * shape every warehouse maintains: state, valid_from, valid_to,
+    * is_current): consecutive same-type runs become one interval via
+    * the gaps-and-islands rank difference (rn_all − rn_type is
+    * constant exactly within a run), valid_to is the next interval's
+    * start (half-open, NULL while current).
+    *
+    * Scale shape: both ranking windows and the lead share ONE
+    * user_id partitioning — a single shuffle; runs collapse by
+    * partial agg on (user, type, grp). Ties order by (us, event_id)
+    * in both engines, so island boundaries are deterministic. */
+  def q120Scd2(s: SparkSession, dir: String): DataFrame = {
+    val wAll = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val wType = Window.partitionBy("user_id", "event_type").orderBy("us", "event_id")
+    // tie-safe: two runs of one user can share a truncated-ms start
+    // (tied event timestamps across types), so the lead orders on
+    // (from, type) — a total order over runs in both engines
+    val wNext = Window.partitionBy("user_id").orderBy("valid_from_ms", "event_type")
+    events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("grp", row_number().over(wAll) - row_number().over(wType))
+      .groupBy("user_id", "event_type", "grp")
+      .agg(expr("min(us) div 1000").as("valid_from_ms"), count(lit(1)).as("n_in_state"))
+      .withColumn("valid_to_ms", lead("valid_from_ms", 1).over(wNext))
+      .withColumn("is_current", col("valid_to_ms").isNull)
+      .select("user_id", "event_type", "valid_from_ms", "valid_to_ms",
+        "is_current", "n_in_state")
+      .orderBy("user_id", "valid_from_ms", "event_type")
+  }
+
+  val q120Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, event_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events
+      |), r AS (
+      |  SELECT user_id, event_type, us,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY us, event_id)
+      |      - row_number() OVER (PARTITION BY user_id, event_type
+      |                           ORDER BY us, event_id) AS grp
+      |  FROM e
+      |), runs AS (
+      |  SELECT user_id, event_type, min(us) // 1000 AS valid_from_ms,
+      |    count(*) AS n_in_state
+      |  FROM r GROUP BY user_id, event_type, grp
+      |)
+      |SELECT user_id, event_type, valid_from_ms,
+      |  lead(valid_from_ms) OVER w2 AS valid_to_ms,
+      |  lead(valid_from_ms) OVER w2 IS NULL AS is_current,
+      |  n_in_state
+      |FROM runs
+      |WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from_ms, event_type)
+      |ORDER BY user_id, valid_from_ms, event_type""".stripMargin
+
+  // ---------------------------------------------- q121 table fingerprint
+
+  /** q121: ORDER-INDEPENDENT TABLE FINGERPRINT — the anti-entropy /
+    * cross-system reconciliation primitive: each row canonicalizes to
+    * a typed string (exact DECIMAL casts, epoch-ms timestamps —
+    * engine-stable renderings), hashes to the md5-60-bit integer (the
+    * [[graft.functions.RollingHash]] discipline: bit-identical to
+    * DuckDB's `('0x' || substring(md5, 1, 15))::UBIGINT`), and the
+    * fingerprint is the SUM — commutative, so partition order, file
+    * order, and parallelism can never change it, and two systems
+    * compare 3 rows instead of 3 tables. Sum carries as
+    * DECIMAL(38,0): with 60-bit terms, overflow needs ~2^66 rows.
+    *
+    * The oracle recomputes the same fingerprints in DuckDB — a
+    * cross-ENGINE reconciliation, which is exactly the operator's
+    * production claim. */
+  def q121TableChecksum(s: SparkSession, dir: String): DataFrame = {
+    def fp(df: DataFrame, tbl: String, canon: Seq[Column]): DataFrame =
+      df.select(concat_ws("|", canon: _*).as("r"))
+        .select(conv(substring(md5(col("r")), 1, 15), 16, 10).cast("long").as("h"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("h").cast(DecimalType(38, 0))).cast("string").as("checksum"))
+        .select(lit(tbl).as("tbl"), col("n_rows"), col("checksum"))
+    val cust = fp(t(s, dir, "customer"), "customer", Seq(
+      col("c_custkey"), col("c_name"), col("c_nationkey"),
+      dec(col("c_acctbal"), 18, 2), col("c_mktsegment")))
+    val ord = fp(t(s, dir, "orders"), "orders", Seq(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      dec(col("o_totalprice"), 18, 2),
+      unix_millis(col("o_orderdate").cast("timestamp")),
+      col("o_orderpriority")))
+    val part = fp(t(s, dir, "part"), "part", Seq(
+      col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"),
+      col("p_size"), dec(col("p_retailprice"), 18, 2)))
+    cust.unionAll(ord).unionAll(part).orderBy("tbl")
+  }
+
+  val q121Sql: String = {
+    def fp(tbl: String, canon: String): String =
+      s"""SELECT '$tbl' AS tbl, count(*) AS n_rows,
+         |  CAST(sum(CAST(CAST(('0x' || substring(md5($canon), 1, 15)) AS UBIGINT)
+         |    AS HUGEINT)) AS VARCHAR) AS checksum
+         |FROM $tbl""".stripMargin
+    Seq(
+      fp("customer", "concat_ws('|', c_custkey, c_name, c_nationkey, " +
+        "CAST(c_acctbal AS DECIMAL(18,2)), c_mktsegment)"),
+      fp("orders", "concat_ws('|', o_orderkey, o_custkey, o_orderstatus, " +
+        "CAST(o_totalprice AS DECIMAL(18,2)), " +
+        "epoch_ms(CAST(o_orderdate AS TIMESTAMP)), o_orderpriority)"),
+      fp("part", "concat_ws('|', p_partkey, p_name, p_brand, p_type, " +
+        "p_size, CAST(p_retailprice AS DECIMAL(18,2)))"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY tbl")
+  }
+
+  // ------------------------------------------------- q122 A/B Welch test
+
+  /** |z| threshold on the 6-dp-rounded statistic. */
+  val AbZCrit = 1.96
+
+  /** q122: A/B EXPERIMENT READOUT — Welch's two-sample z-test per
+    * event type between two deterministic user buckets (user_id
+    * parity — the hash-split stand-in): mean difference and
+    * z = Δmean / √(s²ₐ/nₐ + s²ᵦ/nᵦ), significance at |z| ≥
+    * [[AbZCrit]] on the ROUNDED statistic (engine-stable flag set —
+    * the q112 discipline).
+    *
+    * Determinism: all moments come from EXACT sums — Σv as
+    * DECIMAL(38,2), Σv² as DECIMAL(38,4) (v has 2-dp scale, so v² is
+    * exact at 4 dp) — and the float math runs once per (type, bucket)
+    * over identical integers with one expression shape. Scale: one
+    * partial-agg'd shuffle on (event_type, bucket); the test math is
+    * arithmetic on a |types|×2 table. */
+  def q122AbTest(s: SparkSession, dir: String): DataFrame = {
+    val g = events(s, dir)
+      .select(col("event_type"), (col("user_id") % 2).as("b"),
+        dec(col("value"), 18, 2).as("v"))
+      .groupBy("event_type", "b")
+      .agg(count(lit(1)).as("n"),
+        sum(col("v")).as("sc"),
+        sum((col("v") * col("v")).cast(DecimalType(38, 4))).as("ss"))
+    def side(i: Int, c: String) = when(col("b") === i, col(c)).otherwise(lit(null))
+    val m = g.groupBy("event_type")
+      .agg(max(side(0, "n")).as("n_a"), max(side(0, "sc")).as("sc_a"),
+        max(side(0, "ss")).as("ss_a"),
+        max(side(1, "n")).as("n_b"), max(side(1, "sc")).as("sc_b"),
+        max(side(1, "ss")).as("ss_b"))
+    def mean(sc: Column, n: Column) = sc.cast("double") / n
+    def variance(ss: Column, sc: Column, n: Column) =
+      (ss.cast("double") - sc.cast("double") * sc.cast("double") / n) / (n - 1)
+    val z = (mean(col("sc_a"), col("n_a")) - mean(col("sc_b"), col("n_b"))) /
+      sqrt(variance(col("ss_a"), col("sc_a"), col("n_a")) / col("n_a") +
+        variance(col("ss_b"), col("sc_b"), col("n_b")) / col("n_b"))
+    m.select(col("event_type"), col("n_a"), col("n_b"),
+        round(mean(col("sc_a"), col("n_a")) - mean(col("sc_b"), col("n_b")), 6)
+          .as("mean_diff"),
+        round(z, 6).as("z"))
+      .withColumn("significant", abs(col("z")) >= AbZCrit)
+      .orderBy("event_type")
+  }
+
+  val q122Sql: String =
+    s"""WITH g AS (
+       |  SELECT event_type, user_id % 2 AS b, count(*) AS n,
+       |    sum(CAST(value AS DECIMAL(18,2))) AS sc,
+       |    sum(CAST(CAST(value AS DECIMAL(18,2))
+       |        * CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS ss
+       |  FROM events GROUP BY 1, 2
+       |), m AS (
+       |  SELECT event_type,
+       |    max(CASE WHEN b = 0 THEN n END) AS n_a,
+       |    max(CASE WHEN b = 0 THEN sc END) AS sc_a,
+       |    max(CASE WHEN b = 0 THEN ss END) AS ss_a,
+       |    max(CASE WHEN b = 1 THEN n END) AS n_b,
+       |    max(CASE WHEN b = 1 THEN sc END) AS sc_b,
+       |    max(CASE WHEN b = 1 THEN ss END) AS ss_b
+       |  FROM g GROUP BY 1
+       |), d AS (
+       |  SELECT event_type, n_a, n_b,
+       |    round(CAST(sc_a AS DOUBLE) / n_a - CAST(sc_b AS DOUBLE) / n_b, 6)
+       |      AS mean_diff,
+       |    round((CAST(sc_a AS DOUBLE) / n_a - CAST(sc_b AS DOUBLE) / n_b) /
+       |      sqrt(((CAST(ss_a AS DOUBLE) - CAST(sc_a AS DOUBLE) * CAST(sc_a AS DOUBLE) / n_a) / (n_a - 1)) / n_a +
+       |           ((CAST(ss_b AS DOUBLE) - CAST(sc_b AS DOUBLE) * CAST(sc_b AS DOUBLE) / n_b) / (n_b - 1)) / n_b), 6)
+       |      AS z
+       |  FROM m
+       |)
+       |SELECT event_type, n_a, n_b, mean_diff, z,
+       |  abs(z) >= $AbZCrit AS significant
+       |FROM d ORDER BY event_type""".stripMargin
+
+  // -------------------------------------------- q123 interval concurrency
+
+  /** q123: PEAK CONCURRENT SESSIONS — interval algebra's sweep-line:
+    * sessionize (the q22 30-min gap rule), explode each session to a
+    * (+1 at start, −1 past end) boundary pair, one running sum in
+    * boundary order, and the peak with its first instant — the
+    * capacity-planning question ("how many sessions were ever live at
+    * once") that a per-point groupBy cannot answer.
+    *
+    * Determinism: the running sum's default frame is RANGE (peers
+    * aggregate together), and the ORDER BY includes the delta, so
+    * same-instant starts all land before same-instant ends and every
+    * row's running value is tie-order independent. The sweep is the
+    * inherently sequential step — it runs over session BOUNDARIES
+    * (2 per session, collapsed from the event volume by the
+    * sessionizer); at larger scale the classic two-phase form
+    * (per-partition sums + broadcast prefix offsets) applies. */
+  def q123IntervalPeak(s: SparkSession, dir: String): DataFrame = {
+    val wAll = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val sess = events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("pus", lag("us", 1).over(wAll))
+      .withColumn("new_s",
+        when(col("pus").isNull ||
+          col("us") - col("pus") > graft.queries.Queries.SessionGapUs, 1L).otherwise(0L))
+      .withColumn("sid",
+        sum("new_s").over(wAll.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid")
+      .agg(min("us").as("s_us"), max("us").as("e_us"))
+    val bounds = sess.select(col("s_us").as("t"), lit(1L).as("delta"))
+      .unionAll(sess.select((col("e_us") + 1).as("t"), lit(-1L).as("delta")))
+    val wSweep = Window.orderBy(col("t"), col("delta").desc)
+    val c = bounds.withColumn("run", sum("delta").over(wSweep))
+      .filter(col("delta") === 1)
+      .withColumn("mx", max("run").over(Window.partitionBy(lit(1))))
+    c.filter(col("run") === col("mx"))
+      .agg(max("mx").as("peak_concurrency"),
+        expr("min(t) div 1000").as("peak_at_ms"))
+      .crossJoin(sess.agg(count(lit(1)).as("n_sessions")))
+      .select("n_sessions", "peak_concurrency", "peak_at_ms")
+  }
+
+  val q123Sql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+       |  FROM events
+       |), x AS (
+       |  SELECT user_id, event_id, us,
+       |    CASE WHEN lag(us) OVER w IS NULL
+       |           OR us - lag(us) OVER w > ${graft.queries.Queries.SessionGapUs}
+       |         THEN 1 ELSE 0 END AS new_s
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+       |), sids AS (
+       |  SELECT user_id, us,
+       |    sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |  FROM x
+       |), sess AS (
+       |  SELECT user_id, sid, min(us) AS s_us, max(us) AS e_us
+       |  FROM sids GROUP BY 1, 2
+       |), bounds AS (
+       |  SELECT s_us AS t, 1 AS delta FROM sess
+       |  UNION ALL SELECT e_us + 1 AS t, -1 AS delta FROM sess
+       |), sweep AS (
+       |  SELECT t, delta,
+       |    sum(delta) OVER (ORDER BY t, delta DESC) AS run
+       |  FROM bounds
+       |), starts AS (
+       |  SELECT t, run, max(run) OVER () AS mx FROM sweep WHERE delta = 1
+       |)
+       |SELECT (SELECT count(*) FROM sess) AS n_sessions,
+       |  CAST(max(mx) AS BIGINT) AS peak_concurrency,
+       |  min(t) // 1000 AS peak_at_ms
+       |FROM starts WHERE run = mx""".stripMargin
+
+  // ------------------------------------------------ q124 JSON extraction
+
+  /** q124: SEMI-STRUCTURED EXTRACTION — the schema-on-read path for
+    * the event stream's JSON `props` column (the one untyped column
+    * every telemetry pipeline carries): a TYPED `from_json` parse
+    * (explicit schema — no sampling-based inference pass, which at
+    * 100 TB is a full extra scan and a nondeterministic schema) and
+    * the per-type profile of the extracted field: coverage, exact
+    * sum, range, cardinality. Malformed/missing documents surface as
+    * NULLs and are COUNTED (n minus n_with_k), not dropped — the
+    * observability a pipeline needs to notice producer drift.
+    *
+    * Scale shape: parse + extract are per-row map work fused into
+    * whole-stage codegen before the one (event_type) shuffle;
+    * distinct-k partial-aggregates per group. */
+  def q124JsonExtract(s: SparkSession, dir: String): DataFrame = {
+    val kSchema = StructType(Seq(StructField("k", LongType)))
+    events(s, dir)
+      .select(col("event_type"),
+        from_json(col("props"), kSchema).getField("k").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        count(col("k")).as("n_with_k"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        countDistinct(col("k")).as("distinct_k"))
+      .orderBy("event_type")
+  }
+
+  val q124Sql: String =
+    """SELECT event_type, count(*) AS n,
+      |  count(CAST(props->>'k' AS BIGINT)) AS n_with_k,
+      |  CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+      |  min(CAST(props->>'k' AS BIGINT)) AS min_k,
+      |  max(CAST(props->>'k' AS BIGINT)) AS max_k,
+      |  CAST(count(DISTINCT CAST(props->>'k' AS BIGINT)) AS BIGINT) AS distinct_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // --------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -477,7 +779,12 @@ object RelOps {
     "q116_triangles" -> (q116Triangles _),
     "q117_skyline" -> (q117Skyline _),
     "q118_fuzzy_join" -> (q118FuzzyJoin _),
-    "q119_hll_incremental" -> (q119HllIncremental _)
+    "q119_hll_incremental" -> (q119HllIncremental _),
+    "q120_scd2" -> (q120Scd2 _),
+    "q121_table_checksum" -> (q121TableChecksum _),
+    "q122_ab_test" -> (q122AbTest _),
+    "q123_interval_peak" -> (q123IntervalPeak _),
+    "q124_json_extract" -> (q124JsonExtract _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -487,6 +794,11 @@ object RelOps {
     "q116_triangles" -> q116Sql,
     "q117_skyline" -> q117Sql,
     "q118_fuzzy_join" -> q118Sql,
-    "q119_hll_incremental" -> q119Sql
+    "q119_hll_incremental" -> q119Sql,
+    "q120_scd2" -> q120Sql,
+    "q121_table_checksum" -> q121Sql,
+    "q122_ab_test" -> q122Sql,
+    "q123_interval_peak" -> q123Sql,
+    "q124_json_extract" -> q124Sql
   )
 }

@@ -1001,6 +1001,49 @@ object StreamOps {
       .orderBy("user_id")
   }
 
+  // ------------------------------------------- sq14 foreachBatch file sink
+
+  /** SQ14: EXACTLY-ONCE-BY-IDEMPOTENCE FILE SINK via foreachBatch —
+    * the production pattern Structured Streaming prescribes for
+    * stores without a transactional streaming writer: a complete-mode
+    * aggregate re-emits its full state every micro-batch and
+    * foreachBatch OVERWRITES the output path, so a replayed batch
+    * (the at-least-once contract after recovery) rewrites identical
+    * content and the final files equal the batch aggregate no matter
+    * how many times any batch ran. The emitted DataFrame is the
+    * read-back of the files the sink actually wrote — the oracle
+    * checks the on-disk result, not the in-memory stream.
+    *
+    * Scale shape: the aggregate state is |event_type| rows; the
+    * rewrite cost is the AGGREGATE's size, never the stream's. For
+    * append-shaped outputs the same pattern partitions by window and
+    * overwrites only the affected partitions (dynamic partition
+    * overwrite), which sq1's windowed shape composes with. */
+  def sq14ForeachBatchSink(s: SparkSession, dir: String): DataFrame = {
+    val out = s"/tmp/graft_sq14_${System.nanoTime()}"
+    withStreamShuffle(s) { fs =>
+      val agg = eventsStream(fs, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("soma"))
+      val q = agg.writeStream
+        .outputMode("complete")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(out)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    s.read.parquet(out).orderBy("event_type")
+  }
+
+  /** SQ14's DuckDB oracle: the batch aggregate the idempotent sink
+    * must land on disk. */
+  val sq14Sql: String =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS soma
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** SQ13's DuckDB oracle: the batch per-user profile under the same
     * 30-min session-gap rule. */
   val sq13Sql: String =

@@ -195,6 +195,142 @@ class RelOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "cumulative distinct users can never decrease")
   }
 
+  // --------------------------------------------------------------- q120
+
+  test("q120: SCD2 intervals partition each user's timeline") {
+    val rows = RelOps.q120Scd2(spark, dir).collect()
+    val events = graft.sources.TsBridge.normalize(
+        spark.read.parquet(s"$dir/events.parquet"))
+      .groupBy("user_id").agg(count(lit(1)).as("n"),
+        expr("min(unix_micros(ts)) div 1000").as("mn"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (u, ivs) =>
+      val sorted = ivs.sortBy(r => (r.getAs[Long]("valid_from_ms"),
+        r.getAs[String]("event_type")))
+      // exactly one open (current) interval, and it is the last
+      assert(sorted.count(_.getAs[Boolean]("is_current")) == 1)
+      assert(sorted.last.getAs[Boolean]("is_current"))
+      // half-open chain: each interval's end is the next one's start
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("valid_to_ms") == b.getAs[Long]("valid_from_ms"))
+          assert(a.getAs[String]("event_type") != b.getAs[String]("event_type") ||
+            a.getAs[Long]("valid_to_ms") > a.getAs[Long]("valid_from_ms"),
+            "adjacent same-type runs must have merged unless tied-ms split them")
+        case _ =>
+      }
+      // intervals account for every event, starting at the first one
+      assert(sorted.map(_.getAs[Long]("n_in_state")).sum == events(u)._1)
+      assert(sorted.head.getAs[Long]("valid_from_ms") == events(u)._2)
+    }
+  }
+
+  // --------------------------------------------------------------- q121
+
+  test("q121: fingerprint is partition-order independent and content-sensitive") {
+    def fp(df: org.apache.spark.sql.DataFrame): String = {
+      df.select(concat_ws("|", col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal").cast("decimal(18,2)"), col("c_mktsegment")).as("r"))
+        .select(conv(substring(md5(col("r")), 1, 15), 16, 10).cast("long").as("h"))
+        .agg(sum(col("h").cast("decimal(38,0)")).cast("string")).collect()(0).getString(0)
+    }
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+    val viaQuery = RelOps.q121TableChecksum(spark, dir)
+      .filter(col("tbl") === "customer").collect()(0).getAs[String]("checksum")
+    // sum is commutative: any repartitioning yields the identical sum
+    assert(fp(cust.repartition(13)) == viaQuery)
+    assert(fp(cust.repartition(1)) == viaQuery)
+    // one-row perturbation must change it
+    val tampered = cust.withColumn("c_acctbal",
+      when(col("c_custkey") === 7, col("c_acctbal") + 0.01).otherwise(col("c_acctbal")))
+    assert(fp(tampered) != viaQuery)
+  }
+
+  // --------------------------------------------------------------- q122
+
+  test("q122: Welch z matches a double-precision recompute") {
+    val evs = graft.sources.TsBridge.normalize(
+        spark.read.parquet(s"$dir/events.parquet"))
+      .select(col("event_type"), col("user_id"),
+        col("value").cast("decimal(18,2)").cast("double").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val rows = RelOps.q122AbTest(spark, dir).collect()
+    rows.foreach { r =>
+      val et = r.getString(0)
+      val a = evs.filter(e => e._1 == et && e._2 % 2 == 0).map(_._3)
+      val b = evs.filter(e => e._1 == et && e._2 % 2 == 1).map(_._3)
+      assert(r.getAs[Long]("n_a") == a.length && r.getAs[Long]("n_b") == b.length)
+      def stats(x: Array[Double]) = {
+        val n = x.length; val m = x.sum / n
+        (n, m, x.map(v => (v - m) * (v - m)).sum / (n - 1))
+      }
+      val (na, ma, va) = stats(a); val (nb, mb, vb) = stats(b)
+      val z = (ma - mb) / math.sqrt(va / na + vb / nb)
+      // the engine derives z from exact decimal sums; a naive two-pass
+      // double recompute agrees to well under the 6-dp rounding
+      assert(math.abs(r.getAs[Double]("z") - z) < 1e-6,
+        s"$et: ${r.getAs[Double]("z")} vs $z")
+      assert(r.getAs[Boolean]("significant") ==
+        (math.abs(r.getAs[Double]("z")) >= RelOps.AbZCrit))
+    }
+  }
+
+  // --------------------------------------------------------------- q123
+
+  test("q123: peak concurrency equals the brute-force sweep") {
+    val gap = graft.queries.Queries.SessionGapUs
+    val evs = graft.sources.TsBridge.normalize(
+        spark.read.parquet(s"$dir/events.parquet"))
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sessions = evs.groupBy(_._1).values.flatMap { rows =>
+      val us = rows.map(_._2).sorted
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var s0 = us.head; var last = us.head
+      us.tail.foreach { t =>
+        if (t - last > gap) { out += ((s0, last)); s0 = t }
+        last = t
+      }
+      out += ((s0, last)); out
+    }.toSeq
+    val points = sessions.flatMap(s => Seq((s._1, 1), (s._2 + 1, -1)))
+      .sortBy(p => (p._1, -p._2))
+    var run = 0; var peak = 0
+    points.foreach { p => run += p._2; peak = math.max(peak, run) }
+    val row = RelOps.q123IntervalPeak(spark, dir).collect().head
+    assert(row.getAs[Long]("n_sessions") == sessions.size)
+    assert(row.getAs[Long]("peak_concurrency") == peak)
+  }
+
+  // --------------------------------------------------------------- q124
+
+  test("q124: typed JSON extraction counts malformed/missing as NULL, not drops") {
+    val rows = RelOps.q124JsonExtract(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val totalN = rows.map(_.getAs[Long]("n")).sum
+    val rawN = spark.read.parquet(s"$dir/events.parquet").count()
+    assert(totalN == rawN, "every event is profiled — parse failures must not drop rows")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_with_k") <= r.getAs[Long]("n"))
+      assert(r.getAs[Long]("distinct_k") <= r.getAs[Long]("n_with_k"))
+      if (r.getAs[Long]("n_with_k") > 0)
+        assert(r.getAs[Long]("min_k") <= r.getAs[Long]("max_k"))
+    }
+  }
+
+  // --------------------------------------------------------------- sq14
+
+  test("sq14: the files the sink wrote equal the batch aggregate") {
+    val got = StreamOps.sq14ForeachBatchSink(spark, dir).collect().map(_.toSeq)
+    val want = graft.sources.TsBridge.normalize(
+        spark.read.parquet(s"$dir/events.parquet"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("soma"))
+      .orderBy("event_type").collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq)
+  }
+
   // --------------------------------------------------------------- sq13
 
   test("sq13: transformWithState profile equals the batch profile") {
