@@ -204,7 +204,10 @@ object ScaleCheck {
     "q120_scd2", "q121_table_checksum", "q122_ab_test",
     "q123_interval_peak", "sq14_foreach_sink",
     // JSON extraction: parse+extract fused map work, the linearity claim
-    "q124_json_extract")
+    "q124_json_extract",
+    // ML eval pair: confusion rides the 4× vectors against |labels|
+    // broadcast centroids; AUC collapses to distinct score groups
+    "q125_confusion_matrix", "q126_roc_auc")
 
   /** q105's drill can't ride the dir mechanism (the media fixture is
     * a generated table at a fixed path), so it scales by GENERATing a

@@ -2037,6 +2037,7 @@ object VectorOps {
     "q43_cos_neardup" -> (q43CosNeardup _),
     "q44_ivf_topk" -> (q44IvfTopk _),
     "q47_ann_recall" -> (q47AnnRecall _),
+    "q125_confusion_matrix" -> (q125ConfusionMatrix _),
     "q58_embed_quantize" -> (q58Quantize _),
     "q61_ivf_recall" -> (q61IvfRecall _),
     "q65_trunc_fidelity" -> (q65TruncFidelity _),
@@ -2069,6 +2070,57 @@ object VectorOps {
     "q74_kmeans_codebook" -> q74Sql,
     "q78_semdedup" -> q78Sql,
     "q84_pq_adc_recall" -> q84Sql,
-    "q89_ivfpq_recall" -> q89Sql
+    "q89_ivfpq_recall" -> q89Sql,
+    "q125_confusion_matrix" -> q125Sql
   )
+
+  // ---------------------------------------------- q125 confusion matrix
+
+  /** q125: NEAREST-CENTROID CONFUSION MATRIX — the classifier-eval
+    * read on the embedding space (q42 measures cohesion, q102
+    * separation; this measures separability as an actual
+    * classification): every vector is assigned to its
+    * nearest label centroid by ROUNDED cosine (ties to the lowest
+    * label — total order in both engines), and the (true, predicted)
+    * matrix with per-cell counts is the output a curation pass reads
+    * for label noise and class confusion before trusting label-based
+    * sampling.
+    *
+    * Scale shape: the centroid table is |labels| rows — a broadcast
+    * join against the corpus (the q42 shape), one scored row per
+    * (vector, label), collapsed by a vec_id-partitioned rank window;
+    * the matrix itself is ≤ |labels|² cells via partial agg. Zero
+    * vectors score 0.0 to every centroid (the q40 discipline) and
+    * land deterministically on the lowest label. */
+  def q125ConfusionMatrix(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), col("label"), col("embedding").as("v"))
+    val cent = labelCentroids(e).select(col("label").as("clabel"), col("centroid"))
+    // declared broadcast-tiny cartesian (the q42 shape): |labels| rows
+    val scored = e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("label"), col("clabel"),
+        round(cosSim(dot(col("v"), col("centroid")),
+          norm(col("v")), norm(col("centroid"))), 6).as("cos"))
+    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("clabel").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("label"), col("clabel").as("pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("label", "pred")
+  }
+
+  // lazy: referenced by the `oracle` val above its definition point
+  lazy val q125Sql: String =
+    s"""WITH $centCte, scored AS (
+       |  SELECT d.vec_id, d.label, cent.label AS clabel,
+       |    round(coalesce(list_sum([d.v[i] * cent.centroid[i] for i in range(1, $Dim + 1)])
+       |      / (sqrt(list_sum(list_transform(d.v, x -> x * x)))
+       |         * sqrt(list_sum(list_transform(cent.centroid, x -> x * x)))), 0.0), 6)
+       |      AS cos
+       |  FROM d CROSS JOIN cent
+       |), p AS (
+       |  SELECT vec_id, label, clabel,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, clabel) AS rn
+       |  FROM scored
+       |)
+       |SELECT label, clabel AS pred, count(*) AS n
+       |FROM p WHERE rn = 1 GROUP BY 1, 2 ORDER BY label, pred""".stripMargin
 }

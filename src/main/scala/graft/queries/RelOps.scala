@@ -770,6 +770,58 @@ object RelOps {
       |  CAST(count(DISTINCT CAST(props->>'k' AS BIGINT)) AS BIGINT) AS distinct_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------------- q126 ROC-AUC
+
+  /** q126: ROC-AUC via the tie-corrected rank-sum identity — the
+    * score-quality read ("does `value` separate purchases from the
+    * rest") every ranking/filter model eval needs, computed EXACTLY:
+    * AUC = (R₊ − n₊(n₊+1)/2) / (n₊ n₋) with R₊ the average-rank sum
+    * of positives. The whole computation is integer until one final
+    * division: the stream collapses to DISTINCT SCORE groups
+    * (c, pos_c, cumulative count below), and 2R₊ = Σ pos_c·(2·below
+    * + c + 1) — tie groups contribute their exact average rank with
+    * no fractional intermediate. No pairwise comparison (the naive
+    * AUC is n₊·n₋ pairs), no sort of the raw stream beyond the
+    * per-score collapse.
+    *
+    * Scale shape: one partial-agg'd shuffle to score groups (bounded
+    * by score cardinality), one global cumulative over those groups
+    * (the q117 sweep note applies), arithmetic on exact BIGINTs,
+    * rounded 6 dp at the end. */
+  def q126RocAuc(s: SparkSession, dir: String): DataFrame = {
+    val g = events(s, dir)
+      .select(col("value"), (col("event_type") === "purchase").cast("long").as("y"))
+      .groupBy("value").agg(count(lit(1)).as("c"), sum("y").as("pc"))
+    val wc = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    val r2 = g.withColumn("below", coalesce(sum("c").over(wc), lit(0L)))
+      .agg(sum(col("pc") * (lit(2) * col("below") + col("c") + 1)).as("r2"),
+        sum("pc").as("np"), sum(col("c") - col("pc")).as("nn"))
+    r2.select(col("np").as("n_pos"), col("nn").as("n_neg"),
+        round((col("r2").cast("double") / 2 -
+          col("np").cast("double") * (col("np") + 1) / 2) /
+          (col("np").cast("double") * col("nn")), 6).as("auc"))
+  }
+
+  val q126Sql: String =
+    """WITH g AS (
+      |  SELECT value, count(*) AS c,
+      |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pc
+      |  FROM events GROUP BY value
+      |), cum AS (
+      |  SELECT c, pc,
+      |    coalesce(sum(c) OVER (ORDER BY value
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+      |  FROM g
+      |), t AS (
+      |  SELECT sum(pc * (2 * below + c + 1)) AS r2, sum(pc) AS np,
+      |    sum(c - pc) AS nn
+      |  FROM cum
+      |)
+      |SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+      |  round((CAST(r2 AS DOUBLE) / 2 - CAST(np AS DOUBLE) * (np + 1) / 2)
+      |    / (CAST(np AS DOUBLE) * nn), 6) AS auc
+      |FROM t""".stripMargin
+
   // --------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -784,7 +836,8 @@ object RelOps {
     "q121_table_checksum" -> (q121TableChecksum _),
     "q122_ab_test" -> (q122AbTest _),
     "q123_interval_peak" -> (q123IntervalPeak _),
-    "q124_json_extract" -> (q124JsonExtract _)
+    "q124_json_extract" -> (q124JsonExtract _),
+    "q126_roc_auc" -> (q126RocAuc _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -799,6 +852,7 @@ object RelOps {
     "q121_table_checksum" -> q121Sql,
     "q122_ab_test" -> q122Sql,
     "q123_interval_peak" -> q123Sql,
-    "q124_json_extract" -> q124Sql
+    "q124_json_extract" -> q124Sql,
+    "q126_roc_auc" -> q126Sql
   )
 }

@@ -331,6 +331,49 @@ class RelOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == want.toSeq)
   }
 
+  // --------------------------------------------------------------- q125
+
+  test("q125: confusion matrix is a partition of the corpus") {
+    val rows = graft.llmops.VectorOps.q125ConfusionMatrix(spark, dir).collect()
+    val nVecs = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(rows.map(_.getAs[Long]("n")).sum == nVecs,
+      "every vector lands in exactly one (true, pred) cell")
+    val labels = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("label").distinct().collect().map(_.getInt(0)).toSet
+    rows.foreach { r =>
+      assert(labels.contains(r.getAs[Int]("label")))
+      assert(labels.contains(r.getAs[Int]("pred")),
+        "a prediction can only be an existing label centroid")
+    }
+    // the space is informative: diagonal mass dominates a uniform guess
+    val diag = rows.filter(r => r.getAs[Int]("label") == r.getAs[Int]("pred"))
+      .map(_.getAs[Long]("n")).sum
+    assert(diag.toDouble / nVecs > 1.0 / labels.size,
+      "nearest-centroid must beat uniform chance on its own training labels")
+  }
+
+  // --------------------------------------------------------------- q126
+
+  test("q126: AUC equals the brute-force pairwise probability") {
+    val dir = "/root/testdata/sf0.001"
+    val evs = graft.sources.TsBridge.normalize(
+        spark.read.parquet(s"$dir/events.parquet"))
+      .select(col("value"), (col("event_type") === "purchase").as("y"))
+      .collect().map(r => (r.getDouble(0), r.getBoolean(1)))
+    val pos = evs.filter(_._2).map(_._1)
+    val neg = evs.filterNot(_._2).map(_._1)
+    // AUC = P(pos > neg) + 0.5 P(pos = neg), literally enumerated
+    var num = 0.0
+    pos.foreach { p => neg.foreach { n =>
+      if (p > n) num += 1.0 else if (p == n) num += 0.5 } }
+    val brute = num / (pos.length.toDouble * neg.length)
+    val row = RelOps.q126RocAuc(spark, dir).collect().head
+    assert(row.getAs[Long]("n_pos") == pos.length)
+    assert(row.getAs[Long]("n_neg") == neg.length)
+    assert(math.abs(row.getAs[Double]("auc") - brute) < 1e-6,
+      s"rank-sum AUC ${row.getAs[Double]("auc")} != pairwise $brute")
+  }
+
   // --------------------------------------------------------------- sq13
 
   test("sq13: transformWithState profile equals the batch profile") {
