@@ -46,8 +46,12 @@ object Verify {
     // planesFor(n) only at the sf0.01 gate. At any other SF the two
     // texts describe different geometries — skip the oracle (driver
     // records a rows-only check) rather than compare them silently.
+    // Try: partial fixture dirs (the adversarial sweep's events-only /
+    // text-only corpora) carry no embeddings table — the guard must
+    // degrade to "skip q41's oracle", not kill every other table's dump
     val oracles =
-      if (graft.llmops.VectorOps.q41OracleGeometryHolds(spark, sfDir))
+      if (scala.util.Try(graft.llmops.VectorOps.q41OracleGeometryHolds(spark, sfDir))
+            .getOrElse(false))
         SparkEntry.oracleSql
       else {
         System.err.println(

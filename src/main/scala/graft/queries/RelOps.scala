@@ -599,9 +599,13 @@ object RelOps {
     * partial-agg'd shuffle on (event_type, bucket); the test math is
     * arithmetic on a |types|×2 table. */
   def q122AbTest(s: SparkSession, dir: String): DataFrame = {
+    // widen to DECIMAL(28,2) BEFORE squaring: a 1e15 value squares to
+    // 1e30 — inside an int128-backed decimal, but DuckDB's DECIMAL(18)
+    // (int64 physical) overflows in the multiply itself, so both
+    // dialects carry the same widened shape
     val g = events(s, dir)
       .select(col("event_type"), (col("user_id") % 2).as("b"),
-        dec(col("value"), 18, 2).as("v"))
+        dec(col("value"), 18, 2).cast(DecimalType(28, 2)).as("v"))
       .groupBy("event_type", "b")
       .agg(count(lit(1)).as("n"),
         sum(col("v")).as("sc"),
@@ -612,16 +616,24 @@ object RelOps {
         max(side(0, "ss")).as("ss_a"),
         max(side(1, "n")).as("n_b"), max(side(1, "sc")).as("sc_b"),
         max(side(1, "ss")).as("ss_b"))
+      // degenerate-experiment guard (the ANSI ÷0 crash class the
+      // adversarial sweep hunts): a type with a missing or single-row
+      // bucket has no variance — excluded in BOTH engines, not ÷0
+      .filter(col("n_a") >= 2 && col("n_b") >= 2)
     def mean(sc: Column, n: Column) = sc.cast("double") / n
     def variance(ss: Column, sc: Column, n: Column) =
       (ss.cast("double") - sc.cast("double") * sc.cast("double") / n) / (n - 1)
-    val z = (mean(col("sc_a"), col("n_a")) - mean(col("sc_b"), col("n_b"))) /
-      sqrt(variance(col("ss_a"), col("sc_a"), col("n_a")) / col("n_a") +
-        variance(col("ss_b"), col("sc_b"), col("n_b")) / col("n_b"))
-    m.select(col("event_type"), col("n_a"), col("n_b"),
+    m.withColumn("se2",
+        variance(col("ss_a"), col("sc_a"), col("n_a")) / col("n_a") +
+          variance(col("ss_b"), col("sc_b"), col("n_b")) / col("n_b"))
+      // zero pooled variance (both buckets constant) has no z — the
+      // same exclusion, pinned in both engines
+      .filter(col("se2") > 0)
+      .select(col("event_type"), col("n_a"), col("n_b"),
         round(mean(col("sc_a"), col("n_a")) - mean(col("sc_b"), col("n_b")), 6)
           .as("mean_diff"),
-        round(z, 6).as("z"))
+        round((mean(col("sc_a"), col("n_a")) - mean(col("sc_b"), col("n_b"))) /
+          sqrt(col("se2")), 6).as("z"))
       .withColumn("significant", abs(col("z")) >= AbZCrit)
       .orderBy("event_type")
   }
@@ -629,9 +641,10 @@ object RelOps {
   val q122Sql: String =
     s"""WITH g AS (
        |  SELECT event_type, user_id % 2 AS b, count(*) AS n,
-       |    sum(CAST(value AS DECIMAL(18,2))) AS sc,
-       |    sum(CAST(CAST(value AS DECIMAL(18,2))
-       |        * CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS ss
+       |    sum(CAST(CAST(value AS DECIMAL(18,2)) AS DECIMAL(28,2))) AS sc,
+       |    sum(CAST(CAST(CAST(value AS DECIMAL(18,2)) AS DECIMAL(28,2))
+       |        * CAST(CAST(value AS DECIMAL(18,2)) AS DECIMAL(28,2))
+       |        AS DECIMAL(38,4))) AS ss
        |  FROM events GROUP BY 1, 2
        |), m AS (
        |  SELECT event_type,
@@ -642,15 +655,19 @@ object RelOps {
        |    max(CASE WHEN b = 1 THEN sc END) AS sc_b,
        |    max(CASE WHEN b = 1 THEN ss END) AS ss_b
        |  FROM g GROUP BY 1
+       |), v AS (
+       |  SELECT event_type, n_a, n_b, sc_a, sc_b,
+       |    ((CAST(ss_a AS DOUBLE) - CAST(sc_a AS DOUBLE) * CAST(sc_a AS DOUBLE) / n_a) / (n_a - 1)) / n_a +
+       |    ((CAST(ss_b AS DOUBLE) - CAST(sc_b AS DOUBLE) * CAST(sc_b AS DOUBLE) / n_b) / (n_b - 1)) / n_b
+       |      AS se2
+       |  FROM m WHERE n_a >= 2 AND n_b >= 2
        |), d AS (
        |  SELECT event_type, n_a, n_b,
        |    round(CAST(sc_a AS DOUBLE) / n_a - CAST(sc_b AS DOUBLE) / n_b, 6)
        |      AS mean_diff,
-       |    round((CAST(sc_a AS DOUBLE) / n_a - CAST(sc_b AS DOUBLE) / n_b) /
-       |      sqrt(((CAST(ss_a AS DOUBLE) - CAST(sc_a AS DOUBLE) * CAST(sc_a AS DOUBLE) / n_a) / (n_a - 1)) / n_a +
-       |           ((CAST(ss_b AS DOUBLE) - CAST(sc_b AS DOUBLE) * CAST(sc_b AS DOUBLE) / n_b) / (n_b - 1)) / n_b), 6)
-       |      AS z
-       |  FROM m
+       |    round((CAST(sc_a AS DOUBLE) / n_a - CAST(sc_b AS DOUBLE) / n_b)
+       |      / sqrt(se2), 6) AS z
+       |  FROM v WHERE se2 > 0
        |)
        |SELECT event_type, n_a, n_b, mean_diff, z,
        |  abs(z) >= $AbZCrit AS significant
@@ -796,10 +813,13 @@ object RelOps {
     val r2 = g.withColumn("below", coalesce(sum("c").over(wc), lit(0L)))
       .agg(sum(col("pc") * (lit(2) * col("below") + col("c") + 1)).as("r2"),
         sum("pc").as("np"), sum(col("c") - col("pc")).as("nn"))
+    // one-class guard (ANSI ÷0): with no positives or no negatives
+    // the AUC is undefined — NULL in both engines, never an error
     r2.select(col("np").as("n_pos"), col("nn").as("n_neg"),
-        round((col("r2").cast("double") / 2 -
-          col("np").cast("double") * (col("np") + 1) / 2) /
-          (col("np").cast("double") * col("nn")), 6).as("auc"))
+        when(col("np") > 0 && col("nn") > 0,
+          round((col("r2").cast("double") / 2 -
+            col("np").cast("double") * (col("np") + 1) / 2) /
+            (col("np").cast("double") * col("nn")), 6)).as("auc"))
   }
 
   val q126Sql: String =
@@ -818,8 +838,9 @@ object RelOps {
       |  FROM cum
       |)
       |SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
-      |  round((CAST(r2 AS DOUBLE) / 2 - CAST(np AS DOUBLE) * (np + 1) / 2)
-      |    / (CAST(np AS DOUBLE) * nn), 6) AS auc
+      |  CASE WHEN np > 0 AND nn > 0 THEN
+      |    round((CAST(r2 AS DOUBLE) / 2 - CAST(np AS DOUBLE) * (np + 1) / 2)
+      |      / (CAST(np AS DOUBLE) * nn), 6) END AS auc
       |FROM t""".stripMargin
 
   // --------------------------------------------------------------- registry
