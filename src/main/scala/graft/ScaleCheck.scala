@@ -207,7 +207,10 @@ object ScaleCheck {
     "q124_json_extract",
     // ML eval pair: confusion rides the 4× vectors against |labels|
     // broadcast centroids; AUC collapses to distinct score groups
-    "q125_confusion_matrix", "q126_roc_auc")
+    "q125_confusion_matrix", "q126_roc_auc",
+    // drift/dependency: both collapse to bounded tables (distinct
+    // values per type; the |types|x24 contingency) at the first agg
+    "q127_ks_drift", "q128_mutual_info")
 
   /** q105's drill can't ride the dir mechanism (the media fixture is
     * a generated table at a fixed path), so it scales by GENERATing a

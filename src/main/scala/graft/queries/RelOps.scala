@@ -843,6 +843,165 @@ object RelOps {
       |      / (CAST(np AS DOUBLE) * nn), 6) END AS auc
       |FROM t""".stripMargin
 
+  // --------------------------------------------------------- q127 KS drift
+
+  /** KS critical coefficient at α = 0.05 (two-sample). */
+  val KsAlpha = 1.358
+
+  /** q127: TWO-SAMPLE KOLMOGOROV-SMIRNOV DRIFT TEST — the
+    * nonparametric "did the value distribution drift between
+    * populations" check (the distribution-shift monitor every feature
+    * pipeline runs; q122 compares means, this compares whole CDFs):
+    * per event type, D = max |F_a − F_b| over the two user buckets,
+    * with the α=0.05 rejection threshold c·√((n_a+n_b)/(n_a·n_b)).
+    *
+    * Exactness: the stream collapses to DISTINCT (type, value) groups
+    * with integer per-bucket counts; the CDFs are cumulative integer
+    * sums divided once — identical doubles in both engines — and D,
+    * the threshold, and the flag derive from them with one shape,
+    * rounded 6 dp. Scale: one partial-agg'd shuffle to the
+    * distinct-value groups, one per-type window over those groups
+    * (bounded by value cardinality per type). */
+  def q127KsDrift(s: SparkSession, dir: String): DataFrame = {
+    val g = events(s, dir)
+      .select(col("event_type"), col("value"), (col("user_id") % 2).as("b"))
+      .groupBy("event_type", "value")
+      .agg(sum(when(col("b") === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("b") === 1, 1L).otherwise(0L)).as("cb"))
+    val wt = Window.partitionBy("event_type")
+    val wc = wt.orderBy("value").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d = g
+      .withColumn("na", sum("ca").over(wt))
+      .withColumn("nb", sum("cb").over(wt))
+      .withColumn("fa", sum("ca").over(wc).cast("double") / col("na"))
+      .withColumn("fb", sum("cb").over(wc).cast("double") / col("nb"))
+      .filter(col("na") > 0 && col("nb") > 0)
+      .groupBy("event_type")
+      .agg(max("na").as("n_a"), max("nb").as("n_b"),
+        round(max(abs(col("fa") - col("fb"))), 6).as("ks_d"))
+      .withColumn("threshold",
+        round(lit(KsAlpha) * sqrt((col("n_a") + col("n_b")).cast("double") /
+          (col("n_a").cast("double") * col("n_b"))), 6))
+    d.withColumn("drifted", col("ks_d") >= col("threshold"))
+      .orderBy("event_type")
+  }
+
+  val q127Sql: String =
+    s"""WITH g AS (
+       |  SELECT event_type, value,
+       |    sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS ca,
+       |    sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS cb
+       |  FROM events GROUP BY 1, 2
+       |), c AS (
+       |  SELECT event_type, ca, cb,
+       |    sum(ca) OVER (PARTITION BY event_type) AS na,
+       |    sum(cb) OVER (PARTITION BY event_type) AS nb,
+       |    sum(ca) OVER w AS cum_a, sum(cb) OVER w AS cum_b
+       |  FROM g
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY value
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |), d AS (
+       |  SELECT event_type, max(na) AS n_a, max(nb) AS n_b,
+       |    round(max(abs(CAST(cum_a AS DOUBLE) / na
+       |      - CAST(cum_b AS DOUBLE) / nb)), 6) AS ks_d
+       |  FROM c WHERE na > 0 AND nb > 0
+       |  GROUP BY event_type
+       |), t AS (
+       |  SELECT event_type, CAST(n_a AS BIGINT) AS n_a,
+       |    CAST(n_b AS BIGINT) AS n_b, ks_d,
+       |    round($KsAlpha * sqrt(CAST(n_a + n_b AS DOUBLE)
+       |      / (CAST(n_a AS DOUBLE) * n_b)), 6) AS threshold
+       |  FROM d
+       |)
+       |SELECT event_type, n_a, n_b, ks_d, threshold,
+       |  ks_d >= threshold AS drifted
+       |FROM t ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------- q128 mutual information
+
+  /** q128: MUTUAL INFORMATION between event type and hour-of-day —
+    * the dependency detector ("is behavior time-structured") on the
+    * categorical pair, plus the normalized variant MI/min(H_x, H_y):
+    * MI = Σ p_xy·ln(p_xy/(p_x·p_y)) over the |types|×24 contingency
+    * table.
+    *
+    * Float-determinism discipline (q64/q110): every per-cell term
+    * rounds to 10 dp and sums through DECIMAL(28,10) — double-sum
+    * ordering can never flip the result; marginals and N are exact
+    * integers broadcast from window sums. Scale: the stream collapses
+    * to the contingency table at the first partial agg; everything
+    * after is |table|-sized. */
+  def q128MutualInfo(s: SparkSession, dir: String): DataFrame = {
+    val cells = events(s, dir)
+      .select(col("event_type").as("x"), hour(col("ts")).as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("c"))
+    val wAll = Window.partitionBy(lit(1))
+    val term = (p: Column) => dec(round(p, 10), 28, 10)
+    val base = cells
+      .withColumn("n", sum("c").over(wAll))
+      .withColumn("cx", sum("c").over(Window.partitionBy("x")))
+      .withColumn("cy", sum("c").over(Window.partitionBy("y")))
+    val pxy = col("c").cast("double") / col("n")
+    val mi = base.agg(
+        max("n").as("n"),
+        sum(term(pxy * log(pxy / (col("cx").cast("double") / col("n")) /
+          (col("cy").cast("double") / col("n"))))).as("mi10"),
+        countDistinct("x").as("nx"), countDistinct("y").as("ny"))
+    val hx = events(s, dir).groupBy(col("event_type").as("x")).agg(count(lit(1)).as("cx"))
+      .withColumn("n", sum("cx").over(wAll))
+      .agg(sum(term(negate(col("cx").cast("double") / col("n") *
+        log(col("cx").cast("double") / col("n"))))).as("hx10"))
+    val hy = events(s, dir).groupBy(hour(col("ts")).as("y")).agg(count(lit(1)).as("cy"))
+      .withColumn("n", sum("cy").over(wAll))
+      .agg(sum(term(negate(col("cy").cast("double") / col("n") *
+        log(col("cy").cast("double") / col("n"))))).as("hy10"))
+    // degenerate guard: a single-category margin has zero entropy —
+    // NMI undefined (NULL in both engines), never ANSI ÷0
+    mi.crossJoin(hx).crossJoin(hy)
+      .select(col("n"), col("nx"), col("ny"),
+        round(col("mi10").cast("double"), 6).as("mi"),
+        when(least(col("hx10"), col("hy10")) > 0,
+          round(col("mi10").cast("double") /
+            least(col("hx10"), col("hy10")).cast("double"), 6)).as("nmi"))
+  }
+
+  val q128Sql: String =
+    """WITH e AS (
+      |  SELECT event_type AS x, hour(CAST(ts AS TIMESTAMP)) AS y FROM events
+      |), cells AS (
+      |  SELECT x, y, count(*) AS c FROM e GROUP BY 1, 2
+      |), b AS (
+      |  SELECT x, y, c,
+      |    sum(c) OVER () AS n,
+      |    sum(c) OVER (PARTITION BY x) AS cx,
+      |    sum(c) OVER (PARTITION BY y) AS cy
+      |  FROM cells
+      |), mi AS (
+      |  SELECT max(n) AS n,
+      |    sum(CAST(round(CAST(c AS DOUBLE) / n * ln((CAST(c AS DOUBLE) / n)
+      |      / (CAST(cx AS DOUBLE) / n) / (CAST(cy AS DOUBLE) / n)), 10)
+      |      AS DECIMAL(28,10))) AS mi10,
+      |    count(DISTINCT x) AS nx, count(DISTINCT y) AS ny
+      |  FROM b
+      |), hx AS (
+      |  SELECT sum(CAST(round(-(CAST(cx AS DOUBLE) / n)
+      |      * ln(CAST(cx AS DOUBLE) / n), 10) AS DECIMAL(28,10))) AS hx10
+      |  FROM (SELECT cx, sum(cx) OVER () AS n
+      |        FROM (SELECT x, count(*) AS cx FROM e GROUP BY x))
+      |), hy AS (
+      |  SELECT sum(CAST(round(-(CAST(cy AS DOUBLE) / n)
+      |      * ln(CAST(cy AS DOUBLE) / n), 10) AS DECIMAL(28,10))) AS hy10
+      |  FROM (SELECT cy, sum(cy) OVER () AS n
+      |        FROM (SELECT y, count(*) AS cy FROM e GROUP BY y))
+      |)
+      |SELECT CAST(n AS BIGINT) AS n, CAST(nx AS BIGINT) AS nx,
+      |  CAST(ny AS BIGINT) AS ny,
+      |  round(CAST(mi10 AS DOUBLE), 6) AS mi,
+      |  CASE WHEN least(hx10, hy10) > 0 THEN
+      |    round(CAST(mi10 AS DOUBLE) / CAST(least(hx10, hy10) AS DOUBLE), 6)
+      |  END AS nmi
+      |FROM mi, hx, hy""".stripMargin
+
   // --------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -858,7 +1017,9 @@ object RelOps {
     "q122_ab_test" -> (q122AbTest _),
     "q123_interval_peak" -> (q123IntervalPeak _),
     "q124_json_extract" -> (q124JsonExtract _),
-    "q126_roc_auc" -> (q126RocAuc _)
+    "q126_roc_auc" -> (q126RocAuc _),
+    "q127_ks_drift" -> (q127KsDrift _),
+    "q128_mutual_info" -> (q128MutualInfo _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -874,6 +1035,8 @@ object RelOps {
     "q122_ab_test" -> q122Sql,
     "q123_interval_peak" -> q123Sql,
     "q124_json_extract" -> q124Sql,
-    "q126_roc_auc" -> q126Sql
+    "q126_roc_auc" -> q126Sql,
+    "q127_ks_drift" -> q127Sql,
+    "q128_mutual_info" -> q128Sql
   )
 }

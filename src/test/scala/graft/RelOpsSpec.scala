@@ -73,6 +73,32 @@ class RelOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("xxhash64"), s"bloom probe missing from plan:\n$plan")
   }
 
+  // ---------------------------------------------------------- plan shapes
+
+  test("plan shapes: pruned scans and broadcast tiny sides") {
+    // q124: the events scan must prune to exactly the two used columns
+    // — a JSON profile that drags user_id/value/ts along reads the
+    // whole table at 100 TB
+    val q124Scans = RelOps.q124JsonExtract(spark, dir)
+      .queryExecution.executedPlan.collectLeaves().map(_.toString)
+    val evScan = q124Scans.find(_.contains("events.parquet")).getOrElse("")
+    val rs = evScan.replaceAll("(?s).*ReadSchema: ", "").linesIterator.next()
+    assert(rs.contains("event_type") && rs.contains("props") &&
+      !rs.contains("user_id") && !rs.contains("value"),
+      s"q124 must scan only (event_type, props): $rs")
+    // q117: the frontier joins back BROADCAST (it is frontier-sized)
+    val q117Plan = RelOps.q117Skyline(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(q117Plan.contains("BroadcastHashJoin") ||
+      q117Plan.contains("BroadcastNestedLoopJoin"),
+      s"q117's frontier join-back must broadcast:\n$q117Plan")
+    // q118: the name-pair scores join back to probe rows broadcast
+    val q118Plan = RelOps.q118FuzzyJoin(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(q118Plan.contains("BroadcastHashJoin"),
+      s"q118's score join-back must broadcast:\n$q118Plan")
+  }
+
   // --------------------------------------------------------------- q114
 
   test("q114: gap days are unobserved and carry the latest prior day's sum") {
@@ -316,6 +342,51 @@ class RelOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       if (r.getAs[Long]("n_with_k") > 0)
         assert(r.getAs[Long]("min_k") <= r.getAs[Long]("max_k"))
     }
+  }
+
+  // --------------------------------------------------------------- q127
+
+  test("q127: KS statistic equals the brute-force CDF sweep") {
+    val evs = graft.sources.TsBridge.normalize(
+        spark.read.parquet(s"$dir/events.parquet"))
+      .select(col("event_type"), col("value"), col("user_id"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val rows = RelOps.q127KsDrift(spark, dir).collect()
+    rows.foreach { r =>
+      val et = r.getString(0)
+      val a = evs.filter(e => e._1 == et && e._3 % 2 == 0).map(_._2).sorted
+      val b = evs.filter(e => e._1 == et && e._3 % 2 == 1).map(_._2).sorted
+      val xs = (a ++ b).distinct.sorted
+      val d = xs.map { x =>
+        math.abs(a.count(_ <= x).toDouble / a.length -
+          b.count(_ <= x).toDouble / b.length)
+      }.max
+      assert(math.abs(r.getAs[Double]("ks_d") - d) < 1e-6,
+        s"$et: ${r.getAs[Double]("ks_d")} vs brute $d")
+      assert(r.getAs[Long]("n_a") == a.length && r.getAs[Long]("n_b") == b.length)
+    }
+  }
+
+  // --------------------------------------------------------------- q128
+
+  test("q128: MI is non-negative, bounded by min marginal entropy") {
+    val r = RelOps.q128MutualInfo(spark, dir).collect().head
+    val (mi, nmi) = (r.getAs[Double]("mi"), r.getAs[Double]("nmi"))
+    assert(mi >= -1e-6, "MI can never be negative")
+    assert(nmi >= -1e-6 && nmi <= 1 + 1e-6, "NMI lives in [0,1]")
+    // brute-force recompute in plain doubles
+    val evs = graft.sources.TsBridge.normalize(
+        spark.read.parquet(s"$dir/events.parquet"))
+      .select(col("event_type"), hour(col("ts")))
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    val n = evs.length.toDouble
+    val cxy = evs.groupBy(identity).view.mapValues(_.length).toMap
+    val cx = evs.groupBy(_._1).view.mapValues(_.length).toMap
+    val cy = evs.groupBy(_._2).view.mapValues(_.length).toMap
+    val brute = cxy.map { case ((x, y), c) =>
+      c / n * math.log(c / n / (cx(x) / n) / (cy(y) / n))
+    }.sum
+    assert(math.abs(mi - brute) < 1e-5, s"MI $mi vs brute $brute")
   }
 
   // --------------------------------------------------------------- sq14
