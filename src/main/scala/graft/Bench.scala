@@ -279,7 +279,8 @@ object Bench {
       "q120_scd2", "q121_table_checksum", "q122_ab_test",
       "q123_interval_peak", "sq14_foreach_sink", "q124_json_extract",
       "q125_confusion_matrix", "q126_roc_auc",
-      "q127_ks_drift", "q128_mutual_info")
+      "q127_ks_drift", "q128_mutual_info",
+      "q129_user_trend", "q130_changepoint")
     // shingle-index misses during TIMED passes only (warm passes are
     // expected to build it once per session+dir)
     var timedIndexMisses = 0L

@@ -210,7 +210,10 @@ object ScaleCheck {
     "q125_confusion_matrix", "q126_roc_auc",
     // drift/dependency: both collapse to bounded tables (distinct
     // values per type; the |types|x24 contingency) at the first agg
-    "q127_ks_drift", "q128_mutual_info")
+    "q127_ks_drift", "q128_mutual_info",
+    // per-entity model fits: both collapse to (user, day/hour)
+    // partials, then user-keyed moments/windows — hot keys absorb 10×
+    "q129_user_trend", "q130_changepoint")
 
   /** q105's drill can't ride the dir mechanism (the media fixture is
     * a generated table at a fixed path), so it scales by GENERATing a

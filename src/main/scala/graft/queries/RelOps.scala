@@ -1002,6 +1002,139 @@ object RelOps {
       |  END AS nmi
       |FROM mi, hx, hy""".stripMargin
 
+  // ------------------------------------------------- q129 per-user trend
+
+  /** Minimum observations before a per-user slope is meaningful. */
+  val TrendMinDays = 3
+
+  /** q129: PER-ENTITY TREND — ordinary-least-squares slope of each
+    * user's daily activity over time (the churn-risk / growth read:
+    * "whose engagement is declining"), embarrassingly parallel per
+    * user: slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) with x = day
+    * index from the user's first day (small integers) and y = the
+    * daily event count — ALL FOUR SUMS EXACT INTEGERS, one division
+    * at the end, rounded 6 dp (the q112 discipline: no streaming-
+    * covariance implementation dependence). Users with fewer than
+    * [[TrendMinDays]] observed days or a degenerate x-spread are
+    * excluded, not divided by zero.
+    *
+    * Scale shape: (user, day) partial agg collapses the stream, one
+    * user-keyed aggregation computes the moments — no window, no
+    * sort, two shuffles total, both on user_id. */
+  def q129UserTrend(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("x",
+        datediff(col("day"), min(col("day")).over(Window.partitionBy("user_id")))
+          .cast("long"))
+    val m = daily.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+      .filter(col("n") >= TrendMinDays)
+      .withColumn("det", col("n") * col("sxx") - col("sx") * col("sx"))
+      .filter(col("det") > 0)
+    m.select(col("user_id"), col("n").as("n_days"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          col("det"), 6).as("slope"))
+      .withColumn("declining", col("slope") < 0)
+      .orderBy("user_id")
+  }
+
+  val q129Sql: String =
+    s"""WITH daily AS (
+       |  SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+       |    count(*) AS y
+       |  FROM events GROUP BY 1, 2
+       |), x AS (
+       |  SELECT user_id, y,
+       |    date_diff('day', min(day) OVER (PARTITION BY user_id), day) AS x
+       |  FROM daily
+       |), m AS (
+       |  SELECT user_id, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+       |    sum(x * x) AS sxx, sum(x * y) AS sxy
+       |  FROM x GROUP BY 1
+       |), d AS (
+       |  SELECT user_id, n, sx, sy, sxy, n * sxx - sx * sx AS det
+       |  FROM m WHERE n >= $TrendMinDays
+       |)
+       |SELECT user_id, CAST(n AS BIGINT) AS n_days,
+       |  round(CAST(n * sxy - sx * sy AS DOUBLE) / det, 6) AS slope,
+       |  round(CAST(n * sxy - sx * sy AS DOUBLE) / det, 6) < 0 AS declining
+       |FROM d WHERE det > 0 ORDER BY user_id""".stripMargin
+
+  // ----------------------------------------------- q130 CUSUM changepoint
+
+  /** Minimum observed hours before a changepoint call. */
+  val CusumMinHours = 6
+
+  /** q130: CUSUM CHANGEPOINT DETECTION — for each user's hourly
+    * event-count series, the split instant maximizing the cumulative
+    * deviation from the mean (the classic offline CUSUM argmax: where
+    * did the level shift). INTEGER-EXACT by clearing denominators:
+    * the cusum at prefix i is Σᵢ(c − mean) = prefix_i − i·(S/n),
+    * scaled by n to ncusum = n·prefix_i − i·S — exact BIGINTs, so
+    * the argmax (ties → earliest hour) is bit-deterministic in both
+    * engines; the reported strength |ncusum|/(n·S) normalizes once,
+    * rounded 6 dp.
+    *
+    * Scale shape: (user, hour) partial agg, one user-partitioned
+    * window pass for prefixes, one rank window for the argmax —
+    * users independent. */
+  def q130Changepoint(s: SparkSession, dir: String): DataFrame = {
+    val wU = Window.partitionBy("user_id")
+    val wOrd = wU.orderBy("hour")
+    val wPre = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hourly = events(s, dir)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("c"))
+    val pre = hourly
+      .withColumn("n", count(lit(1)).over(wU))
+      .withColumn("s", sum("c").over(wU))
+      .filter(col("n") >= CusumMinHours)
+      .withColumn("i", row_number().over(wOrd))
+      .withColumn("prefix", sum("c").over(wPre))
+      // the last prefix is the total (cusum 0 by construction) — the
+      // candidate split points are the proper prefixes
+      .filter(col("i") < col("n"))
+      .withColumn("ncusum", col("n") * col("prefix") - col("i") * col("s"))
+    val wPick = wU.orderBy(abs(col("ncusum")).desc, col("hour").asc)
+    pre.withColumn("rn", row_number().over(wPick)).filter(col("rn") === 1)
+      .select(col("user_id"), unix_millis(col("hour")).as("cp_hour_ms"),
+        col("n").as("n_hours"),
+        round(abs(col("ncusum")).cast("double") /
+          (col("n").cast("double") * col("s")), 6).as("strength"))
+      .orderBy("user_id")
+  }
+
+  val q130Sql: String =
+    s"""WITH hourly AS (
+       |  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+       |    count(*) AS c
+       |  FROM events GROUP BY 1, 2
+       |), pre AS (
+       |  SELECT user_id, hour, c,
+       |    count(*) OVER (PARTITION BY user_id) AS n,
+       |    sum(c) OVER (PARTITION BY user_id) AS s,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY hour) AS i,
+       |    sum(c) OVER (PARTITION BY user_id ORDER BY hour
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix
+       |  FROM hourly
+       |), nc AS (
+       |  SELECT user_id, hour, n, s,
+       |    n * prefix - i * s AS ncusum
+       |  FROM pre WHERE n >= $CusumMinHours AND i < n
+       |), pick AS (
+       |  SELECT user_id, hour, n, s, ncusum,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY abs(ncusum) DESC, hour ASC) AS rn
+       |  FROM nc
+       |)
+       |SELECT user_id, epoch_ms(hour) AS cp_hour_ms, CAST(n AS BIGINT) AS n_hours,
+       |  round(CAST(abs(ncusum) AS DOUBLE) / (CAST(n AS DOUBLE) * s), 6)
+       |    AS strength
+       |FROM pick WHERE rn = 1 ORDER BY user_id""".stripMargin
+
   // --------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1019,7 +1152,9 @@ object RelOps {
     "q124_json_extract" -> (q124JsonExtract _),
     "q126_roc_auc" -> (q126RocAuc _),
     "q127_ks_drift" -> (q127KsDrift _),
-    "q128_mutual_info" -> (q128MutualInfo _)
+    "q128_mutual_info" -> (q128MutualInfo _),
+    "q129_user_trend" -> (q129UserTrend _),
+    "q130_changepoint" -> (q130Changepoint _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -1037,6 +1172,8 @@ object RelOps {
     "q124_json_extract" -> q124Sql,
     "q126_roc_auc" -> q126Sql,
     "q127_ks_drift" -> q127Sql,
-    "q128_mutual_info" -> q128Sql
+    "q128_mutual_info" -> q128Sql,
+    "q129_user_trend" -> q129Sql,
+    "q130_changepoint" -> q130Sql
   )
 }

@@ -389,6 +389,59 @@ class RelOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(mi - brute) < 1e-5, s"MI $mi vs brute $brute")
   }
 
+  // --------------------------------------------------------------- q129
+
+  test("q129: slope equals the brute-force least-squares fit") {
+    val daily = graft.sources.TsBridge.normalize(
+        spark.read.parquet(s"$dir/events.parquet"))
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2)))
+    val rows = RelOps.q129UserTrend(spark, dir).collect()
+    val byUser = daily.groupBy(_._1)
+    rows.foreach { r =>
+      val obs = byUser(r.getLong(0))
+      val d0 = obs.map(_._2).min
+      val xs = obs.map(o => ((o._2 - d0) / 86400000L).toDouble)
+      val ys = obs.map(_._3.toDouble)
+      val n = xs.length
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxx = xs.map(x => x * x).sum
+      val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      assert(math.abs(r.getAs[Double]("slope") - slope) < 1e-6,
+        s"user ${r.getLong(0)}: ${r.getAs[Double]("slope")} vs $slope")
+      assert(r.getAs[Boolean]("declining") == (r.getAs[Double]("slope") < 0))
+    }
+  }
+
+  // --------------------------------------------------------------- q130
+
+  test("q130: changepoint is the argmax of the exact cusum") {
+    val hourly = graft.sources.TsBridge.normalize(
+        spark.read.parquet(s"$dir/events.parquet"))
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2)))
+    val rows = RelOps.q130Changepoint(spark, dir).collect()
+    val byUser = hourly.groupBy(_._1)
+    rows.foreach { r =>
+      val obs = byUser(r.getLong(0)).sortBy(_._2)
+      val n = obs.length
+      val s = obs.map(_._3).sum
+      var prefix = 0L
+      val cands = obs.zipWithIndex.dropRight(1).map { case ((_, h, c), i) =>
+        prefix += c
+        (h, (n * prefix - (i + 1) * s).abs)
+      }
+      val best = cands.maxBy(c => (c._2, -c._1))
+      assert(r.getAs[Long]("cp_hour_ms") == best._1,
+        s"user ${r.getLong(0)}: cp ${r.getAs[Long]("cp_hour_ms")} != ${best._1}")
+      assert(math.abs(r.getAs[Double]("strength") -
+        best._2.toDouble / (n.toDouble * s)) < 1e-6)
+    }
+  }
+
   // --------------------------------------------------------------- sq14
 
   test("sq14: the files the sink wrote equal the batch aggregate") {
