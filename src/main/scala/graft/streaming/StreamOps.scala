@@ -1044,6 +1044,41 @@ object StreamOps {
       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS soma
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** SQ13's checkpointed twin for the RECOVERY drill: the same
+    * transformWithState profile run over a raw source dir with a
+    * durable checkpoint and a foreachBatch parquet sink (append —
+    * the memory sink cannot recover). A restart restores every
+    * user's typed ValueState from the RocksDB snapshot and continues
+    * the counts; the spec proves it by splitting the input across
+    * two runs and checking (a) the second run reads ONLY the new
+    * files, (b) the max-n profile per user equals the batch profile
+    * over the full input. Returns rows read this run. */
+  def sq13Incremental(s: SparkSession, srcDir: String, checkpoint: String,
+      outDir: String): Long = {
+    withStreamShuffle(s) { fs =>
+      fs.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      import fs.implicits._
+      val typed = TsBridge.normalize(
+          fs.readStream.schema(eventsSchema(tsTypeAt(fs, srcDir))).parquet(srcDir))
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+        .as[Ev]
+      val q = typed.groupByKey(_.user_id)
+        .transformWithState(new ProfileProcessor(graft.queries.Queries.SessionGapUs),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .toDF()
+        .writeStream
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(outDir)
+        }
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      q.recentProgress.map(_.numInputRows).sum
+    }
+  }
+
   /** SQ13's DuckDB oracle: the batch per-user profile under the same
     * 30-min session-gap rule. */
   val sq13Sql: String =

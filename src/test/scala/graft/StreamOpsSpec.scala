@@ -197,6 +197,51 @@ class StreamOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "1%-rsd HLL++ must sit inside the 5% certification bound")
   }
 
+  test("transformWithState recovery: RocksDB state survives a restart") {
+    val work = java.nio.file.Files.createTempDirectory("graft_twsr_").toString
+    val (src, ckpt, out) = (s"$work/src", s"$work/ckpt", s"$work/out")
+    val all = spark.read.parquet(s"$dir/events.parquet")
+    val total = all.count()
+    // split by TIME (the profile's cross-batch contract: later batches
+    // carry later events — the same property the file source gives a
+    // time-ordered log); event_id-parity would replay the past
+    val norm = graft.sources.TsBridge.normalize(all)
+    val mid = norm.agg(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY unix_micros(ts))"))
+      .head().getDouble(0).toLong
+    val firstIds = norm.filter(unix_micros(col("ts")) <= mid)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val half1 = all.filter(col("event_id").isInCollection(firstIds))
+    val half2 = all.filter(!col("event_id").isInCollection(firstIds))
+    half1.write.mode("append").parquet(src)
+    val read1 = StreamOps.sq13Incremental(spark, src, ckpt, out)
+    assert(read1 == half1.count())
+    half2.write.mode("append").parquet(src)
+    val read2 = StreamOps.sq13Incremental(spark, src, ckpt, out)
+    assert(read2 == total - read1, s"restart re-read data: $read2")
+    // final profile per user (max-n across all emissions, both runs)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("n_events").desc)
+    val got = spark.read.parquet(out)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("user_id", "n_events", "n_sessions", "first_ms", "last_ms")
+      .orderBy("user_id").collect().map(_.toSeq)
+    val gap = Queries.SessionGapUs
+    val wu = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("us", "event_id")
+    val want = norm
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("pus", lag("us", 1).over(wu))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("pus").isNull || col("us") - col("pus") > gap, 1L)
+          .otherwise(0L)).as("n_sessions"),
+        expr("min(us) div 1000").as("first_ms"),
+        expr("max(us) div 1000").as("last_ms"))
+      .orderBy("user_id").collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq,
+      "post-recovery profiles must equal the batch profile over the full input")
+  }
+
   test("streaming metrics with idle-stop match batch counters") {
     import graft.model.SchemaDef
     val fixture = graft.sources.GenFixtures.MessagesPath
