@@ -280,7 +280,8 @@ object Bench {
       "q123_interval_peak", "sq14_foreach_sink", "q124_json_extract",
       "q125_confusion_matrix", "q126_roc_auc",
       "q127_ks_drift", "q128_mutual_info",
-      "q129_user_trend", "q130_changepoint")
+      "q129_user_trend", "q130_changepoint",
+      "q131_rollup_cascade", "q132_pit_join")
     // shingle-index misses during TIMED passes only (warm passes are
     // expected to build it once per session+dir)
     var timedIndexMisses = 0L

@@ -213,7 +213,10 @@ object ScaleCheck {
     "q127_ks_drift", "q128_mutual_info",
     // per-entity model fits: both collapse to (user, day/hour)
     // partials, then user-keyed moments/windows — hot keys absorb 10×
-    "q129_user_trend", "q130_changepoint")
+    "q129_user_trend", "q130_changepoint",
+    // MV cascade touches raw volume exactly once; the PIT join is the
+    // as-of union idiom — one user-shuffle, state points ride runs
+    "q131_rollup_cascade", "q132_pit_join")
 
   /** q105's drill can't ride the dir mechanism (the media fixture is
     * a generated table at a fixed path), so it scales by GENERATing a

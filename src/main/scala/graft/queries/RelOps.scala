@@ -1135,6 +1135,133 @@ object RelOps {
        |    AS strength
        |FROM pick WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  // --------------------------------------------- q131 rollup cascade (MV)
+
+  /** q131: MULTI-GRAIN ROLLUP CASCADE — weekly and monthly rollups
+    * computed FROM THE DAILY AGGREGATE, never from raw events (the
+    * materialized-view hierarchy every warehouse maintains: the raw
+    * stream aggregates once, coarser grains re-aggregate the finer
+    * MV). Only re-aggregable measures cascade — counts, DECIMAL
+    * sums, min/max, day-counts; distinct-counts deliberately do NOT
+    * (that is q119's sketch-merge job). The oracle computes both
+    * grains DIRECTLY from raw events, so the hash match IS the
+    * re-aggregation identity proof (sum-of-sums = sum).
+    *
+    * Scale shape: raw volume is touched exactly once (the daily
+    * partial agg); each coarser grain aggregates the previous MV —
+    * horizon-bounded rows, trivial at any SF. */
+  def q131RollupCascade(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"), 18, 2)).as("v"),
+        min(col("value")).as("mn"), max(col("value")).as("mx"))
+    def up(grain: String): DataFrame = daily
+      .groupBy(date_trunc(grain, col("day")).as("period"))
+      .agg(sum("n").as("n_events"), count(lit(1)).as("n_days"),
+        sum("v").cast("double").as("v"), min("mn").as("min_v"), max("mx").as("max_v"))
+      .select(lit(grain).as("grain"), unix_millis(col("period")).as("period_ms"),
+        col("n_events"), col("n_days"), col("v"), col("min_v"), col("max_v"))
+    up("week").unionAll(up("month")).orderBy("grain", "period_ms")
+  }
+
+  val q131Sql: String = {
+    def direct(grain: String): String =
+      s"""SELECT '$grain' AS grain,
+         |  epoch_ms(date_trunc('$grain', CAST(ts AS TIMESTAMP))) AS period_ms,
+         |  count(*) AS n_events,
+         |  CAST(count(DISTINCT date_trunc('day', CAST(ts AS TIMESTAMP))) AS BIGINT)
+         |    AS n_days,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v,
+         |  min(value) AS min_v, max(value) AS max_v
+         |FROM events GROUP BY 2""".stripMargin
+    s"""${direct("week")}
+       |UNION ALL
+       |${direct("month")}
+       |ORDER BY grain, period_ms""".stripMargin
+  }
+
+  // ------------------------------------------- q132 point-in-time join
+
+  /** Probe lag: the state is read AS OF one hour BEFORE each event. */
+  val PitLagUs: Long = 3600000000L
+
+  /** q132: POINT-IN-TIME FEATURE JOIN — each event looks up the
+    * user's q120 SCD2 state AS OF one hour BEFORE the event (the
+    * feature-store discipline: a training example may only see
+    * features that existed strictly before its label time, or the
+    * model trains on leakage). Implemented with the scalable AS-OF
+    * idiom (q18): state-change points and lagged probes union into
+    * ONE user-partitioned timeline, `last(ignoreNulls)` carries the
+    * in-effect state to each probe — no range-join row explosion,
+    * one shuffle. Probes before the user's first state (the first
+    * hour) surface as 'none', counted not dropped. The oracle is
+    * DuckDB's native ASOF LEFT JOIN against the same interval table
+    * — two entirely different formulations, one hash.
+    *
+    * Ties: a state change AT the probe instant is visible (ASOF's
+    * >= bound) — pinned by sorting changes before probes at equal
+    * timestamps, matching ASOF exactly. */
+  def q132PitJoin(s: SparkSession, dir: String): DataFrame = {
+    val wAll = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val wType = Window.partitionBy("user_id", "event_type").orderBy("us", "event_id")
+    val e = events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+    // state-change points: first event of each q120 run (same
+    // islands), then AT MOST ONE change per (user, instant) — tied
+    // events of different types would otherwise make both the carry
+    // and DuckDB's ASOF pick arbitrarily; max(state) is the pinned
+    // deterministic rule in both engines
+    val changes = e
+      .withColumn("grp", row_number().over(wAll) - row_number().over(wType))
+      .groupBy("user_id", "event_type", "grp")
+      .agg(min("us").as("t"))
+      .groupBy("user_id", "t").agg(max("event_type").as("state"))
+      .select(col("user_id"), col("t"), col("state"),
+        lit(0).as("is_probe"), lit(0L).as("probe_type_id"))
+    val probes = e.select(col("user_id"), (col("us") - PitLagUs).as("t"),
+      lit(null).cast("string").as("state"), lit(1).as("is_probe"),
+      col("event_id").as("probe_type_id"))
+    val wTime = Window.partitionBy("user_id")
+      .orderBy(col("t"), col("is_probe"), col("probe_type_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = changes.unionAll(probes)
+      .withColumn("st", last(col("state"), ignoreNulls = true).over(wTime))
+      .filter(col("is_probe") === 1)
+      .select(col("user_id"), col("probe_type_id").as("event_id"),
+        coalesce(col("st"), lit("none")).as("state_1h_ago"))
+    e.join(carried, Seq("user_id", "event_id"))
+      .groupBy(col("state_1h_ago"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("state_1h_ago", "event_type")
+  }
+
+  val q132Sql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, event_id,
+       |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+       |  FROM events
+       |), r AS (
+       |  SELECT user_id, event_type, us,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY us, event_id)
+       |      - row_number() OVER (PARTITION BY user_id, event_type
+       |                           ORDER BY us, event_id) AS grp
+       |  FROM e
+       |), runs0 AS (
+       |  SELECT user_id, event_type AS state, min(us) AS t
+       |  FROM r GROUP BY user_id, event_type, grp
+       |), runs AS (
+       |  SELECT user_id, t, max(state) AS state FROM runs0 GROUP BY 1, 2
+       |), probes AS (
+       |  SELECT user_id, event_id, event_type, us - $PitLagUs AS pt FROM e
+       |), pit AS (
+       |  SELECT p.event_type, coalesce(runs.state, 'none') AS state_1h_ago
+       |  FROM probes p ASOF LEFT JOIN runs
+       |    ON p.user_id = runs.user_id AND runs.t <= p.pt
+       |)
+       |SELECT state_1h_ago, event_type, count(*) AS n
+       |FROM pit GROUP BY 1, 2 ORDER BY state_1h_ago, event_type""".stripMargin
+
   // --------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1154,7 +1281,9 @@ object RelOps {
     "q127_ks_drift" -> (q127KsDrift _),
     "q128_mutual_info" -> (q128MutualInfo _),
     "q129_user_trend" -> (q129UserTrend _),
-    "q130_changepoint" -> (q130Changepoint _)
+    "q130_changepoint" -> (q130Changepoint _),
+    "q131_rollup_cascade" -> (q131RollupCascade _),
+    "q132_pit_join" -> (q132PitJoin _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -1174,6 +1303,8 @@ object RelOps {
     "q127_ks_drift" -> q127Sql,
     "q128_mutual_info" -> q128Sql,
     "q129_user_trend" -> q129Sql,
-    "q130_changepoint" -> q130Sql
+    "q130_changepoint" -> q130Sql,
+    "q131_rollup_cascade" -> q131Sql,
+    "q132_pit_join" -> q132Sql
   )
 }

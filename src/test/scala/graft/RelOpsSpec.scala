@@ -442,6 +442,56 @@ class RelOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // --------------------------------------------------------------- q131
+
+  test("q131: cascaded rollups equal direct-from-raw aggregation") {
+    val got = RelOps.q131RollupCascade(spark, dir).collect().map(_.toSeq)
+    val e = graft.sources.TsBridge.normalize(
+      spark.read.parquet(s"$dir/events.parquet"))
+    def direct(grain: String) = e
+      .groupBy(date_trunc(grain, col("ts")).as("period"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(date_trunc("day", col("ts"))).as("n_days"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("v"),
+        min("value").as("min_v"), max("value").as("max_v"))
+      .select(lit(grain).as("grain"), unix_millis(col("period")).as("period_ms"),
+        col("n_events"), col("n_days"), col("v"), col("min_v"), col("max_v"))
+    val want = direct("week").unionAll(direct("month"))
+      .orderBy("grain", "period_ms").collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq,
+      "re-aggregating the daily MV must equal aggregating raw events")
+  }
+
+  // --------------------------------------------------------------- q132
+
+  test("q132: PIT states match a brute-force as-of lookup") {
+    val e = graft.sources.TsBridge.normalize(
+        spark.read.parquet(s"$dir/events.parquet"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // state-change points per user: first event of each same-type run,
+    // collapsed to max(state) per tied instant (the pinned rule)
+    val changes = e.groupBy(_._1).view.mapValues { rows =>
+      val sorted = rows.sortBy(r => (r._4, r._2))
+      val runs = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+      var prev: String = null
+      sorted.foreach { r =>
+        if (r._3 != prev) { runs += ((r._4, r._3)); prev = r._3 }
+      }
+      runs.groupBy(_._1).view.mapValues(_.map(_._2).max).toSeq.sortBy(_._1)
+    }.toMap
+    val brute = e.map { r =>
+      val cs = changes(r._1).filter(_._1 <= r._4 - RelOps.PitLagUs)
+      val st = if (cs.isEmpty) "none" else cs.last._2
+      (st, r._3)
+    }.groupBy(identity).view.mapValues(_.length).toMap
+    val got = RelOps.q132PitJoin(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == brute.map { case (k, v) => k -> v.toLong },
+      s"PIT histogram mismatch: $got vs $brute")
+  }
+
   // --------------------------------------------------------------- sq14
 
   test("sq14: the files the sink wrote equal the batch aggregate") {
