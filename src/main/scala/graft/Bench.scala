@@ -281,7 +281,8 @@ object Bench {
       "q125_confusion_matrix", "q126_roc_auc",
       "q127_ks_drift", "q128_mutual_info",
       "q129_user_trend", "q130_changepoint",
-      "q131_rollup_cascade", "q132_pit_join")
+      "q131_rollup_cascade", "q132_pit_join",
+      "q133_hierarchy", "q134_lateral_topk")
     // shingle-index misses during TIMED passes only (warm passes are
     // expected to build it once per session+dir)
     var timedIndexMisses = 0L

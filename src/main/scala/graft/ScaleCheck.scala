@@ -216,7 +216,10 @@ object ScaleCheck {
     "q129_user_trend", "q130_changepoint",
     // MV cascade touches raw volume exactly once; the PIT join is the
     // as-of union idiom — one user-shuffle, state points ride runs
-    "q131_rollup_cascade", "q132_pit_join")
+    "q131_rollup_cascade", "q132_pit_join",
+    // recursion rows = sum of unique-path depths (the forest rule);
+    // the lateral limit rewrites to a rank window under the hood
+    "q133_hierarchy", "q134_lateral_topk")
 
   /** q105's drill can't ride the dir mechanism (the media fixture is
     * a generated table at a fixed path), so it scales by GENERATing a

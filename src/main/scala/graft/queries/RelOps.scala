@@ -1262,6 +1262,142 @@ object RelOps {
        |SELECT state_1h_ago, event_type, count(*) AS n
        |FROM pit GROUP BY 1, 2 ORDER BY state_1h_ago, event_type""".stripMargin
 
+  // ------------------------------------------- q133 recursive hierarchy
+
+  /** Recursion depth guard (Spark's cteRecursionLevelLimit is 100;
+    * the walk provably terminates — ancestors strictly decrease —
+    * so this is a belt, identical in both dialects). */
+  val HierMaxDepth = 50
+
+  /** q133: RECURSIVE HIERARCHY CLOSURE — Spark 4's `WITH RECURSIVE`
+    * (the SQL-surface feature closing the hierarchical-query gap):
+    * the co-occurrence graph collapses to a FOREST (each user's
+    * parent = its smallest-id co-occurring neighbor below it; roots
+    * have none), and the recursive CTE walks every user to its root
+    * with the hop depth — org-chart / referral-chain / category-tree
+    * closure, the query shape iterative DataFrame loops (q75's
+    * unrolled PageRank) cannot express in one statement.
+    *
+    * Recursion discipline: Spark's recursive CTEs are UNION ALL-only
+    * (no dedup step), so the walk must be over a structure with
+    * UNIQUE paths — the parent FUNCTION guarantees row count
+    * Σ depth(u), never the path explosion a general graph's closure
+    * would produce (the q116 lesson applied to recursion). Parents
+    * strictly decrease, so termination is structural; both dialects
+    * carry the same depth guard. Scale: the recursion joins a
+    * |nodes|-sized relation per level — the fixed-point shape
+    * Catalyst executes as iterated joins. */
+  def q133Hierarchy(s: SparkSession, dir: String): DataFrame = {
+    val g = events(s, dir)
+      .select(col("event_type").as("et"),
+        expr(s"unix_micros(ts) div $TriBucketUs").as("b"), col("user_id").as("u"))
+      .distinct()
+    val e0 = g.as("a").join(g.as("b"),
+        col("a.et") === col("b.et") && col("a.b") === col("b.b") &&
+          col("a.u") < col("b.u"))
+      .groupBy(col("a.u").as("x"), col("b.u").as("y"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= TriMinCoocc)
+    // localCheckpoint BEFORE recursing (the q75 iterated-plan rule):
+    // each recursion level re-executes the anchor's lineage, and the
+    // parent table's lineage is the full co-occurrence pair join —
+    // without the cut, every level pays the graph build again
+    // (measured: 8.1 s → 2.6 s at sf0.1)
+    val parents = e0.groupBy(col("y").as("user_id")).agg(min("x").as("parent"))
+      .localCheckpoint()
+    val nodes = e0.select(col("x").as("user_id"))
+      .unionAll(e0.select(col("y").as("user_id"))).distinct()
+    parents.createOrReplaceTempView("graft_parents")
+    val walked = s.sql(
+      s"""WITH RECURSIVE up(node, anc, d) AS (
+         |  SELECT user_id, parent, 1 FROM graft_parents
+         |  UNION ALL
+         |  SELECT up.node, p.parent, up.d + 1
+         |  FROM up JOIN graft_parents p ON p.user_id = up.anc
+         |  WHERE up.d < $HierMaxDepth
+         |)
+         |SELECT node AS user_id, anc AS root, d AS depth
+         |FROM (SELECT node, anc, d,
+         |        row_number() OVER (PARTITION BY node ORDER BY d DESC) AS rn
+         |      FROM up)
+         |WHERE rn = 1""".stripMargin)
+    val roots = nodes.join(parents, Seq("user_id"), "left_anti")
+      .select(col("user_id"), col("user_id").as("root"), lit(0L).as("depth"))
+    walked.select(col("user_id"), col("root"), col("depth").cast("long").as("depth"))
+      .unionAll(roots)
+      .orderBy("user_id")
+  }
+
+  val q133Sql: String =
+    s"""WITH RECURSIVE g AS (
+       |  SELECT DISTINCT event_type AS et,
+       |    epoch_us(CAST(ts AS TIMESTAMP)) // $TriBucketUs AS b, user_id AS u
+       |  FROM events
+       |), w AS (
+       |  SELECT a.u AS x, b.u AS y, count(*) AS c
+       |  FROM g a JOIN g b ON a.et = b.et AND a.b = b.b AND a.u < b.u
+       |  GROUP BY 1, 2
+       |), e0 AS (
+       |  SELECT x, y FROM w WHERE c >= $TriMinCoocc
+       |), parents AS (
+       |  SELECT y AS user_id, min(x) AS parent FROM e0 GROUP BY y
+       |), nodes AS (
+       |  SELECT DISTINCT user_id FROM (
+       |    SELECT x AS user_id FROM e0 UNION ALL SELECT y FROM e0)
+       |), up(node, anc, d) AS (
+       |  SELECT user_id, parent, 1 FROM parents
+       |  UNION ALL
+       |  SELECT up.node, p.parent, up.d + 1
+       |  FROM up JOIN parents p ON p.user_id = up.anc
+       |  WHERE up.d < $HierMaxDepth
+       |), walked AS (
+       |  SELECT node AS user_id, anc AS root, d AS depth
+       |  FROM (SELECT node, anc, d,
+       |          row_number() OVER (PARTITION BY node ORDER BY d DESC) AS rn
+       |        FROM up)
+       |  WHERE rn = 1
+       |)
+       |SELECT user_id, root, CAST(depth AS BIGINT) AS depth FROM walked
+       |UNION ALL
+       |SELECT n.user_id, n.user_id AS root, 0 AS depth
+       |FROM nodes n LEFT JOIN parents p ON n.user_id = p.user_id
+       |WHERE p.user_id IS NULL
+       |ORDER BY user_id""".stripMargin
+
+  // --------------------------------------------- q134 lateral top-k join
+
+  /** q134: LATERAL TOP-K JOIN — the correlated-subquery SQL surface
+    * (`, LATERAL (... ORDER BY ... LIMIT k)`): each customer's two
+    * largest orders through Spark's lateral-join support, the
+    * "top-N per row" idiom SQL users reach for before learning
+    * window functions. Ties break on o_orderkey in both engines;
+    * customers with no orders drop (inner lateral — the same
+    * semantics both dialects give the comma form).
+    *
+    * Scale note: Catalyst rewrites the correlated LIMIT into a
+    * window-rank under the hood (DomainJoin → rank) — this entry
+    * certifies the SQL-layer path; q12/q55's explicit rank windows
+    * remain the engine-native idiom. */
+  def q134LateralTopk(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("graft_l_cust")
+    t(s, dir, "orders").createOrReplaceTempView("graft_l_ord")
+    s.sql(
+      """SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+        |FROM graft_l_cust c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM graft_l_ord o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+        |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
+  }
+
+  val q134Sql: String =
+    """SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+      |FROM customer c,
+      |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+      |         WHERE o.o_custkey = c.c_custkey
+      |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+      |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin
+
   // --------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1283,7 +1419,9 @@ object RelOps {
     "q129_user_trend" -> (q129UserTrend _),
     "q130_changepoint" -> (q130Changepoint _),
     "q131_rollup_cascade" -> (q131RollupCascade _),
-    "q132_pit_join" -> (q132PitJoin _)
+    "q132_pit_join" -> (q132PitJoin _),
+    "q133_hierarchy" -> (q133Hierarchy _),
+    "q134_lateral_topk" -> (q134LateralTopk _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -1305,6 +1443,8 @@ object RelOps {
     "q129_user_trend" -> q129Sql,
     "q130_changepoint" -> q130Sql,
     "q131_rollup_cascade" -> q131Sql,
-    "q132_pit_join" -> q132Sql
+    "q132_pit_join" -> q132Sql,
+    "q133_hierarchy" -> q133Sql,
+    "q134_lateral_topk" -> q134Sql
   )
 }

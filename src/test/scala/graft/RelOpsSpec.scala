@@ -492,6 +492,53 @@ class RelOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"PIT histogram mismatch: $got vs $brute")
   }
 
+  // --------------------------------------------------------------- q133
+
+  test("q133: recursive closure equals a literal parent walk") {
+    val dir = "/root/testdata/sf0.01" // sf0.001's graph is 2 edges
+    val g = graft.sources.TsBridge.normalize(
+        spark.read.parquet(s"$dir/events.parquet"))
+      .select(col("event_type"),
+        expr(s"unix_micros(ts) div ${RelOps.TriBucketUs}").as("b"), col("user_id"))
+      .distinct().collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val weights = scala.collection.mutable.Map.empty[(Long, Long), Int]
+    g.groupBy(c => (c._1, c._2)).values.foreach { cell =>
+      val us = cell.map(_._3).distinct.sorted
+      for (i <- us.indices; j <- (i + 1) until us.length)
+        weights((us(i), us(j))) = weights.getOrElse((us(i), us(j)), 0) + 1
+    }
+    val edges = weights.filter(_._2 >= RelOps.TriMinCoocc).keySet
+    val parent = edges.groupBy(_._2).map { case (y, es) => y -> es.map(_._1).min }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2))
+    val want = nodes.map { u =>
+      var (anc, d) = (u, 0L)
+      while (parent.contains(anc) && d < RelOps.HierMaxDepth) {
+        anc = parent(anc); d += 1
+      }
+      u -> (anc, d)
+    }.toMap
+    val got = RelOps.q133Hierarchy(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want)
+    assert(got.values.exists(_._2 >= 2), "the forest must have real depth to test")
+  }
+
+  // --------------------------------------------------------------- q134
+
+  test("q134: lateral top-k equals the window-rank formulation") {
+    val got = RelOps.q134LateralTopk(spark, dir).collect().map(_.toSeq)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val want = spark.read.parquet(s"$dir/orders.parquet")
+      .join(spark.read.parquet(s"$dir/customer.parquet"),
+        col("o_custkey") === col("c_custkey"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("c_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+      .collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq)
+  }
+
   // --------------------------------------------------------------- sq14
 
   test("sq14: the files the sink wrote equal the batch aggregate") {
