@@ -282,7 +282,8 @@ object Bench {
       "q127_ks_drift", "q128_mutual_info",
       "q129_user_trend", "q130_changepoint",
       "q131_rollup_cascade", "q132_pit_join",
-      "q133_hierarchy", "q134_lateral_topk")
+      "q133_hierarchy", "q134_lateral_topk",
+      "q135_profile", "q136_benford")
     // shingle-index misses during TIMED passes only (warm passes are
     // expected to build it once per session+dir)
     var timedIndexMisses = 0L

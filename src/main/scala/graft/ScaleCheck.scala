@@ -219,7 +219,10 @@ object ScaleCheck {
     "q131_rollup_cascade", "q132_pit_join",
     // recursion rows = sum of unique-path depths (the forest rule);
     // the lateral limit rewrites to a rank window under the hood
-    "q133_hierarchy", "q134_lateral_topk")
+    "q133_hierarchy", "q134_lateral_topk",
+    // profiler: explode ×|columns| of narrow pairs, per-column distinct
+    // partials; benford: 9-row collapse at the first agg
+    "q135_profile", "q136_benford")
 
   /** q105's drill can't ride the dir mechanism (the media fixture is
     * a generated table at a fixed path), so it scales by GENERATing a

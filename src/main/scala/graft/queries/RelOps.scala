@@ -1398,6 +1398,114 @@ object RelOps {
       |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
       |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin
 
+  // --------------------------------------------- q135 column profiler
+
+  /** q135: COLUMN PROFILER — the schema-agnostic data-quality
+    * profile (the Deequ/profiling staple every ingestion pipeline
+    * runs before trusting a feed): for every column of `orders`,
+    * null count, exact distinct cardinality, and min/max rendered
+    * through ONE canonical string form (numbers via exact DECIMAL,
+    * timestamps via epoch ms — engine-stable renderings, the q121
+    * canon). One pass per profiled relation: the unpivot explodes
+    * each row into (column, value) pairs map-side, a single
+    * (column)-keyed aggregation computes every statistic.
+    *
+    * Scale shape: the explode multiplies rows by column count but
+    * carries two narrow fields; distinct partial-aggregates per
+    * column. At 100 TB the same plan profiles any table — nothing
+    * here names a column in the aggregation. */
+  def q135Profile(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val canon: Seq[(String, Column)] = Seq(
+      "o_orderkey" -> col("o_orderkey").cast("string"),
+      "o_custkey" -> col("o_custkey").cast("string"),
+      "o_orderstatus" -> col("o_orderstatus"),
+      "o_totalprice" -> dec(col("o_totalprice"), 18, 2).cast("string"),
+      "o_orderdate" -> unix_millis(col("o_orderdate").cast("timestamp")).cast("string"),
+      "o_orderpriority" -> col("o_orderpriority"))
+    val pairs = o.select(explode(map(
+      canon.flatMap { case (n, c) => Seq(lit(n), c) }: _*)).as(Seq("col_name", "v")))
+    pairs.groupBy("col_name")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col("v")).as("n_distinct"),
+        min("v").as("min_v"), max("v").as("max_v"))
+      .orderBy("col_name")
+  }
+
+  val q135Sql: String =
+    """WITH pairs AS (
+      |  SELECT u.col_name, u.v FROM orders, LATERAL (VALUES
+      |    ('o_orderkey', CAST(o_orderkey AS VARCHAR)),
+      |    ('o_custkey', CAST(o_custkey AS VARCHAR)),
+      |    ('o_orderstatus', o_orderstatus),
+      |    ('o_totalprice', CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)),
+      |    ('o_orderdate', CAST(epoch_ms(CAST(o_orderdate AS TIMESTAMP)) AS VARCHAR)),
+      |    ('o_orderpriority', o_orderpriority)
+      |  ) AS u(col_name, v)
+      |)
+      |SELECT col_name, count(*) AS n,
+      |  CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+      |  CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+      |  min(v) AS min_v, max(v) AS max_v
+      |FROM pairs GROUP BY col_name ORDER BY col_name""".stripMargin
+
+  // ----------------------------------------------- q136 Benford audit
+
+  /** Benford first-digit probabilities as SHARED LITERALS — computed
+    * once here and interpolated into BOTH dialects, so no libm
+    * log10 difference can ever reach the comparison. */
+  val BenfordP: Seq[Double] =
+    (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+
+  /** q136: BENFORD FIRST-DIGIT AUDIT — the classic fraud/anomaly
+    * screen on a monetary column: the first significant digit of
+    * `o_totalprice` against Benford's law, with per-digit expected
+    * counts and squared-deviation contributions (the χ² terms).
+    * First digit extracted ARITHMETICALLY-SAFELY: floor to integer
+    * cents (floor in BOTH engines — Spark's double→int cast
+    * truncates, DuckDB's ROUNDS: the cross-engine trap this query
+    * exists to document), render as digits, take the first.
+    * Expected counts use the literal probabilities of [[BenfordP]]
+    * so the only floats in play are literals and one division shape.
+    *
+    * Scale: collapses to 9 rows at the first partial agg. */
+  def q136Benford(s: SparkSession, dir: String): DataFrame = {
+    val pCase = BenfordP.zipWithIndex
+      .foldLeft(lit(0.0)) { case (acc, (p, i)) =>
+        when(col("digit") === (i + 1).toString, lit(p)).otherwise(acc)
+      }
+    val base = t(s, dir, "orders")
+      .filter(col("o_totalprice") > 0)
+      .select(substring(floor(col("o_totalprice") * 100).cast("long").cast("string"),
+        1, 1).as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("obs"))
+      .withColumn("n", sum("obs").over(Window.partitionBy(lit(1))))
+    base.select(col("digit"), col("obs"),
+        round(col("n") * pCase, 2).as("expected"),
+        round(pow(col("obs") - col("n") * pCase, 2) / (col("n") * pCase), 6)
+          .as("chi2_term"))
+      .orderBy("digit")
+  }
+
+  val q136Sql: String = {
+    val pCase = BenfordP.zipWithIndex
+      .map { case (p, i) => s"WHEN '${i + 1}' THEN $p" }
+      .mkString("CASE digit ", " ", " END")
+    s"""WITH d AS (
+       |  SELECT substring(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
+       |    AS VARCHAR), 1, 1) AS digit
+       |  FROM orders WHERE o_totalprice > 0
+       |), g AS (
+       |  SELECT digit, count(*) AS obs, sum(count(*)) OVER () AS n FROM d
+       |  GROUP BY digit
+       |)
+       |SELECT digit, obs,
+       |  round(n * ($pCase), 2) AS expected,
+       |  round(pow(obs - n * ($pCase), 2) / (n * ($pCase)), 6) AS chi2_term
+       |FROM g ORDER BY digit""".stripMargin
+  }
+
   // --------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1421,7 +1529,9 @@ object RelOps {
     "q131_rollup_cascade" -> (q131RollupCascade _),
     "q132_pit_join" -> (q132PitJoin _),
     "q133_hierarchy" -> (q133Hierarchy _),
-    "q134_lateral_topk" -> (q134LateralTopk _)
+    "q134_lateral_topk" -> (q134LateralTopk _),
+    "q135_profile" -> (q135Profile _),
+    "q136_benford" -> (q136Benford _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -1445,6 +1555,8 @@ object RelOps {
     "q131_rollup_cascade" -> q131Sql,
     "q132_pit_join" -> q132Sql,
     "q133_hierarchy" -> q133Sql,
-    "q134_lateral_topk" -> q134Sql
+    "q134_lateral_topk" -> q134Sql,
+    "q135_profile" -> q135Sql,
+    "q136_benford" -> q136Sql
   )
 }

@@ -539,6 +539,41 @@ class RelOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == want.toSeq)
   }
 
+  // --------------------------------------------------------------- q135
+
+  test("q135: profile statistics match per-column recomputes") {
+    val rows = RelOps.q135Profile(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val n = o.count()
+    assert(rows.size == 6 && rows.values.forall(_.getAs[Long]("n") == n))
+    val kd = o.select(countDistinct("o_orderkey")).head().getLong(0)
+    assert(rows("o_orderkey").getAs[Long]("n_distinct") == kd)
+    assert(rows("o_orderkey").getAs[Long]("n_null") == 0)
+    val ps = o.select(countDistinct("o_orderpriority")).head().getLong(0)
+    assert(rows("o_orderpriority").getAs[Long]("n_distinct") == ps)
+    assert(rows("o_orderstatus").getAs[String]("min_v") <=
+      rows("o_orderstatus").getAs[String]("max_v"))
+  }
+
+  // --------------------------------------------------------------- q136
+
+  test("q136: digit histogram partitions the rows; chi2 terms recompute") {
+    val rows = RelOps.q136Benford(spark, dir).collect()
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_totalprice") > 0)
+    val n = o.count()
+    assert(rows.map(_.getAs[Long]("obs")).sum == n)
+    assert(rows.map(_.getAs[String]("digit")).toSet == (1 to 9).map(_.toString).toSet)
+    rows.foreach { r =>
+      val d = r.getAs[String]("digit").toInt
+      val p = RelOps.BenfordP(d - 1)
+      val obs = r.getAs[Long]("obs").toDouble
+      val chi = math.pow(obs - n * p, 2) / (n * p)
+      assert(math.abs(r.getAs[Double]("chi2_term") - chi) < 1e-5)
+    }
+  }
+
   // --------------------------------------------------------------- sq14
 
   test("sq14: the files the sink wrote equal the batch aggregate") {
