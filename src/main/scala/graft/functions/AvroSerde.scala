@@ -261,10 +261,51 @@ case class FromAvro(child: Expression, schemaJson: String)
   override protected def withNewChildInternal(c: Expression): FromAvro = copy(child = c)
 }
 
+/** Avro binary -> struct UNDER SCHEMA RESOLUTION (writer ≠ reader) —
+  * the production evolution path the schema-exact [[FromAvro]] fast
+  * path declares out of scope: a consumer deployed with reader schema
+  * v2 decodes bytes produced under writer v1, with removed fields
+  * skipped, added fields taking their declared defaults, and nested
+  * records resolved recursively — Avro's own
+  * `GenericDatumReader(writer, reader)` resolving machinery, mapped to
+  * Catalyst afterward. One extra materialization vs the direct reader
+  * — the documented price of resolution; PERMISSIVE like FromAvro
+  * (corrupt bytes → NULL, never a dead task). */
+@ExpressionDescription(
+  usage = "graft_from_avro_evolved(bin) - decode Avro-binary with writer->reader resolution")
+case class FromAvroEvolved(child: Expression, writerJson: String, readerJson: String)
+    extends UnaryExpression with CodegenFallback {
+
+  @transient private lazy val datumReader = {
+    val w = new Schema.Parser().parse(writerJson)
+    val r = new Schema.Parser().parse(readerJson)
+    new GenericDatumReader[GenericRecord](w, r)
+  }
+  override lazy val dataType: DataType =
+    AvroSchemaMap.toSparkType(new Schema.Parser().parse(readerJson))
+  override def nullable: Boolean = true
+
+  @transient private var decoder: BinaryDecoder = _
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    decoder = DecoderFactory.get().binaryDecoder(bytes, decoder)
+    try AvroSchemaMap.toCatalyst(datumReader.read(null, decoder), dataType)
+    catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  override protected def withNewChildInternal(c: Expression): FromAvroEvolved =
+    copy(child = c)
+}
+
 object AvroSerde {
   /** Column API: Avro-encode a struct column. */
   def to_avro(c: Column, schemaJson: String): Column =
     ColumnBridge.column(ToAvro(ColumnBridge.expression(c), schemaJson))
+
+  /** Column API: decode with writer→reader schema resolution. */
+  def from_avro_evolved(c: Column, writerJson: String, readerJson: String): Column =
+    ColumnBridge.column(FromAvroEvolved(ColumnBridge.expression(c), writerJson, readerJson))
 
   /** Column API: decode an Avro-binary column into a struct. */
   def from_avro(c: Column, schemaJson: String): Column =

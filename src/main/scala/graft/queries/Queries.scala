@@ -222,6 +222,74 @@ object Queries {
        |  count(*) AS n_id_ok
        |FROM $mSql""".stripMargin
 
+  /** Reader schema v2 for q137 — the evolution the reference's
+    * deployment would ship next: top-level `versao` REMOVED,
+    * `prioridade` (int, default 7) ADDED; nested `Registro` loses
+    * `uuid` and gains `peso` (double, default 1.5). Resolution is by
+    * field NAME against the v1 writer (SchemaDef.mensagemAvroJson). */
+  val MensagemV2Json: String =
+    """{
+      |  "type": "record", "name": "MensagemCarga", "namespace": "graft",
+      |  "fields": [
+      |    {"name": "id", "type": "string"},
+      |    {"name": "timestamp", "type": "long"},
+      |    {"name": "sequencia", "type": "long"},
+      |    {"name": "dados", "type": {"type": "array", "items": {
+      |      "type": "record", "name": "Registro", "fields": [
+      |        {"name": "indice", "type": "int"},
+      |        {"name": "texto", "type": "string"},
+      |        {"name": "numero", "type": "double"},
+      |        {"name": "timestamp", "type": "long"},
+      |        {"name": "peso", "type": "double", "default": 1.5}
+      |      ]}}},
+      |    {"name": "prioridade", "type": "int", "default": 7}
+      |  ]
+      |}""".stripMargin
+
+  /** Q137: AVRO SCHEMA EVOLUTION — bytes written under the v1 writer
+    * schema decoded by a v2 READER (field dropped, field added with a
+    * default, nested record evolved the same way: the rolling-deploy
+    * reality a schema registry exists to manage, and the capability
+    * the schema-exact fast path [[graft.functions.FromAvro]] declares
+    * out of scope). The profile proves resolution semantics
+    * field-by-field: surviving fields keep fidelity (id equality,
+    * sequencia and nested indice sums against the STORED columns),
+    * dropped fields are skipped silently, and every added field —
+    * top-level and nested — carries exactly its declared default. The
+    * oracle cannot run Avro, so it pins the same facts from the
+    * fixture's stored columns (the q49 discipline). */
+  def q137AvroEvolution(s: SparkSession, dir: String): DataFrame = {
+    val payload = struct(col("id"), col("timestamp"), col("sequencia"),
+      col("dados"), col("versao"))
+    val enc = graft.functions.AvroSerde.to_avro(
+      payload, graft.model.SchemaDef.mensagemAvroJson)
+    val dec = graft.functions.AvroSerde.from_avro_evolved(
+      col("bin"), graft.model.SchemaDef.mensagemAvroJson, MensagemV2Json)
+    msgs(s).withColumn("bin", enc)
+      .select(col("id"), col("sequencia"), dec.as("d"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("d.id") === col("id"), 1L).otherwise(0L)).as("n_id_ok"),
+        sum(col("d.sequencia")).as("sum_seq"),
+        min(col("d.prioridade")).as("min_prio"),
+        max(col("d.prioridade")).as("max_prio"),
+        sum(size(col("d.dados")).cast("long")).as("n_registros"),
+        sum(size(filter(col("d.dados"), r => r.getField("peso") === 1.5))
+          .cast("long")).as("n_default_peso"),
+        sum(expr("aggregate(d.dados, 0L, (a, r) -> a + r.indice)")).as("sum_indice"))
+  }
+
+  val q137Sql: String =
+    s"""SELECT count(*) AS n,
+       |  count(*) AS n_id_ok,
+       |  CAST(sum(sequencia) AS BIGINT) AS sum_seq,
+       |  CAST(7 AS INT) AS min_prio,
+       |  CAST(7 AS INT) AS max_prio,
+       |  CAST(sum(len(dados)) AS BIGINT) AS n_registros,
+       |  CAST(sum(len(dados)) AS BIGINT) AS n_default_peso,
+       |  CAST(sum(list_sum(list_transform(dados, r -> r.indice))) AS BIGINT)
+       |    AS sum_indice
+       |FROM $mSql""".stripMargin
+
   // ------------------------------------------------------------------- tpch
 
   /** Q10: pricing summary (hash agg, partial+final; TPC-H Q1 shape).
@@ -1438,6 +1506,7 @@ object Queries {
     "q26_pivot_events" -> (q26PivotEvents _),
     "q27_percentiles" -> (q27Percentiles _),
     "q49_confluent_wire" -> (q49ConfluentWire _),
+    "q137_avro_evolution" -> (q137AvroEvolution _),
     "q50_bucketed_join" -> (q50BucketedJoin _),
     "q51_salted_join" -> (q51SaltedJoin _),
     "q60_partition_pruning" -> (q60PartitionPruning _),
@@ -1478,6 +1547,7 @@ object Queries {
     "q26_pivot_events" -> q26Sql,
     "q27_percentiles" -> q27Sql,
     "q49_confluent_wire" -> q49Sql,
+    "q137_avro_evolution" -> q137Sql,
     "q50_bucketed_join" -> q50Sql,
     // identical ANSI text: the salted join must be identity-preserving
     "q51_salted_join" -> q50Sql,

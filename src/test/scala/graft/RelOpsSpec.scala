@@ -574,6 +574,32 @@ class RelOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // --------------------------------------------------------------- q137
+
+  test("q137: schema resolution skips dropped fields, applies defaults, keeps fidelity") {
+    import graft.functions.AvroSerde
+    import graft.model.SchemaDef
+    val row = spark.read.parquet(graft.sources.GenFixtures.MessagesPath).limit(1)
+      .select(struct(col("id"), col("timestamp"), col("sequencia"),
+        col("dados"), col("versao")).as("p"))
+    val dec = row
+      .select(AvroSerde.from_avro_evolved(
+        AvroSerde.to_avro(col("p"), SchemaDef.mensagemAvroJson),
+        SchemaDef.mensagemAvroJson, graft.queries.Queries.MensagemV2Json).as("d"))
+    // reader-shaped schema: versao gone, prioridade present; nested
+    // Registro: uuid gone, peso present
+    val dt = dec.schema("d").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(dt.fieldNames.toSeq == Seq("id", "timestamp", "sequencia", "dados", "prioridade"))
+    val reg = dt("dados").dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(reg.fieldNames.toSeq == Seq("indice", "texto", "numero", "timestamp", "peso"))
+    val r = dec.select(col("d.prioridade"), col("d.dados")(0).getField("peso"),
+      col("d.id")).head()
+    assert(r.getInt(0) == 7, "added top-level field must carry its declared default")
+    assert(r.getDouble(1) == 1.5, "added nested field must carry its declared default")
+    assert(r.getString(2) != null && r.getString(2).nonEmpty)
+  }
+
   // --------------------------------------------------------------- sq14
 
   test("sq14: the files the sink wrote equal the batch aggregate") {
