@@ -283,7 +283,9 @@ object Bench {
       "q129_user_trend", "q130_changepoint",
       "q131_rollup_cascade", "q132_pit_join",
       "q133_hierarchy", "q134_lateral_topk",
-      "q135_profile", "q136_benford", "q137_avro_evolution")
+      "q135_profile", "q136_benford", "q137_avro_evolution",
+      "sq15_stream_timer_session", "sq16_stream_lastn",
+      "sq17_stream_type_counts")
     // shingle-index misses during TIMED passes only (warm passes are
     // expected to build it once per session+dir)
     var timedIndexMisses = 0L

@@ -222,7 +222,11 @@ object ScaleCheck {
     "q133_hierarchy", "q134_lateral_topk",
     // profiler: explode ×|columns| of narrow pairs, per-column distinct
     // partials; benford: 9-row collapse at the first agg
-    "q135_profile", "q136_benford")
+    "q135_profile", "q136_benford",
+    // V2 state legs: timers re-arm per batch (state = one row/user);
+    // the last-N buffer is O(N)/user; the type map is |types|/user
+    "sq15_stream_timer_session", "sq16_stream_lastn",
+    "sq17_stream_type_counts")
 
   /** q105's drill can't ride the dir mechanism (the media fixture is
     * a generated table at a fixed path), so it scales by GENERATing a

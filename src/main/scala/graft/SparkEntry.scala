@@ -44,7 +44,13 @@ object SparkEntry {
       "sq13_stream_profile" ->
         ((s: SparkSession, dir: String) => StreamOps.sq13StreamProfile(s, dir)),
       "sq14_foreach_sink" ->
-        ((s: SparkSession, dir: String) => StreamOps.sq14ForeachBatchSink(s, dir)))
+        ((s: SparkSession, dir: String) => StreamOps.sq14ForeachBatchSink(s, dir)),
+      "sq15_stream_timer_session" ->
+        ((s: SparkSession, dir: String) => StreamOps.sq15StreamTimerSession(s, dir)),
+      "sq16_stream_lastn" ->
+        ((s: SparkSession, dir: String) => StreamOps.sq16StreamLastn(s, dir)),
+      "sq17_stream_type_counts" ->
+        ((s: SparkSession, dir: String) => StreamOps.sq17StreamTypeCounts(s, dir)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -63,5 +69,9 @@ object SparkEntry {
       "sq11_stream_left_join" -> StreamOps.sq11Sql,
       "sq12_stream_rollup" -> StreamOps.sq12Sql,
       "sq13_stream_profile" -> StreamOps.sq13Sql,
-      "sq14_foreach_sink" -> StreamOps.sq14Sql)
+      "sq14_foreach_sink" -> StreamOps.sq14Sql,
+      // same oracle as sq6/sq7: the flush tick makes timer output = q22
+      "sq15_stream_timer_session" -> Queries.q22Sql,
+      "sq16_stream_lastn" -> StreamOps.sq16Sql,
+      "sq17_stream_type_counts" -> StreamOps.sq17Sql)
 }

@@ -832,21 +832,21 @@ object StreamOps {
     * final session emits from the TIMEOUT branch — so the oracle is
     * the batch q22 SQL with no recovery union anywhere: the
     * production shape, driver-hash-checked. */
-  def sq7SessionizeTimeout(s: SparkSession, dir: String): DataFrame = {
-    val gapUs = graft.queries.Queries.SessionGapUs
-    val work = java.nio.file.Files.createTempDirectory("graft_sq7_")
+  /** Stage the events fixture into a temp dir PLUS a flush-tick
+    * sentinel one gap + one minute past max(ts) (same ts vintage as
+    * the fixture — the streaming schema probe reads the whole dir).
+    * Empty day: one schema-bearing part file, no tick. Shared by the
+    * two timeout sessionizers (sq7 GroupStateTimeout, sq15 V2
+    * timers). */
+  private def stageWithFlushTick(s: SparkSession, dir: String, gapUs: Long): String = {
+    val work = java.nio.file.Files.createTempDirectory("graft_flush_")
     work.toFile.deleteOnExit()
     val raw = s.read.parquet(s"$dir/events.parquet")
     val maxRow = TsBridge.normalize(raw).agg(max(unix_micros(col("ts")))).head()
-    // empty day: no flush tick to stage (max(ts) is NULL) — write one
-    // schema-bearing part file so the staged read still resolves; the
-    // sessionizer then emits zero sessions (empty-tables parity sweep)
     val staged = if (maxRow.isNullAt(0)) raw.repartition(1) else raw
     staged.write.mode("append").parquet(work.toString)
     if (!maxRow.isNullAt(0)) {
       val flushUs = maxRow.getLong(0) + gapUs + 60L * 1000000
-      // the tick file must carry the SAME ts vintage as the staged
-      // fixture — the streaming schema probe reads the whole dir
       val tickTs = raw.schema("ts").dataType match {
         case LongType => lit(flushUs * 1000L)
         case TimestampNTZType =>
@@ -859,7 +859,13 @@ object StreamOps {
         tickTs.as("ts"))
         .write.mode("append").parquet(work.toString)
     }
-    sq6SessionizeTimeout(s, work.toString)
+    work.toString
+  }
+
+  def sq7SessionizeTimeout(s: SparkSession, dir: String): DataFrame = {
+    val gapUs = graft.queries.Queries.SessionGapUs
+    val work = stageWithFlushTick(s, dir, gapUs)
+    sq6SessionizeTimeout(s, work)
       .filter(col("user_id") >= 0)
       .orderBy("user_id", "sid")
   }
@@ -1078,6 +1084,264 @@ object StreamOps {
       q.recentProgress.map(_.numInputRows).sum
     }
   }
+
+  // ------------------------------------------ sq15 V2 timer sessionizer
+
+  /** SQ15's stateful processor — the TIMER leg of the V2 API
+    * ([[ProfileProcessor]] covers ValueState; this adds
+    * registerTimer/handleExpiredTimer under TimeMode.EventTime): the
+    * sq6 gap-rule sessionizer where the FINAL open session emits from
+    * an event-time timer when the watermark passes lastUs + gap —
+    * the V2 rewrite of sq7's GroupStateTimeout shape. Each batch
+    * re-arms the key's single timer (delete-then-register; a stale
+    * timer would flush a still-live session early on the next
+    * watermark advance). */
+  final class TimerSessionProcessor(gapUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EvW, Session] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[SessionState] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[SessionState]("session",
+        org.apache.spark.sql.Encoders.product[SessionState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[EvW],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[Session] = {
+      val sorted = rows.toArray.sortBy(e => (e.us, e.event_id))
+      if (sorted.isEmpty) return Iterator.empty
+      var out = List.empty[Session]
+      var st = if (state.exists()) state.get() else null
+      sorted.foreach { e =>
+        st =
+          if (st == null) SessionState(1L, e.us, e.us, 1L)
+          else if (e.us - st.lastUs > gapUs) {
+            out ::= Session(key, st.sid, st.n, st.startUs, st.lastUs - st.startUs)
+            SessionState(st.sid + 1, e.us, e.us, 1L)
+          } else st.copy(lastUs = e.us, n = st.n + 1)
+      }
+      state.update(st)
+      val h = getHandle
+      h.listTimers().foreach(t => h.deleteTimer(t.asInstanceOf[Long]))
+      h.registerTimer(st.lastUs / 1000 + gapUs / 1000)
+      out.reverseIterator
+    }
+
+    override def handleExpiredTimer(key: Long,
+        tv: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[Session] =
+      if (state.exists()) {
+        val st = state.get()
+        state.clear()
+        Iterator.single(Session(key, st.sid, st.n, st.startUs, st.lastUs - st.startUs))
+      } else Iterator.empty
+  }
+
+  /** SQ15: the sq6/sq7 sessionizer through `transformWithState`
+    * EVENT-TIME TIMERS — closing the V2 API surface (typed state:
+    * sq13; timers: here): closed sessions emit as later events prove
+    * the gap, each user's final session emits from its timer when
+    * the watermark passes lastUs + gap, state clears (idle users
+    * EVICT — the unbounded-stream property), and the staged flush
+    * tick advances the final watermark past every timer so the
+    * output equals the batch q22 row-for-row — the same oracle as
+    * sq6/sq7. */
+  def sq15StreamTimerSession(s: SparkSession, dir: String): DataFrame = {
+    val gapUs = graft.queries.Queries.SessionGapUs
+    val name = s"sq15_${System.nanoTime()}"
+    val work = stageWithFlushTick(s, dir, gapUs)
+    val streamed = withStreamShuffle(s) { fs =>
+      fs.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      import fs.implicits._
+      val typed = TsBridge.normalize(
+          fs.readStream.schema(eventsSchema(tsTypeAt(fs, work))).parquet(stageAsDir(work)))
+        .withWatermark("ts", "0 seconds")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+          col("ts"))
+        .as[EvW]
+      val q = typed.groupByKey(_.user_id)
+        .transformWithState(new TimerSessionProcessor(gapUs),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .toDF()
+        .writeStream.queryName(name).format("memory")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      fs.table(name)
+    }
+    streamed.filter(col("user_id") >= 0).orderBy("user_id", "sid")
+  }
+
+  // ------------------------------------------- sq16 ListState last-N
+
+  /** Recent-history buffer size. */
+  val LastN = 3
+
+  /** Emitted last-N row (most recent first; −1 pads). */
+  final case class LastNRow(user_id: Long, n_seen: Long, l1: Long, l2: Long, l3: Long)
+
+  /** SQ16's processor — the LISTSTATE leg of the V2 API: a bounded
+    * most-recent-[[LastN]] event-id buffer per user (the
+    * recent-history feature every personalization/abuse model reads),
+    * plus a ValueState counter making emissions monotone (max-n_seen
+    * row = final). The buffer stores oldest→newest and trims on
+    * append — state is O(N) per user forever. */
+  final class LastNProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, LastNRow] {
+    @transient private var buf: org.apache.spark.sql.streaming.ListState[Long] = _
+    @transient private var seen: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      buf = getHandle.getListState[Long]("recent",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      seen = getHandle.getValueState[Long]("seen",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[LastNRow] = {
+      val sorted = rows.toArray.sortBy(e => (e.us, e.event_id))
+      if (sorted.isEmpty) return Iterator.empty
+      val cur = buf.get().toArray ++ sorted.map(_.event_id)
+      val trimmed = cur.takeRight(LastN)
+      buf.put(trimmed)
+      val n = (if (seen.exists()) seen.get() else 0L) + sorted.length
+      seen.update(n)
+      val recentFirst = trimmed.reverse.padTo(LastN, -1L)
+      Iterator.single(LastNRow(key, n, recentFirst(0), recentFirst(1), recentFirst(2)))
+    }
+  }
+
+  /** SQ16: PER-USER RECENT-HISTORY BUFFER via `transformWithState`
+    * ListState — bounded O(N)-per-user state under any stream volume;
+    * the batch oracle ranks each user's events by recency. */
+  def sq16StreamLastn(s: SparkSession, dir: String): DataFrame = {
+    val name = s"sq16_${System.nanoTime()}"
+    val streamed = withStreamShuffle(s) { fs =>
+      fs.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      import fs.implicits._
+      val typed = eventsStream(fs, dir)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+        .as[Ev]
+      val q = typed.groupByKey(_.user_id)
+        .transformWithState(new LastNProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .toDF()
+        .writeStream.queryName(name).format("memory")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      fs.table(name)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("n_seen").desc)
+    streamed.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("user_id", "n_seen", "l1", "l2", "l3")
+      .orderBy("user_id")
+  }
+
+  val sq16Sql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+       |  FROM events
+       |), r AS (
+       |  SELECT user_id, event_id,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY us DESC, event_id DESC) AS rn,
+       |    count(*) OVER (PARTITION BY user_id) AS n
+       |  FROM e
+       |)
+       |SELECT user_id, CAST(max(n) AS BIGINT) AS n_seen,
+       |  CAST(coalesce(max(CASE WHEN rn = 1 THEN event_id END), -1) AS BIGINT) AS l1,
+       |  CAST(coalesce(max(CASE WHEN rn = 2 THEN event_id END), -1) AS BIGINT) AS l2,
+       |  CAST(coalesce(max(CASE WHEN rn = 3 THEN event_id END), -1) AS BIGINT) AS l3
+       |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ------------------------------------------- sq17 MapState counters
+
+  /** Emitted per-type counter row. */
+  final case class TypeCounts(user_id: Long, total: Long, n_click: Long,
+      n_error: Long, n_purchase: Long, n_signup: Long, n_view: Long)
+
+  /** Typed event row carrying the type (sq17 input). */
+  final case class EvT(user_id: Long, event_id: Long, us: Long, event_type: String)
+
+  /** SQ17's processor — the MAPSTATE leg of the V2 API: per-user
+    * map(event_type → count), point-updated per arrival (at scale a
+    * map entry updates without rewriting the rest of the user's
+    * state — the reason MapState exists over a ValueState[Map]). */
+  final class TypeCountProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EvT, TypeCounts] {
+    @transient private var counts: org.apache.spark.sql.streaming.MapState[String, Long] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[EvT],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[TypeCounts] = {
+      var any = false
+      rows.foreach { e =>
+        any = true
+        val c = if (counts.containsKey(e.event_type)) counts.getValue(e.event_type) else 0L
+        counts.updateValue(e.event_type, c + 1)
+      }
+      if (!any) return Iterator.empty
+      val m = counts.iterator().map(p => p._1 -> p._2).toMap
+      def g(t: String) = m.getOrElse(t, 0L)
+      Iterator.single(TypeCounts(key, m.values.sum, g("click"), g("error"),
+        g("purchase"), g("signup"), g("view")))
+    }
+  }
+
+  /** SQ17: PER-USER TYPE COUNTERS via `transformWithState` MapState —
+    * with sq13 (ValueState), sq15 (event-time timers) and sq16
+    * (ListState), the V2 arbitrary-stateful API surface is complete.
+    * Oracle: the batch pivot. */
+  def sq17StreamTypeCounts(s: SparkSession, dir: String): DataFrame = {
+    val name = s"sq17_${System.nanoTime()}"
+    val streamed = withStreamShuffle(s) { fs =>
+      fs.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      import fs.implicits._
+      val typed = eventsStream(fs, dir)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+          col("event_type"))
+        .as[EvT]
+      val q = typed.groupByKey(_.user_id)
+        .transformWithState(new TypeCountProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .toDF()
+        .writeStream.queryName(name).format("memory")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      fs.table(name)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("total").desc)
+    streamed.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("user_id", "total", "n_click", "n_error", "n_purchase",
+        "n_signup", "n_view")
+      .orderBy("user_id")
+  }
+
+  val sq17Sql: String =
+    """SELECT user_id, count(*) AS total,
+      |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+      |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+      |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+      |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+      |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
   /** SQ13's DuckDB oracle: the batch per-user profile under the same
     * 30-min session-gap rule. */

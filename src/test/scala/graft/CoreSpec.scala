@@ -150,7 +150,7 @@ class CoreSpec extends AnyFunSuite {
     val parts = Seq(graft.queries.Queries.all, graft.queries.RelOps.all,
       graft.llmops.TextOps.all, graft.llmops.VectorOps.all,
       graft.llmops.MultimodalOps.all)
-    val streaming = 14 // sq1..sq14, added inline in SparkEntry
+    val streaming = 17 // sq1..sq17, added inline in SparkEntry
     assert(q.size == parts.map(_.size).sum + streaming,
       "duplicate query names across registries would shadow silently")
     assert(SparkEntry.entry(spark).count() > 0, "driver smoke: entry must return rows")

@@ -656,6 +656,40 @@ class RelOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"rank-sum AUC ${row.getAs[Double]("auc")} != pairwise $brute")
   }
 
+  // --------------------------------------------------------------- sq15
+
+  test("sq15: V2 timer sessionizer equals the GroupStateTimeout shape") {
+    // two different stateful APIs (transformWithState event-time
+    // timers vs flatMapGroupsWithState EventTimeTimeout), same flush
+    // tick, must agree row-for-row
+    val v2 = StreamOps.sq15StreamTimerSession(spark, dir).collect().map(_.toSeq)
+    val v1 = StreamOps.sq7SessionizeTimeout(spark, dir).collect().map(_.toSeq)
+    assert(v2.toSeq == v1.toSeq)
+  }
+
+  // --------------------------------------------------------------- sq16
+
+  test("sq16/sq17: bounded state rows equal batch recency/pivot") {
+    val ln = StreamOps.sq16StreamLastn(spark, dir).collect()
+    val e = graft.sources.TsBridge.normalize(
+        spark.read.parquet(s"$dir/events.parquet"))
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byUser = e.groupBy(_._1)
+    ln.foreach { r =>
+      val rows = byUser(r.getLong(0)).sortBy(x => (-x._3, -x._2))
+      assert(r.getLong(1) == rows.length)
+      val want = rows.take(StreamOps.LastN).map(_._2).padTo(StreamOps.LastN, -1L)
+      assert(Seq(r.getLong(2), r.getLong(3), r.getLong(4)) == want.toSeq,
+        s"user ${r.getLong(0)} recent buffer mismatch")
+    }
+    val tc = StreamOps.sq17StreamTypeCounts(spark, dir).collect()
+    tc.foreach { r =>
+      assert(r.getLong(1) == Seq(2, 3, 4, 5, 6).map(r.getLong).sum,
+        "per-type counters must partition the user's total")
+    }
+  }
+
   // --------------------------------------------------------------- sq13
 
   test("sq13: transformWithState profile equals the batch profile") {
