@@ -285,7 +285,7 @@ object Bench {
       "q133_hierarchy", "q134_lateral_topk",
       "q135_profile", "q136_benford", "q137_avro_evolution",
       "sq15_stream_timer_session", "sq16_stream_lastn",
-      "sq17_stream_type_counts")
+      "sq17_stream_type_counts", "q138_prefix_jaccard")
     // shingle-index misses during TIMED passes only (warm passes are
     // expected to build it once per session+dir)
     var timedIndexMisses = 0L

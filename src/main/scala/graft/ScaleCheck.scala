@@ -226,7 +226,11 @@ object ScaleCheck {
     // V2 state legs: timers re-arm per batch (state = one row/user);
     // the last-N buffer is O(N)/user; the type map is |types|/user
     "sq15_stream_timer_session", "sq16_stream_lastn",
-    "sq17_stream_type_counts")
+    "sq17_stream_type_counts",
+    // prefix filtering: candidates generate from the RARE end of the
+    // vocabulary — the hot-shingle regime this drill creates is the
+    // exact workload the rewrite exists for
+    "q138_prefix_jaccard")
 
   /** q105's drill can't ride the dir mechanism (the media fixture is
     * a generated table at a fixed path), so it scales by GENERATing a

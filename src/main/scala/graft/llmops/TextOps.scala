@@ -3660,7 +3660,99 @@ object TextOps {
 
   // --------------------------------------------------------- registry
 
+  // ----------------------------------------- q138 prefix-filtering join
+
+  /** q138's Jaccard threshold — HIGHER than q35's 0.5 deliberately:
+    * prefix length is n − ⌈t·n⌉ + 1, so at t=0.5 the "prefix" is half
+    * the document and the candidate join approaches the full index
+    * join it is meant to beat (measured: 15 s vs q35's 0.4 s at
+    * sf0.1 — the strategy INVERTS below its regime). At t=0.8 the
+    * prefix is the rarest ~20% and candidates collapse. The oracle is
+    * the q35 formulation AT THIS THRESHOLD — identity against the
+    * full join still proves no false negatives. */
+  val PrefixJoinT = 0.8
+
+  /** q138: PREFIX-FILTERING SET-SIMILARITY JOIN (the All-Pairs/PPJoin
+    * discipline) — the third identity-preserving physical rewrite in
+    * the engine (q51 salting, q113 bloom): for Jaccard ≥ t, order
+    * every document's shingles by GLOBAL RARITY (df, then shingle)
+    * and index only each document's first n − ⌈t·n⌉ + 1 — any pair
+    * reaching t must share a PREFIX token under a common total order,
+    * so candidates generate from the rare end of the vocabulary and
+    * the hot-shingle posting lists that dominate q35's Σ freq² cost
+    * never enter the candidate join (they still serve the VERIFY,
+    * which is candidate-bounded). The length filter t·na ≤ nb ≤ na/t
+    * prunes before verification; exact common counts then reproduce
+    * the full index join's output bit-for-bit at [[PrefixJoinT]] —
+    * the oracle is the q35 formulation at that threshold, so the
+    * hash match IS the no-false-negatives proof of the prefix
+    * theorem as implemented.
+    *
+    * Scale shape: df is a partial-agg'd vocabulary table; the rank
+    * window partitions per doc; the candidate join's cost is
+    * Σ_{prefix-shingle} freq² — prefix tokens are df-rare by
+    * construction, exactly inverting the hot-shingle skew. */
+  def q138PrefixJaccard(s: SparkSession, dir: String): DataFrame = {
+    val t = PrefixJoinT
+    val ex = shingles(s, dir)
+    val dfTbl = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val ranked = ex.join(dfTbl, "shingle")
+      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy("df", "shingle")))
+      .withColumn("plen", col("n_sh") - ceil(lit(t) * col("n_sh")) + 1)
+    val prefix = ranked.filter(col("rk") <= col("plen"))
+      .select(col("doc_id"), col("shingle"), col("n_sh"))
+    val cands = prefix.as("a").join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("b.n_sh") >= lit(t) * col("a.n_sh") &&
+          col("a.n_sh") >= lit(t) * col("b.n_sh"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // PPJoin-style verify: per-PAIR set intersection over the two
+    // doc arrays — O(na+nb) per candidate with no row explosion (the
+    // first formulation joined candidates back through the exploded
+    // posting rows: Σ_cand na intermediate rows, which at sf0.1 cost
+    // more than the candidate generation it followed)
+    val docArr = ex.groupBy("doc_id")
+      .agg(collect_list("shingle").as("sa"), count(lit(1)).as("n"))
+    cands
+      .join(docArr.select(col("doc_id").as("doc_a"), col("sa").as("xa"),
+        col("n").as("na")), "doc_a")
+      .join(docArr.select(col("doc_id").as("doc_b"), col("sa").as("xb"),
+        col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("xa"), col("xb"))).cast("long").as("common"),
+        col("na"), col("nb"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("common").cast("double") / (col("na") + col("nb") - col("common")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= t)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** q138's oracle: the q35 full-index formulation AT q138's
+    * threshold — identity across strategies proves the prefix theorem
+    * loses no pair. */
+  val q138Sql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, $shinglesSql AS sh
+       |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents)
+       |), ex AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM sh)
+       |SELECT doc_a, doc_b, CAST(common AS DOUBLE) / (na + nb - common) AS jaccard
+       |FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
+       |    count(*) AS common
+       |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4)
+       |WHERE CAST(common AS DOUBLE) / (na + nb - common) >= $PrefixJoinT
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the q35 formulation at q138's threshold: prefix filtering is a
+    // physical strategy — the hash match proves the rewrite loses no pair
+    "q138_prefix_jaccard" -> (q138PrefixJaccard _),
     "q30_textstats" -> (q30TextStats _),
     "q31_langid" -> (q31LangId _),
     "q32_quality" -> (q32Quality _),
@@ -3718,6 +3810,7 @@ object TextOps {
     "q33_fingerprint" -> q33Sql,
     "q34_exact_dedup" -> q34Sql,
     "q35_jaccard_pairs" -> q35Sql,
+    "q138_prefix_jaccard" -> q138Sql,
     "q36_minhash_sig" -> q36Sql,
     "q37_neardup_lsh" -> q37Sql,
     "q38_simhash" -> q38Sql,

@@ -690,6 +690,20 @@ class RelOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // --------------------------------------------------------------- q138
+
+  test("q138: prefix-filtered join reproduces the full index join exactly") {
+    val got = graft.llmops.TextOps.q138PrefixJaccard(spark, dir).collect().map(_.toSeq)
+    // the full index join at q138's threshold = q35's exact pairs
+    // re-thresholded (both compute exact Jaccard)
+    val want = graft.llmops.TextOps.q35JaccardPairs(spark, dir)
+      .filter(col("jaccard") >= graft.llmops.TextOps.PrefixJoinT)
+      .collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq,
+      "prefix filtering must lose no pair at its threshold")
+    assert(want.nonEmpty, "sf0.001 must contain pairs above the threshold")
+  }
+
   // --------------------------------------------------------------- sq13
 
   test("sq13: transformWithState profile equals the batch profile") {
