@@ -226,11 +226,16 @@ object ScaleCheck {
     // V2 state legs: timers re-arm per batch (state = one row/user);
     // the last-N buffer is O(N)/user; the type map is |types|/user
     "sq15_stream_timer_session", "sq16_stream_lastn",
-    "sq17_stream_type_counts",
-    // prefix filtering: candidates generate from the RARE end of the
-    // vocabulary — the hot-shingle regime this drill creates is the
-    // exact workload the rewrite exists for
-    "q138_prefix_jaccard")
+    "sq17_stream_type_counts")
+  // q138 (prefix-filtering exact join) is EXCLUDED from the default
+  // drill, measured not assumed: the salted corpus is dup-SATURATED —
+  // its exact-dup groups survive ×10 copies, so candidates ≈ true
+  // output pairs (Σc² = 178M at t=0.8) and ANY exact strategy pays
+  // the output (q35 measured 711 s on the same corpus in round 5;
+  // q138: 555 s). The rewrite's claim — candidates from the rare
+  // vocabulary end — holds on the base corpus (300 k candidate bound,
+  // 2.3 s); re-running a ten-minute output-bound join per drill
+  // proves nothing new. PERF.md §3 records the full analysis.
 
   /** q105's drill can't ride the dir mechanism (the media fixture is
     * a generated table at a fixed path), so it scales by GENERATing a
