@@ -285,7 +285,11 @@ object Bench {
       "q133_hierarchy", "q134_lateral_topk",
       "q135_profile", "q136_benford", "q137_avro_evolution",
       "sq15_stream_timer_session", "sq16_stream_lastn",
-      "sq17_stream_type_counts", "q138_prefix_jaccard")
+      "sq17_stream_type_counts", "q138_prefix_jaccard",
+      // round-9 (continuous-build round 9) operators
+      "q139_histogram", "q140_winsorize", "q141_itemsets",
+      "q142_unpivot", "q143_notin_nulls", "q144_asof_tolerance",
+      "q145_ivm_view", "q146_bfs_paths")
     // shingle-index misses during TIMED passes only (warm passes are
     // expected to build it once per session+dir)
     var timedIndexMisses = 0L

@@ -1,0 +1,484 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Round-9 mining/audit operators (SURVEY.md §2.3): equi-width
+  * histograms, winsorized robust stats, frequent-itemset pairs
+  * (a-priori pruned), wide→long unpivot, null-aware anti-join
+  * semantics, as-of join with a match tolerance, incremental
+  * view maintenance over delta batches, and bounded-depth BFS
+  * shortest paths over the q116 affinity graph.
+  *
+  * Same oracle-parity rules as [[Queries]] (FIXTURES.md §D): exact
+  * DECIMAL sums under double outputs, integer bucket arithmetic where
+  * a float boundary could diverge cross-engine, stable ORDER BY in
+  * both dialects, identical expression shapes, timestamps as epoch us.
+  */
+object MiningOps {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    graft.sources.TsBridge.normalize(t(s, dir, "events"))
+
+  private def dec(c: Column, p: Int, sc: Int): Column = c.cast(DecimalType(p, sc))
+
+  // ------------------------------------------------ q139 histogram
+
+  /** Equi-width bucket count. */
+  val HistBuckets = 20
+
+  /** q139: EQUI-WIDTH HISTOGRAM of order value per priority — the
+    * distribution profile every monitoring/EDA pass starts with.
+    * Bucket arithmetic is ALL-INTEGER (floor the value, integer
+    * span/width, integer division) so a bucket boundary can never
+    * land differently in the two engines' float rounding — the
+    * cross-engine discipline q130's integer CUSUM established.
+    *
+    * Scale shape: one bounded 1-row action reads the global min/max
+    * (an agg over a columnar scan — parquet min/max stats make this
+    * nearly free), then ONE groupBy((priority, bucket)) with map-side
+    * partial aggregation; output is B × priorities rows. No sort, no
+    * window, no per-row driver work — at 100 TB this is a single
+    * scan + a tiny shuffle. */
+  def q139Histogram(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    // bounded action: one 1-row global bounds read (the q113 pattern)
+    val r = o.agg(floor(min(col("o_totalprice"))).cast("long"),
+      floor(max(col("o_totalprice"))).cast("long")).head()
+    // empty-relation guard (the adversarial `empty` family): degrade
+    // to a degenerate single-bucket geometry, yielding zero rows
+    val lo = if (r.isNullAt(0)) 0L else r.getLong(0)
+    val span = (if (r.isNullAt(1)) 0L else r.getLong(1)) - lo + 1
+    val w = (span + HistBuckets - 1) / HistBuckets
+    val bucket = (floor(col("o_totalprice")).cast("long") - lit(lo)) / lit(w)
+    o.groupBy(col("o_orderpriority"), bucket.cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("o_totalprice"), 18, 2)).cast("double").as("total"))
+      .select(col("o_orderpriority"), col("bucket"),
+        (lit(lo) + col("bucket") * lit(w)).as("edge_lo"),
+        (lit(lo) + (col("bucket") + 1) * lit(w)).as("edge_hi"),
+        col("n"), col("total"))
+      .orderBy("o_orderpriority", "bucket")
+  }
+
+  val q139Sql: String =
+    s"""WITH b AS (
+      |  SELECT CAST(floor(min(o_totalprice)) AS BIGINT) AS lo,
+      |    CAST(floor(max(o_totalprice)) AS BIGINT) AS hi
+      |  FROM orders
+      |), p AS (
+      |  SELECT lo, (hi - lo + 1 + ${HistBuckets - 1}) // $HistBuckets AS w FROM b
+      |), h AS (
+      |  SELECT o_orderpriority,
+      |    (CAST(floor(o_totalprice) AS BIGINT) - p.lo) // p.w AS bucket,
+      |    count(*) AS n,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |    max(p.lo) AS lo, max(p.w) AS w
+      |  FROM orders CROSS JOIN p GROUP BY 1, 2
+      |)
+      |SELECT o_orderpriority, bucket, lo + bucket * w AS edge_lo,
+      |  lo + (bucket + 1) * w AS edge_hi, n, total
+      |FROM h ORDER BY o_orderpriority, bucket""".stripMargin
+
+  // ------------------------------------------------ q140 winsorize
+
+  /** q140: WINSORIZED ROBUST STATS per event type — clip values to
+    * the group's [p05, p95] and report the mean before/after: the
+    * outlier-robust aggregation step feature pipelines apply before
+    * any scale-sensitive model input. Interpolated percentiles use
+    * the same percentile_cont algorithm in both engines (the q27
+    * precedent); the winsorized mean crosses engines as an exact
+    * DECIMAL(28,6) sum — a raw double sum would be
+    * partition-order-dependent. (The double→DECIMAL cast itself is
+    * deterministic: decimal midpoints are not binary-representable,
+    * so no value ever sits on a rounding tie.)
+    *
+    * Scale shape: exact per-group percentiles are one sort-based agg
+    * over the group (Spark's percentile_cont); the bounds table is
+    * groups-sized → broadcast back; clip+mean is one more map-side
+    * partial agg. Two passes total, no window over the full corpus. */
+  def q140Winsorize(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val bounds = e.groupBy("event_type")
+      .agg(expr("percentile_cont(0.05) WITHIN GROUP (ORDER BY value)").as("p05"),
+        expr("percentile_cont(0.95) WITHIN GROUP (ORDER BY value)").as("p95"))
+    val clipped = least(greatest(col("value"), col("p05")), col("p95"))
+    e.join(broadcast(bounds), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        max(col("p05")).as("p05"), max(col("p95")).as("p95"),
+        // exact DECIMAL sum, then ONE double division — a decimal
+        // avg's internal scale rounding differs between engines
+        (sum(dec(col("value"), 28, 6)).cast("double") / count(lit(1)))
+          .as("mean_raw"),
+        (sum(dec(clipped, 28, 6)).cast("double") / count(lit(1)))
+          .as("mean_wins"))
+      .orderBy("event_type")
+  }
+
+  val q140Sql: String =
+    """WITH b AS (
+      |  SELECT event_type,
+      |    percentile_cont(0.05) WITHIN GROUP (ORDER BY value) AS p05,
+      |    percentile_cont(0.95) WITHIN GROUP (ORDER BY value) AS p95
+      |  FROM events GROUP BY event_type
+      |)
+      |SELECT e.event_type, count(*) AS n, max(b.p05) AS p05, max(b.p95) AS p95,
+      |  CAST(sum(CAST(e.value AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS mean_raw,
+      |  CAST(sum(CAST(least(greatest(e.value, b.p05), b.p95) AS DECIMAL(28,6)))
+      |    AS DOUBLE) / count(*) AS mean_wins
+      |FROM events e JOIN b ON e.event_type = b.event_type
+      |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
+
+  // ------------------------------------------------ q141 frequent itemsets
+
+  /** Minimum basket co-occurrence a pair needs (and an item needs to
+    * enter pair generation — the a-priori bound: no pair can be
+    * frequent unless both items are). */
+  val MinSupport = 3
+
+  /** q141: FREQUENT ITEMSET PAIRS over order baskets (market-basket
+    * affinity) with A-PRIORI PRUNING: items below [[MinSupport]] are
+    * dropped BEFORE pair generation, because a pair's support is
+    * bounded by its rarest item — the classic downward-closure
+    * property, and the sparsifier that keeps the per-basket pair join
+    * from going quadratic in catalog size. Emits support, directional
+    * confidence, and lift (exact integer ratios cast to double —
+    * identical division shapes cross-engine).
+    *
+    * Scale shape: baskets collapse by DISTINCT map-side; item counts
+    * are one partial-agged groupBy; the pair join runs PER BASKET
+    * (equi-join on the order key) so its volume is Σ basket_size² —
+    * bounded by the largest basket, never the catalog; pair counts
+    * partial-aggregate before the support filter. The frequent-item
+    * table broadcasts. */
+  def q141Itemsets(s: SparkSession, dir: String): DataFrame = {
+    val b = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val items = b.groupBy("p").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= MinSupport)
+    val fb = b.join(broadcast(items), "p")
+    val pairs = fb.as("a")
+      .join(fb.as("bb"), col("a.o") === col("bb.o") && col("a.p") < col("bb.p"))
+      .groupBy(col("a.p").as("p1"), col("bb.p").as("p2"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= MinSupport)
+    val nb = b.agg(countDistinct(col("o")).as("n_baskets"))
+    pairs
+      .join(broadcast(items.select(col("p").as("p1"), col("cnt").as("c1"))), "p1")
+      .join(broadcast(items.select(col("p").as("p2"), col("cnt").as("c2"))), "p2")
+      .crossJoin(broadcast(nb))
+      .select(col("p1"), col("p2"), col("support"),
+        (col("support").cast("double") / col("c1")).as("conf_1to2"),
+        (col("support").cast("double") / col("c2")).as("conf_2to1"),
+        ((col("support") * col("n_baskets")).cast("double") /
+          (col("c1") * col("c2"))).as("lift"))
+      .orderBy("p1", "p2")
+  }
+
+  val q141Sql: String =
+    s"""WITH b AS (
+      |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+      |), items AS (
+      |  SELECT p, count(*) AS cnt FROM b GROUP BY p HAVING count(*) >= $MinSupport
+      |), fb AS (
+      |  SELECT b.o, b.p, items.cnt FROM b JOIN items ON b.p = items.p
+      |), pairs AS (
+      |  SELECT a.p AS p1, bb.p AS p2, count(*) AS support
+      |  FROM fb a JOIN fb bb ON a.o = bb.o AND a.p < bb.p
+      |  GROUP BY 1, 2 HAVING count(*) >= $MinSupport
+      |), nb AS (SELECT count(DISTINCT o) AS n_baskets FROM b)
+      |SELECT p1, p2, support,
+      |  CAST(support AS DOUBLE) / i1.cnt AS conf_1to2,
+      |  CAST(support AS DOUBLE) / i2.cnt AS conf_2to1,
+      |  CAST(support * n_baskets AS DOUBLE) / (i1.cnt * i2.cnt) AS lift
+      |FROM pairs JOIN items i1 ON pairs.p1 = i1.p
+      |  JOIN items i2 ON pairs.p2 = i2.p CROSS JOIN nb
+      |ORDER BY p1, p2""".stripMargin
+
+  // ------------------------------------------------ q142 unpivot
+
+  /** q142: WIDE→LONG UNPIVOT (melt) — the inverse of q26's pivot,
+    * through Spark's native `unpivot` operator (an Expand node: each
+    * input row fans out to one row per value column, no shuffle at
+    * all). The wide input is a per-nation profile of customer and
+    * supplier balances; the long output is (nation, metric, value) —
+    * the shape metric stores and plotting layers ingest.
+    *
+    * Scale shape: two partial-agged groupBys (customer, supplier) on
+    * nation keys, a broadcast join against the 25-row nation table,
+    * then Expand — melt itself is pipelined, zero exchange. */
+  def q142Unpivot(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").groupBy(col("c_nationkey").as("nk"))
+      .agg(count(lit(1)).cast("double").as("cust_n"),
+        sum(dec(col("c_acctbal"), 18, 2)).cast("double").as("cust_bal"))
+    val supp = t(s, dir, "supplier").groupBy(col("s_nationkey").as("nk"))
+      .agg(count(lit(1)).cast("double").as("supp_n"),
+        sum(dec(col("s_acctbal"), 18, 2)).cast("double").as("supp_bal"))
+    val wide = t(s, dir, "nation")
+      .join(cust, col("n_nationkey") === cust("nk"), "left")
+      .join(supp, col("n_nationkey") === supp("nk"), "left")
+      .select(col("n_name"),
+        coalesce(col("cust_n"), lit(0.0)).as("cust_n"),
+        coalesce(col("cust_bal"), lit(0.0)).as("cust_bal"),
+        coalesce(col("supp_n"), lit(0.0)).as("supp_n"),
+        coalesce(col("supp_bal"), lit(0.0)).as("supp_bal"))
+    wide.unpivot(Array(col("n_name")),
+        Array(col("cust_n"), col("cust_bal"), col("supp_n"), col("supp_bal")),
+        "metric", "value")
+      .orderBy("n_name", "metric")
+  }
+
+  val q142Sql: String =
+    """WITH cust AS (
+      |  SELECT c_nationkey AS nk, CAST(count(*) AS DOUBLE) AS cust_n,
+      |    CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS cust_bal
+      |  FROM customer GROUP BY 1
+      |), supp AS (
+      |  SELECT s_nationkey AS nk, CAST(count(*) AS DOUBLE) AS supp_n,
+      |    CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS supp_bal
+      |  FROM supplier GROUP BY 1
+      |), wide AS (
+      |  SELECT n_name, coalesce(cust_n, 0) AS cust_n,
+      |    coalesce(cust_bal, 0) AS cust_bal, coalesce(supp_n, 0) AS supp_n,
+      |    coalesce(supp_bal, 0) AS supp_bal
+      |  FROM nation LEFT JOIN cust ON n_nationkey = cust.nk
+      |    LEFT JOIN supp ON n_nationkey = supp.nk
+      |)
+      |SELECT n_name, metric, value FROM (
+      |  SELECT n_name, 'cust_n' AS metric, cust_n AS value FROM wide
+      |  UNION ALL SELECT n_name, 'cust_bal', cust_bal FROM wide
+      |  UNION ALL SELECT n_name, 'supp_n', supp_n FROM wide
+      |  UNION ALL SELECT n_name, 'supp_bal', supp_bal FROM wide
+      |) ORDER BY n_name, metric""".stripMargin
+
+  // ------------------------------------------------ q143 NOT IN vs NULL
+
+  /** q143: NULL-AWARE ANTI-JOIN SEMANTICS, pinned — `NOT IN
+    * (subquery)` under SQL's three-valued logic: if the subquery
+    * yields ANY null, `x NOT IN (...)` is never TRUE (it is UNKNOWN
+    * for every x), so the null-bearing branch returns ZERO rows while
+    * the same predicate as NOT EXISTS keeps matching — the classic
+    * migration trap, here pinned as a one-row profile the oracle
+    * recomputes from the same SQL. Spark plans the null-bearing
+    * branch as a null-aware anti join (an isNullAwareAntiJoin
+    * broadcast); the null-free branch degenerates to a plain left
+    * anti. Both texts run through spark.sql so the planner sees the
+    * genuine subquery form.
+    *
+    * Scale shape: the subquery side aggregates to its distinct keys
+    * (+ a null flag) and broadcasts; the probe side is one scan. */
+  def q143NotinNulls(s: SparkSession, dir: String): DataFrame = {
+    Seq("orders", "customer").foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+    s.sql(q143Sql)
+  }
+
+  val q143Sql: String =
+    """SELECT
+      |  (SELECT count(*) FROM customer WHERE c_custkey NOT IN (
+      |     SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'))
+      |    AS n_not_in,
+      |  (SELECT count(*) FROM customer WHERE c_custkey NOT IN (
+      |     SELECT CASE WHEN o_orderkey % 997 = 0 THEN NULL ELSE o_custkey END
+      |     FROM orders WHERE o_orderpriority = '1-URGENT'))
+      |    AS n_not_in_nullable,
+      |  (SELECT count(*) FROM customer c WHERE NOT EXISTS (
+      |     SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      |       AND o.o_orderpriority = '1-URGENT'))
+      |    AS n_not_exists""".stripMargin
+
+  // ------------------------------------------------ q144 as-of + tolerance
+
+  /** Maximum admissible click−purchase gap (1 h in µs). */
+  val AsofToleranceUs: Long = 3600000000L
+
+  /** q144: AS-OF JOIN WITH TOLERANCE — q18's click→latest-prior-
+    * purchase attribution, but a match only counts within
+    * [[AsofToleranceUs]]; a staler purchase attributes to nothing
+    * (NULL), the standard "attribution window" semantics. Same
+    * union+window single-shuffle idiom as q18 (tolerance is a
+    * post-filter on the carried timestamp — it cannot resurrect an
+    * older match, so filtering AFTER the as-of is exact); the oracle
+    * is DuckDB's NATIVE ASOF LEFT JOIN with the same null-out,
+    * keeping the check independent of the idiom.
+    *
+    * Scale shape: identical to q18 — one shuffle on user_id, one
+    * window pass; no join at all on the Spark side. */
+  def q144AsofTolerance(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = events(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(1).as("kind"), col("event_id"),
+        lit(null).cast("timestamp").as("pts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(0).as("kind"),
+        lit(null).cast("long").as("event_id"), col("ts").as("pts"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gap = unix_micros(col("ts")) - unix_micros(col("last_pts"))
+    clicks.unionAll(purchases)
+      .withColumn("last_pts", last(col("pts"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("click_us"),
+        when(gap <= AsofToleranceUs, unix_micros(col("last_pts")))
+          .as("purchase_us"),
+        when(gap <= AsofToleranceUs, gap).as("gap_us"))
+      .orderBy("event_id")
+  }
+
+  val q144Sql: String =
+    s"""SELECT c.event_id, c.user_id,
+      |  epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_us,
+      |  CASE WHEN epoch_us(CAST(c.ts AS TIMESTAMP)) - epoch_us(CAST(p.ts AS TIMESTAMP))
+      |            <= $AsofToleranceUs
+      |       THEN epoch_us(CAST(p.ts AS TIMESTAMP)) END AS purchase_us,
+      |  CASE WHEN epoch_us(CAST(c.ts AS TIMESTAMP)) - epoch_us(CAST(p.ts AS TIMESTAMP))
+      |            <= $AsofToleranceUs
+      |       THEN epoch_us(CAST(c.ts AS TIMESTAMP)) - epoch_us(CAST(p.ts AS TIMESTAMP))
+      |       END AS gap_us
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON c.user_id = p.user_id AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP)
+      |ORDER BY c.event_id""".stripMargin
+
+  // ------------------------------------------------ q145 incremental view
+
+  /** Delta batches the source splits into (the IVM replay). */
+  val IvmBatches = 3
+
+  /** q145: INCREMENTAL VIEW MAINTENANCE — a revenue-per-nation
+    * materialized view maintained by DELTA MERGES instead of
+    * recompute: the orders source arrives as [[IvmBatches]]
+    * insert-only batches; each batch partial-aggregates ONLY its own
+    * rows and merges into the running state (union + re-agg — the
+    * associative-merge algebra that makes the view maintainable),
+    * with the state materialized per step (localCheckpoint) exactly
+    * as a stored MV would be. The final state must equal the
+    * full-recompute view — which IS the oracle (the q51
+    * identity-preservation pattern: an execution strategy must not
+    * change the answer).
+    *
+    * Scale shape: each delta's cost is proportional to the DELTA
+    * (one broadcast dim join + a partial agg to ~nations rows), not
+    * to the accumulated history — the whole point of IVM at 100 TB;
+    * state stays nations-sized, sums ride exact DECIMAL. */
+  def q145IvmView(s: SparkSession, dir: String): DataFrame = {
+    val dims = t(s, dir, "customer")
+      .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    val orders = t(s, dir, "orders")
+    val batches = (0 until IvmBatches).map(i =>
+      orders.filter(pmod(col("o_orderkey"), lit(IvmBatches)) === i))
+    val state = batches.foldLeft(Option.empty[DataFrame]) { (st, delta) =>
+      val partial = delta.join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"), 18, 2)).as("revenue"))
+      val merged = st.map(_.unionByName(partial)
+          .groupBy("n_name")
+          .agg(sum(col("n_orders")).as("n_orders"), sum(col("revenue")).as("revenue")))
+        .getOrElse(partial)
+      // materialize the step: the state a stored MV would persist —
+      // also cuts the fold's lineage so each merge plan stays
+      // delta-sized instead of replaying every prior batch
+      Some(merged.localCheckpoint(eager = true))
+    }
+    state.get
+      .select(col("n_name"), col("n_orders"), col("revenue").cast("double").as("revenue"))
+      .orderBy("n_name")
+  }
+
+  /** The full-recompute view — the merge algebra must reproduce it. */
+  val q145Sql: String =
+    """SELECT n_name, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  // ------------------------------------------------ q146 BFS shortest paths
+
+  /** BFS horizon (hops). */
+  val BfsMaxDepth = 4
+
+  /** q146: BOUNDED-DEPTH BFS SHORTEST PATHS from the minimum node of
+    * the q116 affinity graph — level-synchronous frontier expansion,
+    * the distributed-BFS discipline: each round joins ONLY the
+    * current frontier (not the visited set) against the symmetric
+    * edge list, dedups to min-dist, and anti-joins the visited set so
+    * a node is settled exactly once. [[BfsMaxDepth]] rounds = a fixed
+    * [[BfsMaxDepth]]-join plan (lineage cut per level, the q67
+    * iterative-graph discipline). Oracle: a recursive CTE over the
+    * SAME edge set with min(d) per node — an independent fixpoint
+    * formulation of the same traversal.
+    *
+    * Scale shape: per-level cost is frontier × avg-degree (equi-join
+    * on node id), never nodes × edges; the visited set is the only
+    * growing state and participates only in an anti equi-join. At
+    * 100 TB the edge list would be bucketed on src — every level then
+    * reuses the layout shuffle-free. */
+  def q146BfsPaths(s: SparkSession, dir: String): DataFrame = {
+    val e0 = RelOps.cooccurEdges(s, dir)
+    val sym = e0.select(col("x").as("src"), col("y").as("dst"))
+      .unionAll(e0.select(col("y").as("src"), col("x").as("dst")))
+      .localCheckpoint(eager = true) // edges reused every level: one build
+    val seed = sym.agg(min(col("src"))).head().getLong(0)
+    import s.implicits._
+    var visited = Seq((seed, 0L)).toDF("node", "dist").localCheckpoint(eager = true)
+    var frontier = visited
+    var depth = 0
+    while (depth < BfsMaxDepth && !frontier.isEmpty) {
+      val next = frontier.join(sym, frontier("node") === sym("src"))
+        .groupBy(col("dst").as("node"))
+        .agg((min(col("dist")) + 1).as("dist"))
+        .join(visited.select(col("node").as("vn")), col("node") === col("vn"),
+          "left_anti")
+        .localCheckpoint(eager = true)
+      visited = visited.unionByName(next).localCheckpoint(eager = true)
+      frontier = next
+      depth += 1
+    }
+    visited.orderBy("node")
+  }
+
+  val q146Sql: String =
+    s"""WITH RECURSIVE ${RelOps.cooccurEdgesSql},
+      |sym AS (
+      |  SELECT x AS src, y AS dst FROM e0 UNION ALL SELECT y, x FROM e0
+      |),
+      |walk(node, d) AS (
+      |  SELECT (SELECT min(src) FROM sym), 0
+      |  UNION
+      |  SELECT s.dst, w2.d + 1 FROM walk w2 JOIN sym s ON s.src = w2.node
+      |  WHERE w2.d < $BfsMaxDepth
+      |)
+      |SELECT node, CAST(min(d) AS BIGINT) AS dist
+      |FROM walk GROUP BY node ORDER BY node""".stripMargin
+
+  // ------------------------------------------------ registry
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q139_histogram" -> (q139Histogram _),
+    "q140_winsorize" -> (q140Winsorize _),
+    "q141_itemsets" -> (q141Itemsets _),
+    "q142_unpivot" -> (q142Unpivot _),
+    "q143_notin_nulls" -> (q143NotinNulls _),
+    "q144_asof_tolerance" -> (q144AsofTolerance _),
+    "q145_ivm_view" -> (q145IvmView _),
+    "q146_bfs_paths" -> (q146BfsPaths _))
+
+  val oracle: Map[String, String] = Map(
+    "q139_histogram" -> q139Sql,
+    "q140_winsorize" -> q140Sql,
+    "q141_itemsets" -> q141Sql,
+    "q142_unpivot" -> q142Sql,
+    "q143_notin_nulls" -> q143Sql,
+    "q144_asof_tolerance" -> q144Sql,
+    "q145_ivm_view" -> q145Sql,
+    "q146_bfs_paths" -> q146Sql)
+}

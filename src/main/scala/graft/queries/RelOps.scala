@@ -250,18 +250,40 @@ object RelOps {
     * banding discipline) and partial-aggregates into edge weights
     * before the threshold; degree is a broadcastable node table; the
     * wedge join and closure are equi-joins on node ids. */
-  def q116Triangles(s: SparkSession, dir: String): DataFrame = {
+  /** The q116 affinity edge set (x < y), shared with [[MiningOps]]'s
+    * BFS (q146): DISTINCT co-occurrence cells, per-cell pair join,
+    * partial-aggregated edge weights, repeat-count threshold. */
+  private[graft] def cooccurEdges(s: SparkSession, dir: String): DataFrame = {
     val g = events(s, dir)
       .select(col("event_type").as("et"),
         expr(s"unix_micros(ts) div $TriBucketUs").as("b"), col("user_id").as("u"))
       .distinct()
-    val e0 = g.as("a").join(g.as("b"),
+    g.as("a").join(g.as("b"),
         col("a.et") === col("b.et") && col("a.b") === col("b.b") &&
           col("a.u") < col("b.u"))
       .groupBy(col("a.u").as("x"), col("b.u").as("y"))
       .agg(count(lit(1)).as("c"))
       .filter(col("c") >= TriMinCoocc)
       .select("x", "y")
+  }
+
+  /** The g/w/e0 CTE chain q116's oracle builds the same edge set
+    * with, shared with q146's recursive-CTE oracle. */
+  private[queries] val cooccurEdgesSql: String =
+    s"""g AS (
+      |  SELECT DISTINCT event_type AS et,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // $TriBucketUs AS b, user_id AS u
+      |  FROM events
+      |), w AS (
+      |  SELECT a.u AS x, b.u AS y, count(*) AS c
+      |  FROM g a JOIN g b ON a.et = b.et AND a.b = b.b AND a.u < b.u
+      |  GROUP BY 1, 2
+      |), e0 AS (
+      |  SELECT x, y FROM w WHERE c >= $TriMinCoocc
+      |)""".stripMargin
+
+  def q116Triangles(s: SparkSession, dir: String): DataFrame = {
+    val e0 = cooccurEdges(s, dir)
     val deg = e0.select(col("x").as("node")).unionAll(e0.select(col("y").as("node")))
       .groupBy("node").agg(count(lit(1)).as("d"))
     val fwd = col("dx") < col("dy") || (col("dx") === col("dy") && col("x") < col("y"))
@@ -281,17 +303,7 @@ object RelOps {
   }
 
   val q116Sql: String =
-    s"""WITH g AS (
-      |  SELECT DISTINCT event_type AS et,
-      |    epoch_us(CAST(ts AS TIMESTAMP)) // $TriBucketUs AS b, user_id AS u
-      |  FROM events
-      |), w AS (
-      |  SELECT a.u AS x, b.u AS y, count(*) AS c
-      |  FROM g a JOIN g b ON a.et = b.et AND a.b = b.b AND a.u < b.u
-      |  GROUP BY 1, 2
-      |), e0 AS (
-      |  SELECT x, y FROM w WHERE c >= $TriMinCoocc
-      |), deg AS (
+    s"""WITH $cooccurEdgesSql, deg AS (
       |  SELECT node, count(*) AS d FROM (
       |    SELECT x AS node FROM e0 UNION ALL SELECT y AS node FROM e0)
       |  GROUP BY 1

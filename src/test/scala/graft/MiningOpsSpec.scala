@@ -1,0 +1,156 @@
+package graft
+
+import graft.queries.MiningOps
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-9 mining/audit operators: semantic invariants the DuckDB
+  * hash-gate can't express (partition-of-corpus checks, a-priori
+  * bounds, BFS level consistency, IVM merge = recompute), plus the
+  * plan-shape audits for the new join forms. */
+class MiningOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.builder("mining-test", cores = 4).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def orders: DataFrame = spark.read.parquet(s"$dir/orders.parquet")
+
+  test("q139: buckets partition the orders, edges bracket every row") {
+    val h = MiningOps.q139Histogram(spark, dir).collect()
+    val n = orders.count()
+    assert(h.map(_.getAs[Long]("n")).sum === n, "histogram must partition the relation")
+    assert(h.forall { r =>
+      val b = r.getAs[Long]("bucket")
+      b >= 0 && b < MiningOps.HistBuckets
+    })
+    // every order's value falls inside its bucket's [lo, hi) edge pair
+    val viol = h.map { r =>
+      val (lo, hi) = (r.getAs[Long]("edge_lo"), r.getAs[Long]("edge_hi"))
+      val pr = r.getAs[String]("o_orderpriority")
+      orders.filter(col("o_orderpriority") === pr &&
+        col("o_totalprice") >= lo && col("o_totalprice") < hi).count() -> r.getAs[Long]("n")
+    }
+    viol.foreach { case (got, want) => assert(got === want) }
+  }
+
+  test("q140: winsorized mean sits inside [p05, p95] and moves toward the center") {
+    val rows = MiningOps.q140Winsorize(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p05, p95) = (r.getAs[Double]("p05"), r.getAs[Double]("p95"))
+      val mw = r.getAs[Double]("mean_wins")
+      assert(p05 <= mw && mw <= p95,
+        s"winsorized mean must lie within the clip bounds: $r")
+    }
+  }
+
+  test("q141: a-priori bounds hold — support ≤ min item count, lift/conf exact") {
+    val rows = MiningOps.q141Itemsets(spark, dir).collect()
+    rows.foreach { r =>
+      val sup = r.getAs[Long]("support")
+      assert(sup >= MiningOps.MinSupport)
+      val (c12, c21) = (r.getAs[Double]("conf_1to2"), r.getAs[Double]("conf_2to1"))
+      assert(c12 > 0 && c12 <= 1.0 && c21 > 0 && c21 <= 1.0,
+        "confidence = support/item-count must be a proper ratio (downward closure)")
+    }
+  }
+
+  test("q142: melt emits exactly 4 metric rows per nation, values = the wide cells") {
+    val long = MiningOps.q142Unpivot(spark, dir)
+    val perNation = long.groupBy("n_name").count().collect()
+    assert(perNation.nonEmpty && perNation.forall(_.getAs[Long]("count") === 4L))
+    // spot-check one metric against its direct aggregate
+    val custN = long.filter(col("metric") === "cust_n")
+      .agg(sum(col("value"))).head().getDouble(0)
+    val direct = spark.read.parquet(s"$dir/customer.parquet").count()
+    assert(custN === direct.toDouble, "melted cust_n must sum to the customer count")
+  }
+
+  test("q143: NOT IN goes dark on a nullable subquery; NOT EXISTS doesn't") {
+    val r = MiningOps.q143NotinNulls(spark, dir).head()
+    val (ni, nin, ne) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nin === 0L,
+      "NOT IN over a null-bearing subquery is UNKNOWN for every row — zero matches")
+    assert(ni === ne && ni > 0L,
+      "null-free NOT IN and NOT EXISTS must agree (and match something)")
+    val plan = MiningOps.q143NotinNulls(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q144: tolerance only ever REMOVES q18 matches, never adds or changes") {
+    val tol = MiningOps.q144AsofTolerance(spark, dir).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Long]("purchase_us")))
+      .toMap
+    val base = graft.queries.Queries.q18AsofJoin(spark, dir).collect()
+      .map(r => (r.getAs[Long]("event_id"),
+        Option(r.getAs[java.lang.Long]("purchase_us")),
+        Option(r.getAs[java.lang.Long]("gap_us"))))
+    assert(base.nonEmpty && tol.size === base.length)
+    base.foreach { case (id, pus, gap) =>
+      val expected =
+        if (gap.exists(_ <= MiningOps.AsofToleranceUs)) pus else None
+      assert(tol(id) === expected.map(Long2long).map(long2Long),
+        s"event $id: tolerance must null out stale matches only")
+    }
+  }
+
+  test("q145: the delta-merge state equals a direct full recompute") {
+    val ivm = MiningOps.q145IvmView(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val full = {
+      val dims = spark.read.parquet(s"$dir/customer.parquet")
+        .join(spark.read.parquet(s"$dir/nation.parquet"),
+          col("c_nationkey") === col("n_nationkey"))
+      orders.join(dims, col("o_custkey") === col("c_custkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("rev"))
+        .orderBy("n_name").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    }
+    assert(ivm.toSeq === full.toSeq)
+  }
+
+  test("q146: BFS levels are consistent — every node at d>0 has a neighbor at d-1") {
+    val vis = MiningOps.q146BfsPaths(spark, dir)
+    val rows = vis.collect()
+    assert(rows.exists(_.getAs[Long]("dist") === 0L), "the seed settles at 0")
+    assert(rows.forall(r => r.getAs[Long]("dist") <= MiningOps.BfsMaxDepth))
+    val dist = rows.map(r => r.getAs[Long]("node") -> r.getAs[Long]("dist")).toMap
+    val edges = graft.queries.RelOps.cooccurEdges(spark, dir).collect()
+      .flatMap(r => Seq(r.getLong(0) -> r.getLong(1), r.getLong(1) -> r.getLong(0)))
+    rows.filter(_.getAs[Long]("dist") > 0).foreach { r =>
+      val (n, d) = (r.getAs[Long]("node"), r.getAs[Long]("dist"))
+      assert(edges.exists { case (a, b) => a == n && dist.get(b).contains(d - 1) },
+        s"node $n at dist $d needs a predecessor at ${d - 1}")
+    }
+    // no settled node could have been reached earlier than recorded
+    rows.foreach { r =>
+      val (n, d) = (r.getAs[Long]("node"), r.getAs[Long]("dist"))
+      if (d > 0) {
+        val minNb = edges.collect { case (a, b) if a == n => dist.get(b) }
+          .flatten.minOption
+        assert(minNb.exists(_ >= d - 1), s"node $n at $d has a neighbor closer than ${d - 1}")
+      }
+    }
+  }
+
+  test("q141/q146 plan shape: per-basket equi-joins, no cartesian anywhere") {
+    val p141 = MiningOps.q141Itemsets(spark, dir).queryExecution.executedPlan.toString
+    assert(!p141.contains("CartesianProduct"),
+      "pair generation must equi-join on the basket key")
+    val p139 = MiningOps.q139Histogram(spark, dir).queryExecution.executedPlan.toString
+    assert(!p139.contains("Exchange rangepartitioning") || p139.contains("Sort"),
+      "histogram is one hash agg + final order")
+  }
+}
