@@ -289,7 +289,8 @@ object Bench {
       // round-9 (continuous-build round 9) operators
       "q139_histogram", "q140_winsorize", "q141_itemsets",
       "q142_unpivot", "q143_notin_nulls", "q144_asof_tolerance",
-      "q145_ivm_view", "q146_bfs_paths")
+      "q145_ivm_view", "q146_bfs_paths",
+      "sq18_stream_join_chain", "q147_cluster_split")
     // shingle-index misses during TIMED passes only (warm passes are
     // expected to build it once per session+dir)
     var timedIndexMisses = 0L

@@ -50,7 +50,9 @@ object SparkEntry {
       "sq16_stream_lastn" ->
         ((s: SparkSession, dir: String) => StreamOps.sq16StreamLastn(s, dir)),
       "sq17_stream_type_counts" ->
-        ((s: SparkSession, dir: String) => StreamOps.sq17StreamTypeCounts(s, dir)))
+        ((s: SparkSession, dir: String) => StreamOps.sq17StreamTypeCounts(s, dir)),
+      "sq18_stream_join_chain" ->
+        ((s: SparkSession, dir: String) => StreamOps.sq18StreamJoinChain(s, dir)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -73,5 +75,6 @@ object SparkEntry {
       // same oracle as sq6/sq7: the flush tick makes timer output = q22
       "sq15_stream_timer_session" -> Queries.q22Sql,
       "sq16_stream_lastn" -> StreamOps.sq16Sql,
-      "sq17_stream_type_counts" -> StreamOps.sq17Sql)
+      "sq17_stream_type_counts" -> StreamOps.sq17Sql,
+      "sq18_stream_join_chain" -> StreamOps.sq18Sql)
 }

@@ -3749,10 +3749,68 @@ object TextOps {
        |WHERE CAST(common AS DOUBLE) / (na + nb - common) >= $PrefixJoinT
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // -------------------------------------- q147 leakage-safe split
+
+  /** q147: LEAKAGE-SAFE TRAIN/VAL/TEST SPLIT — the split is assigned
+    * at DEDUP-CLUSTER granularity, not per document: every document
+    * inherits its q67 cluster root's split, so near-duplicates can
+    * NEVER straddle train/test (the eval-contamination channel a
+    * doc-level hash split leaves wide open — the reason pipelines
+    * split after clustering, not before). Assignment is a pure
+    * deterministic function of the root: the first two hex chars of
+    * md5(root) compared LEXICOGRAPHICALLY against fixed fenceposts
+    * ('cd' → ~80.1% train, 'e6' → ~9.8% val, rest test) — string
+    * comparison, no hex→int conversion to diverge cross-engine.
+    * Emits the (split, source) mix table a corpus release documents.
+    *
+    * Scale shape: consumes the PUBLISHED label artifact (the q79
+    * discipline — labels exist only for clustered docs, a tiny
+    * fraction); one corpus-wide left join against that broadcast-
+    * sized table, one partial-agged groupBy. The split function
+    * ships with the row — no global coordination, any executor
+    * assigns any document identically. */
+  def q147ClusterSplit(s: SparkSession, dir: String): DataFrame = {
+    val labels = labelCache.get(s, dir,
+        graft.sources.FsSig.of(s"$dir/documents.parquet")) {
+        q67DedupClusters(s, dir)
+      }
+      .select(col("doc_id"), col("cluster_root"))
+    val h2 = substring(md5(col("root").cast("string")), 1, 2)
+    docs(s, dir).select(col("doc_id"), col("source"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("cluster_root"), col("doc_id")).as("root"))
+      .withColumn("split",
+        when(h2 < "cd", "train").when(h2 < "e6", "val").otherwise("test"))
+      .groupBy("split", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("root")).as("n_clusters"))
+      .orderBy("split", "source")
+  }
+
+  /** Oracle: the shared component chain re-derives the roots; the
+    * fencepost comparison is the same string logic. */
+  val q147Sql: String =
+    s"""$ccChainSql, v AS (
+       |  SELECT d.doc_id, d.source,
+       |    coalesce(r.cluster_root, d.doc_id) AS root
+       |  FROM documents d LEFT JOIN roots r ON d.doc_id = r.doc_id
+       |), sp AS (
+       |  SELECT *, CASE
+       |    WHEN substring(md5(CAST(root AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+       |    WHEN substring(md5(CAST(root AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+       |    ELSE 'test' END AS split
+       |  FROM v
+       |)
+       |SELECT split, source, count(*) AS n_docs,
+       |  count(DISTINCT root) AS n_clusters
+       |FROM sp GROUP BY 1, 2 ORDER BY split, source""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     // the q35 formulation at q138's threshold: prefix filtering is a
     // physical strategy — the hash match proves the rewrite loses no pair
     "q138_prefix_jaccard" -> (q138PrefixJaccard _),
+    "q147_cluster_split" -> (q147ClusterSplit _),
     "q30_textstats" -> (q30TextStats _),
     "q31_langid" -> (q31LangId _),
     "q32_quality" -> (q32Quality _),
@@ -3811,6 +3869,7 @@ object TextOps {
     "q34_exact_dedup" -> q34Sql,
     "q35_jaccard_pairs" -> q35Sql,
     "q138_prefix_jaccard" -> q138Sql,
+    "q147_cluster_split" -> q147Sql,
     "q36_minhash_sig" -> q36Sql,
     "q37_neardup_lsh" -> q37Sql,
     "q38_simhash" -> q38Sql,

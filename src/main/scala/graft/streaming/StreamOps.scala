@@ -1343,6 +1343,72 @@ object StreamOps {
       |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ------------------------------------------- sq18 chained stream joins
+
+  /** SQ18: CHAINED STREAM-STREAM JOINS — the three-stage funnel
+    * view→click→purchase as TWO cascaded stream-stream interval
+    * joins (view⋈click within 6 h, then ⋈purchase within 12 h of
+    * the click — windows sized to the fixture's per-user event
+    * density): the multi-stateful-operator shape Spark supports
+    * since the watermark-propagation rework — the intermediate
+    * stream's event-time columns keep their watermarks, so the second
+    * join's state evicts off the FIRST join's output watermark. sq3
+    * proved one stream-stream join; this proves they COMPOSE, which
+    * is what a real attribution pipeline needs.
+    *
+    * Scale shape: both joins key their state by user_id, so the
+    * second join reuses the first's partitioning (no extra shuffle of
+    * the intermediate — state stores co-locate); per-side state stays
+    * one-watermark-horizon-bounded exactly as sq3. Oracle: the batch
+    * 3-way interval join. */
+  def sq18StreamJoinChain(s: SparkSession, dir: String): DataFrame = {
+    val name = s"sq18_${System.nanoTime()}"
+    withStreamShuffle(s) { fs =>
+      def side(evType: String, prefix: String): DataFrame =
+        eventsStream(fs, dir)
+          .filter(col("event_type") === evType)
+          .select(col("event_id").as(s"${prefix}_id"),
+            col("user_id").as(s"${prefix}_user"), col("ts").as(s"${prefix}_ts"))
+          .withWatermark(s"${prefix}_ts", "2 hours")
+      val vc = side("view", "view").join(side("click", "click"),
+        expr("""view_user = click_user
+               |AND click_ts >= view_ts
+               |AND click_ts <= view_ts + INTERVAL 6 HOURS""".stripMargin))
+        // exactly ONE event-time column may enter the next stateful
+        // operator: demote view_ts to a plain epoch long (no
+        // event-time metadata) and let click_ts carry the watermark
+        .select(col("view_id"), unix_micros(col("view_ts")).as("view_us"),
+          col("click_id"), col("click_user"), col("click_ts"))
+      val q = vc.join(side("purchase", "purchase"),
+        expr("""click_user = purchase_user
+               |AND purchase_ts >= click_ts
+               |AND purchase_ts <= click_ts + INTERVAL 12 HOURS""".stripMargin))
+        .select(col("click_user").as("user_id"), col("view_id"), col("click_id"),
+          col("purchase_id"),
+          (unix_micros(col("purchase_ts")) - col("view_us")).as("funnel_us"))
+        .writeStream.queryName(name).format("memory")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      fs.table(name).orderBy("view_id", "click_id", "purchase_id")
+    }
+  }
+
+  /** SQ18's DuckDB oracle: the identical 3-way interval join in batch. */
+  val sq18Sql: String =
+    """SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+      |  p.event_id AS purchase_id,
+      |  epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(v.ts AS TIMESTAMP))
+      |    AS funnel_us
+      |FROM events v
+      |JOIN events c ON v.user_id = c.user_id
+      |  AND v.event_type = 'view' AND c.event_type = 'click'
+      |  AND CAST(c.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
+      |  AND CAST(c.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 6 HOUR
+      |JOIN events p ON c.user_id = p.user_id AND p.event_type = 'purchase'
+      |  AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+      |  AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 12 HOUR
+      |ORDER BY view_id, click_id, purchase_id""".stripMargin
+
   /** SQ13's DuckDB oracle: the batch per-user profile under the same
     * 30-min session-gap rule. */
   val sq13Sql: String =

@@ -1,0 +1,74 @@
+package graft
+
+import graft.llmops.TextOps
+import graft.streaming.StreamOps
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-9 streaming/corpus operators: the chained stream-stream join
+  * equals its batch twin, and the cluster-granular split is actually
+  * leakage-safe (no near-dup pair straddles splits). */
+class Round9Spec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.builder("round9-test", cores = 4).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("sq18: cascaded stream-stream joins equal the batch 3-way interval join") {
+    val streamed = StreamOps.sq18StreamJoinChain(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val e = graft.sources.TsBridge.normalize(
+      spark.read.parquet(s"$dir/events.parquet"))
+    def side(t: String, p: String) = e.filter(col("event_type") === t)
+      .select(col("event_id").as(s"${p}_id"), col("user_id").as(s"${p}_user"),
+        col("ts").as(s"${p}_ts"))
+    val batch = side("view", "view")
+      .join(side("click", "click"),
+        expr("""view_user = click_user AND click_ts >= view_ts
+               |AND click_ts <= view_ts + INTERVAL 6 HOURS""".stripMargin))
+      .join(side("purchase", "purchase"),
+        expr("""click_user = purchase_user AND purchase_ts >= click_ts
+               |AND purchase_ts <= click_ts + INTERVAL 12 HOURS""".stripMargin))
+      .select(col("view_user"), col("view_id"), col("click_id"), col("purchase_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("view_ts"))).as("funnel_us"))
+      .orderBy("view_id", "click_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(streamed.nonEmpty, "the funnel windows must produce matches at sf0.001")
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
+  test("q147: the split table partitions the corpus and every split is populated") {
+    val rows = TextOps.q147ClusterSplit(spark, dir).collect()
+    val docs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === docs)
+    val splits = rows.map(_.getAs[String]("split")).toSet
+    assert(splits === Set("train", "val", "test"))
+    // 2-hex-char fenceposts: train ≈ 205/256, val ≈ 25/256 — at corpus
+    // size the realized shares stay in loose bounds
+    val bySplit = rows.groupBy(_.getAs[String]("split"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    assert(bySplit("train").toDouble / docs > 0.6, s"train share collapsed: $bySplit")
+    assert(bySplit("test").toDouble / docs < 0.3, s"test share exploded: $bySplit")
+  }
+
+  test("q147: leakage-safe — no q67 near-dup pair straddles two splits") {
+    // recompute each doc's split exactly as the query does, then check
+    // every clustered doc landed with its root
+    val labels = TextOps.q67DedupClusters(spark, dir)
+      .select(col("doc_id"), col("cluster_root"))
+    val h2 = substring(md5(col("cluster_root").cast("string")), 1, 2)
+    val splits = labels.withColumn("split",
+        when(h2 < "cd", "train").when(h2 < "e6", "val").otherwise("test"))
+      .groupBy("cluster_root")
+      .agg(countDistinct(col("split")).as("n_splits"))
+      .agg(max(col("n_splits"))).head().getLong(0)
+    assert(splits <= 1L, "a near-dup cluster must never straddle splits")
+  }
+}
