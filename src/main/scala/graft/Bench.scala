@@ -290,7 +290,9 @@ object Bench {
       "q139_histogram", "q140_winsorize", "q141_itemsets",
       "q142_unpivot", "q143_notin_nulls", "q144_asof_tolerance",
       "q145_ivm_view", "q146_bfs_paths",
-      "sq18_stream_join_chain", "q147_cluster_split")
+      "sq18_stream_join_chain", "q147_cluster_split",
+      "q148_pps_sample", "q149_skew_report", "q150_equidepth_hist",
+      "q151_cdc_apply")
     // shingle-index misses during TIMED passes only (warm passes are
     // expected to build it once per session+dir)
     var timedIndexMisses = 0L

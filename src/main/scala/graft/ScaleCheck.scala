@@ -113,6 +113,16 @@ object ScaleCheck {
         .repartition(32)
         .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
     }
+    // tiny dims copy over unscaled (round-9 consumers: q142's
+    // nation/supplier profile, q145's customer→nation chain) — the
+    // realistic shape: facts grow, dimensions don't
+    Seq("nation", "region", "supplier").foreach { d =>
+      val dOut = s"$out/$d.parquet"
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$base/$d.parquet")) &&
+          !java.nio.file.Files.exists(java.nio.file.Paths.get(dOut))) {
+        s.read.parquet(s"$base/$d.parquet").write.mode("overwrite").parquet(dOut)
+      }
+    }
     val partOut = s"$out/part.parquet"
     if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$base/part.parquet")) &&
         !java.nio.file.Files.exists(java.nio.file.Paths.get(partOut))) {
@@ -226,7 +236,35 @@ object ScaleCheck {
     // V2 state legs: timers re-arm per batch (state = one row/user);
     // the last-N buffer is O(N)/user; the type map is |types|/user
     "sq15_stream_timer_session", "sq16_stream_lastn",
-    "sq17_stream_type_counts")
+    "sq17_stream_type_counts",
+    // round-9: histogram/winsorize are one-partial-agg linearity
+    // claims over 10× facts; the itemset pair join's volume is
+    // Σ basket² (baskets ×10, sizes fixed → linear); unpivot is
+    // Expand fan-out (pure map); the null-aware anti probes ride the
+    // broadcast subquery; as-of tolerance is q18's one user-shuffle
+    // window; IVM's per-delta cost must track the delta (each ×10);
+    // BFS frontiers ride the DENSER 10×-events graph (same users →
+    // more edges — super-linear edge growth is the graph's property,
+    // per-level equi-join cost per edge is the op's claim); the
+    // cluster split consumes the published 10×-corpus label artifact
+    "q139_histogram", "q140_winsorize", "q141_itemsets", "q142_unpivot",
+    "q143_notin_nulls", "q144_asof_tolerance", "q145_ivm_view",
+    "q146_bfs_paths", "q147_cluster_split",
+    // batch 2: the PPS sample is ONE global-order window (the range
+    // sort is the cost, linear-ish in rows); the skew profiler
+    // collapses to key cardinality at the first partial agg; the
+    // equi-depth bands ride the per-type sort (hot types are the
+    // partition bound); CDC-apply is one user-shuffle serving both
+    // windows — hot users absorb the 10× rows
+    "q148_pps_sample", "q149_skew_report", "q150_equidepth_hist",
+    "q151_cdc_apply")
+  // sq18 (chained stream-stream joins) is EXCLUDED from the default
+  // drill for the q138 reason: the 10× events corpus REPLICATES
+  // timestamps (unchanged user/ts), so 3-way funnel matches multiply
+  // COMBINATORIALLY (×10³ output at ×10 input) — an artifact of the
+  // drill corpus, not a property of the operator (real 10× traffic
+  // spreads over time). Measured once via an explicit arg; PERF.md §3
+  // records the analysis.
   // q138 (prefix-filtering exact join) is EXCLUDED from the default
   // drill, measured not assumed: the salted corpus is dup-SATURATED —
   // its exact-dup groups survive ×10 copies, so candidates ≈ true

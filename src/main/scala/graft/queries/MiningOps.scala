@@ -460,6 +460,195 @@ object MiningOps {
       |SELECT node, CAST(min(d) AS BIGINT) AS dist
       |FROM walk GROUP BY node ORDER BY node""".stripMargin
 
+  // ------------------------------------------------ q148 PPS sample
+
+  /** Target systematic-sample size. */
+  val PpsTarget = 50
+
+  /** q148: SYSTEMATIC PPS SAMPLE — probability-proportional-to-size
+    * document sampling by the textbook systematic rule: lay the
+    * corpus on a line in deterministic order (doc_id) with each doc
+    * occupying its n_chars of length, then pick every doc that
+    * straddles a multiple of stride = total/K. Selection is
+    * ALL-INTEGER (cumulative char sums + integer division — the q139
+    * discipline): a doc is in the sample iff cum/stride >
+    * (cum - w)/stride. No RNG anywhere, so both engines agree
+    * bit-for-bit and re-runs are reproducible — the property a
+    * corpus-subsampling step must have to be auditable.
+    *
+    * Scale shape: ONE window pass (running sum over the doc_id
+    * order) + a broadcast 1-row stride; at 100 TB the global-order
+    * window would ride a range-partitioned sort (Spark's window over
+    * a single ordering = rangepartitioning exchange — the global
+    * sort bench shape), cost n log n with no driver involvement. */
+  def q148PpsSample(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = t(s, dir, "documents")
+    val stride = d.agg(greatest(lit(1L),
+      (sum(col("n_chars")) / lit(PpsTarget.toLong)).cast("long")).as("stride"))
+    val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("cum", sum(col("n_chars")).over(w))
+      .crossJoin(broadcast(stride))
+      .filter((col("cum") / col("stride")).cast("long") >
+        ((col("cum") - col("n_chars")) / col("stride")).cast("long"))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("cum"))
+      .orderBy("doc_id")
+  }
+
+  val q148Sql: String =
+    s"""WITH st AS (
+      |  SELECT greatest(1, sum(n_chars) // $PpsTarget) AS stride FROM documents
+      |), c AS (
+      |  SELECT doc_id, source, n_chars,
+      |    CAST(sum(n_chars) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM documents
+      |)
+      |SELECT doc_id, source, n_chars, cum
+      |FROM c CROSS JOIN st
+      |WHERE cum // stride > (cum - n_chars) // stride
+      |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------ q149 skew report
+
+  /** Hot keys surfaced by the profiler. */
+  val SkewTopK = 10
+
+  /** q149: JOIN-KEY SKEW PROFILER — the diagnostic a 100 TB join
+    * plan is chosen WITH: per-key row counts on the probe column
+    * (l_orderkey), the [[SkewTopK]] heaviest keys with their share
+    * of the relation, and the global skew statistics (max/mean
+    * ratio, p99 key count) that decide between plain, broadcast, and
+    * salted strategies (q50/q51/q113 are the three answers; this op
+    * is the question). Counts are exact integers; ratios are single
+    * double divisions of integers (identical shapes cross-engine).
+    *
+    * Scale shape: ONE partial-agged groupBy collapses the relation
+    * to its key cardinality; the stats reduce that to one row; the
+    * top-k is a rank window over the collapsed counts (key-cardinality
+    * sized, never row-sized). */
+  def q149SkewReport(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("key")).agg(count(lit(1)).as("cnt"))
+    val stats = counts.agg(
+      count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
+      max(col("cnt")).as("max_cnt"),
+      expr("percentile_cont(0.99) WITHIN GROUP (ORDER BY cnt)").as("p99_cnt"))
+    val w = Window.orderBy(col("cnt").desc, col("key"))
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= SkewTopK)
+      .crossJoin(broadcast(stats))
+      .select(col("rank"), col("key"), col("cnt"),
+        (col("cnt").cast("double") / col("n_rows")).as("share"),
+        col("n_keys"),
+        (col("max_cnt").cast("double") * col("n_keys") / col("n_rows"))
+          .as("skew_ratio"),
+        col("p99_cnt"))
+      .orderBy("rank")
+  }
+
+  val q149Sql: String =
+    s"""WITH counts AS (
+      |  SELECT l_orderkey AS key, count(*) AS cnt FROM lineitem GROUP BY 1
+      |), stats AS (
+      |  SELECT count(*) AS n_keys, sum(cnt) AS n_rows, max(cnt) AS max_cnt,
+      |    percentile_cont(0.99) WITHIN GROUP (ORDER BY cnt) AS p99_cnt
+      |  FROM counts
+      |), ranked AS (
+      |  SELECT key, cnt, row_number() OVER (ORDER BY cnt DESC, key) AS rank
+      |  FROM counts
+      |)
+      |SELECT rank, key, cnt, CAST(cnt AS DOUBLE) / n_rows AS share, n_keys,
+      |  CAST(max_cnt AS DOUBLE) * n_keys / n_rows AS skew_ratio, p99_cnt
+      |FROM ranked CROSS JOIN stats
+      |WHERE rank <= $SkewTopK ORDER BY rank""".stripMargin
+
+  // ------------------------------------------------ q150 equi-depth histogram
+
+  /** Equi-depth band count (deciles). */
+  val DepthBands = 10
+
+  /** q150: EQUI-DEPTH HISTOGRAM — q139's complement: bands hold
+    * equal ROW counts instead of equal value widths (deciles via
+    * ntile over a fully deterministic (value, event_id) order — ties
+    * broken by id so both engines assign identical bands), emitting
+    * per (event_type, decile) the count and exact value range. This
+    * is the statistics object optimizers and drift monitors actually
+    * keep (equi-depth bounds adapt to the distribution; equi-width
+    * wastes buckets on empty tails).
+    *
+    * Scale shape: one shuffle on event_type (window partition), one
+    * sort per partition, partial-agged collapse to type × bands
+    * rows. Hot types are the partition bound — at 100 TB the same
+    * plan runs per-type parallel via the range exchange. */
+  def q150EquidepthHist(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+    events(s, dir)
+      .withColumn("decile", ntile(DepthBands).over(w))
+      .groupBy("event_type", "decile")
+      .agg(count(lit(1)).as("n"), min(col("value")).as("lo"),
+        max(col("value")).as("hi"),
+        sum(dec(col("value"), 28, 6)).cast("double").as("band_sum"))
+      .orderBy("event_type", "decile")
+  }
+
+  val q150Sql: String =
+    s"""SELECT event_type, decile, count(*) AS n, min(value) AS lo,
+      |  max(value) AS hi,
+      |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS band_sum
+      |FROM (
+      |  SELECT event_type, value, ntile($DepthBands)
+      |    OVER (PARTITION BY event_type ORDER BY value, event_id) AS decile
+      |  FROM events
+      |)
+      |GROUP BY 1, 2 ORDER BY event_type, decile""".stripMargin
+
+  // ------------------------------------------------ q151 CDC apply
+
+  /** q151: CDC CHANGELOG APPLY WITH TOMBSTONES — materialize the
+    * current state of a keyed entity from its event changelog under
+    * MERGE semantics: the LAST event per user (by ts, event_id) wins;
+    * a final 'error' event is a TOMBSTONE that deletes the row
+    * entirely (not just flags it) — the Debezium/CDC-merge shape that
+    * q20 (latest-by-key, no deletes) and q120 (SCD2 history, keeps
+    * everything) bracket but neither expresses. Emits the surviving
+    * users' final value, total change count, and first-change time.
+    *
+    * Scale shape: ONE shuffle on user_id serves both the rank window
+    * and the per-user counts (same partitioning, fused); tombstoned
+    * keys drop before any downstream join would see them. */
+  def q151CdcApply(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    val wAll = Window.partitionBy("user_id")
+    events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_changes", count(lit(1)).over(wAll))
+      .withColumn("first_us", min(unix_micros(col("ts"))).over(wAll))
+      .filter(col("rn") === 1 && col("event_type") =!= "error")
+      .select(col("user_id"), col("event_type").as("last_op"),
+        col("value").as("current_value"), col("n_changes"),
+        unix_micros(col("ts")).as("last_us"), col("first_us"))
+      .orderBy("user_id")
+  }
+
+  val q151Sql: String =
+    """SELECT user_id, event_type AS last_op, value AS current_value,
+      |  n_changes, epoch_us(CAST(ts AS TIMESTAMP)) AS last_us, first_us
+      |FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rn,
+      |    count(*) OVER (PARTITION BY user_id) AS n_changes,
+      |    min(epoch_us(CAST(ts AS TIMESTAMP)))
+      |      OVER (PARTITION BY user_id) AS first_us
+      |  FROM events
+      |)
+      |WHERE rn = 1 AND event_type <> 'error'
+      |ORDER BY user_id""".stripMargin
+
   // ------------------------------------------------ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -470,7 +659,11 @@ object MiningOps {
     "q143_notin_nulls" -> (q143NotinNulls _),
     "q144_asof_tolerance" -> (q144AsofTolerance _),
     "q145_ivm_view" -> (q145IvmView _),
-    "q146_bfs_paths" -> (q146BfsPaths _))
+    "q146_bfs_paths" -> (q146BfsPaths _),
+    "q148_pps_sample" -> (q148PpsSample _),
+    "q149_skew_report" -> (q149SkewReport _),
+    "q150_equidepth_hist" -> (q150EquidepthHist _),
+    "q151_cdc_apply" -> (q151CdcApply _))
 
   val oracle: Map[String, String] = Map(
     "q139_histogram" -> q139Sql,
@@ -480,5 +673,9 @@ object MiningOps {
     "q143_notin_nulls" -> q143Sql,
     "q144_asof_tolerance" -> q144Sql,
     "q145_ivm_view" -> q145Sql,
-    "q146_bfs_paths" -> q146Sql)
+    "q146_bfs_paths" -> q146Sql,
+    "q148_pps_sample" -> q148Sql,
+    "q149_skew_report" -> q149Sql,
+    "q150_equidepth_hist" -> q150Sql,
+    "q151_cdc_apply" -> q151Sql)
 }

@@ -145,6 +145,72 @@ class MiningOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q148: systematic PPS — every heavy doc is certain, sample size tracks K") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val total = d.agg(sum(col("n_chars"))).head().getLong(0)
+    val stride = math.max(1L, total / MiningOps.PpsTarget)
+    val sample = MiningOps.q148PpsSample(spark, dir).collect()
+    // systematic rule: one selection per stride multiple covered
+    assert(math.abs(sample.length - total / stride) <= 1,
+      s"sample size ${sample.length} vs ${total / stride} expected")
+    // PPS certainty: any doc heavier than the stride MUST be sampled
+    val heavy = d.filter(col("n_chars") > stride).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val picked = sample.map(_.getAs[Long]("doc_id")).toSet
+    assert(heavy.subsetOf(picked), "docs heavier than the stride are certain picks")
+    // determinism: a re-run yields the identical sample
+    val again = MiningOps.q148PpsSample(spark, dir).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(again === picked)
+  }
+
+  test("q149: the profiler's hot keys really are the heaviest; ratios are proper") {
+    val rows = MiningOps.q149SkewReport(spark, dir).collect()
+    assert(rows.length === MiningOps.SkewTopK)
+    val counts = rows.map(_.getAs[Long]("cnt"))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+      "ranked by count descending")
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val trueMax = li.groupBy("l_orderkey").count()
+      .agg(max("count")).head().getLong(0)
+    assert(counts.head === trueMax, "rank 1 is the true heaviest key")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("skew_ratio") >= 1.0)
+      assert(r.getAs[Double]("share") > 0 && r.getAs[Double]("share") < 1)
+    }
+  }
+
+  test("q150: equi-depth bands hold near-equal counts and tile the value range") {
+    val rows = MiningOps.q150EquidepthHist(spark, dir).collect()
+      .groupBy(_.getAs[String]("event_type"))
+    rows.foreach { case (_, bands) =>
+      val ns = bands.map(_.getAs[Long]("n"))
+      assert(ns.max - ns.min <= 1, s"equi-depth: band sizes differ by ≤1, got ${ns.toSeq}")
+      val sorted = bands.sortBy(_.getAs[Int]("decile"))
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        assert(a.getAs[Double]("hi") <= b.getAs[Double]("lo"),
+          "bands must not overlap (ties split deterministically by id)")
+      }
+    }
+  }
+
+  test("q151: tombstoned users vanish; survivors carry their true change counts") {
+    val e = graft.sources.TsBridge.normalize(
+      spark.read.parquet(s"$dir/events.parquet"))
+    val out = MiningOps.q151CdcApply(spark, dir).collect()
+    val lastOps = e.withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_type").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val tombstoned = lastOps.collect { case (u, "error") => u }.toSet
+    val surviving = out.map(_.getAs[Long]("user_id")).toSet
+    assert(tombstoned.intersect(surviving).isEmpty, "deleted keys must not appear")
+    assert(surviving === lastOps.keySet -- tombstoned)
+    assert(out.forall(_.getAs[String]("last_op") != "error"))
+  }
+
   test("q141/q146 plan shape: per-basket equi-joins, no cartesian anywhere") {
     val p141 = MiningOps.q141Itemsets(spark, dir).queryExecution.executedPlan.toString
     assert(!p141.contains("CartesianProduct"),
