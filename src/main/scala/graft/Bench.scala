@@ -292,7 +292,8 @@ object Bench {
       "q145_ivm_view", "q146_bfs_paths",
       "sq18_stream_join_chain", "q147_cluster_split",
       "q148_pps_sample", "q149_skew_report", "q150_equidepth_hist",
-      "q151_cdc_apply")
+      "q151_cdc_apply", "q152_embed_audit", "q153_graph_profile",
+      "q154_multitouch", "q155_bottomk_quantile")
     // shingle-index misses during TIMED passes only (warm passes are
     // expected to build it once per session+dir)
     var timedIndexMisses = 0L

@@ -257,7 +257,16 @@ object ScaleCheck {
     // partition bound); CDC-apply is one user-shuffle serving both
     // windows — hot users absorb the 10× rows
     "q148_pps_sample", "q149_skew_report", "q150_equidepth_hist",
-    "q151_cdc_apply")
+    "q151_cdc_apply",
+    // batch 3: the embedding audit is the pure map + |labels| agg
+    // linearity claim over the 4× vectors; the graph profile rides
+    // the densified 10×-events graph (wedge sum predicts the triangle
+    // join's cost — the profile must stay cheap even when the
+    // triangle chain isn't); multi-touch is the sq3 interval-join
+    // shape (touch volume grows with cell density); the bottom-k
+    // certification's sample stays k per group while the scan ×10s
+    "q152_embed_audit", "q153_graph_profile", "q154_multitouch",
+    "q155_bottomk_quantile")
   // sq18 (chained stream-stream joins) is EXCLUDED from the default
   // drill for the q138 reason: the 10× events corpus REPLICATES
   // timestamps (unchanged user/ts), so 3-way funnel matches multiply

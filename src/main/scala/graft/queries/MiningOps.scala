@@ -649,6 +649,183 @@ object MiningOps {
       |WHERE rn = 1 AND event_type <> 'error'
       |ORDER BY user_id""".stripMargin
 
+  // ------------------------------------------------ q152 embedding audit
+
+  /** Expected embedding dimensionality — the [[graft.llmops.VectorOps.Dim]]
+    * contract, referenced (not copied) so the audit can never drift
+    * from the geometry the vector ops actually assume. */
+  val EmbDim: Int = graft.llmops.VectorOps.Dim
+
+  /** q152: EMBEDDING INTEGRITY AUDIT — the screen an index build
+    * runs BEFORE trusting a vector column: per-label vector counts,
+    * zero-norm vectors (unindexable — cosine undefined), NaN
+    * components, dimensionality violations, and the norm
+    * distribution (min/max/mean). Norms ride the same
+    * sequential-fold double arithmetic as q40's oracle (bit-identical
+    * cross-engine); the mean is an exact DECIMAL sum with one double
+    * division (the q140 discipline).
+    *
+    * Scale shape: pure per-row map (norm, flags) + ONE partial-agged
+    * groupBy to |labels| rows — linear, no shuffle beyond the tiny
+    * label agg; the audit reads every byte once, which is exactly
+    * what it must do. */
+  def q152EmbedAudit(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val v = col("embedding")
+    val nrm = graft.functions.VectorExprs.norm(v)
+    e.select(col("label"), nrm.as("nrm"),
+        size(v).as("n_dims"),
+        exists(v, x => isnan(x)).cast("int").as("has_nan"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("nrm") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+        sum(col("has_nan").cast("long")).as("n_nan"),
+        sum(when(col("n_dims") =!= EmbDim, 1L).otherwise(0L)).as("n_baddim"),
+        min(col("nrm")).as("min_norm"), max(col("nrm")).as("max_norm"),
+        (sum(dec(col("nrm"), 28, 6)).cast("double") / count(lit(1)))
+          .as("mean_norm"))
+      .orderBy("label")
+  }
+
+  val q152Sql: String =
+    s"""WITH d AS (
+      |  SELECT label,
+      |    sqrt(list_sum(list_transform(
+      |      list_transform(embedding, x -> CAST(x AS DOUBLE)), x -> x * x))) AS nrm,
+      |    len(embedding) AS n_dims,
+      |    CASE WHEN len(list_filter(embedding, x -> isnan(x))) > 0
+      |      THEN 1 ELSE 0 END AS has_nan
+      |  FROM embeddings
+      |)
+      |SELECT label, count(*) AS n_vecs,
+      |  CAST(sum(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+      |  CAST(sum(has_nan) AS BIGINT) AS n_nan,
+      |  CAST(sum(CASE WHEN n_dims <> $EmbDim THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_baddim,
+      |  min(nrm) AS min_norm, max(nrm) AS max_norm,
+      |  CAST(sum(CAST(nrm AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS mean_norm
+      |FROM d GROUP BY label ORDER BY label""".stripMargin
+
+  // ------------------------------------------------ q154 multi-touch
+
+  /** Attribution lookback window (12 h in µs). */
+  val TouchWindowUs: Long = 43200000000L
+
+  /** q154: LINEAR MULTI-TOUCH ATTRIBUTION — each purchase splits one
+    * unit of credit EQUALLY across every click in its 12 h lookback
+    * (q18/q144 are last-touch; this is the other standard model):
+    * per-click total credit and purchases-touched, the marketing
+    * readout. Per-purchase credit 1/n is computed as a double and
+    * pinned to DECIMAL(18,9) before summation (binary doubles never
+    * sit on decimal midpoints, so both engines round identically and
+    * the sum is exact regardless of partition order).
+    *
+    * Scale shape: ONE user-keyed interval equi-join (the sq3 shape),
+    * a purchase-keyed window for the touch count, a click-keyed
+    * partial agg — all three ride the same user_id co-partitioning
+    * at scale. */
+  def q154Multitouch(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = events(s, dir)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        unix_micros(col("ts")).as("pus"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("event_id").as("click_id"),
+        unix_micros(col("ts")).as("cus"))
+    val touches = p.join(c, col("user_id") === col("cu") &&
+      col("cus") <= col("pus") && col("cus") >= col("pus") - TouchWindowUs)
+    val w = Window.partitionBy("purchase_id")
+    touches
+      .withColumn("n_touch", count(lit(1)).over(w))
+      .withColumn("credit", dec(lit(1.0) / col("n_touch"), 18, 9))
+      .groupBy(col("click_id"), col("user_id"))
+      .agg(countDistinct(col("purchase_id")).as("n_purchases"),
+        sum(col("credit")).cast("double").as("credit"))
+      .orderBy("click_id")
+  }
+
+  val q154Sql: String =
+    s"""WITH p AS (
+      |  SELECT user_id, event_id AS purchase_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS pus
+      |  FROM events WHERE event_type = 'purchase'
+      |), c AS (
+      |  SELECT user_id AS cu, event_id AS click_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS cus
+      |  FROM events WHERE event_type = 'click'
+      |), touches AS (
+      |  SELECT user_id, purchase_id, click_id,
+      |    count(*) OVER (PARTITION BY purchase_id) AS n_touch
+      |  FROM p JOIN c ON user_id = cu
+      |    AND cus <= pus AND cus >= pus - $TouchWindowUs
+      |)
+      |SELECT click_id, user_id, count(DISTINCT purchase_id) AS n_purchases,
+      |  CAST(sum(CAST(CAST(1.0 AS DOUBLE) / n_touch AS DECIMAL(18,9)))
+      |    AS DOUBLE) AS credit
+      |FROM touches GROUP BY 1, 2 ORDER BY click_id""".stripMargin
+
+  // ------------------------------------------------ q155 bottom-k quantile
+
+  /** Per-group deterministic sample size. */
+  val BottomK = 100
+
+  /** q155: BOTTOM-K QUANTILE SUMMARY, CERTIFIED — the mergeable
+    * quantile-estimation discipline (the q52/q80 pattern for order
+    * statistics): a deterministic uniform sample per group — the
+    * [[BottomK]] rows with the smallest md5(event_id) (a hash rank
+    * is a uniform draw, and bottom-k BY RANK is MERGEABLE partial
+    * state: union two bottom-k sets, keep the k smallest) — yields a
+    * sample median whose true rank the query then certifies IN-QUERY
+    * against the full relation (|rank − 0.5| ≤ the binomial bound),
+    * so a broken sampler fails the hash gate, not a code review.
+    *
+    * Scale shape: the bottom-k sample is a rank window here (gate
+    * size) but partial-aggregates at scale exactly like q83's typed
+    * quota — state is k rows per group per task; the certification
+    * pass is one partial-agged scan with the tiny estimate table
+    * broadcast. */
+  def q155BottomkQuantile(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = events(s, dir)
+    val w = Window.partitionBy("event_type")
+      .orderBy(md5(col("event_id").cast("string")), col("event_id"))
+    val est = e.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= BottomK)
+      .groupBy("event_type")
+      .agg(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY value)").as("est_median"))
+    // binomial rank error at k=100: ~2.58·sqrt(0.25/k) ≈ 0.13 (99%)
+    val bound = 0.15
+    e.join(broadcast(est), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        max(col("est_median")).as("est_median"),
+        expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY value)").as("exact_median"),
+        (sum(when(col("value") < col("est_median"), 1L).otherwise(0L))
+          .cast("double") / count(lit(1))).as("frac_below"))
+      .withColumn("within_bounds", abs(col("frac_below") - 0.5) <= bound)
+      .orderBy("event_type")
+  }
+
+  val q155Sql: String =
+    s"""WITH r AS (
+      |  SELECT event_type, value, row_number() OVER (PARTITION BY event_type
+      |    ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rk
+      |  FROM events
+      |), est AS (
+      |  SELECT event_type,
+      |    percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS est_median
+      |  FROM r WHERE rk <= $BottomK GROUP BY event_type
+      |)
+      |SELECT e.event_type, count(*) AS n, max(est.est_median) AS est_median,
+      |  percentile_cont(0.5) WITHIN GROUP (ORDER BY e.value) AS exact_median,
+      |  CAST(sum(CASE WHEN e.value < est.est_median THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*) AS frac_below,
+      |  abs(CAST(sum(CASE WHEN e.value < est.est_median THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*) - 0.5) <= 0.15 AS within_bounds
+      |FROM events e JOIN est ON e.event_type = est.event_type
+      |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
+
   // ------------------------------------------------ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -663,7 +840,10 @@ object MiningOps {
     "q148_pps_sample" -> (q148PpsSample _),
     "q149_skew_report" -> (q149SkewReport _),
     "q150_equidepth_hist" -> (q150EquidepthHist _),
-    "q151_cdc_apply" -> (q151CdcApply _))
+    "q151_cdc_apply" -> (q151CdcApply _),
+    "q152_embed_audit" -> (q152EmbedAudit _),
+    "q154_multitouch" -> (q154Multitouch _),
+    "q155_bottomk_quantile" -> (q155BottomkQuantile _))
 
   val oracle: Map[String, String] = Map(
     "q139_histogram" -> q139Sql,
@@ -677,5 +857,8 @@ object MiningOps {
     "q148_pps_sample" -> q148Sql,
     "q149_skew_report" -> q149Sql,
     "q150_equidepth_hist" -> q150Sql,
-    "q151_cdc_apply" -> q151Sql)
+    "q151_cdc_apply" -> q151Sql,
+    "q152_embed_audit" -> q152Sql,
+    "q154_multitouch" -> q154Sql,
+    "q155_bottomk_quantile" -> q155Sql)
 }

@@ -302,8 +302,10 @@ object RelOps {
       .select("n_nodes", "n_edges", "max_degree", "n_triangles")
   }
 
-  val q116Sql: String =
-    s"""WITH $cooccurEdgesSql, deg AS (
+  /** deg/ed/tri CTE chain (appended after [[cooccurEdgesSql]]) —
+    * shared by q116's count and q153's full profile. */
+  private[queries] val triChainSql: String =
+    """deg AS (
       |  SELECT node, count(*) AS d FROM (
       |    SELECT x AS node FROM e0 UNION ALL SELECT y AS node FROM e0)
       |  GROUP BY 1
@@ -315,11 +317,70 @@ object RelOps {
       |  SELECT 1 AS one
       |  FROM ed p JOIN ed q ON p.dst = q.src
       |       JOIN ed r ON p.src = r.src AND q.dst = r.dst
-      |)
+      |)""".stripMargin
+
+  val q116Sql: String =
+    s"""WITH $cooccurEdgesSql, $triChainSql
       |SELECT (SELECT count(*) FROM deg) AS n_nodes,
       |  (SELECT count(*) FROM e0) AS n_edges,
       |  (SELECT max(d) FROM deg) AS max_degree,
       |  (SELECT count(*) FROM tri) AS n_triangles""".stripMargin
+
+  // ------------------------------------------------ q153 graph profile
+
+  /** q153: GRAPH PROFILE — the one-row structural summary a graph
+    * pipeline checks before committing to an algorithm: node/edge
+    * counts, max degree, WEDGE count (Σ d·(d−1)/2 — the wedge-join
+    * volume q116's orientation caps), triangle count, and the GLOBAL
+    * CLUSTERING COEFFICIENT 3·triangles/wedges — the
+    * transitivity statistic that separates community-structured
+    * graphs from random ones (and predicts whether triangle-based
+    * methods will find anything). Wedges are exact integers
+    * (d·(d−1) div 2); the coefficient is one double division of
+    * integers (identical shapes cross-engine; zero-wedge guard).
+    *
+    * Scale shape: everything after the shared edge build collapses
+    * at the first partial agg (degree table is node-sized, wedge sum
+    * is one row); the triangle chain is q116's oriented wedge join —
+    * the only super-linear piece, and the profile's wedge count is
+    * exactly the statistic that PREDICTS its cost before running it. */
+  def q153GraphProfile(s: SparkSession, dir: String): DataFrame = {
+    val e0 = cooccurEdges(s, dir)
+    val deg = e0.select(col("x").as("node")).unionAll(e0.select(col("y").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val wedges = deg.agg(sum((col("d") * (col("d") - 1)) / lit(2)).cast("long")
+      .as("n_wedges"))
+    val fwd = col("dx") < col("dy") || (col("dx") === col("dy") && col("x") < col("y"))
+    val ed = e0
+      .join(broadcast(deg.select(col("node").as("x"), col("d").as("dx"))), "x")
+      .join(broadcast(deg.select(col("node").as("y"), col("d").as("dy"))), "y")
+      .select(when(fwd, col("x")).otherwise(col("y")).as("src"),
+        when(fwd, col("y")).otherwise(col("x")).as("dst"))
+    val wedge = ed.as("p").join(ed.as("q"), col("p.dst") === col("q.src"))
+      .select(col("p.src").as("wa"), col("q.dst").as("wc"))
+    val tri = wedge.join(ed.as("r"),
+      col("wa") === col("r.src") && col("wc") === col("r.dst"))
+    deg.agg(count(lit(1)).as("n_nodes"), max("d").as("max_degree"))
+      .crossJoin(e0.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(wedges)
+      .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+      .select(col("n_nodes"), col("n_edges"), col("max_degree"),
+        col("n_wedges"), col("n_triangles"),
+        when(col("n_wedges") === 0, lit(0.0))
+          .otherwise((lit(3) * col("n_triangles")).cast("double") / col("n_wedges"))
+          .as("clustering_coeff"))
+  }
+
+  val q153Sql: String =
+    s"""WITH $cooccurEdgesSql, $triChainSql
+      |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+      |  (SELECT count(*) FROM e0) AS n_edges,
+      |  (SELECT max(d) FROM deg) AS max_degree,
+      |  (SELECT CAST(sum((d * (d - 1)) // 2) AS BIGINT) FROM deg) AS n_wedges,
+      |  (SELECT count(*) FROM tri) AS n_triangles,
+      |  CASE WHEN (SELECT sum((d * (d - 1)) // 2) FROM deg) = 0 THEN 0.0
+      |    ELSE CAST(3 * (SELECT count(*) FROM tri) AS DOUBLE)
+      |      / (SELECT sum((d * (d - 1)) // 2) FROM deg) END AS clustering_coeff""".stripMargin
 
   // ------------------------------------------------------- q117 skyline
 
@@ -1543,7 +1604,8 @@ object RelOps {
     "q133_hierarchy" -> (q133Hierarchy _),
     "q134_lateral_topk" -> (q134LateralTopk _),
     "q135_profile" -> (q135Profile _),
-    "q136_benford" -> (q136Benford _)
+    "q136_benford" -> (q136Benford _),
+    "q153_graph_profile" -> (q153GraphProfile _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -1569,6 +1631,7 @@ object RelOps {
     "q133_hierarchy" -> q133Sql,
     "q134_lateral_topk" -> q134Sql,
     "q135_profile" -> q135Sql,
-    "q136_benford" -> q136Sql
+    "q136_benford" -> q136Sql,
+    "q153_graph_profile" -> q153Sql
   )
 }

@@ -211,6 +211,61 @@ class MiningOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.forall(_.getAs[String]("last_op") != "error"))
   }
 
+  test("q152: the clean fixture audits clean; stats are internally consistent") {
+    val rows = MiningOps.q152EmbedAudit(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_zero") === 0L && r.getAs[Long]("n_nan") === 0L &&
+        r.getAs[Long]("n_baddim") === 0L, s"driver fixture must audit clean: $r")
+      val (mn, mx, mean) = (r.getAs[Double]("min_norm"),
+        r.getAs[Double]("max_norm"), r.getAs[Double]("mean_norm"))
+      assert(mn > 0 && mn <= mean && mean <= mx)
+    }
+  }
+
+  test("q153: profile agrees with q116's counts; coefficient is a proper ratio") {
+    val p = graft.queries.RelOps.q153GraphProfile(spark, dir).head()
+    val t116 = graft.queries.RelOps.q116Triangles(spark, dir).head()
+    assert(p.getAs[Long]("n_nodes") === t116.getAs[Long]("n_nodes"))
+    assert(p.getAs[Long]("n_edges") === t116.getAs[Long]("n_edges"))
+    assert(p.getAs[Long]("n_triangles") === t116.getAs[Long]("n_triangles"))
+    val cc = p.getAs[Double]("clustering_coeff")
+    assert(cc >= 0.0 && cc <= 1.0)
+    assert(p.getAs[Long]("n_wedges") >= 3 * p.getAs[Long]("n_triangles"),
+      "every triangle closes exactly 3 wedges")
+  }
+
+  test("q154: credit conserves — total credit equals the attributed purchase count") {
+    val out = MiningOps.q154Multitouch(spark, dir).collect()
+    val totalCredit = out.map(_.getAs[Double]("credit")).sum
+    val e = graft.sources.TsBridge.normalize(
+      spark.read.parquet(s"$dir/events.parquet"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"), unix_micros(col("ts")).as("pus"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), unix_micros(col("ts")).as("cus"))
+    val attributed = p.join(c, col("user_id") === col("cu") &&
+        col("cus") <= col("pus") &&
+        col("cus") >= col("pus") - MiningOps.TouchWindowUs)
+      .select("pid").distinct().count()
+    // each attributed purchase distributes exactly one unit (mod the
+    // 1e-9 decimal pin per touch)
+    assert(math.abs(totalCredit - attributed) < 1e-3,
+      s"credit $totalCredit vs $attributed purchases")
+  }
+
+  test("q155: the certification holds and the sampler is deterministic") {
+    val a = MiningOps.q155BottomkQuantile(spark, dir).collect()
+    assert(a.nonEmpty)
+    a.foreach { r =>
+      assert(r.getAs[Boolean]("within_bounds"),
+        s"sample median must sit within the binomial rank bound: $r")
+    }
+    val b = MiningOps.q155BottomkQuantile(spark, dir).collect()
+      .map(_.getAs[Double]("est_median")).toSeq
+    assert(a.map(_.getAs[Double]("est_median")).toSeq === b)
+  }
+
   test("q141/q146 plan shape: per-basket equi-joins, no cartesian anywhere") {
     val p141 = MiningOps.q141Itemsets(spark, dir).queryExecution.executedPlan.toString
     assert(!p141.contains("CartesianProduct"),
