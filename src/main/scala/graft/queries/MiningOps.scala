@@ -427,8 +427,14 @@ object MiningOps {
     val sym = e0.select(col("x").as("src"), col("y").as("dst"))
       .unionAll(e0.select(col("y").as("src"), col("x").as("dst")))
       .localCheckpoint(eager = true) // edges reused every level: one build
-    val seed = sym.agg(min(col("src"))).head().getLong(0)
     import s.implicits._
+    // empty-graph guard (the adversarial sweep's no-edges regimes):
+    // no seed exists — the traversal is the empty distance table,
+    // matching the recursive CTE's empty fixpoint
+    val seedRow = sym.agg(min(col("src"))).head()
+    if (seedRow.isNullAt(0))
+      return Seq.empty[(Long, Long)].toDF("node", "dist")
+    val seed = seedRow.getLong(0)
     var visited = Seq((seed, 0L)).toDF("node", "dist").localCheckpoint(eager = true)
     var frontier = visited
     var depth = 0
@@ -458,7 +464,8 @@ object MiningOps {
       |  WHERE w2.d < $BfsMaxDepth
       |)
       |SELECT node, CAST(min(d) AS BIGINT) AS dist
-      |FROM walk GROUP BY node ORDER BY node""".stripMargin
+      |FROM walk WHERE node IS NOT NULL
+      |GROUP BY node ORDER BY node""".stripMargin
 
   // ------------------------------------------------ q148 PPS sample
 

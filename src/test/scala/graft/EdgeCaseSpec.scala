@@ -132,6 +132,34 @@ class EdgeCaseSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
   }
 
+  test("round-9 operators are total on empty inputs; BFS on an edgeless graph is empty") {
+    // depends on the empty events/embeddings the round-5 test wrote;
+    // re-write them here so ordering never matters
+    import scala.jdk.CollectionConverters._
+    val evSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType),
+      StructField("ts", LongType)))
+    spark.createDataFrame(List.empty[Row].asJava, evSchema)
+      .write.mode("overwrite").parquet(s"$emptyDir/events.parquet")
+    // the sweep's real find: an EMPTY EDGE SET has no seed — BFS must
+    // return the empty distance table (matching the recursive CTE's
+    // empty fixpoint after the null-seed filter), not throw on a null
+    // min. Covers both no-events and events-below-threshold regimes.
+    assert(graft.queries.MiningOps.q146BfsPaths(spark, emptyDir).count() == 0)
+    assert(graft.queries.MiningOps.q140Winsorize(spark, emptyDir).count() == 0)
+    assert(graft.queries.MiningOps.q150EquidepthHist(spark, emptyDir).count() == 0)
+    assert(graft.queries.MiningOps.q151CdcApply(spark, emptyDir).count() == 0)
+    assert(graft.queries.MiningOps.q154Multitouch(spark, emptyDir).count() == 0)
+    assert(graft.queries.MiningOps.q155BottomkQuantile(spark, emptyDir).count() == 0)
+    assert(graft.queries.MiningOps.q148PpsSample(spark, emptyDir).count() == 0)
+    assert(graft.llmops.TextOps.q147ClusterSplit(spark, emptyDir).count() == 0)
+    // the empty graph profile is ONE row of zero counts (the q82
+    // empty-funnel shape) — pinned, both engines agree
+    val gp = graft.queries.RelOps.q153GraphProfile(spark, emptyDir).collect()
+    assert(gp.length == 1 && gp.head.getLong(0) == 0 && gp.head.getLong(1) == 0)
+  }
+
   test("single-document corpus: per-doc ops emit one row, pair ops emit none") {
     val perDoc = Seq("q38" -> (TextOps.q38Simhash _), "q48" -> (TextOps.q48RollingHash _),
       "q62" -> (TextOps.q62Repetition _), "q63" -> (TextOps.q63ChunkOverlap _))
