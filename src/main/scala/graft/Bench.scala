@@ -293,7 +293,9 @@ object Bench {
       "sq18_stream_join_chain", "q147_cluster_split",
       "q148_pps_sample", "q149_skew_report", "q150_equidepth_hist",
       "q151_cdc_apply", "q152_embed_audit", "q153_graph_profile",
-      "q154_multitouch", "q155_bottomk_quantile")
+      "q154_multitouch", "q155_bottomk_quantile",
+      "q156_observed_metrics", "q157_dynamic_overwrite",
+      "q158_label_prop", "sq19_late_data")
     // shingle-index misses during TIMED passes only (warm passes are
     // expected to build it once per session+dir)
     var timedIndexMisses = 0L

@@ -266,7 +266,15 @@ object ScaleCheck {
     // shape (touch volume grows with cell density); the bottom-k
     // certification's sample stays k per group while the scan ×10s
     "q152_embed_audit", "q153_graph_profile", "q154_multitouch",
-    "q155_bottomk_quantile")
+    "q155_bottomk_quantile",
+    // batch 4: observe() rides the scan it annotates (zero extra
+    // passes is the claim); the dynamic overwrite's cost must track
+    // the changed partition + the 10× full write; label propagation
+    // consumes the exact-top-k artifact over the 4× vectors (the
+    // n² build is the warm pass, the q47 shape); the late-data
+    // replay drops 10× the rows at the same watermark fenceposts
+    "q156_observed_metrics", "q157_dynamic_overwrite",
+    "q158_label_prop", "sq19_late_data")
   // sq18 (chained stream-stream joins) is EXCLUDED from the default
   // drill for the q138 reason: the 10× events corpus REPLICATES
   // timestamps (unchanged user/ts), so 3-way funnel matches multiply

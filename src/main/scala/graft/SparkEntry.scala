@@ -52,7 +52,9 @@ object SparkEntry {
       "sq17_stream_type_counts" ->
         ((s: SparkSession, dir: String) => StreamOps.sq17StreamTypeCounts(s, dir)),
       "sq18_stream_join_chain" ->
-        ((s: SparkSession, dir: String) => StreamOps.sq18StreamJoinChain(s, dir)))
+        ((s: SparkSession, dir: String) => StreamOps.sq18StreamJoinChain(s, dir)),
+      "sq19_late_data" ->
+        ((s: SparkSession, dir: String) => StreamOps.sq19LateDataAudit(s, dir)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -76,5 +78,6 @@ object SparkEntry {
       "sq15_stream_timer_session" -> Queries.q22Sql,
       "sq16_stream_lastn" -> StreamOps.sq16Sql,
       "sq17_stream_type_counts" -> StreamOps.sq17Sql,
-      "sq18_stream_join_chain" -> StreamOps.sq18Sql)
+      "sq18_stream_join_chain" -> StreamOps.sq18Sql,
+      "sq19_late_data" -> StreamOps.sq19Sql)
 }

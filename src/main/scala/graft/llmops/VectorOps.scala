@@ -2030,6 +2030,87 @@ object VectorOps {
 
   // --------------------------------------------------------- registry
 
+  // ------------------------------------------------ q158 label propagation
+
+  /** Holdout rule: vec_id ≡ 0 (mod 5) masks its label. */
+  val PropHoldoutMod = 5
+
+  /** q158: KNN LABEL PROPAGATION — the one-hop semi-supervised
+    * baseline: mask every fifth vector's label, predict it as the
+    * MAJORITY VOTE of its labeled exact top-k neighbors (ties → the
+    * smallest label — pinned), and report per-true-label accuracy:
+    * the label-quality / annotation-bootstrap readout a training
+    * pipeline runs before trusting propagated labels at scale.
+    * Consumes the PUBLISHED exact top-k artifact (the q47/q61
+    * discipline — the n² pass is paid once per session+fixture, every
+    * certification and this op read the materialized pairs).
+    *
+    * Scale shape: everything after the artifact read is holdout-sized
+    * joins (≤ k rows per holdout vector) + a per-vector vote window
+    * bounded by k, collapsing to |labels| output rows. At production
+    * scale the exact artifact swaps for the q41 LSH pairs — same
+    * consumer shape. */
+  def q158LabelProp(s: SparkSession, dir: String): DataFrame = {
+    val lab = emb(s, dir).select(col("vec_id"), col("label"))
+    val holdout = lab.filter(pmod(col("vec_id"), lit(PropHoldoutMod)) === 0)
+      .select(col("vec_id"), col("label").as("true_label"))
+    val labeled = lab.filter(pmod(col("vec_id"), lit(PropHoldoutMod)) =!= 0)
+      .select(col("vec_id").as("neighbor_id"), col("label").as("nb_label"))
+    val votes = exactTopk(s, dir)
+      .join(holdout, "vec_id")
+      .join(labeled, "neighbor_id") // inner: unlabeled neighbors don't vote
+      .groupBy("vec_id", "true_label", "nb_label")
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("vec_id").orderBy(col("c").desc, col("nb_label"))
+    votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy("true_label")
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("nb_label") === col("true_label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .withColumn("accuracy", col("n_correct").cast("double") / col("n_eval"))
+      .orderBy("true_label")
+  }
+
+  /** Oracle: the q40 exact-kNN chain + the same masked vote. */
+  val q158Sql: String =
+    s"""WITH d AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, label, v,
+       |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM d
+       |), sims AS (
+       |  SELECT a.vec_id, a.label AS true_label, b.vec_id AS neighbor_id,
+       |    b.label AS nb_label,
+       |    round(coalesce(list_sum([a.v[i] * b.v[i] for i in range(1, $Dim + 1)])
+       |          / (a.nrm * b.nrm), 0.0), 6) AS sim
+       |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+       |  WHERE a.vec_id % $PropHoldoutMod = 0
+       |), knn AS (
+       |  SELECT * FROM (
+       |    SELECT vec_id, true_label, neighbor_id, nb_label,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY sim DESC, neighbor_id) AS rank
+       |    FROM sims)
+       |  WHERE rank <= $TopK AND neighbor_id % $PropHoldoutMod <> 0
+       |), tally AS (
+       |  SELECT vec_id, true_label, nb_label, count(*) AS c
+       |  FROM knn GROUP BY 1, 2, 3
+       |), pred AS (
+       |  SELECT vec_id, true_label, nb_label FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY c DESC, nb_label) AS rn
+       |    FROM tally)
+       |  WHERE rn = 1
+       |)
+       |SELECT true_label, count(*) AS n_eval,
+       |  CAST(sum(CASE WHEN nb_label = true_label THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_correct,
+       |  CAST(sum(CASE WHEN nb_label = true_label THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*) AS accuracy
+       |FROM pred GROUP BY 1 ORDER BY true_label""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_cosine_topk" -> (q40CosineTopk _),
     "q41_ann_lsh" -> (q41AnnLsh _),
@@ -2046,6 +2127,7 @@ object VectorOps {
     "q84_pq_adc_recall" -> (q84PqAdcRecall _),
     "q89_ivfpq_recall" -> (q89IvfpqRecall _),
     "q102_label_separation" -> (q102LabelSeparation _),
+    "q158_label_prop" -> (q158LabelProp _),
     "q109_jl_projection" -> (q109JlProjection _)
   )
 
@@ -2060,6 +2142,7 @@ object VectorOps {
     "q41_ann_lsh" -> q41Sql,
     "q44_ivf_topk" -> q44Sql,
     "q102_label_separation" -> q102Sql,
+    "q158_label_prop" -> q158Sql,
     "q109_jl_projection" -> q109Sql,
     "q42_label_centroids" -> q42Sql,
     "q43_cos_neardup" -> q43Sql,

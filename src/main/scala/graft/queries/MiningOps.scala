@@ -833,6 +833,111 @@ object MiningOps {
       |FROM events e JOIN est ON e.event_type = est.event_type
       |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
 
+  // ------------------------------------------------ q156 observed metrics
+
+  /** q156: IN-FLIGHT OBSERVED METRICS — Spark's `Observation`/
+    * `observe()` API as a first-class op: data-quality counters
+    * (row count, exact value sum, null count) attach AT THE SCAN and
+    * accumulate during the SAME job that computes the real
+    * aggregate — zero extra passes, which is the whole point at
+    * 100 TB (a separate audit query would re-scan everything). The
+    * result row carries the downstream aggregate AND the observed
+    * counters with agreement booleans — the oracle recomputes both
+    * sides and pins the booleans true, so a broken observation
+    * plumbing fails the hash gate.
+    *
+    * Scale shape: observe() compiles to an accumulator-backed
+    * CollectMetrics node over the scan — no exchange, no second
+    * read; the one bounded action collects a single aggregate row. */
+  def q156ObservedMetrics(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val obs = org.apache.spark.sql.Observation()
+    val li = t(s, dir, "lineitem")
+      .observe(obs, count(lit(1)).as("obs_rows"),
+        sum(dec(col("l_quantity"), 18, 2)).as("obs_qty"),
+        sum(col("l_quantity").isNull.cast("long")).as("obs_nulls"))
+    // bounded action: the downstream aggregate is one row; collecting
+    // it is what releases the observation
+    val agg = li.filter(col("l_quantity") > 0)
+      .agg(count(lit(1)).as("n_pos"),
+        sum(dec(col("l_quantity"), 18, 2)).cast("double").as("qty_pos"))
+      .head()
+    val m = obs.get
+    // empty-relation guard: sums observe/aggregate to NULL
+    def dbl(v: Any): Option[Double] = v match {
+      case null => None
+      case b: java.math.BigDecimal => Some(b.doubleValue())
+      case d: java.lang.Double => Some(d.doubleValue())
+    }
+    Seq((agg.getLong(0),
+        if (agg.isNullAt(1)) Option.empty[Double] else Some(agg.getDouble(1)),
+        m("obs_rows").asInstanceOf[Long],
+        dbl(m("obs_qty")),
+        m("obs_nulls").asInstanceOf[Long]))
+      .toDF("n_pos", "qty_pos", "obs_rows", "obs_qty", "obs_nulls")
+      .select(col("n_pos"), col("qty_pos"), col("obs_rows"), col("obs_qty"),
+        col("obs_nulls"),
+        (col("obs_rows") >= col("n_pos")).as("rows_consistent"),
+        (col("obs_nulls") === 0L).as("no_nulls"))
+  }
+
+  val q156Sql: String =
+    """SELECT
+      |  (SELECT count(*) FROM lineitem WHERE l_quantity > 0) AS n_pos,
+      |  (SELECT CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |   FROM lineitem WHERE l_quantity > 0) AS qty_pos,
+      |  (SELECT count(*) FROM lineitem) AS obs_rows,
+      |  (SELECT CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |   FROM lineitem) AS obs_qty,
+      |  (SELECT count(*) FROM lineitem WHERE l_quantity IS NULL) AS obs_nulls,
+      |  (SELECT count(*) FROM lineitem) >=
+      |    (SELECT count(*) FROM lineitem WHERE l_quantity > 0) AS rows_consistent,
+      |  (SELECT count(*) FROM lineitem WHERE l_quantity IS NULL) = 0 AS no_nulls""".stripMargin
+
+  // ------------------------------------------------ q157 dynamic overwrite
+
+  /** q157: DYNAMIC PARTITION OVERWRITE — the INSERT OVERWRITE
+    * contract warehouse pipelines live by: a second write that
+    * touches ONE partition must replace exactly that partition and
+    * leave every other at-rest partition untouched (static overwrite
+    * mode would silently DELETE them — the classic data-loss
+    * misconfiguration). Proven end-to-end at the FILE level: full
+    * corpus lands partitionBy(lang); a transformed en-only batch
+    * overwrites with `partitionOverwriteMode=dynamic` (a WRITER
+    * option — no session-level conf mutation, the ConfScope lesson);
+    * the read-back profile shows en transformed, everything else
+    * intact. Oracle = the SQL that SIMULATES the two-write outcome.
+    *
+    * Scale shape: the overwrite's cost is the changed partition's,
+    * never the table's — the at-rest layout (q60's directory
+    * pruning) is exactly what makes partition-scoped rewrites
+    * possible at 100 TB. */
+  def q157DynamicOverwrite(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.operators.PlanCache.tempDir("graft_dynover_")
+    val d = t(s, dir, "documents")
+    // empty-corpus guard: a partitionBy write of zero rows leaves no
+    // footer to re-infer — the profile is definitionally empty
+    if (d.isEmpty)
+      return d.groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+    d.write.mode("overwrite").partitionBy("lang").parquet(out)
+    d.filter(col("lang") === "en")
+      .withColumn("n_chars", -col("n_chars"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("lang").parquet(out)
+    s.read.parquet(out)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("lang")
+  }
+
+  val q157Sql: String =
+    """SELECT lang, count(*) AS n,
+      |  CAST(sum(CASE WHEN lang = 'en' THEN -n_chars ELSE n_chars END)
+      |    AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   // ------------------------------------------------ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -850,7 +955,9 @@ object MiningOps {
     "q151_cdc_apply" -> (q151CdcApply _),
     "q152_embed_audit" -> (q152EmbedAudit _),
     "q154_multitouch" -> (q154Multitouch _),
-    "q155_bottomk_quantile" -> (q155BottomkQuantile _))
+    "q155_bottomk_quantile" -> (q155BottomkQuantile _),
+    "q156_observed_metrics" -> (q156ObservedMetrics _),
+    "q157_dynamic_overwrite" -> (q157DynamicOverwrite _))
 
   val oracle: Map[String, String] = Map(
     "q139_histogram" -> q139Sql,
@@ -867,5 +974,7 @@ object MiningOps {
     "q151_cdc_apply" -> q151Sql,
     "q152_embed_audit" -> q152Sql,
     "q154_multitouch" -> q154Sql,
-    "q155_bottomk_quantile" -> q155Sql)
+    "q155_bottomk_quantile" -> q155Sql,
+    "q156_observed_metrics" -> q156Sql,
+    "q157_dynamic_overwrite" -> q157Sql)
 }

@@ -1409,6 +1409,95 @@ object StreamOps {
       |  AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 12 HOUR
       |ORDER BY view_id, click_id, purchase_id""".stripMargin
 
+  // ------------------------------------------- sq19 late-data audit
+
+  /** sq19's watermark delay (µs) and window size (µs). */
+  val LateDelayUs: Long = 3600000000L
+  val LateWindowUs: Long = 3600000000L
+
+  /** SQ19: LATE-DATA DROP SEMANTICS, pinned — the one watermark
+    * behavior a single-batch AvailableNow run can never exercise
+    * (sq1Append sees all data before the watermark first advances, so
+    * nothing is ever late). Here the source REPLAYS in three
+    * deterministic micro-batches (events staged into three files by
+    * event_id mod 3, processing order forced by modification time,
+    * `maxFilesPerTrigger=1`), so later batches carry rows far older
+    * than the watermark batch 1 established. The protocol this pins
+    * was MEASURED, not assumed (numRowsDroppedByWatermark per batch:
+    * 0, 0, 718): the watermark takes effect for LATE-ROW FILTERING
+    * one micro-batch after the data that produced it — batch i
+    * filters against max-event-time through batch i−2 (the
+    * planning-time propagation lag) — while EVICTION/EMISSION at a
+    * batch's end uses the batch-end watermark (data through i−1),
+    * and the AvailableNow final no-data batch emits everything the
+    * global watermark closes. The oracle SIMULATES exactly this
+    * (per-file max event times → lagged filter watermarks → the
+    * global emit rule), so the hash match pins the engine's actual
+    * semantics, propagation lag and strict inequalities included.
+    *
+    * Scale shape: state is one row per open window; late rows die at
+    * the EventTimeWatermark filter BEFORE the aggregation shuffle —
+    * which is the entire production point of watermarks: unbounded
+    * disorder costs state, bounded disorder costs a filter. */
+  def sq19LateDataAudit(s: SparkSession, dir: String): DataFrame = {
+    val staged = graft.operators.PlanCache.tempDir("graft_late_")
+    val e = TsBridge.normalize(s.read.parquet(s"$dir/events.parquet"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts"))
+    val schema = e.schema
+    (0 until 3).foreach { i =>
+      val tmp = s"$staged/stage$i"
+      e.filter(pmod(col("event_id"), lit(3)) === i).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      val dest = java.nio.file.Paths.get(staged, s"f$i.parquet")
+      java.nio.file.Files.move(part, dest)
+      // distinct ascending mtimes force the replay order the oracle's
+      // batch simulation assumes
+      dest.toFile.setLastModified((i + 1) * 60000L)
+    }
+    val name = s"sq19_${System.nanoTime()}"
+    withStreamShuffle(s) { fs =>
+      val q = fs.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("soma"))
+        .select(unix_millis(col("w.start")).as("janela_ms"), col("n"), col("soma"))
+        .writeStream.queryName(name).format("memory")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      fs.table(name).orderBy("janela_ms")
+    }
+  }
+
+  /** The batch-protocol simulation: per-file max event times, the
+    * ONE-BATCH-LAGGED filter watermark (batch i filters on data
+    * through batch i−2 — the measured propagation lag), and the
+    * global final-watermark emit rule. */
+  val sq19Sql: String =
+    s"""WITH e AS (
+       |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, value,
+       |    event_id % 3 AS f
+       |  FROM events
+       |), m AS (
+       |  SELECT f, max(us) AS mx FROM e GROUP BY f
+       |), surv AS (
+       |  SELECT e.us, e.value,
+       |    (e.us // $LateWindowUs) * $LateWindowUs AS wstart,
+       |    (e.us // $LateWindowUs + 1) * $LateWindowUs AS wend,
+       |    (SELECT max(mx) - $LateDelayUs FROM m WHERE m.f <= e.f - 2) AS wm
+       |  FROM e
+       |)
+       |SELECT wstart // 1000 AS janela_ms, count(*) AS n,
+       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS soma
+       |FROM surv
+       |WHERE (wm IS NULL OR wend > wm)
+       |  AND wend <= (SELECT max(mx) - $LateDelayUs FROM m)
+       |GROUP BY 1 ORDER BY janela_ms""".stripMargin
+
   /** SQ13's DuckDB oracle: the batch per-user profile under the same
     * 30-min session-gap rule. */
   val sq13Sql: String =

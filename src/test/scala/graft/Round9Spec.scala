@@ -58,6 +58,55 @@ class Round9Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bySplit("test").toDouble / docs < 0.3, s"test share exploded: $bySplit")
   }
 
+  test("q156: observed in-flight metrics equal a direct recomputation") {
+    val r = graft.queries.MiningOps.q156ObservedMetrics(spark, dir).head()
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    assert(r.getAs[Long]("obs_rows") === li.count())
+    val direct = li.agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"))
+      .head().getDouble(0)
+    assert(math.abs(r.getAs[Double]("obs_qty") - direct) < 1e-9)
+    assert(r.getAs[Boolean]("rows_consistent") && r.getAs[Boolean]("no_nulls"))
+  }
+
+  test("q157: the dynamic overwrite replaced exactly the en partition") {
+    val out = graft.queries.MiningOps.q157DynamicOverwrite(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val direct = spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy("lang").agg(count(lit(1)), sum(col("n_chars")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet === direct.keySet, "no partition may vanish (static-mode data loss)")
+    out.foreach { case (lang, (n, sum)) =>
+      val (dn, dsum) = direct(lang)
+      assert(n === dn, s"$lang row count must survive the overwrite")
+      if (lang == "en") assert(sum === -dsum, "en was replaced by the transformed batch")
+      else assert(sum === dsum, s"$lang must be untouched")
+    }
+  }
+
+  test("q158: propagation is deterministic and grades only the holdout") {
+    val rows = graft.llmops.VectorOps.q158LabelProp(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val nHoldout = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(pmod(col("vec_id"), lit(graft.llmops.VectorOps.PropHoldoutMod)) === 0)
+      .count()
+    assert(rows.map(_.getAs[Long]("n_eval")).sum <= nHoldout)
+    rows.foreach { r =>
+      val acc = r.getAs[Double]("accuracy")
+      assert(acc >= 0.0 && acc <= 1.0)
+      assert(r.getAs[Long]("n_correct") <= r.getAs[Long]("n_eval"))
+    }
+  }
+
+  test("sq19: late batches really drop — emitted volume is between one and two replay thirds") {
+    val out = graft.streaming.StreamOps.sq19LateDataAudit(spark, dir).collect()
+    val total = spark.read.parquet(s"$dir/events.parquet").count()
+    val emitted = out.map(_.getAs[Long]("n")).sum
+    // batches 1+2 survive the lagged filter (minus open windows),
+    // batch 3 drops: emitted sits strictly inside (total/3, total)
+    assert(emitted > total / 3 && emitted < total,
+      s"emitted $emitted of $total — the drop semantics must bite")
+  }
+
   test("q147: leakage-safe — no q67 near-dup pair straddles two splits") {
     // recompute each doc's split exactly as the query does, then check
     // every clustered doc landed with its root
