@@ -295,7 +295,9 @@ object Bench {
       "q151_cdc_apply", "q152_embed_audit", "q153_graph_profile",
       "q154_multitouch", "q155_bottomk_quantile",
       "q156_observed_metrics", "q157_dynamic_overwrite",
-      "q158_label_prop", "sq19_late_data")
+      "q158_label_prop", "sq19_late_data",
+      "q159_pipe_syntax", "q160_variant_shred", "q161_collation",
+      "q162_param_sql")
     // shingle-index misses during TIMED passes only (warm passes are
     // expected to build it once per session+dir)
     var timedIndexMisses = 0L

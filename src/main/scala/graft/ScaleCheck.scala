@@ -274,7 +274,13 @@ object ScaleCheck {
     // n² build is the warm pass, the q47 shape); the late-data
     // replay drops 10× the rows at the same watermark fenceposts
     "q156_observed_metrics", "q157_dynamic_overwrite",
-    "q158_label_prop", "sq19_late_data")
+    "q158_label_prop", "sq19_late_data",
+    // batch 5 (SQL surface): pipe/param queries must cost exactly
+    // their classic twins (plan identity is spec-asserted; the drill
+    // proves the 10× wall matches); VARIANT parse+get is fused map
+    // work; collated grouping shuffles the collated key once
+    "q159_pipe_syntax", "q160_variant_shred", "q161_collation",
+    "q162_param_sql")
   // sq18 (chained stream-stream joins) is EXCLUDED from the default
   // drill for the q138 reason: the 10× events corpus REPLICATES
   // timestamps (unchanged user/ts), so 3-way funnel matches multiply

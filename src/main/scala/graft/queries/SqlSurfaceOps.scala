@@ -1,0 +1,177 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Round-9 Spark-4 SQL-surface operators (SURVEY.md §2.3): the pipe
+  * (`|>`) query syntax, the VARIANT semi-structured type, collation-
+  * aware grouping, and parameterized SQL — the features a user
+  * switching to this engine from a 3.x deployment needs proven, each
+  * pinned against a classic-SQL oracle (identity across surfaces:
+  * new syntax, same answer).
+  */
+object SqlSurfaceOps {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    graft.sources.TsBridge.normalize(t(s, dir, "events"))
+
+  // ------------------------------------------------ q159 pipe syntax
+
+  /** q159: SQL PIPE SYNTAX — the q10 pricing summary written in
+    * Spark 4's `|>` operator chain (FROM … |> WHERE … |> AGGREGATE …
+    * GROUP BY … |> ORDER BY): each pipe stage is a complete relational
+    * step in reading order, the syntax the 2024 SQL-pipes work
+    * standardized. The oracle is the CLASSIC formulation — a hash
+    * match is the proof the two surfaces plan identically (Catalyst
+    * parses pipes into the same logical plan; there is nothing new to
+    * optimize, which is the point).
+    *
+    * Scale shape: identical to q10 — partial+final hash aggregation,
+    * one shuffle on the group keys. */
+  def q159PipeSyntax(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql(
+      """FROM lineitem
+        ||> WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        ||> AGGREGATE count(*) AS n,
+        |     CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |     CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |   GROUP BY l_returnflag, l_linestatus
+        ||> ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
+  /** The classic formulation — pipes must plan to exactly this. */
+  val q159Sql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ------------------------------------------------ q160 VARIANT shred
+
+  /** q160: VARIANT SEMI-STRUCTURED TYPE — `parse_json` shreds the
+    * props column to Spark 4's binary VARIANT encoding once, then
+    * typed access (`variant_get(v, '$.k', 'long')`) reads fields
+    * WITHOUT a declared schema — the open-schema ingestion path that
+    * replaces schema-on-read structs when producers evolve freely
+    * (q124 is the closed-schema twin: same answer where the declared
+    * schema fits, which this oracle pins). `try_variant_get` on a
+    * missing path must be NULL for every row — the lenient-access
+    * contract, counted and pinned.
+    *
+    * Scale shape: parse + typed get fuse into the scan projection
+    * (one pass, no shuffle before the group agg); VARIANT's binary
+    * form is the columnar-friendly representation that avoids
+    * re-parsing JSON text per access at 100 TB. */
+  def q160VariantShred(s: SparkSession, dir: String): DataFrame = {
+    events(s, dir)
+      .select(col("event_type"),
+        expr("variant_get(parse_json(props), '$.k', 'long')").as("k"),
+        expr("try_variant_get(parse_json(props), '$.missing', 'long')").as("miss"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        count(col("k")).as("n_with_k"),
+        sum(col("k")).as("sum_k"),
+        sum(col("miss").isNull.cast("long")).as("n_miss_null"))
+      .orderBy("event_type")
+  }
+
+  val q160Sql: String =
+    """SELECT event_type, count(*) AS n,
+      |  count(CAST(props->>'k' AS BIGINT)) AS n_with_k,
+      |  CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+      |  count(*) AS n_miss_null
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------------ q161 collation
+
+  /** q161: COLLATION-AWARE GROUPING — Spark 4 string collations:
+    * the input re-cases half its keys (`upper()` on odd event ids —
+    * the dirty-data regime), then groups under `COLLATE UTF8_LCASE`
+    * so case variants COLLAPSE at the comparison level, no
+    * normalize-then-group rewrite. The canonical key surfaces via
+    * lower() for output parity; the oracle is the classic
+    * lower()-grouping — identity across the two mechanisms.
+    *
+    * Scale shape: collation participates in hash/sort directly, so
+    * the group-by shuffles the collated key — one partial-agged
+    * aggregation, same as any groupBy; no extra projection pass. */
+  def q161Collation(s: SparkSession, dir: String): DataFrame = {
+    events(s, dir)
+      .select(when(col("event_id") % 2 === 1, upper(col("event_type")))
+        .otherwise(col("event_type")).as("et_mixed"), col("value"))
+      .createOrReplaceTempView("mixed_events")
+    events(s, dir).sparkSession.sql(
+      """SELECT lower(et_mixed COLLATE UTF8_LCASE) AS event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS soma
+        |FROM mixed_events
+        |GROUP BY et_mixed COLLATE UTF8_LCASE
+        |ORDER BY event_type""".stripMargin)
+  }
+
+  /** The classic normalize-then-group — collation must equal it. */
+  val q161Sql: String =
+    """SELECT lower(CASE WHEN event_id % 2 = 1 THEN upper(event_type)
+      |                  ELSE event_type END) AS event_type,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS soma
+      |FROM events
+      |GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------------ q162 parameterized SQL
+
+  /** The binding the parameterized text runs under (also interpolated
+    * into the oracle as literals — the parity contract). */
+  val ParamPriority = "1-URGENT"
+  val ParamMinTotal = 100000.0
+
+  /** q162: PARAMETERIZED SQL — named parameter markers (`:prio`,
+    * `:min_total`) bound through `spark.sql(text, args)`: the
+    * injection-safe query surface a service exposes instead of string
+    * interpolation (parameters bind as typed literals AT PARSE TIME,
+    * so Catalyst constant-folds and pushes them down exactly like
+    * hand-written literals — plan equality with the literal twin is
+    * the point, and the oracle IS the literal twin).
+    *
+    * Scale shape: identical to the literal query — the priority
+    * predicate reaches the parquet scan as a pushed filter. */
+  def q162ParamSql(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_orderpriority = :prio AND o_totalprice >= :min_total
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+      Map("prio" -> ParamPriority, "min_total" -> ParamMinTotal))
+  }
+
+  val q162Sql: String =
+    s"""SELECT o_orderpriority, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders
+      |WHERE o_orderpriority = '$ParamPriority' AND o_totalprice >= $ParamMinTotal
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ------------------------------------------------ registry
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q159_pipe_syntax" -> (q159PipeSyntax _),
+    "q160_variant_shred" -> (q160VariantShred _),
+    "q161_collation" -> (q161Collation _),
+    "q162_param_sql" -> (q162ParamSql _))
+
+  val oracle: Map[String, String] = Map(
+    "q159_pipe_syntax" -> q159Sql,
+    "q160_variant_shred" -> q160Sql,
+    "q161_collation" -> q161Sql,
+    "q162_param_sql" -> q162Sql)
+}

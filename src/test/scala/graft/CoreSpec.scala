@@ -148,8 +148,9 @@ class CoreSpec extends AnyFunSuite {
     assert(o.keySet.subsetOf(q.keySet), s"oracle-only keys: ${o.keySet -- q.keySet}")
     // the merged map must not shadow: component registries stay disjoint
     val parts = Seq(graft.queries.Queries.all, graft.queries.RelOps.all,
-      graft.queries.MiningOps.all, graft.llmops.TextOps.all,
-      graft.llmops.VectorOps.all, graft.llmops.MultimodalOps.all)
+      graft.queries.MiningOps.all, graft.queries.SqlSurfaceOps.all,
+      graft.llmops.TextOps.all, graft.llmops.VectorOps.all,
+      graft.llmops.MultimodalOps.all)
     val streaming = 19 // sq1..sq19, added inline in SparkEntry
     assert(q.size == parts.map(_.size).sum + streaming,
       "duplicate query names across registries would shadow silently")
