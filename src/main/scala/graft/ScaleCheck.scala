@@ -280,7 +280,15 @@ object ScaleCheck {
     // proves the 10× wall matches); VARIANT parse+get is fused map
     // work; collated grouping shuffles the collated key once
     "q159_pipe_syntax", "q160_variant_shred", "q161_collation",
-    "q162_param_sql")
+    "q162_param_sql",
+    // batch 6: the window zoo is one partition-sort pass (the filter
+    // sits ABOVE the windows by semantics); multiset algebra plans
+    // as count-compare partials; keyset pagination's claim IS the
+    // depth-independence (boundary top-k + pushed seek predicate);
+    // GROUP BY ALL is sugar; update-mode emission volume tracks
+    // touched windows per batch, not state size
+    "q163_window_zoo", "q164_setops_all", "q165_paginate",
+    "q166_group_by_all", "sq20_update_mode")
   // sq18 (chained stream-stream joins) is EXCLUDED from the default
   // drill for the q138 reason: the 10× events corpus REPLICATES
   // timestamps (unchanged user/ts), so 3-way funnel matches multiply

@@ -54,7 +54,9 @@ object SparkEntry {
       "sq18_stream_join_chain" ->
         ((s: SparkSession, dir: String) => StreamOps.sq18StreamJoinChain(s, dir)),
       "sq19_late_data" ->
-        ((s: SparkSession, dir: String) => StreamOps.sq19LateDataAudit(s, dir)))
+        ((s: SparkSession, dir: String) => StreamOps.sq19LateDataAudit(s, dir)),
+      "sq20_update_mode" ->
+        ((s: SparkSession, dir: String) => StreamOps.sq20UpdateMode(s, dir)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -79,5 +81,6 @@ object SparkEntry {
       "sq16_stream_lastn" -> StreamOps.sq16Sql,
       "sq17_stream_type_counts" -> StreamOps.sq17Sql,
       "sq18_stream_join_chain" -> StreamOps.sq18Sql,
-      "sq19_late_data" -> StreamOps.sq19Sql)
+      "sq19_late_data" -> StreamOps.sq19Sql,
+      "sq20_update_mode" -> StreamOps.sq20Sql)
 }

@@ -161,17 +161,174 @@ object SqlSurfaceOps {
       |WHERE o_orderpriority = '$ParamPriority' AND o_totalprice >= $ParamMinTotal
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ------------------------------------------------ q163 window zoo
+
+  /** q163: ANALYTIC-FUNCTION COMPLETENESS — the window functions the
+    * suite hadn't yet exercised, one pass, one partitioning:
+    * percent_rank / cume_dist (exact integer-ratio ranks),
+    * nth_value(2), lag/lead WITH DEFAULTS, and frame-bounded
+    * first/last_value — computed over the FULL per-priority windows,
+    * then projected to every 100th order so the output stays small
+    * while the window math spans everything (a filter pushed below
+    * the window would change the answer; its placement above is the
+    * semantics under test).
+    *
+    * Scale shape: one shuffle on the partition key, one sort, all
+    * seven functions ride the same window pass. */
+  def q163WindowZoo(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .withColumn("nth2", nth_value(col("o_totalprice"), 2).over(wf))
+      .withColumn("prev_p", lag(col("o_totalprice"), 1, -1.0).over(w))
+      .withColumn("next_p", lead(col("o_totalprice"), 1, -1.0).over(w))
+      .withColumn("min_p", first(col("o_totalprice")).over(wf))
+      .withColumn("max_p", last(col("o_totalprice")).over(wf))
+      .filter(col("o_orderkey") % 100 === 0)
+      .orderBy("o_orderkey")
+  }
+
+  val q163Sql: String =
+    """SELECT * FROM (
+      |  SELECT o_orderkey, o_orderpriority, o_totalprice,
+      |    percent_rank() OVER w AS pr,
+      |    cume_dist() OVER w AS cd,
+      |    nth_value(o_totalprice, 2) OVER
+      |      (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS nth2,
+      |    lag(o_totalprice, 1, -1.0) OVER w AS prev_p,
+      |    lead(o_totalprice, 1, -1.0) OVER w AS next_p,
+      |    first_value(o_totalprice) OVER
+      |      (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS min_p,
+      |    last_value(o_totalprice) OVER
+      |      (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS max_p
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_orderpriority
+      |               ORDER BY o_totalprice, o_orderkey)
+      |)
+      |WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey""".stripMargin
+
+  // ------------------------------------------------ q164 multiset algebra
+
+  /** q164: DUPLICATE-AWARE SET ALGEBRA — INTERSECT ALL / EXCEPT ALL
+    * over multisets (part keys per return flag, WITH their
+    * multiplicities): ALL keeps min/difference counts where the
+    * DISTINCT forms collapse to membership — the semantics gap that
+    * silently corrupts reconciliation counts when the wrong form
+    * ships. One row pins all five forms side by side.
+    *
+    * Scale shape: Spark plans INTERSECT/EXCEPT ALL as count-compare
+    * aggregations on the key — partial-agged, no row-level
+    * materialization of the multisets. */
+  def q164SetopsAll(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql(q164Sql)
+  }
+
+  val q164Sql: String =
+    """WITH a AS (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'),
+      |     b AS (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A')
+      |SELECT
+      |  (SELECT count(*) FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b))
+      |    AS n_intersect_all,
+      |  (SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b))
+      |    AS n_intersect,
+      |  (SELECT count(*) FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b))
+      |    AS n_except_all,
+      |  (SELECT count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b))
+      |    AS n_except,
+      |  (SELECT count(*) FROM (SELECT * FROM a UNION ALL SELECT * FROM b))
+      |    AS n_union_all""".stripMargin
+
+  // ------------------------------------------------ q165 pagination
+
+  /** Page geometry: rows per page, pages skipped. */
+  val PageSize = 20
+  val PageSkip = 2
+
+  /** q165: KEYSET vs OFFSET PAGINATION — the same page two ways:
+    * the oracle reads page 3 with `LIMIT 20 OFFSET 40` (scans and
+    * discards every earlier row — the anti-pattern at depth); the
+    * engine SEEKS with the keyset predicate `(price, key) >
+    * last-of-page-2` (a 1-row bounded boundary read, then an
+    * indexable filter + LIMIT). The hash match is the proof the seek
+    * formulation returns the identical page — the rewrite that keeps
+    * deep pagination O(page) instead of O(offset) at 100 TB.
+    *
+    * Scale shape: the boundary read is a top-k (rank ≤ 40) over the
+    * sort key — at scale a parquet range scan; the page query then
+    * pushes the boundary predicate down to the scan. */
+  def q165Paginate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = t(s, dir, "orders")
+    val ord = Seq(col("o_totalprice").desc, col("o_orderkey").asc)
+    // 1-row bounded action: the last key of the page before ours
+    val boundary = o
+      .withColumn("rn", row_number().over(Window.orderBy(ord: _*)))
+      .filter(col("rn") === PageSize * PageSkip)
+      .select("o_totalprice", "o_orderkey").collect()
+    val page = boundary.headOption match {
+      case None => o.filter(lit(false)) // fewer rows than the skip
+      case Some(b) =>
+        val (bp, bk) = (b.getDouble(0), b.getLong(1))
+        o.filter(col("o_totalprice") < bp ||
+          (col("o_totalprice") === bp && col("o_orderkey") > bk))
+    }
+    page.orderBy(ord: _*).limit(PageSize)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+  }
+
+  /** The OFFSET formulation — keyset must return the identical page. */
+  val q165Sql: String =
+    s"""SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT $PageSize OFFSET ${PageSize * PageSkip}""".stripMargin
+
+  // ------------------------------------------------ q166 GROUP BY ALL
+
+  /** q166: GROUP BY ALL / ORDER BY ALL — the grouping-key inference
+    * sugar (every non-aggregate select item becomes a key): the
+    * maintainability surface that removes positional GROUP BY lists;
+    * oracle = the explicit form, proving the inference picks exactly
+    * the non-aggregate columns. */
+  def q166GroupByAll(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ALL ORDER BY ALL""".stripMargin)
+  }
+
+  val q166Sql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY 1, 2
+      |ORDER BY l_returnflag, l_linestatus, n, sum_qty""".stripMargin
+
   // ------------------------------------------------ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q159_pipe_syntax" -> (q159PipeSyntax _),
     "q160_variant_shred" -> (q160VariantShred _),
     "q161_collation" -> (q161Collation _),
-    "q162_param_sql" -> (q162ParamSql _))
+    "q162_param_sql" -> (q162ParamSql _),
+    "q163_window_zoo" -> (q163WindowZoo _),
+    "q164_setops_all" -> (q164SetopsAll _),
+    "q165_paginate" -> (q165Paginate _),
+    "q166_group_by_all" -> (q166GroupByAll _))
 
   val oracle: Map[String, String] = Map(
     "q159_pipe_syntax" -> q159Sql,
     "q160_variant_shred" -> q160Sql,
     "q161_collation" -> q161Sql,
-    "q162_param_sql" -> q162Sql)
+    "q162_param_sql" -> q162Sql,
+    "q163_window_zoo" -> q163Sql,
+    "q164_setops_all" -> q164Sql,
+    "q165_paginate" -> q165Sql,
+    "q166_group_by_all" -> q166Sql)
 }

@@ -1498,6 +1498,79 @@ object StreamOps {
        |  AND wend <= (SELECT max(mx) - $LateDelayUs FROM m)
        |GROUP BY 1 ORDER BY janela_ms""".stripMargin
 
+  // ------------------------------------------- sq20 update mode
+
+  /** SQ20: UPDATE OUTPUT MODE, pinned — the third output mode
+    * (complete: sq1/sq4; append: sq1Append/sq19): each micro-batch
+    * emits ONLY the windows whose aggregate CHANGED, and the memory
+    * sink accumulates every emission, so the sink contents encode the
+    * whole update HISTORY — per window, the final count is the LAST
+    * (= max, counts are monotone) emission and the emission count is
+    * the number of batches that touched it. Runs over sq19's
+    * deterministic 3-file replay so the emission protocol composes
+    * with the measured late-filter lag (a window a late batch's
+    * surviving rows touch re-emits; one the lagged filter starves
+    * doesn't). The oracle derives both columns from the same
+    * file-assignment + lagged-watermark rules.
+    *
+    * Scale shape: update mode's emission volume is touched-windows
+    * per batch (not full state like complete) — the changelog shape
+    * a downstream upsert sink (q151's CDC apply) consumes. */
+  def sq20UpdateMode(s: SparkSession, dir: String): DataFrame = {
+    val staged = graft.operators.PlanCache.tempDir("graft_upd_")
+    val e = TsBridge.normalize(s.read.parquet(s"$dir/events.parquet"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts"))
+    val schema = e.schema
+    (0 until 3).foreach { i =>
+      val tmp = s"$staged/stage$i"
+      e.filter(pmod(col("event_id"), lit(3)) === i).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      val dest = java.nio.file.Paths.get(staged, s"f$i.parquet")
+      java.nio.file.Files.move(part, dest)
+      dest.toFile.setLastModified((i + 1) * 60000L)
+    }
+    val name = s"sq20_${System.nanoTime()}"
+    withStreamShuffle(s) { fs =>
+      val q = fs.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_millis(col("w.start")).as("janela_ms"), col("n"))
+        .writeStream.queryName(name).format("memory")
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      fs.table(name)
+        .groupBy("janela_ms")
+        .agg(max(col("n")).as("final_n"), count(lit(1)).as("n_emissions"))
+        .orderBy("janela_ms")
+    }
+  }
+
+  /** Per window: survivors under the lagged filter give the final
+    * count; batches with ≥1 surviving row give the emission count. */
+  val sq20Sql: String =
+    s"""WITH e AS (
+       |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id % 3 AS f
+       |  FROM events
+       |), m AS (
+       |  SELECT f, max(us) AS mx FROM e GROUP BY f
+       |), surv AS (
+       |  SELECT e.us, e.f,
+       |    (e.us // $LateWindowUs) * $LateWindowUs AS wstart,
+       |    (e.us // $LateWindowUs + 1) * $LateWindowUs AS wend,
+       |    (SELECT max(mx) - $LateDelayUs FROM m WHERE m.f <= e.f - 2) AS wm
+       |  FROM e
+       |), kept AS (
+       |  SELECT * FROM surv WHERE wm IS NULL OR wend > wm
+       |)
+       |SELECT wstart // 1000 AS janela_ms, count(*) AS final_n,
+       |  count(DISTINCT f) AS n_emissions
+       |FROM kept GROUP BY 1 ORDER BY janela_ms""".stripMargin
+
   /** SQ13's DuckDB oracle: the batch per-user profile under the same
     * 30-min session-gap rule. */
   val sq13Sql: String =

@@ -151,7 +151,7 @@ class CoreSpec extends AnyFunSuite {
       graft.queries.MiningOps.all, graft.queries.SqlSurfaceOps.all,
       graft.llmops.TextOps.all, graft.llmops.VectorOps.all,
       graft.llmops.MultimodalOps.all)
-    val streaming = 19 // sq1..sq19, added inline in SparkEntry
+    val streaming = 20 // sq1..sq20, added inline in SparkEntry
     assert(q.size == parts.map(_.size).sum + streaming,
       "duplicate query names across registries would shadow silently")
     assert(SparkEntry.entry(spark).count() > 0, "driver smoke: entry must return rows")

@@ -107,6 +107,19 @@ class Round9Spec extends AnyFunSuite with BeforeAndAfterAll {
       s"emitted $emitted of $total — the drop semantics must bite")
   }
 
+  test("sq20: update-mode emissions track batches-touched; counts are monotone-final") {
+    val out = graft.streaming.StreamOps.sq20UpdateMode(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val em = r.getAs[Long]("n_emissions")
+      assert(em >= 1 && em <= 3, s"a window is touched by 1..3 replay batches: $r")
+    }
+    val total = spark.read.parquet(s"$dir/events.parquet").count()
+    val kept = out.map(_.getAs[Long]("final_n")).sum
+    assert(kept > total / 3 && kept < total,
+      s"the lagged filter must bite between one and three thirds: $kept of $total")
+  }
+
   test("q147: leakage-safe — no q67 near-dup pair straddles two splits") {
     // recompute each doc's split exactly as the query does, then check
     // every clustered doc landed with its root

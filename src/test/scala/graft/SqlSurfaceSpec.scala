@@ -59,6 +59,56 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q163: analytic ratios are exact rank arithmetic") {
+    val rows = SqlSurfaceOps.q163WindowZoo(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (pr, cd) = (r.getAs[Double]("pr"), r.getAs[Double]("cd"))
+      assert(pr >= 0.0 && pr <= 1.0 && cd > 0.0 && cd <= 1.0)
+      assert(r.getAs[Double]("min_p") <= r.getAs[Double]("o_totalprice") &&
+        r.getAs[Double]("o_totalprice") <= r.getAs[Double]("max_p"))
+    }
+  }
+
+  test("q164: multiset identities hold (|A∖B|ALL = |A| − |A∩B|ALL, union adds)") {
+    val r = SqlSurfaceOps.q164SetopsAll(spark, dir).head()
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val nA = li.filter(col("l_returnflag") === "R").count()
+    val nB = li.filter(col("l_returnflag") === "A").count()
+    assert(r.getAs[Long]("n_intersect_all") >= r.getAs[Long]("n_intersect"))
+    assert(r.getAs[Long]("n_except_all") ===
+      nA - r.getAs[Long]("n_intersect_all"),
+      "EXCEPT ALL removes exactly min-multiplicity matches")
+    assert(r.getAs[Long]("n_union_all") === nA + nB)
+  }
+
+  test("q165: the keyset page is byte-identical to the OFFSET page") {
+    import org.apache.spark.sql.expressions.Window
+    val keyset = SqlSurfaceOps.q165Paginate(spark, dir).collect()
+      .map(_.toSeq.mkString("|"))
+    val offset = spark.read.parquet(s"$dir/orders.parquet")
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+      .filter(col("rn") > SqlSurfaceOps.PageSize * SqlSurfaceOps.PageSkip &&
+        col("rn") <= SqlSurfaceOps.PageSize * (SqlSurfaceOps.PageSkip + 1))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select("o_orderkey", "o_custkey", "o_totalprice").collect()
+      .map(_.toSeq.mkString("|"))
+    assert(keyset.toSeq === offset.toSeq)
+  }
+
+  test("q166: GROUP BY ALL infers exactly the non-aggregate columns") {
+    val sugar = SqlSurfaceOps.q166GroupByAll(spark, dir).collect()
+      .map(_.toSeq.mkString("|"))
+    val explicit = spark.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .orderBy("l_returnflag", "l_linestatus").collect()
+      .map(_.toSeq.mkString("|"))
+    assert(sugar.toSeq === explicit.toSeq)
+  }
+
   test("q162: bound parameters plan exactly like hand-written literals") {
     val p = SqlSurfaceOps.q162ParamSql(spark, dir)
     val lit = spark.sql(SqlSurfaceOps.q162Sql)
