@@ -288,7 +288,10 @@ object ScaleCheck {
     // GROUP BY ALL is sugar; update-mode emission volume tracks
     // touched windows per batch, not state size
     "q163_window_zoo", "q164_setops_all", "q165_paginate",
-    "q166_group_by_all", "sq20_update_mode")
+    "q166_group_by_all", "sq20_update_mode",
+    // the chunk manifest is the pure fan-out claim over 10× media
+    // (special generated-table drill, the q105 mechanism)
+    "q167_chunk_manifest")
   // sq18 (chained stream-stream joins) is EXCLUDED from the default
   // drill for the q138 reason: the 10× events corpus REPLICATES
   // timestamps (unchanged user/ts), so 3-way funnel matches multiply
@@ -317,6 +320,17 @@ object ScaleCheck {
       s.read.parquet(MultimodalOps.MediaPath)))
     val scaled = MultimodalOps.imagePhashOf(MultimodalOps.thumbnailOf(
       MultimodalOps.generate(s, graft.sources.GenFixtures.MediaRows * 10, seed = 42L)))
+    (base, scaled)
+  }
+
+  /** q167 rides the same generated-table mechanism (the manifest is a
+    * pure per-row fan-out — the 10× table must cost ~10× the rows and
+    * nothing else). */
+  private def q167Drill(s: SparkSession): (DataFrame, DataFrame) = {
+    import graft.llmops.MultimodalOps
+    val base = MultimodalOps.chunkManifestOf(s.read.parquet(MultimodalOps.MediaPath))
+    val scaled = MultimodalOps.chunkManifestOf(
+      MultimodalOps.generate(s, graft.sources.GenFixtures.MediaRows * 10, seed = 42L))
     (base, scaled)
   }
 
@@ -352,6 +366,9 @@ object ScaleCheck {
     val lines = ops.flatMap { name =>
       if (name == "q105_image_phash") {
         val (bdf, sdf) = q105Drill(spark)
+        Some(drill(name, () => run(bdf), () => run(sdf)))
+      } else if (name == "q167_chunk_manifest") {
+        val (bdf, sdf) = q167Drill(spark)
         Some(drill(name, () => run(bdf), () => run(sdf)))
       } else SparkEntry.queries.get(name) match {
         case None => System.err.println(s"[scale] unknown op: $name"); None

@@ -594,7 +594,71 @@ object MultimodalOps {
 
   // --------------------------------------------------------- registry
 
+  // ------------------------------------------- q167 chunk manifest
+
+  /** Chunk size in payload bytes (8 frames × 64 B). */
+  val ChunkBytes = 512
+
+  /** q167: CONTENT-ADDRESSED CHUNK MANIFEST — the storage-layout
+    * step for lazy multimodal fetch: each container's payload splits
+    * into fixed [[ChunkBytes]] byte ranges, each chunk addressed by
+    * (media_id, offset, length) + a content hash — the manifest a
+    * byte-range reader (or a CAS/dedup store) consumes instead of
+    * whole blobs; corrupt containers quarantine out at the same
+    * validHeader gate every media op uses. The chunk hash rides the
+    * hex-window idiom (md5 over the hex substring — bit-identical in
+    * both engines, the q45 byte-access discipline).
+    *
+    * Scale shape: pure per-row fan-out (sequence + explode — no
+    * shuffle at all); manifest volume = payload/512 rows of ~90 B.
+    * At 100 TB the manifest is what makes partial fetch possible:
+    * a frame-sample reads its chunks, never the blob. */
+  def q167ChunkManifest(s: SparkSession, dir: String): DataFrame =
+    chunkManifestOf(media(s))
+
+  /** The manifest over any media frame (ScaleCheck drills the 10×
+    * generated table through the same composition). */
+  private[graft] def chunkManifestOf(m: DataFrame): DataFrame = {
+    val payloadLen = octet_length(col("content")) - HeaderLen
+    m
+      .filter(validHeader(col("content")))
+      .select(col("media_id"), col("media_type"),
+        col("content"), payloadLen.as("plen"))
+      .filter(col("plen") > 0)
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0),
+          ((col("plen") + ChunkBytes - 1) / ChunkBytes).cast("int") - 1)))
+      .select(col("media_id"), col("media_type"), col("chunk_idx"),
+        (lit(HeaderLen) + col("chunk_idx") * ChunkBytes).as("off"),
+        least(lit(ChunkBytes),
+          col("plen") - col("chunk_idx") * ChunkBytes).as("n_bytes"),
+        md5(substring(hex(col("content")),
+          lit(2 * HeaderLen) + col("chunk_idx") * (2 * ChunkBytes) + 1,
+          least(lit(2 * ChunkBytes),
+            (col("plen") - col("chunk_idx") * ChunkBytes) * 2))).as("chunk_hash"))
+      .orderBy("media_id", "chunk_idx")
+  }
+
+  val q167Sql: String =
+    s"""SELECT media_id, media_type, chunk_idx,
+       |  $HeaderLen + chunk_idx * $ChunkBytes AS off,
+       |  least($ChunkBytes, plen - chunk_idx * $ChunkBytes) AS n_bytes,
+       |  md5(substring(hex(content),
+       |    ${2 * HeaderLen} + chunk_idx * ${2 * ChunkBytes} + 1,
+       |    least(${2 * ChunkBytes}, (plen - chunk_idx * $ChunkBytes) * 2)))
+       |    AS chunk_hash
+       |FROM (
+       |  SELECT media_id, media_type, content,
+       |    octet_length(content) - $HeaderLen AS plen,
+       |    unnest(range(0, CAST((octet_length(content) - $HeaderLen
+       |      + ${ChunkBytes - 1}) // $ChunkBytes AS BIGINT))) AS chunk_idx
+       |  FROM $mediaSql WHERE $validHeaderSql
+       |    AND octet_length(content) > $HeaderLen
+       |)
+       |ORDER BY media_id, chunk_idx""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q167_chunk_manifest" -> (q167ChunkManifest _),
     "q45_media_meta" -> (q45MediaMeta _),
     "q46_frame_sample" -> (q46FrameSample _),
     "q54_frame_features" -> (q54FrameFeatures _),
@@ -605,6 +669,7 @@ object MultimodalOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q167_chunk_manifest" -> q167Sql,
     "q45_media_meta" -> q45Sql,
     "q46_frame_sample" -> q46Sql,
     "q54_frame_features" -> q54Sql,

@@ -120,6 +120,30 @@ class Round9Spec extends AnyFunSuite with BeforeAndAfterAll {
       s"the lagged filter must bite between one and three thirds: $kept of $total")
   }
 
+  test("q167: the chunk manifest tiles every payload exactly, hashes are content-addressed") {
+    val m = graft.llmops.MultimodalOps.q167ChunkManifest(spark, dir).collect()
+    assert(m.nonEmpty)
+    val byMedia = m.groupBy(_.getAs[Long]("media_id"))
+    byMedia.foreach { case (_, chunks) =>
+      val sorted = chunks.sortBy(_.getAs[Int]("chunk_idx"))
+      // contiguous tiling: chunk i starts where i-1 ended
+      def i(r: org.apache.spark.sql.Row, c: String): Long =
+        r.getAs[Number](c).longValue()
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        assert(i(a, "off") + i(a, "n_bytes") === i(b, "off"))
+      }
+      // every chunk but the last is full-size; none is empty
+      sorted.init.foreach(c =>
+        assert(i(c, "n_bytes") === graft.llmops.MultimodalOps.ChunkBytes.toLong))
+      assert(i(sorted.last, "n_bytes") > 0)
+    }
+    // content addressing: identical chunks hash identically, and the
+    // manifest is deterministic across runs
+    val again = graft.llmops.MultimodalOps.q167ChunkManifest(spark, dir).collect()
+      .map(_.getAs[String]("chunk_hash"))
+    assert(again.toSeq === m.map(_.getAs[String]("chunk_hash")).toSeq)
+  }
+
   test("q147: leakage-safe — no q67 near-dup pair straddles two splits") {
     // recompute each doc's split exactly as the query does, then check
     // every clustered doc landed with its root
