@@ -291,7 +291,11 @@ object ScaleCheck {
     "q166_group_by_all", "sq20_update_mode",
     // the chunk manifest is the pure fan-out claim over 10× media
     // (special generated-table drill, the q105 mechanism)
-    "q167_chunk_manifest")
+    "q167_chunk_manifest",
+    // IO legs: the round trip pays three writes + three fingerprint
+    // scans of the 10× table (linear is the claim); the merged-schema
+    // read costs one footer per file, the scan stays columnar
+    "q168_format_roundtrip", "q169_merge_schema")
   // sq18 (chained stream-stream joins) is EXCLUDED from the default
   // drill for the q138 reason: the 10× events corpus REPLICATES
   // timestamps (unchanged user/ts), so 3-way funnel matches multiply

@@ -938,6 +938,102 @@ object MiningOps {
       |    AS BIGINT) AS sum_chars
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ------------------------------------------------ q168 format round trip
+
+  /** q168: MULTI-FORMAT ROUND TRIP — the same relation written and
+    * re-read through CSV (text + header + ISO timestamps), JSON
+    * (lines), and ORC (the other columnar), each leg fingerprinted
+    * (count, exact DECIMAL sum, distinct keys, timestamp min/max as
+    * epoch µs) against the source and pinned as a boolean: the
+    * interchange contract an engine owes its users — what goes out
+    * comes back, including the CSV text-serialization edge (doubles
+    * via shortest-round-trip repr, timestamps through the session-UTC
+    * ISO format). Avro round-trips are certified separately through
+    * the engine's own wire expressions (q49/q137) — the connector
+    * jar is absent here, the expression path is the production one.
+    *
+    * Scale shape: each leg is one write + one scan + a partial-agged
+    * fingerprint (the q121 shape); the four 1-row stat reads are the
+    * only driver actions. */
+  def q168FormatRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = t(s, dir, "orders")
+    def stats(df: DataFrame): (Long, Double, Long, Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        sum(dec(col("o_totalprice"), 18, 2)).cast("double"),
+        countDistinct(col("o_custkey")),
+        min(unix_micros(col("o_orderdate").cast("timestamp"))),
+        max(unix_micros(col("o_orderdate").cast("timestamp")))).head()
+      if (r.getLong(0) == 0) (0L, 0.0, 0L, 0L, 0L)
+      else (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    }
+    val base = stats(o)
+    val out = graft.operators.PlanCache.tempDir("graft_fmt_")
+    def leg(fmt: String): Boolean = {
+      val p = s"$out/$fmt"
+      val w = o.write.mode("overwrite")
+      (fmt match {
+        case "csv" => w.option("header", "true")
+        case other => w
+      }).format(fmt).save(p)
+      val r = s.read.format(fmt)
+      val back = (fmt match {
+        case "csv" => r.option("header", "true").schema(o.schema)
+        case "json" => r.schema(o.schema)
+        case _ => r
+      }).load(p)
+      stats(back) == base
+    }
+    // empty relation: the oracle's sum-over-nothing is NULL, not 0
+    val total = if (base._1 == 0) Option.empty[Double] else Some(base._2)
+    Seq((base._1, total, base._3, leg("csv"), leg("json"), leg("orc")))
+      .toDF("n", "total", "n_cust", "csv_ok", "json_ok", "orc_ok")
+  }
+
+  val q168Sql: String =
+    """SELECT count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  count(DISTINCT o_custkey) AS n_cust,
+      |  TRUE AS csv_ok, TRUE AS json_ok, TRUE AS orc_ok
+      |FROM orders""".stripMargin
+
+  // ------------------------------------------------ q169 mergeSchema
+
+  /** q169: FILE-LEVEL SCHEMA EVOLUTION — two parquet batches of the
+    * same table at different schema vintages (the odd orders carry
+    * `o_orderpriority`, the even batch predates it), read back as ONE
+    * relation under `mergeSchema=true`: the union schema resolves per
+    * footer and old rows surface NULL for the new column — the
+    * at-rest half of the evolution story (q137 is the wire half:
+    * Avro writer/reader resolution). The profile groups on the
+    * evolved column with the nulls made explicit.
+    *
+    * Scale shape: schema merge costs one footer read per file (not
+    * per row); the scan itself stays columnar with per-file
+    * projection into the union schema. */
+  def q169MergeSchema(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val out = graft.operators.PlanCache.tempDir("graft_msch_")
+    o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$out/v1")
+    o.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$out/v2")
+    s.read.option("mergeSchema", "true").parquet(s"$out/v1", s"$out/v2")
+      .groupBy(coalesce(col("o_orderpriority"), lit("PRE_SCHEMA")).as("prioridade"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("o_totalprice"), 18, 2)).cast("double").as("total"))
+      .orderBy("prioridade")
+  }
+
+  val q169Sql: String =
+    """SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'PRE_SCHEMA'
+      |            ELSE o_orderpriority END AS prioridade,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY 1 ORDER BY prioridade""".stripMargin
+
   // ------------------------------------------------ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -957,7 +1053,9 @@ object MiningOps {
     "q154_multitouch" -> (q154Multitouch _),
     "q155_bottomk_quantile" -> (q155BottomkQuantile _),
     "q156_observed_metrics" -> (q156ObservedMetrics _),
-    "q157_dynamic_overwrite" -> (q157DynamicOverwrite _))
+    "q157_dynamic_overwrite" -> (q157DynamicOverwrite _),
+    "q168_format_roundtrip" -> (q168FormatRoundtrip _),
+    "q169_merge_schema" -> (q169MergeSchema _))
 
   val oracle: Map[String, String] = Map(
     "q139_histogram" -> q139Sql,
@@ -976,5 +1074,7 @@ object MiningOps {
     "q154_multitouch" -> q154Sql,
     "q155_bottomk_quantile" -> q155Sql,
     "q156_observed_metrics" -> q156Sql,
-    "q157_dynamic_overwrite" -> q157Sql)
+    "q157_dynamic_overwrite" -> q157Sql,
+    "q168_format_roundtrip" -> q168Sql,
+    "q169_merge_schema" -> q169Sql)
 }

@@ -266,6 +266,24 @@ class MiningOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.map(_.getAs[Double]("est_median")).toSeq === b)
   }
 
+  test("q168: every serialization leg round-trips the fingerprint") {
+    val r = MiningOps.q168FormatRoundtrip(spark, dir).head()
+    assert(r.getAs[Boolean]("csv_ok"),
+      "CSV text round trip (doubles shortest-repr, ISO timestamps) must hold")
+    assert(r.getAs[Boolean]("json_ok") && r.getAs[Boolean]("orc_ok"))
+    assert(r.getAs[Long]("n") === orders.count())
+  }
+
+  test("q169: pre-schema rows surface NULL (made explicit) under mergeSchema") {
+    val rows = MiningOps.q169MergeSchema(spark, dir).collect()
+    val pre = rows.filter(_.getAs[String]("prioridade") == "PRE_SCHEMA")
+    assert(pre.length === 1, "the old-vintage batch groups under the explicit marker")
+    assert(pre.head.getAs[Long]("n") ===
+      orders.filter(col("o_orderkey") % 2 === 0).count())
+    assert(rows.map(_.getAs[Long]("n")).sum === orders.count(),
+      "the merged relation must cover both vintages exactly")
+  }
+
   test("q141/q146 plan shape: per-basket equi-joins, no cartesian anywhere") {
     val p141 = MiningOps.q141Itemsets(spark, dir).queryExecution.executedPlan.toString
     assert(!p141.contains("CartesianProduct"),
