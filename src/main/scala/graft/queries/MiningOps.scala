@@ -483,19 +483,38 @@ object MiningOps {
     * bit-for-bit and re-runs are reproducible — the property a
     * corpus-subsampling step must have to be auditable.
     *
-    * Scale shape: ONE window pass (running sum over the doc_id
-    * order) + a broadcast 1-row stride; at 100 TB the global-order
-    * window would ride a range-partitioned sort (Spark's window over
-    * a single ordering = rangepartitioning exchange — the global
-    * sort bench shape), cost n log n with no driver involvement. */
+    * Scale shape: the global running sum rides the q56 two-phase
+    * prefix-sum discipline, NOT a global-order window (Spark plans
+    * that as an Exchange SinglePartition — the one-reducer sort that
+    * dies at 100 TB): range-partition on doc_id, per-partition char
+    * totals (a partitions-sized table), broadcast each partition its
+    * predecessors' total as an offset, then a LOCAL window per
+    * partition — off + local_run = the exact global prefix, every
+    * task bounded by its slice. */
   def q148PpsSample(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val d = t(s, dir, "documents")
-    val stride = d.agg(greatest(lit(1L),
-      (sum(col("n_chars")) / lit(PpsTarget.toLong)).cast("long")).as("stride"))
-    val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    d.select(col("doc_id"), col("source"), col("n_chars"))
-      .withColumn("cum", sum(col("n_chars")).over(w))
+    val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+    // referenced twice (totals + main): cut lineage so the range
+    // partitioner's sampled boundaries cannot renumber pid between
+    // the two subplans (the q56 persist rationale)
+    val parted = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .repartitionByRange(nPart, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(eager = true)
+    val totals = parted.groupBy("pid").agg(sum(col("n_chars")).as("tot"))
+    val offs = totals.as("a")
+      .join(totals.as("b"), col("b.pid") < col("a.pid"), "left")
+      .groupBy(col("a.pid").as("pid"))
+      .agg(coalesce(sum(col("b.tot")), lit(0L)).as("off"))
+    val stride = totals.agg(greatest(lit(1L),
+      (sum(col("tot")) / lit(PpsTarget.toLong)).cast("long")).as("stride"))
+    val localW = Window.partitionBy("pid").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parted
+      .withColumn("local_run", sum(col("n_chars")).over(localW))
+      .join(broadcast(offs), Seq("pid"))
+      .withColumn("cum", col("off") + col("local_run"))
       .crossJoin(broadcast(stride))
       .filter((col("cum") / col("stride")).cast("long") >
         ((col("cum") - col("n_chars")) / col("stride")).cast("long"))

@@ -288,6 +288,17 @@ class MiningOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p141 = MiningOps.q141Itemsets(spark, dir).queryExecution.executedPlan.toString
     assert(!p141.contains("CartesianProduct"),
       "pair generation must equi-join on the basket key")
+    // the prefix sum must ride the two-phase offset idiom: the
+    // cumulative window partitions by pid (hash exchange), never the
+    // global-order SinglePartition sort (the 1-row stride aggregate's
+    // own SinglePartition exchange is fine — it moves one row)
+    val p148 = MiningOps.q148PpsSample(spark, dir).queryExecution.executedPlan.toString
+    val windowIdx = p148.indexOf("Window [sum(n_chars")
+    assert(windowIdx >= 0, s"expected the running-sum window:\n$p148")
+    assert(p148.substring(windowIdx).contains("], [pid"),
+      s"the running sum must partition by pid (local per slice):\n$p148")
+    assert(p148.contains("Exchange hashpartitioning(pid"),
+      s"the window's exchange must be the pid hash, not SinglePartition:\n$p148")
     val p139 = MiningOps.q139Histogram(spark, dir).queryExecution.executedPlan.toString
     assert(!p139.contains("Exchange rangepartitioning") || p139.contains("Sort"),
       "histogram is one hash agg + final order")
