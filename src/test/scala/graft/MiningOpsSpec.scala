@@ -299,6 +299,13 @@ class MiningOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"the running sum must partition by pid (local per slice):\n$p148")
     assert(p148.contains("Exchange hashpartitioning(pid"),
       s"the window's exchange must be the pid hash, not SinglePartition:\n$p148")
+    // q149's global rank window must collapse to a distributed top-k
+    // BEFORE its (tiny) single-partition window: Spark's window-limit
+    // pushdown plans TakeOrderedAndProject under the rank filter, so
+    // only ~K rows ever cross the exchange — key cardinality never does
+    val p149 = MiningOps.q149SkewReport(spark, dir).queryExecution.executedPlan.toString
+    assert(p149.contains("TakeOrderedAndProject"),
+      s"the hot-key rank must push down to a top-k:\n$p149")
     val p139 = MiningOps.q139Histogram(spark, dir).queryExecution.executedPlan.toString
     assert(!p139.contains("Exchange rangepartitioning") || p139.contains("Sort"),
       "histogram is one hash agg + final order")
