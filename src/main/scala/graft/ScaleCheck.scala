@@ -295,7 +295,10 @@ object ScaleCheck {
     // IO legs: the round trip pays three writes + three fingerprint
     // scans of the 10× table (linear is the claim); the merged-schema
     // read costs one footer per file, the scan stays columnar
-    "q168_format_roundtrip", "q169_merge_schema")
+    "q168_format_roundtrip", "q169_merge_schema",
+    // hint legs: forcing SMJ/shuffle-hash on the 10× fact side costs
+    // the honest shuffle the hint asks for — the knob's price, measured
+    "q170_join_hints")
   // sq18 (chained stream-stream joins) is EXCLUDED from the default
   // drill for the q138 reason: the 10× events corpus REPLICATES
   // timestamps (unchanged user/ts), so 3-way funnel matches multiply

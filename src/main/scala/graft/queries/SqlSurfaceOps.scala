@@ -310,6 +310,54 @@ object SqlSurfaceOps {
       |FROM lineitem GROUP BY 1, 2
       |ORDER BY l_returnflag, l_linestatus, n, sum_qty""".stripMargin
 
+  // ------------------------------------------------ q170 join hints
+
+  /** q170: JOIN-STRATEGY HINTS — the physical-control surface: the
+    * same customer⋈nation star leg executed under MERGE (sort-merge)
+    * and SHUFFLE_HASH hints where the optimizer would choose
+    * BROADCAST, unioned with the unhinted leg — all three must
+    * produce identical per-nation profiles, and the spec asserts
+    * the hints genuinely flipped the physical operator (a hint that
+    * silently degrades to the default is a no-op, not a control).
+    * The q51/q113 identity discipline applied to the OPERATOR-
+    * SELECTION layer: strategy is never allowed to change the
+    * answer, and the oracle is the plain SQL.
+    *
+    * Scale shape: this op is ABOUT the knob a 100 TB deployment
+    * turns when the optimizer's estimate is wrong (a "small" side
+    * that isn't; a broadcast OOM) — the engine must honor the
+    * override and the override must be safe. */
+  def q170JoinHints(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val nat = t(s, dir, "nation")
+    def leg(hinted: DataFrame, tag: String): DataFrame =
+      cust.join(hinted, col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double").as("bal"))
+        .withColumn("strategy", lit(tag))
+    leg(nat, "default")
+      .unionByName(leg(nat.hint("merge"), "merge"))
+      .unionByName(leg(nat.hint("shuffle_hash"), "shuffle_hash"))
+      .orderBy("strategy", "n_name")
+  }
+
+  /** One plain-SQL leg per strategy tag — identical numbers thrice. */
+  val q170Sql: String = {
+    val leg = """SELECT n_name, count(*) AS n,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal,
+      |  '%s' AS strategy
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name""".stripMargin
+    s"""SELECT n_name, n, bal, strategy FROM (
+      |${leg.format("default")}
+      |UNION ALL
+      |${leg.format("merge")}
+      |UNION ALL
+      |${leg.format("shuffle_hash")}
+      |) ORDER BY strategy, n_name""".stripMargin
+  }
+
   // ------------------------------------------------ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -320,7 +368,8 @@ object SqlSurfaceOps {
     "q163_window_zoo" -> (q163WindowZoo _),
     "q164_setops_all" -> (q164SetopsAll _),
     "q165_paginate" -> (q165Paginate _),
-    "q166_group_by_all" -> (q166GroupByAll _))
+    "q166_group_by_all" -> (q166GroupByAll _),
+    "q170_join_hints" -> (q170JoinHints _))
 
   val oracle: Map[String, String] = Map(
     "q159_pipe_syntax" -> q159Sql,
@@ -330,5 +379,6 @@ object SqlSurfaceOps {
     "q163_window_zoo" -> q163Sql,
     "q164_setops_all" -> q164Sql,
     "q165_paginate" -> q165Sql,
-    "q166_group_by_all" -> q166Sql)
+    "q166_group_by_all" -> q166Sql,
+    "q170_join_hints" -> q170Sql)
 }

@@ -109,6 +109,24 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sugar.toSeq === explicit.toSeq)
   }
 
+  test("q170: hints flip the physical join; no strategy changes the answer") {
+    val plan = SqlSurfaceOps.q170JoinHints(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), "the merge hint must force SMJ")
+    assert(plan.contains("ShuffledHashJoin"),
+      "the shuffle_hash hint must force a shuffled hash join")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the unhinted leg keeps the optimizer's broadcast choice")
+    val rows = SqlSurfaceOps.q170JoinHints(spark, dir).collect()
+    val byStrategy = rows.groupBy(_.getAs[String]("strategy"))
+      .view.mapValues(_.map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq).toMap
+    assert(byStrategy.size === 3)
+    assert(byStrategy("merge") === byStrategy("default") &&
+      byStrategy("shuffle_hash") === byStrategy("default"),
+      "strategy must never change the answer")
+  }
+
   test("q162: bound parameters plan exactly like hand-written literals") {
     val p = SqlSurfaceOps.q162ParamSql(spark, dir)
     val lit = spark.sql(SqlSurfaceOps.q162Sql)
