@@ -298,7 +298,10 @@ object ScaleCheck {
     "q168_format_roundtrip", "q169_merge_schema",
     // hint legs: forcing SMJ/shuffle-hash on the 10× fact side costs
     // the honest shuffle the hint asks for — the knob's price, measured
-    "q170_join_hints")
+    "q170_join_hints",
+    // HOFs fuse into the scan (linear map claim over 4× vectors);
+    // the calendar derivations are pure projection + quarter agg
+    "q171_hof_zoo", "q172_calendar_zoo")
   // sq18 (chained stream-stream joins) is EXCLUDED from the default
   // drill for the q138 reason: the 10× events corpus REPLICATES
   // timestamps (unchanged user/ts), so 3-way funnel matches multiply

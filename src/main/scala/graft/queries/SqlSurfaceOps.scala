@@ -358,6 +358,102 @@ object SqlSurfaceOps {
       |) ORDER BY strategy, n_name""".stripMargin
   }
 
+  // ------------------------------------------------ q171 HOF zoo
+
+  /** q171: HIGHER-ORDER FUNCTION COMPLETENESS — the array-lambda
+    * surface (`transform`, `filter`, `exists`, `forall`,
+    * `aggregate`) over the embedding vectors in one pass, reduced to
+    * a per-label profile: positive-component counts, max absolute
+    * component, big-component flags, and the sum-of-squares fold —
+    * the oracle's list_* twins evaluate the SAME sequential fold
+    * (the q40 discipline: per-element double widening, left-to-right
+    * accumulation → bit-identical cross-engine).
+    *
+    * Scale shape: every lambda fuses into the scan projection (HOFs
+    * evaluate per-row, no explode, no shuffle); the only exchange is
+    * the |labels|-sized final agg. */
+  def q171HofZoo(s: SparkSession, dir: String): DataFrame = {
+    val v = transform(col("embedding"), x => x.cast("double"))
+    t(s, dir, "embeddings")
+      .select(col("label"),
+        size(filter(v, x => x > 0)).cast("long").as("n_pos"),
+        array_max(transform(v, x => abs(x))).as("max_abs"),
+        exists(v, x => abs(x) > 0.4).cast("long").as("has_big"),
+        forall(v, x => !isnan(x)).cast("long").as("finite"),
+        aggregate(v, lit(0.0), (acc, x) => acc + x * x).as("ssq"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_pos")).as("total_pos"),
+        max(col("max_abs")).as("max_abs"),
+        sum(col("has_big")).as("n_big"),
+        sum(col("finite")).as("n_finite"),
+        (sum(col("ssq").cast(DecimalType(28, 6))).cast("double") / count(lit(1)))
+          .as("mean_ssq"))
+      .orderBy("label")
+  }
+
+  val q171Sql: String =
+    """WITH d AS (
+      |  SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |), m AS (
+      |  SELECT label,
+      |    CAST(len(list_filter(v, x -> x > 0)) AS BIGINT) AS n_pos,
+      |    list_max(list_transform(v, x -> abs(x))) AS max_abs,
+      |    CASE WHEN len(list_filter(v, x -> abs(x) > 0.4)) > 0
+      |      THEN 1 ELSE 0 END AS has_big,
+      |    CASE WHEN len(list_filter(v, x -> isnan(x))) = 0
+      |      THEN 1 ELSE 0 END AS finite,
+      |    list_sum(list_transform(v, x -> x * x)) AS ssq
+      |  FROM d
+      |)
+      |SELECT label, count(*) AS n,
+      |  CAST(sum(n_pos) AS BIGINT) AS total_pos, max(max_abs) AS max_abs,
+      |  CAST(sum(has_big) AS BIGINT) AS n_big,
+      |  CAST(sum(finite) AS BIGINT) AS n_finite,
+      |  CAST(sum(CAST(ssq AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS mean_ssq
+      |FROM m GROUP BY label ORDER BY label""".stripMargin
+
+  // ------------------------------------------------ q172 calendar zoo
+
+  /** q172: CALENDAR-FUNCTION COMPLETENESS — date_trunc to
+    * quarter/month, last_day month-end detection, and dayofyear over
+    * the order dates, collapsed to a per-quarter profile: the
+    * calendar surface every reporting layer leans on, pinned where
+    * the two engines' conventions actually AGREE (dayofweek is
+    * deliberately absent: Spark counts 1=Sunday, DuckDB 0=Sunday —
+    * the cross-engine trap this query documents by omission).
+    *
+    * Scale shape: pure derivations in the scan projection + one
+    * partial-agged groupBy to quarters. */
+  def q172CalendarZoo(s: SparkSession, dir: String): DataFrame = {
+    val d = col("o_orderdate").cast("timestamp")
+    t(s, dir, "orders")
+      .select(unix_millis(date_trunc("quarter", d)).as("quarter_ms"),
+        unix_millis(date_trunc("month", d)).as("month_ms"),
+        dayofyear(d).as("doy"),
+        (d.cast("date") === last_day(d)).cast("long").as("at_month_end"))
+      .groupBy("quarter_ms")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("month_ms")).as("n_months"),
+        min(col("doy")).as("min_doy"), max(col("doy")).as("max_doy"),
+        sum(col("at_month_end")).as("n_month_end"))
+      .orderBy("quarter_ms")
+  }
+
+  val q172Sql: String =
+    """SELECT epoch_ms(date_trunc('quarter', CAST(o_orderdate AS TIMESTAMP)))
+      |    AS quarter_ms,
+      |  count(*) AS n,
+      |  count(DISTINCT date_trunc('month', CAST(o_orderdate AS TIMESTAMP)))
+      |    AS n_months,
+      |  min(dayofyear(CAST(o_orderdate AS TIMESTAMP))) AS min_doy,
+      |  max(dayofyear(CAST(o_orderdate AS TIMESTAMP))) AS max_doy,
+      |  CAST(sum(CASE WHEN CAST(o_orderdate AS DATE) =
+      |      last_day(CAST(o_orderdate AS DATE)) THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_month_end
+      |FROM orders GROUP BY 1 ORDER BY quarter_ms""".stripMargin
+
   // ------------------------------------------------ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -369,7 +465,9 @@ object SqlSurfaceOps {
     "q164_setops_all" -> (q164SetopsAll _),
     "q165_paginate" -> (q165Paginate _),
     "q166_group_by_all" -> (q166GroupByAll _),
-    "q170_join_hints" -> (q170JoinHints _))
+    "q170_join_hints" -> (q170JoinHints _),
+    "q171_hof_zoo" -> (q171HofZoo _),
+    "q172_calendar_zoo" -> (q172CalendarZoo _))
 
   val oracle: Map[String, String] = Map(
     "q159_pipe_syntax" -> q159Sql,
@@ -380,5 +478,7 @@ object SqlSurfaceOps {
     "q164_setops_all" -> q164Sql,
     "q165_paginate" -> q165Sql,
     "q166_group_by_all" -> q166Sql,
-    "q170_join_hints" -> q170Sql)
+    "q170_join_hints" -> q170Sql,
+    "q171_hof_zoo" -> q171Sql,
+    "q172_calendar_zoo" -> q172Sql)
 }

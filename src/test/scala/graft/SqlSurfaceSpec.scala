@@ -127,6 +127,31 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
       "strategy must never change the answer")
   }
 
+  test("q171: the lambda pipeline profiles every vector, fused (no explode)") {
+    val rows = SqlSurfaceOps.q171HofZoo(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_finite") === r.getAs[Long]("n"),
+        "the clean fixture has no NaN components (forall pins it)")
+      assert(r.getAs[Double]("mean_ssq") > 0.0)
+    }
+    val plan = SqlSurfaceOps.q171HofZoo(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"),
+      "HOFs must fuse into the projection — no explode fan-out")
+  }
+
+  test("q172: quarters tile the order dates; month counts stay calendar-bounded") {
+    val rows = SqlSurfaceOps.q172CalendarZoo(spark, dir).collect()
+    val total = spark.read.parquet(s"$dir/orders.parquet").count()
+    assert(rows.map(_.getAs[Long]("n")).sum === total)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_months") >= 1 && r.getAs[Long]("n_months") <= 3,
+        "a quarter holds at most three months")
+      assert(r.getAs[Int]("min_doy") >= 1 && r.getAs[Int]("max_doy") <= 366)
+    }
+  }
+
   test("q162: bound parameters plan exactly like hand-written literals") {
     val p = SqlSurfaceOps.q162ParamSql(spark, dir)
     val lit = spark.sql(SqlSurfaceOps.q162Sql)
