@@ -78,6 +78,7 @@ object Bench {
     "pairCount" -> graft.llmops.TextOps.pairCountCacheStats._2,
     "incrNear" -> graft.llmops.TextOps.incrNearCacheStats._2,
     "bpe" -> graft.llmops.TextOps.bpeCacheStats._2,
+    "q51hot" -> graft.queries.Queries.q51HotCacheStats._2,
     "codebook" -> graft.llmops.VectorOps.codebookCacheStats._2,
     "cosPair" -> graft.llmops.VectorOps.cosPairCacheStats._2,
     "exactTopk" -> graft.llmops.VectorOps.exactTopkCacheStats._2,
@@ -92,16 +93,42 @@ object Bench {
 
   /** Per-entry telemetry captured around the warm and timed passes:
     * which artifact caches missed (by name, warm vs timed split), GC
-    * time attributable to the passes, and the persisted-storage bytes
-    * at entry start — enough to tell cold-artifact rebuilds, GC
-    * pressure, and box contention apart from the artifact alone. */
+    * time attributable to the passes, the persisted-storage bytes at
+    * entry start, and — round-9 verdict #1b — the BOX's view of the
+    * same window: 1-min loadavg at entry start/end and the CPU steal
+    * seconds accumulated across the entry (this box shows non-zero
+    * steal — it is a VM on a shared host, so a co-tenant burst during
+    * the driver window is a real, measurable slowdown source). With
+    * these, a regressed entry is attributable from the artifact alone:
+    * clean gc + clean misses + load/steal spike → environment. */
   private final case class EntryStats(
       memStartBytes: Long,
       diskStartBytes: Long,
       gcWarmSec: Double,
       gcTimedSec: Double,
       warmMisses: Map[String, Long],
-      timedMisses: Map[String, Long])
+      timedMisses: Map[String, Long],
+      load1Start: Double,
+      load1End: Double,
+      stealSec: Double)
+
+  /** 1-minute load average from /proc/loadavg (−1 where unreadable,
+    * e.g. non-Linux). */
+  private def load1(): Double =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split("\\s+")(0).toDouble
+    catch { case _: Exception => -1.0 }
+
+  /** Cumulative CPU-steal jiffies from /proc/stat (field 8 of the
+    * aggregate cpu line); −1 where unreadable. Deltas across an entry
+    * convert to seconds at the USER_HZ=100 Linux default. */
+  private def stealJiffies(): Long =
+    try {
+      val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu ")).getOrElse("")
+      val f = cpu.trim.split("\\s+")
+      if (f.length > 8) f(8).toLong else -1L
+    } catch { case _: Exception => -1L }
 
   private def missDelta(before: Map[String, Long],
       after: Map[String, Long]): Map[String, Long] =
@@ -323,12 +350,16 @@ object Bench {
             val (memStart, diskStart) = storageBytes(spark)
             val snapStart = cacheMissSnapshot()
             val gcStart = gcMillis()
+            val loadStart = load1()
+            val stealStart = stealJiffies()
             val warm = time(run(fn(spark, sfDir)))
             val snapWarm = cacheMissSnapshot()
             val gcWarm = gcMillis()
             val timed = (1 to passes).map(_ => time(run(fn(spark, sfDir))))
             val snapTimed = cacheMissSnapshot()
             val gcTimed = gcMillis()
+            val loadEnd = load1()
+            val stealEnd = stealJiffies()
             val warmM = missDelta(snapStart, snapWarm)
             val timedM = missDelta(snapWarm, snapTimed)
             timedIndexMisses += timedM.getOrElse("shingle", 0L)
@@ -337,7 +368,9 @@ object Bench {
             results(name) = Timing(warm, timed)
             stats(name) = EntryStats(memStart, diskStart,
               (gcWarm - gcStart) / 1000.0, (gcTimed - gcWarm) / 1000.0,
-              warmM, timedM)
+              warmM, timedM, loadStart, loadEnd,
+              if (stealStart < 0 || stealEnd < 0) -1.0
+              else (stealEnd - stealStart) / 100.0)
           } catch {
             case e: Throwable =>
               System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -349,15 +382,41 @@ object Bench {
             timedLabelMisses, timedArtifactMisses, conf, sfDir, cpus, partial = true)
       }
     }
+    // ---- recheck phase (round-9 verdict #1: six entries regressed
+    // ≥2× on unchanged code with clean gc/miss telemetry; hypothesis
+    // (a) was cumulative session state across the 200-entry run).
+    // Re-time the regression sentinels at the END of the run, in the
+    // same JVM, with everything accumulated: if the recheck min ≈ the
+    // mid-run min, cumulative state is exonerated and a mid-run spike
+    // was the box; if recheck ≫ mid-run, state accumulation is real
+    // and the artifact says so directly. zstd consume rides along for
+    // the same reason (its r9 curve was monotone within one entry).
+    val sentinels = Seq("q45_media_meta", "q47_ann_recall", "q51_salted_join",
+      "q88_containment", "q89_ivfpq_recall", "sq7_sessionize_timeout")
+    val recheck = scala.collection.mutable.LinkedHashMap[String, Timing]()
+    sentinels.foreach { name =>
+      SparkEntry.queries.get(name).foreach { fn =>
+        try recheck(name) = measure(passes)(() => run(fn(spark, sfDir)))
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] recheck $name failed: ${e.getMessage}")
+        }
+      }
+    }
     val (compactLine, _) =
       flush(spark, results, stats, passes, serdePasses, timedIndexMisses,
-        timedLabelMisses, timedArtifactMisses, conf, sfDir, cpus, partial = false)
+        timedLabelMisses, timedArtifactMisses, conf, sfDir, cpus,
+        partial = false, recheck = recheck)
     // stdout carries the COMPACT line only: the full line (detail,
     // mins) grew past what the driver's log scrape windows (BENCH_r04
     // captured only the tail of a ~6 KB line → parsed: null); the
     // complete JSON always lands in bench_out.json — written
     // atomically (round-7 verdict #2), path announced on stderr
     println(compactLine)
+    // round-9 verdict #3: the driver's tail-capture parsed null twice
+    // (r7, r9). A second, PREFIXED copy of the canonical compact line
+    // gives any log scraper an unambiguous anchor to grep for, even
+    // when sbt decorates the lines around it.
+    println(s"BENCH_JSON: $compactLine")
     System.err.println(s"[bench] full artifact: ${benchOutPath.toAbsolutePath}")
     spark.stop()
   }
@@ -378,7 +437,8 @@ object Bench {
       stats: collection.Map[String, EntryStats],
       passes: Int, serdePasses: Int, timedIndexMisses: Long, timedLabelMisses: Long,
       timedArtifactMisses: Long, conf: EngineConf, sfDir: String,
-      cpus: Int, partial: Boolean): (String, String) = {
+      cpus: Int, partial: Boolean,
+      recheck: collection.Map[String, Timing] = Map.empty): (String, String) = {
     // locale-fixed formatting: the f-interpolator honors the JVM
     // default locale and would emit comma decimals (invalid JSON)
     def num(v: Double, places: Int): String =
@@ -406,6 +466,9 @@ object Bench {
         s""","gc_warm_sec":${num(st.gcWarmSec, 3)}""" +
           s""","gc_timed_sec":${num(st.gcTimedSec, 3)}""" +
           s""","mem_start":${st.memStartBytes},"disk_start":${st.diskStartBytes}""" +
+          s""","load1_start":${num(st.load1Start, 2)}""" +
+          s""","load1_end":${num(st.load1End, 2)}""" +
+          s""","steal_sec":${num(st.stealSec, 2)}""" +
           wm + tm
       }.getOrElse("")
       s""""$k":{"warm":${num(t.warm, 3)},"min":${num(t.min, 3)},"timed":$timed$extra}"""
@@ -415,7 +478,17 @@ object Bench {
     val qmins = results.map { case (k, t) => s""""$k":${num(t.min, 3)}""" }
       .mkString("{", ",", "}")
     val (persistedMem, persistedDisk) = storageBytes(spark)
-    val tailFields =
+    // end-of-run sentinel retimes (empty until the recheck phase runs;
+    // small, so it rides in BOTH the compact and full lines): per
+    // sentinel `[min, mid_run_min]` — ratio ≈ 1 exonerates cumulative
+    // session state, ratio ≫ 1 indicts it
+    val recheckJson =
+      if (recheck.isEmpty) ""
+      else recheck.map { case (k, t) =>
+        val mid = results.get(k).map(_.min).getOrElse(-1.0)
+        s""""$k":[${num(t.min, 3)},${num(mid, 3)}]"""
+      }.mkString(""""recheck":{""", ",", "},")
+    val tailFields = recheckJson +
       // timed_passes describes phase-2 query entries; the serde
       // entries run math.max(passes,5) interleaved passes and carry
       // their own count (round-4 ADVICE: one global count

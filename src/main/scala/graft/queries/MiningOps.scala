@@ -54,7 +54,11 @@ object MiningOps {
     val lo = if (r.isNullAt(0)) 0L else r.getLong(0)
     val span = (if (r.isNullAt(1)) 0L else r.getLong(1)) - lo + 1
     val w = (span + HistBuckets - 1) / HistBuckets
-    val bucket = (floor(col("o_totalprice")).cast("long") - lit(lo)) / lit(w)
+    // genuine integer division (SQL `div`), matching the oracle's `//`
+    // at any magnitude — not `/`-then-cast, which is double division
+    // and only agrees below 2^53 (round-9 ADVICE)
+    val bucket = graft.functions.GraftFunctions.idiv(
+      floor(col("o_totalprice")).cast("long") - lit(lo), lit(w))
     o.groupBy(col("o_orderpriority"), bucket.cast("long").as("bucket"))
       .agg(count(lit(1)).as("n"),
         sum(dec(col("o_totalprice"), 18, 2)).cast("double").as("total"))
@@ -272,10 +276,9 @@ object MiningOps {
     *
     * Scale shape: the subquery side aggregates to its distinct keys
     * (+ a null flag) and broadcasts; the probe side is one scan. */
-  def q143NotinNulls(s: SparkSession, dir: String): DataFrame = {
-    Seq("orders", "customer").foreach(n => t(s, dir, n).createOrReplaceTempView(n))
-    s.sql(q143Sql)
-  }
+  def q143NotinNulls(s: SparkSession, dir: String): DataFrame =
+    ScopedSql.run(s, dir, q143Sql,
+      "orders" -> t(s, dir, "orders"), "customer" -> t(s, dir, "customer"))
 
   val q143Sql: String =
     """SELECT
@@ -507,8 +510,8 @@ object MiningOps {
       .join(totals.as("b"), col("b.pid") < col("a.pid"), "left")
       .groupBy(col("a.pid").as("pid"))
       .agg(coalesce(sum(col("b.tot")), lit(0L)).as("off"))
-    val stride = totals.agg(greatest(lit(1L),
-      (sum(col("tot")) / lit(PpsTarget.toLong)).cast("long")).as("stride"))
+    val stride = totals.agg(greatest(lit(1L), graft.functions.GraftFunctions
+      .idiv(sum(col("tot")), lit(PpsTarget.toLong))).as("stride"))
     val localW = Window.partitionBy("pid").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     parted
@@ -516,8 +519,9 @@ object MiningOps {
       .join(broadcast(offs), Seq("pid"))
       .withColumn("cum", col("off") + col("local_run"))
       .crossJoin(broadcast(stride))
-      .filter((col("cum") / col("stride")).cast("long") >
-        ((col("cum") - col("n_chars")) / col("stride")).cast("long"))
+      .filter(graft.functions.GraftFunctions.idiv(col("cum"), col("stride")) >
+        graft.functions.GraftFunctions.idiv(
+          col("cum") - col("n_chars"), col("stride")))
       .select(col("doc_id"), col("source"), col("n_chars"), col("cum"))
       .orderBy("doc_id")
   }

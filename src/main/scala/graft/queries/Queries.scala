@@ -334,10 +334,8 @@ object Queries {
     * the engine's SQL layer and DataFrame layer meet the same oracle.
     * (Catalyst plans both identically: same scan, same partial+final
     * aggregate.) */
-  def q10PricingViaSql(s: SparkSession, dir: String): DataFrame = {
-    t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
-    s.sql(q10Sql)
-  }
+  def q10PricingViaSql(s: SparkSession, dir: String): DataFrame =
+    ScopedSql.run(s, dir, q10Sql, "lineitem" -> t(s, dir, "lineitem"))
 
   /** Q11: revenue by nation — star join; small dims (nation, region)
     * broadcast so the only shuffle is the lineitem-orders-customer
@@ -585,15 +583,32 @@ object Queries {
     * this is the fallback for a hot key whose matching rows AQE cannot
     * split (salting changes the KEY, not just the partition), and the
     * build side amplifies by hot keys × salts, not |orders| × salts. */
+  /** Memoized q51 hot-key frequency sketch per (session, dir),
+    * fixture-signature-guarded (round-9 verdict item 6: the sketch is
+    * a pure function of the probe table but was re-profiled on every
+    * bench pass). localCheckpoint cuts the lineage so neither join
+    * side re-runs the frequency aggregation; release unpersists the
+    * checkpointed blocks. */
+  private val q51HotCache =
+    new graft.operators.PlanCache[DataFrame]("q51_hotkeys")(
+      (_, df) => { df.unpersist(blocking = false); () })
+
+  def q51HotCacheStats: (Long, Long) = (q51HotCache.hits, q51HotCache.misses)
+
   def q51SaltedJoin(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
     val o = t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
     val revenue = dec(col("l_extendedprice"), 12, 2) *
       (dec(lit(1), 3, 2) - dec(col("l_discount"), 4, 2))
+    val hot = q51HotCache.get(s, dir,
+      graft.sources.FsSig.of(s"$dir/lineitem.parquet")) {
+      graft.operators.SkewOps.hotKeys(li, "l_orderkey", hotRowThreshold = 3)
+        .localCheckpoint()
+    }
     graft.operators.SkewOps
       .saltedJoin(li, o, "l_orderkey", "o_orderkey",
         idCol = col("l_orderkey") * 31 + col("l_extendedprice"), salts = 8,
-        hotRowThreshold = 3)
+        hotRowThreshold = 3, precomputedHot = Some(hot))
       .groupBy("o_orderpriority")
       .agg(sum(revenue).cast("double").as("receita"), count(lit(1)).as("n_itens"))
       .orderBy("o_orderpriority")
@@ -969,10 +984,8 @@ object Queries {
   /** Q25: GROUPING SETS — only expressible through the SQL surface in
     * Spark (the DataFrame API stops at rollup/cube), so this runs the
     * shared ANSI text via spark.sql like the oracle does. */
-  def q25GroupingSets(s: SparkSession, dir: String): DataFrame = {
-    t(s, dir, "orders").createOrReplaceTempView("orders")
-    s.sql(q25Sql)
-  }
+  def q25GroupingSets(s: SparkSession, dir: String): DataFrame =
+    ScopedSql.run(s, dir, q25Sql, "orders" -> t(s, dir, "orders"))
 
   val q25Sql: String =
     """SELECT coalesce(o_orderstatus, 'TODOS') AS status,

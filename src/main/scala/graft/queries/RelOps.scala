@@ -348,8 +348,8 @@ object RelOps {
     val e0 = cooccurEdges(s, dir)
     val deg = e0.select(col("x").as("node")).unionAll(e0.select(col("y").as("node")))
       .groupBy("node").agg(count(lit(1)).as("d"))
-    val wedges = deg.agg(sum((col("d") * (col("d") - 1)) / lit(2)).cast("long")
-      .as("n_wedges"))
+    val wedges = deg.agg(sum(graft.functions.GraftFunctions.idiv(
+      col("d") * (col("d") - 1), lit(2L))).cast("long").as("n_wedges"))
     val fwd = col("dx") < col("dy") || (col("dx") === col("dy") && col("x") < col("y"))
     val ed = e0
       .join(broadcast(deg.select(col("node").as("x"), col("d").as("dx"))), "x")
@@ -1380,8 +1380,7 @@ object RelOps {
       .localCheckpoint()
     val nodes = e0.select(col("x").as("user_id"))
       .unionAll(e0.select(col("y").as("user_id"))).distinct()
-    parents.createOrReplaceTempView("graft_parents")
-    val walked = s.sql(
+    val walked = ScopedSql.run(s, dir,
       s"""WITH RECURSIVE up(node, anc, d) AS (
          |  SELECT user_id, parent, 1 FROM graft_parents
          |  UNION ALL
@@ -1393,7 +1392,8 @@ object RelOps {
          |FROM (SELECT node, anc, d,
          |        row_number() OVER (PARTITION BY node ORDER BY d DESC) AS rn
          |      FROM up)
-         |WHERE rn = 1""".stripMargin)
+         |WHERE rn = 1""".stripMargin,
+      "graft_parents" -> parents)
     val roots = nodes.join(parents, Seq("user_id"), "left_anti")
       .select(col("user_id"), col("user_id").as("root"), lit(0L).as("depth"))
     walked.select(col("user_id"), col("root"), col("depth").cast("long").as("depth"))
@@ -1451,17 +1451,16 @@ object RelOps {
     * window-rank under the hood (DomainJoin → rank) — this entry
     * certifies the SQL-layer path; q12/q55's explicit rank windows
     * remain the engine-native idiom. */
-  def q134LateralTopk(s: SparkSession, dir: String): DataFrame = {
-    t(s, dir, "customer").createOrReplaceTempView("graft_l_cust")
-    t(s, dir, "orders").createOrReplaceTempView("graft_l_ord")
-    s.sql(
+  def q134LateralTopk(s: SparkSession, dir: String): DataFrame =
+    ScopedSql.run(s, dir,
       """SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
         |FROM graft_l_cust c,
         |LATERAL (SELECT o_orderkey, o_totalprice FROM graft_l_ord o
         |         WHERE o.o_custkey = c.c_custkey
         |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
-        |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
-  }
+        |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
+      "graft_l_cust" -> t(s, dir, "customer"),
+      "graft_l_ord" -> t(s, dir, "orders"))
 
   val q134Sql: String =
     """SELECT c.c_custkey, l.o_orderkey, l.o_totalprice

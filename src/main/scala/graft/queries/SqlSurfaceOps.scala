@@ -32,17 +32,16 @@ object SqlSurfaceOps {
     *
     * Scale shape: identical to q10 — partial+final hash aggregation,
     * one shuffle on the group keys. */
-  def q159PipeSyntax(s: SparkSession, dir: String): DataFrame = {
-    t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
-    s.sql(
+  def q159PipeSyntax(s: SparkSession, dir: String): DataFrame =
+    ScopedSql.run(s, dir,
       """FROM lineitem
         ||> WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         ||> AGGREGATE count(*) AS n,
         |     CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |     CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |   GROUP BY l_returnflag, l_linestatus
-        ||> ORDER BY l_returnflag, l_linestatus""".stripMargin)
-  }
+        ||> ORDER BY l_returnflag, l_linestatus""".stripMargin,
+      "lineitem" -> t(s, dir, "lineitem"))
 
   /** The classic formulation — pipes must plan to exactly this. */
   val q159Sql: String =
@@ -103,19 +102,17 @@ object SqlSurfaceOps {
     * Scale shape: collation participates in hash/sort directly, so
     * the group-by shuffles the collated key — one partial-agged
     * aggregation, same as any groupBy; no extra projection pass. */
-  def q161Collation(s: SparkSession, dir: String): DataFrame = {
-    events(s, dir)
-      .select(when(col("event_id") % 2 === 1, upper(col("event_type")))
-        .otherwise(col("event_type")).as("et_mixed"), col("value"))
-      .createOrReplaceTempView("mixed_events")
-    events(s, dir).sparkSession.sql(
+  def q161Collation(s: SparkSession, dir: String): DataFrame =
+    ScopedSql.run(s, dir,
       """SELECT lower(et_mixed COLLATE UTF8_LCASE) AS event_type,
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS soma
         |FROM mixed_events
         |GROUP BY et_mixed COLLATE UTF8_LCASE
-        |ORDER BY event_type""".stripMargin)
-  }
+        |ORDER BY event_type""".stripMargin,
+      "mixed_events" -> events(s, dir)
+        .select(when(col("event_id") % 2 === 1, upper(col("event_type")))
+          .otherwise(col("event_type")).as("et_mixed"), col("value")))
 
   /** The classic normalize-then-group — collation must equal it. */
   val q161Sql: String =
@@ -143,16 +140,15 @@ object SqlSurfaceOps {
     *
     * Scale shape: identical to the literal query — the priority
     * predicate reaches the parquet scan as a pushed filter. */
-  def q162ParamSql(s: SparkSession, dir: String): DataFrame = {
-    t(s, dir, "orders").createOrReplaceTempView("orders")
-    s.sql(
+  def q162ParamSql(s: SparkSession, dir: String): DataFrame =
+    ScopedSql.runWithArgs(s, dir,
       """SELECT o_orderpriority, count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders
         |WHERE o_orderpriority = :prio AND o_totalprice >= :min_total
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
-      Map("prio" -> ParamPriority, "min_total" -> ParamMinTotal))
-  }
+      Map("prio" -> ParamPriority, "min_total" -> ParamMinTotal),
+      "orders" -> t(s, dir, "orders"))
 
   val q162Sql: String =
     s"""SELECT o_orderpriority, count(*) AS n,
@@ -224,10 +220,8 @@ object SqlSurfaceOps {
     * Scale shape: Spark plans INTERSECT/EXCEPT ALL as count-compare
     * aggregations on the key — partial-agged, no row-level
     * materialization of the multisets. */
-  def q164SetopsAll(s: SparkSession, dir: String): DataFrame = {
-    t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
-    s.sql(q164Sql)
-  }
+  def q164SetopsAll(s: SparkSession, dir: String): DataFrame =
+    ScopedSql.run(s, dir, q164Sql, "lineitem" -> t(s, dir, "lineitem"))
 
   val q164Sql: String =
     """WITH a AS (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'),
@@ -296,13 +290,12 @@ object SqlSurfaceOps {
     * maintainability surface that removes positional GROUP BY lists;
     * oracle = the explicit form, proving the inference picks exactly
     * the non-aggregate columns. */
-  def q166GroupByAll(s: SparkSession, dir: String): DataFrame = {
-    t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
-    s.sql(
+  def q166GroupByAll(s: SparkSession, dir: String): DataFrame =
+    ScopedSql.run(s, dir,
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
-        |FROM lineitem GROUP BY ALL ORDER BY ALL""".stripMargin)
-  }
+        |FROM lineitem GROUP BY ALL ORDER BY ALL""".stripMargin,
+      "lineitem" -> t(s, dir, "lineitem"))
 
   val q166Sql: String =
     """SELECT l_returnflag, l_linestatus, count(*) AS n,

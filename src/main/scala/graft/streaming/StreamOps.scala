@@ -1439,24 +1439,54 @@ object StreamOps {
     * the EventTimeWatermark filter BEFORE the aggregation shuffle —
     * which is the entire production point of watermarks: unbounded
     * disorder costs state, bounded disorder costs a filter. */
-  def sq19LateDataAudit(s: SparkSession, dir: String): DataFrame = {
-    val staged = graft.operators.PlanCache.tempDir("graft_late_")
+  /** Shared sq19/sq20 staging: split events into three files by
+    * event_id mod 3 with forced ascending mtimes, so a
+    * maxFilesPerTrigger=1 replay processes them in a deterministic
+    * order. SELF-DIAGNOSING (round-9 ADVICE): the oracles for sq19/
+    * sq20 hard-code two empirically measured protocol facts — the
+    * one-batch watermark-propagation lag of Spark 4.1.2's micro-batch
+    * planner, and the one-part-file-per-stage layout this coalesce(1)
+    * write produces. Each stage asserts EXACTLY one part file after
+    * the move (a multi-part stage would silently drop the extra parts
+    * from the replay and the oracle would mismatch with no pointer to
+    * the cause), and the failure message names the Spark-version
+    * dependency so a future bump that shifts either fact
+    * self-diagnoses instead of presenting as a bare hash mismatch. */
+  private def stageByMod3(s: SparkSession, dir: String, staged: String)
+      : org.apache.spark.sql.types.StructType = {
     val e = TsBridge.normalize(s.read.parquet(s"$dir/events.parquet"))
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("value"), col("ts"))
-    val schema = e.schema
     (0 until 3).foreach { i =>
       val tmp = s"$staged/stage$i"
       e.filter(pmod(col("event_id"), lit(3)) === i).coalesce(1)
         .write.mode("overwrite").parquet(tmp)
-      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
-        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      val parts = {
+        val st = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        try {
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala.filter(_.toString.endsWith(".parquet")).toList
+        } finally st.close()
+      }
+      require(parts.size == 1,
+        s"sq19/sq20 staging expects exactly one part file per stage " +
+          s"(coalesce(1) under Spark 4.1.2's commit protocol); stage$i " +
+          s"produced ${parts.size}. The DuckDB oracles simulate a " +
+          "one-file-per-batch replay and Spark 4.1.2's one-batch " +
+          "watermark-propagation lag — a Spark version bump that changes " +
+          "either invalidates the oracle, not the engine.")
       val dest = java.nio.file.Paths.get(staged, s"f$i.parquet")
-      java.nio.file.Files.move(part, dest)
+      java.nio.file.Files.move(parts.head, dest)
       // distinct ascending mtimes force the replay order the oracle's
       // batch simulation assumes
       dest.toFile.setLastModified((i + 1) * 60000L)
     }
+    e.schema
+  }
+
+  def sq19LateDataAudit(s: SparkSession, dir: String): DataFrame = {
+    val staged = graft.operators.PlanCache.tempDir("graft_late_")
+    val schema = stageByMod3(s, dir, staged)
     val name = s"sq19_${System.nanoTime()}"
     withStreamShuffle(s) { fs =>
       val q = fs.readStream.schema(schema)
@@ -1518,20 +1548,7 @@ object StreamOps {
     * a downstream upsert sink (q151's CDC apply) consumes. */
   def sq20UpdateMode(s: SparkSession, dir: String): DataFrame = {
     val staged = graft.operators.PlanCache.tempDir("graft_upd_")
-    val e = TsBridge.normalize(s.read.parquet(s"$dir/events.parquet"))
-      .select(col("event_id"), col("user_id"), col("event_type"),
-        col("value"), col("ts"))
-    val schema = e.schema
-    (0 until 3).foreach { i =>
-      val tmp = s"$staged/stage$i"
-      e.filter(pmod(col("event_id"), lit(3)) === i).coalesce(1)
-        .write.mode("overwrite").parquet(tmp)
-      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
-        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
-      val dest = java.nio.file.Paths.get(staged, s"f$i.parquet")
-      java.nio.file.Files.move(part, dest)
-      dest.toFile.setLastModified((i + 1) * 60000L)
-    }
+    val schema = stageByMod3(s, dir, staged)
     val name = s"sq20_${System.nanoTime()}"
     withStreamShuffle(s) { fs =>
       val q = fs.readStream.schema(schema)

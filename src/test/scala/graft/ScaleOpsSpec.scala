@@ -68,8 +68,8 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val probe = spark.range(1000).select(lit(1L).as("k"), col("id").as("v"))
       .unionAll(spark.range(2, 101).toDF("id").select(col("id").as("k"), col("id").as("v")))
     val build = spark.range(1, 101).select(col("id").as("bk"), (col("id") * 10).as("w"))
-    val sb = SkewOps.saltedBuildSide(probe, build, "k", "bk",
-      salts = 8, hotRowThreshold = 100)
+    val sb = SkewOps.saltedBuildSide(build, "bk",
+      salts = 8, hotDf = SkewOps.hotKeys(probe, "k", 100))
     // 1 hot build row x 8 salts + 99 cold rows x 1 — the round-2 shape
     // shipped |build| x salts = 800
     assert(sb.count() == 1 * 8 + 99,

@@ -22,7 +22,11 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("q159: the pipe chain optimizes to the same plan as classic SQL") {
     val piped = SqlSurfaceOps.q159PipeSyntax(spark, dir)
-    val classic = spark.sql(SqlSurfaceOps.q159Sql)
+    // the classic twin binds through the same dir-scoped views the
+    // engine entry registers (bare names are no longer registered —
+    // round-9 ADVICE temp-view scoping)
+    val classic = graft.queries.ScopedSql.run(spark, dir, SqlSurfaceOps.q159Sql,
+      "lineitem" -> spark.read.parquet(s"$dir/lineitem.parquet"))
     assert(piped.queryExecution.optimizedPlan
         .sameResult(classic.queryExecution.optimizedPlan),
       "pipe syntax must be pure sugar over the classic plan")
@@ -97,6 +101,28 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(keyset.toSeq === offset.toSeq)
   }
 
+  test("q165 plan: the boundary read is rank-pushed, not a global full sort") {
+    // The O(page) claim rests on Spark's rank-limit pushdown turning
+    // the no-partition row_number + `rn === 40` filter into a top-k
+    // (WindowGroupLimit); nothing else in the suite would notice a
+    // regression to a single-partition full sort (round-9 ADVICE —
+    // mirror of the q148/q149 plan-shape checks).
+    import org.apache.spark.sql.expressions.Window
+    val boundary = spark.read.parquet(s"$dir/orders.parquet")
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+      .filter(col("rn") === SqlSurfaceOps.PageSize * SqlSurfaceOps.PageSkip)
+    val plan = boundary.queryExecution.executedPlan.toString
+    // a no-partition window pushes its rank limit as a global top-k
+    // (TakeOrderedAndProject limit=40); partitioned windows would show
+    // WindowGroupLimit — either proves the read is O(page), not O(table)
+    assert(plan.contains("TakeOrderedAndProject") ||
+        plan.contains("WindowGroupLimit"),
+      "q165's boundary read must plan as a rank-pushed top-k " +
+        "(TakeOrderedAndProject or WindowGroupLimit); a full global " +
+        s"sort is O(table), got:\n$plan")
+  }
+
   test("q166: GROUP BY ALL infers exactly the non-aggregate columns") {
     val sugar = SqlSurfaceOps.q166GroupByAll(spark, dir).collect()
       .map(_.toSeq.mkString("|"))
@@ -154,7 +180,8 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("q162: bound parameters plan exactly like hand-written literals") {
     val p = SqlSurfaceOps.q162ParamSql(spark, dir)
-    val lit = spark.sql(SqlSurfaceOps.q162Sql)
+    val lit = graft.queries.ScopedSql.run(spark, dir, SqlSurfaceOps.q162Sql,
+      "orders" -> spark.read.parquet(s"$dir/orders.parquet"))
     assert(p.queryExecution.optimizedPlan
         .sameResult(lit.queryExecution.optimizedPlan),
       "parameter binding must constant-fold into the literal plan")
