@@ -72,6 +72,7 @@ object Bench {
     * carries its own warm/timed miss deltas from this snapshot. */
   private def cacheMissSnapshot(): Map[String, Long] = Map(
     "shingle" -> graft.llmops.TextOps.shingleCacheStats._2,
+    "shingleDf" -> graft.llmops.TextOps.dfShingleCacheStats._2,
     "label" -> graft.llmops.TextOps.labelCacheStats._2,
     "sig" -> graft.llmops.TextOps.sigCacheStats._2,
     "pair" -> graft.llmops.TextOps.pairCacheStats._2,

@@ -440,6 +440,25 @@ object TextOps {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
+  /** df-annotated shingle index — the plain index plus each shingle's
+    * document frequency. The capped near-dup family (q39, q88) needs
+    * df for rare/hot classification, and the corpus-wide df window is
+    * a full shuffle of the index: without memoization both queries
+    * re-pay it every pass (and every bench repetition). Same lifecycle
+    * as [[shingleCache]]; one extra long column on top of the plain
+    * index is the storage cost. */
+  private[graft] val dfShingleCache =
+    new graft.operators.PlanCache[DataFrame]("shingle_df_index")((_, df) => df.unpersist())
+
+  def dfShingleCacheStats: (Long, Long) = (dfShingleCache.hits, dfShingleCache.misses)
+
+  private def shinglesWithDf(s: SparkSession, dir: String): DataFrame =
+    dfShingleCache.get(s, dir, graft.sources.FsSig.of(s"$dir/documents.parquet")) {
+      shingles(s, dir)
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   private val shinglesSql =
     """list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
       |      for i in range(1, len(w) - 1)])""".stripMargin
@@ -659,7 +678,7 @@ object TextOps {
     * is sound, so survivors — and the oracle — are unchanged. */
   def q39NeardupCapped(s: SparkSession, dir: String): DataFrame = {
     val rows = shingles(s, dir)
-    val withDf = rows.withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
+    val withDf = shinglesWithDf(s, dir)
     val perDoc = withDf.groupBy("doc_id").agg(count(lit(1)).as("n_sh"),
       sum(when(col("df") > MaxShingleDf, 1L).otherwise(0L)).as("n_hot"))
     val rare = withDf.filter(col("df") <= MaxShingleDf)
@@ -730,8 +749,15 @@ object TextOps {
     * the oracle note for the all-hot boundary). Emits both directions
     * per pair: cont_a = the fraction of A's shingles found in B,
     * cont_b symmetric. */
-  private[graft] def containmentOf(rows: DataFrame): DataFrame = {
-    val withDf = rows.withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
+  private[graft] def containmentOf(rows: DataFrame): DataFrame =
+    containmentOfDf(rows.withColumn("df",
+      count(lit(1)).over(Window.partitionBy("shingle"))))
+
+  /** Core of q88 over a df-annotated (doc_id, shingle, df) frame, so
+    * the corpus path can feed the memoized [[shinglesWithDf]] index
+    * instead of re-paying the df window per pass. */
+  private[graft] def containmentOfDf(withDf: DataFrame): DataFrame = {
+    val rows = withDf.select("doc_id", "shingle")
     val perDoc = withDf.groupBy("doc_id").agg(count(lit(1)).as("n_sh"),
       sum(when(col("df") > MaxShingleDf, 1L).otherwise(0L)).as("n_hot"))
     val rare = withDf.filter(col("df") <= MaxShingleDf)
@@ -740,21 +766,23 @@ object TextOps {
     val rareCommon = ca.join(cb, Seq("shingle")).filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("rare_common"))
     val maxCommon = col("rare_common") + least(col("hot_a"), col("hot_b"))
+    // n_sh is functionally determined by the doc id, so carry na/nb
+    // through the candidate set (and the verify groupBy keys) instead
+    // of re-aggregating the full shingle set into a counts table and
+    // re-joining it twice — that was one whole extra shuffle of the
+    // corpus for a value perDoc already holds.
     val cand = rareCommon
       .join(perDoc.select(col("doc_id").as("doc_a"), col("n_sh").as("na"),
         col("n_hot").as("hot_a")), Seq("doc_a"))
       .join(perDoc.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"),
         col("n_hot").as("hot_b")), Seq("doc_b"))
       .filter(maxCommon.cast("double") / least(col("na"), col("nb")) >= ContainThresh)
-      .select("doc_a", "doc_b")
+      .select("doc_a", "doc_b", "na", "nb")
     val shA = rows.select(col("doc_id").as("doc_a"), col("shingle"))
     val shB = rows.select(col("doc_id").as("doc_b"), col("shingle"))
     val common = cand.join(shA, Seq("doc_a")).join(shB, Seq("doc_b", "shingle"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
-    val counts = rows.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      .groupBy("doc_a", "doc_b", "na", "nb").agg(count(lit(1)).as("common"))
     common
-      .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
-      .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         (col("common").cast("double") / col("na")).as("cont_a"),
         (col("common").cast("double") / col("nb")).as("cont_b"))
@@ -767,7 +795,7 @@ object TextOps {
     * Cost discipline is q39's — the rare-shingle join bounds Σ freq²,
     * verification tracks output size. */
   def q88Containment(s: SparkSession, dir: String): DataFrame =
-    containmentOf(shingles(s, dir))
+    containmentOfDf(shinglesWithDf(s, dir))
 
   /** Oracle: mirrors the capped pipeline (the q39 pattern — rare-index
     * candidates, bound filter, full-set verification), because the
