@@ -1,7 +1,7 @@
 package graft
 
 import graft.llmops.{MultimodalOps, TextOps, VectorOps}
-import graft.queries.{MiningOps, Queries, RelOps, SqlSurfaceOps}
+import graft.queries.{MiningOps, PipelineOps, Queries, RelOps, SqlSurfaceOps}
 import graft.streaming.StreamOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -16,7 +16,7 @@ object SparkEntry {
     * its oracle is the batch SQL — streaming/batch equivalence is the
     * check. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Queries.all ++ RelOps.all ++ MiningOps.all ++ SqlSurfaceOps.all ++ TextOps.all ++ VectorOps.all ++ MultimodalOps.all ++ Map(
+    Queries.all ++ RelOps.all ++ MiningOps.all ++ SqlSurfaceOps.all ++ PipelineOps.all ++ TextOps.all ++ VectorOps.all ++ MultimodalOps.all ++ Map(
       "sq1_stream_tumbling" ->
         ((s: SparkSession, dir: String) => StreamOps.sq1StreamTumbling(s, dir)),
       "sq2_stream_dedup" ->
@@ -61,7 +61,7 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Queries.oracle ++ RelOps.oracle ++ MiningOps.oracle ++ SqlSurfaceOps.oracle ++ TextOps.oracle ++ VectorOps.oracle ++ MultimodalOps.oracle ++ Map(
+    Queries.oracle ++ RelOps.oracle ++ MiningOps.oracle ++ SqlSurfaceOps.oracle ++ PipelineOps.oracle ++ TextOps.oracle ++ VectorOps.oracle ++ MultimodalOps.oracle ++ Map(
       "sq1_stream_tumbling" -> Queries.q21Sql,
       "sq2_stream_dedup" -> StreamOps.sq2Sql,
       "sq3_stream_join" -> StreamOps.sq3Sql,

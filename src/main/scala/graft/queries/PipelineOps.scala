@@ -1,0 +1,287 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Round-10 corpus-lifecycle operators (SURVEY.md §2.3): the
+  * version-to-version maintenance passes a production training-data
+  * pipeline runs BETWEEN crawls — snapshot diffing, budget-bounded
+  * corpus selection, and distribution-shift monitoring.
+  *
+  * Same oracle-parity rules as [[Queries]] (FIXTURES.md §D): integer
+  * counts, one-division doubles rounded 6 dp, ordering-sensitive
+  * float sums through round-10dp + DECIMAL(28,10) (the q128
+  * discipline), stable ORDER BY in both dialects.
+  */
+object PipelineOps {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    graft.sources.TsBridge.normalize(t(s, dir, "events"))
+
+  private def dec(c: Column, p: Int, sc: Int): Column = c.cast(DecimalType(p, sc))
+
+  // ------------------------------------------------ q173 corpus snapshot diff
+
+  /** Deterministic "next crawl" twin of the documents table, derived
+    * in-query so the diff is reproducible on any fixture: every 13th
+    * doc is dropped (removed), every 7th survivor is re-crawled with
+    * appended content (changed), and every 11th doc contributes a
+    * fresh discovery under a disjoint id range (added). */
+  private val AddedIdOffset = 10000000L
+
+  private def corpusV2(v1: DataFrame): DataFrame = {
+    val survivors = v1.filter(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text")).as("text"),
+        col("source"))
+    val additions = v1.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + AddedIdOffset).as("doc_id"),
+        concat(lit("addendum "), col("doc_id").cast("string")).as("text"),
+        col("source"))
+    survivors.unionByName(additions)
+  }
+
+  /** q173: CORPUS SNAPSHOT DIFF — the content-addressed CDC pass that
+    * reconciles two corpus versions (crawl N vs crawl N+1) into
+    * added / removed / changed / unchanged classes, the precursor to
+    * every incremental-processing decision (what to re-tokenize,
+    * re-embed, re-dedup).
+    *
+    * Scale shape: each side reduces to (doc_id, md5(text), length)
+    * MAP-SIDE, so the full-outer join moves 32-char digests — never
+    * document bodies — and a bucketed-by-doc_id layout makes it
+    * exchange-free (the q50 discipline). Classification is a null /
+    * digest-equality CASE on the joined row; the output collapses to
+    * four count rows at the final partial agg. At 100 TB this is the
+    * cheapest possible "what changed" pass: one co-partitioned join
+    * over digests plus a four-group aggregate. */
+  def q173CorpusDiff(s: SparkSession, dir: String): DataFrame = {
+    val v1 = docs(s, dir)
+    val a = v1.select(col("doc_id"), md5(col("text")).as("h1"),
+      length(col("text")).as("len1"))
+    val b = corpusV2(v1).select(col("doc_id"), md5(col("text")).as("h2"),
+      length(col("text")).as("len2"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(
+        when(col("h1").isNull, "added")
+          .when(col("h2").isNull, "removed")
+          .when(col("h1") === col("h2"), "unchanged")
+          .otherwise("changed").as("status"),
+        coalesce(col("len2"), col("len1")).as("len"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_docs"), sum("len").as("n_chars"))
+      .orderBy("status")
+  }
+
+  val q173Sql: String =
+    s"""WITH v1 AS (
+       |  SELECT doc_id, text, source FROM documents
+       |), v2 AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END AS text
+       |  FROM v1 WHERE doc_id % 13 <> 0
+       |  UNION ALL
+       |  SELECT doc_id + $AddedIdOffset, 'addendum ' || CAST(doc_id AS VARCHAR)
+       |  FROM v1 WHERE doc_id % 11 = 0
+       |), d AS (
+       |  SELECT
+       |    CASE WHEN a.doc_id IS NULL THEN 'added'
+       |         WHEN b.doc_id IS NULL THEN 'removed'
+       |         WHEN md5(a.text) = md5(b.text) THEN 'unchanged'
+       |         ELSE 'changed' END AS status,
+       |    coalesce(length(b.text), length(a.text)) AS len
+       |  FROM (SELECT doc_id, text FROM v1) a
+       |  FULL OUTER JOIN v2 b USING (doc_id)
+       |)
+       |SELECT status, count(*) AS n_docs, CAST(sum(len) AS BIGINT) AS n_chars
+       |FROM d GROUP BY status ORDER BY status""".stripMargin
+
+  // -------------------------------------------- q174 token-budget selection
+
+  /** Selection budget as a fraction of the corpus: keep the
+    * best-scoring fifth (integer division of the total token count). */
+  val BudgetDenom = 5
+
+  /** Ranking-score rounding: the greedy order is (score@4dp DESC,
+    * doc_id ASC). Rounding the score IS the ranking definition, not a
+    * display choice — it is what makes the scalable two-phase plan
+    * below exactly equal to the naive global sort (the bucket key and
+    * the ranking key coincide), and 4 dp keeps the bucket-level frame
+    * ≤ 10⁴ rows at any corpus size. */
+  val ScoreDp = 4
+
+  /** q174: TOKEN-BUDGET CORPUS SELECTION — greedy quality-ranked
+    * subsetting under a global token budget (the "best N tokens"
+    * curation every mixture builder runs): rank docs by lexical
+    * diversity (distinct/total tokens, the cheap quality proxy),
+    * admit in rank order while the running token total fits the
+    * budget, report the per-source outcome.
+    *
+    * The naive formulation is ONE GLOBAL cumulative-sum window — a
+    * single-partition sort of the corpus, the q165 scale-killer. This
+    * runs the two-phase equivalent: (1) per-score-bucket token totals
+    * (score is rounded to [[ScoreDp]], so ≤ 10⁴+1 buckets at ANY
+    * corpus size) with the cumulative-before-bucket sum computed on
+    * that tiny bucket frame; (2) the within-bucket running sum as a
+    * window PARTITIONED BY bucket (distributed, and only boundary-
+    * bucket rows can straddle the budget). Because the ranking key
+    * equals (bucket DESC, doc_id ASC), phase-1 + phase-2 compose to
+    * EXACTLY the global prefix — the DuckDB oracle runs the naive
+    * global window and must agree row-for-row. */
+  def q174TokenBudgetSelect(s: SparkSession, dir: String): DataFrame = {
+    val tok = docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), "\\s+")).cast("long").as("nt"),
+        size(array_distinct(split(col("text"), "\\s+"))).cast("long").as("nu"))
+      .filter(col("nt") > 0)
+      .withColumn("score", round(col("nu").cast("double") / col("nt"), ScoreDp))
+    // the global budget: one scalar row, broadcast by the cross join
+    val budget = tok.agg((sum("nt") / lit(BudgetDenom)).cast("long").as("budget"))
+    // phase 1: bucket totals + exclusive prefix over the TINY bucket
+    // frame (≤ 10^ScoreDp + 1 rows — a driver-scale window, not a
+    // corpus-scale one)
+    val wBuckets = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val buckets = tok.groupBy("score").agg(sum("nt").as("bucket_nt"))
+      .withColumn("before", coalesce(sum("bucket_nt").over(wBuckets), lit(0L)))
+      .select("score", "before")
+    // phase 2: within-bucket running sum, distributed by bucket
+    val wIn = Window.partitionBy("score").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tok
+      .join(broadcast(buckets), Seq("score"))
+      .crossJoin(broadcast(budget))
+      .withColumn("cum", col("before") + sum("nt").over(wIn))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cum") <= col("budget"), 1L).otherwise(0L)).as("n_selected"),
+        sum(when(col("cum") <= col("budget"), col("nt")).otherwise(0L)).as("sel_tokens"))
+      .orderBy("source")
+  }
+
+  val q174Sql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS nt,
+       |    CAST(len(list_distinct(string_split_regex(text, '\\s+'))) AS BIGINT) AS nu
+       |  FROM documents
+       |), sc AS (
+       |  SELECT doc_id, source, nt,
+       |    round(CAST(nu AS DOUBLE) / nt, $ScoreDp) AS score
+       |  FROM tok WHERE nt > 0
+       |), b AS (
+       |  SELECT sum(nt) // $BudgetDenom AS budget FROM sc
+       |), r AS (
+       |  SELECT source, nt,
+       |    sum(nt) OVER (ORDER BY score DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM sc
+       |)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(coalesce(sum(CASE WHEN cum <= budget THEN 1 END), 0) AS BIGINT)
+       |    AS n_selected,
+       |  CAST(coalesce(sum(CASE WHEN cum <= budget THEN nt END), 0) AS BIGINT)
+       |    AS sel_tokens
+       |FROM r, b GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------- q175 PSI drift
+
+  /** Fixed-width value buckets: [0,50) [50,100) … capped at bucket 9
+    * (the PSI convention of ~10 bins; the cap keeps the contingency
+    * table bounded whatever the value range grows to). */
+  val PsiBucketWidth = 50.0
+  val PsiMaxBucket = 9
+
+  /** Industry-standard PSI alarm threshold (≥ 0.2 = major shift). */
+  val PsiThresh = 0.2
+
+  /** q175: POPULATION STABILITY INDEX — the binned distribution-shift
+    * monitor (the q127 KS test's banking-world sibling; KS compares
+    * whole CDFs, PSI attributes the shift to value bands): per event
+    * type, PSI = Σ_bands (p_a − p_b)·ln(p_a/p_b) between the two
+    * user populations, Laplace-smoothed (+1 per observed band) so a
+    * band empty on one side contributes a finite term.
+    *
+    * Defined over OBSERVED (type, band) groups — both engines compute
+    * the identical group set, so smoothing never materializes
+    * phantom bands. Float discipline is q128's: each band term
+    * rounds to 10 dp and sums through DECIMAL(28,10); the counts and
+    * totals are exact integers. Scale: the stream collapses to the
+    * ≤ |types|·10-row contingency table at the first partial agg —
+    * everything downstream is table-sized. */
+  def q175PsiDrift(s: SparkSession, dir: String): DataFrame = {
+    val g = events(s, dir)
+      .select(col("event_type"),
+        least(floor(col("value") / PsiBucketWidth), lit(PsiMaxBucket))
+          .cast("int").as("band"),
+        (col("event_id") % 2).as("pop"))
+      .groupBy("event_type", "band")
+      .agg(sum(when(col("pop") === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("pop") === 1, 1L).otherwise(0L)).as("cb"))
+    val wt = Window.partitionBy("event_type")
+    val base = g
+      .withColumn("na", sum("ca").over(wt))
+      .withColumn("nb", sum("cb").over(wt))
+      .withColumn("nbands", count(lit(1)).over(wt))
+    val pa = (col("ca") + 1).cast("double") / (col("na") + col("nbands"))
+    val pb = (col("cb") + 1).cast("double") / (col("nb") + col("nbands"))
+    base
+      .groupBy("event_type")
+      .agg(max("na").as("n_a"), max("nb").as("n_b"),
+        sum(dec(round((pa - pb) * log(pa / pb), 10), 28, 10)).as("psi10"))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        round(col("psi10").cast("double"), 6).as("psi"))
+      .withColumn("drifted", col("psi") >= PsiThresh)
+      .orderBy("event_type")
+  }
+
+  val q175Sql: String =
+    s"""WITH g AS (
+       |  SELECT event_type,
+       |    CAST(least(floor(value / $PsiBucketWidth), $PsiMaxBucket) AS INTEGER)
+       |      AS band,
+       |    sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS ca,
+       |    sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS cb
+       |  FROM events GROUP BY 1, 2
+       |), b AS (
+       |  SELECT event_type, ca, cb,
+       |    sum(ca) OVER (PARTITION BY event_type) AS na,
+       |    sum(cb) OVER (PARTITION BY event_type) AS nb,
+       |    count(*) OVER (PARTITION BY event_type) AS nbands
+       |  FROM g
+       |), terms AS (
+       |  SELECT event_type, na, nb,
+       |    CAST(round((CAST(ca + 1 AS DOUBLE) / (na + nbands)
+       |        - CAST(cb + 1 AS DOUBLE) / (nb + nbands))
+       |      * ln((CAST(ca + 1 AS DOUBLE) / (na + nbands))
+       |        / (CAST(cb + 1 AS DOUBLE) / (nb + nbands))), 10)
+       |      AS DECIMAL(28,10)) AS term
+       |  FROM b
+       |), p AS (
+       |  SELECT event_type, CAST(max(na) AS BIGINT) AS n_a,
+       |    CAST(max(nb) AS BIGINT) AS n_b,
+       |    round(CAST(sum(term) AS DOUBLE), 6) AS psi
+       |  FROM terms GROUP BY event_type
+       |)
+       |SELECT event_type, n_a, n_b, psi, psi >= $PsiThresh AS drifted
+       |FROM p ORDER BY event_type""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q173_corpus_diff" -> (q173CorpusDiff _),
+    "q174_token_budget_select" -> (q174TokenBudgetSelect _),
+    "q175_psi_drift" -> (q175PsiDrift _))
+
+  val oracle: Map[String, String] = Map(
+    "q173_corpus_diff" -> q173Sql,
+    "q174_token_budget_select" -> q174Sql,
+    "q175_psi_drift" -> q175Sql)
+}

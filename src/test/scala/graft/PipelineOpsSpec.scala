@@ -1,0 +1,95 @@
+package graft
+
+import graft.queries.PipelineOps
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-10 corpus-lifecycle operators: the semantic invariants the
+  * DuckDB hash-gate can't express — the diff classes partition both
+  * snapshots, the two-phase budget selection equals the naive global
+  * prefix, PSI's sign/zero structure. */
+class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.builder("pipeline-test", cores = 4).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def docs: DataFrame = spark.read.parquet(s"$dir/documents.parquet")
+
+  test("q173: diff classes partition the union of both snapshots, counts match the mutation rule") {
+    val out = PipelineOps.q173CorpusDiff(spark, dir).collect()
+      .map(r => r.getAs[String]("status") -> r.getAs[Long]("n_docs")).toMap
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    val added = ids.count(_ % 11 == 0).toLong
+    val removed = ids.count(_ % 13 == 0).toLong
+    // appending ' [rev2]' always changes the digest, so changed is
+    // exactly the re-crawled survivors
+    val changed = ids.count(i => i % 13 != 0 && i % 7 == 0).toLong
+    val unchanged = ids.count(i => i % 13 != 0 && i % 7 != 0).toLong
+    assert(out.getOrElse("added", 0L) === added)
+    assert(out.getOrElse("removed", 0L) === removed)
+    assert(out.getOrElse("changed", 0L) === changed)
+    assert(out.getOrElse("unchanged", 0L) === unchanged)
+    // partition: every (doc_id, side) pair lands in exactly one class
+    assert(out.values.sum === ids.length + added)
+  }
+
+  test("q174: two-phase bucket selection equals the naive global cumulative window") {
+    val out = PipelineOps.q174TokenBudgetSelect(spark, dir).collect()
+      .map(r => (r.getAs[String]("source"),
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_selected"),
+          r.getAs[Long]("sel_tokens")))).toMap
+    // the naive formulation the two-phase plan must reproduce exactly:
+    // one global (score DESC, doc_id) running sum
+    val tok = docs
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), "\\s+")).cast("long").as("nt"),
+        size(array_distinct(split(col("text"), "\\s+"))).cast("long").as("nu"))
+      .filter(col("nt") > 0)
+      .withColumn("score",
+        round(col("nu").cast("double") / col("nt"), PipelineOps.ScoreDp))
+    val budget = tok.agg((sum("nt") / lit(PipelineOps.BudgetDenom)).cast("long"))
+      .head().getLong(0)
+    val wg = Window.orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = tok.withColumn("cum", sum("nt").over(wg))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cum") <= budget, 1L).otherwise(0L)).as("n_selected"),
+        sum(when(col("cum") <= budget, col("nt")).otherwise(0L)).as("sel_tokens"))
+      .collect()
+      .map(r => (r.getAs[String]("source"),
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_selected"),
+          r.getAs[Long]("sel_tokens")))).toMap
+    assert(out === naive)
+    // the budget is respected globally and the selection is non-empty
+    val selTotal = out.values.map(_._3).sum
+    assert(selTotal <= budget)
+    assert(out.values.map(_._2).sum > 0)
+  }
+
+  test("q175: PSI is non-negative, totals partition each type, and identical populations score zero") {
+    val rows = PipelineOps.q175PsiDrift(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val events = spark.read.parquet(s"$dir/events.parquet")
+    val perType = events.groupBy("event_type").count().collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("count")).toMap
+    rows.foreach { r =>
+      val psi = r.getAs[Double]("psi")
+      // each band term (p_a - p_b)·ln(p_a/p_b) has matching signs, so
+      // the sum can never go negative
+      assert(psi >= 0.0, s"PSI must be non-negative, got $psi")
+      assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") ===
+        perType(r.getAs[String]("event_type")))
+      assert(r.getAs[Boolean]("drifted") === (psi >= PipelineOps.PsiThresh))
+    }
+  }
+}
