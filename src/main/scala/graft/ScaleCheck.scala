@@ -301,7 +301,21 @@ object ScaleCheck {
     "q170_join_hints",
     // HOFs fuse into the scan (linear map claim over 4× vectors);
     // the calendar derivations are pure projection + quarter agg
-    "q171_hof_zoo", "q172_calendar_zoo")
+    "q171_hof_zoo", "q172_calendar_zoo",
+    // round-10 corpus-lifecycle ops: the diff moves map-side digests
+    // through one co-partitioned join (linear in docs); the budget
+    // selection's bucket frame is BOUNDED BY THE SCORE SPACE (≤ 10⁴+1
+    // rows at any corpus size — the claim that separates the
+    // two-phase plan from the naive global window it replaces); PSI
+    // collapses to the |types|·10-band contingency table at the first
+    // partial agg over 10× events
+    "q173_corpus_diff", "q174_token_budget_select", "q175_psi_drift",
+    // the sampler's exchange carries ≤ k·parts rows per stratum
+    // (WindowGroupLimit before the shuffle); novelty joins distinct
+    // trigram SETS (the salted 10× corpus multiplies the vocabulary,
+    // not the pair space); the streaming monitor's state is the open
+    // days' band counts — 10× events grow batch volume, not state
+    "q176_bottomk_sample", "q177_crawl_novelty", "sq21_stream_psi_monitor")
   // sq18 (chained stream-stream joins) is EXCLUDED from the default
   // drill for the q138 reason: the 10× events corpus REPLICATES
   // timestamps (unchanged user/ts), so 3-way funnel matches multiply

@@ -56,7 +56,9 @@ object SparkEntry {
       "sq19_late_data" ->
         ((s: SparkSession, dir: String) => StreamOps.sq19LateDataAudit(s, dir)),
       "sq20_update_mode" ->
-        ((s: SparkSession, dir: String) => StreamOps.sq20UpdateMode(s, dir)))
+        ((s: SparkSession, dir: String) => StreamOps.sq20UpdateMode(s, dir)),
+      "sq21_stream_psi_monitor" ->
+        ((s: SparkSession, dir: String) => StreamOps.sq21StreamPsiMonitor(s, dir)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -82,5 +84,6 @@ object SparkEntry {
       "sq17_stream_type_counts" -> StreamOps.sq17Sql,
       "sq18_stream_join_chain" -> StreamOps.sq18Sql,
       "sq19_late_data" -> StreamOps.sq19Sql,
-      "sq20_update_mode" -> StreamOps.sq20Sql)
+      "sq20_update_mode" -> StreamOps.sq20Sql,
+      "sq21_stream_psi_monitor" -> StreamOps.sq21Sql)
 }

@@ -275,13 +275,152 @@ object PipelineOps {
        |SELECT event_type, n_a, n_b, psi, psi >= $PsiThresh AS drifted
        |FROM p ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------ q176 bottom-k hash sample
+
+  /** Sample size per stratum. */
+  val SampleK = 10
+
+  /** q176: REPRODUCIBLE FIXED-SIZE STRATIFIED SAMPLE — bottom-k by
+    * content-independent hash priority per source (the distributed
+    * uniform-sample idiom: assign each row the priority
+    * md5(salt‖doc_id), keep the k smallest per stratum). Unlike q57's
+    * hash-PERCENT filter this yields EXACTLY k docs per stratum —
+    * the "give me 10 auditable examples from every source, same ten
+    * every run" sampler — and unlike `TABLESAMPLE` it is
+    * deterministic across engines, partitionings and Spark versions.
+    *
+    * Scale shape: `row_number ≤ k` over (source, priority) is the
+    * InferWindowGroupLimit pattern (the q55/q148 discipline) — each
+    * map task keeps only its local top-k per stratum BEFORE the
+    * shuffle, so the exchange carries ≤ k·parts rows per source, not
+    * the corpus. Spec asserts WindowGroupLimit in the plan. */
+  def q176BottomkSample(s: SparkSession, dir: String): DataFrame = {
+    val keyed = docs(s, dir).select(col("doc_id"), col("source"),
+      md5(concat(lit("k|"), col("doc_id").cast("string"))).as("pri"))
+    val w = Window.partitionBy("source").orderBy("pri", "doc_id")
+    keyed.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= SampleK)
+      .select(col("source"), col("rk").cast("long").as("rk"),
+        col("doc_id"), col("pri"))
+      .orderBy("source", "rk")
+  }
+
+  val q176Sql: String =
+    s"""WITH keyed AS (
+       |  SELECT doc_id, source,
+       |    md5('k|' || CAST(doc_id AS VARCHAR)) AS pri
+       |  FROM documents
+       |), rk AS (
+       |  SELECT source, doc_id, pri,
+       |    row_number() OVER (PARTITION BY source ORDER BY pri, doc_id) AS rk
+       |  FROM keyed
+       |)
+       |SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, pri
+       |FROM rk WHERE rk <= $SampleK ORDER BY source, rk""".stripMargin
+
+  // --------------------------------------------- q177 crawl novelty
+
+  /** Word-trigram rows (doc_id, source, g) — the window formulation
+    * (posexplode + two leads), not an array lambda: higher-order
+    * functions are CodegenFallback, the window chain is whole-stage
+    * codegen'd (the TextOps shingle discipline; graft can't reuse
+    * that private index here because the grams must come from the
+    * DERIVED v2 snapshot, not the fixture). */
+  private def triRows(d: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    d.select(col("doc_id"), col("source"),
+      posexplode(split(col("text"), "\\s+")).as(Seq("pos", "tk")))
+      .select(col("doc_id"), col("source"), col("tk"),
+        lead("tk", 1).over(w).as("t2"), lead("tk", 2).over(w).as("t3"))
+      .filter(col("t3").isNotNull)
+      .select(col("doc_id"), col("source"),
+        concat_ws(" ", col("tk"), col("t2"), col("t3")).as("g"))
+  }
+
+  /** q177: CRAWL NOVELTY RATE — of the next crawl's NEW content (q173's
+    * added + changed docs, derived by digest, never by knowing the
+    * mutation rule), what fraction of its distinct word-trigrams was
+    * never seen in the current corpus? The crawl-worth-it metric every
+    * refresh decision reads: a crawl that is 95% re-hashed boilerplate
+    * is not worth re-tokenizing.
+    *
+    * Scale shape: both sides reduce to DISTINCT trigram sets before
+    * the membership join (the q59 decontamination shape — novelty is
+    * an anti-join against the corpus vocabulary; at 100 TB the
+    * vocabulary side is bloom-prefiltered exactly like q87 before the
+    * exact join). Per-source outputs collapse at the final partial
+    * agg. */
+  def q177CrawlNovelty(s: SparkSession, dir: String): DataFrame = {
+    val v1 = docs(s, dir)
+    val fresh = corpusV2(v1)
+      .join(v1.select(col("doc_id"), md5(col("text")).as("h1")),
+        Seq("doc_id"), "left")
+      .filter(col("h1").isNull || md5(col("text")) =!= col("h1"))
+      .select("doc_id", "source", "text")
+    val vocab = triRows(v1.select(col("doc_id"), col("source"), col("text")))
+      .select("g").distinct().withColumn("x_seen", lit(true))
+    triRows(fresh).select("source", "g").distinct()
+      .join(vocab, Seq("g"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("x_seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("source"), col("n_grams"), col("n_novel"),
+        when(col("n_grams") > 0,
+          round(col("n_novel").cast("double") / col("n_grams"), 6))
+          .as("novelty_rate"))
+      .orderBy("source")
+  }
+
+  private val triSql =
+    """list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |      for i in range(1, len(w) - 1)])""".stripMargin
+
+  val q177Sql: String =
+    s"""WITH v1 AS (
+       |  SELECT doc_id, text, source FROM documents
+       |), v2 AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END AS text,
+       |    source
+       |  FROM v1 WHERE doc_id % 13 <> 0
+       |  UNION ALL
+       |  SELECT doc_id + $AddedIdOffset, 'addendum ' || CAST(doc_id AS VARCHAR),
+       |    source
+       |  FROM v1 WHERE doc_id % 11 = 0
+       |), fresh AS (
+       |  SELECT v2.doc_id, v2.source, v2.text
+       |  FROM v2 LEFT JOIN (SELECT doc_id, md5(text) AS h1 FROM v1) h
+       |    USING (doc_id)
+       |  WHERE h.h1 IS NULL OR md5(v2.text) <> h.h1
+       |), vocab AS (
+       |  SELECT DISTINCT unnest($triSql) AS g
+       |  FROM (SELECT string_split_regex(text, '\\s+') AS w FROM v1)
+       |), g2 AS (
+       |  SELECT DISTINCT source, unnest($triSql) AS g
+       |  FROM (SELECT source, string_split_regex(text, '\\s+') AS w FROM fresh)
+       |), j AS (
+       |  SELECT g2.source, g2.g, vocab.g IS NOT NULL AS seen
+       |  FROM g2 LEFT JOIN vocab USING (g)
+       |)
+       |SELECT source, count(*) AS n_grams,
+       |  CAST(coalesce(sum(CASE WHEN NOT seen THEN 1 END), 0) AS BIGINT)
+       |    AS n_novel,
+       |  CASE WHEN count(*) > 0 THEN
+       |    round(CAST(coalesce(sum(CASE WHEN NOT seen THEN 1 END), 0) AS DOUBLE)
+       |      / count(*), 6) END AS novelty_rate
+       |FROM j GROUP BY source ORDER BY source""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q173_corpus_diff" -> (q173CorpusDiff _),
     "q174_token_budget_select" -> (q174TokenBudgetSelect _),
-    "q175_psi_drift" -> (q175PsiDrift _))
+    "q175_psi_drift" -> (q175PsiDrift _),
+    "q176_bottomk_sample" -> (q176BottomkSample _),
+    "q177_crawl_novelty" -> (q177CrawlNovelty _))
 
   val oracle: Map[String, String] = Map(
     "q173_corpus_diff" -> q173Sql,
     "q174_token_budget_select" -> q174Sql,
-    "q175_psi_drift" -> q175Sql)
+    "q175_psi_drift" -> q175Sql,
+    "q176_bottomk_sample" -> q176Sql,
+    "q177_crawl_novelty" -> q177Sql)
 }

@@ -1588,6 +1588,140 @@ object StreamOps {
        |  count(DISTINCT f) AS n_emissions
        |FROM kept GROUP BY 1 ORDER BY janela_ms""".stripMargin
 
+  /** SQ21: STREAMING PSI DRIFT MONITOR — q175's production face: the
+    * live event stream (odd population — the "today" traffic) banded
+    * and counted per (1-day window, event_type, value band) as ONE
+    * watermarked stateful aggregation; the monitor's read side then
+    * scores each CLOSED day against the STATIC baseline profile (the
+    * even population, aggregated batch-side) with the same
+    * Laplace-smoothed PSI arithmetic. This is how drift monitoring
+    * actually deploys: state holds only the open windows' band
+    * counts (≤ |types|·10 rows per day, watermark expires them), the
+    * baseline is a broadcast-sized static table, and the PSI
+    * reduction runs over the sink's closed-window rows — never
+    * inside the stream.
+    *
+    * Band-set discipline: per (day, type) the term set is the UNION
+    * of bands observed live that day or in the baseline (full-outer
+    * join), Laplace-smoothed (+1 per band) so one-sided bands
+    * contribute finite terms — the q175 rules, so the batch twin is
+    * the oracle. */
+  def sq21StreamPsiMonitor(s: SparkSession, dir: String): DataFrame = {
+    import graft.queries.PipelineOps.{PsiBucketWidth, PsiMaxBucket, PsiThresh}
+    val name = s"sq21_${System.nanoTime()}"
+    def band(c: org.apache.spark.sql.Column) =
+      least(floor(c / PsiBucketWidth), lit(PsiMaxBucket)).cast("int").as("band")
+    withStreamShuffle(s) { fs =>
+      val baseline = TsBridge.normalize(fs.read.parquet(s"$dir/events.parquet"))
+        .filter(col("event_id") % 2 === 0)
+        .groupBy(col("event_type"), band(col("value")))
+        .agg(count(lit(1)).as("cb"))
+      val q = eventsStream(fs, dir)
+        .filter(col("event_id") % 2 === 1)
+        .withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"),
+          band(col("value")))
+        .agg(count(lit(1)).as("cl"))
+        .select(unix_millis(col("w.start")).as("janela_ms"),
+          col("event_type"), col("band"), col("cl"))
+        .writeStream.queryName(name).format("memory")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val live = fs.table(name)
+      // monitor read side (batch over the sink): replicate the static
+      // baseline across the closed days, union the band sets. The day
+      // list is BOUNDED by the monitor horizon (one row per closed
+      // day), so reading it back is a scalar-sized action — and a
+      // fresh literal frame sidesteps the self-referencing memory-sink
+      // plan (full-outer join of a view with its own Deduplicate is a
+      // conflicting-reference error)
+      import scala.jdk.CollectionConverters._
+      val dayVals = live.select("janela_ms").distinct()
+        .collect().map(_.getLong(0)).toSeq
+      val days = fs.createDataFrame(
+        dayVals.map(org.apache.spark.sql.Row(_)).asJava,
+        StructType(Seq(StructField("janela_ms", LongType))))
+      val sided = live
+        .join(days.crossJoin(baseline), Seq("janela_ms", "event_type", "band"),
+          "full_outer")
+        .select(col("janela_ms"), col("event_type"), col("band"),
+          coalesce(col("cl"), lit(0L)).as("cl"),
+          coalesce(col("cb"), lit(0L)).as("cb"))
+      val wk = org.apache.spark.sql.expressions.Window
+        .partitionBy("janela_ms", "event_type")
+      val base = sided
+        .withColumn("nl", sum("cl").over(wk))
+        .withColumn("nb", sum("cb").over(wk))
+        .withColumn("nbands", count(lit(1)).over(wk))
+      val pl = (col("cl") + 1).cast("double") / (col("nl") + col("nbands"))
+      val pb = (col("cb") + 1).cast("double") / (col("nb") + col("nbands"))
+      base.groupBy("janela_ms", "event_type")
+        .agg(max("nl").as("n_live"), max("nb").as("n_base"),
+          sum(round((pl - pb) * log(pl / pb), 10).cast(DecimalType(28, 10)))
+            .as("psi10"))
+        .select(col("janela_ms"), col("event_type"), col("n_live"),
+          col("n_base"), round(col("psi10").cast("double"), 6).as("psi"))
+        .withColumn("drifted", col("psi") >= PsiThresh)
+        .orderBy("janela_ms", "event_type")
+    }
+  }
+
+  /** SQ21's DuckDB oracle: the batch twin — closed days under the
+    * final watermark (day end ≤ max ts − 2 h), baseline = the even
+    * population over all time, identical smoothing and DECIMAL term
+    * discipline. */
+  val sq21Sql: String = {
+    import graft.queries.PipelineOps.{PsiBucketWidth, PsiMaxBucket, PsiThresh}
+    s"""WITH wm AS (
+       |  SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 2 HOUR AS w FROM events
+       |), banded AS (
+       |  SELECT event_id, event_type,
+       |    CAST(least(floor(value / $PsiBucketWidth), $PsiMaxBucket) AS INTEGER)
+       |      AS band,
+       |    date_trunc('day', CAST(ts AS TIMESTAMP)) AS d
+       |  FROM events
+       |), baseline AS (
+       |  SELECT event_type, band, count(*) AS cb
+       |  FROM banded WHERE event_id % 2 = 0 GROUP BY 1, 2
+       |), live AS (
+       |  SELECT epoch_ms(d) AS janela_ms, event_type, band, count(*) AS cl
+       |  FROM banded CROSS JOIN wm
+       |  WHERE event_id % 2 = 1 AND d + INTERVAL 1 DAY <= wm.w
+       |  GROUP BY 1, 2, 3
+       |), days AS (
+       |  SELECT DISTINCT janela_ms FROM live
+       |), sided AS (
+       |  SELECT coalesce(l.janela_ms, db.janela_ms) AS janela_ms,
+       |    coalesce(l.event_type, db.event_type) AS event_type,
+       |    coalesce(l.band, db.band) AS band,
+       |    coalesce(l.cl, 0) AS cl, coalesce(db.cb, 0) AS cb
+       |  FROM live l
+       |  FULL OUTER JOIN (SELECT janela_ms, event_type, band, cb
+       |                   FROM days CROSS JOIN baseline) db
+       |    ON l.janela_ms = db.janela_ms AND l.event_type = db.event_type
+       |      AND l.band = db.band
+       |), b AS (
+       |  SELECT janela_ms, event_type, cl, cb,
+       |    sum(cl) OVER wk AS nl, sum(cb) OVER wk AS nb,
+       |    count(*) OVER wk AS nbands
+       |  FROM sided
+       |  WINDOW wk AS (PARTITION BY janela_ms, event_type)
+       |), p AS (
+       |  SELECT janela_ms, event_type, CAST(max(nl) AS BIGINT) AS n_live,
+       |    CAST(max(nb) AS BIGINT) AS n_base,
+       |    round(CAST(sum(CAST(round(
+       |      (CAST(cl + 1 AS DOUBLE) / (nl + nbands)
+       |        - CAST(cb + 1 AS DOUBLE) / (nb + nbands))
+       |      * ln((CAST(cl + 1 AS DOUBLE) / (nl + nbands))
+       |        / (CAST(cb + 1 AS DOUBLE) / (nb + nbands))), 10)
+       |      AS DECIMAL(28,10))) AS DOUBLE), 6) AS psi
+       |  FROM b GROUP BY 1, 2
+       |)
+       |SELECT janela_ms, event_type, n_live, n_base, psi,
+       |  psi >= $PsiThresh AS drifted
+       |FROM p ORDER BY janela_ms, event_type""".stripMargin
+  }
+
   /** SQ13's DuckDB oracle: the batch per-user profile under the same
     * 30-min session-gap rule. */
   val sq13Sql: String =

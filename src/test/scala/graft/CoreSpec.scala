@@ -149,9 +149,10 @@ class CoreSpec extends AnyFunSuite {
     // the merged map must not shadow: component registries stay disjoint
     val parts = Seq(graft.queries.Queries.all, graft.queries.RelOps.all,
       graft.queries.MiningOps.all, graft.queries.SqlSurfaceOps.all,
+      graft.queries.PipelineOps.all,
       graft.llmops.TextOps.all, graft.llmops.VectorOps.all,
       graft.llmops.MultimodalOps.all)
-    val streaming = 20 // sq1..sq20, added inline in SparkEntry
+    val streaming = 21 // sq1..sq21, added inline in SparkEntry
     assert(q.size == parts.map(_.size).sum + streaming,
       "duplicate query names across registries would shadow silently")
     assert(SparkEntry.entry(spark).count() > 0, "driver smoke: entry must return rows")

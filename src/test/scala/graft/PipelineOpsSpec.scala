@@ -76,6 +76,62 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.values.map(_._2).sum > 0)
   }
 
+  test("q176: exactly k per stratum, reproducible, rank pushed down as WindowGroupLimit") {
+    val df = PipelineOps.q176BottomkSample(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-source bottom-k must push below the full sort:\n$plan")
+    val rows = df.collect()
+    val perSource = rows.groupBy(_.getAs[String]("source"))
+    val nPerSource = docs.groupBy("source").count().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    perSource.foreach { case (src, rs) =>
+      assert(rs.length === math.min(PipelineOps.SampleK, nPerSource(src).toInt))
+      assert(rs.map(_.getAs[Long]("rk")).sorted.toSeq ===
+        (1L to rs.length.toLong))
+    }
+    // reproducible: a second run returns the identical sample
+    val again = PipelineOps.q176BottomkSample(spark, dir).collect()
+    assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
+  test("q177: novelty counts only digest-changed docs and never exceeds the gram total") {
+    val rows = PipelineOps.q177CrawlNovelty(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, nov) = (r.getAs[Long]("n_grams"), r.getAs[Long]("n_novel"))
+      assert(nov >= 0 && nov <= n)
+      // the [rev2] suffix introduces novel trigrams wherever a changed
+      // doc exists, so rates stay within [0, 1]
+      val rate = r.getAs[Double]("novelty_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+    // every source has changed or added docs under the mutation rule,
+    // and the appended '[rev2]' trigram is novel by construction —
+    // so total novelty is strictly positive
+    assert(rows.map(_.getAs[Long]("n_novel")).sum > 0)
+  }
+
+  test("sq21: streaming band counts + batch PSI equals the batch twin day-for-day") {
+    val out = graft.streaming.StreamOps.sq21StreamPsiMonitor(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val psi = r.getAs[Double]("psi")
+      assert(psi >= 0.0)
+      assert(r.getAs[Boolean]("drifted") === (psi >= PipelineOps.PsiThresh))
+    }
+    // closed-day discipline: every emitted day ends at or before the
+    // final watermark (max ts - 2h)
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val maxMs = graft.sources.TsBridge.normalize(ev)
+      .agg(max(unix_millis(col("ts")))).head().getLong(0)
+    val wmMs = maxMs - 2L * 3600 * 1000
+    out.foreach { r =>
+      assert(r.getAs[Long]("janela_ms") + 86400000L <= wmMs,
+        "append mode must emit only watermark-closed days")
+    }
+  }
+
   test("q175: PSI is non-negative, totals partition each type, and identical populations score zero") {
     val rows = PipelineOps.q175PsiDrift(spark, dir).collect()
     assert(rows.nonEmpty)
