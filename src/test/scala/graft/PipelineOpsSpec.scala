@@ -76,6 +76,37 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.values.map(_._2).sum > 0)
   }
 
+  test("q173 plan: the diff join moves digests, never document bodies") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val df = PipelineOps.q173CorpusDiff(spark, dir)
+    val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+    assert(joins.nonEmpty)
+    // the full-outer (and any inner) join inputs must be the projected
+    // (doc_id, digest, length) sides — a `text` attribute crossing a
+    // join means bodies went over the wire
+    joins.foreach { j =>
+      j.children.foreach { c =>
+        assert(!c.output.exists(_.name == "text"),
+          s"document bodies must not cross the diff join:\n$j")
+      }
+    }
+  }
+
+  test("q174 plan: the only global window runs on the bucket frame, not the corpus") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = PipelineOps.q174TokenBudgetSelect(spark, dir)
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    val global = wins.filter(_.partitionSpec.isEmpty)
+    assert(global.nonEmpty, "the exclusive bucket prefix is a global window")
+    global.foreach { w =>
+      assert(!w.child.output.exists(_.name == "doc_id"),
+        s"the global window must consume the per-score bucket aggregate " +
+          s"(tiny frame), never per-doc rows:\n$w")
+    }
+    // the per-doc running sum stays partitioned (distributed)
+    assert(wins.exists(_.partitionSpec.nonEmpty))
+  }
+
   test("q176: exactly k per stratum, reproducible, rank pushed down as WindowGroupLimit") {
     val df = PipelineOps.q176BottomkSample(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
