@@ -410,17 +410,252 @@ object PipelineOps {
        |      / count(*), 6) END AS novelty_rate
        |FROM j GROUP BY source ORDER BY source""".stripMargin
 
+  // ------------------------------------ q178 quality-classifier training
+
+  /** Gradient-descent step size and unrolled iteration count. */
+  val LrRate = 0.5
+  val LrIters = 3
+
+  /** Feature rounding (4 dp — the feature vector IS the 4-dp value;
+    * both engines train on bit-identical inputs) and the sigmoid grid
+    * (6 dp — coarse enough that a 1-ulp libm `exp` disagreement
+    * cannot flip the rounded probability, fine enough that the grid
+    * error is invisible at the 6-dp output). */
+  val LrFeatDp = 4
+  val LrProbDp = 6
+
+  /** One-row feature frame: intercept + three bounded [0,1]-ish
+    * signals (lexical diversity, log-char scale/10, log-token
+    * scale/10 — the /10 keeps every |w·x| ≤ ~3 across [[LrIters]]
+    * steps, so the 6-dp sigmoid never saturates to 0/1 and the
+    * log-loss stays finite). Label: the high-precision weak rule
+    * `lang = 'en'` — the fastText-style setup where a cheap rule
+    * labels and a linear model generalizes. */
+  private def lrFeats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("lang"), col("n_chars"),
+        size(split(col("text"), "\\s+")).cast("long").as("nt"),
+        size(array_distinct(split(col("text"), "\\s+"))).cast("long").as("nu"))
+      .filter(col("nt") > 0)
+      .select(
+        when(col("lang") === "en", 1.0d).otherwise(0.0d).as("y"),
+        round(col("nu").cast("double") / col("nt"), LrFeatDp).as("x1"),
+        round(log(col("n_chars").cast("double") + 1d) / 10d, LrFeatDp).as("x2"),
+        round(log(col("nt").cast("double") + 1d) / 10d, LrFeatDp).as("x3"))
+
+  /** One exact gradient/loss aggregate at fixed literal weights.
+    * Returns (n, g0..g3, loss) where each g/loss cell is a
+    * DECIMAL(28,10) sum of per-row terms rounded to 10 dp — exact,
+    * order-independent, cross-engine identical (the q128 discipline;
+    * the sole float inputs are the 4-dp features, the 6-dp gridded
+    * sigmoid, and the 6-dp literal weights, all deterministic). */
+  private def lrStep(feats: DataFrame, w: Seq[Double]): DataFrame = {
+    val m = lit(w(0)) + lit(w(1)) * col("x1") +
+      lit(w(2)) * col("x2") + lit(w(3)) * col("x3")
+    val p = round(lit(1.0d) / (lit(1.0d) + exp(-m)), LrProbDp)
+    val pc = greatest(least(p, lit(1d - 1e-6)), lit(1e-6))
+    def g(x: Column) = sum(dec(round((pc - col("y")) * x, 10), 28, 10))
+    feats.agg(count(lit(1)).as("n"),
+      g(lit(1.0d)).as("g0"), g(col("x1")).as("g1"),
+      g(col("x2")).as("g2"), g(col("x3")).as("g3"),
+      sum(dec(round(-(col("y") * log(pc) +
+        (lit(1.0d) - col("y")) * log(lit(1.0d) - pc)), 10), 28, 10)).as("loss"))
+  }
+
+  /** Mirror of Spark's `round(_, dp)` (HALF_UP on the BigDecimal of
+    * the double) for the driver-side weight fold. */
+  private def r(x: Double, dp: Int): Double =
+    BigDecimal(x).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** q178: QUALITY-CLASSIFIER TRAINING — batch logistic regression
+    * trained INSIDE the engine ([[LrIters]] full-gradient steps from
+    * w = 0): the weak-supervision loop every corpus pipeline runs —
+    * a high-precision rule labels a slice, a linear model over cheap
+    * features generalizes the rule, the learned scores drive the
+    * q174 selection. Output: one row per iteration with the
+    * start-of-step log-loss and the post-step weights.
+    *
+    * Scale shape: each iteration is ONE map-side-combinable scalar
+    * aggregate over the feature scan — no window, no join, no shuffle
+    * beyond the 1-row partial-agg merge; the driver folds the 1-row
+    * result into next step's literal weights (the q74 Lloyd
+    * pattern — bounded K-row collect, never data). At 100 TB each
+    * step is a single pass; the feature frame would be persisted
+    * across steps (here the 3× re-scan is cheaper than the cache).
+    * Determinism: exact-decimal gradient sums at 6-dp gridded
+    * sigmoid → the weight fold is bit-identical in both engines. */
+  def q178LrQuality(s: SparkSession, dir: String): DataFrame = {
+    val feats = lrFeats(s, dir)
+    var w = Seq(0.0d, 0.0d, 0.0d, 0.0d)
+    val rows = (1 to LrIters).map { it =>
+      val row = lrStep(feats, w).head()
+      val n = row.getAs[Long]("n").toDouble
+      // empty corpus: no gradient signal — weights hold, loss is null
+      val loss =
+        if (n == 0) None
+        else Some(r(row.getAs[java.math.BigDecimal]("loss").doubleValue() / n, 6))
+      if (n > 0) w = w.zipWithIndex.map { case (wj, j) =>
+        r(wj - LrRate * row.getAs[java.math.BigDecimal](s"g$j").doubleValue() / n,
+          6)
+      }
+      (it.toLong, loss, w(0), w(1), w(2), w(3))
+    }
+    import s.implicits._
+    rows.toDF("iter", "logloss", "w0", "w1", "w2", "w3")
+      .orderBy("iter")
+  }
+
+  /** The per-step gradient CTE bodies, unrolled at SQL-text level —
+    * step k reads step k−1's weight row. */
+  private def lrStepSql(wRef: String): String =
+    s"""  SELECT count(*) AS n,
+       |    sum(CAST(round((pc - y) * 1.0, 10) AS DECIMAL(28,10))) AS g0,
+       |    sum(CAST(round((pc - y) * x1, 10) AS DECIMAL(28,10))) AS g1,
+       |    sum(CAST(round((pc - y) * x2, 10) AS DECIMAL(28,10))) AS g2,
+       |    sum(CAST(round((pc - y) * x3, 10) AS DECIMAL(28,10))) AS g3,
+       |    sum(CAST(round(-(y * ln(pc) + (1.0 - y) * ln(1.0 - pc)), 10)
+       |      AS DECIMAL(28,10))) AS loss
+       |  FROM (
+       |    SELECT y, x1, x2, x3,
+       |      greatest(least(round(1.0 / (1.0 + exp(-(w0 + w1 * x1 + w2 * x2
+       |        + w3 * x3))), $LrProbDp), 1.0 - 1e-6), 1e-6) AS pc
+       |    FROM feats, $wRef)""".stripMargin
+
+  private def lrWeightSql(g: String, prev: String): String =
+    s"""  SELECT
+       |    round(w0 - $LrRate * CAST(g0 AS DOUBLE) / n, 6) AS w0,
+       |    round(w1 - $LrRate * CAST(g1 AS DOUBLE) / n, 6) AS w1,
+       |    round(w2 - $LrRate * CAST(g2 AS DOUBLE) / n, 6) AS w2,
+       |    round(w3 - $LrRate * CAST(g3 AS DOUBLE) / n, 6) AS w3
+       |  FROM $g, $prev""".stripMargin
+
+  val q178Sql: String =
+    s"""WITH feats AS (
+       |  SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+       |    round(CAST(nu AS DOUBLE) / nt, $LrFeatDp) AS x1,
+       |    round(ln(CAST(n_chars AS DOUBLE) + 1.0) / 10.0, $LrFeatDp) AS x2,
+       |    round(ln(CAST(nt AS DOUBLE) + 1.0) / 10.0, $LrFeatDp) AS x3
+       |  FROM (
+       |    SELECT lang, n_chars,
+       |      CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS nt,
+       |      CAST(len(list_distinct(string_split_regex(text, '\\s+')))
+       |        AS BIGINT) AS nu
+       |    FROM documents) WHERE nt > 0
+       |), w0 AS (
+       |  SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3
+       |), s1 AS (
+       |${lrStepSql("w0")}
+       |), w1 AS (
+       |${lrWeightSql("s1", "w0")}
+       |), s2 AS (
+       |${lrStepSql("w1")}
+       |), w2 AS (
+       |${lrWeightSql("s2", "w1")}
+       |), s3 AS (
+       |${lrStepSql("w2")}
+       |), w3 AS (
+       |${lrWeightSql("s3", "w2")}
+       |)
+       |SELECT CAST(1 AS BIGINT) AS iter,
+       |  round(CAST((SELECT loss FROM s1) AS DOUBLE)
+       |    / (SELECT n FROM s1), 6) AS logloss,
+       |  w0, w1, w2, w3 FROM w1
+       |UNION ALL
+       |SELECT 2, round(CAST((SELECT loss FROM s2) AS DOUBLE)
+       |    / (SELECT n FROM s2), 6), w0, w1, w2, w3 FROM w2
+       |UNION ALL
+       |SELECT 3, round(CAST((SELECT loss FROM s3) AS DOUBLE)
+       |    / (SELECT n FROM s3), 6), w0, w1, w2, w3 FROM w3
+       |ORDER BY iter""".stripMargin
+
+  // ------------------------------------------- q179 exact midrank AUC
+
+  /** q179: EXACT ROC-AUC BY MIDRANKS — the classifier-eval op that
+    * closes q178's loop: per source, the tie-corrected
+    * Mann-Whitney AUC of the lexical-diversity score against the
+    * `lang = 'en'` label, computed WITHOUT a global sort. Scores are
+    * 4-dp-rounded (so ≤ 10⁴+1 distinct values); ranking collapses to
+    * the per-(source, score) contingency table; a bucket's midrank is
+    * start + (cnt−1)/2, so 2·midrank = 2·cum_before + cnt + 1 is an
+    * INTEGER — the whole statistic (2·R⁺, U·2 = 2R⁺ − n_pos(n_pos+1),
+    * AUC = U·2 / (2·n_pos·n_neg)) stays in exact integer arithmetic
+    * until the single final division.
+    *
+    * Scale shape: one partial-agg'd groupBy to the bounded bucket
+    * table, a window over the ≤ 10⁴-row per-source bucket frame
+    * (never the corpus), a final per-source agg. The naive
+    * formulation — rank() over every row — is a global per-source
+    * sort of the corpus; this is the same two-phase escape as q174. */
+  def q179AucMidrank(s: SparkSession, dir: String): DataFrame = {
+    val scored = docs(s, dir)
+      .select(col("source"), col("lang"),
+        size(split(col("text"), "\\s+")).cast("long").as("nt"),
+        size(array_distinct(split(col("text"), "\\s+"))).cast("long").as("nu"))
+      .filter(col("nt") > 0)
+      .select(col("source"),
+        round(col("nu").cast("double") / col("nt"), LrFeatDp).as("sc"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+    val buckets = scored.groupBy("source", "sc")
+      .agg(count(lit(1)).as("cnt"), sum("y").as("pos"))
+    val wb = Window.partitionBy("source").orderBy("sc")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    buckets
+      .withColumn("r2", (coalesce(sum("cnt").over(wb), lit(0L)) * 2 +
+        col("cnt") + 1) * col("pos"))
+      .groupBy("source")
+      .agg(sum("pos").as("n_pos"), sum(col("cnt") - col("pos")).as("n_neg"),
+        sum("r2").as("r2"))
+      .select(col("source"), col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round((col("r2") - col("n_pos") * (col("n_pos") + 1))
+            .cast("double") / (col("n_pos") * col("n_neg") * 2), 6))
+          .as("auc"))
+      .orderBy("source")
+  }
+
+  val q179Sql: String =
+    s"""WITH scored AS (
+       |  SELECT source,
+       |    round(CAST(nu AS DOUBLE) / nt, $LrFeatDp) AS sc,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+       |  FROM (
+       |    SELECT source, lang,
+       |      CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS nt,
+       |      CAST(len(list_distinct(string_split_regex(text, '\\s+')))
+       |        AS BIGINT) AS nu
+       |    FROM documents) WHERE nt > 0
+       |), buckets AS (
+       |  SELECT source, sc, count(*) AS cnt, sum(y) AS pos
+       |  FROM scored GROUP BY 1, 2
+       |), ranked AS (
+       |  SELECT source, cnt, pos,
+       |    (coalesce(sum(cnt) OVER (PARTITION BY source ORDER BY sc
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 2
+       |      + cnt + 1) * pos AS r2
+       |  FROM buckets
+       |)
+       |SELECT source, CAST(sum(pos) AS BIGINT) AS n_pos,
+       |  CAST(sum(cnt - pos) AS BIGINT) AS n_neg,
+       |  CASE WHEN sum(pos) > 0 AND sum(cnt - pos) > 0 THEN
+       |    round(CAST(sum(r2) - sum(pos) * (sum(pos) + 1) AS DOUBLE)
+       |      / (sum(pos) * sum(cnt - pos) * 2), 6) END AS auc
+       |FROM ranked GROUP BY source ORDER BY source""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q173_corpus_diff" -> (q173CorpusDiff _),
     "q174_token_budget_select" -> (q174TokenBudgetSelect _),
     "q175_psi_drift" -> (q175PsiDrift _),
     "q176_bottomk_sample" -> (q176BottomkSample _),
-    "q177_crawl_novelty" -> (q177CrawlNovelty _))
+    "q177_crawl_novelty" -> (q177CrawlNovelty _),
+    "q178_lr_quality" -> (q178LrQuality _),
+    "q179_auc_midrank" -> (q179AucMidrank _))
 
   val oracle: Map[String, String] = Map(
     "q173_corpus_diff" -> q173Sql,
     "q174_token_budget_select" -> q174Sql,
     "q175_psi_drift" -> q175Sql,
     "q176_bottomk_sample" -> q176Sql,
-    "q177_crawl_novelty" -> q177Sql)
+    "q177_crawl_novelty" -> q177Sql,
+    "q178_lr_quality" -> q178Sql,
+    "q179_auc_midrank" -> q179Sql)
 }

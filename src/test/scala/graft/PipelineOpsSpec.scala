@@ -163,6 +163,77 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q178: iter-1 loss is ln 2, training monotonically improves, plan is pure aggregate") {
+    val df = PipelineOps.q178LrQuality(spark, dir)
+    // scale pin: each GD step is ONE scalar aggregate over the feature
+    // scan — no join, no window, nothing that shuffles per-doc rows
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWindow}
+    val step = PipelineOps.q178LrQuality(spark, dir) // plan inspected below
+    val rows = df.collect()
+    assert(rows.map(_.getAs[Long]("iter")).toSeq === Seq(1L, 2L, 3L))
+    // w = 0 → p = 0.5 everywhere → start-of-step loss is exactly ln 2
+    assert(rows(0).getAs[Double]("logloss") === 0.693147)
+    // full-batch GD at this rate on a convex loss strictly improves
+    assert(rows(2).getAs[Double]("logloss") < rows(0).getAs[Double]("logloss"))
+    // the /10 feature scaling keeps the weight path bounded
+    rows.foreach { r =>
+      Seq("w0", "w1", "w2", "w3").foreach(c =>
+        assert(math.abs(r.getAs[Double](c)) <= 2.0))
+    }
+    // bit-for-bit reproducible (exact-decimal gradients, gridded sigmoid)
+    val again = PipelineOps.q178LrQuality(spark, dir).collect()
+    assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+    val lp = step.queryExecution.optimizedPlan
+    assert(lp.collect { case j: Join => j }.isEmpty)
+    assert(lp.collect { case w: LWindow => w }.isEmpty)
+  }
+
+  test("q179: midrank AUC equals the brute-force pairwise statistic") {
+    val out = PipelineOps.q179AucMidrank(spark, dir).collect()
+    assert(out.nonEmpty)
+    // brute force P(score_pos > score_neg) + 0.5·P(tie), per source
+    val scored = docs
+      .select(col("source"), col("lang"),
+        size(split(col("text"), "\\s+")).cast("long").as("nt"),
+        size(array_distinct(split(col("text"), "\\s+"))).cast("long").as("nu"))
+      .filter(col("nt") > 0)
+      .select(col("source"),
+        round(col("nu").cast("double") / col("nt"), PipelineOps.LrFeatDp)
+          .as("sc"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Double]("sc"),
+        r.getAs[Long]("y")))
+      .groupBy(_._1)
+    out.foreach { r =>
+      val src = r.getAs[String]("source")
+      val xs = scored(src)
+      val pos = xs.filter(_._3 == 1L).map(_._2)
+      val neg = xs.filter(_._3 == 0L).map(_._2)
+      assert(r.getAs[Long]("n_pos") === pos.length.toLong)
+      assert(r.getAs[Long]("n_neg") === neg.length.toLong)
+      if (pos.nonEmpty && neg.nonEmpty) {
+        val u = (for (p <- pos; n <- neg)
+          yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+        val brute = u / (pos.length.toDouble * neg.length)
+        assert(math.abs(r.getAs[Double]("auc") - brute) <= 1e-6,
+          s"$src: midrank ${r.getAs[Double]("auc")} vs pairwise $brute")
+      } else assert(r.isNullAt(r.fieldIndex("auc")),
+        s"$src: degenerate class split must yield NULL AUC")
+    }
+    // scale pin: ranking runs on the bucket aggregate, partitioned by
+    // source — never an unpartitioned window, never per-doc rows
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val wins = PipelineOps.q179AucMidrank(spark, dir)
+      .queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty)
+    wins.foreach { w =>
+      assert(w.partitionSpec.nonEmpty, "AUC window must be per-source")
+      assert(!w.child.output.exists(_.name == "lang"),
+        "AUC window must consume the bucket aggregate, not per-doc rows")
+    }
+  }
+
   test("q175: PSI is non-negative, totals partition each type, and identical populations score zero") {
     val rows = PipelineOps.q175PsiDrift(spark, dir).collect()
     assert(rows.nonEmpty)
