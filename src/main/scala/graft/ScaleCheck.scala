@@ -315,7 +315,12 @@ object ScaleCheck {
     // trigram SETS (the salted 10× corpus multiplies the vocabulary,
     // not the pair space); the streaming monitor's state is the open
     // days' band counts — 10× events grow batch volume, not state
-    "q176_bottomk_sample", "q177_crawl_novelty", "sq21_stream_psi_monitor")
+    "q176_bottomk_sample", "q177_crawl_novelty", "sq21_stream_psi_monitor",
+    // the LR trainer is three scalar aggregates (pure linear scans —
+    // the only growth axis is the map side); the AUC's ranking runs
+    // on the per-(source, 4-dp score) bucket table, bounded by the
+    // score space like q174's frame
+    "q178_lr_quality", "q179_auc_midrank", "q180_calibration")
   // sq18 (chained stream-stream joins) is EXCLUDED from the default
   // drill for the q138 reason: the 10× events corpus REPLICATES
   // timestamps (unchanged user/ts), so 3-way funnel matches multiply

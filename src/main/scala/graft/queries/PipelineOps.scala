@@ -484,10 +484,12 @@ object PipelineOps {
     * across steps (here the 3× re-scan is cheaper than the cache).
     * Determinism: exact-decimal gradient sums at 6-dp gridded
     * sigmoid → the weight fold is bit-identical in both engines. */
-  def q178LrQuality(s: SparkSession, dir: String): DataFrame = {
-    val feats = lrFeats(s, dir)
+  /** The [[LrIters]]-step weight fold: per iteration, the
+    * start-of-step loss and the post-step weights. Shared by the q178
+    * trainer and the q180 calibration read. */
+  private def lrFold(feats: DataFrame): Seq[(Long, Option[Double], Seq[Double])] = {
     var w = Seq(0.0d, 0.0d, 0.0d, 0.0d)
-    val rows = (1 to LrIters).map { it =>
+    (1 to LrIters).map { it =>
       val row = lrStep(feats, w).head()
       val n = row.getAs[Long]("n").toDouble
       // empty corpus: no gradient signal — weights hold, loss is null
@@ -498,8 +500,13 @@ object PipelineOps {
         r(wj - LrRate * row.getAs[java.math.BigDecimal](s"g$j").doubleValue() / n,
           6)
       }
-      (it.toLong, loss, w(0), w(1), w(2), w(3))
+      (it.toLong, loss, w)
     }
+  }
+
+  def q178LrQuality(s: SparkSession, dir: String): DataFrame = {
+    val rows = lrFold(lrFeats(s, dir))
+      .map { case (it, loss, w) => (it, loss, w(0), w(1), w(2), w(3)) }
     import s.implicits._
     rows.toDF("iter", "logloss", "w0", "w1", "w2", "w3")
       .orderBy("iter")
@@ -521,12 +528,18 @@ object PipelineOps {
        |        + w3 * x3))), $LrProbDp), 1.0 - 1e-6), 1e-6) AS pc
        |    FROM feats, $wRef)""".stripMargin
 
+  /** `CASE n = 0` mirrors the Scala fold's empty-corpus hold (weights
+    * unchanged, no NULL poisoning). */
   private def lrWeightSql(g: String, prev: String): String =
     s"""  SELECT
-       |    round(w0 - $LrRate * CAST(g0 AS DOUBLE) / n, 6) AS w0,
-       |    round(w1 - $LrRate * CAST(g1 AS DOUBLE) / n, 6) AS w1,
-       |    round(w2 - $LrRate * CAST(g2 AS DOUBLE) / n, 6) AS w2,
-       |    round(w3 - $LrRate * CAST(g3 AS DOUBLE) / n, 6) AS w3
+       |    CASE WHEN n = 0 THEN w0
+       |      ELSE round(w0 - $LrRate * CAST(g0 AS DOUBLE) / n, 6) END AS w0,
+       |    CASE WHEN n = 0 THEN w1
+       |      ELSE round(w1 - $LrRate * CAST(g1 AS DOUBLE) / n, 6) END AS w1,
+       |    CASE WHEN n = 0 THEN w2
+       |      ELSE round(w2 - $LrRate * CAST(g2 AS DOUBLE) / n, 6) END AS w2,
+       |    CASE WHEN n = 0 THEN w3
+       |      ELSE round(w3 - $LrRate * CAST(g3 AS DOUBLE) / n, 6) END AS w3
        |  FROM $g, $prev""".stripMargin
 
   val q178Sql: String =
@@ -570,22 +583,21 @@ object PipelineOps {
 
   // ------------------------------------------- q179 exact midrank AUC
 
-  /** q179: EXACT ROC-AUC BY MIDRANKS — the classifier-eval op that
-    * closes q178's loop: per source, the tie-corrected
-    * Mann-Whitney AUC of the lexical-diversity score against the
-    * `lang = 'en'` label, computed WITHOUT a global sort. Scores are
-    * 4-dp-rounded (so ≤ 10⁴+1 distinct values); ranking collapses to
-    * the per-(source, score) contingency table; a bucket's midrank is
-    * start + (cnt−1)/2, so 2·midrank = 2·cum_before + cnt + 1 is an
-    * INTEGER — the whole statistic (2·R⁺, U·2 = 2R⁺ − n_pos(n_pos+1),
-    * AUC = U·2 / (2·n_pos·n_neg)) stays in exact integer arithmetic
-    * until the single final division.
+  /** q179: SLICED ROC-AUC BY MIDRANKS — q126's tie-corrected
+    * rank-sum identity (2·midrank = 2·cum_before + cnt + 1, exact
+    * integers until the final division) applied PER EVALUATION SLICE:
+    * per source, the Mann-Whitney AUC of the lexical-diversity score
+    * against the `lang = 'en'` weak label — the per-segment quality
+    * readout a monitoring dashboard slices by (q126 answers "does the
+    * score separate globally"; this answers "on which sources does it
+    * fail"), and the eval twin of the q178 trainer.
     *
-    * Scale shape: one partial-agg'd groupBy to the bounded bucket
-    * table, a window over the ≤ 10⁴-row per-source bucket frame
-    * (never the corpus), a final per-source agg. The naive
-    * formulation — rank() over every row — is a global per-source
-    * sort of the corpus; this is the same two-phase escape as q174. */
+    * What changes vs q126 at scale: q126's cumulative runs as ONE
+    * GLOBAL window over the distinct-score table; here the window is
+    * PARTITIONED BY slice over the per-(source, 4-dp score) bucket
+    * table — distributed across slices, each frame bounded by the
+    * score space (≤ 10⁴+1 rows, the q174 frame discipline), never
+    * per-doc rows. */
   def q179AucMidrank(s: SparkSession, dir: String): DataFrame = {
     val scored = docs(s, dir)
       .select(col("source"), col("lang"),
@@ -641,6 +653,114 @@ object PipelineOps {
        |      / (sum(pos) * sum(cnt - pos) * 2), 6) END AS auc
        |FROM ranked GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------- q180 calibration report
+
+  /** Fixed-width probability bins for the reliability diagram. */
+  val CalBins = 10
+
+  /** q180: CALIBRATION REPORT — the two-scorer reliability diagram +
+    * Brier decomposition that closes the classifier triple (q178
+    * trains, q179 ranks, this asks "do the probabilities MEAN
+    * anything"): every doc is scored by BOTH the q178-trained model
+    * and the raw diversity heuristic read as a pseudo-probability;
+    * each scorer's predictions bin into [[CalBins]] fixed-width bands
+    * with per-band count, mean prediction, empirical positive rate,
+    * absolute gap (the ECE summand) and Brier contribution. The
+    * contrast is the op's point: the trained model is
+    * near-base-rate concentrated but nearly calibrated; the raw
+    * heuristic spreads across bands and the gap column exposes its
+    * miscalibration — the decision input for "can this cheap score
+    * gate documents directly, or does it need the trained map".
+    *
+    * Scale shape: the q178 fold first (three scalar-aggregate
+    * passes), then ONE more map-side-combinable aggregate to a
+    * ≤ 2·[[CalBins]]-row table — no window, no join anywhere.
+    * Exactness: p is the 6-dp-gridded sigmoid at 6-dp literal
+    * weights (the heuristic is already a 4-dp grid), per-band sums
+    * ride the 10-dp + DECIMAL(28,10) discipline, each reported
+    * double is one division off exact integers/decimals. */
+  def q180Calibration(s: SparkSession, dir: String): DataFrame = {
+    val feats = lrFeats(s, dir)
+    val w = lrFold(feats).last._3
+    val m = lit(w(0)) + lit(w(1)) * col("x1") +
+      lit(w(2)) * col("x2") + lit(w(3)) * col("x3")
+    val clamp = (c: Column) =>
+      greatest(least(c, lit(1d - 1e-6)), lit(1e-6))
+    val pModel = clamp(round(lit(1.0d) / (lit(1.0d) + exp(-m)), LrProbDp))
+    val scored = feats
+      .select(col("y"), lit("model").as("scorer"), pModel.as("p"))
+      .unionByName(feats
+        .select(col("y"), lit("raw").as("scorer"), clamp(col("x1")).as("p")))
+    scored
+      .withColumn("bin",
+        least(floor(col("p") * CalBins), lit(CalBins - 1L)).cast("int"))
+      .groupBy("scorer", "bin")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(round(col("p"), 10), 28, 10)).as("sp"),
+        sum(col("y").cast("long")).as("pos"),
+        sum(dec(round((col("p") - col("y")) * (col("p") - col("y")), 10),
+          28, 10)).as("sq"))
+      .select(col("scorer"), col("bin"), col("n"),
+        round(col("sp").cast("double") / col("n"), 6).as("avg_p"),
+        round(col("pos").cast("double") / col("n"), 6).as("frac_pos"),
+        round(abs(round(col("sp").cast("double") / col("n"), 6) -
+          round(col("pos").cast("double") / col("n"), 6)), 6).as("gap"),
+        round(col("sq").cast("double") / col("n"), 6).as("brier"))
+      .orderBy("scorer", "bin")
+  }
+
+  val q180Sql: String =
+    s"""WITH feats AS (
+       |  SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+       |    round(CAST(nu AS DOUBLE) / nt, $LrFeatDp) AS x1,
+       |    round(ln(CAST(n_chars AS DOUBLE) + 1.0) / 10.0, $LrFeatDp) AS x2,
+       |    round(ln(CAST(nt AS DOUBLE) + 1.0) / 10.0, $LrFeatDp) AS x3
+       |  FROM (
+       |    SELECT lang, n_chars,
+       |      CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS nt,
+       |      CAST(len(list_distinct(string_split_regex(text, '\\s+')))
+       |        AS BIGINT) AS nu
+       |    FROM documents) WHERE nt > 0
+       |), w0 AS (
+       |  SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3
+       |), s1 AS (
+       |${lrStepSql("w0")}
+       |), w1 AS (
+       |${lrWeightSql("s1", "w0")}
+       |), s2 AS (
+       |${lrStepSql("w1")}
+       |), w2 AS (
+       |${lrWeightSql("s2", "w1")}
+       |), s3 AS (
+       |${lrStepSql("w2")}
+       |), w3 AS (
+       |${lrWeightSql("s3", "w2")}
+       |), scored AS (
+       |  SELECT y, 'model' AS scorer,
+       |    greatest(least(round(1.0 / (1.0 + exp(-(w0 + w1 * x1 + w2 * x2
+       |      + w3 * x3))), $LrProbDp), 1.0 - 1e-6), 1e-6) AS p
+       |  FROM feats, w3
+       |  UNION ALL
+       |  SELECT y, 'raw' AS scorer,
+       |    greatest(least(x1, 1.0 - 1e-6), 1e-6) AS p
+       |  FROM feats
+       |), binned AS (
+       |  SELECT scorer,
+       |    CAST(least(floor(p * $CalBins), ${CalBins - 1}) AS INTEGER) AS bin,
+       |    count(*) AS n,
+       |    sum(CAST(round(p, 10) AS DECIMAL(28,10))) AS sp,
+       |    sum(CAST(y AS BIGINT)) AS pos,
+       |    sum(CAST(round((p - y) * (p - y), 10) AS DECIMAL(28,10))) AS sq
+       |  FROM scored GROUP BY 1, 2
+       |)
+       |SELECT scorer, bin, n,
+       |  round(CAST(sp AS DOUBLE) / n, 6) AS avg_p,
+       |  round(CAST(pos AS DOUBLE) / n, 6) AS frac_pos,
+       |  round(abs(round(CAST(sp AS DOUBLE) / n, 6)
+       |    - round(CAST(pos AS DOUBLE) / n, 6)), 6) AS gap,
+       |  round(CAST(sq AS DOUBLE) / n, 6) AS brier
+       |FROM binned ORDER BY scorer, bin""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q173_corpus_diff" -> (q173CorpusDiff _),
     "q174_token_budget_select" -> (q174TokenBudgetSelect _),
@@ -648,7 +768,8 @@ object PipelineOps {
     "q176_bottomk_sample" -> (q176BottomkSample _),
     "q177_crawl_novelty" -> (q177CrawlNovelty _),
     "q178_lr_quality" -> (q178LrQuality _),
-    "q179_auc_midrank" -> (q179AucMidrank _))
+    "q179_auc_midrank" -> (q179AucMidrank _),
+    "q180_calibration" -> (q180Calibration _))
 
   val oracle: Map[String, String] = Map(
     "q173_corpus_diff" -> q173Sql,
@@ -657,5 +778,6 @@ object PipelineOps {
     "q176_bottomk_sample" -> q176Sql,
     "q177_crawl_novelty" -> q177Sql,
     "q178_lr_quality" -> q178Sql,
-    "q179_auc_midrank" -> q179Sql)
+    "q179_auc_midrank" -> q179Sql,
+    "q180_calibration" -> q180Sql)
 }

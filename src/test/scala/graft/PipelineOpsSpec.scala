@@ -234,6 +234,64 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q180: bins partition the corpus per scorer, means sit in their band, Brier recomposes") {
+    val out = PipelineOps.q180Calibration(spark, dir).collect()
+    val byScorer = out.groupBy(_.getAs[String]("scorer"))
+    assert(byScorer.keySet === Set("model", "raw"))
+    val nDocs = docs
+      .select(size(split(col("text"), "\\s+")).cast("long").as("nt"))
+      .filter(col("nt") > 0).count()
+    byScorer.values.foreach { rs =>
+      assert(rs.map(_.getAs[Long]("n")).sum === nDocs)
+    }
+    // the raw heuristic spans bands (that spread IS the contrast the
+    // report exists to show)
+    assert(byScorer("raw").length >= 2)
+    out.foreach { r =>
+      val (bin, n) = (r.getAs[Int]("bin"), r.getAs[Long]("n"))
+      assert(bin >= 0 && bin < PipelineOps.CalBins && n > 0)
+      val avgP = r.getAs[Double]("avg_p")
+      // the band mean must sit inside its band (clamp + rounding slack)
+      assert(avgP >= bin / 10.0 - 1e-5 && avgP <= (bin + 1) / 10.0 + 1e-5)
+      val frac = r.getAs[Double]("frac_pos")
+      assert(frac >= 0.0 && frac <= 1.0)
+      assert(math.abs(r.getAs[Double]("gap") - math.abs(avgP - frac)) <= 2e-6)
+      assert(r.getAs[Double]("brier") >= 0.0 && r.getAs[Double]("brier") <= 1.0)
+    }
+    // per scorer, the count-weighted band Brier equals the global
+    // mean (p − y)² recomputed brute-force
+    val w = PipelineOps.q178LrQuality(spark, dir).collect().last
+    val ws = Seq("w0", "w1", "w2", "w3").map(w.getAs[Double])
+    val perDoc = docs
+      .select(col("lang"), col("n_chars"),
+        size(split(col("text"), "\\s+")).cast("long").as("nt"),
+        size(array_distinct(split(col("text"), "\\s+"))).cast("long").as("nu"))
+      .filter(col("nt") > 0)
+      .collect().map { r0 =>
+        val y = if (r0.getAs[String]("lang") == "en") 1.0 else 0.0
+        def r4(x: Double) =
+          BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val x1 = r4(r0.getAs[Long]("nu").toDouble / r0.getAs[Long]("nt"))
+        val x2 = r4(math.log(r0.getAs[Long]("n_chars") + 1.0) / 10.0)
+        val x3 = r4(math.log(r0.getAs[Long]("nt") + 1.0) / 10.0)
+        val m = ws(0) + ws(1) * x1 + ws(2) * x2 + ws(3) * x3
+        val p0 = BigDecimal(1.0 / (1.0 + math.exp(-m)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        def clamp(p: Double) = math.max(1e-6, math.min(1 - 1e-6, p))
+        (sq(clamp(p0) - y), sq(clamp(x1) - y))
+      }
+    Seq("model" -> perDoc.map(_._1), "raw" -> perDoc.map(_._2)).foreach {
+      case (scorer, sqs) =>
+        val rs = byScorer(scorer)
+        val wBrier = rs.map(r =>
+          r.getAs[Long]("n") * r.getAs[Double]("brier")).sum / nDocs
+        assert(math.abs(wBrier - sqs.sum / sqs.length) <= 1e-5,
+          s"$scorer: weighted band Brier $wBrier vs global ${sqs.sum / sqs.length}")
+    }
+  }
+
+  private def sq(x: Double): Double = x * x
+
   test("q175: PSI is non-negative, totals partition each type, and identical populations score zero") {
     val rows = PipelineOps.q175PsiDrift(spark, dir).collect()
     assert(rows.nonEmpty)
