@@ -320,7 +320,11 @@ object ScaleCheck {
     // the only growth axis is the map side); the AUC's ranking runs
     // on the per-(source, 4-dp score) bucket table, bounded by the
     // score space like q174's frame
-    "q178_lr_quality", "q179_auc_midrank", "q180_calibration")
+    "q178_lr_quality", "q179_auc_midrank", "q180_calibration",
+    // the epoch waterfill collapses the corpus to the |sources|-row
+    // policy table at the first partial agg — everything after is
+    // frame-sized
+    "q181_epoch_alloc")
   // sq18 (chained stream-stream joins) is EXCLUDED from the default
   // drill for the q138 reason: the 10× events corpus REPLICATES
   // timestamps (unchanged user/ts), so 3-way funnel matches multiply

@@ -761,6 +761,124 @@ object PipelineOps {
        |  round(CAST(sq AS DOUBLE) / n, 6) AS brier
        |FROM binned ORDER BY scorer, bin""".stripMargin
 
+  // ------------------------------------ q181 data-constrained epochs
+
+  /** Token budget as a fraction of the corpus (numerator/denominator
+    * of 5/2 = 2.5× — a budget that FORCES repeating data, the
+    * data-constrained regime). */
+  val EpochBudgetNum = 5
+  val EpochBudgetDen = 2
+
+  /** Per-source repeat-policy modulus: rep = 1 + (source suffix mod
+    * [[EpochRepMod]]) epochs max. A stand-in for the policy table a
+    * production run would join (per-source license/quality repeat
+    * caps); deterministic here so both engines derive it identically. */
+  val EpochRepMod = 5
+
+  /** q181: DATA-CONSTRAINED EPOCH ALLOCATION — the waterfilling
+    * answer to "the budget wants 2.5× the corpus but each source may
+    * only repeat rep_s times; how many tokens does each source
+    * contribute?" (the epoching decision of data-constrained LM
+    * training; q143's mixing ops apportion a budget BELOW the corpus
+    * size, this allocates one above it). Exact integer waterfill:
+    * sources ascending by cap = rep·avail, a source is CAPPED while
+    * cap·slots ≤ remaining budget; the first uncapped source fixes
+    * the waterline — equal integer shares with the remainder going
+    * +1 to the lowest-ranked uncapped sources. Every quantity is a
+    * BIGINT (idiv discipline); epochs = alloc/avail is the single
+    * rounded division.
+    *
+    * Scale shape: one partial-agg'd groupBy collapses the corpus to
+    * the |sources|-row policy table; ranking, prefix and waterline
+    * all run on that bounded frame (driver-scale windows, the q175
+    * contingency-table discipline); the corpus is never re-touched. */
+  def q181EpochAlloc(s: SparkSession, dir: String): DataFrame = {
+    val src = docs(s, dir)
+      .select(col("source"),
+        size(split(col("text"), "\\s+")).cast("long").as("nt"))
+      .filter(col("nt") > 0)
+      .groupBy("source").agg(sum("nt").as("avail"))
+      .withColumn("rep", lit(1L) + expr(
+        s"coalesce(try_cast(regexp_extract(source, '(\\\\d+)$$', 1) as bigint), 0)")
+        % EpochRepMod)
+      .withColumn("cap", col("avail") * col("rep"))
+    val budget = src.agg(graft.functions.GraftFunctions
+      .idiv(sum("avail") * EpochBudgetNum, lit(EpochBudgetDen.toLong))
+      .as("t"), count(lit(1)).as("nsrc"))
+    val wRank = Window.orderBy("cap", "source")
+    val ranked = src
+      .withColumn("i", row_number().over(wRank).cast("long"))
+      .withColumn("before", coalesce(sum("cap").over(
+        wRank.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .crossJoin(broadcast(budget))
+      .withColumn("slots", col("nsrc") - col("i") + 1)
+    // the waterline: first source (ascending cap) whose full cap no
+    // longer fits an equal split of what remains
+    val star = ranked
+      .filter(col("cap") * col("slots") > col("t") - col("before"))
+      .orderBy("i").limit(1)
+      .select(col("i").as("istar"), (col("t") - col("before")).as("remu"),
+        col("slots").as("slotsu"))
+    val share = graft.functions.GraftFunctions.idiv(col("remu"), col("slotsu"))
+    ranked.join(broadcast(star), lit(true), "left")
+      .withColumn("alloc",
+        when(col("istar").isNull || col("i") < col("istar"), col("cap"))
+          .otherwise(share +
+            when(col("i") - col("istar") + 1 <=
+              col("remu") - share * col("slotsu"), 1L).otherwise(0L)))
+      .select(col("source"), col("avail"), col("rep"), col("cap"),
+        col("alloc"),
+        round(col("alloc").cast("double") / col("avail"), 4).as("epochs"))
+      .orderBy("source")
+  }
+
+  val q181Sql: String =
+    s"""WITH src AS (
+       |  SELECT source, CAST(sum(nt) AS BIGINT) AS avail,
+       |    1 + coalesce(try_cast(regexp_extract(source, '(\\d+)$$', 1)
+       |      AS BIGINT), 0) % $EpochRepMod AS rep
+       |  FROM (
+       |    SELECT source,
+       |      CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS nt
+       |    FROM documents) WHERE nt > 0 GROUP BY source
+       |), capped AS (
+       |  SELECT source, avail, rep, avail * rep AS cap FROM src
+       |), t AS (
+       |  SELECT sum(avail) * $EpochBudgetNum // $EpochBudgetDen AS t,
+       |    count(*) AS nsrc
+       |  FROM capped
+       |), ranked AS (
+       |  SELECT source, avail, rep, cap,
+       |    CAST(row_number() OVER (ORDER BY cap, source) AS BIGINT) AS i,
+       |    coalesce(sum(cap) OVER (ORDER BY cap, source
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before,
+       |    nsrc - CAST(row_number() OVER (ORDER BY cap, source) AS BIGINT) + 1
+       |      AS slots,
+       |    t
+       |  FROM capped, t
+       |), u AS (
+       |  SELECT i AS istar, t - before AS remu, slots AS slotsu
+       |  FROM ranked WHERE cap * slots > t - before ORDER BY i LIMIT 1
+       |)
+       |SELECT source, avail, CAST(rep AS BIGINT) AS rep, cap,
+       |  CAST(CASE WHEN (SELECT istar FROM u) IS NULL
+       |      OR i < (SELECT istar FROM u) THEN cap
+       |    ELSE (SELECT remu FROM u) // (SELECT slotsu FROM u)
+       |      + CASE WHEN i - (SELECT istar FROM u) + 1 <=
+       |          (SELECT remu FROM u) - (SELECT slotsu FROM u)
+       |            * ((SELECT remu FROM u) // (SELECT slotsu FROM u))
+       |        THEN 1 ELSE 0 END
+       |    END AS BIGINT) AS alloc,
+       |  round(CAST(CASE WHEN (SELECT istar FROM u) IS NULL
+       |      OR i < (SELECT istar FROM u) THEN cap
+       |    ELSE (SELECT remu FROM u) // (SELECT slotsu FROM u)
+       |      + CASE WHEN i - (SELECT istar FROM u) + 1 <=
+       |          (SELECT remu FROM u) - (SELECT slotsu FROM u)
+       |            * ((SELECT remu FROM u) // (SELECT slotsu FROM u))
+       |        THEN 1 ELSE 0 END
+       |    END AS DOUBLE) / avail, 4) AS epochs
+       |FROM ranked ORDER BY source""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q173_corpus_diff" -> (q173CorpusDiff _),
     "q174_token_budget_select" -> (q174TokenBudgetSelect _),
@@ -769,7 +887,8 @@ object PipelineOps {
     "q177_crawl_novelty" -> (q177CrawlNovelty _),
     "q178_lr_quality" -> (q178LrQuality _),
     "q179_auc_midrank" -> (q179AucMidrank _),
-    "q180_calibration" -> (q180Calibration _))
+    "q180_calibration" -> (q180Calibration _),
+    "q181_epoch_alloc" -> (q181EpochAlloc _))
 
   val oracle: Map[String, String] = Map(
     "q173_corpus_diff" -> q173Sql,
@@ -779,5 +898,6 @@ object PipelineOps {
     "q177_crawl_novelty" -> q177Sql,
     "q178_lr_quality" -> q178Sql,
     "q179_auc_midrank" -> q179Sql,
-    "q180_calibration" -> q180Sql)
+    "q180_calibration" -> q180Sql,
+    "q181_epoch_alloc" -> q181Sql)
 }

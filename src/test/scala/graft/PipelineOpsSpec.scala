@@ -292,6 +292,44 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def sq(x: Double): Double = x * x
 
+  test("q181: allocation equals the greedy waterfill simulation, budget exhausts exactly") {
+    val out = PipelineOps.q181EpochAlloc(spark, dir).collect()
+      .map(r => (r.getAs[String]("source"),
+        (r.getAs[Long]("avail"), r.getAs[Long]("rep"), r.getAs[Long]("cap"),
+          r.getAs[Long]("alloc")))).toMap
+    assert(out.nonEmpty)
+    // brute force: the sequential waterfill loop the closed form must equal
+    val srcs = out.toSeq.map { case (s0, (avail, rep, cap, _)) =>
+      assert(cap === avail * rep)
+      (s0, cap)
+    }.sortBy { case (s0, cap) => (cap, s0) }
+    val totalAvail = out.values.map(_._1).sum
+    val budget = totalAvail * PipelineOps.EpochBudgetNum / PipelineOps.EpochBudgetDen
+    var rem = budget
+    var slots = srcs.length.toLong
+    val expected = scala.collection.mutable.Map[String, Long]()
+    var uncapped = List.empty[String]
+    srcs.foreach { case (s0, cap) =>
+      if (uncapped.isEmpty && cap * slots <= rem) {
+        expected(s0) = cap; rem -= cap; slots -= 1
+      } else uncapped = uncapped :+ s0
+    }
+    if (uncapped.nonEmpty) {
+      val share = rem / uncapped.length
+      val r = rem - share * uncapped.length
+      uncapped.zipWithIndex.foreach { case (s0, k) =>
+        expected(s0) = share + (if (k < r) 1L else 0L)
+      }
+    }
+    out.foreach { case (s0, (_, _, cap, alloc)) =>
+      assert(alloc === expected(s0), s"$s0: $alloc vs ${expected(s0)}")
+      assert(alloc <= cap)
+    }
+    // the budget is spent exactly (or the corpus caps out below it)
+    val spent = out.values.map(_._4).sum
+    assert(spent === math.min(budget, out.values.map(_._3).sum))
+  }
+
   test("q175: PSI is non-negative, totals partition each type, and identical populations score zero") {
     val rows = PipelineOps.q175PsiDrift(spark, dir).collect()
     assert(rows.nonEmpty)
