@@ -324,7 +324,12 @@ object ScaleCheck {
     // the epoch waterfill collapses the corpus to the |sources|-row
     // policy table at the first partial agg — everything after is
     // frame-sized
-    "q181_epoch_alloc")
+    "q181_epoch_alloc",
+    // the shuffle's global rank is two-phase on the key's own leading
+    // byte (256-row prefix frame + partitioned rank — never a global
+    // per-doc window); preference pairing is two WindowGroupLimit
+    // rank cuts + a j·|groups|-row co-partitioned join
+    "q182_train_shuffle", "q183_preference_pairs")
   // sq18 (chained stream-stream joins) is EXCLUDED from the default
   // drill for the q138 reason: the 10× events corpus REPLICATES
   // timestamps (unchanged user/ts), so 3-way funnel matches multiply

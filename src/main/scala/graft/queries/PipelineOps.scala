@@ -879,6 +879,157 @@ object PipelineOps {
        |    END AS DOUBLE) / avail, 4) AS epochs
        |FROM ranked ORDER BY source""".stripMargin
 
+  // ------------------------------------ q182 deterministic train shuffle
+
+  /** Shuffle seed: part of the sort-key text, so changing it re-deals
+    * the entire training order deterministically. */
+  val ShuffleSeed = 42
+
+  /** Contiguous output shards cut from the shuffled order. */
+  val NShards = 8
+
+  /** q182: DETERMINISTIC TRAINING-ORDER SHUFFLE + SHARD MANIFEST —
+    * the "global shuffle before training" pass: every doc gets the
+    * seeded sort key md5(seed-doc_id) (identical text in both
+    * engines), the corpus is totally ordered by that key, and the
+    * order is cut into [[NShards]] contiguous shards of floor/ceil
+    * size — shard = ⌊rank·S/total⌋. Emits the per-shard manifest
+    * (count, token mass, key range); re-running with the same seed
+    * reproduces it bit-for-bit, a new seed re-deals everything.
+    *
+    * Scale shape: the naive global rank is ONE unpartitioned window —
+    * the q165 scale-killer. This runs the q174 two-phase equivalent
+    * on the key's OWN leading byte: per-bucket counts + an exclusive
+    * prefix over the 256-row bucket frame, then row_number
+    * PARTITIONED BY bucket; because the bucket is a prefix of the
+    * sort key, bucket-major order IS key order and the composition
+    * equals the naive global rank exactly — the DuckDB oracle runs
+    * the naive ORDER BY and must agree row-for-row. At 100 TB the
+    * heavy op is one hash shuffle on the key prefix (≈ a range
+    * exchange with 256 perfectly-sized, hash-balanced ranges — md5
+    * prefixes are uniform); nothing ever single-partitions. */
+  def q182TrainShuffle(s: SparkSession, dir: String): DataFrame = {
+    val keyed = docs(s, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("long").as("nt"),
+        md5(concat(lit(s"$ShuffleSeed-"), col("doc_id").cast("string"))).as("k"))
+      .withColumn("bucket", substring(col("k"), 1, 2))
+    // phase 1: bucket counts + exclusive prefix on the 256-row frame
+    val buckets = keyed.groupBy("bucket").agg(count(lit(1)).as("bn"))
+      .withColumn("before", coalesce(sum("bn").over(
+        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("bucket", "before")
+    val total = keyed.agg(count(lit(1)).as("total"))
+    // phase 2: within-bucket rank, distributed by bucket; + before =
+    // the exact global 0-based rank
+    val wIn = Window.partitionBy("bucket").orderBy("k")
+    keyed
+      .join(broadcast(buckets), Seq("bucket"))
+      .crossJoin(broadcast(total))
+      .withColumn("rn",
+        row_number().over(wIn).cast("long") + col("before") - 1)
+      .withColumn("shard", graft.functions.GraftFunctions
+        .idiv(col("rn") * NShards, col("total")))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"),
+        min("k").as("key_lo"), max("k").as("key_hi"))
+      .orderBy("shard")
+  }
+
+  /** Oracle: the NAIVE global rank (one ORDER BY k window) — agreeing
+    * with it is the proof the two-phase plan equals the global sort. */
+  val q182Sql: String =
+    s"""WITH keyed AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS nt,
+       |    md5('$ShuffleSeed-' || CAST(doc_id AS VARCHAR)) AS k
+       |  FROM documents
+       |), ranked AS (
+       |  SELECT nt, k,
+       |    CAST(row_number() OVER (ORDER BY k) AS BIGINT) - 1 AS rn,
+       |    CAST(count(*) OVER () AS BIGINT) AS total
+       |  FROM keyed
+       |)
+       |SELECT rn * $NShards // total AS shard,
+       |  count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens,
+       |  min(k) AS key_lo, max(k) AS key_hi
+       |FROM ranked GROUP BY 1 ORDER BY shard""".stripMargin
+
+  // ------------------------------------ q183 preference-pair mining
+
+  /** Pairs mined per group: rank-j best vs rank-j worst, j ≤ this. */
+  val PrefPairsPerGroup = 2
+
+  /** q183: PREFERENCE-PAIR CONSTRUCTION — the DPO/RLHF data-prep op:
+    * within each group (source here; the prompt id in production),
+    * pair the rank-j highest-quality doc with the rank-j lowest as
+    * (chosen, rejected, margin), j ≤ [[PrefPairsPerGroup]], keeping
+    * only pairs with a real signal (distinct docs, strictly positive
+    * margin). Quality is the q174 lexical-diversity proxy
+    * (distinct/total tokens @ 4 dp — swap in any scorer, e.g. q178's
+    * trained classifier, without touching the pairing).
+    *
+    * Scale shape: two rank windows PARTITIONED BY group — both
+    * WindowGroupLimit-eligible (rnk ≤ j prunes below the sort, the
+    * q176 discipline) — then a join of two ≤ j-rows-per-group tables
+    * on (group, j), co-partitioned by the window shuffle. The corpus
+    * is touched once; everything after is j·|groups| rows. */
+  def q183PreferencePairs(s: SparkSession, dir: String): DataFrame = {
+    val scored = docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), "\\s+")).cast("long").as("nt"),
+        size(array_distinct(split(col("text"), "\\s+"))).cast("long").as("nu"))
+      .filter(col("nt") > 0)
+      .withColumn("score", round(col("nu").cast("double") / col("nt"), ScoreDp))
+      .select("doc_id", "source", "score")
+    val best = scored
+      .withColumn("j", row_number().over(
+        Window.partitionBy("source").orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("j") <= PrefPairsPerGroup)
+      .select(col("source"), col("j"),
+        col("doc_id").as("chosen_id"), col("score").as("chosen_score"))
+    val worst = scored
+      .withColumn("j", row_number().over(
+        Window.partitionBy("source").orderBy(col("score").asc, col("doc_id").desc)))
+      .filter(col("j") <= PrefPairsPerGroup)
+      .select(col("source"), col("j"),
+        col("doc_id").as("rejected_id"), col("score").as("rejected_score"))
+    best.join(worst, Seq("source", "j"))
+      .filter(col("chosen_id") =!= col("rejected_id") &&
+        col("chosen_score") > col("rejected_score"))
+      .select(col("source"), col("j"), col("chosen_id"), col("chosen_score"),
+        col("rejected_id"), col("rejected_score"),
+        round(col("chosen_score") - col("rejected_score"), ScoreDp).as("margin"))
+      .orderBy("source", "j")
+  }
+
+  val q183Sql: String =
+    s"""WITH sc AS (
+       |  SELECT doc_id, source,
+       |    round(CAST(len(list_distinct(string_split_regex(text, '\\s+')))
+       |      AS DOUBLE) / len(string_split_regex(text, '\\s+')), $ScoreDp)
+       |      AS score
+       |  FROM documents
+       |  WHERE len(string_split_regex(text, '\\s+')) > 0
+       |), best AS (
+       |  SELECT source, CAST(row_number() OVER (PARTITION BY source
+       |      ORDER BY score DESC, doc_id) AS INT) AS j,
+       |    doc_id AS chosen_id, score AS chosen_score
+       |  FROM sc QUALIFY j <= $PrefPairsPerGroup
+       |), worst AS (
+       |  SELECT source, CAST(row_number() OVER (PARTITION BY source
+       |      ORDER BY score ASC, doc_id DESC) AS INT) AS j,
+       |    doc_id AS rejected_id, score AS rejected_score
+       |  FROM sc QUALIFY j <= $PrefPairsPerGroup
+       |)
+       |SELECT source, j, chosen_id, chosen_score, rejected_id,
+       |  rejected_score,
+       |  round(chosen_score - rejected_score, $ScoreDp) AS margin
+       |FROM best JOIN worst USING (source, j)
+       |WHERE chosen_id <> rejected_id AND chosen_score > rejected_score
+       |ORDER BY source, j""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q173_corpus_diff" -> (q173CorpusDiff _),
     "q174_token_budget_select" -> (q174TokenBudgetSelect _),
@@ -888,7 +1039,9 @@ object PipelineOps {
     "q178_lr_quality" -> (q178LrQuality _),
     "q179_auc_midrank" -> (q179AucMidrank _),
     "q180_calibration" -> (q180Calibration _),
-    "q181_epoch_alloc" -> (q181EpochAlloc _))
+    "q181_epoch_alloc" -> (q181EpochAlloc _),
+    "q182_train_shuffle" -> (q182TrainShuffle _),
+    "q183_preference_pairs" -> (q183PreferencePairs _))
 
   val oracle: Map[String, String] = Map(
     "q173_corpus_diff" -> q173Sql,
@@ -899,5 +1052,7 @@ object PipelineOps {
     "q178_lr_quality" -> q178Sql,
     "q179_auc_midrank" -> q179Sql,
     "q180_calibration" -> q180Sql,
-    "q181_epoch_alloc" -> q181Sql)
+    "q181_epoch_alloc" -> q181Sql,
+    "q182_train_shuffle" -> q182Sql,
+    "q183_preference_pairs" -> q183Sql)
 }

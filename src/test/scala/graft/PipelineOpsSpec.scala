@@ -330,6 +330,104 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spent === math.min(budget, out.values.map(_._3).sum))
   }
 
+  test("q182: two-phase shard manifest equals the naive global shuffle, shards contiguous and balanced") {
+    val out = PipelineOps.q182TrainShuffle(spark, dir).collect()
+      .sortBy(_.getAs[Long]("shard"))
+    assert(out.nonEmpty)
+    // brute force: collect (key, nt), sort by key, cut into shards
+    val keyed = docs
+      .select(col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("long").as("nt"),
+        md5(concat(lit(s"${PipelineOps.ShuffleSeed}-"),
+          col("doc_id").cast("string"))).as("k"))
+      .collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("nt")))
+      .sortBy(_._1)
+    val total = keyed.length.toLong
+    val expected = keyed.zipWithIndex
+      .groupBy { case (_, i) => i.toLong * PipelineOps.NShards / total }
+      .toSeq.sortBy(_._1)
+      .map { case (sh, rows) =>
+        (sh, rows.length.toLong, rows.map(_._1._2).sum,
+          rows.map(_._1._1).min, rows.map(_._1._1).max)
+      }
+    val got = out.map(r => (r.getAs[Long]("shard"), r.getAs[Long]("n_docs"),
+      r.getAs[Long]("n_tokens"), r.getAs[String]("key_lo"),
+      r.getAs[String]("key_hi")))
+    assert(got.toSeq === expected)
+    // floor/ceil balance and non-overlapping ascending key ranges
+    val sizes = got.map(_._2)
+    assert(sizes.max - sizes.min <= 1)
+    got.sliding(2).foreach {
+      case Array(a, b) => assert(a._5 < b._4,
+        s"shard ${a._1} key range must end before shard ${b._1} begins")
+      case _ =>
+    }
+    // reproducible: a second run is bit-for-bit identical
+    val again = PipelineOps.q182TrainShuffle(spark, dir).collect()
+      .sortBy(_.getAs[Long]("shard"))
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens"), r.getAs[String]("key_lo"),
+        r.getAs[String]("key_hi")))
+    assert(again.toSeq === got.toSeq)
+  }
+
+  test("q182 plan: no corpus-scale global window — the only unpartitioned window runs on the bucket frame") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = PipelineOps.q182TrainShuffle(spark, dir)
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    val global = wins.filter(_.partitionSpec.isEmpty)
+    assert(global.nonEmpty, "the exclusive bucket prefix is a global window")
+    global.foreach { w =>
+      assert(!w.child.output.exists(_.name == "doc_id"),
+        s"the global window must consume the 256-row bucket aggregate, " +
+          s"never per-doc rows:\n$w")
+    }
+    // the per-doc rank stays partitioned by the key's leading byte
+    assert(wins.exists(_.partitionSpec.nonEmpty))
+  }
+
+  test("q183: pairs are per-group best-vs-worst with positive margin, ranks push down as WindowGroupLimit") {
+    val df = PipelineOps.q183PreferencePairs(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"the per-group rank-j cut must prune below the sort:\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // brute force the j=1 pair per source from the same scoring
+    val scored = docs
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), "\\s+")).cast("long").as("nt"),
+        size(array_distinct(split(col("text"), "\\s+"))).cast("long").as("nu"))
+      .filter(col("nt") > 0)
+      .withColumn("score",
+        round(col("nu").cast("double") / col("nt"), PipelineOps.ScoreDp))
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("score")))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val grp = scored(src)
+      val cs = r.getAs[Double]("chosen_score")
+      val rs = r.getAs[Double]("rejected_score")
+      assert(cs > rs)
+      assert(r.getAs[Long]("chosen_id") !== r.getAs[Long]("rejected_id"))
+      assert(math.abs(r.getAs[Double]("margin") - BigDecimal(cs - rs)
+        .setScale(PipelineOps.ScoreDp, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble) < 1e-9)
+      if (r.getAs[Int]("j") == 1) {
+        val best = grp.minBy(t => (-t._3, t._2))
+        val worst = grp.minBy(t => (t._3, -t._2))
+        assert(r.getAs[Long]("chosen_id") === best._2)
+        assert(r.getAs[Long]("rejected_id") === worst._2)
+      }
+    }
+    // at most PrefPairsPerGroup pairs per group
+    rows.groupBy(_.getAs[String]("source")).foreach { case (_, rs) =>
+      assert(rs.length <= PipelineOps.PrefPairsPerGroup)
+    }
+  }
+
   test("q175: PSI is non-negative, totals partition each type, and identical populations score zero") {
     val rows = PipelineOps.q175PsiDrift(spark, dir).collect()
     assert(rows.nonEmpty)
