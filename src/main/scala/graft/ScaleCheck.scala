@@ -329,7 +329,10 @@ object ScaleCheck {
     // byte (256-row prefix frame + partitioned rank — never a global
     // per-doc window); preference pairing is two WindowGroupLimit
     // rank cuts + a j·|groups|-row co-partitioned join
-    "q182_train_shuffle", "q183_preference_pairs")
+    "q182_train_shuffle", "q183_preference_pairs",
+    // triplet mining broadcasts the FIXED anchor panel — the corpus
+    // side is one linear scan; growth axis is |panel|·n scored rows
+    "q184_hard_negatives")
   // sq18 (chained stream-stream joins) is EXCLUDED from the default
   // drill for the q138 reason: the 10× events corpus REPLICATES
   // timestamps (unchanged user/ts), so 3-way funnel matches multiply

@@ -2111,6 +2111,97 @@ object VectorOps {
        |    / count(*) AS accuracy
        |FROM pred GROUP BY 1 ORDER BY true_label""".stripMargin
 
+  // ------------------------------------------- q184 hard-negative mining
+
+  /** Fixed anchor panel (the PqNQueries discipline: bounded at any
+    * SF — at the driver's sf0.01 gate n = 500 so the panel is the
+    * lowest 50 ids). */
+  val HnAnchors = 50
+
+  /** Hard negatives mined per anchor. */
+  val HnNegK = 3
+
+  /** q184: HARD-NEGATIVE TRIPLET MINING — the contrastive-training
+    * data-prep op: for each anchor in a fixed panel, emit
+    * (anchor, positive, rank-j hard negative) where the positive is
+    * the most-similar SAME-label vector and the hard negatives are
+    * the [[HnNegK]] most-similar DIFFERENT-label vectors — the
+    * negatives that actually move an embedding model. margin =
+    * pos_sim − neg_sim; a negative margin is a violated triplet
+    * (the negative sits closer than the positive — the "hardest"
+    * class curricula train on first).
+    *
+    * Scale shape: the panel is broadcast (HnAnchors rows — never the
+    * corpus side), so the similarity pass is ONE linear scan of the
+    * corpus producing |panel|·n scored rows; both rank cuts are
+    * anchor-partitioned row_number windows (WindowGroupLimit-
+    * eligible, spec-asserted) and the final join is |panel|-keyed.
+    * The exact panel-vs-corpus scan is the declared baseline (the
+    * q40/q47 discipline); at 100 TB the candidate side composes with
+    * q44's IVF routing to prune the scan — compute, not semantics. */
+  def q184HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+      .select(col("vec_id"), col("label"), col("embedding").as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val anchors = e.orderBy("vec_id").limit(HnAnchors)
+      .select(col("vec_id").as("anchor_id"), col("label").as("anchor_label"),
+        col("v").as("av"), col("nrm").as("anrm"))
+    val sims = e.join(broadcast(anchors), col("anchor_id") =!= col("vec_id"))
+      .select(col("anchor_id"), col("anchor_label"),
+        col("vec_id").as("cand_id"), col("label").as("cand_label"),
+        round(cosSim(dot(col("av"), col("v")), col("anrm"), col("nrm")), 6)
+          .as("sim"))
+    val w = Window.partitionBy("anchor_id")
+      .orderBy(col("sim").desc, col("cand_id"))
+    val pos = sims.filter(col("cand_label") === col("anchor_label"))
+      .withColumn("r", row_number().over(w)).filter(col("r") === 1)
+      .select(col("anchor_id"), col("cand_id").as("pos_id"),
+        col("sim").as("pos_sim"))
+    val neg = sims.filter(col("cand_label") =!= col("anchor_label"))
+      .withColumn("j", row_number().over(w)).filter(col("j") <= HnNegK)
+      .select(col("anchor_id"), col("j"), col("cand_id").as("neg_id"),
+        col("sim").as("neg_sim"))
+    pos.join(neg, Seq("anchor_id"))
+      .select(col("anchor_id"), col("j"), col("pos_id"), col("pos_sim"),
+        col("neg_id"), col("neg_sim"),
+        round(col("pos_sim") - col("neg_sim"), 6).as("margin"))
+      .orderBy("anchor_id", "j")
+  }
+
+  val q184Sql: String =
+    s"""WITH d AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, label, v,
+       |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM d
+       |), a AS (
+       |  SELECT * FROM n ORDER BY vec_id LIMIT $HnAnchors
+       |), sims AS (
+       |  SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+       |    b.vec_id AS cand_id, b.label AS cand_label,
+       |    round(coalesce(list_sum([a.v[i] * b.v[i] for i in range(1, $Dim + 1)])
+       |          / (a.nrm * b.nrm), 0.0), 6) AS sim
+       |  FROM a JOIN n b ON a.vec_id <> b.vec_id
+       |), pos AS (
+       |  SELECT anchor_id, cand_id AS pos_id, sim AS pos_sim
+       |  FROM sims WHERE cand_label = anchor_label
+       |  QUALIFY row_number() OVER (PARTITION BY anchor_id
+       |    ORDER BY sim DESC, cand_id) = 1
+       |), neg AS (
+       |  SELECT anchor_id,
+       |    CAST(row_number() OVER (PARTITION BY anchor_id
+       |      ORDER BY sim DESC, cand_id) AS INT) AS j,
+       |    cand_id AS neg_id, sim AS neg_sim
+       |  FROM sims WHERE cand_label <> anchor_label
+       |  QUALIFY j <= $HnNegK
+       |)
+       |SELECT anchor_id, j, pos_id, pos_sim, neg_id, neg_sim,
+       |  round(pos_sim - neg_sim, 6) AS margin
+       |FROM pos JOIN neg USING (anchor_id)
+       |ORDER BY anchor_id, j""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_cosine_topk" -> (q40CosineTopk _),
     "q41_ann_lsh" -> (q41AnnLsh _),
@@ -2128,7 +2219,8 @@ object VectorOps {
     "q89_ivfpq_recall" -> (q89IvfpqRecall _),
     "q102_label_separation" -> (q102LabelSeparation _),
     "q158_label_prop" -> (q158LabelProp _),
-    "q109_jl_projection" -> (q109JlProjection _)
+    "q109_jl_projection" -> (q109JlProjection _),
+    "q184_hard_negatives" -> (q184HardNegatives _)
   )
 
   /** Every entry is oracle-checked, including the adaptive ANN paths
@@ -2154,7 +2246,8 @@ object VectorOps {
     "q78_semdedup" -> q78Sql,
     "q84_pq_adc_recall" -> q84Sql,
     "q89_ivfpq_recall" -> q89Sql,
-    "q125_confusion_matrix" -> q125Sql
+    "q125_confusion_matrix" -> q125Sql,
+    "q184_hard_negatives" -> q184Sql
   )
 
   // ---------------------------------------------- q125 confusion matrix

@@ -265,4 +265,53 @@ class VectorOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(VectorOps.q74KmeansCodebook(spark, empty).count() == 0,
       "empty corpus -> empty codebook, no exception")
   }
+
+  test("q184: triplets match the brute-force mining, panel broadcast, rank cuts push down") {
+    val df = VectorOps.q184HardNegatives(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the anchor panel must broadcast against the corpus scan:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"the per-anchor rank cuts must prune below the sort:\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // brute force in Scala: same fold order, same 6-dp rounding
+    val all = spark.read.parquet(s"$dir/embeddings.parquet").collect()
+      .map { r =>
+        val v = r.getAs[scala.collection.Seq[Float]]("embedding")
+          .map(_.toDouble).toArray
+        (r.getAs[Long]("vec_id"), r.getAs[Int]("label"), v,
+          math.sqrt(v.map(x => x * x).sum))
+      }.sortBy(_._1)
+    val anchors = all.take(VectorOps.HnAnchors)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def sim(a: (Long, Int, Array[Double], Double),
+        b: (Long, Int, Array[Double], Double)): Double = {
+      if (a._4 * b._4 == 0) 0.0
+      else r6(a._3.zip(b._3).map { case (x, y) => x * y }.sum / (a._4 * b._4))
+    }
+    val expected = anchors.flatMap { a =>
+      val cands = all.filter(_._1 != a._1)
+      val posList = cands.filter(_._2 == a._2)
+        .map(c => (c._1, sim(a, c))).sortBy { case (id, s) => (-s, id) }
+      val negList = cands.filter(_._2 != a._2)
+        .map(c => (c._1, sim(a, c))).sortBy { case (id, s) => (-s, id) }
+        .take(VectorOps.HnNegK)
+      posList.headOption.toSeq.flatMap { case (pid, ps) =>
+        negList.zipWithIndex.map { case ((nid, ns), k) =>
+          (a._1, k + 1, pid, ps, nid, ns, r6(ps - ns))
+        }
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = rows.map(r => (r.getAs[Long]("anchor_id"), r.getAs[Int]("j"),
+      r.getAs[Long]("pos_id"), r.getAs[Double]("pos_sim"),
+      r.getAs[Long]("neg_id"), r.getAs[Double]("neg_sim"),
+      r.getAs[Double]("margin"))).sortBy(t => (t._1, t._2))
+    assert(got.toSeq === expected.toSeq)
+    // a violated triplet (margin < 0) means the negative out-ranked
+    // the positive — present on random data, and exactly the rows a
+    // hard-curriculum run trains on first
+    assert(got.forall(t => t._2 >= 1 && t._2 <= VectorOps.HnNegK))
+  }
 }
