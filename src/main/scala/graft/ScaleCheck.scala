@@ -332,7 +332,12 @@ object ScaleCheck {
     "q182_train_shuffle", "q183_preference_pairs",
     // triplet mining broadcasts the FIXED anchor panel — the corpus
     // side is one linear scan; growth axis is |panel|·n scored rows
-    "q184_hard_negatives")
+    "q184_hard_negatives",
+    // the anonymity audit is two stacked partial aggs (corpus →
+    // quasi-groups → |sources| rows); span corruption fuses its
+    // position arithmetic into the scan (plan-asserted: no explode,
+    // no join, one agg shuffle)
+    "q185_k_anonymity", "q186_span_corruption")
   // sq18 (chained stream-stream joins) is EXCLUDED from the default
   // drill for the q138 reason: the 10× events corpus REPLICATES
   // timestamps (unchanged user/ts), so 3-way funnel matches multiply

@@ -1030,6 +1030,132 @@ object PipelineOps {
        |WHERE chosen_id <> rejected_id AND chosen_score > rejected_score
        |ORDER BY source, j""".stripMargin
 
+  // ------------------------------------------ q185 k-anonymity audit
+
+  /** Anonymity threshold: a quasi-identifier group smaller than this
+    * is a re-identification risk. */
+  val KAnonK = 5
+
+  /** Length-band width for the quasi-identifier tuple. */
+  val KAnonBand = 100L
+
+  /** q185: K-ANONYMITY AUDIT — the data-governance read a corpus
+    * release runs before publishing: treat (source, lang,
+    * length band) as the quasi-identifier tuple and report, per
+    * source, how much of the corpus sits in groups smaller than
+    * [[KAnonK]] — documents whose metadata alone nearly singles them
+    * out. Complements q95 (PII redaction scrubs content; this audits
+    * the metadata side channel).
+    *
+    * Scale shape: two stacked partial aggs — corpus → quasi-group
+    * sizes (one shuffle on the tuple), group sizes → per-source risk
+    * rollup (|groups| rows in, |sources| out). Nothing else touches
+    * the corpus; both aggs map-side combine. */
+  def q185KAnonymity(s: SparkSession, dir: String): DataFrame = {
+    val groups = docs(s, dir)
+      .select(col("source"), col("lang"),
+        graft.functions.GraftFunctions.idiv(col("n_chars"), lit(KAnonBand))
+          .as("band"))
+      .groupBy("source", "lang", "band").agg(count(lit(1)).as("gn"))
+    groups.groupBy("source")
+      .agg(sum("gn").as("n_docs"), count(lit(1)).as("n_groups"),
+        sum(when(col("gn") < KAnonK, 1L).otherwise(0L)).as("n_groups_below_k"),
+        sum(when(col("gn") < KAnonK, col("gn")).otherwise(0L)).as("n_docs_below_k"),
+        min("gn").as("min_group"))
+      .withColumn("risk_ratio",
+        round(col("n_docs_below_k").cast("double") / col("n_docs"), 6))
+      .orderBy("source")
+  }
+
+  val q185Sql: String =
+    s"""WITH g AS (
+       |  SELECT source, lang, n_chars // $KAnonBand AS band,
+       |    count(*) AS gn
+       |  FROM documents GROUP BY 1, 2, 3
+       |)
+       |SELECT source, CAST(sum(gn) AS BIGINT) AS n_docs,
+       |  count(*) AS n_groups,
+       |  CAST(sum(CASE WHEN gn < $KAnonK THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_groups_below_k,
+       |  CAST(sum(CASE WHEN gn < $KAnonK THEN gn ELSE 0 END) AS BIGINT)
+       |    AS n_docs_below_k,
+       |  min(gn) AS min_group,
+       |  round(CAST(sum(CASE WHEN gn < $KAnonK THEN gn ELSE 0 END) AS DOUBLE)
+       |    / sum(gn), 6) AS risk_ratio
+       |FROM g GROUP BY source ORDER BY source""".stripMargin
+
+  // -------------------------------------- q186 span-corruption stats
+
+  /** Mask rule: token position p of doc d is masked iff
+    * (p + d) mod [[CorruptMod]] < [[CorruptWidth]] — ~30% corruption
+    * in runs of [[CorruptWidth]], with the doc id as phase so span
+    * boundaries differ per doc. Deterministic stand-in for the RNG a
+    * production run would seed per (doc, epoch). */
+  val CorruptMod = 10
+  val CorruptWidth = 3
+
+  /** q186: SPAN-CORRUPTION OBJECTIVE CONSTRUCTION — the T5/UL2-style
+    * denoising data-prep pass: select token spans to mask under the
+    * deterministic rule above, merge adjacent masked positions into
+    * sentinel spans, and report per source the corruption geometry a
+    * trainer budgets around — tokens, masked tokens, sentinel spans
+    * (= input-sequence sentinels), realized mask rate and mean span
+    * length. A span STARTS at a masked position whose predecessor is
+    * unmasked, so n_spans = |{p masked ∧ (p = 0 ∨ p−1 unmasked)}| —
+    * pure element-wise integer arithmetic over the position range,
+    * identical text in both engines.
+    *
+    * Scale shape: per-doc position arithmetic fuses into the scan
+    * (two HOF filters over sequence(0, n−1) — no explode, no
+    * shuffle), then ONE partial agg to the |sources|-row report. */
+  def q186SpanCorruption(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), "\\s+")).cast("long").as("n"))
+      .filter(col("n") > 0)
+    val masked = (p: Column) =>
+      (p + col("doc_id")) % CorruptMod < CorruptWidth
+    val perDoc = base
+      .withColumn("pos", sequence(lit(0L), col("n") - 1))
+      .withColumn("n_masked",
+        size(filter(col("pos"), p => masked(p))).cast("long"))
+      .withColumn("n_spans",
+        size(filter(col("pos"), p =>
+          masked(p) && (p === 0L || !masked(p - 1)))).cast("long"))
+    perDoc.groupBy("source")
+      .agg(sum("n").as("n_tokens"), sum("n_masked").as("n_masked"),
+        sum("n_spans").as("n_spans"))
+      .withColumn("mask_rate",
+        round(col("n_masked").cast("double") / col("n_tokens"), 6))
+      .withColumn("mean_span",
+        round(col("n_masked").cast("double") / col("n_spans"), 6))
+      .orderBy("source")
+  }
+
+  val q186Sql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n
+       |  FROM documents
+       |  WHERE len(string_split_regex(text, '\\s+')) > 0
+       |), perdoc AS (
+       |  SELECT source, n,
+       |    CAST(len([p FOR p IN range(0, n)
+       |      IF (p + doc_id) % $CorruptMod < $CorruptWidth]) AS BIGINT)
+       |      AS n_masked,
+       |    CAST(len([p FOR p IN range(0, n)
+       |      IF (p + doc_id) % $CorruptMod < $CorruptWidth
+       |        AND (p = 0 OR NOT ((p - 1 + doc_id) % $CorruptMod
+       |          < $CorruptWidth))]) AS BIGINT) AS n_spans
+       |  FROM base
+       |)
+       |SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,
+       |  CAST(sum(n_masked) AS BIGINT) AS n_masked,
+       |  CAST(sum(n_spans) AS BIGINT) AS n_spans,
+       |  round(CAST(sum(n_masked) AS DOUBLE) / sum(n), 6) AS mask_rate,
+       |  round(CAST(sum(n_masked) AS DOUBLE) / sum(n_spans), 6) AS mean_span
+       |FROM perdoc GROUP BY source ORDER BY source""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q173_corpus_diff" -> (q173CorpusDiff _),
     "q174_token_budget_select" -> (q174TokenBudgetSelect _),
@@ -1041,7 +1167,9 @@ object PipelineOps {
     "q180_calibration" -> (q180Calibration _),
     "q181_epoch_alloc" -> (q181EpochAlloc _),
     "q182_train_shuffle" -> (q182TrainShuffle _),
-    "q183_preference_pairs" -> (q183PreferencePairs _))
+    "q183_preference_pairs" -> (q183PreferencePairs _),
+    "q185_k_anonymity" -> (q185KAnonymity _),
+    "q186_span_corruption" -> (q186SpanCorruption _))
 
   val oracle: Map[String, String] = Map(
     "q173_corpus_diff" -> q173Sql,
@@ -1054,5 +1182,7 @@ object PipelineOps {
     "q180_calibration" -> q180Sql,
     "q181_epoch_alloc" -> q181Sql,
     "q182_train_shuffle" -> q182Sql,
-    "q183_preference_pairs" -> q183Sql)
+    "q183_preference_pairs" -> q183Sql,
+    "q185_k_anonymity" -> q185Sql,
+    "q186_span_corruption" -> q186Sql)
 }

@@ -428,6 +428,72 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q185: group accounting partitions each source and matches the brute-force audit") {
+    val out = PipelineOps.q185KAnonymity(spark, dir).collect()
+    assert(out.nonEmpty)
+    val brute = docs
+      .select(col("source"), col("lang"), col("n_chars")).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("lang"),
+        r.getAs[Long]("n_chars") / PipelineOps.KAnonBand))
+      .groupBy(identity).map { case (k, v) => (k, v.length.toLong) }
+      .groupBy(_._1._1)
+    out.foreach { r =>
+      val src = r.getAs[String]("source")
+      val groups = brute(src).values
+      assert(r.getAs[Long]("n_docs") === groups.sum)
+      assert(r.getAs[Long]("n_groups") === groups.size.toLong)
+      val below = groups.filter(_ < PipelineOps.KAnonK)
+      assert(r.getAs[Long]("n_groups_below_k") === below.size.toLong)
+      assert(r.getAs[Long]("n_docs_below_k") === below.sum)
+      assert(r.getAs[Long]("min_group") === groups.min)
+      // risk is a fraction of the source's own docs
+      val rr = r.getAs[Double]("risk_ratio")
+      assert(rr >= 0.0 && rr <= 1.0)
+    }
+  }
+
+  test("q186: mask geometry matches the per-position simulation, spans partition masked tokens") {
+    val out = PipelineOps.q186SpanCorruption(spark, dir).collect()
+    assert(out.nonEmpty)
+    val brute = docs
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), "\\s+")).cast("long").as("n"))
+      .filter(col("n") > 0).collect()
+      .map { r =>
+        val d = r.getAs[Long]("doc_id"); val n = r.getAs[Long]("n")
+        def m(p: Long) = (p + d) % PipelineOps.CorruptMod < PipelineOps.CorruptWidth
+        val ps = (0L until n)
+        (r.getAs[String]("source"), n, ps.count(m).toLong,
+          ps.count(p => m(p) && (p == 0L || !m(p - 1))).toLong)
+      }.groupBy(_._1)
+    out.foreach { r =>
+      val src = r.getAs[String]("source")
+      val g = brute(src)
+      assert(r.getAs[Long]("n_tokens") === g.map(_._2).sum)
+      assert(r.getAs[Long]("n_masked") === g.map(_._3).sum)
+      assert(r.getAs[Long]("n_spans") === g.map(_._4).sum)
+      // runs of CorruptWidth: mean span length sits in (1, width]
+      val mean = r.getAs[Double]("mean_span")
+      assert(mean > 1.0 && mean <= PipelineOps.CorruptWidth + 1e-9)
+      val rate = r.getAs[Double]("mask_rate")
+      // ~width/mod, loose band for boundary effects on short docs
+      assert(rate > 0.15 && rate < 0.45)
+    }
+  }
+
+  test("q186 plan: position arithmetic fuses into the scan — no explode, no join, one shuffle") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join}
+    val df = PipelineOps.q186SpanCorruption(spark, dir)
+    val plan = df.queryExecution.optimizedPlan
+    assert(plan.collect { case g: Generate => g }.isEmpty,
+      "per-position work must be HOF filters over the in-row range, never an explode")
+    assert(plan.collect { case j: Join => j }.isEmpty)
+    val exchanges = df.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2,
+      s"one partial-agg shuffle (+1 for the final sort) expected:\n$exchanges")
+  }
+
   test("q175: PSI is non-negative, totals partition each type, and identical populations score zero") {
     val rows = PipelineOps.q175PsiDrift(spark, dir).collect()
     assert(rows.nonEmpty)
