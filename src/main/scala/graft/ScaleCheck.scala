@@ -337,7 +337,11 @@ object ScaleCheck {
     // quasi-groups → |sources| rows); span corruption fuses its
     // position arithmetic into the scan (plan-asserted: no explode,
     // no join, one agg shuffle)
-    "q185_k_anonymity", "q186_span_corruption")
+    "q185_k_anonymity", "q186_span_corruption",
+    // soft dedup: digest-keyed copy counts + one co-partitioned
+    // re-join; the salted 10× corpus multiplies copy counts, not the
+    // digest space — the weighted mass stays one copy per group
+    "q187_soft_dedup_weights")
   // sq18 (chained stream-stream joins) is EXCLUDED from the default
   // drill for the q138 reason: the 10× events corpus REPLICATES
   // timestamps (unchanged user/ts), so 3-way funnel matches multiply

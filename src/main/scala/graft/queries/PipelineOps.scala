@@ -1156,6 +1156,67 @@ object PipelineOps {
        |  round(CAST(sum(n_masked) AS DOUBLE) / sum(n_spans), 6) AS mean_span
        |FROM perdoc GROUP BY source ORDER BY source""".stripMargin
 
+  // --------------------------------------- q187 soft-dedup loss weights
+
+  /** q187: SOFT-DEDUP LOSS WEIGHTS — the alternative to hard removal
+    * (q34/q79 drop duplicates; several production pipelines instead
+    * KEEP every copy and down-weight its loss by 1/n_copies so the
+    * k-way duplicated content contributes one document's worth of
+    * gradient). Exact-dup groups are md5(text) fingerprints GLOBAL
+    * across sources (cross-source duplication is down-weighted too);
+    * the per-source report carries raw vs effective token mass and
+    * the dedup discount a mixture builder feeds into its weights.
+    *
+    * Float discipline: effective tokens is an ordering-sensitive sum
+    * of nt/n doubles — quantized per-row to 10 dp and summed as
+    * DECIMAL(28,10) (the q128 discipline), one 6-dp round at the end.
+    *
+    * Scale shape: one partial-agg'd shuffle on the digest builds the
+    * copy counts; the weighted rollup re-joins the corpus to the
+    * count table on the digest (co-partitioned by the same key — at
+    * 100 TB a bucketed-by-digest layout makes it exchange-free) and
+    * collapses to |sources| rows. Digests move, bodies never do. */
+  def q187SoftDedupWeights(s: SparkSession, dir: String): DataFrame = {
+    val fp = docs(s, dir)
+      .select(col("source"), md5(col("text")).as("fp"),
+        size(split(col("text"), "\\s+")).cast("long").as("nt"))
+      .filter(col("nt") > 0)
+    val copies = fp.groupBy("fp").agg(count(lit(1)).as("n"))
+    fp.join(copies, Seq("fp"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+        sum("nt").as("raw_tokens"),
+        sum(dec(round(col("nt").cast("double") / col("n"), 10), 28, 10))
+          .as("eff"))
+      .select(col("source"), col("n_docs"), col("n_dup_docs"),
+        col("raw_tokens"),
+        round(col("eff").cast("double"), 6).as("effective_tokens"),
+        round(col("eff").cast("double") / col("raw_tokens"), 6)
+          .as("dedup_discount"))
+      .orderBy("source")
+  }
+
+  val q187Sql: String =
+    s"""WITH fp AS (
+       |  SELECT source, md5(text) AS fp,
+       |    CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS nt
+       |  FROM documents
+       |  WHERE len(string_split_regex(text, '\\s+')) > 0
+       |), copies AS (
+       |  SELECT fp, count(*) AS n FROM fp GROUP BY fp
+       |), j AS (
+       |  SELECT source, nt, n FROM fp JOIN copies USING (fp)
+       |)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       |  CAST(sum(nt) AS BIGINT) AS raw_tokens,
+       |  round(CAST(sum(CAST(round(CAST(nt AS DOUBLE) / n, 10)
+       |    AS DECIMAL(28,10))) AS DOUBLE), 6) AS effective_tokens,
+       |  round(CAST(sum(CAST(round(CAST(nt AS DOUBLE) / n, 10)
+       |    AS DECIMAL(28,10))) AS DOUBLE) / sum(nt), 6) AS dedup_discount
+       |FROM j GROUP BY source ORDER BY source""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q173_corpus_diff" -> (q173CorpusDiff _),
     "q174_token_budget_select" -> (q174TokenBudgetSelect _),
@@ -1169,7 +1230,8 @@ object PipelineOps {
     "q182_train_shuffle" -> (q182TrainShuffle _),
     "q183_preference_pairs" -> (q183PreferencePairs _),
     "q185_k_anonymity" -> (q185KAnonymity _),
-    "q186_span_corruption" -> (q186SpanCorruption _))
+    "q186_span_corruption" -> (q186SpanCorruption _),
+    "q187_soft_dedup_weights" -> (q187SoftDedupWeights _))
 
   val oracle: Map[String, String] = Map(
     "q173_corpus_diff" -> q173Sql,
@@ -1184,5 +1246,6 @@ object PipelineOps {
     "q182_train_shuffle" -> q182Sql,
     "q183_preference_pairs" -> q183Sql,
     "q185_k_anonymity" -> q185Sql,
-    "q186_span_corruption" -> q186Sql)
+    "q186_span_corruption" -> q186Sql,
+    "q187_soft_dedup_weights" -> q187Sql)
 }

@@ -494,6 +494,40 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"one partial-agg shuffle (+1 for the final sort) expected:\n$exchanges")
   }
 
+  test("q187: every dup group contributes exactly one doc's worth of tokens, unique corpus is discount 1") {
+    val out = PipelineOps.q187SoftDedupWeights(spark, dir).collect()
+    assert(out.nonEmpty)
+    // brute force from the same fingerprints
+    val rows = docs
+      .select(col("source"), md5(col("text")).as("fp"),
+        size(split(col("text"), "\\s+")).cast("long").as("nt"))
+      .filter(col("nt") > 0).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("fp"),
+        r.getAs[Long]("nt")))
+    val copies = rows.groupBy(_._2).map { case (k, v) => k -> v.length }
+    val bySrc = rows.groupBy(_._1)
+    out.foreach { r =>
+      val src = r.getAs[String]("source")
+      val g = bySrc(src)
+      assert(r.getAs[Long]("n_docs") === g.length.toLong)
+      assert(r.getAs[Long]("n_dup_docs") ===
+        g.count(t => copies(t._2) > 1).toLong)
+      assert(r.getAs[Long]("raw_tokens") === g.map(_._3).sum)
+      val eff = g.map(t => BigDecimal(t._3.toDouble / copies(t._2))
+        .setScale(10, BigDecimal.RoundingMode.HALF_UP)).sum
+      assert(math.abs(r.getAs[Double]("effective_tokens") -
+        eff.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-6)
+      val disc = r.getAs[Double]("dedup_discount")
+      assert(disc > 0.0 && disc <= 1.0)
+    }
+    // global invariant: every dup group's weighted mass is ONE copy's
+    // tokens — the whole point of soft dedup
+    val globalEff = out.map(r => r.getAs[Double]("effective_tokens")).sum
+    val expectedEff = rows.groupBy(_._2).values
+      .map(g => g.map(_._3.toDouble / g.length).sum).sum
+    assert(math.abs(globalEff - expectedEff) < 1e-3)
+  }
+
   test("q175: PSI is non-negative, totals partition each type, and identical populations score zero") {
     val rows = PipelineOps.q175PsiDrift(spark, dir).collect()
     assert(rows.nonEmpty)
