@@ -341,7 +341,11 @@ object ScaleCheck {
     // soft dedup: digest-keyed copy counts + one co-partitioned
     // re-join; the salted 10× corpus multiplies copy counts, not the
     // digest space — the weighted mass stays one copy per group
-    "q187_soft_dedup_weights")
+    "q187_soft_dedup_weights",
+    // DSIR: both hashed profiles collapse to ≤1024 rows and
+    // broadcast; the corpus is scanned twice, shuffled only for the
+    // per-doc/per-source partial aggs
+    "q188_dsir_weights")
   // sq18 (chained stream-stream joins) is EXCLUDED from the default
   // drill for the q138 reason: the 10× events corpus REPLICATES
   // timestamps (unchanged user/ts), so 3-way funnel matches multiply

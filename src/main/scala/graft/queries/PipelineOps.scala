@@ -1217,6 +1217,94 @@ object PipelineOps {
        |    AS DECIMAL(28,10))) AS DOUBLE) / sum(nt), 6) AS dedup_discount
        |FROM j GROUP BY source ORDER BY source""".stripMargin
 
+  // --------------------------------------- q188 DSIR importance weights
+
+  /** Target domain for the importance ratio (the "wants more of this"
+    * set a production run would pass in; a fixed source here so both
+    * engines derive it identically). */
+  val DsirTarget = "src0"
+
+  /** Hashed-feature space: tokens hash into this many buckets (the
+    * hashed-n-gram trick that keeps both profiles broadcast-sized at
+    * any vocabulary). */
+  val DsirBuckets = 1024L
+
+  /** q188: DSIR-STYLE IMPORTANCE WEIGHTS — data selection via
+    * importance resampling (Xie et al., NeurIPS 2023): score every
+    * document by how much more likely its tokens are under the
+    * TARGET domain's hashed-unigram profile than under the corpus
+    * profile — per-token llr = ln(p̂_target(b)/p̂_corpus(b)) over
+    * md5-hashed buckets with add-one smoothing, per-doc weight = the
+    * exact DECIMAL sum of 6-dp-rounded llrs (the q64 discipline —
+    * order-independent), reported per source with the target-like
+    * count (weight > 0). Bucket collisions are part of the method
+    * (hashed DSIR), not an approximation of it.
+    *
+    * Scale shape: both profiles collapse to ≤ [[DsirBuckets]] rows at
+    * the first partial agg and BROADCAST to the scoring join, so the
+    * corpus is scanned twice (profile + score) and never shuffled
+    * against anything bigger than 1024 rows; per-doc and per-source
+    * rollups are stacked partial aggs. */
+  def q188DsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), "\\s+")).as("t"))
+      .filter(col("t") =!= "")
+      .withColumn("b",
+        conv(substring(md5(col("t")), 1, 4), 16, 10).cast("long") % DsirBuckets)
+    val tgt = toks.filter(col("source") === DsirTarget)
+      .groupBy("b").agg(count(lit(1)).as("ct"))
+    val allB = toks.groupBy("b").agg(count(lit(1)).as("ca"))
+    val totals = allB.agg(sum("ca").as("na0"))
+      .crossJoin(tgt.agg(coalesce(sum("ct"), lit(0L)).as("nt0")))
+    val llr = allB.join(tgt, Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("b"), round(
+        log(((coalesce(col("ct"), lit(0L)) + 1).cast("double")
+            / (col("nt0") + DsirBuckets))
+          / ((col("ca") + 1).cast("double") / (col("na0") + DsirBuckets))), 6)
+        .as("llr"))
+    toks.join(broadcast(llr), Seq("b"))
+      .groupBy("doc_id", "source")
+      .agg(sum(col("llr").cast(DecimalType(18, 6))).as("w"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        (sum("w").cast("double") / count(lit(1))).as("mean_llr"),
+        sum(when(col("w") > 0, 1L).otherwise(0L)).as("n_target_like"))
+      .orderBy("source")
+  }
+
+  val q188Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, t,
+       |    ('0x' || substr(md5(t), 1, 4))::BIGINT % $DsirBuckets AS b
+       |  FROM (SELECT doc_id, source,
+       |          unnest(string_split_regex(text, '\\s+')) AS t
+       |        FROM documents)
+       |  WHERE t <> ''
+       |), tgt AS (
+       |  SELECT b, count(*) AS ct FROM toks
+       |  WHERE source = '$DsirTarget' GROUP BY b
+       |), allb AS (
+       |  SELECT b, count(*) AS ca FROM toks GROUP BY b
+       |), tot AS (
+       |  SELECT (SELECT sum(ca) FROM allb) AS na0,
+       |    (SELECT coalesce(sum(ct), 0) FROM tgt) AS nt0
+       |), llr AS (
+       |  SELECT allb.b, round(ln(
+       |    (CAST(coalesce(ct, 0) + 1 AS DOUBLE) / (nt0 + $DsirBuckets))
+       |    / (CAST(ca + 1 AS DOUBLE) / (na0 + $DsirBuckets))), 6) AS llr
+       |  FROM allb LEFT JOIN tgt USING (b) CROSS JOIN tot
+       |), perdoc AS (
+       |  SELECT doc_id, source, sum(CAST(llr AS DECIMAL(18,6))) AS w
+       |  FROM toks JOIN llr USING (b) GROUP BY doc_id, source
+       |)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(w) AS DOUBLE) / count(*) AS mean_llr,
+       |  CAST(sum(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_target_like
+       |FROM perdoc GROUP BY source ORDER BY source""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q173_corpus_diff" -> (q173CorpusDiff _),
     "q174_token_budget_select" -> (q174TokenBudgetSelect _),
@@ -1231,7 +1319,8 @@ object PipelineOps {
     "q183_preference_pairs" -> (q183PreferencePairs _),
     "q185_k_anonymity" -> (q185KAnonymity _),
     "q186_span_corruption" -> (q186SpanCorruption _),
-    "q187_soft_dedup_weights" -> (q187SoftDedupWeights _))
+    "q187_soft_dedup_weights" -> (q187SoftDedupWeights _),
+    "q188_dsir_weights" -> (q188DsirWeights _))
 
   val oracle: Map[String, String] = Map(
     "q173_corpus_diff" -> q173Sql,
@@ -1247,5 +1336,6 @@ object PipelineOps {
     "q183_preference_pairs" -> q183Sql,
     "q185_k_anonymity" -> q185Sql,
     "q186_span_corruption" -> q186Sql,
-    "q187_soft_dedup_weights" -> q187Sql)
+    "q187_soft_dedup_weights" -> q187Sql,
+    "q188_dsir_weights" -> q188Sql)
 }

@@ -528,6 +528,79 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(globalEff - expectedEff) < 1e-3)
   }
 
+  test("q188: importance weights match the brute-force hashed profiles, target source scores target-like, profiles broadcast") {
+    val df = PipelineOps.q188DsirWeights(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the ≤1024-row llr profile must broadcast to the scoring join:\n$plan")
+    val out = df.collect()
+    assert(out.nonEmpty)
+    // brute force with java MD5 (same hex prefix parse both engines do)
+    val mdHex = (t: String) => {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8"))
+      d.take(2).map("%02x".format(_)).mkString
+    }
+    val toks = docs.select(col("doc_id"), col("source"), col("text")).collect()
+      .flatMap { r =>
+        r.getAs[String]("text").split("\\s+").filter(_.nonEmpty).map(t =>
+          (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+            java.lang.Long.parseLong(mdHex(t), 16) % PipelineOps.DsirBuckets))
+      }
+    val ca = toks.groupBy(_._3).map { case (b, v) => b -> v.length.toLong }
+    val ct = toks.filter(_._2 == PipelineOps.DsirTarget)
+      .groupBy(_._3).map { case (b, v) => b -> v.length.toLong }
+    val na0 = ca.values.sum; val nt0 = ct.values.sum
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val llr = ca.map { case (b, c) =>
+      b -> r6(math.log(((ct.getOrElse(b, 0L) + 1).toDouble
+        / (nt0 + PipelineOps.DsirBuckets))
+        / ((c + 1).toDouble / (na0 + PipelineOps.DsirBuckets))))
+    }
+    val perDoc = toks.groupBy(t => (t._1, t._2)).toSeq
+      .map { case ((_, src), v) => (src, v.map(t => llr(t._3)).sum) }
+    val bySrc = perDoc.groupBy(_._1)
+    out.foreach { r =>
+      val src = r.getAs[String]("source")
+      val g = bySrc(src).toSeq
+      assert(r.getAs[Long]("n_docs") === g.length.toLong)
+      assert(r.getAs[Long]("n_target_like") ===
+        g.count(_._2 > 0).toLong)
+      val mean = (g.map(_._2).sum / g.length).toDouble
+      assert(math.abs(r.getAs[Double]("mean_llr") - mean) < 1e-6,
+        s"$src: ${r.getAs[Double]("mean_llr")} vs $mean")
+    }
+    // the driver fixture shares ONE vocabulary across sources (no
+    // domain signal — mean llr is dominated by doc length), so the
+    // separation claim runs on a corpus that HAS domains: disjoint
+    // vocabularies → target docs positive, others negative, exactly
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val mk = (i: Long, txt: String, src: String) =>
+      Row(i, txt, "en", src, txt.length.toLong)
+    val rows = (
+      (0L until 4L).map(i => mk(i, "alpha beta gamma alpha beta", PipelineOps.DsirTarget)) ++
+      (4L until 10L).map(i => mk(i, "delta epsilon zeta delta epsilon", "other"))).asJava
+    val d = graft.operators.PlanCache.tempDir("graft_dsir_")
+    spark.createDataFrame(rows, schema).write.parquet(s"$d/documents.parquet")
+    val sep = PipelineOps.q188DsirWeights(spark, d).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Double]("mean_llr"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("n_target_like"))).toMap
+    val (tMean, tN, tLike) = sep(PipelineOps.DsirTarget)
+    val (oMean, oN, oLike) = sep("other")
+    assert(tMean > 0.0 && tLike === tN,
+      s"disjoint-vocab target docs must all score target-like: $sep")
+    assert(oMean < 0.0 && oLike === 0L,
+      s"disjoint-vocab non-target docs must all score corpus-like: $sep")
+  }
+
   test("q175: PSI is non-negative, totals partition each type, and identical populations score zero") {
     val rows = PipelineOps.q175PsiDrift(spark, dir).collect()
     assert(rows.nonEmpty)
