@@ -345,7 +345,11 @@ object ScaleCheck {
     // DSIR: both hashed profiles collapse to ≤1024 rows and
     // broadcast; the corpus is scanned twice, shuffled only for the
     // per-doc/per-source partial aggs
-    "q188_dsir_weights")
+    "q188_dsir_weights",
+    // Spearman rides the q179 bucket discipline twice: midranks from
+    // score-space-bounded bucket tables broadcast onto the corpus,
+    // one moment aggregate to |sources| rows
+    "q189_rank_agreement")
   // sq18 (chained stream-stream joins) is EXCLUDED from the default
   // drill for the q138 reason: the 10× events corpus REPLICATES
   // timestamps (unchanged user/ts), so 3-way funnel matches multiply

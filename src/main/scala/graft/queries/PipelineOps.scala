@@ -1305,6 +1305,108 @@ object PipelineOps {
        |    AS n_target_like
        |FROM perdoc GROUP BY source ORDER BY source""".stripMargin
 
+  // ------------------------------------- q189 scorer rank agreement
+
+  /** q189: SCORER RANK AGREEMENT — tie-aware Spearman ρ between two
+    * quality scorers per source (diversity x1 vs log-length x2, the
+    * q178 features), closing the scorer-QA family: q179 asks "does a
+    * scorer rank the label", q180 "do its probabilities mean
+    * anything", this asks "do two scorers AGREE" — the decision input
+    * for whether a cheap scorer can replace an expensive one as a
+    * gate. Tie-aware Spearman IS Pearson over midranks; midranks are
+    * half-integers, so the op carries DOUBLE-midranks (exact
+    * BIGINTs, du = 2·before + cnt + 1 from the score-bucket tables —
+    * Pearson is affine-invariant, so ρ is unchanged) and every moment
+    * (Σu, Σu², Σuv) is an exact DECIMAL(38,0) sum; ρ is one double
+    * expression over exact moments, rounded 6 dp, NULL when a scorer
+    * is constant in a source (zero variance — agreement undefined).
+    *
+    * Scale shape: the q179/q174 bucket discipline twice — each
+    * scorer's midranks come from its per-(source, 4-dp score) bucket
+    * table (bounded by the score space, windowed on that frame, never
+    * per-doc), broadcast back onto the corpus; the moment pass is one
+    * map-side-combinable aggregate to |sources| rows. */
+  def q189RankAgreement(s: SparkSession, dir: String): DataFrame = {
+    val scored = docs(s, dir)
+      .select(col("source"), col("n_chars"),
+        size(split(col("text"), "\\s+")).cast("long").as("nt"),
+        size(array_distinct(split(col("text"), "\\s+"))).cast("long").as("nu"))
+      .filter(col("nt") > 0)
+      .select(col("source"),
+        round(col("nu").cast("double") / col("nt"), LrFeatDp).as("u"),
+        round(log(col("n_chars").cast("double") + 1d) / 10d, LrFeatDp).as("v"))
+    val wb = (c: String) => Window.partitionBy("source").orderBy(c)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    def midranks(key: String, out: String): DataFrame =
+      scored.groupBy("source", key).agg(count(lit(1)).as("cnt"))
+        .withColumn(out,
+          coalesce(sum("cnt").over(wb(key)), lit(0L)) * 2 + col("cnt") + 1)
+        .select("source", key, out)
+    val j = scored
+      .join(broadcast(midranks("u", "du")), Seq("source", "u"))
+      .join(broadcast(midranks("v", "dv")), Seq("source", "v"))
+    j.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(dec(col("du"), 38, 0)).as("su"),
+        sum(dec(col("dv"), 38, 0)).as("sv"),
+        sum(dec(col("du") * col("du"), 38, 0)).as("suu"),
+        sum(dec(col("dv") * col("dv"), 38, 0)).as("svv"),
+        sum(dec(col("du") * col("dv"), 38, 0)).as("suv"))
+      .select(col("source"), col("n_docs"),
+        when((col("n_docs") * col("suu").cast("double") -
+            col("su").cast("double") * col("su").cast("double")) > 0 &&
+          (col("n_docs") * col("svv").cast("double") -
+            col("sv").cast("double") * col("sv").cast("double")) > 0,
+          round((col("n_docs") * col("suv").cast("double") -
+              col("su").cast("double") * col("sv").cast("double")) /
+            sqrt((col("n_docs") * col("suu").cast("double") -
+                col("su").cast("double") * col("su").cast("double")) *
+              (col("n_docs") * col("svv").cast("double") -
+                col("sv").cast("double") * col("sv").cast("double"))), 6))
+          .as("spearman_rho"))
+      .orderBy("source")
+  }
+
+  val q189Sql: String =
+    s"""WITH scored AS (
+       |  SELECT source,
+       |    round(CAST(nu AS DOUBLE) / nt, $LrFeatDp) AS u,
+       |    round(ln(CAST(n_chars AS DOUBLE) + 1.0) / 10, $LrFeatDp) AS v
+       |  FROM (
+       |    SELECT source, n_chars,
+       |      CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS nt,
+       |      CAST(len(list_distinct(string_split_regex(text, '\\s+')))
+       |        AS BIGINT) AS nu
+       |    FROM documents) WHERE nt > 0
+       |), bu AS (
+       |  SELECT source, u,
+       |    coalesce(sum(count(*)) OVER (PARTITION BY source ORDER BY u
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 2
+       |      + count(*) + 1 AS du
+       |  FROM scored GROUP BY source, u
+       |), bv AS (
+       |  SELECT source, v,
+       |    coalesce(sum(count(*)) OVER (PARTITION BY source ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 2
+       |      + count(*) + 1 AS dv
+       |  FROM scored GROUP BY source, v
+       |), m AS (
+       |  SELECT s.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(CAST(du AS DECIMAL(38,0))) AS DOUBLE) AS su,
+       |    CAST(sum(CAST(dv AS DECIMAL(38,0))) AS DOUBLE) AS sv,
+       |    CAST(sum(CAST(du * du AS DECIMAL(38,0))) AS DOUBLE) AS suu,
+       |    CAST(sum(CAST(dv * dv AS DECIMAL(38,0))) AS DOUBLE) AS svv,
+       |    CAST(sum(CAST(du * dv AS DECIMAL(38,0))) AS DOUBLE) AS suv
+       |  FROM scored s JOIN bu USING (source, u) JOIN bv USING (source, v)
+       |  GROUP BY s.source
+       |)
+       |SELECT source, n_docs,
+       |  CASE WHEN n_docs * suu - su * su > 0 AND n_docs * svv - sv * sv > 0
+       |    THEN round((n_docs * suv - su * sv)
+       |      / sqrt((n_docs * suu - su * su) * (n_docs * svv - sv * sv)), 6)
+       |  END AS spearman_rho
+       |FROM m ORDER BY source""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q173_corpus_diff" -> (q173CorpusDiff _),
     "q174_token_budget_select" -> (q174TokenBudgetSelect _),
@@ -1320,7 +1422,8 @@ object PipelineOps {
     "q185_k_anonymity" -> (q185KAnonymity _),
     "q186_span_corruption" -> (q186SpanCorruption _),
     "q187_soft_dedup_weights" -> (q187SoftDedupWeights _),
-    "q188_dsir_weights" -> (q188DsirWeights _))
+    "q188_dsir_weights" -> (q188DsirWeights _),
+    "q189_rank_agreement" -> (q189RankAgreement _))
 
   val oracle: Map[String, String] = Map(
     "q173_corpus_diff" -> q173Sql,
@@ -1337,5 +1440,6 @@ object PipelineOps {
     "q185_k_anonymity" -> q185Sql,
     "q186_span_corruption" -> q186Sql,
     "q187_soft_dedup_weights" -> q187Sql,
-    "q188_dsir_weights" -> q188Sql)
+    "q188_dsir_weights" -> q188Sql,
+    "q189_rank_agreement" -> q189Sql)
 }

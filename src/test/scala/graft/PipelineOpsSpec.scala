@@ -601,6 +601,55 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"disjoint-vocab non-target docs must all score corpus-like: $sep")
   }
 
+  test("q189: tie-aware Spearman matches the brute-force midrank Pearson, bounded by 1, self-agreement is 1") {
+    val out = PipelineOps.q189RankAgreement(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), Option(r.get(r.fieldIndex("spearman_rho"))
+          .asInstanceOf[java.lang.Double]).map(_.doubleValue))).toMap
+    assert(out.nonEmpty)
+    def midranks(xs: Seq[Double]): Seq[Double] = {
+      val byVal = xs.sorted.zipWithIndex.groupBy(_._1)
+        .map { case (v, g) => v -> (g.map(_._2 + 1).sum.toDouble / g.size) }
+      xs.map(byVal)
+    }
+    def pearson(u: Seq[Double], v: Seq[Double]): Option[Double] = {
+      val n = u.size
+      val (su, sv) = (u.sum, v.sum)
+      val suu = u.map(x => x * x).sum; val svv = v.map(x => x * x).sum
+      val suv = u.zip(v).map { case (a, b) => a * b }.sum
+      val d2 = (n * suu - su * su) * (n * svv - sv * sv)
+      if (d2 <= 0) None else Some((n * suv - su * sv) / math.sqrt(d2))
+    }
+    val scored = docs
+      .select(col("source"), col("n_chars"),
+        size(split(col("text"), "\\s+")).cast("long").as("nt"),
+        size(array_distinct(split(col("text"), "\\s+"))).cast("long").as("nu"))
+      .filter(col("nt") > 0)
+      .select(col("source"),
+        round(col("nu").cast("double") / col("nt"), 4).as("u"),
+        round(log(col("n_chars").cast("double") + 1d) / 10d, 4).as("v"))
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Double]("u"),
+        r.getAs[Double]("v")))
+      .groupBy(_._1)
+    out.foreach { case (src, (n, rho)) =>
+      val g = scored(src)
+      assert(n === g.length.toLong)
+      val exp = pearson(midranks(g.map(_._2).toSeq), midranks(g.map(_._3).toSeq))
+      (rho, exp) match {
+        case (Some(a), Some(b)) =>
+          assert(math.abs(a - b) < 1e-5, s"$src: $a vs $b")
+          assert(a >= -1.0 - 1e-9 && a <= 1.0 + 1e-9)
+          // a scorer perfectly agrees with itself (sanity of the
+          // midrank construction, checked through the same machinery)
+          val self = pearson(midranks(g.map(_._2).toSeq), midranks(g.map(_._2).toSeq))
+          assert(self.forall(s0 => math.abs(s0 - 1.0) < 1e-9))
+        case (None, None) => // constant scorer in both — agreement undefined
+        case other => fail(s"$src: null-ness mismatch $other")
+      }
+    }
+  }
+
   test("q175: PSI is non-negative, totals partition each type, and identical populations score zero") {
     val rows = PipelineOps.q175PsiDrift(spark, dir).collect()
     assert(rows.nonEmpty)
