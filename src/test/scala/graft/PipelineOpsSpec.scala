@@ -650,6 +650,32 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q187 plan: the copy-count join moves digests, never document bodies") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val df = PipelineOps.q187SoftDedupWeights(spark, dir)
+    val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+    assert(joins.nonEmpty)
+    joins.foreach { j =>
+      j.children.foreach { c =>
+        assert(!c.output.exists(_.name == "text"),
+          s"document bodies must not cross the dedup-weight join:\n$j")
+      }
+    }
+  }
+
+  test("q181/q189 plan: no window ever consumes per-doc rows — every frame is aggregate-bounded") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    Seq(PipelineOps.q181EpochAlloc(spark, dir),
+      PipelineOps.q189RankAgreement(spark, dir)).foreach { df =>
+      val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+      assert(wins.nonEmpty)
+      wins.foreach { w =>
+        assert(!w.child.output.exists(a => a.name == "doc_id" || a.name == "text"),
+          s"windows must run on bucket/policy frames, never the corpus:\n$w")
+      }
+    }
+  }
+
   test("q175: PSI is non-negative, totals partition each type, and identical populations score zero") {
     val rows = PipelineOps.q175PsiDrift(spark, dir).collect()
     assert(rows.nonEmpty)
