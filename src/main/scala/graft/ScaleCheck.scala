@@ -349,7 +349,10 @@ object ScaleCheck {
     // Spearman rides the q179 bucket discipline twice: midranks from
     // score-space-bounded bucket tables broadcast onto the corpus,
     // one moment aggregate to |sources| rows
-    "q189_rank_agreement")
+    "q189_rank_agreement",
+    // the sweep joins the 10-row grid against the score-space-bounded
+    // bucket table — one corpus-touching aggregate at any resolution
+    "q190_retention_sweep")
   // sq18 (chained stream-stream joins) is EXCLUDED from the default
   // drill for the q138 reason: the 10× events corpus REPLICATES
   // timestamps (unchanged user/ts), so 3-way funnel matches multiply

@@ -1407,6 +1407,79 @@ object PipelineOps {
        |  END AS spearman_rho
        |FROM m ORDER BY source""".stripMargin
 
+  // -------------------------------------- q190 retention threshold sweep
+
+  /** Threshold grid: cutoffs k/[[SweepSteps]], k = 0..SweepSteps−1. */
+  val SweepSteps = 10
+
+  /** q190: RETENTION THRESHOLD SWEEP — the cutoff-tuning report run
+    * before committing to a score-based filter: for every cutoff in a
+    * fixed grid, how many documents and tokens survive `score ≥ t`,
+    * globally and as a fraction — the curve a curation owner reads to
+    * pick the quality bar (the decision q174 then executes as a
+    * budget). Score is the 4-dp diversity proxy shared by the scorer
+    * family.
+    *
+    * Scale shape: the corpus collapses ONCE to the per-(4-dp score)
+    * bucket table (≤ 10⁴+1 rows at any corpus size — the q174 bound);
+    * the sweep is a broadcast ≥-join of the [[SweepSteps]]-row grid
+    * against that bucket table, never against the corpus. Exactly one
+    * corpus-touching aggregate, whatever the grid resolution. */
+  def q190RetentionSweep(s: SparkSession, dir: String): DataFrame = {
+    val buckets = docs(s, dir)
+      .select(
+        size(split(col("text"), "\\s+")).cast("long").as("nt"),
+        size(array_distinct(split(col("text"), "\\s+"))).cast("long").as("nu"))
+      .filter(col("nt") > 0)
+      .withColumn("score", round(col("nu").cast("double") / col("nt"), ScoreDp))
+      .groupBy("score").agg(count(lit(1)).as("bn"), sum("nt").as("bt"))
+    val totals = buckets.agg(sum("bn").as("tot_docs"), sum("bt").as("tot_tokens"))
+    val grid = s.range(0, SweepSteps)
+      .select((col("id").cast("double") / SweepSteps).as("cutoff"))
+    grid.join(broadcast(buckets), col("score") >= col("cutoff"), "left")
+      .groupBy("cutoff")
+      .agg(coalesce(sum("bn"), lit(0L)).as("n_docs"),
+        coalesce(sum("bt"), lit(0L)).as("n_tokens"))
+      .crossJoin(broadcast(totals))
+      .select(col("cutoff"), col("n_docs"), col("n_tokens"),
+        when(col("tot_docs") > 0,
+          round(col("n_docs").cast("double") / col("tot_docs"), 6))
+          .as("doc_frac"),
+        when(col("tot_tokens") > 0,
+          round(col("n_tokens").cast("double") / col("tot_tokens"), 6))
+          .as("token_frac"))
+      .orderBy("cutoff")
+  }
+
+  val q190Sql: String =
+    s"""WITH buckets AS (
+       |  SELECT round(CAST(nu AS DOUBLE) / nt, $ScoreDp) AS score,
+       |    count(*) AS bn, CAST(sum(nt) AS BIGINT) AS bt
+       |  FROM (
+       |    SELECT CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS nt,
+       |      CAST(len(list_distinct(string_split_regex(text, '\\s+')))
+       |        AS BIGINT) AS nu
+       |    FROM documents) WHERE nt > 0 GROUP BY 1
+       |), tot AS (
+       |  SELECT CAST(coalesce(sum(bn), 0) AS BIGINT) AS tot_docs,
+       |    CAST(coalesce(sum(bt), 0) AS BIGINT) AS tot_tokens
+       |  FROM buckets
+       |), grid AS (
+       |  SELECT CAST(k AS DOUBLE) / $SweepSteps AS cutoff
+       |  FROM range(0, $SweepSteps) t(k)
+       |)
+       |SELECT cutoff,
+       |  CAST(coalesce(sum(bn), 0) AS BIGINT) AS n_docs,
+       |  CAST(coalesce(sum(bt), 0) AS BIGINT) AS n_tokens,
+       |  CASE WHEN tot_docs > 0 THEN
+       |    round(CAST(coalesce(sum(bn), 0) AS DOUBLE) / tot_docs, 6)
+       |  END AS doc_frac,
+       |  CASE WHEN tot_tokens > 0 THEN
+       |    round(CAST(coalesce(sum(bt), 0) AS DOUBLE) / tot_tokens, 6)
+       |  END AS token_frac
+       |FROM grid LEFT JOIN buckets ON score >= cutoff CROSS JOIN tot
+       |GROUP BY cutoff, tot_docs, tot_tokens ORDER BY cutoff""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q173_corpus_diff" -> (q173CorpusDiff _),
     "q174_token_budget_select" -> (q174TokenBudgetSelect _),
@@ -1423,7 +1496,8 @@ object PipelineOps {
     "q186_span_corruption" -> (q186SpanCorruption _),
     "q187_soft_dedup_weights" -> (q187SoftDedupWeights _),
     "q188_dsir_weights" -> (q188DsirWeights _),
-    "q189_rank_agreement" -> (q189RankAgreement _))
+    "q189_rank_agreement" -> (q189RankAgreement _),
+    "q190_retention_sweep" -> (q190RetentionSweep _))
 
   val oracle: Map[String, String] = Map(
     "q173_corpus_diff" -> q173Sql,
@@ -1441,5 +1515,6 @@ object PipelineOps {
     "q186_span_corruption" -> q186Sql,
     "q187_soft_dedup_weights" -> q187Sql,
     "q188_dsir_weights" -> q188Sql,
-    "q189_rank_agreement" -> q189Sql)
+    "q189_rank_agreement" -> q189Sql,
+    "q190_retention_sweep" -> q190Sql)
 }

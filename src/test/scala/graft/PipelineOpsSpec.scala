@@ -676,6 +676,39 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q190: the sweep is a monotone CDF anchored at full retention, and the corpus is touched once") {
+    val df = PipelineOps.q190RetentionSweep(spark, dir)
+    // the only corpus-scale work is ONE aggregate: the grid join runs
+    // against the bucket table, so at most one scan of documents
+    val scans = df.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("documents.parquet"))
+    assert(scans <= 2, s"grid must join buckets, not re-scan the corpus: $scans")
+    val rows = df.collect().sortBy(_.getAs[Double]("cutoff"))
+    assert(rows.length === PipelineOps.SweepSteps)
+    // cutoff 0.0 retains everything
+    assert(rows.head.getAs[Double]("doc_frac") === 1.0)
+    assert(rows.head.getAs[Double]("token_frac") === 1.0)
+    // monotone non-increasing in the cutoff
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("n_docs") >= b.getAs[Long]("n_docs"))
+        assert(a.getAs[Long]("n_tokens") >= b.getAs[Long]("n_tokens"))
+      case _ =>
+    }
+    // brute-force spot check at cutoff 0.5
+    val half = rows.find(r => math.abs(r.getAs[Double]("cutoff") - 0.5) < 1e-9).get
+    val brute = docs
+      .select(size(split(col("text"), "\\s+")).cast("long").as("nt"),
+        size(array_distinct(split(col("text"), "\\s+"))).cast("long").as("nu"))
+      .filter(col("nt") > 0)
+      .withColumn("score",
+        round(col("nu").cast("double") / col("nt"), PipelineOps.ScoreDp))
+      .collect().map(r => (r.getAs[Double]("score"), r.getAs[Long]("nt")))
+    assert(half.getAs[Long]("n_docs") === brute.count(_._1 >= 0.5).toLong)
+    assert(half.getAs[Long]("n_tokens") ===
+      brute.filter(_._1 >= 0.5).map(_._2).sum)
+  }
+
   test("q175: PSI is non-negative, totals partition each type, and identical populations score zero") {
     val rows = PipelineOps.q175PsiDrift(spark, dir).collect()
     assert(rows.nonEmpty)
