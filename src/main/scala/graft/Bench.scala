@@ -335,7 +335,8 @@ object Bench {
       "q181_epoch_alloc", "q182_train_shuffle", "q183_preference_pairs",
       "q184_hard_negatives", "q185_k_anonymity", "q186_span_corruption",
       "q187_soft_dedup_weights", "q188_dsir_weights",
-      "q189_rank_agreement", "q190_retention_sweep")
+      "q189_rank_agreement", "q190_retention_sweep",
+      "q191_rrf_fusion", "q192_margin_align", "q193_neighbor_jaccard")
     // shingle-index misses during TIMED passes only (warm passes are
     // expected to build it once per session+dir)
     var timedIndexMisses = 0L

@@ -1480,6 +1480,295 @@ object PipelineOps {
        |FROM grid LEFT JOIN buckets ON score >= cutoff CROSS JOIN tot
        |GROUP BY cutoff, tot_docs, tot_tokens ORDER BY cutoff""".stripMargin
 
+  // ---------------------------------------------- q191 RRF hybrid retrieval
+
+  /** Candidate depth per retriever (the "top-K from each index" that
+    * reaches the fusion stage). */
+  val FuseK = 50
+  /** The RRF smoothing constant (k=60, the value from the original
+    * Cormack/Clarke/Buettcher TREC paper — convention, not tuning). */
+  val RrfK = 60
+  /** Fused rows returned to the caller. */
+  val FuseOut = 20
+  /** The pseudo-query: lexical terms + the embedding of this vec_id
+    * (vec_id aligns 1:1 with doc_id on the fixture, so the semantic
+    * side is "docs like doc 0"). */
+  val QueryVecId = 0L
+  val QueryTerms: Seq[String] = Seq("spark", "join")
+
+  /** q191: RECIPROCAL-RANK-FUSION HYBRID RETRIEVAL — the standard way
+    * a training-data pipeline (or a RAG stack) combines a lexical
+    * index and a vector index: take top-[[FuseK]] from BM25 and
+    * top-[[FuseK]] by embedding cosine, score each doc
+    * `Σ 1/(RrfK + rank_i)` over the lists it appears in, return the
+    * fused top-[[FuseOut]]. Rank fusion needs no score calibration
+    * between the two retrievers — only ranks cross the boundary,
+    * which is why it survives heterogeneous scorers at scale.
+    *
+    * Scale shape: each retriever ends in a rank-pushed top-K (the
+    * q148/q165 WindowGroupLimit discipline — asserted in the spec),
+    * so only 2·K candidate rows ever reach the fusion join, which is
+    * a broadcast-able full-outer over ≤ 2K rows no matter the corpus
+    * size. The lexical side touches only postings of the query terms
+    * (the `t IN terms` filter lands before the tf aggregate); the
+    * semantic side is one broadcast query row against the embedding
+    * scan — map-side dot products, zero shuffle before the top-K. On
+    * 100 TB the semantic scan is what the q44 IVF index replaces;
+    * this is the certified exact formulation at fixture scale.
+    *
+    * Float discipline: BM25 per-term scores round 6 dp (the q81
+    * formula verbatim), the ≤-2-term per-doc sum runs over
+    * DECIMAL(18,6) so association order cannot shift a bit, cosine
+    * rounds 6 dp (the q40 formula), and the RRF sum is two exact
+    * reciprocals of small integers summed in one fixed order. */
+  def q191RrfFusion(s: SparkSession, dir: String): DataFrame = {
+    import graft.llmops.TextOps.{Bm25B, Bm25K1}
+    // --- lexical leg: BM25 restricted to the query-term postings
+    val toksDf = docs(s, dir)
+      .select(col("doc_id"), split(col("text"), "\\s+").as("w"))
+    val dls = toksDf.select(col("doc_id"), size(col("w")).cast("long").as("dl"))
+    val stats = dls.agg(count(lit(1)).as("n_docs"),
+      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    val tf = toksDf.select(col("doc_id"), explode(col("w")).as("t"))
+      .filter(col("t").isInCollection(QueryTerms))
+      .groupBy("t", "doc_id").agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    val perTerm = tf
+      .join(broadcast(dfs), Seq("t"))
+      .join(dls, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        round(log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+          + lit(1.0)), 6))
+      .select(col("doc_id"),
+        dec(round(col("idf") * (col("tf") * (lit(Bm25K1) + lit(1.0)))
+          / (col("tf") + lit(Bm25K1) * (lit(1.0) - lit(Bm25B)
+            + lit(Bm25B) * col("dl") / col("avgdl"))), 6), 18, 6).as("ts"))
+    val wLex = Window.orderBy(col("lex_score").desc, col("doc_id"))
+    val lex = perTerm.groupBy("doc_id")
+      .agg(sum("ts").cast("double").as("lex_score"))
+      .withColumn("lex_rank", row_number().over(wLex))
+      .filter(col("lex_rank") <= FuseK)
+      .select("doc_id", "lex_rank")
+    // --- semantic leg: cosine against the broadcast query embedding
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", graft.functions.VectorExprs.norm(col("v")))
+    val qv = e.filter(col("vec_id") === QueryVecId)
+      .select(col("v").as("qv"), col("nrm").as("qn"))
+    val d = graft.functions.VectorExprs.dot(col("v"), col("qv"))
+    val cos = when(col("nrm") * col("qn") === 0, lit(0.0))
+      .otherwise(d / (col("nrm") * col("qn")))
+    val wSem = Window.orderBy(col("sem_score").desc, col("doc_id"))
+    val sem = e.filter(col("vec_id") =!= QueryVecId)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id").as("doc_id"), round(cos, 6).as("sem_score"))
+      .withColumn("sem_rank", row_number().over(wSem))
+      .filter(col("sem_rank") <= FuseK)
+      .select("doc_id", "sem_rank")
+    // --- fusion: ranks only cross this boundary
+    val wF = Window.orderBy(col("rrf").desc, col("doc_id"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("lex_rank"), lit(0)).cast("long").as("lex_rank"),
+        coalesce(col("sem_rank"), lit(0)).cast("long").as("sem_rank"),
+        round(
+          when(col("lex_rank").isNotNull,
+            lit(1.0) / (lit(RrfK) + col("lex_rank"))).otherwise(lit(0.0)) +
+          when(col("sem_rank").isNotNull,
+            lit(1.0) / (lit(RrfK) + col("sem_rank"))).otherwise(lit(0.0)),
+          6).as("rrf"))
+      .withColumn("fused_rank", row_number().over(wF).cast("long"))
+      .filter(col("fused_rank") <= FuseOut)
+      .select("fused_rank", "doc_id", "lex_rank", "sem_rank", "rrf")
+      .orderBy("fused_rank")
+  }
+
+  val q191Sql: String = {
+    val termList = QueryTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents
+       |), dls AS (
+       |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM toks
+       |), stats AS (
+       |  SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+       |  FROM dls
+       |), tf AS (
+       |  SELECT t, doc_id, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(w) AS t FROM toks)
+       |  WHERE t IN ($termList) GROUP BY 1, 2
+       |), dfs AS (
+       |  SELECT t, count(*) AS df FROM tf GROUP BY 1
+       |), per_term AS (
+       |  SELECT tf.doc_id,
+       |    CAST(round(
+       |      round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 6)
+       |        * (tf * (${Bm25Lit._1} + 1.0))
+       |        / (tf + ${Bm25Lit._1} * (1.0 - ${Bm25Lit._2}
+       |            + ${Bm25Lit._2} * dl / avgdl)), 6) AS DECIMAL(18,6)) AS ts
+       |  FROM tf JOIN dfs USING (t) JOIN dls ON tf.doc_id = dls.doc_id
+       |  CROSS JOIN stats
+       |), lex AS (
+       |  SELECT doc_id, lex_rank FROM (
+       |    SELECT doc_id,
+       |      row_number() OVER (ORDER BY lex_score DESC, doc_id) AS lex_rank
+       |    FROM (SELECT doc_id, CAST(sum(ts) AS DOUBLE) AS lex_score
+       |          FROM per_term GROUP BY 1))
+       |  WHERE lex_rank <= $FuseK
+       |), ev AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), en AS (
+       |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+       |  FROM ev
+       |), sem AS (
+       |  SELECT doc_id, sem_rank FROM (
+       |    SELECT a.vec_id AS doc_id,
+       |      row_number() OVER (ORDER BY round(CASE WHEN a.nrm * q.nrm = 0
+       |        THEN 0.0 ELSE list_sum([a.v[i] * q.v[i] for i in
+       |          range(1, ${graft.llmops.VectorOps.Dim} + 1)]) / (a.nrm * q.nrm)
+       |        END, 6) DESC, a.vec_id) AS sem_rank
+       |    FROM en a CROSS JOIN (SELECT v, nrm FROM en
+       |                          WHERE vec_id = $QueryVecId) q
+       |    WHERE a.vec_id <> $QueryVecId)
+       |  WHERE sem_rank <= $FuseK
+       |)
+       |SELECT fused_rank, doc_id, lex_rank, sem_rank, rrf FROM (
+       |  SELECT doc_id,
+       |    CAST(coalesce(lex_rank, 0) AS BIGINT) AS lex_rank,
+       |    CAST(coalesce(sem_rank, 0) AS BIGINT) AS sem_rank,
+       |    round(coalesce(1.0 / ($RrfK + lex_rank), 0.0)
+       |        + coalesce(1.0 / ($RrfK + sem_rank), 0.0), 6) AS rrf,
+       |    row_number() OVER (ORDER BY
+       |      round(coalesce(1.0 / ($RrfK + lex_rank), 0.0)
+       |          + coalesce(1.0 / ($RrfK + sem_rank), 0.0), 6) DESC,
+       |      doc_id) AS fused_rank
+       |  FROM lex FULL OUTER JOIN sem USING (doc_id))
+       |WHERE fused_rank <= $FuseOut ORDER BY fused_rank""".stripMargin
+  }
+
+  /** BM25 constants as SQL literals (shared with q81's formula). */
+  private def Bm25Lit: (String, String) =
+    (graft.llmops.TextOps.Bm25K1.toString, graft.llmops.TextOps.Bm25B.toString)
+
+  // ------------------------------------------ q192 margin-based alignment
+
+  /** Neighborhood size for the margin denominator (Artetxe & Schwenk's
+    * ratio-margin criterion uses the mean of the k nearest cosines on
+    * EACH side). */
+  val MarginK = 4
+  /** Pairs score as aligned when cos(x,y) exceeds the mean of the two
+    * local neighborhoods — margin > 1 — by this factor. */
+  val MarginThresh = 1.0
+
+  /** q192: MARGIN-BASED CROSS-CORPUS ALIGNMENT — the bitext-mining
+    * scorer (Artetxe & Schwenk 2019) a multilingual pipeline uses to
+    * pair documents across two corpora by embedding: raw cosine
+    * over-fires in dense "hubness" regions, so each candidate is
+    * scored by `cos(x,y) / mean(topK_x ∪ topK_y)` — similarity
+    * RELATIVE to the local neighborhood density — and x keeps only
+    * its best-margin y, flagged `mutual` when y reciprocates.
+    *
+    * Side split on the fixture: labels 0–4 are corpus X, 5–9 are
+    * corpus Y. The X×Y similarity pass is the declared exact baseline
+    * (the q40 posture: at 100 TB the candidate generation is the q44
+    * IVF index; margin scoring itself only ever touches each x's
+    * candidate list + two k-row neighborhood sums). The margin
+    * denominator sums run over DECIMAL(14,6) copies of the rounded
+    * cosines, so the k-term additions are exact in both engines; the
+    * single double division rounds 6 dp (the q128 discipline).
+    *
+    * Mutuality is rank-1-vs-rank-1 on the SAME margin matrix — the
+    * forward and backward argmaxes are two window minima over one
+    * already-computed frame, not a second similarity pass. */
+  def q192MarginAlign(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").as("v"), col("label"))
+      .withColumn("nrm", graft.functions.VectorExprs.norm(col("v")))
+    val x = e.filter(col("label") < 5)
+      .select(col("vec_id").as("x_id"), col("v").as("xv"), col("nrm").as("xn"))
+    val y = e.filter(col("label") >= 5)
+      .select(col("vec_id").as("y_id"), col("v").as("yv"), col("nrm").as("yn"))
+    val d = graft.functions.VectorExprs.dot(col("xv"), col("yv"))
+    val cos = when(col("xn") * col("yn") === 0, lit(0.0))
+      .otherwise(d / (col("xn") * col("yn")))
+    val sims = x.repartition(s.sparkContext.defaultParallelism, col("x_id"))
+      .crossJoin(y)
+      .select(col("x_id"), col("y_id"), round(cos, 6).as("cos"))
+    val wx = Window.partitionBy("x_id").orderBy(col("cos").desc, col("y_id"))
+    val wy = Window.partitionBy("y_id").orderBy(col("cos").desc, col("x_id"))
+    val ranked = sims
+      .withColumn("rx", row_number().over(wx))
+      .withColumn("ry", row_number().over(wy))
+    val sumX = ranked.filter(col("rx") <= MarginK)
+      .groupBy("x_id").agg(sum(dec(col("cos"), 14, 6)).as("sx"))
+    val sumY = ranked.filter(col("ry") <= MarginK)
+      .groupBy("y_id").agg(sum(dec(col("cos"), 14, 6)).as("sy"))
+    val margins = ranked
+      .join(broadcast(sumX), Seq("x_id"))
+      .join(broadcast(sumY), Seq("y_id"))
+      .select(col("x_id"), col("y_id"),
+        when((col("sx") + col("sy")).cast("double") > 0,
+          round(col("cos") * lit(2 * MarginK)
+            / (col("sx") + col("sy")).cast("double"), 6))
+          .otherwise(lit(0.0)).as("margin"))
+    val wmx = Window.partitionBy("x_id").orderBy(col("margin").desc, col("y_id"))
+    val wmy = Window.partitionBy("y_id").orderBy(col("margin").desc, col("x_id"))
+    margins
+      .withColumn("fwd", row_number().over(wmx))
+      .withColumn("bwd", row_number().over(wmy))
+      .filter(col("fwd") === 1 && col("margin") >= MarginThresh)
+      .select(col("x_id"), col("y_id"), col("margin"),
+        (col("bwd") === 1).as("mutual"))
+      .orderBy("x_id")
+  }
+
+  val q192Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), en AS (
+       |  SELECT vec_id, label, v,
+       |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+       |  FROM e
+       |), sims AS (
+       |  SELECT a.vec_id AS x_id, b.vec_id AS y_id,
+       |    round(CASE WHEN a.nrm * b.nrm = 0 THEN 0.0
+       |      ELSE list_sum([a.v[i] * b.v[i] for i in
+       |        range(1, ${graft.llmops.VectorOps.Dim} + 1)]) / (a.nrm * b.nrm)
+       |      END, 6) AS cos
+       |  FROM en a CROSS JOIN en b
+       |  WHERE a.label < 5 AND b.label >= 5
+       |), ranked AS (
+       |  SELECT x_id, y_id, cos,
+       |    row_number() OVER (PARTITION BY x_id ORDER BY cos DESC, y_id) AS rx,
+       |    row_number() OVER (PARTITION BY y_id ORDER BY cos DESC, x_id) AS ry
+       |  FROM sims
+       |), sum_x AS (
+       |  SELECT x_id, sum(CAST(cos AS DECIMAL(14,6))) AS sx
+       |  FROM ranked WHERE rx <= $MarginK GROUP BY 1
+       |), sum_y AS (
+       |  SELECT y_id, sum(CAST(cos AS DECIMAL(14,6))) AS sy
+       |  FROM ranked WHERE ry <= $MarginK GROUP BY 1
+       |), margins AS (
+       |  SELECT x_id, y_id,
+       |    CASE WHEN CAST(sx + sy AS DOUBLE) > 0
+       |      THEN round(cos * ${2 * MarginK} / CAST(sx + sy AS DOUBLE), 6)
+       |      ELSE 0.0 END AS margin
+       |  FROM ranked JOIN sum_x USING (x_id) JOIN sum_y USING (y_id)
+       |), ranked2 AS (
+       |  SELECT x_id, y_id, margin,
+       |    row_number() OVER (PARTITION BY x_id ORDER BY margin DESC, y_id)
+       |      AS fwd,
+       |    row_number() OVER (PARTITION BY y_id ORDER BY margin DESC, x_id)
+       |      AS bwd
+       |  FROM margins
+       |)
+       |SELECT x_id, y_id, margin, (bwd = 1) AS mutual
+       |FROM ranked2 WHERE fwd = 1 AND margin >= $MarginThresh
+       |ORDER BY x_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q173_corpus_diff" -> (q173CorpusDiff _),
     "q174_token_budget_select" -> (q174TokenBudgetSelect _),
@@ -1497,7 +1786,9 @@ object PipelineOps {
     "q187_soft_dedup_weights" -> (q187SoftDedupWeights _),
     "q188_dsir_weights" -> (q188DsirWeights _),
     "q189_rank_agreement" -> (q189RankAgreement _),
-    "q190_retention_sweep" -> (q190RetentionSweep _))
+    "q190_retention_sweep" -> (q190RetentionSweep _),
+    "q191_rrf_fusion" -> (q191RrfFusion _),
+    "q192_margin_align" -> (q192MarginAlign _))
 
   val oracle: Map[String, String] = Map(
     "q173_corpus_diff" -> q173Sql,
@@ -1516,5 +1807,7 @@ object PipelineOps {
     "q187_soft_dedup_weights" -> q187Sql,
     "q188_dsir_weights" -> q188Sql,
     "q189_rank_agreement" -> q189Sql,
-    "q190_retention_sweep" -> q190Sql)
+    "q190_retention_sweep" -> q190Sql,
+    "q191_rrf_fusion" -> q191Sql,
+    "q192_margin_align" -> q192Sql)
 }

@@ -1578,6 +1578,83 @@ object RelOps {
        |FROM g ORDER BY digit""".stripMargin
   }
 
+  // ------------------------------------- q193 neighborhood-Jaccard similarity
+
+  /** Rows returned: the strongest [[JacTop]] structurally-similar user
+    * pairs (link-prediction shortlist size). */
+  val JacTop = 100
+
+  /** q193: NEIGHBORHOOD JACCARD (structural node similarity) — the
+    * classic link-prediction / account-correlation scorer over the
+    * q116 co-occurrence graph: two users are similar when their
+    * neighbor SETS overlap, `J = |N(a)∩N(b)| / |N(a)∪N(b)|`, whether
+    * or not they ever co-occurred directly.
+    *
+    * Shape: candidate pairs materialize ONLY through a shared
+    * neighbor (the wedge join, partitioned by that neighbor id) — the
+    * |V|² zero-overlap pairs never exist. Common-neighbor counts are
+    * one partial-agg'd groupBy on the wedge output; degrees join in
+    * as a broadcast (one row per node); union size is inclusion-
+    * exclusion `da + db − common`, so no union materializes. The one
+    * global ORDER is the final top-[[JacTop]] via a rank-pushed
+    * row_number (the q148/q165 WindowGroupLimit discipline).
+    *
+    * 100 TB: wedge volume is Σ deg(v)² — dominated by hub nodes. The
+    * scale path is the same as near-dup dedup's: MinHash the adjacency
+    * lists and band-join (q37's machinery applied to neighbor sets),
+    * keeping this exact formulation as the certification baseline;
+    * hub skew in the exact pass lands on the neighbor-id join key
+    * where AQE skew-split applies. One division, rounded 6 dp;
+    * everything else is integer. */
+  def q193NeighborJaccard(s: SparkSession, dir: String): DataFrame = {
+    val e0 = cooccurEdges(s, dir)
+    val adj = e0.select(col("x").as("node"), col("y").as("nbr"))
+      .unionAll(e0.select(col("y").as("node"), col("x").as("nbr")))
+    val deg = adj.groupBy("node").agg(count(lit(1)).as("d"))
+    val common = adj.as("a").join(adj.as("b"),
+        col("a.nbr") === col("b.nbr") && col("a.node") < col("b.node"))
+      .groupBy(col("a.node").as("u"), col("b.node").as("v"))
+      .agg(count(lit(1)).as("common"))
+    val wTop = Window.orderBy(col("jaccard").desc, col("u"), col("v"))
+    common
+      .join(broadcast(deg.select(col("node").as("u"), col("d").as("du"))), "u")
+      .join(broadcast(deg.select(col("node").as("v"), col("d").as("dv"))), "v")
+      .select(col("u"), col("v"), col("common"), col("du"), col("dv"),
+        round(col("common").cast("double")
+          / (col("du") + col("dv") - col("common")), 6).as("jaccard"))
+      .withColumn("rnk", row_number().over(wTop).cast("long"))
+      .filter(col("rnk") <= JacTop)
+      .select("rnk", "u", "v", "common", "du", "dv", "jaccard")
+      .orderBy("rnk")
+  }
+
+  val q193Sql: String =
+    s"""WITH $cooccurEdgesSql,
+       |adj AS (
+       |  SELECT x AS node, y AS nbr FROM e0
+       |  UNION ALL
+       |  SELECT y AS node, x AS nbr FROM e0
+       |), deg AS (
+       |  SELECT node, count(*) AS d FROM adj GROUP BY 1
+       |), cmn AS (
+       |  SELECT a.node AS u, b.node AS v, count(*) AS common
+       |  FROM adj a JOIN adj b ON a.nbr = b.nbr AND a.node < b.node
+       |  GROUP BY 1, 2
+       |)
+       |SELECT rnk, u, v, common, du, dv, jaccard FROM (
+       |  SELECT c.u AS u, c.v AS v, c.common AS common,
+       |    du.d AS du, dv.d AS dv,
+       |    round(CAST(c.common AS DOUBLE)
+       |      / (du.d + dv.d - c.common), 6) AS jaccard,
+       |    row_number() OVER (ORDER BY
+       |      round(CAST(c.common AS DOUBLE)
+       |        / (du.d + dv.d - c.common), 6) DESC,
+       |      c.u, c.v) AS rnk
+       |  FROM cmn c
+       |  JOIN deg du ON c.u = du.node
+       |  JOIN deg dv ON c.v = dv.node)
+       |WHERE rnk <= $JacTop ORDER BY rnk""".stripMargin
+
   // --------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1604,7 +1681,8 @@ object RelOps {
     "q134_lateral_topk" -> (q134LateralTopk _),
     "q135_profile" -> (q135Profile _),
     "q136_benford" -> (q136Benford _),
-    "q153_graph_profile" -> (q153GraphProfile _)
+    "q153_graph_profile" -> (q153GraphProfile _),
+    "q193_neighbor_jaccard" -> (q193NeighborJaccard _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -1631,6 +1709,7 @@ object RelOps {
     "q134_lateral_topk" -> q134Sql,
     "q135_profile" -> q135Sql,
     "q136_benford" -> q136Sql,
-    "q153_graph_profile" -> q153Sql
+    "q153_graph_profile" -> q153Sql,
+    "q193_neighbor_jaccard" -> q193Sql
   )
 }

@@ -725,4 +725,94 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getAs[Boolean]("drifted") === (psi >= PipelineOps.PsiThresh))
     }
   }
+
+  // ----------------------------------------------------------- q191
+
+  test("q191: RRF recomputes from the leg ranks, output is rank-dense and monotone") {
+    val rows = PipelineOps.q191RrfFusion(spark, dir).collect()
+    assert(rows.length == PipelineOps.FuseOut)
+    assert(rows.map(_.getAs[Long]("fused_rank")).toSeq ==
+      (1L to PipelineOps.FuseOut).toSeq, "fused ranks are dense 1..N")
+    var prev = Double.MaxValue
+    rows.foreach { r =>
+      val (lx, sm) = (r.getAs[Long]("lex_rank"), r.getAs[Long]("sem_rank"))
+      assert(lx > 0 || sm > 0, "a fused doc must come from at least one leg")
+      assert(lx <= PipelineOps.FuseK && sm <= PipelineOps.FuseK)
+      val want = BigDecimal(
+        (if (lx > 0) 1.0 / (PipelineOps.RrfK + lx) else 0.0) +
+        (if (sm > 0) 1.0 / (PipelineOps.RrfK + sm) else 0.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("rrf") == want, s"rrf must be Σ 1/(k+rank): $r")
+      assert(r.getAs[Double]("rrf") <= prev, "rrf non-increasing down the list")
+      prev = r.getAs[Double]("rrf")
+    }
+  }
+
+  test("q191 plan: every global window is rank-pushed — no full-corpus sort survives") {
+    // All three no-partition windows (lex top-K, sem top-K, fusion
+    // top-N) sit behind a rank filter, so each must compile to a
+    // top-k (TakeOrderedAndProject / WindowGroupLimit), never a
+    // single-partition full Sort+Window over the corpus — the same
+    // O(K)-not-O(table) claim q148/q165 pin.
+    val plan = PipelineOps.q191RrfFusion(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject") ||
+        plan.contains("WindowGroupLimit"),
+      s"q191's retriever top-Ks must be rank-pushed, got:\n$plan")
+  }
+
+  // ----------------------------------------------------------- q192
+
+  test("q192: margins, argmax, and mutuality all match the brute-force scorer") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // sequential fold, floats widened per element — the DotProduct
+    // expression's association order
+    def dot(a: Array[Double], b: Array[Double]) = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val xs = emb.filter(_._3 < 5)
+    val ys = emb.filter(_._3 >= 5)
+    def cos(a: (Long, Array[Double], Int), b: (Long, Array[Double], Int)) = {
+      val (na, nb) = (math.sqrt(dot(a._2, a._2)), math.sqrt(dot(b._2, b._2)))
+      if (na * nb == 0) 0.0 else r6(dot(a._2, b._2) / (na * nb))
+    }
+    val simXY = xs.map(x => x._1 -> ys.map(y => y._1 -> cos(x, y)).toMap).toMap
+    // exact decimal top-k sums (the DECIMAL(14,6) discipline)
+    def topSum(sims: Seq[Double]) =
+      sims.sorted(Ordering[Double].reverse).take(PipelineOps.MarginK)
+        .map(v => BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        .sum
+    val sx = xs.map(x => x._1 -> topSum(simXY(x._1).values.toSeq)).toMap
+    val sy = ys.map(y => y._1 ->
+      topSum(xs.map(x => simXY(x._1)(y._1)).toSeq)).toMap
+    def margin(x: Long, y: Long) = {
+      val den = (sx(x) + sy(y)).toDouble
+      if (den > 0) r6(simXY(x)(y) * 2 * PipelineOps.MarginK / den) else 0.0
+    }
+    val best = xs.map(_._1).map { x =>
+      val cands = ys.map(_._1).map(y => (margin(x, y), y))
+      x -> cands.minBy { case (m, y) => (-m, y) }
+    }.toMap
+    val bestX = ys.map(_._1).map { y =>
+      val cands = xs.map(_._1).map(x => (margin(x, y), x))
+      y -> cands.minBy { case (m, x) => (-m, x) }
+    }.toMap
+    val got = PipelineOps.q192MarginAlign(spark, dir).collect()
+    val want = best.filter { case (_, (m, _)) => m >= PipelineOps.MarginThresh }
+    assert(got.length == want.size,
+      s"aligned-pair count ${got.length} != brute force ${want.size}")
+    got.foreach { r =>
+      val (x, y) = (r.getAs[Long]("x_id"), r.getAs[Long]("y_id"))
+      assert(best(x) == ((r.getAs[Double]("margin"), y)),
+        s"x=$x must align to its best-margin y")
+      assert(r.getAs[Boolean]("mutual") == (bestX(y)._2 == x),
+        s"mutual flag for ($x,$y) must mean y reciprocates")
+    }
+  }
 }

@@ -172,6 +172,49 @@ class RelOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"degree-ordered count ${row.getAs[Long]("n_triangles")} != brute-force $nTri")
   }
 
+  // --------------------------------------------------------------- q193
+
+  test("q193: neighborhood Jaccard equals brute force over the co-occurrence graph") {
+    // sf0.01 for the same reason as q116: the sf0.001 graph is 2 edges
+    val dir = "/root/testdata/sf0.01"
+    val edges = graft.queries.RelOps.cooccurEdges(spark, dir).collect()
+      .map(r => (r.getAs[Long]("x"), r.getAs[Long]("y")))
+    val nbrs = (edges.map(e => e._1 -> e._2) ++ edges.map(e => e._2 -> e._1))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val nodes = nbrs.keys.toSeq.sorted
+    val want = (for {
+      i <- nodes.indices; j <- (i + 1) until nodes.length
+      (u, v) = (nodes(i), nodes(j))
+      common = (nbrs(u) & nbrs(v)).size if common > 0
+    } yield (u, v, common.toLong, nbrs(u).size.toLong, nbrs(v).size.toLong,
+        r6(common.toDouble / (nbrs(u).size + nbrs(v).size - common))))
+      .sortBy { case (u, v, _, _, _, j) => (-j, u, v) }
+      .take(RelOps.JacTop)
+    val got = RelOps.q193NeighborJaccard(spark, dir).collect()
+      .map(r => (r.getAs[Long]("u"), r.getAs[Long]("v"),
+        r.getAs[Long]("common"), r.getAs[Long]("du"), r.getAs[Long]("dv"),
+        r.getAs[Double]("jaccard")))
+    assert(got.toSeq == want.toSeq,
+      s"wedge-join Jaccard must equal the brute-force neighbor-set scan " +
+        s"(got ${got.length} rows, want ${want.length})")
+  }
+
+  test("q193 plan: the shortlist is a rank-pushed top-k, candidates exist only through shared neighbors") {
+    val dir = "/root/testdata/sf0.01"
+    val plan = RelOps.q193NeighborJaccard(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject") ||
+        plan.contains("WindowGroupLimit"),
+      s"q193's top-${RelOps.JacTop} shortlist must be rank-pushed, got:\n$plan")
+    // the |V|² zero-overlap pairs must never materialize: no cartesian
+    // / broadcast nested loop anywhere in the wedge pipeline
+    assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+      s"q193 must generate candidates only through the neighbor-key join, got:\n$plan")
+  }
+
   // --------------------------------------------------------------- q117
 
   test("q117: output is exactly the non-dominated set") {
