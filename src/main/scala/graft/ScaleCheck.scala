@@ -352,7 +352,26 @@ object ScaleCheck {
     "q189_rank_agreement",
     // the sweep joins the 10-row grid against the score-space-bounded
     // bucket table — one corpus-touching aggregate at any resolution
-    "q190_retention_sweep")
+    "q190_retention_sweep",
+    // hybrid retrieval: both legs end in a rank-pushed top-K, so only
+    // 2·K rows ever reach the fusion join — the growth axis is the
+    // two linear scans (lexical leg postings-filtered to the query
+    // terms, semantic leg one broadcast query row)
+    "q191_rrf_fusion",
+    // neighborhood Jaccard: candidates exist only through the wedge
+    // join on the shared-neighbor key; NOTE the 10× events corpus
+    // replicates (user, ts) so the distinct (type, bucket, user) set —
+    // and hence the graph — is UNCHANGED at 10×: the drill verifies
+    // the distinct-collapse absorbs replicated traffic (flat wall),
+    // not wedge-volume growth, which PERF.md §3 analyzes separately
+    "q193_neighbor_jaccard")
+  // q192 (margin alignment) is EXCLUDED from the default drill for
+  // the q40 reason: its X×Y similarity pass is the DECLARED exact
+  // baseline, so the 4× vector set multiplies the pair space ×16 by
+  // construction — a per-round re-measurement of a declared quadratic
+  // proves nothing new. Measured once via an explicit arg (×16 pairs
+  // → ×3.4 wall; PERF.md §3 records the analysis); the 100 TB
+  // candidate path is the q44 IVF index.
   // sq18 (chained stream-stream joins) is EXCLUDED from the default
   // drill for the q138 reason: the 10× events corpus REPLICATES
   // timestamps (unchanged user/ts), so 3-way funnel matches multiply
