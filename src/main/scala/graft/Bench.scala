@@ -336,7 +336,8 @@ object Bench {
       "q184_hard_negatives", "q185_k_anonymity", "q186_span_corruption",
       "q187_soft_dedup_weights", "q188_dsir_weights",
       "q189_rank_agreement", "q190_retention_sweep",
-      "q191_rrf_fusion", "q192_margin_align", "q193_neighbor_jaccard")
+      "q191_rrf_fusion", "q192_margin_align", "q193_neighbor_jaccard",
+      "q194_mmr_diversify", "q195_silhouette", "q196_code_switch")
     // shingle-index misses during TIMED passes only (warm passes are
     // expected to build it once per session+dir)
     var timedIndexMisses = 0L

@@ -3686,6 +3686,75 @@ object TextOps {
        |        / n, 6) AS keep_ratio
        |FROM k ORDER BY source""".stripMargin
 
+  // --------------------------------- q196 code-switch (intra-doc langid)
+
+  /** q196: CODE-SWITCHING DETECTION — document-LEVEL language ID (q31)
+    * over-commits on mixed-language documents, so the langid-QA pass a
+    * multilingual pipeline runs next is intra-document consistency:
+    * split each document's token stream in half, score each half with
+    * the same marker heuristic, and cross-tab (head_lang, tail_lang) —
+    * off-diagonal mass is the code-switching (or mis-segmentation)
+    * rate the doc-level label hides. Zero-marker halves predict "und"
+    * (empty docs land in (und, und)), exactly q31's zero-hit rule.
+    *
+    * Scale shape: identical to q31 — per-doc map (two slices, 2×|langs|
+    * marker counts, two argmaxes fused into the scan) plus ONE partial-
+    * agged groupBy to ≤ (|langs|+1)² rows; the text itself never
+    * shuffles. The halves are slices of the one tokenization, not a
+    * second pass. */
+  def q196CodeSwitch(s: SparkSession, dir: String): DataFrame = {
+    val n = size(col("w"))
+    val h = (n / lit(2)).cast("int")
+    val halves = tokenized(s, dir).select(col("doc_id"),
+      slice(col("w"), lit(1), h).as("fa"),
+      slice(col("w"), h + 1, n - h).as("fb"))
+    val scored = LangMarkers.foldLeft(halves) { case (df, (l, words)) =>
+      df.withColumn(s"a_$l", countIn(col("fa"), words))
+        .withColumn(s"b_$l", countIn(col("fb"), words))
+    }
+    def best(p: String) = LangMarkers.map(_._1).foldRight(lit("und")) {
+      case (l, els) =>
+        when(col(s"${p}_$l") > 0 && col(s"${p}_$l") ===
+            greatest(LangMarkers.map(m => col(s"${p}_${m._1}")): _*), lit(l))
+          .otherwise(els)
+    }
+    scored.select(best("a").as("head_lang"), best("b").as("tail_lang"))
+      .groupBy("head_lang", "tail_lang")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("switched", col("head_lang") =!= col("tail_lang"))
+      .orderBy("head_lang", "tail_lang")
+  }
+
+  val q196Sql: String = {
+    def listCountIn(c: String, words: Seq[String]): String = {
+      val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter($c, t -> list_contains($list, t)))"
+    }
+    val scores = LangMarkers.map { case (l, w) =>
+      s"${listCountIn("fa", w)} AS a_$l,\n    ${listCountIn("fb", w)} AS b_$l"
+    }.mkString(",\n    ")
+    def best(p: String) = LangMarkers.foldRight("'und'") { case ((l, _), els) =>
+      s"CASE WHEN ${p}_$l > 0 AND ${p}_$l = " +
+        s"greatest(${LangMarkers.map(p + "_" + _._1).mkString(", ")}) " +
+        s"THEN '$l' ELSE $els END"
+    }
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents
+       |), hv AS (
+       |  SELECT doc_id, w[1:len(w) // 2] AS fa, w[len(w) // 2 + 1:] AS fb
+       |  FROM t
+       |), sc AS (
+       |  SELECT doc_id,
+       |    $scores
+       |  FROM hv
+       |)
+       |SELECT head_lang, tail_lang, count(*) AS n,
+       |  head_lang <> tail_lang AS switched
+       |FROM (SELECT ${best("a")} AS head_lang, ${best("b")} AS tail_lang
+       |      FROM sc)
+       |GROUP BY head_lang, tail_lang ORDER BY head_lang, tail_lang""".stripMargin
+  }
+
   // --------------------------------------------------------- registry
 
   // ----------------------------------------- q138 prefix-filtering join
@@ -3886,7 +3955,8 @@ object TextOps {
     "q75_pagerank" -> (q75Pagerank _),
     "q77_dup_ngrams" -> (q77DupNgramCoverage _),
     "q79_dedup_survivors" -> (q79DedupSurvivors _),
-    "q81_bm25" -> (q81Bm25 _)
+    "q81_bm25" -> (q81Bm25 _),
+    "q196_code_switch" -> (q196CodeSwitch _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -3939,6 +4009,7 @@ object TextOps {
     "q75_pagerank" -> q75Sql,
     "q77_dup_ngrams" -> q77Sql,
     "q79_dedup_survivors" -> q79Sql,
-    "q81_bm25" -> q81Sql
+    "q81_bm25" -> q81Sql,
+    "q196_code_switch" -> q196Sql
   )
 }

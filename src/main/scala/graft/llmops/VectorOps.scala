@@ -2202,6 +2202,264 @@ object VectorOps {
        |FROM pos JOIN neg USING (anchor_id)
        |ORDER BY anchor_id, j""".stripMargin
 
+  // ------------------------------------------- q194 MMR diversification
+
+  /** Candidate pool depth reaching the re-ranker (top-C by relevance). */
+  val MmrPoolC = 30
+  /** Diversified results returned. */
+  val MmrSelM = 10
+  /** Relevance weight λ; diversity weight is [[MmrOneMinusLambda]].
+    * Kept as two literals (not `1 - λ`) so the Scala greedy, the Spark
+    * plan, and the DuckDB oracle all evaluate the same double
+    * constants — `1 - 0.7` is 0.30000000000000004 in IEEE. */
+  val MmrLambda = 0.7
+  val MmrOneMinusLambda = 0.3
+  /** The pseudo-query vector (the q191 convention). */
+  val MmrQueryId = 0L
+
+  /** The distributed half of q194: relevance against the broadcast
+    * query embedding, rank-pushed to the top-[[MmrPoolC]] pool. This
+    * is the part that touches the corpus — the spec asserts the top-C
+    * compiles to WindowGroupLimit / TakeOrderedAndProject, never a
+    * full sort. */
+  private[graft] def q194PoolPlan(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val qv = e.filter(col("vec_id") === MmrQueryId)
+      .select(col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.orderBy(col("rel").desc, col("vec_id"))
+    e.filter(col("vec_id") =!= MmrQueryId)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        round(cosSim(dot(col("v"), col("qv")), col("nrm"), col("qn")), 6)
+          .as("rel"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= MmrPoolC)
+      .select("vec_id", "v", "nrm", "rel")
+  }
+
+  /** Pool×pool pairwise similarities — ≤ C·(C−1) rows by construction
+    * (the pool is already top-C), so the non-equi broadcast join is
+    * the declared bounded-panel class, not a corpus cartesian. */
+  private[graft] def q194SimsPlan(pool: DataFrame): DataFrame = {
+    val a = pool.select(col("vec_id").as("a"), col("v").as("av"),
+      col("nrm").as("an"))
+    val b = pool.select(col("vec_id").as("b"), col("v").as("bv"),
+      col("nrm").as("bn"))
+    a.join(broadcast(b), col("a") =!= col("b"))
+      .select(col("a"), col("b"),
+        round(cosSim(dot(col("av"), col("bv")), col("an"), col("bn")), 6)
+          .as("sim"))
+  }
+
+  /** q194: MAXIMAL-MARGINAL-RELEVANCE DIVERSIFICATION — the classic
+    * re-ranker (Carbonell & Goldstein 1998) a RAG stack or a
+    * training-batch composer runs AFTER retrieval: from the top-C
+    * relevance pool, greedily pick M results maximizing
+    * `λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)` — each pick is the most
+    * relevant document that is NOT redundant with what's already
+    * selected.
+    *
+    * Scale split: everything that touches the corpus is in the engine
+    * — the relevance scan ends in a rank-pushed top-C
+    * ([[q194PoolPlan]]), and all C·(C−1) pool similarities compute
+    * distributed ([[q194SimsPlan]]). The greedy selection itself is
+    * O(M·C) over those ≤ C+C² already-reduced rows — a bounded panel
+    * read (the q74 centroid-literal discipline: constant-size by
+    * construction, independent of corpus size), never a corpus
+    * collect. At 100 TB only the pool scan changes (the q44 IVF index
+    * replaces the exact leg); the MMR stage is corpus-size-blind.
+    *
+    * Float discipline: rel and sim are 6-dp-rounded engine cosines;
+    * the greedy recombines them with the same two double literals the
+    * oracle uses and rounds the MMR score once; ties break on the
+    * smaller vec_id (both engines' ORDER BY mmr DESC, id). */
+  def q194MmrDiversify(s: SparkSession, dir: String): DataFrame = {
+    val pool = q194PoolPlan(s, dir)
+    val relRows = pool.select("vec_id", "rel").collect()
+    val sim = q194SimsPlan(pool).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val relMap = relRows.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val remaining = scala.collection.mutable.LinkedHashSet(
+      relRows.map(_.getLong(0)).sorted: _*)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Double, Double, Double)]
+    var k = 1
+    while (k <= MmrSelM && remaining.nonEmpty) {
+      val (mmr, ms, id) = remaining.iterator.map { d =>
+        val m =
+          if (out.isEmpty) 0.0
+          else out.iterator.map(sel => sim((d, sel._2))).max
+        (r6(MmrLambda * relMap(d) - MmrOneMinusLambda * m), m, d)
+      }.maxBy { case (m, _, d) => (m, -d) }
+      out += ((k.toLong, id, relMap(id), ms, mmr))
+      remaining -= id
+      k += 1
+    }
+    import s.implicits._
+    out.toSeq.toDF("sel_rank", "doc_id", "rel", "max_sim", "mmr")
+  }
+
+  /** Unrolled greedy: step k's CTE picks argmax MMR over the pool
+    * minus steps 1..k−1 — a loop in the generator, not the engine.
+    * pool/sims/s_k are MATERIALIZED: each step references every
+    * earlier step twice (the NOT-IN and the max-sim subquery), so
+    * default CTE inlining re-expands the whole chain — and the
+    * parquet scan under it — combinatorially (observed as an
+    * fd-exhaustion failure at M=10 before materialization). */
+  val q194Sql: String = {
+    val steps = (2 to MmrSelM).map { k =>
+      val prev = (1 until k).map(j => s"SELECT vec_id FROM s$j")
+        .mkString(" UNION ALL ")
+      s"""s$k AS MATERIALIZED (
+         |  SELECT p.vec_id, p.rel, ms.max_sim,
+         |    round($MmrLambda * p.rel - $MmrOneMinusLambda * ms.max_sim, 6)
+         |      AS mmr
+         |  FROM pool p JOIN (
+         |    SELECT a AS vec_id, max(sim) AS max_sim
+         |    FROM sims WHERE b IN ($prev) GROUP BY a) ms USING (vec_id)
+         |  WHERE p.vec_id NOT IN ($prev)
+         |  ORDER BY mmr DESC, p.vec_id LIMIT 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to MmrSelM).map(k =>
+      s"""SELECT CAST($k AS BIGINT) AS sel_rank,
+         |  CAST(vec_id AS BIGINT) AS doc_id, rel, max_sim, mmr
+         |FROM s$k""".stripMargin).mkString("\nUNION ALL\n")
+    s"""WITH d AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), en AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM d
+       |), q AS (SELECT v, nrm FROM en WHERE vec_id = $MmrQueryId),
+       |relv AS (
+       |  SELECT a.vec_id,
+       |    round(coalesce(list_sum([a.v[i] * q.v[i] for i in
+       |      range(1, $Dim + 1)]) / (a.nrm * q.nrm), 0.0), 6) AS rel
+       |  FROM en a CROSS JOIN q WHERE a.vec_id <> $MmrQueryId
+       |), pool AS MATERIALIZED (
+       |  SELECT vec_id, rel FROM (
+       |    SELECT vec_id, rel,
+       |      row_number() OVER (ORDER BY rel DESC, vec_id) AS rn FROM relv)
+       |  WHERE rn <= $MmrPoolC
+       |), pv AS MATERIALIZED (
+       |  SELECT en.vec_id, en.v, en.nrm FROM en JOIN pool USING (vec_id)
+       |), sims AS MATERIALIZED (
+       |  SELECT a.vec_id AS a, b.vec_id AS b,
+       |    round(coalesce(list_sum([a.v[i] * b.v[i] for i in
+       |      range(1, $Dim + 1)]) / (a.nrm * b.nrm), 0.0), 6) AS sim
+       |  FROM pv a JOIN pv b ON a.vec_id <> b.vec_id
+       |), s1 AS MATERIALIZED (
+       |  SELECT vec_id, rel, CAST(0.0 AS DOUBLE) AS max_sim,
+       |    round($MmrLambda * rel - $MmrOneMinusLambda * 0.0, 6) AS mmr
+       |  FROM pool ORDER BY
+       |    round($MmrLambda * rel - $MmrOneMinusLambda * 0.0, 6) DESC, vec_id
+       |  LIMIT 1
+       |),
+       |$steps
+       |$union
+       |ORDER BY sel_rank""".stripMargin
+  }
+
+  // ------------------------------- q195 centroid silhouette (cluster QA)
+
+  /** q195: SIMPLIFIED (CENTROID-BASED) SILHOUETTE — the standard
+    * cluster-validity index over the labeled embedding space, the
+    * geometry-quality companion to q152's integrity audit and the
+    * per-point contrast q42 (cohesion) and q102 (separation) only
+    * report in aggregate: for each point, a = cosine distance to its
+    * OWN label centroid, b = distance to the nearest OTHER centroid,
+    * s = (b − a) / max(a, b) ∈ [−1, 1]. Negative s = the point sits
+    * closer to a foreign centroid — an encoder or labeling defect the
+    * per-label `neg_frac` surfaces directly.
+    *
+    * Scale shape: centroids come from [[labelCentroids]]' one
+    * aggregation (exact DECIMAL means, shared with q42/q44/q102),
+    * collapse to a single |labels|-row broadcast list, and every
+    * per-point score is then ONE map-side pass over that literal-like
+    * array (a HOF over the broadcast struct list — no |labels|×
+    * fan-out join, no per-point shuffle); the only exchange after the
+    * centroid agg is the final |labels|-row label agg. Single-label
+    * corpora pin b := a (s = 0) rather than NULL — the convention
+    * both engines share. */
+  def q195Silhouette(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+      .select(col("vec_id"), col("label"), col("embedding").as("v"))
+    val centn = labelCentroids(e)
+      .select(col("label").as("l"), col("centroid").as("c"),
+        norm(col("centroid")).as("cn"))
+    val cents = centn.agg(collect_list(struct(col("l"), col("c"),
+      col("cn"))).as("cents"))
+    val cosArr = transform(col("cents"), cs =>
+      struct(cs.getField("l").as("l"),
+        round(cosSim(dot(col("v"), cs.getField("c")), col("nrm"),
+          cs.getField("cn")), 6).as("cos")))
+    val scored = e.withColumn("nrm", norm(col("v")))
+      .crossJoin(broadcast(cents))
+      .withColumn("carr", cosArr)
+      .withColumn("own", element_at(
+        filter(col("carr"), x => x.getField("l") === col("label")), 1)
+        .getField("cos"))
+      .withColumn("bo", coalesce(array_max(transform(
+        filter(col("carr"), x => x.getField("l") =!= col("label")),
+        x => x.getField("cos"))), col("own")))
+      .withColumn("a", round(lit(1.0) - col("own"), 6))
+      .withColumn("b", round(lit(1.0) - col("bo"), 6))
+      .withColumn("sil", when(greatest(col("a"), col("b")) > 0,
+        round((col("b") - col("a")) / greatest(col("a"), col("b")), 6))
+        .otherwise(lit(0.0)))
+    scored.groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        (sum(col("sil").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double") / count(lit(1))).as("mean_sil"),
+        (sum(when(col("sil") < 0, 1L).otherwise(0L)).cast("double") /
+          count(lit(1))).as("neg_frac"),
+        (sum(col("a").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double") / count(lit(1))).as("mean_a"),
+        (sum(col("b").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double") / count(lit(1))).as("mean_b"))
+      .orderBy("label")
+  }
+
+  /** Oracle twin: the same numbers through the plain-SQL join
+    * formulation (point × |labels| centroids → per-point argmax) —
+    * the un-fused shape the Spark HOF pass avoids at scale. */
+  val q195Sql: String =
+    s"""WITH $centCte, centn AS (
+       |  SELECT label AS clabel, centroid,
+       |    sqrt(list_sum(list_transform(centroid, x -> x * x))) AS cn
+       |  FROM cent
+       |), pt AS (
+       |  SELECT vec_id, label, v,
+       |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM d
+       |), pc AS (
+       |  SELECT pt.vec_id, pt.label, centn.clabel,
+       |    round(coalesce(list_sum([pt.v[i] * centn.centroid[i] for i in
+       |      range(1, $Dim + 1)]) / (pt.nrm * centn.cn), 0.0), 6) AS cos
+       |  FROM pt CROSS JOIN centn
+       |), ab AS (
+       |  SELECT vec_id, label,
+       |    round(1.0 - max(CASE WHEN clabel = label THEN cos END), 6) AS a,
+       |    round(1.0 - coalesce(max(CASE WHEN clabel <> label THEN cos END),
+       |      max(CASE WHEN clabel = label THEN cos END)), 6) AS b
+       |  FROM pc GROUP BY vec_id, label
+       |), sil AS (
+       |  SELECT label, a, b,
+       |    CASE WHEN greatest(a, b) > 0
+       |      THEN round((b - a) / greatest(a, b), 6) ELSE 0.0 END AS s
+       |  FROM ab
+       |)
+       |SELECT label, count(*) AS n,
+       |  CAST(sum(CAST(s AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean_sil,
+       |  CAST(sum(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+       |    AS neg_frac,
+       |  CAST(sum(CAST(a AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean_a,
+       |  CAST(sum(CAST(b AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean_b
+       |FROM sil GROUP BY label ORDER BY label""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_cosine_topk" -> (q40CosineTopk _),
     "q41_ann_lsh" -> (q41AnnLsh _),
@@ -2220,7 +2478,9 @@ object VectorOps {
     "q102_label_separation" -> (q102LabelSeparation _),
     "q158_label_prop" -> (q158LabelProp _),
     "q109_jl_projection" -> (q109JlProjection _),
-    "q184_hard_negatives" -> (q184HardNegatives _)
+    "q184_hard_negatives" -> (q184HardNegatives _),
+    "q194_mmr_diversify" -> (q194MmrDiversify _),
+    "q195_silhouette" -> (q195Silhouette _)
   )
 
   /** Every entry is oracle-checked, including the adaptive ANN paths
@@ -2247,7 +2507,9 @@ object VectorOps {
     "q84_pq_adc_recall" -> q84Sql,
     "q89_ivfpq_recall" -> q89Sql,
     "q125_confusion_matrix" -> q125Sql,
-    "q184_hard_negatives" -> q184Sql
+    "q184_hard_negatives" -> q184Sql,
+    "q194_mmr_diversify" -> q194Sql,
+    "q195_silhouette" -> q195Sql
   )
 
   // ---------------------------------------------- q125 confusion matrix

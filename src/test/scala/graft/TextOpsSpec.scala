@@ -460,4 +460,32 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Long]("n_neardup_clusters") <= r.getAs[Long]("n_neardup_docs"))
     assert(r.getAs[Double]("keep_ratio") > 0.0 && r.getAs[Double]("keep_ratio") <= 1.0)
   }
+
+  test("q196: half-split language cross-tab equals a brute-force recompute") {
+    val langs = TextOps.LangMarkers
+    def predict(toks: Array[String]): String = {
+      val cnt = langs.map { case (l, ws) =>
+        l -> toks.count(ws.contains(_)).toLong
+      }
+      val mx = cnt.map(_._2).max
+      cnt.find { case (_, c) => c > 0 && c == mx }.map(_._1).getOrElse("und")
+    }
+    val want = spark.read.parquet(s"$dir/documents.parquet")
+      .select("text").collect().map { r =>
+        val w = r.getString(0).split("\\s+", -1)
+        val h = w.length / 2
+        (predict(w.take(h)), predict(w.drop(h)))
+      }
+      .groupBy(identity).map { case ((a, b), rows) =>
+        (a, b, rows.length.toLong, a != b)
+      }.toSeq.sortBy(t => (t._1, t._2))
+    val got = TextOps.q196CodeSwitch(spark, dir).collect()
+      .map(r => (r.getAs[String]("head_lang"), r.getAs[String]("tail_lang"),
+        r.getAs[Long]("n"), r.getAs[Boolean]("switched")))
+    assert(got.toSeq == want,
+      "cross-tab must match the per-doc half-split recompute")
+    // total mass equals the corpus: every document lands in one cell
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(got.map(_._3).sum == nDocs)
+  }
 }
