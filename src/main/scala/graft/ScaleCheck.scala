@@ -364,7 +364,16 @@ object ScaleCheck {
     // and hence the graph — is UNCHANGED at 10×: the drill verifies
     // the distinct-collapse absorbs replicated traffic (flat wall),
     // not wedge-volume growth, which PERF.md §3 analyzes separately
-    "q193_neighbor_jaccard")
+    "q193_neighbor_jaccard",
+    // MMR: only the rank-pushed top-C relevance scan touches the
+    // corpus; the greedy is a bounded panel (≤ C+C² rows) at any size
+    "q194_mmr_diversify",
+    // silhouette: one centroid agg + a map-side HOF pass over the
+    // broadcast centroid list + the |labels|-row agg — pure linear
+    "q195_silhouette",
+    // code-switch: the q31 shape — slices of one tokenization, fused
+    // argmaxes, one partial-agged cross-tab
+    "q196_code_switch")
   // q192 (margin alignment) is EXCLUDED from the default drill for
   // the q40 reason: its X×Y similarity pass is the DECLARED exact
   // baseline, so the 4× vector set multiplies the pair space ×16 by
