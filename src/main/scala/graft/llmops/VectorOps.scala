@@ -229,7 +229,7 @@ object VectorOps {
     * bucket every vector into `Tables` hash tables, probe own bucket +
     * single-bit flips on the query side, and emit the deduped
     * (vec_id, neighbor_id, sim) candidate set ([[lshPairSims]]). */
-  private def lshTopkPairsPlan(s: SparkSession, dir: String, planes: Int): DataFrame = {
+  private[graft] def lshTopkPairsPlan(s: SparkSession, dir: String, planes: Int): DataFrame = {
     val e = emb(s, dir).select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", norm(col("v")))
     val withBuckets = withBucketCols(e, planes, Tables)
@@ -2460,6 +2460,336 @@ object VectorOps {
        |  CAST(sum(CAST(b AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean_b
        |FROM sil GROUP BY label ORDER BY label""".stripMargin
 
+  // ------------------------------- q197 semantic decontamination report
+
+  /** Benchmark-panel size (eval sets are small by nature — the panel
+    * broadcasts at any corpus scale). */
+  val EvalPanelN = 40
+  /** Flagging threshold on max cosine to the panel. On the synthetic
+    * fixture the max-similarity tail tops out near 0.49 (no planted
+    * eval twins), so the threshold sits at the 99.9th percentile to
+    * exercise the flag path; production text embeddings run ~0.95. */
+  val SemDeconThresh = 0.45
+
+  /** q197: SEMANTIC DECONTAMINATION — the embedding-space upgrade of
+    * q59/q87's shingle decontamination: flag training documents whose
+    * embedding is suspiciously close to ANY benchmark/eval embedding
+    * (paraphrased leakage that n-gram overlap misses). Panel = the
+    * first [[EvalPanelN]] vectors by vec_id (the q184 anchor
+    * convention standing in for a real eval suite); for every other
+    * document, max cosine over the panel; report per source: corpus
+    * mass, flagged mass at [[SemDeconThresh]], and the max/mean of
+    * the max-similarity distribution (the evidence a threshold sweep
+    * would re-cut).
+    *
+    * Scale shape: the panel BROADCASTS (eval sets are small by
+    * construction); the corpus side is one linear scan with map-side
+    * max-reduction — the per-doc groupBy is partial-agged, and the
+    * final agg is |sources| rows. No corpus×corpus pass anywhere; at
+    * 100 TB this is exactly the q184 panel discipline. */
+  def q197SemanticDecon(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val panel = e.orderBy("vec_id").limit(EvalPanelN)
+      .select(col("vec_id").as("p_id"), col("v").as("pv"),
+        col("nrm").as("pn"))
+    val train = e.join(broadcast(panel.select("p_id")),
+      col("vec_id") === col("p_id"), "left_anti")
+    val mx = train.crossJoin(broadcast(panel))
+      .select(col("vec_id"),
+        round(cosSim(dot(col("v"), col("pv")), col("nrm"), col("pn")), 6)
+          .as("sim"))
+      .groupBy("vec_id").agg(max("sim").as("max_sim"))
+    val src = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").as("vec_id"), col("source"))
+    mx.join(src, Seq("vec_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("max_sim") >= SemDeconThresh, 1L).otherwise(0L))
+          .as("n_flagged"),
+        max("max_sim").as("max_max_sim"),
+        (sum(col("max_sim").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double") / count(lit(1))).as("mean_max_sim"))
+      .orderBy("source")
+  }
+
+  val q197Sql: String =
+    s"""WITH d AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM d
+       |), p AS (
+       |  SELECT vec_id AS p_id, v AS pv, nrm AS pn FROM n
+       |  ORDER BY vec_id LIMIT $EvalPanelN
+       |), mx AS (
+       |  SELECT t.vec_id,
+       |    max(round(coalesce(list_sum([t.v[i] * p.pv[i] for i in
+       |      range(1, $Dim + 1)]) / (t.nrm * p.pn), 0.0), 6)) AS max_sim
+       |  FROM n t CROSS JOIN p
+       |  WHERE t.vec_id NOT IN (SELECT p_id FROM p)
+       |  GROUP BY t.vec_id
+       |)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN max_sim >= $SemDeconThresh THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_flagged,
+       |  max(max_sim) AS max_max_sim,
+       |  CAST(sum(CAST(max_sim AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+       |    AS mean_max_sim
+       |FROM mx JOIN documents ON mx.vec_id = documents.doc_id
+       |GROUP BY source ORDER BY source""".stripMargin
+
+  // --------------------------------- q198 rank-aware ANN eval (nDCG/MRR)
+
+  /** Literal 1/log2(rank+1) discounts, interpolated into BOTH engines
+    * as the same double constants — Spark's Log2 (Math.log/Math.log 2)
+    * and DuckDB's std::log2 are different libm routines that may
+    * differ in the last ulp, so neither engine computes the log at
+    * query time. */
+  val DcgInvLog2: IndexedSeq[Double] =
+    (1 to TopK).map(r => 1.0 / (math.log(r + 1.0) / math.log(2.0)))
+
+  /** q198: RANK-AWARE ANN QUALITY (nDCG@k + MRR) — recall (q47/q61)
+    * counts set overlap; this certifies ORDER: per query, DCG over the
+    * LSH ranking with graded gain = clamped true cosine, normalized by
+    * the ideal (exact-top-k) DCG, plus the mean reciprocal rank of the
+    * first exact-top-k hit. The standard IR pair of numbers an index
+    * rollout gates on when "found the right 5" is not enough and
+    * "found the best one FIRST" is the product contract.
+    *
+    * Rides the published artifacts end to end: the exact side is
+    * [[exactTopk]]'s persisted baseline, the approx side is the
+    * [[lshPairCache]] fixed-geometry pair set (the q47 cert key
+    * discipline) — the eval itself adds only two ≤ k-row-per-query
+    * aggregations and one |1|-row reduction. Gains clamp at 0
+    * (anti-similar neighbors are irrelevant, not negatively relevant,
+    * keeping IDCG monotone); per-query sums ride DECIMAL(18,6) over
+    * 6-dp-rounded contributions; zero-IDCG queries pin nDCG = 0, and
+    * no-hit queries contribute reciprocal rank 0 — both engines, same
+    * pins. Empty corpus → the q47 (0, NULL, NULL) shape. */
+  def q198AnnRankEval(s: SparkSession, dir: String): DataFrame = {
+    val d6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val certKey = if (planesFor(nVectors(s, dir)) == RecallPlanes) dir
+                  else s"$dir#cert"
+    val pairs = lshPairCache.get(s, certKey, embSig(dir))(
+      lshTopkPairsPlan(s, dir, RecallPlanes)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    val approx = pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+    val exact = exactTopk(s, dir)
+    def wOf(rank: Column): Column =
+      DcgInvLog2.zipWithIndex.foldLeft(lit(0.0)) { case (acc, (wv, i)) =>
+        when(rank === (i + 1), lit(wv)).otherwise(acc)
+      }
+    def contrib(sim: Column, rank: Column): Column =
+      round(greatest(sim, lit(0.0)) * wOf(rank), 6).cast(d6)
+    val idcg = exact.groupBy("vec_id")
+      .agg(sum(contrib(col("sim"), col("rank"))).as("idcg"))
+    val dcg = approx.groupBy("vec_id")
+      .agg(sum(contrib(col("sim"), col("rank"))).as("dcg"))
+    val firstHit = approx
+      .join(exact.select("vec_id", "neighbor_id"), Seq("vec_id", "neighbor_id"))
+      .groupBy("vec_id").agg(min("rank").as("first_hit"))
+    idcg.join(dcg, Seq("vec_id"), "left")
+      .join(firstHit, Seq("vec_id"), "left")
+      .select(
+        when(col("idcg").cast("double") > 0,
+          round(coalesce(col("dcg").cast("double"), lit(0.0)) /
+            col("idcg").cast("double"), 6)).otherwise(lit(0.0)).as("ndcg"),
+        coalesce(round(lit(1.0) / col("first_hit"), 6), lit(0.0)).as("rr"))
+      .agg(count(lit(1)).as("n_queries"),
+        when(count(lit(1)) > 0,
+          sum(col("ndcg").cast(d6)).cast("double") / count(lit(1)))
+          .as("mean_ndcg"),
+        when(count(lit(1)) > 0,
+          sum(col("rr").cast(d6)).cast("double") / count(lit(1))).as("mrr"))
+  }
+
+  def q198Sql: String = {
+    val flips = probeMasks(RecallPlanes, 1).mkString(", ")
+    val wCase = DcgInvLog2.zipWithIndex
+      .map { case (wv, i) => s"WHEN ${i + 1} THEN $wv" }
+      .mkString("CASE rank ", " ", " ELSE 0.0 END")
+    s"""WITH d AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM d
+       |), buckets AS (
+       |  ${sqlBucketRows(RecallPlanes)}
+       |), probes AS (
+       |  SELECT vec_id, v, nrm, tbl, xor(bucket, flip) AS bucket
+       |  FROM buckets CROSS JOIN (SELECT unnest([$flips]) AS flip)
+       |), cand AS (
+       |  SELECT DISTINCT q.vec_id, c.vec_id AS neighbor_id,
+       |    round(coalesce(list_sum([q.v[i] * c.v[i] for i in range(1, $Dim + 1)])
+       |          / (q.nrm * c.nrm), 0.0), 6) AS sim
+       |  FROM probes q JOIN buckets c ON q.tbl = c.tbl AND q.bucket = c.bucket
+       |    AND q.vec_id <> c.vec_id
+       |), approx AS MATERIALIZED (
+       |  SELECT vec_id, neighbor_id, sim, rank FROM (
+       |    SELECT vec_id, neighbor_id, sim,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY sim DESC, neighbor_id) AS rank
+       |    FROM cand)
+       |  WHERE rank <= $TopK
+       |), sims AS (
+       |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+       |    round(coalesce(list_sum([a.v[i] * b.v[i] for i in range(1, $Dim + 1)])
+       |          / (a.nrm * b.nrm), 0.0), 6) AS sim
+       |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+       |), exact AS MATERIALIZED (
+       |  SELECT vec_id, neighbor_id, sim, rank FROM (
+       |    SELECT vec_id, neighbor_id, sim,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY sim DESC, neighbor_id) AS rank
+       |    FROM sims)
+       |  WHERE rank <= $TopK
+       |), idcg AS (
+       |  SELECT vec_id,
+       |    sum(CAST(round(greatest(sim, 0.0) * ($wCase), 6)
+       |      AS DECIMAL(18,6))) AS idcg
+       |  FROM exact GROUP BY vec_id
+       |), dcg AS (
+       |  SELECT vec_id,
+       |    sum(CAST(round(greatest(sim, 0.0) * ($wCase), 6)
+       |      AS DECIMAL(18,6))) AS dcg
+       |  FROM approx GROUP BY vec_id
+       |), fh AS (
+       |  SELECT a.vec_id, min(a.rank) AS first_hit
+       |  FROM approx a JOIN exact e
+       |    ON a.vec_id = e.vec_id AND a.neighbor_id = e.neighbor_id
+       |  GROUP BY a.vec_id
+       |), perq AS (
+       |  SELECT
+       |    CASE WHEN CAST(idcg AS DOUBLE) > 0
+       |      THEN round(coalesce(CAST(dcg AS DOUBLE), 0.0)
+       |        / CAST(idcg AS DOUBLE), 6)
+       |      ELSE 0.0 END AS ndcg,
+       |    coalesce(round(1.0 / first_hit, 6), 0.0) AS rr
+       |  FROM idcg LEFT JOIN dcg USING (vec_id) LEFT JOIN fh USING (vec_id)
+       |)
+       |SELECT count(*) AS n_queries,
+       |  CASE WHEN count(*) > 0 THEN
+       |    CAST(sum(CAST(ndcg AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+       |  END AS mean_ndcg,
+       |  CASE WHEN count(*) > 0 THEN
+       |    CAST(sum(CAST(rr AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+       |  END AS mrr
+       |FROM perq""".stripMargin
+  }
+
+  // --------------------------- q199 embedding drift between snapshots
+
+  /** q199: EMBEDDING SNAPSHOT DRIFT — the encoder-regression /
+    * corpus-shift monitor run when a new crawl (or a re-embedded
+    * corpus) lands next to the old one: per label, compare the two
+    * snapshots' centroids (cosine — direction drift), centroid-norm
+    * ratio (magnitude drift), and within-snapshot dispersion (mean
+    * cosine of members to their own centroid — concentration drift).
+    * PSI (q175) sees scalar columns; this is its embedding-space
+    * counterpart. Snapshots here: even vec_id = old, odd = new (the
+    * deterministic stand-in for two crawl dates).
+    *
+    * Scale shape: two [[labelCentroids]] aggregations (exact DECIMAL,
+    * the q42/q44/q102 discipline) + one broadcast-join dispersion
+    * pass per snapshot + a |labels|-row full-outer reconciliation —
+    * all map-side until the |labels|-row joins. Labels present in
+    * only one snapshot survive with NULLs on the missing side (the
+    * q106 full-outer audit convention). */
+  def q199EmbedDrift(s: SparkSession, dir: String): DataFrame = {
+    val d6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val e = emb(s, dir).select(col("vec_id"), col("label"),
+      col("embedding").as("v"))
+    def side(rem: Int): (DataFrame, DataFrame) = {
+      val h = e.filter(pmod(col("vec_id"), lit(2)) === rem)
+      val cent = labelCentroids(h.select(col("label"), col("v")))
+      val disp = h.join(broadcast(cent), Seq("label"))
+        .select(col("label"),
+          round(cosSim(dot(col("v"), col("centroid")), norm(col("v")),
+            norm(col("centroid"))), 6).as("c"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          (sum(col("c").cast(d6)).cast("double") / count(lit(1))).as("disp"))
+      (cent, disp)
+    }
+    val (co, do_) = side(0)
+    val (cn, dn) = side(1)
+    val cents = co.select(col("label"), col("centroid").as("c_old"))
+      .join(cn.select(col("label"), col("centroid").as("c_new")),
+        Seq("label"), "full_outer")
+    val stats = do_.select(col("label"), col("n").as("n_old"),
+        col("disp").as("disp_old"))
+      .join(dn.select(col("label"), col("n").as("n_new"),
+        col("disp").as("disp_new")), Seq("label"), "full_outer")
+    cents.join(stats, Seq("label"), "full_outer")
+      .select(col("label"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        round(cosSim(dot(col("c_old"), col("c_new")), norm(col("c_old")),
+          norm(col("c_new"))), 6).as("centroid_cos"),
+        when(norm(col("c_old")) > 0,
+          round(norm(col("c_new")) / norm(col("c_old")), 6))
+          .as("norm_ratio"),
+        col("disp_old"), col("disp_new"),
+        round(col("disp_new") - col("disp_old"), 6).as("disp_delta"))
+      .orderBy("label")
+  }
+
+  /** One snapshot's centroid/dispersion CTE chain (`$p` prefixes the
+    * CTE names; `$rem` selects the half). */
+  private def driftSideSql(p: String, rem: Int): String =
+    s"""${p}d AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings WHERE vec_id % 2 = $rem
+       |), ${p}byidx AS (
+       |  SELECT label, i, v[i] AS x
+       |  FROM ${p}d CROSS JOIN (SELECT unnest(range(1, $Dim + 1)) AS i)
+       |), ${p}cent AS (
+       |  SELECT label, list(c ORDER BY i) AS centroid
+       |  FROM (SELECT label, i,
+       |          CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS c
+       |        FROM ${p}byidx GROUP BY label, i)
+       |  GROUP BY label
+       |), ${p}centn AS (
+       |  SELECT label, centroid,
+       |    sqrt(list_sum(list_transform(centroid, x -> x * x))) AS cn
+       |  FROM ${p}cent
+       |), ${p}disp AS (
+       |  SELECT d.label, count(*) AS n,
+       |    CAST(sum(CAST(round(coalesce(
+       |      list_sum([d.v[i] * c.centroid[i] for i in range(1, $Dim + 1)])
+       |        / (sqrt(list_sum(list_transform(d.v, x -> x * x))) * c.cn),
+       |      0.0), 6) AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS disp
+       |  FROM ${p}d d JOIN ${p}centn c ON d.label = c.label
+       |  GROUP BY d.label
+       |)""".stripMargin
+
+  val q199Sql: String =
+    s"""WITH ${driftSideSql("o", 0)},
+       |${driftSideSql("nw", 1)}
+       |SELECT coalesce(oc.label, nc.label, od.label, nd.label) AS label,
+       |  coalesce(od.n, 0) AS n_old, coalesce(nd.n, 0) AS n_new,
+       |  CASE WHEN oc.cn * nc.cn = 0 THEN 0.0
+       |    ELSE round(
+       |      list_sum([oc.centroid[i] * nc.centroid[i] for i in
+       |        range(1, $Dim + 1)]) / (oc.cn * nc.cn), 6)
+       |    END AS centroid_cos,
+       |  CASE WHEN oc.cn > 0 THEN round(nc.cn / oc.cn, 6) END AS norm_ratio,
+       |  od.disp AS disp_old, nd.disp AS disp_new,
+       |  round(nd.disp - od.disp, 6) AS disp_delta
+       |FROM ocentn oc
+       |FULL OUTER JOIN nwcentn nc ON oc.label = nc.label
+       |FULL OUTER JOIN odisp od ON coalesce(oc.label, nc.label) = od.label
+       |FULL OUTER JOIN nwdisp nd
+       |  ON coalesce(oc.label, nc.label, od.label) = nd.label
+       |ORDER BY label""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_cosine_topk" -> (q40CosineTopk _),
     "q41_ann_lsh" -> (q41AnnLsh _),
@@ -2480,7 +2810,10 @@ object VectorOps {
     "q109_jl_projection" -> (q109JlProjection _),
     "q184_hard_negatives" -> (q184HardNegatives _),
     "q194_mmr_diversify" -> (q194MmrDiversify _),
-    "q195_silhouette" -> (q195Silhouette _)
+    "q195_silhouette" -> (q195Silhouette _),
+    "q197_semantic_decon" -> (q197SemanticDecon _),
+    "q198_ann_rank_eval" -> (q198AnnRankEval _),
+    "q199_embed_drift" -> (q199EmbedDrift _)
   )
 
   /** Every entry is oracle-checked, including the adaptive ANN paths
@@ -2509,7 +2842,10 @@ object VectorOps {
     "q125_confusion_matrix" -> q125Sql,
     "q184_hard_negatives" -> q184Sql,
     "q194_mmr_diversify" -> q194Sql,
-    "q195_silhouette" -> q195Sql
+    "q195_silhouette" -> q195Sql,
+    "q197_semantic_decon" -> q197Sql,
+    "q198_ann_rank_eval" -> q198Sql,
+    "q199_embed_drift" -> q199Sql
   )
 
   // ---------------------------------------------- q125 confusion matrix

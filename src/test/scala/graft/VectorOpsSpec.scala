@@ -425,4 +425,159 @@ class VectorOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.map(_._2).sum ==
       spark.read.parquet(s"$dir/embeddings.parquet").count())
   }
+
+  // ----------------------------------------------------------- q197
+
+  test("q197: per-source decontamination report equals a brute-force recompute") {
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val all = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map { r =>
+        val v = r.getSeq[Float](1).map(_.toDouble).toArray
+        (r.getLong(0), v, math.sqrt(v.map(x => x * x).sum))
+      }.sortBy(_._1)
+    val panel = all.take(VectorOps.EvalPanelN)
+    val train = all.drop(VectorOps.EvalPanelN)
+    def cos(a: (Long, Array[Double], Double), b: (Long, Array[Double], Double)) =
+      if (a._3 * b._3 == 0) 0.0
+      else r6(a._2.zip(b._2).map { case (x, y) => x * y }.sum / (a._3 * b._3))
+    val srcOf = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = train.map(t => (srcOf(t._1), panel.map(cos(t, _)).max))
+      .groupBy(_._1).map { case (src, rows) =>
+        val ms = rows.map(_._2)
+        (src, rows.length.toLong,
+          ms.count(_ >= VectorOps.SemDeconThresh).toLong, ms.max,
+          ms.map(BigDecimal(_).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+            .sum.toDouble / rows.length)
+      }.toSeq.sortBy(_._1)
+    val got = VectorOps.q197SemanticDecon(spark, dir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_flagged"), r.getAs[Double]("max_max_sim"),
+        r.getAs[Double]("mean_max_sim")))
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g._1 == w._1 && g._2 == w._2 && g._3 == w._3, s"$g vs $w")
+      assert(g._4 == w._4 && math.abs(g._5 - w._5) < 1e-9, s"$g vs $w")
+    }
+    // accounting: the report covers exactly the non-panel corpus
+    assert(got.map(_._2).sum == train.length)
+  }
+
+  // ----------------------------------------------------------- q198
+
+  test("q198: nDCG/MRR recompute from the certified rankings matches") {
+    // the RANKINGS are certified elsewhere (q40 brute-force, q47
+    // recall); this spec certifies the METRIC arithmetic: collect both
+    // ranked sides and re-derive nDCG@k / MRR independently
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def d6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val exact = VectorOps.exactTopk(spark, dir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("sim")))
+    val approxAll = VectorOps.lshTopkPairsPlan(spark, dir, VectorOps.RecallPlanes)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("sim")))
+    val approx = approxAll.groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+      rows.sortBy(t => (-t._3, t._2)).take(VectorOps.TopK).zipWithIndex
+        .map { case ((_, n, s), i) => (q, i + 1, n, s) }
+    }
+    def dcgOf(rows: Seq[(Int, Double)]): BigDecimal =
+      rows.map { case (rank, sim) =>
+        d6(math.max(sim, 0.0) * VectorOps.DcgInvLog2(rank - 1))
+      }.sum
+    val exactByQ = exact.groupBy(_._1)
+    val approxByQ = approx.groupBy(_._1)
+    val perQ = exactByQ.toSeq.map { case (q, ex) =>
+      val idcg = dcgOf(ex.map(t => (t._2, t._4)).toSeq)
+      val ap = approxByQ.getOrElse(q, Seq.empty)
+      val dcg = dcgOf(ap.map(t => (t._2, t._4)).toSeq)
+      val exSet = ex.map(_._3).toSet
+      val hit = ap.filter(t => exSet(t._3)).map(_._2)
+      val ndcg = if (idcg.toDouble > 0) r6(dcg.toDouble / idcg.toDouble) else 0.0
+      val rr = if (hit.isEmpty) 0.0 else r6(1.0 / hit.min)
+      (ndcg, rr)
+    }.toSeq
+    val wantN = perQ.size.toLong
+    val wantNdcg = perQ.map(p => d6(p._1)).sum.toDouble / perQ.size
+    val wantMrr = perQ.map(p => d6(p._2)).sum.toDouble / perQ.size
+    val r = VectorOps.q198AnnRankEval(spark, dir).head()
+    assert(r.getAs[Long]("n_queries") == wantN)
+    assert(math.abs(r.getAs[Double]("mean_ndcg") - wantNdcg) < 1e-9)
+    assert(math.abs(r.getAs[Double]("mrr") - wantMrr) < 1e-9)
+    // rank-aware metrics are bounded and consistent with recall: a
+    // perfect-recall index would pin both at 1
+    assert(r.getAs[Double]("mean_ndcg") > 0 && r.getAs[Double]("mean_ndcg") <= 1)
+    assert(r.getAs[Double]("mrr") > 0 && r.getAs[Double]("mrr") <= 1)
+  }
+
+  // ----------------------------------------------------------- q199
+
+  test("q199: snapshot drift equals a brute-force two-half recompute") {
+    def rs(x: Double, s: Int) =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: Double) = rs(x, 6).toDouble
+    val all = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "label", "embedding").collect()
+      .map { r =>
+        val v = r.getSeq[Float](2).map(_.toDouble).toArray
+        (r.getLong(0), r.getInt(1), v)
+      }
+    def centOf(members: Seq[Array[Double]]): (Array[Double], Double) = {
+      val c = (0 until VectorOps.Dim).map { i =>
+        members.map(m => rs(m(i), 12)).sum.toDouble / members.length
+      }.toArray
+      (c, math.sqrt(c.map(x => x * x).sum))
+    }
+    def cosTo(v: Array[Double], c: (Array[Double], Double)) = {
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      if (nrm * c._2 == 0) 0.0
+      else r6(v.zip(c._1).map { case (x, y) => x * y }.sum / (nrm * c._2))
+    }
+    def sideStats(rem: Int) = all.filter(t => t._1 % 2 == rem).groupBy(_._2)
+      .map { case (l, ms) =>
+        val cent = centOf(ms.map(_._3).toSeq)
+        val disp = ms.map(m => rs(cosTo(m._3, cent), 6)).sum.toDouble /
+          ms.length
+        l -> (ms.length.toLong, cent, disp)
+      }
+    val (old, nw) = (sideStats(0), sideStats(1))
+    val got = VectorOps.q199EmbedDrift(spark, dir).collect()
+    assert(got.map(_.getAs[Int]("label")).toSet == (old.keySet ++ nw.keySet))
+    got.foreach { r =>
+      val l = r.getAs[Int]("label")
+      val (no, co) = old.get(l).map(t => (t._1, t._2)).getOrElse((0L, null))
+      val (nn, cn) = nw.get(l).map(t => (t._1, t._2)).getOrElse((0L, null))
+      assert(r.getAs[Long]("n_old") == no && r.getAs[Long]("n_new") == nn)
+      if (co != null && cn != null) {
+        val cc = if (co._2 * cn._2 == 0) 0.0
+          else r6(co._1.zip(cn._1).map { case (x, y) => x * y }.sum /
+            (co._2 * cn._2))
+        assert(r.getAs[Double]("centroid_cos") == cc, s"label $l centroid_cos")
+        assert(r.getAs[Double]("norm_ratio") == r6(cn._2 / co._2))
+        assert(math.abs(r.getAs[Double]("disp_old") - old(l)._3) < 1e-9)
+        assert(math.abs(r.getAs[Double]("disp_new") - nw(l)._3) < 1e-9)
+        assert(r.getAs[Double]("disp_delta") ==
+          r6(nw(l)._3 - old(l)._3))
+      }
+    }
+    // the fixture's labels are weak clusters (the q195 finding), so
+    // ~25-vector half-centroids are direction-noisy — centroid_cos
+    // hovers near 0 here (measured −0.19..0.12 at sf0.001) and the
+    // positivity claim belongs to real clustered corpora. What two
+    // halves of ONE corpus must share is magnitude statistics:
+    assert(got.forall { r =>
+      val cc = r.getAs[Double]("centroid_cos")
+      cc >= -1.0 && cc <= 1.0
+    })
+    assert(got.forall { r =>
+      val nr = r.getAs[Double]("norm_ratio")
+      nr > 0.5 && nr < 2.0
+    })
+  }
 }
