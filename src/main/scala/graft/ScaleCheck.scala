@@ -373,7 +373,20 @@ object ScaleCheck {
     "q195_silhouette",
     // code-switch: the q31 shape — slices of one tokenization, fused
     // argmaxes, one partial-agged cross-tab
-    "q196_code_switch")
+    "q196_code_switch",
+    // semantic decon: the broadcast eval panel never grows with the
+    // corpus; per-doc max is partial-agged, final agg is |sources| rows
+    "q197_semantic_decon",
+    // snapshot drift: two DECIMAL centroid aggs + broadcast dispersion
+    // passes + a |labels|-row reconciliation — linear in vectors
+    "q199_embed_drift")
+  // q198 (rank-aware ANN eval) is EXCLUDED from the default drill with
+  // the certification family (q40/q47/q61 are likewise not default
+  // ops): its warm pass builds the declared-quadratic exact-top-k
+  // artifact (16× pairs on the 4× vector set — 44 s once), which the
+  // round-8 artifact drills already characterize. Measured once via an
+  // explicit arg: timed growth 2.92× on 4× vectors (LSH candidate
+  // density), rides exactTopk + lshPairCache thereafter.
   // q192 (margin alignment) is EXCLUDED from the default drill for
   // the q40 reason: its X×Y similarity pass is the DECLARED exact
   // baseline, so the 4× vector set multiplies the pair space ×16 by
