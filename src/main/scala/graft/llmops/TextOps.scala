@@ -3755,6 +3755,94 @@ object TextOps {
        |GROUP BY head_lang, tail_lang ORDER BY head_lang, tail_lang""".stripMargin
   }
 
+  // ------------------------------ q200 content-defined chunk dedup (CDC)
+
+  /** Boundary divisor: a chunk boundary falls after any token whose
+    * hash ≡ 0 (mod [[CdcMask]]) — expected chunk length ≈ CdcMask
+    * tokens. Content-defined, so an insertion re-synchronizes at the
+    * next boundary instead of shifting every downstream chunk (the
+    * property fixed-size chunking q63 lacks). */
+  val CdcMask = 8L
+
+  /** q200: CONTENT-DEFINED-CHUNKING DEDUP — the storage-dedup
+    * technique (Rabin/LBFS lineage) applied to corpus hygiene:
+    * chunk every document at content-defined token boundaries, hash
+    * each chunk, and measure per document how much of its token mass
+    * lives in chunks that occur elsewhere in the corpus. Catches
+    * SHIFTED duplicate spans that both exact dedup (whole-doc q34)
+    * and fixed-window approaches miss at span granularity, and
+    * complements q107's suffix-style cut lists with an
+    * O(tokens)-work, join-free candidate signal.
+    *
+    * Scale shape: boundary flags are a pure map (one md5 per token,
+    * the q48 hash); chunk ids are ONE per-doc running sum (the
+    * winnowing window discipline — a doc_id exchange, nothing
+    * corpus-wide); chunk assembly is a per-(doc, chunk) aggregation;
+    * the only corpus-wide exchange is the groupBy on the chunk HASH —
+    * a uniform key (content hash) that cannot skew; the copy counts
+    * join back keyed on that same hash. No pair joins anywhere: dup
+    * mass is counted through the copy-count table, never through
+    * pair enumeration. */
+  def q200CdcChunks(s: SparkSession, dir: String): DataFrame = {
+    val wPrev = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val toks = tokenized(s, dir)
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "t")))
+      .withColumn("b",
+        when(baseHash(col("t")) % CdcMask === 0, 1L).otherwise(0L))
+      .withColumn("chunk", coalesce(sum("b").over(wPrev), lit(0L)))
+    val chunks = toks.groupBy(col("doc_id"), col("chunk"))
+      .agg(count(lit(1)).as("c_tokens"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("t")))),
+          x => x.getField("t")), " ")).as("c_hash"))
+    val copies = chunks.groupBy("c_hash").agg(count(lit(1)).as("n_copies"))
+    chunks.join(copies, Seq("c_hash"))
+      .groupBy("doc_id")
+      .agg(sum("c_tokens").as("n_tokens"),
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("dup_chunks"),
+        sum(when(col("n_copies") > 1, col("c_tokens")).otherwise(0L))
+          .as("dup_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("n_chunks"),
+        col("dup_chunks"), col("dup_tokens"),
+        round(col("dup_tokens").cast("double") / col("n_tokens"), 6)
+          .as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  val q200Sql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents
+       |), p AS (
+       |  SELECT doc_id, i - 1 AS pos, w[i] AS t
+       |  FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM tok)
+       |), c AS (
+       |  SELECT doc_id, pos, t,
+       |    coalesce(sum(CASE WHEN ${baseHashSql("t")} % $CdcMask = 0
+       |        THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      0) AS chunk
+       |  FROM p
+       |), ch AS (
+       |  SELECT doc_id, chunk, count(*) AS c_tokens,
+       |    md5(string_agg(t, ' ' ORDER BY pos)) AS c_hash
+       |  FROM c GROUP BY doc_id, chunk
+       |), cp AS (
+       |  SELECT c_hash, count(*) AS n_copies FROM ch GROUP BY c_hash
+       |)
+       |SELECT doc_id, CAST(sum(c_tokens) AS BIGINT) AS n_tokens,
+       |  count(*) AS n_chunks,
+       |  CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS dup_chunks,
+       |  CAST(sum(CASE WHEN n_copies > 1 THEN c_tokens ELSE 0 END) AS BIGINT)
+       |    AS dup_tokens,
+       |  round(CAST(sum(CASE WHEN n_copies > 1 THEN c_tokens ELSE 0 END)
+       |      AS DOUBLE) / sum(c_tokens), 6) AS dup_frac
+       |FROM ch JOIN cp USING (c_hash)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------- registry
 
   // ----------------------------------------- q138 prefix-filtering join
@@ -3956,7 +4044,8 @@ object TextOps {
     "q77_dup_ngrams" -> (q77DupNgramCoverage _),
     "q79_dedup_survivors" -> (q79DedupSurvivors _),
     "q81_bm25" -> (q81Bm25 _),
-    "q196_code_switch" -> (q196CodeSwitch _)
+    "q196_code_switch" -> (q196CodeSwitch _),
+    "q200_cdc_chunks" -> (q200CdcChunks _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -4010,6 +4099,7 @@ object TextOps {
     "q77_dup_ngrams" -> q77Sql,
     "q79_dedup_survivors" -> q79Sql,
     "q81_bm25" -> q81Sql,
-    "q196_code_switch" -> q196Sql
+    "q196_code_switch" -> q196Sql,
+    "q200_cdc_chunks" -> q200Sql
   )
 }

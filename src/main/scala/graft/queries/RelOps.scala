@@ -1655,6 +1655,74 @@ object RelOps {
        |  JOIN deg dv ON c.v = dv.node)
        |WHERE rnk <= $JacTop ORDER BY rnk""".stripMargin
 
+  // --------------------------------- q201 degree assortativity (graph QA)
+
+  /** q201: DEGREE ASSORTATIVITY — Newman's r: the Pearson correlation
+    * of endpoint degrees over every directed link (each undirected
+    * edge counted both ways). The one number that tells a sampling or
+    * partitioning strategy whether hubs attach to hubs (r > 0,
+    * social-graph-like) or to leaves (r < 0, hub-and-spoke) — i.e.
+    * whether the q193 wedge volume concentrates catastrophically or
+    * spreads. Completes the q153 profile (which counts wedges but not
+    * their correlation structure).
+    *
+    * All five moment sums are EXACT integer aggregates (degrees are
+    * small; n·Σd² stays far under 2^63 at any realistic edge count);
+    * the two variance factors compute as longs and multiply as
+    * doubles (their product can exceed 2^63 — the one deliberate
+    * widening, same expression shape in both engines); zero variance
+    * (a degree-regular graph) pins r = NULL in both. Scale shape: the
+    * degree table broadcasts onto the edge list, then ONE scalar
+    * aggregation — linear in edges after the shared edge build. */
+  def q201Assortativity(s: SparkSession, dir: String): DataFrame = {
+    val e0 = cooccurEdges(s, dir)
+    val adj = e0.select(col("x").as("a"), col("y").as("b"))
+      .unionAll(e0.select(col("y").as("a"), col("x").as("b")))
+    val deg = adj.groupBy(col("a").as("node")).agg(count(lit(1)).as("d"))
+    val j = adj
+      .join(broadcast(deg.select(col("node").as("a"), col("d").as("da"))),
+        Seq("a"))
+      .join(broadcast(deg.select(col("node").as("b"), col("d").as("db"))),
+        Seq("b"))
+    j.agg(count(lit(1)).as("n"),
+        sum("da").as("sx"), sum("db").as("sy"),
+        sum(col("da") * col("db")).as("sxy"),
+        sum(col("da") * col("da")).as("sxx"),
+        sum(col("db") * col("db")).as("syy"))
+      .select(col("n").as("n_links"),
+        when((col("n") * col("sxx") - col("sx") * col("sx")) =!= 0 &&
+            (col("n") * col("syy") - col("sy") * col("sy")) =!= 0,
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+                .cast("double") *
+              (col("n") * col("syy") - col("sy") * col("sy")).cast("double")),
+            6)).as("assortativity"))
+  }
+
+  val q201Sql: String =
+    s"""WITH $cooccurEdgesSql,
+       |adj AS (
+       |  SELECT x AS a, y AS b FROM e0
+       |  UNION ALL
+       |  SELECT y AS a, x AS b FROM e0
+       |), deg AS (
+       |  SELECT a AS node, count(*) AS d FROM adj GROUP BY 1
+       |), m AS (
+       |  SELECT count(*) AS n, sum(da.d) AS sx, sum(db.d) AS sy,
+       |    sum(da.d * db.d) AS sxy, sum(da.d * da.d) AS sxx,
+       |    sum(db.d * db.d) AS syy
+       |  FROM adj
+       |  JOIN deg da ON adj.a = da.node
+       |  JOIN deg db ON adj.b = db.node
+       |)
+       |SELECT CAST(n AS BIGINT) AS n_links,
+       |  CASE WHEN n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0
+       |    THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+       |      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+       |        * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+       |  END AS assortativity
+       |FROM m""".stripMargin
+
   // --------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1682,7 +1750,8 @@ object RelOps {
     "q135_profile" -> (q135Profile _),
     "q136_benford" -> (q136Benford _),
     "q153_graph_profile" -> (q153GraphProfile _),
-    "q193_neighbor_jaccard" -> (q193NeighborJaccard _)
+    "q193_neighbor_jaccard" -> (q193NeighborJaccard _),
+    "q201_assortativity" -> (q201Assortativity _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -1710,6 +1779,7 @@ object RelOps {
     "q135_profile" -> q135Sql,
     "q136_benford" -> q136Sql,
     "q153_graph_profile" -> q153Sql,
-    "q193_neighbor_jaccard" -> q193Sql
+    "q193_neighbor_jaccard" -> q193Sql,
+    "q201_assortativity" -> q201Sql
   )
 }

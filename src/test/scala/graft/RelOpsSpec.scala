@@ -215,6 +215,37 @@ class RelOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"q193 must generate candidates only through the neighbor-key join, got:\n$plan")
   }
 
+  // --------------------------------------------------------------- q201
+
+  test("q201: assortativity equals the brute-force Pearson over directed links") {
+    val dir = "/root/testdata/sf0.01"
+    val edges = graft.queries.RelOps.cooccurEdges(spark, dir).collect()
+      .map(r => (r.getAs[Long]("x"), r.getAs[Long]("y")))
+    val adj = edges ++ edges.map(e => (e._2, e._1))
+    val deg = adj.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val links = adj.map { case (a, b) => (deg(a), deg(b)) }
+    val n = links.length.toLong
+    val (sx, sy) = (links.map(_._1).sum, links.map(_._2).sum)
+    val sxy = links.map(l => l._1 * l._2).sum
+    val (sxx, syy) = (links.map(l => l._1 * l._1).sum,
+      links.map(l => l._2 * l._2).sum)
+    val vx = n * sxx - sx * sx
+    val vy = n * syy - sy * sy
+    val want =
+      if (vx == 0 || vy == 0) None
+      else Some(BigDecimal((n * sxy - sx * sy).toDouble /
+        math.sqrt(vx.toDouble * vy.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val r = RelOps.q201Assortativity(spark, dir).head()
+    assert(r.getAs[Long]("n_links") == n)
+    val gotR = Option(r.getAs[java.lang.Double]("assortativity"))
+      .map(_.doubleValue)
+    assert(gotR == want, s"assortativity $gotR != brute force $want")
+    // the co-occurrence graph has non-trivial degree structure: the
+    // correlation must be defined and within Pearson bounds
+    assert(want.isDefined && want.get >= -1.0 && want.get <= 1.0)
+  }
+
   // --------------------------------------------------------------- q117
 
   test("q117: output is exactly the non-dominated set") {

@@ -488,4 +488,48 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
     assert(got.map(_._3).sum == nDocs)
   }
+
+  test("q200: CDC chunk dedup equals a brute-force recompute") {
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def h60(tok: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (BigInt(hex.take(15), 16) % TextOps.MinhashP).toLong
+    }
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val chunked = docs.map { case (id, text) =>
+      val w = text.split("\\s+", -1)
+      val chunks = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer.empty[String])
+      w.foreach { t =>
+        chunks.last += t
+        if (h60(t) % TextOps.CdcMask == 0)
+          chunks += scala.collection.mutable.ArrayBuffer.empty[String]
+      }
+      // a trailing boundary opens an empty chunk that never receives
+      // a token — it has no rows in the engine's per-position frame
+      id -> chunks.filter(_.nonEmpty).map(_.toSeq).toSeq
+    }
+    val copyCount = chunked.flatMap(_._2).map(_.mkString(" "))
+      .groupBy(identity).map { case (k, v) => k -> v.length }
+    val want = chunked.map { case (id, chs) =>
+      val dup = chs.filter(c => copyCount(c.mkString(" ")) > 1)
+      val nTok = chs.map(_.length).sum
+      (id, nTok.toLong, chs.length.toLong, dup.length.toLong,
+        dup.map(_.length).sum.toLong,
+        r6(dup.map(_.length).sum.toDouble / nTok))
+    }.sortBy(_._1)
+    val got = TextOps.q200CdcChunks(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_chunks"), r.getAs[Long]("dup_chunks"),
+        r.getAs[Long]("dup_tokens"), r.getAs[Double]("dup_frac")))
+    assert(got.toSeq == want.toSeq)
+    // content-defined boundaries must actually split: average chunk
+    // length should be near CdcMask, not one-chunk-per-doc
+    val totalChunks = got.map(_._3).sum
+    assert(totalChunks > got.length, "chunking must split documents")
+  }
 }
