@@ -379,7 +379,13 @@ object ScaleCheck {
     "q197_semantic_decon",
     // snapshot drift: two DECIMAL centroid aggs + broadcast dispersion
     // passes + a |labels|-row reconciliation — linear in vectors
-    "q199_embed_drift")
+    "q199_embed_drift",
+    // CDC dedup: map-side boundaries, one per-doc running sum, one
+    // uniform-key (content hash) exchange — no pair joins
+    "q200_cdc_chunks",
+    // assortativity: broadcast degree joins + one scalar agg; rides
+    // the q193 distinct-collapse on the replicated drill corpus
+    "q201_assortativity")
   // q198 (rank-aware ANN eval) is EXCLUDED from the default drill with
   // the certification family (q40/q47/q61 are likewise not default
   // ops): its warm pass builds the declared-quadratic exact-top-k
