@@ -339,7 +339,8 @@ object Bench {
       "q191_rrf_fusion", "q192_margin_align", "q193_neighbor_jaccard",
       "q194_mmr_diversify", "q195_silhouette", "q196_code_switch",
       "q197_semantic_decon", "q198_ann_rank_eval", "q199_embed_drift",
-      "q200_cdc_chunks", "q201_assortativity")
+      "q200_cdc_chunks", "q201_assortativity",
+      "q202_source_sketch_jaccard")
     // shingle-index misses during TIMED passes only (warm passes are
     // expected to build it once per session+dir)
     var timedIndexMisses = 0L

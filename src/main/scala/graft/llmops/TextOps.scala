@@ -3843,6 +3843,107 @@ object TextOps {
        |FROM ch JOIN cp USING (c_hash)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------------- q202 source-level sketch-Jaccard certification
+
+  /** q202: SOURCE-LEVEL MINHASH JACCARD, CERTIFIED — corpus-to-corpus
+    * similarity from SIGNATURES alone: a source's MinHash signature is
+    * the component-wise MIN of its documents' signatures (MinHash of a
+    * union = min of MinHashes — the mergeability that lets 100 TB
+    * corpora compare via K integers each, no shingle sets shipped),
+    * J(a,b) estimated as the fraction of matching components, then
+    * CERTIFIED against the exact distinct-shingle-set Jaccard the
+    * estimate converges to. The sketch-vs-exact pattern of the ANN
+    * certs (q47/q61) applied to the q36 signature artifact.
+    *
+    * Scale shape: the estimate side is a groupBy over the persisted
+    * per-doc signature table ([[sigCache]]) to |sources| rows and a
+    * broadcast-sized self-join; the exact side (only computable at
+    * gate SF, which is the point of a certification) joins the
+    * distinct (source, shingle) projection on the shingle key —
+    * the q35 inverted-index discipline, never source×source set
+    * materialization. */
+  def q202SourceSketchJaccard(s: SparkSession, dir: String): DataFrame = {
+    val src = docs(s, dir).select(col("doc_id"), col("source"))
+    val srcSig = minhashSigs(s, dir).join(src, Seq("doc_id"))
+      .groupBy("source")
+      .agg(min(col("m0")).as("m0"),
+        (1 until MinhashK).map(j => min(col(s"m$j")).as(s"m$j")): _*)
+    val est = srcSig.as("a").join(broadcast(srcSig.as("b")),
+        col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+        (0 until MinhashK).map(j =>
+          when(col(s"a.m$j") === col(s"b.m$j"), 1L).otherwise(0L))
+          .reduce(_ + _).as("n_match"))
+    val ss = shingles(s, dir).join(src, Seq("doc_id"))
+      .select("source", "shingle").distinct()
+    val sizes = ss.groupBy("source").agg(count(lit(1)).as("n"))
+    val inter = ss.as("x").join(ss.as("y"),
+        col("x.shingle") === col("y.shingle") &&
+          col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    est.join(inter, Seq("src_a", "src_b"), "left")
+      .join(broadcast(sizes.select(col("source").as("src_a"),
+        col("n").as("na"))), Seq("src_a"))
+      .join(broadcast(sizes.select(col("source").as("src_b"),
+        col("n").as("nb"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("na"), col("nb"),
+        coalesce(col("inter"), lit(0L)).as("inter"), col("n_match"),
+        round(col("n_match").cast("double") / MinhashK, 6).as("est_j"),
+        round(coalesce(col("inter"), lit(0L)).cast("double")
+          / (col("na") + col("nb") - coalesce(col("inter"), lit(0L))), 6)
+          .as("exact_j"))
+      .withColumn("abs_err", round(abs(col("est_j") - col("exact_j")), 6))
+      .orderBy("src_a", "src_b")
+  }
+
+  val q202Sql: String = {
+    val sigMins = (0 until MinhashK)
+      .map(j => s"min((h * ${aj(j)} + ${bj(j)}) % $MinhashP) AS m$j")
+      .mkString(",\n    ")
+    val matches = (0 until MinhashK)
+      .map(j => s"CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest($shinglesSql) AS shingle
+       |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w
+       |        FROM documents)
+       |), ss AS (
+       |  SELECT DISTINCT d.source, sh.shingle
+       |  FROM sh JOIN documents d USING (doc_id)
+       |), hs AS (
+       |  SELECT source, ${baseHashSql("shingle")} AS h FROM ss
+       |), sig AS (
+       |  SELECT source,
+       |    $sigMins
+       |  FROM hs GROUP BY source
+       |), est AS (
+       |  SELECT a.source AS src_a, b.source AS src_b,
+       |    CAST($matches AS BIGINT) AS n_match
+       |  FROM sig a JOIN sig b ON a.source < b.source
+       |), sizes AS (
+       |  SELECT source, count(*) AS n FROM ss GROUP BY source
+       |), inter AS (
+       |  SELECT x.source AS src_a, y.source AS src_b, count(*) AS inter
+       |  FROM ss x JOIN ss y
+       |    ON x.shingle = y.shingle AND x.source < y.source
+       |  GROUP BY x.source, y.source
+       |)
+       |SELECT src_a, src_b, na.n AS na, nb.n AS nb,
+       |  coalesce(inter.inter, 0) AS inter, n_match,
+       |  round(CAST(n_match AS DOUBLE) / $MinhashK, 6) AS est_j,
+       |  round(CAST(coalesce(inter.inter, 0) AS DOUBLE)
+       |    / (na.n + nb.n - coalesce(inter.inter, 0)), 6) AS exact_j,
+       |  round(abs(round(CAST(n_match AS DOUBLE) / $MinhashK, 6)
+       |    - round(CAST(coalesce(inter.inter, 0) AS DOUBLE)
+       |      / (na.n + nb.n - coalesce(inter.inter, 0)), 6)), 6) AS abs_err
+       |FROM est
+       |LEFT JOIN inter USING (src_a, src_b)
+       |JOIN sizes na ON est.src_a = na.source
+       |JOIN sizes nb ON est.src_b = nb.source
+       |ORDER BY src_a, src_b""".stripMargin
+  }
+
   // --------------------------------------------------------- registry
 
   // ----------------------------------------- q138 prefix-filtering join
@@ -4045,7 +4146,8 @@ object TextOps {
     "q79_dedup_survivors" -> (q79DedupSurvivors _),
     "q81_bm25" -> (q81Bm25 _),
     "q196_code_switch" -> (q196CodeSwitch _),
-    "q200_cdc_chunks" -> (q200CdcChunks _)
+    "q200_cdc_chunks" -> (q200CdcChunks _),
+    "q202_source_sketch_jaccard" -> (q202SourceSketchJaccard _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -4100,6 +4202,7 @@ object TextOps {
     "q79_dedup_survivors" -> q79Sql,
     "q81_bm25" -> q81Sql,
     "q196_code_switch" -> q196Sql,
-    "q200_cdc_chunks" -> q200Sql
+    "q200_cdc_chunks" -> q200Sql,
+    "q202_source_sketch_jaccard" -> q202Sql
   )
 }

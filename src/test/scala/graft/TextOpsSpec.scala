@@ -532,4 +532,53 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val totalChunks = got.map(_._3).sum
     assert(totalChunks > got.length, "chunking must split documents")
   }
+
+  test("q202: source sketch Jaccard equals a brute-force signature + set recompute") {
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def h60(sh: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(sh.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (BigInt(hex.take(15), 16) % TextOps.MinhashP).toLong
+    }
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val bySource = docs.groupBy(_._3).map { case (src, ds) =>
+      src -> ds.flatMap { case (_, text, _) =>
+        val w = text.split("\\s+", -1)
+        (0 until w.length - 2).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}")
+      }.toSet
+    }.filter(_._2.nonEmpty)
+    // the same universal-hash family as q36: h_j(x) = (a_j·x + b_j) mod P
+    def sig(shs: Set[String]): IndexedSeq[Long] = {
+      val hs = shs.toSeq.map(h60)
+      (0 until TextOps.MinhashK).map { j =>
+        hs.map(h => (h * (2L * j + 1) + 7919L * (j + 1)) % TextOps.MinhashP).min
+      }
+    }
+    val sigs = bySource.map { case (s2, shs) => s2 -> sig(shs) }
+    val srcs = bySource.keys.toSeq.sorted
+    val want = (for {
+      i <- srcs.indices; k <- (i + 1) until srcs.length
+      (a, b) = (srcs(i), srcs(k))
+      inter = (bySource(a) & bySource(b)).size.toLong
+      na = bySource(a).size.toLong; nb = bySource(b).size.toLong
+      nMatch = sigs(a).zip(sigs(b)).count { case (x, y) => x == y }.toLong
+    } yield (a, b, na, nb, inter, nMatch,
+      r6(nMatch.toDouble / TextOps.MinhashK),
+      r6(inter.toDouble / (na + nb - inter)))).toSeq
+    val got = TextOps.q202SourceSketchJaccard(spark, dir).collect()
+      .map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b"),
+        r.getAs[Long]("na"), r.getAs[Long]("nb"), r.getAs[Long]("inter"),
+        r.getAs[Long]("n_match"), r.getAs[Double]("est_j"),
+        r.getAs[Double]("exact_j")))
+    assert(got.toSeq == want,
+      "source-pair sketch estimates and exact Jaccards must both match")
+    // the estimate is a real estimator: components bounded, values in [0,1]
+    got.foreach { g =>
+      assert(g._6 >= 0 && g._6 <= TextOps.MinhashK)
+      assert(g._7 >= 0.0 && g._7 <= 1.0 && g._8 >= 0.0 && g._8 <= 1.0)
+    }
+  }
 }
