@@ -385,7 +385,12 @@ object ScaleCheck {
     "q200_cdc_chunks",
     // assortativity: broadcast degree joins + one scalar agg; rides
     // the q193 distinct-collapse on the replicated drill corpus
-    "q201_assortativity")
+    "q201_assortativity",
+    // source sketch-Jaccard: the estimate is |sources|-row work over
+    // the persisted signature table; the exact cert side joins the
+    // salted 10× corpus's distinct (source, shingle) rows — vocab-
+    // linear (the q177 regime), never source-pair set products
+    "q202_source_sketch_jaccard")
   // q198 (rank-aware ANN eval) is EXCLUDED from the default drill with
   // the certification family (q40/q47/q61 are likewise not default
   // ops): its warm pass builds the declared-quadratic exact-top-k
