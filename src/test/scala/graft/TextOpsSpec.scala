@@ -581,4 +581,23 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(g._7 >= 0.0 && g._7 <= 1.0 && g._8 >= 0.0 && g._8 <= 1.0)
     }
   }
+
+  test("q200/q202 plans: no unbroadcast pair enumeration") {
+    // q200's dup accounting flows through the copy-count table keyed
+    // on the content hash — no non-equi join of any kind; q202's
+    // exact side is the shingle-keyed inverted-index join, and its
+    // one permitted nested-loop is the |sources|-row BROADCAST
+    // self-join of the signature table (constant-size by
+    // construction) — an unbroadcast CartesianProduct anywhere means
+    // a corpus-sized pair space materialized
+    val p200 = TextOps.q200CdcChunks(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p200.contains("CartesianProduct") &&
+        !p200.contains("BroadcastNestedLoopJoin"),
+      s"q200 must not enumerate pairs:\n$p200")
+    val p202 = TextOps.q202SourceSketchJaccard(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p202.contains("CartesianProduct"),
+      s"q202 must not materialize an unbroadcast pair space:\n$p202")
+  }
 }

@@ -580,4 +580,16 @@ class VectorOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       nr > 0.5 && nr < 2.0
     })
   }
+
+  test("q195 plan: the centroid list broadcasts — the corpus is never shuffled for it") {
+    // q195's one corpus pass meets the |labels|-struct list through a
+    // broadcast; a SortMergeJoin would mean the corpus shuffled for a
+    // constant-size frame. (q197's doc-source attach and q199's
+    // |labels|-row reconciliations are co-keyed/frame-sized joins
+    // where a shuffle join is the correct plan, so they are exempt.)
+    val plan = VectorOps.q195Silhouette(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-side shuffle join found:\n$plan")
+  }
 }
