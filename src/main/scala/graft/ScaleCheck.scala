@@ -390,7 +390,9 @@ object ScaleCheck {
     // the persisted signature table; the exact cert side joins the
     // salted 10× corpus's distinct (source, shingle) rows — vocab-
     // linear (the q177 regime), never source-pair set products
-    "q202_source_sketch_jaccard")
+    "q202_source_sketch_jaccard",
+    // shuffle audit: 256 bucket-local windows, no global order
+    "q203_shuffle_quality")
   // q198 (rank-aware ANN eval) is EXCLUDED from the default drill with
   // the certification family (q40/q47/q61 are likewise not default
   // ops): its warm pass builds the declared-quadratic exact-top-k

@@ -1769,6 +1769,89 @@ object PipelineOps {
        |FROM ranked2 WHERE fwd = 1 AND margin >= $MarginThresh
        |ORDER BY x_id""".stripMargin
 
+  // ---------------------------------------- q203 shuffle-quality audit
+
+  /** q203: TRAINING-SHUFFLE QUALITY AUDIT — did the q182 shuffle
+    * actually decorrelate sources? The statistic a data-loader QA pass
+    * checks: among ADJACENT documents in shuffled order, the fraction
+    * sharing a source (`p_same`), against the expected collision rate
+    * of a perfectly random order (`Σ n_s² / n²`); `clump_ratio` ≈ 1
+    * means batch diversity is what i.i.d. sampling would give, ≫ 1
+    * means source runs survived the shuffle (curriculum leakage into
+    * batches).
+    *
+    * Adjacency is measured WITHIN the q182 key's leading-byte bucket
+    * (256 frames) — deliberately: it keeps the audit free of any
+    * global-order window (the same two-phase discipline as the
+    * shuffle itself — at 100 TB nothing sorts globally to be audited),
+    * loses only the ≤255 bucket-boundary pairs, and the oracle
+    * measures the identical within-bucket adjacency. The expected
+    * rate uses exact integer Σ n_s² with one double division. */
+  def q203ShuffleQuality(s: SparkSession, dir: String): DataFrame = {
+    val keyed = docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        md5(concat(lit(s"$ShuffleSeed-"), col("doc_id").cast("string")))
+          .as("k"))
+      .withColumn("bucket", substring(col("k"), 1, 2))
+    val wIn = Window.partitionBy("bucket").orderBy("k")
+    val adj = keyed.withColumn("prev", lag("source", 1).over(wIn))
+      .filter(col("prev").isNotNull)
+    val pairs = adj.agg(count(lit(1)).as("n_pairs"),
+      coalesce(sum(when(col("source") === col("prev"), 1L).otherwise(0L)),
+        lit(0L)).as("n_same"))
+    val e = keyed.groupBy("source").agg(count(lit(1)).as("ns"))
+      .agg(sum(col("ns") * col("ns")).as("sum2"), sum(col("ns")).as("n"))
+    pairs.crossJoin(e)
+      .select(coalesce(col("n"), lit(0L)).as("n_docs"),
+        col("n_pairs"), col("n_same"),
+        when(col("n_pairs") > 0,
+          round(col("n_same").cast("double") / col("n_pairs"), 6))
+          .as("p_same"),
+        when(col("n") > 0,
+          round(col("sum2").cast("double")
+            / (col("n").cast("double") * col("n").cast("double")), 6))
+          .as("expected_p"),
+        when(col("n_pairs") > 0 && col("sum2") > 0,
+          round((col("n_same").cast("double") / col("n_pairs"))
+            / (col("sum2").cast("double")
+              / (col("n").cast("double") * col("n").cast("double"))), 6))
+          .as("clump_ratio"))
+  }
+
+  val q203Sql: String =
+    s"""WITH keyed AS (
+       |  SELECT doc_id, source,
+       |    md5('$ShuffleSeed-' || CAST(doc_id AS VARCHAR)) AS k
+       |  FROM documents
+       |), b AS (
+       |  SELECT source, k, substring(k, 1, 2) AS bucket FROM keyed
+       |), adj AS (
+       |  SELECT source,
+       |    lag(source) OVER (PARTITION BY bucket ORDER BY k) AS prev
+       |  FROM b
+       |), p AS (
+       |  SELECT count(*) AS n_pairs,
+       |    coalesce(CAST(sum(CASE WHEN source = prev THEN 1 ELSE 0 END)
+       |      AS BIGINT), 0) AS n_same
+       |  FROM adj WHERE prev IS NOT NULL
+       |), e AS (
+       |  SELECT CAST(sum(ns * ns) AS BIGINT) AS sum2,
+       |    CAST(sum(ns) AS BIGINT) AS n
+       |  FROM (SELECT count(*) AS ns FROM keyed GROUP BY source)
+       |)
+       |SELECT coalesce(n, 0) AS n_docs, n_pairs, n_same,
+       |  CASE WHEN n_pairs > 0
+       |    THEN round(CAST(n_same AS DOUBLE) / n_pairs, 6) END AS p_same,
+       |  CASE WHEN n > 0
+       |    THEN round(CAST(sum2 AS DOUBLE)
+       |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) END AS expected_p,
+       |  CASE WHEN n_pairs > 0 AND sum2 > 0
+       |    THEN round((CAST(n_same AS DOUBLE) / n_pairs)
+       |      / (CAST(sum2 AS DOUBLE)
+       |        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6)
+       |  END AS clump_ratio
+       |FROM p CROSS JOIN e""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q173_corpus_diff" -> (q173CorpusDiff _),
     "q174_token_budget_select" -> (q174TokenBudgetSelect _),
@@ -1788,7 +1871,8 @@ object PipelineOps {
     "q189_rank_agreement" -> (q189RankAgreement _),
     "q190_retention_sweep" -> (q190RetentionSweep _),
     "q191_rrf_fusion" -> (q191RrfFusion _),
-    "q192_margin_align" -> (q192MarginAlign _))
+    "q192_margin_align" -> (q192MarginAlign _),
+    "q203_shuffle_quality" -> (q203ShuffleQuality _))
 
   val oracle: Map[String, String] = Map(
     "q173_corpus_diff" -> q173Sql,
@@ -1809,5 +1893,6 @@ object PipelineOps {
     "q189_rank_agreement" -> q189Sql,
     "q190_retention_sweep" -> q190Sql,
     "q191_rrf_fusion" -> q191Sql,
-    "q192_margin_align" -> q192Sql)
+    "q192_margin_align" -> q192Sql,
+    "q203_shuffle_quality" -> q203Sql)
 }

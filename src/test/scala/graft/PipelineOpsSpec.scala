@@ -815,4 +815,42 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"mutual flag for ($x,$y) must mean y reciprocates")
     }
   }
+
+  // ----------------------------------------------------------- q203
+
+  test("q203: shuffle-quality statistics equal a brute-force adjacency recompute") {
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def k(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s"${PipelineOps.ShuffleSeed}-$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }
+    val ds = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val keyed = ds.map { case (id, src) => (k(id), src) }
+    val pairs = keyed.groupBy(_._1.take(2)).toSeq.flatMap { case (_, rows) =>
+      val ordered = rows.sortBy(_._1).map(_._2)
+      ordered.zip(ordered.drop(1))
+    }
+    val nPairs = pairs.length.toLong
+    val nSame = pairs.count { case (a, b) => a == b }.toLong
+    val byScr = ds.groupBy(_._2).map(_._2.length.toLong)
+    val (sum2, n) = (byScr.map(x => x * x).sum, byScr.sum)
+    val r = PipelineOps.q203ShuffleQuality(spark, dir).head()
+    assert(r.getAs[Long]("n_docs") == n)
+    assert(r.getAs[Long]("n_pairs") == nPairs)
+    assert(r.getAs[Long]("n_same") == nSame)
+    val pSame = nSame.toDouble / nPairs
+    val expP = sum2.toDouble / (n.toDouble * n.toDouble)
+    assert(r.getAs[Double]("p_same") == r6(pSame))
+    assert(r.getAs[Double]("expected_p") == r6(expP))
+    assert(r.getAs[Double]("clump_ratio") == r6(pSame / expP))
+    // the md5 shuffle must actually decorrelate: adjacency collisions
+    // within 2x of the i.i.d. expectation (a sorted-by-source order
+    // would score ~n/n_pairs times the expectation)
+    assert(r.getAs[Double]("clump_ratio") < 2.0,
+      s"shuffle left source runs: ${r.getAs[Double]("clump_ratio")}")
+  }
 }
