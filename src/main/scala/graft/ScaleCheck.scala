@@ -392,7 +392,10 @@ object ScaleCheck {
     // linear (the q177 regime), never source-pair set products
     "q202_source_sketch_jaccard",
     // shuffle audit: 256 bucket-local windows, no global order
-    "q203_shuffle_quality")
+    "q203_shuffle_quality",
+    // context pack: windows over the ≤K fused rows; growth is the
+    // retriever legs it composes (q191's two linear scans)
+    "q204_context_pack")
   // q198 (rank-aware ANN eval) is EXCLUDED from the default drill with
   // the certification family (q40/q47/q61 are likewise not default
   // ops): its warm pass builds the declared-quadratic exact-top-k

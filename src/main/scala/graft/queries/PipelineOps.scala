@@ -1769,6 +1769,72 @@ object PipelineOps {
        |FROM ranked2 WHERE fwd = 1 AND margin >= $MarginThresh
        |ORDER BY x_id""".stripMargin
 
+  // ------------------------------------------ q204 RAG context assembly
+
+  /** Context-window token budget and per-source diversity cap. */
+  val CtxBudgetTokens = 600L
+  val CtxPerSourceCap = 3
+
+  /** q204: RAG CONTEXT ASSEMBLY — the last stage of the retrieval
+    * path: take the q191 fused ranking and PACK the actual context
+    * window — walk the list in fused order, keep at most
+    * [[CtxPerSourceCap]] docs per source (diversity cap), and
+    * prefix-truncate at [[CtxBudgetTokens]] whitespace tokens
+    * (inclusive running total — the first overflowing doc and
+    * everything after it is cut). Emits the packed context in
+    * position order with the running token count: the table that
+    * becomes the prompt.
+    *
+    * Scale: every window here runs over the ≤[[FuseOut]]-row fused
+    * list — bounded BY CONSTRUCTION before this operator starts (the
+    * q194 posture: the corpus-sized work happened in the retriever
+    * legs, which are rank-pushed); the doc-token join is a broadcast
+    * of the 20-row list against the narrow (doc_id, tokens)
+    * projection. */
+  def q204ContextPack(s: SparkSession, dir: String): DataFrame = {
+    val fused = q191RrfFusion(s, dir).select("fused_rank", "doc_id")
+    val meta = docs(s, dir).select(col("doc_id"), col("source"),
+      size(split(col("text"), "\\s+")).cast("long").as("nt"))
+    val wSrc = Window.partitionBy("source").orderBy("fused_rank")
+    val wCum = Window.orderBy("fused_rank")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPos = Window.orderBy("fused_rank")
+    broadcast(fused).join(meta, Seq("doc_id"))
+      .withColumn("rs", row_number().over(wSrc))
+      .filter(col("rs") <= CtxPerSourceCap)
+      .withColumn("cum_tokens", sum("nt").over(wCum))
+      .filter(col("cum_tokens") <= CtxBudgetTokens)
+      .withColumn("ctx_pos", row_number().over(wPos).cast("long"))
+      .select("ctx_pos", "doc_id", "source", "nt", "cum_tokens",
+        "fused_rank")
+      .orderBy("ctx_pos")
+  }
+
+  val q204Sql: String =
+    s"""WITH fused AS MATERIALIZED (
+       |$q191Sql
+       |), meta AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS nt
+       |  FROM documents
+       |), capped AS (
+       |  SELECT fused_rank, doc_id, source, nt
+       |  FROM fused JOIN meta USING (doc_id)
+       |  QUALIFY row_number() OVER (PARTITION BY source ORDER BY fused_rank)
+       |    <= $CtxPerSourceCap
+       |), packed AS (
+       |  SELECT *,
+       |    sum(nt) OVER (ORDER BY fused_rank
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+       |  FROM capped
+       |  QUALIFY cum_tokens <= $CtxBudgetTokens
+       |)
+       |SELECT CAST(row_number() OVER (ORDER BY fused_rank) AS BIGINT)
+       |    AS ctx_pos,
+       |  doc_id, source, nt, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       |  fused_rank
+       |FROM packed ORDER BY ctx_pos""".stripMargin
+
   // ---------------------------------------- q203 shuffle-quality audit
 
   /** q203: TRAINING-SHUFFLE QUALITY AUDIT — did the q182 shuffle
@@ -1872,7 +1938,8 @@ object PipelineOps {
     "q190_retention_sweep" -> (q190RetentionSweep _),
     "q191_rrf_fusion" -> (q191RrfFusion _),
     "q192_margin_align" -> (q192MarginAlign _),
-    "q203_shuffle_quality" -> (q203ShuffleQuality _))
+    "q203_shuffle_quality" -> (q203ShuffleQuality _),
+    "q204_context_pack" -> (q204ContextPack _))
 
   val oracle: Map[String, String] = Map(
     "q173_corpus_diff" -> q173Sql,
@@ -1894,5 +1961,6 @@ object PipelineOps {
     "q190_retention_sweep" -> q190Sql,
     "q191_rrf_fusion" -> q191Sql,
     "q192_margin_align" -> q192Sql,
-    "q203_shuffle_quality" -> q203Sql)
+    "q203_shuffle_quality" -> q203Sql,
+    "q204_context_pack" -> q204Sql)
 }

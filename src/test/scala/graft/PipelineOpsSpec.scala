@@ -853,4 +853,44 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Double]("clump_ratio") < 2.0,
       s"shuffle left source runs: ${r.getAs[Double]("clump_ratio")}")
   }
+
+  // ----------------------------------------------------------- q204
+
+  test("q204: packed context equals a brute-force greedy walk of the fused list") {
+    val fused = PipelineOps.q191RrfFusion(spark, dir).collect()
+      .map(r => (r.getAs[Long]("fused_rank"), r.getAs[Long]("doc_id")))
+      .sortBy(_._1)
+    val meta = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2).split("\\s+", -1).length.toLong))
+      .toMap
+    var bySrc = Map.empty[String, Int].withDefaultValue(0)
+    var cum = 0L
+    var pos = 0L
+    val want = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, String, Long, Long, Long)]
+    var truncated = false
+    fused.foreach { case (fr, id) =>
+      meta.get(id).foreach { case (src, nt) =>
+        if (bySrc(src) < PipelineOps.CtxPerSourceCap && !truncated) {
+          bySrc = bySrc.updated(src, bySrc(src) + 1)
+          // the source cap consumes its slot even when the budget
+          // then cuts the doc: rs is assigned BEFORE the cum filter
+          if (cum + nt <= PipelineOps.CtxBudgetTokens) {
+            cum += nt
+            pos += 1
+            want += ((pos, id, src, nt, cum, fr))
+          } else truncated = true
+        }
+      }
+    }
+    val got = PipelineOps.q204ContextPack(spark, dir).collect()
+      .map(r => (r.getAs[Long]("ctx_pos"), r.getAs[Long]("doc_id"),
+        r.getAs[String]("source"), r.getAs[Long]("nt"),
+        r.getAs[Long]("cum_tokens"), r.getAs[Long]("fused_rank")))
+    assert(got.toSeq == want.toSeq,
+      "packed context must equal the greedy cap+budget walk")
+    assert(got.nonEmpty && got.last._5 <= PipelineOps.CtxBudgetTokens)
+  }
 }
