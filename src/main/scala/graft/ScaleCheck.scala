@@ -395,7 +395,9 @@ object ScaleCheck {
     "q203_shuffle_quality",
     // context pack: windows over the ≤K fused rows; growth is the
     // retriever legs it composes (q191's two linear scans)
-    "q204_context_pack")
+    "q204_context_pack",
+    // coverage audit: one full-outer id reconciliation → |sources| rows
+    "q205_embed_coverage")
   // q198 (rank-aware ANN eval) is EXCLUDED from the default drill with
   // the certification family (q40/q47/q61 are likewise not default
   // ops): its warm pass builds the declared-quadratic exact-top-k

@@ -1769,6 +1769,63 @@ object PipelineOps {
        |FROM ranked2 WHERE fwd = 1 AND margin >= $MarginThresh
        |ORDER BY x_id""".stripMargin
 
+  // -------------------------------------- q205 embedding coverage audit
+
+  /** q205: EMBEDDING COVERAGE AUDIT — the referential-integrity gate
+    * an index build runs before trusting the (documents, embeddings)
+    * pair: per source, how many documents have no vector (encoder
+    * backlog — they silently vanish from every retrieval path) and
+    * how many vectors have no document (orphans — they surface
+    * unattributable results). One full-outer reconciliation on the
+    * id key (the q106 audit shape) aggregated to |sources| rows;
+    * orphan vectors carry no source and land in a dedicated
+    * `(orphan)` row so the audit's totals always reconcile to both
+    * table counts. */
+  def q205EmbedCoverage(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("source"))
+    val e = t(s, dir, "embeddings").select(col("vec_id"))
+    d.join(e, col("doc_id") === col("vec_id"), "full_outer")
+      .select(
+        when(col("doc_id").isNotNull, col("source"))
+          .otherwise(lit("(orphan)")).as("source"),
+        col("doc_id"), col("vec_id"))
+      .groupBy("source")
+      .agg(sum(when(col("doc_id").isNotNull, 1L).otherwise(0L)).as("n_docs"),
+        sum(when(col("doc_id").isNotNull && col("vec_id").isNull, 1L)
+          .otherwise(0L)).as("n_unembedded"),
+        sum(when(col("doc_id").isNull, 1L).otherwise(0L)).as("n_orphans"),
+        sum(when(col("doc_id").isNotNull && col("vec_id").isNotNull, 1L)
+          .otherwise(0L)).as("n_covered"))
+      .withColumn("coverage",
+        when(col("n_docs") > 0,
+          round(col("n_covered").cast("double") / col("n_docs"), 6)))
+      .orderBy("source")
+  }
+
+  val q205Sql: String =
+    s"""SELECT source,
+       |  CAST(sum(CASE WHEN doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_docs,
+       |  CAST(sum(CASE WHEN doc_id IS NOT NULL AND vec_id IS NULL
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_unembedded,
+       |  CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_orphans,
+       |  CAST(sum(CASE WHEN doc_id IS NOT NULL AND vec_id IS NOT NULL
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+       |  CASE WHEN sum(CASE WHEN doc_id IS NOT NULL THEN 1 ELSE 0 END) > 0
+       |    THEN round(
+       |      CAST(sum(CASE WHEN doc_id IS NOT NULL AND vec_id IS NOT NULL
+       |        THEN 1 ELSE 0 END) AS DOUBLE)
+       |      / sum(CASE WHEN doc_id IS NOT NULL THEN 1 ELSE 0 END), 6)
+       |  END AS coverage
+       |FROM (
+       |  SELECT CASE WHEN d.doc_id IS NOT NULL THEN d.source
+       |    ELSE '(orphan)' END AS source, d.doc_id, e.vec_id
+       |  FROM documents d
+       |  FULL OUTER JOIN embeddings e ON d.doc_id = e.vec_id
+       |)
+       |GROUP BY source ORDER BY source""".stripMargin
+
   // ------------------------------------------ q204 RAG context assembly
 
   /** Context-window token budget and per-source diversity cap. */
@@ -1939,7 +1996,8 @@ object PipelineOps {
     "q191_rrf_fusion" -> (q191RrfFusion _),
     "q192_margin_align" -> (q192MarginAlign _),
     "q203_shuffle_quality" -> (q203ShuffleQuality _),
-    "q204_context_pack" -> (q204ContextPack _))
+    "q204_context_pack" -> (q204ContextPack _),
+    "q205_embed_coverage" -> (q205EmbedCoverage _))
 
   val oracle: Map[String, String] = Map(
     "q173_corpus_diff" -> q173Sql,
@@ -1962,5 +2020,6 @@ object PipelineOps {
     "q191_rrf_fusion" -> q191Sql,
     "q192_margin_align" -> q192Sql,
     "q203_shuffle_quality" -> q203Sql,
-    "q204_context_pack" -> q204Sql)
+    "q204_context_pack" -> q204Sql,
+    "q205_embed_coverage" -> q205Sql)
 }

@@ -893,4 +893,32 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "packed context must equal the greedy cap+budget walk")
     assert(got.nonEmpty && got.last._5 <= PipelineOps.CtxBudgetTokens)
   }
+
+  // ----------------------------------------------------------- q205
+
+  test("q205: coverage audit reconciles to both table counts") {
+    val docIds = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val vecIds = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val got = PipelineOps.q205EmbedCoverage(spark, dir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_unembedded"), r.getAs[Long]("n_orphans"),
+        r.getAs[Long]("n_covered")))
+    // per-source brute force
+    val bySrc = docIds.groupBy(_._2).map { case (src, ds) =>
+      val n = ds.length.toLong
+      val cov = ds.count(d => vecIds(d._1)).toLong
+      (src, n, n - cov, 0L, cov)
+    }.toSeq
+    val orphans = (vecIds -- docIds.map(_._1).toSet).size.toLong
+    val want = (if (orphans > 0)
+        bySrc :+ (("(orphan)", 0L, 0L, orphans, 0L))
+      else bySrc).sortBy(_._1)
+    assert(got.toSeq == want)
+    // totals reconcile to both tables
+    assert(got.map(_._2).sum == docIds.length)
+    assert(got.map(_._5).sum + orphans == vecIds.size)
+  }
 }
