@@ -341,7 +341,8 @@ object Bench {
       "q197_semantic_decon", "q198_ann_rank_eval", "q199_embed_drift",
       "q200_cdc_chunks", "q201_assortativity",
       "q202_source_sketch_jaccard", "q203_shuffle_quality",
-      "q204_context_pack", "q205_embed_coverage")
+      "q204_context_pack", "q205_embed_coverage",
+      "q206_source_concentration")
     // shingle-index misses during TIMED passes only (warm passes are
     // expected to build it once per session+dir)
     var timedIndexMisses = 0L

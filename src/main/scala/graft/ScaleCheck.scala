@@ -397,7 +397,9 @@ object ScaleCheck {
     // retriever legs it composes (q191's two linear scans)
     "q204_context_pack",
     // coverage audit: one full-outer id reconciliation → |sources| rows
-    "q205_embed_coverage")
+    "q205_embed_coverage",
+    // concentration audit: one scan → |sources| frame → 1 row
+    "q206_source_concentration")
   // q198 (rank-aware ANN eval) is EXCLUDED from the default drill with
   // the certification family (q40/q47/q61 are likewise not default
   // ops): its warm pass builds the declared-quadratic exact-top-k

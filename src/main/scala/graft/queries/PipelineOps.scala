@@ -1769,6 +1769,79 @@ object PipelineOps {
        |FROM ranked2 WHERE fwd = 1 AND margin >= $MarginThresh
        |ORDER BY x_id""".stripMargin
 
+  // ---------------------------------- q206 source concentration audit
+
+  /** q206: SOURCE CONCENTRATION AUDIT — the mixture-diversity
+    * numbers a pretraining-data review reads before q68/q111
+    * PRESCRIBE new weights: over realized token mass per source, the
+    * Gini coefficient (inequality), Shannon entropy, and the
+    * effective source count exp(H) — "we have 20 sources but
+    * effectively 6.2". One row.
+    *
+    * Exactness: token mass collapses to the |sources|-row frame at
+    * the first partial agg; Gini uses the sorted-cumulative integer
+    * formula Σ(2i−n−1)·x_i with EXACT integer numerators and one
+    * double division; entropy terms round 10 dp and sum through
+    * DECIMAL(28,10) (the q110/q128 discipline), so double-sum
+    * ordering can never flip a bit. Everything after the first agg
+    * is frame-sized — at any corpus scale this costs one scan. */
+  def q206SourceConcentration(s: SparkSession, dir: String): DataFrame = {
+    val d10 = org.apache.spark.sql.types.DecimalType(28, 10)
+    val m = docs(s, dir)
+      .select(col("source"),
+        size(split(col("text"), "\\s+")).cast("long").as("nt"))
+      .groupBy("source").agg(sum("nt").as("x"))
+    val wRank = Window.orderBy(col("x"), col("source"))
+    val ranked = m.withColumn("i", row_number().over(wRank).cast("long"))
+    ranked
+      .crossJoin(broadcast(m.agg(sum("x").as("tot"),
+        count(lit(1)).as("k"))))
+      .select(col("x"), col("i"), col("tot"), col("k"),
+        ((lit(2) * col("i") - col("k") - 1) * col("x")).as("gnum"),
+        when(col("x") > 0,
+          round((col("x").cast("double") / col("tot")) *
+            log(col("x").cast("double") / col("tot")), 10))
+          .otherwise(lit(0.0)).cast(d10).as("plnp"))
+      .agg(max("k").as("n_sources"), max("tot").as("total_tokens"),
+        when(max("k") > 1 && max("tot") > 0,
+          round(sum("gnum").cast("double")
+            / ((max("k") - 1).cast("double") * max("tot").cast("double")),
+            6)).as("gini"),
+        round(-sum("plnp").cast("double"), 6).as("entropy"))
+      .withColumn("eff_sources",
+        when(col("entropy").isNotNull, round(exp(col("entropy")), 6)))
+  }
+
+  val q206Sql: String =
+    s"""WITH m AS (
+       |  SELECT source,
+       |    CAST(sum(len(string_split_regex(text, '\\s+'))) AS BIGINT) AS x
+       |  FROM documents GROUP BY source
+       |), r AS (
+       |  SELECT x,
+       |    CAST(row_number() OVER (ORDER BY x, source) AS BIGINT) AS i,
+       |    CAST(sum(x) OVER () AS BIGINT) AS tot,
+       |    CAST(count(*) OVER () AS BIGINT) AS k
+       |  FROM m
+       |), terms AS (
+       |  SELECT x, i, tot, k, (2 * i - k - 1) * x AS gnum,
+       |    CAST(CASE WHEN x > 0
+       |      THEN round((CAST(x AS DOUBLE) / tot)
+       |        * ln(CAST(x AS DOUBLE) / tot), 10)
+       |      ELSE 0.0 END AS DECIMAL(28,10)) AS plnp
+       |  FROM r
+       |)
+       |SELECT max(k) AS n_sources, max(tot) AS total_tokens,
+       |  CASE WHEN max(k) > 1 AND max(tot) > 0
+       |    THEN round(CAST(sum(gnum) AS DOUBLE)
+       |      / (CAST(max(k) - 1 AS DOUBLE) * CAST(max(tot) AS DOUBLE)), 6)
+       |  END AS gini,
+       |  round(-CAST(sum(plnp) AS DOUBLE), 6) AS entropy,
+       |  CASE WHEN sum(plnp) IS NOT NULL
+       |    THEN round(exp(round(-CAST(sum(plnp) AS DOUBLE), 6)), 6)
+       |  END AS eff_sources
+       |FROM terms""".stripMargin
+
   // -------------------------------------- q205 embedding coverage audit
 
   /** q205: EMBEDDING COVERAGE AUDIT — the referential-integrity gate
@@ -1997,7 +2070,8 @@ object PipelineOps {
     "q192_margin_align" -> (q192MarginAlign _),
     "q203_shuffle_quality" -> (q203ShuffleQuality _),
     "q204_context_pack" -> (q204ContextPack _),
-    "q205_embed_coverage" -> (q205EmbedCoverage _))
+    "q205_embed_coverage" -> (q205EmbedCoverage _),
+    "q206_source_concentration" -> (q206SourceConcentration _))
 
   val oracle: Map[String, String] = Map(
     "q173_corpus_diff" -> q173Sql,
@@ -2021,5 +2095,6 @@ object PipelineOps {
     "q192_margin_align" -> q192Sql,
     "q203_shuffle_quality" -> q203Sql,
     "q204_context_pack" -> q204Sql,
-    "q205_embed_coverage" -> q205Sql)
+    "q205_embed_coverage" -> q205Sql,
+    "q206_source_concentration" -> q206Sql)
 }

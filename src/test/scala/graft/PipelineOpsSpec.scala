@@ -921,4 +921,37 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.map(_._2).sum == docIds.length)
     assert(got.map(_._5).sum + orphans == vecIds.size)
   }
+
+  // ----------------------------------------------------------- q206
+
+  test("q206: concentration statistics equal a brute-force recompute") {
+    def rs(x: Double, s: Int) =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP)
+    val mass = spark.read.parquet(s"$dir/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split("\\s+", -1).length.toLong))
+      .groupBy(_._1).map { case (s2, rows) => s2 -> rows.map(_._2).sum }
+    val xs = mass.toSeq.sortBy { case (src, x) => (x, src) }.map(_._2)
+    val (k, tot) = (xs.length.toLong, xs.sum)
+    val gnum = xs.zipWithIndex.map { case (x, i0) =>
+      (2L * (i0 + 1) - k - 1) * x
+    }.sum
+    val gini = rs(gnum.toDouble / ((k - 1).toDouble * tot.toDouble), 6).toDouble
+    val ent = -xs.filter(_ > 0).map { x =>
+      rs(x.toDouble / tot * math.log(x.toDouble / tot), 10)
+    }.sum.toDouble
+    val r = PipelineOps.q206SourceConcentration(spark, dir).head()
+    assert(r.getAs[Long]("n_sources") == k)
+    assert(r.getAs[Long]("total_tokens") == tot)
+    assert(r.getAs[Double]("gini") == gini)
+    assert(r.getAs[Double]("entropy") == rs(ent, 6).toDouble)
+    // eff_sources = exp of the ROUNDED entropy (both engines
+    // exponentiate the same 6-dp value, then round once more)
+    assert(r.getAs[Double]("eff_sources") ==
+      rs(math.exp(rs(ent, 6).toDouble), 6).toDouble)
+    // sanity: bounded statistics, effective count within [1, k]
+    assert(gini >= 0.0 && gini <= 1.0)
+    val eff = r.getAs[Double]("eff_sources")
+    assert(eff >= 1.0 && eff <= k + 1e-9)
+  }
 }
