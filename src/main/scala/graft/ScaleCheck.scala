@@ -399,7 +399,12 @@ object ScaleCheck {
     // coverage audit: one full-outer id reconciliation → |sources| rows
     "q205_embed_coverage",
     // concentration audit: one scan → |sources| frame → 1 row
-    "q206_source_concentration")
+    "q206_source_concentration",
+    // kappa: two per-doc passes co-keyed on doc_id, one scalar agg
+    "q207_labeler_kappa",
+    // marginal novelty: one shingle-keyed groupBy + co-keyed join;
+    // value-based deciles — no global rank window
+    "q208_marginal_novelty")
   // q198 (rank-aware ANN eval) is EXCLUDED from the default drill with
   // the certification family (q40/q47/q61 are likewise not default
   // ops): its warm pass builds the declared-quadratic exact-top-k

@@ -3944,6 +3944,196 @@ object TextOps {
        |ORDER BY src_a, src_b""".stripMargin
   }
 
+  // ----------------------------- q207 labeler agreement (Cohen's kappa)
+
+  /** The q32 continuous score thresholded into labeler B's verdict. */
+  val KappaQualThresh = 0.5
+
+  /** q207: INTER-LABELER AGREEMENT (Cohen's κ) — when two quality
+    * gates disagree, a curation review needs agreement BEYOND CHANCE,
+    * not raw overlap: κ = (p_o − p_e)/(1 − p_e) between labeler A
+    * (the q108 Gopher hard-rule pass: all five flags clear) and
+    * labeler B (the q32 continuous score ≥ [[KappaQualThresh]]).
+    * q189's Spearman compares CONTINUOUS scorers by rank; κ is its
+    * categorical-verdict sibling (the number annotation pipelines
+    * gate on), with the full 2×2 contingency emitted for the review.
+    *
+    * Exactness: the contingency cells are exact integers; p_o, p_e
+    * and κ derive from integer products (n·(a+d), marginal products)
+    * with ONE double division each, rounded 6 dp — identical shapes
+    * cross-engine; a degenerate table (either labeler constant →
+    * p_e = 1) pins κ = NULL in both. Scale: two per-doc aggregation
+    * passes co-keyed on doc_id, one join, one scalar agg. */
+  def q207LabelerKappa(s: SparkSession, dir: String): DataFrame = {
+    val pd = tokenCounts(s, dir).groupBy("doc_id").agg(
+      sum("c").as("nw"), count(lit(1)).as("nu"), max("c").as("topc"),
+      sum(length(col("tk")) * col("c")).as("chars"),
+      sum(when(col("tk").isin(Stop.map(x => x: Any): _*), col("c"))
+        .otherwise(lit(0L))).as("stp"))
+    val meanLen = col("chars").cast("double") / col("nw")
+    val aPass = !(col("nw") < GopherMinWords || col("nw") > GopherMaxWords) &&
+      !(meanLen < GopherMinMeanLen || meanLen > GopherMaxMeanLen) &&
+      col("nu").cast("double") / col("nw") >= GopherMinUniqueRatio &&
+      col("topc").cast("double") / col("nw") <= GopherMaxTopRatio &&
+      col("stp") >= GopherMinStop
+    val a = pd.select(col("doc_id"), aPass.as("gopher_pass"))
+    val t = col("w")
+    val qual = tokenized(s, dir).select(col("doc_id"),
+      (least(size(t).cast("double") / lit(100.0), lit(1.0)) * lit(0.5) +
+        (lit(1.0) - when(length(col("text")) === 0, lit(0.0))
+          .otherwise(length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", ""))
+            .cast("double") / length(col("text")))) * lit(0.3) +
+        least(countIn(t, Stop).cast("double") / size(t) * lit(5.0), lit(1.0))
+          * lit(0.2)).as("q"))
+      .select(col("doc_id"), (col("q") >= KappaQualThresh).as("qual_pass"))
+    a.join(qual, Seq("doc_id"))
+      .agg(
+        sum(when(col("gopher_pass") && col("qual_pass"), 1L).otherwise(0L))
+          .as("n_pp"),
+        sum(when(col("gopher_pass") && !col("qual_pass"), 1L).otherwise(0L))
+          .as("n_pf"),
+        sum(when(!col("gopher_pass") && col("qual_pass"), 1L).otherwise(0L))
+          .as("n_fp"),
+        sum(when(!col("gopher_pass") && !col("qual_pass"), 1L).otherwise(0L))
+          .as("n_ff"))
+      .select(col("n_pp"), col("n_pf"), col("n_fp"), col("n_ff"),
+        (col("n_pp") + col("n_pf") + col("n_fp") + col("n_ff")).as("n_docs"),
+        ((col("n_pp") + col("n_pf")) * (col("n_pp") + col("n_fp")) +
+          (col("n_fp") + col("n_ff")) * (col("n_pf") + col("n_ff")))
+          .as("pe_num"))
+      .select(col("n_docs"), col("n_pp"), col("n_pf"), col("n_fp"),
+        col("n_ff"),
+        when(col("n_docs") > 0, round((col("n_pp") + col("n_ff"))
+          .cast("double") / col("n_docs"), 6)).as("p_o"),
+        when(col("n_docs") > 0, round(col("pe_num").cast("double")
+          / (col("n_docs") * col("n_docs")), 6)).as("p_e"),
+        when(col("n_docs") * col("n_docs") - col("pe_num") =!= 0,
+          round((col("n_docs") * (col("n_pp") + col("n_ff")) - col("pe_num"))
+            .cast("double")
+            / (col("n_docs") * col("n_docs") - col("pe_num")).cast("double"),
+            6)).as("kappa"))
+  }
+
+  val q207Sql: String = {
+    val stopList = Stop.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH tc AS (
+       |$tokenCountsSql
+       |), pd AS (
+       |  SELECT doc_id, sum(c) AS nw, count(*) AS nu, max(c) AS topc,
+       |    sum(length(tk) * c) AS chars,
+       |    sum(CASE WHEN ${sqlStopContains("tk")} THEN c ELSE 0 END) AS stp
+       |  FROM tc GROUP BY doc_id
+       |), a AS (
+       |  SELECT doc_id,
+       |    (NOT (nw < $GopherMinWords OR nw > $GopherMaxWords))
+       |    AND (NOT (CAST(chars AS DOUBLE) / nw < $GopherMinMeanLen
+       |              OR CAST(chars AS DOUBLE) / nw > $GopherMaxMeanLen))
+       |    AND CAST(nu AS DOUBLE) / nw >= $GopherMinUniqueRatio
+       |    AND CAST(topc AS DOUBLE) / nw <= $GopherMaxTopRatio
+       |    AND stp >= $GopherMinStop AS gopher_pass
+       |  FROM pd
+       |), b AS (
+       |  SELECT doc_id,
+       |    (least(CAST(len(w) AS DOUBLE) / 100.0, 1.0) * 0.5
+       |     + (1.0 - CASE WHEN length(text) = 0 THEN 0.0
+       |         ELSE CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '',
+       |             'g')) AS DOUBLE) / length(text) END) * 0.3
+       |     + least(CAST(len(list_filter(w, t -> list_contains($stopList, t)))
+       |           AS DOUBLE) / len(w) * 5.0, 1.0) * 0.2)
+       |      >= $KappaQualThresh AS qual_pass
+       |  FROM (SELECT doc_id, text, string_split_regex(text, '\\s+') AS w
+       |        FROM documents)
+       |), cells AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN gopher_pass AND qual_pass THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_pp,
+       |    CAST(sum(CASE WHEN gopher_pass AND NOT qual_pass THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_pf,
+       |    CAST(sum(CASE WHEN NOT gopher_pass AND qual_pass THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_fp,
+       |    CAST(sum(CASE WHEN NOT gopher_pass AND NOT qual_pass
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_ff
+       |  FROM a JOIN b USING (doc_id)
+       |), m AS (
+       |  SELECT *, n_pp + n_pf + n_fp + n_ff AS n_docs,
+       |    (n_pp + n_pf) * (n_pp + n_fp) + (n_fp + n_ff) * (n_pf + n_ff)
+       |      AS pe_num
+       |  FROM cells
+       |)
+       |SELECT CAST(n_docs AS BIGINT) AS n_docs, n_pp, n_pf, n_fp, n_ff,
+       |  CASE WHEN n_docs > 0
+       |    THEN round(CAST(n_pp + n_ff AS DOUBLE) / n_docs, 6) END AS p_o,
+       |  CASE WHEN n_docs > 0
+       |    THEN round(CAST(pe_num AS DOUBLE) / (n_docs * n_docs), 6)
+       |  END AS p_e,
+       |  CASE WHEN n_docs * n_docs - pe_num <> 0
+       |    THEN round(CAST(n_docs * (n_pp + n_ff) - pe_num AS DOUBLE)
+       |      / CAST(n_docs * n_docs - pe_num AS DOUBLE), 6)
+       |  END AS kappa
+       |FROM m""".stripMargin
+  }
+
+  // ------------------------------ q208 ingestion-order marginal novelty
+
+  /** q208: MARGINAL NOVELTY BY INGESTION ORDER — the dedup-aware
+    * "value of the next slice of data" curve: a shingle is NOVEL in
+    * the document where it first appears (min doc_id — ingestion
+    * order on the fixture); per ingestion decile, the fraction of
+    * shingle mass that is first-seen. The curve every
+    * data-acquisition review reads: when marginal novelty flattens,
+    * the next crawl buys duplicates (the corpus-level complement of
+    * q92's batch-vs-history delta and q177's snapshot novelty).
+    *
+    * Scale shape: first-seen attribution is ONE groupBy on the
+    * shingle key (min doc_id — partial-agged, uniform-ish hash key)
+    * + a co-keyed join back; deciles are VALUE-based on the dense
+    * doc_id space (`(doc_id·10) div (max_id+1)`) so no global rank
+    * window exists anywhere — the q182/q203 no-global-order
+    * discipline. Docs too short to carry a shingle (< 3 tokens) have
+    * no shingle mass and drop from the curve (both engines). */
+  def q208MarginalNovelty(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+    val firstDoc = sh.groupBy("shingle").agg(min("doc_id").as("first_doc"))
+    val flagged = sh.join(firstDoc, Seq("shingle"))
+      .select(col("doc_id"),
+        when(col("doc_id") === col("first_doc"), 1L).otherwise(0L)
+          .as("novel"))
+    val mx = sh.agg(max("doc_id").as("mx"))
+    flagged.crossJoin(broadcast(mx))
+      .select(graft.functions.GraftFunctions
+        .idiv(col("doc_id") * 10, col("mx") + 1).as("decile"),
+        col("doc_id"), col("novel"))
+      .groupBy("decile")
+      .agg(count_distinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_shingles"),
+        sum("novel").as("n_novel"))
+      .select(col("decile"), col("n_docs"), col("n_shingles"),
+        col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_shingles"), 6)
+          .as("novelty_frac"))
+      .orderBy("decile")
+  }
+
+  val q208Sql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest($shinglesSql) AS shingle
+       |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w
+       |        FROM documents)
+       |), fd AS (
+       |  SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle
+       |), fl AS (
+       |  SELECT sh.doc_id,
+       |    CASE WHEN sh.doc_id = fd.first_doc THEN 1 ELSE 0 END AS novel
+       |  FROM sh JOIN fd USING (shingle)
+       |), mx AS (SELECT max(doc_id) AS mx FROM sh)
+       |SELECT (doc_id * 10) // (mx + 1) AS decile,
+       |  count(DISTINCT doc_id) AS n_docs,
+       |  count(*) AS n_shingles,
+       |  CAST(sum(novel) AS BIGINT) AS n_novel,
+       |  round(CAST(sum(novel) AS DOUBLE) / count(*), 6) AS novelty_frac
+       |FROM fl CROSS JOIN mx
+       |GROUP BY 1 ORDER BY decile""".stripMargin
+
   // --------------------------------------------------------- registry
 
   // ----------------------------------------- q138 prefix-filtering join
@@ -4147,7 +4337,9 @@ object TextOps {
     "q81_bm25" -> (q81Bm25 _),
     "q196_code_switch" -> (q196CodeSwitch _),
     "q200_cdc_chunks" -> (q200CdcChunks _),
-    "q202_source_sketch_jaccard" -> (q202SourceSketchJaccard _)
+    "q202_source_sketch_jaccard" -> (q202SourceSketchJaccard _),
+    "q207_labeler_kappa" -> (q207LabelerKappa _),
+    "q208_marginal_novelty" -> (q208MarginalNovelty _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -4203,6 +4395,8 @@ object TextOps {
     "q81_bm25" -> q81Sql,
     "q196_code_switch" -> q196Sql,
     "q200_cdc_chunks" -> q200Sql,
-    "q202_source_sketch_jaccard" -> q202Sql
+    "q202_source_sketch_jaccard" -> q202Sql,
+    "q207_labeler_kappa" -> q207Sql,
+    "q208_marginal_novelty" -> q208Sql
   )
 }

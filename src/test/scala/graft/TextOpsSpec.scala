@@ -582,6 +582,77 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q207: kappa equals a brute-force contingency recompute; cells partition the corpus") {
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def labels(text: String): (Boolean, Boolean) = {
+      val w = text.split("\\s+", -1)
+      val counts = w.groupBy(identity).map(_._2.length)
+      val nw = w.length.toLong
+      val meanLen = w.map(_.length.toLong).sum.toDouble / nw
+      val stp = w.count(TextOps.Stop.contains(_)).toLong
+      val gopher = !(nw < TextOps.GopherMinWords || nw > TextOps.GopherMaxWords) &&
+        !(meanLen < TextOps.GopherMinMeanLen || meanLen > TextOps.GopherMaxMeanLen) &&
+        counts.size.toDouble / nw >= TextOps.GopherMinUniqueRatio &&
+        counts.max.toDouble / nw <= TextOps.GopherMaxTopRatio &&
+        stp >= TextOps.GopherMinStop
+      // mirror the engine regex exactly: strip [a-zA-Z0-9\s]
+      val punctExact = if (text.isEmpty) 0.0
+        else text.replaceAll("[a-zA-Z0-9\\s]", "").length.toDouble / text.length
+      val q = math.min(nw.toDouble / 100.0, 1.0) * 0.5 +
+        (1.0 - punctExact) * 0.3 +
+        math.min(stp.toDouble / nw * 5.0, 1.0) * 0.2
+      (gopher, q >= TextOps.KappaQualThresh)
+    }
+    val cells = docs.map(d => labels(d._2))
+    val pp = cells.count(c => c._1 && c._2).toLong
+    val pf = cells.count(c => c._1 && !c._2).toLong
+    val fp = cells.count(c => !c._1 && c._2).toLong
+    val ff = cells.count(c => !c._1 && !c._2).toLong
+    val n = pp + pf + fp + ff
+    val peNum = (pp + pf) * (pp + fp) + (fp + ff) * (pf + ff)
+    val r = TextOps.q207LabelerKappa(spark, dir).head()
+    assert((r.getAs[Long]("n_pp"), r.getAs[Long]("n_pf"),
+      r.getAs[Long]("n_fp"), r.getAs[Long]("n_ff")) == ((pp, pf, fp, ff)))
+    assert(r.getAs[Long]("n_docs") == n && n == docs.length)
+    assert(r.getAs[Double]("p_o") == r6((pp + ff).toDouble / n))
+    assert(r.getAs[Double]("p_e") == r6(peNum.toDouble / (n * n)))
+    assert(r.getAs[Double]("kappa") ==
+      r6((n * (pp + ff) - peNum).toDouble / (n * n - peNum).toDouble))
+    assert(r.getAs[Double]("kappa") >= -1.0 && r.getAs[Double]("kappa") <= 1.0)
+  }
+
+  test("q208: marginal novelty equals a brute-force first-seen recompute") {
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val sh = docs.flatMap { case (id, text) =>
+      val w = text.split("\\s+", -1)
+      (0 until w.length - 2).map(i => (id, s"${w(i)} ${w(i + 1)} ${w(i + 2)}"))
+    }.distinct
+    val firstDoc = sh.groupBy(_._2).map { case (k, v) => k -> v.map(_._1).min }
+    val mx = sh.map(_._1).max
+    val want = sh.map { case (id, shg) =>
+      (id * 10 / (mx + 1), id, if (firstDoc(shg) == id) 1L else 0L)
+    }.groupBy(_._1).map { case (d, rows) =>
+      (d, rows.map(_._2).distinct.length.toLong, rows.length.toLong,
+        rows.map(_._3).sum)
+    }.toSeq.sortBy(_._1)
+      .map(t => (t._1, t._2, t._3, t._4, r6(t._4.toDouble / t._3)))
+    val got = TextOps.q208MarginalNovelty(spark, dir).collect()
+      .map(r => (r.getAs[Long]("decile"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_shingles"), r.getAs[Long]("n_novel"),
+        r.getAs[Double]("novelty_frac")))
+    assert(got.toSeq == want)
+    // every shingle is novel exactly once: novel mass = |vocabulary|
+    assert(got.map(_._4).sum == firstDoc.size)
+  }
+
   test("q200/q202 plans: no unbroadcast pair enumeration") {
     // q200's dup accounting flows through the copy-count table keyed
     // on the content hash — no non-equi join of any kind; q202's
