@@ -343,7 +343,8 @@ object Bench {
       "q202_source_sketch_jaccard", "q203_shuffle_quality",
       "q204_context_pack", "q205_embed_coverage",
       "q206_source_concentration", "q207_labeler_kappa",
-      "q208_marginal_novelty")
+      "q208_marginal_novelty", "q209_cohort_retention",
+      "q210_funnel_steps")
     // shingle-index misses during TIMED passes only (warm passes are
     // expected to build it once per session+dir)
     var timedIndexMisses = 0L

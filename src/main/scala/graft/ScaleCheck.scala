@@ -404,7 +404,13 @@ object ScaleCheck {
     "q207_labeler_kappa",
     // marginal novelty: one shingle-keyed groupBy + co-keyed join;
     // value-based deciles — no global rank window
-    "q208_marginal_novelty")
+    "q208_marginal_novelty",
+    // cohort matrix: distinct (user, week) collapse absorbs the
+    // replicated drill traffic; sizes broadcast
+    "q209_cohort_retention",
+    // funnel: k filtered per-user aggs co-keyed on user_id — the 10×
+    // event volume is scanned, the user frames are not multiplied
+    "q210_funnel_steps")
   // q198 (rank-aware ANN eval) is EXCLUDED from the default drill with
   // the certification family (q40/q47/q61 are likewise not default
   // ops): its warm pass builds the declared-quadratic exact-top-k

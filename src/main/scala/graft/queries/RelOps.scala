@@ -1723,6 +1723,144 @@ object RelOps {
        |  END AS assortativity
        |FROM m""".stripMargin
 
+  // ------------------------------------------- q209 cohort retention matrix
+
+  /** q209: COHORT RETENTION MATRIX — the product-analytics table:
+    * users cohorted by first-activity week, each later week's
+    * distinct-active count as a fraction of the cohort ("week-N
+    * retention"). The q175/q177 drift monitors ask what changed in
+    * the DATA; this asks what changed in the USERS.
+    *
+    * Shape: first-seen week is one per-user aggregation; activity
+    * collapses to DISTINCT (user, week) at the first partial agg
+    * (week offsets are exact integer day-diffs of week-truncated
+    * dates div 7 — no float time math); the matrix is a groupBy over
+    * (cohort, offset) joined to the broadcast cohort sizes. Both
+    * engines truncate weeks to ISO Mondays. */
+  def q209CohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+      .distinct()
+    val first = ev.groupBy("user_id").agg(min("w").as("cw"))
+    val sizes = first.groupBy("cw").agg(count(lit(1)).as("cohort_size"))
+    ev.join(first, Seq("user_id"))
+      .select(col("cw"), graft.functions.GraftFunctions.idiv(
+        datediff(col("w").cast("date"), col("cw").cast("date"))
+          .cast("long"), lit(7L)).as("week_offset"))
+      .groupBy("cw", "week_offset")
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), Seq("cw"))
+      .select(col("cw").cast("date").as("cohort_week"), col("week_offset"),
+        col("cohort_size"), col("n_active"),
+        round(col("n_active").cast("double") / col("cohort_size"), 6)
+          .as("retention"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val q209Sql: String =
+    s"""WITH ev AS (
+       |  SELECT DISTINCT user_id,
+       |    date_trunc('week', CAST(ts AS TIMESTAMP)) AS w
+       |  FROM events
+       |), f AS (
+       |  SELECT user_id, min(w) AS cw FROM ev GROUP BY user_id
+       |), sizes AS (
+       |  SELECT cw, count(*) AS cohort_size FROM f GROUP BY cw
+       |), m AS (
+       |  SELECT f.cw,
+       |    date_diff('day', CAST(f.cw AS DATE), CAST(ev.w AS DATE)) // 7
+       |      AS week_offset,
+       |    count(*) AS n_active
+       |  FROM ev JOIN f USING (user_id)
+       |  GROUP BY 1, 2
+       |)
+       |SELECT CAST(m.cw AS DATE) AS cohort_week,
+       |  CAST(week_offset AS BIGINT) AS week_offset,
+       |  cohort_size, n_active,
+       |  round(CAST(n_active AS DOUBLE) / cohort_size, 6) AS retention
+       |FROM m JOIN sizes USING (cw)
+       |ORDER BY cohort_week, week_offset""".stripMargin
+
+  // ----------------------------------------- q210 strict-order funnel
+
+  /** The funnel's ordered steps over the events stream. */
+  val FunnelSteps: Seq[String] = Seq("view", "click", "purchase")
+
+  /** q210: STRICT-ORDER FUNNEL — per user, step k counts only when
+    * its earliest qualifying event is STRICTLY LATER than the user's
+    * step-(k−1) anchor (the classic conversion funnel; q154
+    * multi-touch splits credit, sq18 joins the steps in streaming —
+    * this is the batch conversion readout both report against).
+    *
+    * Shape: each step is one filtered per-user aggregation co-keyed
+    * on user_id joined to the previous step's anchor — k narrow
+    * shuffles of user-sized frames, never an event×event join; the
+    * final readout is one scalar row. Strictly-greater timestamps in
+    * both engines (ties do NOT advance the funnel). */
+  def q210FunnelSteps(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("user_id"), col("event_type"),
+      col("ts"))
+    val total = ev.select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("n_users"))
+    val s1 = ev.filter(col("event_type") === FunnelSteps.head)
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val s2 = ev.filter(col("event_type") === FunnelSteps(1))
+      .join(s1, Seq("user_id"))
+      .filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val s3 = ev.filter(col("event_type") === FunnelSteps(2))
+      .join(s2, Seq("user_id"))
+      .filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    total
+      .crossJoin(s1.agg(count(lit(1)).as("n_step1")))
+      .crossJoin(s2.agg(count(lit(1)).as("n_step2")))
+      .crossJoin(s3.agg(count(lit(1)).as("n_step3")))
+      .select(col("n_users"), col("n_step1"), col("n_step2"),
+        col("n_step3"),
+        when(col("n_step1") > 0,
+          round(col("n_step2").cast("double") / col("n_step1"), 6))
+          .as("conv_12"),
+        when(col("n_step2") > 0,
+          round(col("n_step3").cast("double") / col("n_step2"), 6))
+          .as("conv_23"),
+        when(col("n_step1") > 0,
+          round(col("n_step3").cast("double") / col("n_step1"), 6))
+          .as("conv_overall"))
+  }
+
+  val q210Sql: String =
+    s"""WITH s1 AS (
+       |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t1 FROM events
+       |  WHERE event_type = '${FunnelSteps.head}' GROUP BY user_id
+       |), s2 AS (
+       |  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t2
+       |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+       |  WHERE e.event_type = '${FunnelSteps(1)}'
+       |    AND CAST(e.ts AS TIMESTAMP) > s1.t1
+       |  GROUP BY e.user_id
+       |), s3 AS (
+       |  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t3
+       |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+       |  WHERE e.event_type = '${FunnelSteps(2)}'
+       |    AND CAST(e.ts AS TIMESTAMP) > s2.t2
+       |  GROUP BY e.user_id
+       |)
+       |SELECT
+       |  (SELECT count(DISTINCT user_id) FROM events) AS n_users,
+       |  (SELECT count(*) FROM s1) AS n_step1,
+       |  (SELECT count(*) FROM s2) AS n_step2,
+       |  (SELECT count(*) FROM s3) AS n_step3,
+       |  CASE WHEN (SELECT count(*) FROM s1) > 0
+       |    THEN round(CAST((SELECT count(*) FROM s2) AS DOUBLE)
+       |      / (SELECT count(*) FROM s1), 6) END AS conv_12,
+       |  CASE WHEN (SELECT count(*) FROM s2) > 0
+       |    THEN round(CAST((SELECT count(*) FROM s3) AS DOUBLE)
+       |      / (SELECT count(*) FROM s2), 6) END AS conv_23,
+       |  CASE WHEN (SELECT count(*) FROM s1) > 0
+       |    THEN round(CAST((SELECT count(*) FROM s3) AS DOUBLE)
+       |      / (SELECT count(*) FROM s1), 6) END AS conv_overall""".stripMargin
+
   // --------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1751,7 +1889,9 @@ object RelOps {
     "q136_benford" -> (q136Benford _),
     "q153_graph_profile" -> (q153GraphProfile _),
     "q193_neighbor_jaccard" -> (q193NeighborJaccard _),
-    "q201_assortativity" -> (q201Assortativity _)
+    "q201_assortativity" -> (q201Assortativity _),
+    "q209_cohort_retention" -> (q209CohortRetention _),
+    "q210_funnel_steps" -> (q210FunnelSteps _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -1780,6 +1920,8 @@ object RelOps {
     "q136_benford" -> q136Sql,
     "q153_graph_profile" -> q153Sql,
     "q193_neighbor_jaccard" -> q193Sql,
-    "q201_assortativity" -> q201Sql
+    "q201_assortativity" -> q201Sql,
+    "q209_cohort_retention" -> q209Sql,
+    "q210_funnel_steps" -> q210Sql
   )
 }

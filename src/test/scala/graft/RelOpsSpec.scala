@@ -246,6 +246,74 @@ class RelOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(want.isDefined && want.get >= -1.0 && want.get <= 1.0)
   }
 
+  // --------------------------------------------------------------- q209
+
+  test("q209: retention matrix equals a brute-force cohort recompute") {
+    import java.time.{DayOfWeek, ZoneOffset}
+    import java.time.temporal.{ChronoUnit, TemporalAdjusters}
+    val dir = "/root/testdata/sf0.01"
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("ts").cast("timestamp"))
+      .collect()
+      .map { r =>
+        val wk = r.getTimestamp(1).toInstant.atZone(ZoneOffset.UTC)
+          .toLocalDate
+          .`with`(TemporalAdjusters.previousOrSame(DayOfWeek.MONDAY))
+        (r.getLong(0), wk)
+      }.distinct
+    val cohort = ev.groupBy(_._1).map { case (u, ws) => u -> ws.map(_._2).min }
+    val sizes = cohort.values.groupBy(identity).map { case (w, v) => w -> v.size.toLong }
+    val want = ev.map { case (u, w) =>
+      (cohort(u), ChronoUnit.DAYS.between(cohort(u), w) / 7)
+    }.groupBy(identity).map { case ((cw, off), rows) =>
+      (cw, off, sizes(cw), rows.length.toLong,
+        r6(rows.length.toDouble / sizes(cw)))
+    }.toSeq.sortBy(t => (t._1.toEpochDay, t._2))
+    val got = RelOps.q209CohortRetention(spark, dir).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getAs[Long]("week_offset"),
+        r.getAs[Long]("cohort_size"), r.getAs[Long]("n_active"),
+        r.getAs[Double]("retention")))
+    assert(got.toSeq == want)
+    // week-0 retention is 1 by construction for every cohort
+    assert(got.filter(_._2 == 0L).forall(_._5 == 1.0))
+  }
+
+  // --------------------------------------------------------------- q210
+
+  test("q210: funnel counts equal a brute-force strict-order walk") {
+    val dir = "/root/testdata/sf0.01"
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("event_type"), col("ts").cast("timestamp"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2).toInstant))
+    val byUser = ev.groupBy(_._1)
+    def step(prev: Map[Long, java.time.Instant], etype: String) =
+      prev.flatMap { case (u, anchor) =>
+        byUser(u).filter(e => e._2 == etype && e._3.isAfter(anchor))
+          .map(_._3).minOption.map(u -> _)
+      }
+    val s1 = byUser.flatMap { case (u, es) =>
+      es.filter(_._2 == RelOps.FunnelSteps.head).map(_._3).minOption
+        .map(u -> _)
+    }
+    val s2 = step(s1, RelOps.FunnelSteps(1))
+    val s3 = step(s2, RelOps.FunnelSteps(2))
+    val r = RelOps.q210FunnelSteps(spark, dir).head()
+    assert(r.getAs[Long]("n_users") == byUser.size)
+    assert(r.getAs[Long]("n_step1") == s1.size)
+    assert(r.getAs[Long]("n_step2") == s2.size)
+    assert(r.getAs[Long]("n_step3") == s3.size)
+    assert(r.getAs[Double]("conv_12") == r6(s2.size.toDouble / s1.size))
+    assert(r.getAs[Double]("conv_23") == r6(s3.size.toDouble / s2.size))
+    assert(r.getAs[Double]("conv_overall") == r6(s3.size.toDouble / s1.size))
+    // a funnel is monotone
+    assert(s1.size >= s2.size && s2.size >= s3.size && s3.size > 0)
+  }
+
   // --------------------------------------------------------------- q117
 
   test("q117: output is exactly the non-dominated set") {
