@@ -410,7 +410,10 @@ object ScaleCheck {
     "q209_cohort_retention",
     // funnel: k filtered per-user aggs co-keyed on user_id — the 10×
     // event volume is scanned, the user frames are not multiplied
-    "q210_funnel_steps")
+    "q210_funnel_steps",
+    // gaps: (user, type)-local lag windows + per-type midrank — the
+    // replicated drill events create zero-gap ties, not new frames
+    "q211_event_gaps")
   // q198 (rank-aware ANN eval) is EXCLUDED from the default drill with
   // the certification family (q40/q47/q61 are likewise not default
   // ops): its warm pass builds the declared-quadratic exact-top-k

@@ -1861,6 +1861,83 @@ object RelOps {
        |    THEN round(CAST((SELECT count(*) FROM s3) AS DOUBLE)
        |      / (SELECT count(*) FROM s1), 6) END AS conv_overall""".stripMargin
 
+  // ------------------------------------- q211 inter-event gap statistics
+
+  /** q211: INTER-EVENT GAP STATISTICS — the cadence profile per event
+    * type over each user's own timeline (the input to retry-storm
+    * detection, session-timeout tuning, and synthetic-load modeling):
+    * per type, the count/mean/median/max of consecutive same-user
+    * gaps. q123 asks how many overlap NOW; this asks how the stream
+    * BREATHES.
+    *
+    * Exactness: gaps are exact integer microsecond diffs; the mean is
+    * one integer sum with two chained double divisions (same shape
+    * both engines); the median is the EXACT midrank (the q179
+    * discipline — average of the one/two middle integers, never an
+    * interpolating percentile whose cross-engine semantics differ).
+    * Scale: lag windows partition by (user, type) — user-local sorts,
+    * no global order; the midrank runs per type over gap rows. */
+  def q211EventGaps(s: SparkSession, dir: String): DataFrame = {
+    val wu = Window.partitionBy("user_id", "event_type").orderBy("us")
+    val gaps = events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+      .withColumn("gap", col("us") - lag("us", 1).over(wu))
+      .filter(col("gap").isNotNull)
+    val wt = Window.partitionBy("event_type").orderBy("gap", "user_id")
+    val mid = gaps
+      .withColumn("rn", row_number().over(wt).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      .filter(col("rn") === graft.functions.GraftFunctions
+          .idiv(col("n") + 1, lit(2L)) ||
+        col("rn") === graft.functions.GraftFunctions
+          .idiv(col("n") + 2, lit(2L)))
+      .groupBy("event_type")
+      .agg((sum(col("gap")).cast("double") / count(lit(1)) / 1000000.0)
+        .as("median_raw"))
+      .select(col("event_type"), round(col("median_raw"), 6)
+        .as("median_gap_s"))
+    gaps.groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        round(sum("gap").cast("double") / count(lit(1)) / 1000000.0, 6)
+          .as("mean_gap_s"),
+        round(max("gap").cast("double") / 1000000.0, 6).as("max_gap_s"))
+      .join(mid, Seq("event_type"))
+      .select("event_type", "n_gaps", "mean_gap_s", "median_gap_s",
+        "max_gap_s")
+      .orderBy("event_type")
+  }
+
+  val q211Sql: String =
+    s"""WITH g AS (
+       |  SELECT event_type, user_id,
+       |    us - lag(us) OVER (PARTITION BY user_id, event_type ORDER BY us)
+       |      AS gap
+       |  FROM (SELECT user_id, event_type,
+       |          epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events)
+       |), gg AS (
+       |  SELECT event_type, user_id, gap FROM g WHERE gap IS NOT NULL
+       |), mid AS (
+       |  SELECT event_type,
+       |    round(CAST(sum(gap) AS DOUBLE) / count(*) / 1000000.0, 6)
+       |      AS median_gap_s
+       |  FROM (
+       |    SELECT event_type, gap,
+       |      row_number() OVER (PARTITION BY event_type
+       |        ORDER BY gap, user_id) AS rn,
+       |      count(*) OVER (PARTITION BY event_type) AS n
+       |    FROM gg)
+       |  WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+       |  GROUP BY event_type
+       |)
+       |SELECT event_type, count(*) AS n_gaps,
+       |  round(CAST(sum(gap) AS DOUBLE) / count(*) / 1000000.0, 6)
+       |    AS mean_gap_s,
+       |  (SELECT median_gap_s FROM mid WHERE mid.event_type = gg.event_type)
+       |    AS median_gap_s,
+       |  round(CAST(max(gap) AS DOUBLE) / 1000000.0, 6) AS max_gap_s
+       |FROM gg GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // --------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1891,7 +1968,8 @@ object RelOps {
     "q193_neighbor_jaccard" -> (q193NeighborJaccard _),
     "q201_assortativity" -> (q201Assortativity _),
     "q209_cohort_retention" -> (q209CohortRetention _),
-    "q210_funnel_steps" -> (q210FunnelSteps _)
+    "q210_funnel_steps" -> (q210FunnelSteps _),
+    "q211_event_gaps" -> (q211EventGaps _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -1922,6 +2000,7 @@ object RelOps {
     "q193_neighbor_jaccard" -> q193Sql,
     "q201_assortativity" -> q201Sql,
     "q209_cohort_retention" -> q209Sql,
-    "q210_funnel_steps" -> q210Sql
+    "q210_funnel_steps" -> q210Sql,
+    "q211_event_gaps" -> q211Sql
   )
 }

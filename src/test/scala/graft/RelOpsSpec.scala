@@ -314,6 +314,38 @@ class RelOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s1.size >= s2.size && s2.size >= s3.size && s3.size > 0)
   }
 
+  // --------------------------------------------------------------- q211
+
+  test("q211: gap statistics equal a brute-force per-user timeline walk") {
+    val dir = "/root/testdata/sf0.01"
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val gaps = ev.groupBy(e => (e._1, e._2)).toSeq.flatMap { case (_, es) =>
+      val ts = es.map(_._3).sorted
+      ts.zip(ts.drop(1)).map { case (a, b) => (es.head._2, b - a) }
+    }
+    val want = gaps.groupBy(_._1).map { case (t, gs) =>
+      val v = gs.map(_._2).sorted
+      val n = v.length
+      val mids = Seq((n + 1) / 2, (n + 2) / 2).distinct.map(i => v(i - 1))
+      (t, n.toLong,
+        r6(v.map(BigInt(_)).sum.toDouble / n / 1000000.0),
+        r6(mids.map(BigInt(_)).sum.toDouble / mids.length / 1000000.0),
+        r6(v.max.toDouble / 1000000.0))
+    }.toSeq.sortBy(_._1)
+    val got = RelOps.q211EventGaps(spark, dir).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_gaps"),
+        r.getAs[Double]("mean_gap_s"), r.getAs[Double]("median_gap_s"),
+        r.getAs[Double]("max_gap_s")))
+    assert(got.toSeq == want)
+    got.foreach(g => assert(g._3 > 0 && g._4 > 0 && g._5 >= g._4))
+  }
+
   // --------------------------------------------------------------- q117
 
   test("q117: output is exactly the non-dominated set") {
