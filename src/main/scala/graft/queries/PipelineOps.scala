@@ -145,7 +145,8 @@ object PipelineOps {
       .filter(col("nt") > 0)
       .withColumn("score", round(col("nu").cast("double") / col("nt"), ScoreDp))
     // the global budget: one scalar row, broadcast by the cross join
-    val budget = tok.agg((sum("nt") / lit(BudgetDenom)).cast("long").as("budget"))
+    val budget = tok.agg(graft.functions.GraftFunctions
+      .idiv(sum("nt"), lit(BudgetDenom.toLong)).as("budget"))
     // phase 1: bucket totals + exclusive prefix over the TINY bucket
     // frame (≤ 10^ScoreDp + 1 rows — a driver-scale window, not a
     // corpus-scale one)

@@ -1800,8 +1800,9 @@ object RelOps {
   def q210FunnelSteps(s: SparkSession, dir: String): DataFrame = {
     val ev = events(s, dir).select(col("user_id"), col("event_type"),
       col("ts"))
-    val total = ev.select(col("user_id")).distinct()
-      .agg(count(lit(1)).as("n_users"))
+    // count_distinct mirrors SQL's count(DISTINCT ...) NULL exclusion;
+    // a bare distinct().count would admit a NULL user_id as one user.
+    val total = ev.agg(count_distinct(col("user_id")).as("n_users"))
     val s1 = ev.filter(col("event_type") === FunnelSteps.head)
       .groupBy("user_id").agg(min("ts").as("t1"))
     val s2 = ev.filter(col("event_type") === FunnelSteps(1))
@@ -1875,8 +1876,21 @@ object RelOps {
     * both engines); the median is the EXACT midrank (the q179
     * discipline — average of the one/two middle integers, never an
     * interpolating percentile whose cross-engine semantics differ).
+    *
     * Scale: lag windows partition by (user, type) — user-local sorts,
-    * no global order; the midrank runs per type over gap rows. */
+    * no global order. The median rides the q179/q182 BUCKETED-MIDRANK
+    * discipline, never a per-type row_number over raw gap rows (that
+    * shape is a near-full sort of every gap on a handful of reducers
+    * at 100 TB — round-10 verdict #1): (1) map-side collapse to
+    * (type, log2-bucket) integer counts — ≤ 64 buckets per type, so
+    * the cumulative-count window that locates the midrank bucket runs
+    * on a driver-scale frame; (2) only rows of the one/two midrank
+    * buckets survive a broadcast semi-filter, collapse to per-distinct-
+    * gap counts, and a running count over that bucket's VALUE frame
+    * picks the exact rank-(n+1)//2 / rank-(n+2)//2 gaps. Bucket
+    * assignment only needs to be monotone in gap for the composition
+    * to equal the global midrank — floor∘log2∘(+1) over non-negative
+    * integers is. */
   def q211EventGaps(s: SparkSession, dir: String): DataFrame = {
     val wu = Window.partitionBy("user_id", "event_type").orderBy("us")
     val gaps = events(s, dir)
@@ -1884,16 +1898,42 @@ object RelOps {
         expr("unix_micros(ts)").as("us"))
       .withColumn("gap", col("us") - lag("us", 1).over(wu))
       .filter(col("gap").isNotNull)
-    val wt = Window.partitionBy("event_type").orderBy("gap", "user_id")
-    val mid = gaps
-      .withColumn("rn", row_number().over(wt).cast("long"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
-      .filter(col("rn") === graft.functions.GraftFunctions
-          .idiv(col("n") + 1, lit(2L)) ||
-        col("rn") === graft.functions.GraftFunctions
-          .idiv(col("n") + 2, lit(2L)))
+    // phase 1: (type, log2-bucket) counts — one partial-agged shuffle
+    // of ≤ types×64 rows; the per-type windows below run on THAT frame
+    val bg = gaps.select(col("event_type"), col("gap"))
+      .withColumn("b", floor(log2(col("gap") + lit(1))).cast("int"))
+    val wb = Window.partitionBy("event_type").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val marked = bg.groupBy("event_type", "b").agg(count(lit(1)).as("cnt"))
+      .withColumn("cb", coalesce(sum("cnt").over(wb), lit(0L)))
+      .withColumn("n",
+        sum("cnt").over(Window.partitionBy("event_type")))
+      .withColumn("r1",
+        graft.functions.GraftFunctions.idiv(col("n") + 1, lit(2L)))
+      .withColumn("r2",
+        graft.functions.GraftFunctions.idiv(col("n") + 2, lit(2L)))
+    val midBuckets = marked
+      .filter((col("r1") > col("cb") && col("r1") <= col("cb") + col("cnt")) ||
+        (col("r2") > col("cb") && col("r2") <= col("cb") + col("cnt")))
+      .select("event_type", "b", "cb", "r1", "r2")
+    // phase 2: only midrank-bucket rows survive the broadcast join;
+    // collapse to distinct gap values, then a running count over the
+    // bucket's value frame finds which value holds each target rank
+    val wv = Window.partitionBy("event_type", "b").orderBy("gap")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mid = bg.join(broadcast(midBuckets), Seq("event_type", "b"))
+      .groupBy("event_type", "b", "cb", "r1", "r2", "gap")
+      .agg(count(lit(1)).as("vcnt"))
+      .withColumn("hi", col("cb") + sum("vcnt").over(wv))
+      .withColumn("lo", col("hi") - col("vcnt"))
+      .withColumn("w",
+        when(col("r1") > col("lo") && col("r1") <= col("hi"), 1L)
+          .otherwise(0L) +
+        when(col("r2") > col("lo") && col("r2") <= col("hi"), 1L)
+          .otherwise(0L))
+      .filter(col("w") > 0)
       .groupBy("event_type")
-      .agg((sum(col("gap")).cast("double") / count(lit(1)) / 1000000.0)
+      .agg((sum(col("gap") * col("w")).cast("double") / sum("w") / 1000000.0)
         .as("median_raw"))
       .select(col("event_type"), round(col("median_raw"), 6)
         .as("median_gap_s"))

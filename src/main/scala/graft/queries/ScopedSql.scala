@@ -34,8 +34,12 @@ object ScopedSql {
 
   /** Register each (name → df) under its dir-scoped name and run
     * `sql` with every bare `name` token rewritten to the scoped name.
-    * Token rewrite is word-bounded, so column names that embed a
-    * table name (none do in this suite) would need renaming, not
+    * Token rewrite is word-bounded AND segment-aware: single-quoted
+    * string literals, backtick-quoted identifiers, `--` line comments
+    * and bracketed comments are left untouched (round-10 ADVICE — a
+    * blind whole-text replaceAll would silently corrupt a table name
+    * occurring inside a literal or comment). Column names that embed a
+    * table name (none do in this suite) would still need renaming, not
     * regex care. */
   def run(s: SparkSession, dir: String, sql: String,
       tables: (String, DataFrame)*): DataFrame =
@@ -47,13 +51,36 @@ object ScopedSql {
       args: Map[String, Any], tables: (String, DataFrame)*): DataFrame =
     s.sql(rewrite(s, dir, sql, tables: _*), args)
 
+  /** Segments the rewrite must never enter: single-quoted literals
+    * (with `''` escapes), backtick identifiers, `--` line comments,
+    * bracketed comments. */
+  private val ProtectedSegment =
+    "('(?:[^']|'')*')|(`[^`]*`)|(--[^\\n]*)|(/\\*[\\s\\S]*?\\*/)".r
+
+  /** Word-bounded replace of `name` → `scoped`, skipping protected
+    * segments. */
+  private[graft] def rewriteToken(sql: String, name: String,
+      scoped: String): String = {
+    val pat = ("\\b" + java.util.regex.Pattern.quote(name) + "\\b").r
+    val rep = scala.util.matching.Regex.quoteReplacement(scoped)
+    val sb = new StringBuilder
+    var last = 0
+    ProtectedSegment.findAllMatchIn(sql).foreach { m =>
+      sb.append(pat.replaceAllIn(sql.substring(last, m.start), rep))
+      sb.append(m.matched)
+      last = m.end
+    }
+    sb.append(pat.replaceAllIn(sql.substring(last), rep))
+    sb.toString
+  }
+
   private def rewrite(s: SparkSession, dir: String, sql: String,
       tables: (String, DataFrame)*): String = {
     val t = tag(dir)
     tables.foldLeft(sql) { case (q, (name, df)) =>
       val scoped = s"${name}_$t"
       df.createOrReplaceTempView(scoped)
-      q.replaceAll("\\b" + java.util.regex.Pattern.quote(name) + "\\b", scoped)
+      rewriteToken(q, name, scoped)
     }
   }
 }

@@ -56,7 +56,8 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("nt") > 0)
       .withColumn("score",
         round(col("nu").cast("double") / col("nt"), PipelineOps.ScoreDp))
-    val budget = tok.agg((sum("nt") / lit(PipelineOps.BudgetDenom)).cast("long"))
+    val budget = tok.agg(graft.functions.GraftFunctions
+        .idiv(sum("nt"), lit(PipelineOps.BudgetDenom.toLong)))
       .head().getLong(0)
     val wg = Window.orderBy(col("score").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

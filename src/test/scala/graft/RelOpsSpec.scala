@@ -346,6 +346,25 @@ class RelOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     got.foreach(g => assert(g._3 > 0 && g._4 > 0 && g._5 >= g._4))
   }
 
+  test("q211 plan: no window partitions by bare event_type over raw gap rows") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val df = RelOps.q211EventGaps(spark, dir)
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty)
+    // the round-10 scale-killer shape was row_number() OVER (PARTITION
+    // BY event_type ...) over RAW gap rows — a near-full per-type sort
+    // on a handful of reducers at 100 TB. Per-type windows are only
+    // legal over the collapsed (type, bucket) count frame, i.e. with
+    // an Aggregate strictly beneath them.
+    wins.foreach { w =>
+      val parts = w.partitionSpec.flatMap(_.references.map(_.name)).distinct
+      if (parts == Seq("event_type")) {
+        assert(w.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+          s"per-type window runs over raw (un-aggregated) rows:\n$w")
+      }
+    }
+  }
+
   // --------------------------------------------------------------- q117
 
   test("q117: output is exactly the non-dominated set") {

@@ -34,6 +34,24 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
       classic.collect().map(_.toSeq.mkString("|")).sorted.toSeq)
   }
 
+  test("ScopedSql.rewriteToken never touches literals, comments, or backticks") {
+    val t = graft.queries.ScopedSql.rewriteToken(
+      "SELECT 'orders' AS lbl, `orders`, o.x -- orders here\n" +
+        "FROM orders o /* join orders later */ JOIN orders_hist USING (k)\n" +
+        "WHERE note <> 'no orders yet'",
+      "orders", "orders_g1")
+    // bare table tokens rewritten
+    assert(t.contains("FROM orders_g1 o"))
+    // string literals, backtick identifiers, line and bracketed
+    // comments, and words merely PREFIXED by the name are untouched
+    assert(t.contains("'orders' AS lbl"))
+    assert(t.contains("`orders`"))
+    assert(t.contains("-- orders here"))
+    assert(t.contains("/* join orders later */"))
+    assert(t.contains("orders_hist"))
+    assert(t.contains("'no orders yet'"))
+  }
+
   test("q160: VARIANT access agrees with the declared-schema twin (q124)") {
     val v = SqlSurfaceOps.q160VariantShred(spark, dir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
