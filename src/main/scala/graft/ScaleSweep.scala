@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Three-point scale sweep (PERF.md §7): times each target operator at
+  * a LADDER of fixture dirs — by default the gate SF (sf0.01), 10×
+  * (sf0.1), and 100× (an sf1-equivalent corpus materialized from sf0.1
+  * by [[ScaleCheck.materialize]]'s salted-copy construction) — and
+  * counts the physical plan's exchanges at every rung.
+  *
+  * This is the strongest 100 TB evidence available short of a cluster:
+  * the 10× drills (§3) show one growth step; the ladder shows the
+  * CURVE. A plan that is secretly quadratic shows an accelerating
+  * wall-growth factor between rungs; a scale-safe plan shows a stable
+  * or falling factor and an UNCHANGED exchange inventory (new
+  * exchanges appearing only at scale would mean the plan shape itself
+  * degrades — e.g. a broadcast silently flipping to a shuffle join).
+  *
+  * Output: one JSON line per (op, dir) with warm/min wall, shuffle /
+  * broadcast exchange counts from the initial physical plan, and the
+  * dir's document/vector row counts; a final summary line.
+  *
+  * Usage:
+  *   SPARK_GRAFT_SWEEP_DIRS=dir1,dir2,dir3 \
+  *   sbt "runMain graft.ScaleSweep [op,op,...]"
+  * The LAST dir is materialized from the second-to-last via
+  * [[ScaleCheck.materialize]] when it does not exist yet.
+  */
+object ScaleSweep {
+
+  /** The dedup/ANN flagships of the 100 TB design claims (round-10
+    * verdict #5). */
+  val DefaultOps: Seq[String] = Seq(
+    "q37_neardup_lsh", "q39_neardup_capped", "q53_simhash_neardup",
+    "q67_dedup_clusters", "q138_prefix_jaccard", "q200_cdc_chunks",
+    "q41_ann_lsh", "q44_ivf_topk")
+
+  /** Declared output-bound ops: their result VOLUME grows with the
+    * true duplicate pair count (the salted corpus multiplies real
+    * near-dup pairs ~upper-quadratically by construction), so they run
+    * one timed pass and their growth is read per output row, not per
+    * input row (the §3 q138 analysis). */
+  private val OutputBound = Set("q138_prefix_jaccard")
+
+  private def time(f: => Unit): Double = {
+    val t0 = System.nanoTime()
+    f
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def run(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  /** (shuffle, broadcast) exchange counts from the initial physical
+    * plan string (the PlanSpec idiom — AQE can only COALESCE from
+    * here, never add). */
+  def exchangeCounts(df: DataFrame): (Int, Int) = {
+    val plan = df.queryExecution.executedPlan.toString
+    val broadcast = "BroadcastExchange".r.findAllIn(plan).size
+    val reused = "ReusedExchange".r.findAllIn(plan).size
+    val total = "Exchange".r.findAllIn(plan).size
+    (total - broadcast - reused, broadcast)
+  }
+
+  private def rows(s: SparkSession, dir: String, table: String): Long = {
+    val p = s"$dir/$table.parquet"
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+      s.read.parquet(p).count()
+    else -1L
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dirs = sys.env.getOrElse("SPARK_GRAFT_SWEEP_DIRS",
+        "/root/testdata/sf0.01,/root/testdata/sf0.1,/tmp/graft_sf1")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val ops = args.headOption.map(_.split(",").map(_.trim).toSeq)
+      .getOrElse(DefaultOps)
+    val passes = sys.env.get("SPARK_GRAFT_SWEEP_PASSES")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .filter(_ >= 1).getOrElse(2)
+    val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors())
+    val spark = GraftSession.builder("graft-sweep", cores = cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // the top rung materializes from the rung below it (idempotent)
+    if (dirs.size >= 2 &&
+        !java.nio.file.Files.exists(java.nio.file.Paths.get(dirs.last))) {
+      new java.io.File(dirs.last).mkdirs()
+      ScaleCheck.materialize(spark, dirs(dirs.size - 2), dirs.last)
+    }
+
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+
+    // diagnostic mode: dump each op's initial physical plan per rung
+    // (no execution) so an exchange-count drift between rungs can be
+    // attributed to the specific join that changed strategy
+    if (sys.env.contains("SPARK_GRAFT_SWEEP_EXPLAIN")) {
+      ops.foreach { name =>
+        SparkEntry.queries.get(name).foreach { fn =>
+          dirs.foreach { d =>
+            println(s"=== $name @ $d ===")
+            println(fn(spark, d).queryExecution.executedPlan.toString)
+          }
+        }
+      }
+      spark.stop()
+      return
+    }
+
+    dirs.foreach { d =>
+      println(s"""{"dir":"$d","documents":${rows(spark, d, "documents")},""" +
+        s""""embeddings":${rows(spark, d, "embeddings")}}""")
+    }
+
+    val lines = ops.flatMap { name =>
+      SparkEntry.queries.get(name) match {
+        case None =>
+          System.err.println(s"[sweep] unknown op: $name"); None
+        case Some(fn) =>
+          dirs.map { d =>
+            val df = fn(spark, d)
+            val (sh, bc) = exchangeCounts(df)
+            val p = if (OutputBound(name)) 1 else passes
+            val warm = time(run(fn(spark, d)))
+            val timed = (1 to p).map(_ => time(run(fn(spark, d)))).min
+            val line = s"""{"op":"$name","dir":"$d","warm":${num(warm)},""" +
+              s""""min":${num(timed)},"shuffle_exchanges":$sh,""" +
+              s""""broadcast_exchanges":$bc}"""
+            println(line)
+            line
+          }
+      }
+    }
+    println(s"""{"scale_sweep":"done","dirs":${dirs.size},"entries":${lines.size}}""")
+    spark.stop()
+  }
+}
