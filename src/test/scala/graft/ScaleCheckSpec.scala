@@ -101,4 +101,20 @@ class ScaleCheckSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("t").startsWith("salt")).distinct().collect().map(_.getString(0)).toSet
     assert(salts == (0 until 10).map(c => s"salt$c").toSet)
   }
+
+  test("ScaleSweep.exchangeCounts separates shuffle from broadcast exchanges") {
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    // one groupBy = one shuffle exchange, zero broadcasts
+    val (s1, b1) = ScaleSweep.exchangeCounts(
+      docs.groupBy("source").agg(count(lit(1))))
+    assert(s1 == 1 && b1 == 0, s"groupBy counted ($s1, $b1)")
+    // a broadcast-hinted join adds exactly one broadcast exchange and
+    // no shuffle for the joined side
+    val dims = docs.select(col("source")).distinct()
+    val (s2, b2) = ScaleSweep.exchangeCounts(
+      docs.join(broadcast(dims), Seq("source")).groupBy("lang")
+        .agg(count(lit(1))))
+    assert(b2 == 1, s"broadcast join counted ($s2, $b2)")
+    assert(s2 >= 1 && s2 <= 2, s"distinct+agg shuffles counted ($s2, $b2)")
+  }
 }
