@@ -62,6 +62,56 @@ object ScaleSweep {
     (total - broadcast - reused, broadcast)
   }
 
+  /** 10×-replicate documents/embeddings/events from `base` into `out`
+    * with a DEPTH-SAFE id scheme (`id*10 + c` — a base-10 digit
+    * append, collision-free at any chaining depth, unlike the fixed
+    * additive offsets of [[ScaleCheck.materialize]] which collide when
+    * applied twice). Used for the ladder's rungs ABOVE the first
+    * materialized one (e.g. sf1 → sf10 ≈ 1000× the gate SF). The
+    * second-level salt token family (`ssalt$c`) is disjoint from the
+    * first level's (`salt$c`), so copies stay exact-dup-free per level
+    * while the hot-shingle regime compounds; events replicate with
+    * UNCHANGED user/ts (the hot-key and bounded-state regime). */
+  def materializeLevel(s: SparkSession, base: String, out: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val docsOut = s"$out/documents.parquet"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(docsOut))) {
+      val docs = s.read.parquet(s"$base/documents.parquet")
+      (0 until 10).map { c =>
+        docs.select(
+          (col("doc_id") * 10 + lit(c.toLong)).as("doc_id"),
+          regexp_replace(col("text"), "\\s+", s" ssalt$c ").as("text"),
+          col("lang"), col("source"))
+      }.reduce(_ unionAll _)
+        .withColumn("n_chars", length(col("text")))
+        .repartition(64)
+        .write.mode("overwrite").parquet(docsOut)
+    }
+    val embOut = s"$out/embeddings.parquet"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(embOut))) {
+      val emb = s.read.parquet(s"$base/embeddings.parquet")
+      (0 until 4).map { c =>
+        emb.select(
+          (col("vec_id") * 10 + lit(c.toLong)).as("vec_id"),
+          transform(col("embedding"),
+            x => (x + lit(c * 0.001f)).cast("float")).as("embedding"),
+          col("label"))
+      }.reduce(_ unionAll _)
+        .repartition(16)
+        .write.mode("overwrite").parquet(embOut)
+    }
+    val eventsOut = s"$out/events.parquet"
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$base/events.parquet")) &&
+        !java.nio.file.Files.exists(java.nio.file.Paths.get(eventsOut))) {
+      val ev = s.read.parquet(s"$base/events.parquet")
+      (0 until 10).map(c =>
+          ev.withColumn("event_id", col("event_id") * 10 + lit(c.toLong)))
+        .reduce(_ unionAll _)
+        .repartition(64)
+        .write.mode("overwrite").parquet(eventsOut)
+    }
+  }
+
   private def rows(s: SparkSession, dir: String, table: String): Long = {
     val p = s"$dir/$table.parquet"
     if (java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
@@ -83,11 +133,19 @@ object ScaleSweep {
     val spark = GraftSession.builder("graft-sweep", cores = cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // the top rung materializes from the rung below it (idempotent)
-    if (dirs.size >= 2 &&
-        !java.nio.file.Files.exists(java.nio.file.Paths.get(dirs.last))) {
-      new java.io.File(dirs.last).mkdirs()
-      ScaleCheck.materialize(spark, dirs(dirs.size - 2), dirs.last)
+    // missing rungs materialize from the rung below them (idempotent):
+    // the first missing one via ScaleCheck's full-table construction,
+    // any rung above that via the depth-safe level materializer
+    dirs.zipWithIndex.drop(1).foreach { case (d, i) =>
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(d))) {
+        new java.io.File(d).mkdirs()
+        if (java.nio.file.Files.exists(
+            java.nio.file.Paths.get(s"${dirs(i - 1)}/orders.parquet")) &&
+            !java.nio.file.Files.exists(
+              java.nio.file.Paths.get(s"${dirs(i - 1)}/documents.parquet/_SUCCESS")))
+          ScaleCheck.materialize(spark, dirs(i - 1), d)
+        else materializeLevel(spark, dirs(i - 1), d)
+      }
     }
 
     def num(v: Double): String =

@@ -102,6 +102,29 @@ class ScaleCheckSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(salts == (0 until 10).map(c => s"salt$c").toSet)
   }
 
+  test("ScaleSweep.materializeLevel: digit-append ids stay distinct at depth, salt families disjoint") {
+    val lvl = java.nio.file.Files.createTempDirectory("graft_sclvl_").toString
+    // chain on top of the already-materialized 10x dir — the depth
+    // case ScaleCheck's additive offsets cannot survive
+    ScaleSweep.materializeLevel(spark, out, lvl)
+    val docs = spark.read.parquet(s"$lvl/documents.parquet")
+    assert(docs.count() == 300, "10x the 30-doc level-1 corpus")
+    assert(docs.select("doc_id").distinct().count() == 300,
+      "digit-append ids must stay collision-free when chained")
+    val salts = docs.select(explode(split(col("text"), "\\s+")).as("t"))
+      .filter(col("t").rlike("^s?salt[0-9]$")).select("t").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert((0 until 10).forall(c => salts.contains(s"ssalt$c")),
+      "level-2 salts present")
+    assert((0 until 10).forall(c => salts.contains(s"salt$c")),
+      "level-1 salts preserved inside level-2 copies")
+    val ev = spark.read.parquet(s"$lvl/events.parquet")
+    assert(ev.select("event_id").distinct().count() == ev.count(),
+      "event ids distinct after chaining")
+    assert(ev.select("user_id").distinct().count() == 2,
+      "user ids unchanged — the hot-key/bounded-state regime compounds")
+  }
+
   test("ScaleSweep.exchangeCounts separates shuffle from broadcast exchanges") {
     val docs = spark.read.parquet(s"$base/documents.parquet")
     // one groupBy = one shuffle exchange, zero broadcasts
