@@ -453,19 +453,7 @@ object Bench {
     // (entry count, total, slowest-10) as the LAST stdout lines, once
     // prefixed for grep anchoring and once bare, so any tail window
     // ends with one complete parseable record.
-    val meds = results.map { case (k, t) => k -> t.median }
-      .filter(_._2 >= 0)
-    val top10 = meds.toSeq.sortBy(-_._2).take(10)
-      .map { case (k, v) => s""""$k":${jnum(v, 3)}""" }
-      .mkString("{", ",", "}")
-    val totalSec = meds.values.sum
-    val msgsAvro = results.get("consume_avro_e2e").map(_.median)
-      .filter(_ > 0).map(conf.totalMensagens / _).getOrElse(0.0)
-    val summary =
-      s"""{"metric":"total","value":${jnum(totalSec, 3)},"unit":"sec",""" +
-        s""""n":${meds.size},"queries":$top10,"sf":"$sfDir","cpus":$cpus,""" +
-        s""""avro_e2e_msgs_per_sec":${jnum(msgsAvro, 1)},""" +
-        s""""full_artifact":"${benchOutPath.toAbsolutePath}"}"""
+    val summary = summaryLine(results, conf.totalMensagens, sfDir, cpus)
     println(s"BENCH_SUMMARY: $summary")
     println(summary)
     System.err.println(s"[bench] full artifact: ${benchOutPath.toAbsolutePath}")
@@ -478,6 +466,26 @@ object Bench {
     * set, else ./bench_out.json; see README "Benchmark output").
     * `partial` marks in-progress snapshots. Returns (compact headline
     * line for stdout, full line written to the file). */
+  /** The ≤1 KB tail summary: entry count, total, the ten slowest
+    * medians. Its SIZE is the contract — the driver's tail capture
+    * truncates long lines from the FRONT, so the last stdout record
+    * must fit any scrape window whole (spec-pinned: bounded length,
+    * parseable, top-10 sorted descending). */
+  private[graft] def summaryLine(results: collection.Map[String, Timing],
+      serdeMsgs: Long, sfDir: String, cpus: Int): String = {
+    val meds = results.map { case (k, t) => k -> t.median }
+      .filter(_._2 >= 0)
+    val top10 = meds.toSeq.sortBy(-_._2).take(10)
+      .map { case (k, v) => s""""$k":${jnum(v, 3)}""" }
+      .mkString("{", ",", "}")
+    val msgsAvro = results.get("consume_avro_e2e").map(_.median)
+      .filter(_ > 0).map(serdeMsgs / _).getOrElse(0.0)
+    s"""{"metric":"total","value":${jnum(meds.values.sum, 3)},"unit":"sec",""" +
+      s""""n":${meds.size},"queries":$top10,"sf":"$sfDir","cpus":$cpus,""" +
+      s""""avro_e2e_msgs_per_sec":${jnum(msgsAvro, 1)},""" +
+      s""""full_artifact":"${benchOutPath.toAbsolutePath}"}"""
+  }
+
   /** Canonical full-artifact path (SPARK_GRAFT_BENCH_OUT if set, else
     * ./bench_out.json). */
   private def benchOutPath: java.nio.file.Path =

@@ -157,4 +157,31 @@ class CoreSpec extends AnyFunSuite {
       "duplicate query names across registries would shadow silently")
     assert(SparkEntry.entry(spark).count() > 0, "driver smoke: entry must return rows")
   }
+
+  test("bench summary line: bounded size, parseable, slowest-10 — at full surface scale") {
+    // the driver's tail capture truncates long lines from the FRONT
+    // (BENCH_r8-r10 all parsed null); the LAST stdout record must fit
+    // any scrape window whole even at 300+ entries with long names
+    val results = scala.collection.mutable.LinkedHashMap(
+      (1 to 300).map(i =>
+        f"q${i}%03d_some_quite_long_operator_name_$i" ->
+          Bench.Timing(1.0, Seq(i / 100.0, i / 99.0, i / 101.0))): _*)
+    results("consume_avro_e2e") = Bench.Timing(0.4, Seq(0.326, 0.33, 0.32))
+    val line = Bench.summaryLine(results, 100000, "/root/testdata/sf0.1", 32)
+    assert(line.length <= 1024, s"summary must stay under 1 KB: ${line.length}")
+    assert(!line.contains("\n"))
+    // structurally valid JSON with the contract fields (no JSON lib on
+    // the classpath — assert the shape directly)
+    assert(line.startsWith("""{"metric":"total","value":"""))
+    assert(line.endsWith("}") && line.contains(""""n":301"""))
+    assert(line.contains(""""queries":{"""))
+    assert(line.contains(""""avro_e2e_msgs_per_sec":"""))
+    // the ten slowest by median, descending
+    val qs = """"(q\d+_[a-z_0-9]+)":""".r.findAllMatchIn(
+      line.substring(line.indexOf("\"queries\":"))).map(_.group(1)).toSeq
+    assert(qs.size == 10)
+    assert(qs.head == "q300_some_quite_long_operator_name_300")
+    val medians = qs.map(n => results(n).median)
+    assert(medians == medians.sorted.reverse, "top-10 must be descending")
+  }
 }
