@@ -41,22 +41,28 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // comparison-time geometry guard: q41's oracle SQL encodes the
-    // FIXED RecallPlanes LSH geometry, which equals q41's n-adaptive
-    // planesFor(n) only at the sf0.01 gate. At any other SF the two
-    // texts describe different geometries — skip the oracle (driver
-    // records a rows-only check) rather than compare them silently.
-    // Try: partial fixture dirs (the adversarial sweep's events-only /
-    // text-only corpora) carry no embeddings table — the guard must
-    // degrade to "skip q41's oracle", not kill every other table's dump
+    // geometry-tracking oracle for q41: the static oracleSql text
+    // encodes the FIXED RecallPlanes LSH geometry, which equals q41's
+    // n-adaptive planesFor(n) only at the sf0.01 gate. At any other
+    // SF, substitute the SAME pipeline re-interpolated at the
+    // fixture's own adaptive plane count (round 11 — previously the
+    // oracle was skipped above the gate, the surface's one exception).
+    // Partial fixture dirs (the adversarial sweep's events-only /
+    // text-only corpora) carry no embeddings table — there the oracle
+    // drops and the driver records a rows-only check.
     val oracles =
       if (scala.util.Try(graft.llmops.VectorOps.q41OracleGeometryHolds(spark, sfDir))
             .getOrElse(false))
         SparkEntry.oracleSql
-      else {
-        System.err.println(
-          s"[verify] q41 oracle skipped: planesFor(n) != RecallPlanes at $sfDir")
-        SparkEntry.oracleSql - "q41_ann_lsh"
+      else graft.llmops.VectorOps.q41SqlAdaptive(spark, sfDir) match {
+        case Some(sql) =>
+          System.err.println(
+            s"[verify] q41 oracle re-derived at the adaptive geometry for $sfDir")
+          SparkEntry.oracleSql + ("q41_ann_lsh" -> sql)
+        case None =>
+          System.err.println(
+            s"[verify] q41 oracle skipped: no embeddings table at $sfDir")
+          SparkEntry.oracleSql - "q41_ann_lsh"
       }
     val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")

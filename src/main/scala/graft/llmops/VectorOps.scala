@@ -807,18 +807,27 @@ object VectorOps {
 
   /** q41's oracle: the SAME full LSH top-k pipeline as [[q47Sql]]'s
     * candidate/approx chain, emitting the ranked rows instead of the
-    * recall reduction. Valid exactly where the driver runs it — the
-    * sf0.01 gate, where q41's adaptive planesFor(n) == RecallPlanes
-    * (see [[q41AnnLsh]] scaladoc). */
-  def q41Sql: String = {
-    val flips = probeMasks(RecallPlanes, 1).mkString(", ")
+    * recall reduction, at the FIXED RecallPlanes geometry — the
+    * static text the sf0.01 gate compares against (where q41's
+    * adaptive planesFor(n) == RecallPlanes; see [[q41AnnLsh]]
+    * scaladoc). At any other SF, Verify substitutes
+    * [[q41SqlFor]](planesFor(n)) so the oracle tracks the adaptive
+    * geometry instead of being skipped (round 11 — previously the one
+    * oracle exception above the gate SF). */
+  def q41Sql: String = q41SqlFor(RecallPlanes)
+
+  /** [[q41Sql]] at an explicit sign-bit count — the hyperplanes are
+    * hash-derived literals interpolated into the text, so the SQL is
+    * self-contained at ANY geometry. */
+  def q41SqlFor(planes: Int): String = {
+    val flips = probeMasks(planes, 1).mkString(", ")
     s"""WITH d AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings
        |), n AS (
        |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM d
        |), buckets AS (
-       |  ${sqlBucketRows(RecallPlanes)}
+       |  ${sqlBucketRows(planes)}
        |), probes AS (
        |  SELECT vec_id, v, nrm, tbl, xor(bucket, flip) AS bucket
        |  FROM buckets CROSS JOIN (SELECT unnest([$flips]) AS flip)
@@ -835,6 +844,13 @@ object VectorOps {
        |  FROM cand)
        |WHERE rank <= $TopK ORDER BY vec_id, rank""".stripMargin
   }
+
+  /** The adaptive-geometry oracle for the fixture at `dir`: q41's own
+    * planesFor(n) interpolated into [[q41SqlFor]]. None where the dir
+    * carries no embeddings table (partial adversarial fixtures). */
+  def q41SqlAdaptive(s: org.apache.spark.sql.SparkSession,
+      dir: String): Option[String] =
+    scala.util.Try(q41SqlFor(planesFor(nVectors(s, dir)))).toOption
 
   // --------------------------------------------------- q61 IVF recall
 
