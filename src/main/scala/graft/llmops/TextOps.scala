@@ -1476,19 +1476,36 @@ object TextOps {
     * cap) trades this number against table size.
     *
     * Scale shape: q55's — one partial-agg'd (lang, word) aggregation
-    * (the shuffle carries the vocabulary, never the corpus), then the
-    * rank window and the coverage roll-up both run over vocab rows.
-    * Integer sums, one final division each. */
+    * (the shuffle carries the vocabulary, never the corpus). The
+    * original formulation then ranked EVERY vocab row per lang and
+    * consumed rk inside a conditional sum — no rank filter, so
+    * InferWindowGroupLimit never fired and the per-lang window was a
+    * full vocabulary sort on one reducer (the q211 anti-shape, one
+    * level up the aggregation: a 100 TB corpus's per-lang vocabulary
+    * is ~10⁸ types under Heaps' law, all on the lang's reducer).
+    * Re-shaped round 11: totals (n_tokens, n_types) come from a plain
+    * per-lang aggregation — no order needed — and vocab_tokens from a
+    * `rk <= literal` filter BEFORE the roll-up, which WindowGroupLimit
+    * pushes map-side (each task forwards ≤ V rows per lang; the
+    * window sort sees V·partitions rows, not the vocabulary). The two
+    * lang-cardinality frames broadcast-join. Integer sums, one final
+    * division each; rank ties and totals are bit-identical to the
+    * original, so the oracle is unchanged. */
   def q91VocabCoverage(s: SparkSession, dir: String): DataFrame = {
     val counts = tokenized(s, dir)
       .select(col("lang"), explode(col("w")).as("word"))
       .groupBy("lang", "word").agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy("lang")
+      .agg(sum("cnt").as("n_tokens"), count(lit(1)).as("n_types"))
     val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("word"))
-    counts.withColumn("rk", row_number().over(w))
-      .groupBy("lang")
-      .agg(sum("cnt").as("n_tokens"),
-        count(lit(1)).as("n_types"),
-        sum(when(col("rk") <= CovVocabV, col("cnt")).otherwise(0L)).as("vocab_tokens"))
+    // raw int rank vs int literal — the InferWindowGroupLimit pattern
+    // (a cast in between blocks the pushdown; see q55)
+    val top = counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= CovVocabV)
+      .groupBy("lang").agg(sum("cnt").as("vocab_tokens"))
+    // every lang present in counts has a rank-1 row (V ≥ 1), so the
+    // inner join drops nothing
+    totals.join(broadcast(top), Seq("lang"))
       .select(col("lang"), col("n_tokens"), col("n_types"), col("vocab_tokens"),
         (lit(1d) - col("vocab_tokens").cast("double") / col("n_tokens")).as("unk_rate"),
         (greatest(col("n_types") - CovVocabV, lit(0L)).cast("double") /

@@ -61,6 +61,14 @@ class Round7Spec extends AnyFunSuite with BeforeAndAfterAll {
       "vocab budget must leave some token mass uncovered on the fixture")
   }
 
+  test("q91: the top-V rank pushes down as WindowGroupLimit (never a full per-lang vocab sort)") {
+    val plan = TextOps.q91VocabCoverage(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"q91's rank filter must ride InferWindowGroupLimit — a bare " +
+        s"window here is a full vocabulary sort on one reducer per lang:\n$plan")
+  }
+
   test("q92: incremental flags fire per axis; within-batch dups stay invisible") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
