@@ -454,8 +454,17 @@ object TextOps {
 
   private def shinglesWithDf(s: SparkSession, dir: String): DataFrame =
     dfShingleCache.get(s, dir, graft.sources.FsSig.of(s"$dir/documents.parquet")) {
-      shingles(s, dir)
-        .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
+      // df via groupBy + join-back, NOT count().over(partitionBy
+      // (shingle)): a window has no partial aggregation and no AQE
+      // skew handling, so a hot shingle's entire posting list sorts
+      // on one reducer at 100 TB. The groupBy pre-combines map-side
+      // (the shuffle carries the vocabulary) and the join-back is a
+      // sort-merge join AQE can skew-split. Same rows bit-for-bit:
+      // postings are per-doc distinct, so the per-shingle row count
+      // IS the document frequency either way. (round 11)
+      val ex = shingles(s, dir)
+      ex.join(ex.groupBy("shingle").agg(count(lit(1)).as("df")), Seq("shingle"))
+        .select("doc_id", "shingle", "df")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
@@ -750,8 +759,9 @@ object TextOps {
     * per pair: cont_a = the fraction of A's shingles found in B,
     * cont_b symmetric. */
   private[graft] def containmentOf(rows: DataFrame): DataFrame =
-    containmentOfDf(rows.withColumn("df",
-      count(lit(1)).over(Window.partitionBy("shingle"))))
+    // groupBy + join-back for the same skew reason as shinglesWithDf
+    containmentOfDf(rows.join(
+      rows.groupBy("shingle").agg(count(lit(1)).as("df")), Seq("shingle")))
 
   /** Core of q88 over a df-annotated (doc_id, shingle, df) frame, so
     * the corpus path can feed the memoized [[shinglesWithDf]] index
