@@ -84,6 +84,7 @@ object Bench {
     "pairCount" -> graft.llmops.TextOps.pairCountCacheStats._2,
     "incrNear" -> graft.llmops.TextOps.incrNearCacheStats._2,
     "bpe" -> graft.llmops.TextOps.bpeCacheStats._2,
+    "dupGram" -> graft.llmops.TextOps.dupGramCacheStats._2,
     "q51hot" -> graft.queries.Queries.q51HotCacheStats._2,
     "codebook" -> graft.llmops.VectorOps.codebookCacheStats._2,
     "cosPair" -> graft.llmops.VectorOps.cosPairCacheStats._2,
