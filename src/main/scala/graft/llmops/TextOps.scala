@@ -2474,10 +2474,20 @@ object TextOps {
       .select(col("doc_id"), col("n_chars"),
         coalesce(col("cluster_root"), col("doc_id")).as("cluster_root"),
         coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
-    val w = Window.partitionBy("cluster_root")
-      .orderBy(col("n_chars").desc, col("doc_id"))
-    verdicts
-      .withColumn("kept", row_number().over(w) === 1)
+    // survivor via partial-aggregable max_by + join-back, not a
+    // row_number window over the cluster: a window sorts each
+    // cluster's rows on ONE reducer (a million-copy boilerplate
+    // cluster is real in web corpora), while max_by pre-combines
+    // map-side and the join-back is AQE-skew-splittable (q67 already
+    // computes cluster_size this way). The ordering struct
+    // (n_chars desc, doc_id asc) is unique per row — doc_id is
+    // unique — so max_by is deterministic and picks exactly the
+    // window's rank-1 row. (round 11)
+    val winners = verdicts.groupBy("cluster_root")
+      .agg(max_by(col("doc_id"),
+        struct(col("n_chars"), -col("doc_id"))).as("w_doc"))
+    verdicts.join(winners, Seq("cluster_root"))
+      .withColumn("kept", col("doc_id") === col("w_doc"))
       .select("doc_id", "cluster_root", "cluster_size", "kept")
       .orderBy("doc_id")
   }
