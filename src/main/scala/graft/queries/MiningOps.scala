@@ -609,19 +609,87 @@ object MiningOps {
     * keep (equi-depth bounds adapt to the distribution; equi-width
     * wastes buckets on empty tails).
     *
-    * Scale shape: one shuffle on event_type (window partition), one
-    * sort per partition, partial-agged collapse to type × bands
-    * rows. Hot types are the partition bound — at 100 TB the same
-    * plan runs per-type parallel via the range exchange. */
+    * Scale shape: the q211/q179 BUCKETED-RANK discipline generalized
+    * from one midrank cut to the [[DepthBands]]−1 decile cuts — never
+    * `ntile` over raw event rows (that window hash-routes a type's
+    * ENTIRE row set to one reducer and sorts it; with a handful of
+    * event types at 100 TB it is a near-full single-reducer sort,
+    * the exact q211 anti-shape). (1) rows collapse map-side to
+    * (type, value-bucket) counts/sums/min/max under a monotone
+    * fractional-log2 bucket of `value` — equal values always share a
+    * bucket, so each bucket owns the contiguous global rank interval
+    * (cb, cb+cnt]; (2) Spark's ntile arithmetic (first n mod b bands
+    * get ⌈n/b⌉ rows) maps a rank to its decile in pure integer math,
+    * so buckets whose interval lies inside one decile contribute
+    * their AGGREGATES directly; (3) only the ≤ [[DepthBands]]−1
+    * boundary-straddling buckets per type re-rank their raw rows —
+    * by (value, event_id) within the bucket, which equals the global
+    * order there — via a broadcast semi-annotation, a frame bounded
+    * by bucket width, not corpus size. Exact ntile semantics, no
+    * unbounded per-type sort anywhere. */
   def q150EquidepthHist(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
-    events(s, dir)
-      .withColumn("decile", ntile(DepthBands).over(w))
+    import graft.functions.GraftFunctions.idiv
+    val bands = lit(DepthBands.toLong)
+    // monotone-in-value bucket with bounded cardinality (~8 buckets
+    // per octave per sign; ±inf/NaN/null pinned to the order Spark's
+    // sort gives them: nulls first, NaN last)
+    // NaN shares the TOP bucket with +inf (Spark sorts NaN above
+    // +inf; the in-bucket (value, event_id) sort resolves the
+    // collision in exactly that order), null sits strictly below
+    // -inf's bucket (nulls-first, Spark's asc default)
+    val mag = floor(log2(abs(col("value")) + lit(1.0)) * lit(8.0)).cast("long")
+    val vb = when(col("value").isNull, lit(Long.MinValue))
+      .when(isnan(col("value")), lit(Long.MaxValue))
+      .when(col("value") < 0, -mag).otherwise(mag)
+    val ev = events(s, dir)
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("vb", vb)
+    // phase 1: per-(type, bucket) aggregates + exclusive prefix over
+    // the BOUNDED bucket frame (≤ ~2k buckets per type)
+    val wPrev = Window.partitionBy("event_type").orderBy("vb")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val buckets = ev.groupBy("event_type", "vb")
+      .agg(count(lit(1)).as("cnt"), min("value").as("lo_b"),
+        max("value").as("hi_b"), sum(dec(col("value"), 28, 6)).as("sum_b"))
+      .withColumn("cb", coalesce(sum("cnt").over(wPrev), lit(0L)))
+      .withColumn("n", sum("cnt").over(Window.partitionBy("event_type")))
+    // Spark/SQL ntile: q = n div b, r = n mod b; deciles 1..r hold
+    // q+1 rows, deciles r+1..b hold q. decile(rank) in integer math:
+    def dOf(rank: Column, n: Column): Column = {
+      val q = idiv(n, bands)
+      val r = n % bands
+      val cut = r * (q + 1)
+      when(rank <= cut, idiv(rank + q, q + 1))
+        .otherwise(r + idiv(rank - cut + q - 1, greatest(q, lit(1L))))
+    }
+    val marked = buckets
+      .withColumn("d_first", dOf(col("cb") + 1, col("n")))
+      .withColumn("d_last", dOf(col("cb") + col("cnt"), col("n")))
+    val interior = marked.filter(col("d_first") === col("d_last"))
+      .select(col("event_type"), col("d_first").as("decile"),
+        col("cnt"), col("lo_b").as("lo"), col("hi_b").as("hi"),
+        col("sum_b").as("bsum"))
+    val boundary = marked.filter(col("d_first") =!= col("d_last"))
+      .select("event_type", "vb", "cb", "n")
+    // phase 2: re-rank ONLY boundary-bucket rows (equal values can
+    // never straddle buckets, so in-bucket (value, event_id) order
+    // IS the global order restricted to the bucket)
+    val wIn = Window.partitionBy("event_type", "vb")
+      .orderBy(col("value"), col("event_id"))
+    val split = ev.join(broadcast(boundary), Seq("event_type", "vb"))
+      .withColumn("decile",
+        dOf(col("cb") + row_number().over(wIn), col("n")))
       .groupBy("event_type", "decile")
-      .agg(count(lit(1)).as("n"), min(col("value")).as("lo"),
-        max(col("value")).as("hi"),
-        sum(dec(col("value"), 28, 6)).cast("double").as("band_sum"))
+      .agg(count(lit(1)).as("cnt"), min("value").as("lo"),
+        max("value").as("hi"), sum(dec(col("value"), 28, 6)).as("bsum"))
+      .select("event_type", "decile", "cnt", "lo", "hi", "bsum")
+    interior.unionByName(split)
+      .groupBy("event_type", "decile")
+      .agg(sum("cnt").as("n"), min("lo").as("lo"), max("hi").as("hi"),
+        sum("bsum").cast("double").as("band_sum"))
+      .select(col("event_type"), col("decile").cast("int").as("decile"),
+        col("n"), col("lo"), col("hi"), col("band_sum"))
       .orderBy("event_type", "decile")
   }
 

@@ -194,6 +194,54 @@ class MiningOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q150: no ntile window over raw event rows (bucketed-rank discipline)") {
+    val plan = MiningOps.q150EquidepthHist(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ntile"),
+      s"q150 must ride the bucketed-rank discipline — an ntile window " +
+        s"hash-routes a type's whole row set to one reducer:\n$plan")
+  }
+
+  test("q150: bucketed deciles equal the ntile window on extreme doubles (null/±huge/ties)") {
+    import org.apache.spark.sql.expressions.Window
+    import java.sql.Timestamp
+    // domain note: the op's band_sum rides dec(value, 28, 6), so
+    // |value| must stay below 1e22 (ANSI decimal) — NaN/±Inf/1e308
+    // are outside q150's contract in the ORIGINAL formulation too
+    val vals: Seq[java.lang.Double] = Seq[java.lang.Double](
+      null, null,
+      -0.0, 0.0, -1e21, 1e21, -2.5, -2.5, -2.5, 0.01, -0.01, 7.0, 7.0,
+      1e-300, -1e-300, 42.0, 1023.5, 1024.0, -511.9) ++
+      (0 until 40).map(i => java.lang.Double.valueOf((i % 7) * 3.25 - 10))
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong, Timestamp.valueOf("2026-01-01 00:00:00"), i.toLong % 3,
+        if (i % 2 == 0) "click" else "view", v, "{}")
+    }
+    val df = spark.createDataFrame(rows)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tmp = java.nio.file.Files.createTempDirectory("q150x").toString
+    df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = MiningOps.q150EquidepthHist(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.get(3), r.get(4), r.getDouble(5))).toMap
+    val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+    val want = df.withColumn("decile", ntile(MiningOps.DepthBands).over(w))
+      .groupBy("event_type", "decile")
+      .agg(count(lit(1)).as("n"), min(col("value")).as("lo"),
+        max(col("value")).as("hi"),
+        sum(col("value").cast("decimal(28,6)")).cast("double").as("band_sum"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.get(3), r.get(4), r.getDouble(5))).toMap
+    assert(got.keySet === want.keySet)
+    got.foreach { case (k, (n, lo, hi, bs)) =>
+      val (wn, wlo, whi, wbs) = want(k)
+      assert(n === wn, s"$k count")
+      assert(lo == wlo && hi == whi, s"$k bounds: got ($lo,$hi) want ($wlo,$whi)")
+      assert(bs == wbs || math.abs(bs - wbs) < 1e-6, s"$k band_sum")
+    }
+  }
+
   test("q151: tombstoned users vanish; survivors carry their true change counts") {
     val e = graft.sources.TsBridge.normalize(
       spark.read.parquet(s"$dir/events.parquet"))
