@@ -555,20 +555,46 @@ object MiningOps {
     * double divisions of integers (identical shapes cross-engine).
     *
     * Scale shape: ONE partial-agged groupBy collapses the relation
-    * to its key cardinality; the stats reduce that to one row; the
-    * top-k is a rank window over the collapsed counts (key-cardinality
-    * sized, never row-sized). */
+    * to its key cardinality. The top-k is an explicit orderBy+limit —
+    * a structural TakeOrderedAndProject (the previous rank-filter
+    * shape compiled to the same plan, but only through
+    * LimitPushDownThroughWindow; InferWindowGroupLimit itself does
+    * not fire on an empty partitionBy, so the safety hung on one
+    * optimizer rule — now plan-spec-pinned either way). The REAL
+    * round-11 fix is the p99: percentile_cont's aggregate collects
+    * the whole group into one buffer (key-cardinality doubles on one
+    * reducer at 100 TB), so it is re-derived exactly from the
+    * FREQUENCY-OF-FREQUENCY frame (distinct cnt values — tiny by
+    * construction) with the same 0.99·(n−1) linear interpolation
+    * both engines define. (round 11) */
   def q149SkewReport(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = t(s, dir, "lineitem")
       .groupBy(col("l_orderkey").as("key")).agg(count(lit(1)).as("cnt"))
-    val stats = counts.agg(
+    val basic = counts.agg(
       count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
-      max(col("cnt")).as("max_cnt"),
-      expr("percentile_cont(0.99) WITHIN GROUP (ORDER BY cnt)").as("p99_cnt"))
-    val w = Window.orderBy(col("cnt").desc, col("key"))
-    counts.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= SkewTopK)
+      max(col("cnt")).as("max_cnt"))
+    // exact percentile_cont(0.99) over the count multiset, from
+    // (cnt, freq, cumulative-below) — the ff frame is bounded by the
+    // number of DISTINCT multiplicities, not keys
+    val wc = Window.orderBy("cnt").rowsBetween(Window.unboundedPreceding, -1)
+    val ffc = counts.groupBy("cnt").agg(count(lit(1)).as("freq"))
+      .withColumn("below", coalesce(sum("freq").over(wc), lit(0L)))
+    val pos = lit(0.99) * (col("n_keys") - 1).cast("double")
+    val loI = floor(pos).cast("long")
+    val hiI = ceil(pos).cast("long")
+    val pv = ffc.crossJoin(broadcast(basic)).agg(
+      min(when(col("below") <= loI && loI < col("below") + col("freq"),
+        col("cnt"))).as("v_lo"),
+      min(when(col("below") <= hiI && hiI < col("below") + col("freq"),
+        col("cnt"))).as("v_hi"))
+    val stats = basic.crossJoin(broadcast(pv))
+      .withColumn("p99_cnt", col("v_lo").cast("double") +
+        (pos - floor(pos)) * (col("v_hi") - col("v_lo")).cast("double"))
+      .drop("v_lo", "v_hi")
+    val wr = Window.orderBy(col("cnt").desc, col("key"))
+    counts.orderBy(col("cnt").desc, col("key")).limit(SkewTopK)
+      .withColumn("rank", row_number().over(wr))
       .crossJoin(broadcast(stats))
       .select(col("rank"), col("key"), col("cnt"),
         (col("cnt").cast("double") / col("n_rows")).as("share"),

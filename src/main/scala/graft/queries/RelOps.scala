@@ -758,33 +758,66 @@ object RelOps {
     * Determinism: the running sum's default frame is RANGE (peers
     * aggregate together), and the ORDER BY includes the delta, so
     * same-instant starts all land before same-instant ends and every
-    * row's running value is tie-order independent. The sweep is the
-    * inherently sequential step — it runs over session BOUNDARIES
-    * (2 per session, collapsed from the event volume by the
-    * sessionizer); at larger scale the classic two-phase form
-    * (per-partition sums + broadcast prefix offsets) applies. */
+    * row's running value is tie-order independent. The sweep runs
+    * over session BOUNDARIES (2 per session, collapsed from the
+    * event volume by the sessionizer) in the classic TWO-PHASE form
+    * (round 11 — previously a declared single-reducer gap): the
+    * boundary set range-partitions on the sweep key and persists
+    * (q56's packCache recipe — explicit partition count + persist pin
+    * spark_partition_id between references), per-partition delta
+    * totals become broadcast prefix offsets via a self-join over the
+    * nPart-sized totals table, and each task's local RANGE-framed
+    * running sum plus its offset equals the global sweep — equal
+    * (t, delta) keys are co-located by the range partitioner, so
+    * peer-aggregation semantics are preserved. The peak is a scalar
+    * aggregate broadcast back, never a partitionBy(lit(1)) annotation
+    * over the boundary stream. */
+  private[graft] val sweepCache =
+    new graft.operators.PlanCache[DataFrame]("sweep_bounds")((_, df) => df.unpersist())
+
+  def sweepCacheStats: (Long, Long) = (sweepCache.hits, sweepCache.misses)
+
   def q123IntervalPeak(s: SparkSession, dir: String): DataFrame = {
-    val wAll = Window.partitionBy("user_id").orderBy("us", "event_id")
-    val sess = events(s, dir)
-      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
-      .withColumn("pus", lag("us", 1).over(wAll))
-      .withColumn("new_s",
-        when(col("pus").isNull ||
-          col("us") - col("pus") > graft.queries.Queries.SessionGapUs, 1L).otherwise(0L))
-      .withColumn("sid",
-        sum("new_s").over(wAll.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy("user_id", "sid")
-      .agg(min("us").as("s_us"), max("us").as("e_us"))
-    val bounds = sess.select(col("s_us").as("t"), lit(1L).as("delta"))
-      .unionAll(sess.select((col("e_us") + 1).as("t"), lit(-1L).as("delta")))
-    val wSweep = Window.orderBy(col("t"), col("delta").desc)
-    val c = bounds.withColumn("run", sum("delta").over(wSweep))
+    val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val parted = sweepCache.get(s, s"$dir#$nPart",
+        graft.sources.FsSig.of(s"$dir/events.parquet")) {
+      val wAll = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val sess = events(s, dir)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("pus", lag("us", 1).over(wAll))
+        .withColumn("new_s",
+          when(col("pus").isNull ||
+            col("us") - col("pus") > graft.queries.Queries.SessionGapUs, 1L)
+            .otherwise(0L))
+        .withColumn("sid",
+          sum("new_s").over(wAll.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+        .groupBy("user_id", "sid")
+        .agg(min("us").as("s_us"), max("us").as("e_us"))
+      sess.select(col("s_us").as("t"), lit(1L).as("delta"))
+        .unionAll(sess.select((col("e_us") + 1).as("t"), lit(-1L).as("delta")))
+        .repartitionByRange(nPart, col("t"), col("delta").desc)
+        .withColumn("pid", spark_partition_id())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    val totals = parted.groupBy("pid").agg(sum("delta").as("tot"))
+    val offs = totals.as("a")
+      .join(totals.as("b"), col("b.pid") < col("a.pid"), "left")
+      .groupBy(col("a.pid").as("pid"))
+      .agg(coalesce(sum(col("b.tot")), lit(0L)).as("off"))
+    val localW = Window.partitionBy("pid").orderBy(col("t"), col("delta").desc)
+    val starts = parted
+      .withColumn("lrun", sum("delta").over(localW))
+      .join(broadcast(offs), Seq("pid"))
+      .withColumn("run", col("lrun") + col("off"))
       .filter(col("delta") === 1)
-      .withColumn("mx", max("run").over(Window.partitionBy(lit(1))))
-    c.filter(col("run") === col("mx"))
-      .agg(max("mx").as("peak_concurrency"),
+    val mx = starts.agg(max("run").as("mx"))
+    starts.crossJoin(broadcast(mx))
+      .filter(col("run") === col("mx"))
+      .agg(max(col("run")).as("peak_concurrency"),
         expr("min(t) div 1000").as("peak_at_ms"))
-      .crossJoin(sess.agg(count(lit(1)).as("n_sessions")))
+      .crossJoin(parted.agg(
+        count(when(col("delta") === 1, lit(1))).as("n_sessions")))
       .select("n_sessions", "peak_concurrency", "peak_at_ms")
   }
 

@@ -106,6 +106,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"per-lang top-k must push below the full sort:\n$plan")
   }
 
+  test("skew report (q149): key counts partial-agg'd, global top-k as TakeOrderedAndProject, no percentile buffer") {
+    val plan = physical(graft.queries.MiningOps.q149SkewReport(spark, dir))
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      "the key-count aggregation must map-side combine")
+    // the explicit orderBy+limit makes the distributed top-k
+    // STRUCTURAL (the old rank-filter shape was rescued by
+    // LimitPushDownThroughWindow, verified empirically — but a
+    // rescue an optimizer-rule rename could silently lose)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global top-k must ride TakeOrderedAndProject:\n$plan")
+    assert(!plan.contains("percentile_cont"),
+      s"p99 must come from the frequency-of-frequency frame, not an " +
+        s"aggregate that buffers every key count:\n$plan")
+  }
+
   test("bm25 (q81): postings partial-agg'd, per-term top-k pushed as WindowGroupLimit, stats broadcast") {
     val plan = physical(TextOps.q81Bm25(spark, dir))
     assert("HashAggregate".r.findAllIn(plan).length >= 2,
@@ -260,12 +275,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"only scalar grid-bound broadcasts may nested-loop:\n$plan")
   }
 
-  test("survivors (q79): label join + per-cluster window, no cartesian") {
+  test("survivors (q79): label join + partial-agg'd max_by winner, no per-cluster window") {
     val plan = physical(TextOps.q79DedupSurvivors(spark, dir))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
       s"q79 must join corpus to labels by doc_id:\n$plan")
-    assert(plan.contains("Window"),
-      s"the survivor rule is a per-cluster window rank:\n$plan")
+    assert(plan.contains("max_by"),
+      s"the survivor rule is a partial-aggregable max_by, never a window " +
+        s"that sorts a whole cluster on one reducer:\n$plan")
+    assert(!"Window\\b".r.findFirstIn(plan).isDefined ||
+        !plan.contains("row_number"),
+      s"no per-cluster row_number window:\n$plan")
   }
 
   test("incremental dedup (q92): probe-vs-index equi-joins only, no cartesian") {
