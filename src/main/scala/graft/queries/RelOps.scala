@@ -1505,20 +1505,63 @@ object RelOps {
 
   // --------------------------------------------- q135 column profiler
 
+  /** Sketch accuracy for the q135 profiler: HLL++ rsd (the q52
+    * rationale — at 1% rsd the pinned 5% bound is a ~5σ regression
+    * detector, not a flaky ~1σ claim), the certification bound, and
+    * the row-count gate below which the EXACT distinct twin is
+    * computed alongside the sketch (orders ≈ 15k rows at the sf0.01
+    * correctness gate, ≈ 150k at the sf0.1 bench — the twin runs at
+    * the gate only). */
+  val ProfileRsd = 0.01
+  val ProfileBound = 0.05
+  val ProfileExactMaxRows = 50000L
+
+  /** Memoized orders row count per (session, dir) for the q135 gate
+    * probe — fixture-signature guarded like every other memo (a
+    * regenerated fixture invalidates instead of serving a stale count
+    * into the plan choice). */
+  private val ordersCount =
+    new graft.operators.PlanCache[Long]("orders_count")((_, _) => ())
+
+  private def nOrders(s: SparkSession, dir: String): Long = {
+    val p = s"$dir/orders.parquet"
+    ordersCount.get(s, p, graft.sources.FsSig.of(p))(t(s, dir, "orders").count())
+  }
+
   /** q135: COLUMN PROFILER — the schema-agnostic data-quality
     * profile (the Deequ/profiling staple every ingestion pipeline
     * runs before trusting a feed): for every column of `orders`,
-    * null count, exact distinct cardinality, and min/max rendered
+    * null count, distinct cardinality, and min/max rendered
     * through ONE canonical string form (numbers via exact DECIMAL,
     * timestamps via epoch ms — engine-stable renderings, the q121
     * canon). One pass per profiled relation: the unpivot explodes
     * each row into (column, value) pairs map-side, a single
     * (column)-keyed aggregation computes every statistic.
     *
+    * DISTINCT RIDES A SKETCH (round-11 verdict #1): a profiler is a
+    * SCREEN, and exact `countDistinct` after the unpivot shuffles
+    * ~one row per table row per unique-keyed column (nothing
+    * collapses map-side for `o_orderkey`) — a table-sized shuffle ×
+    * #key-like columns at 100 TB. The shipped plan aggregates
+    * `approx_count_distinct` (HLL++, fixed-size mergeable state,
+    * map-side partials, NO value shuffle). The q52/q119 gate-SF-twin
+    * discipline certifies it: at/below [[ProfileExactMaxRows]] the
+    * exact distinct is computed alongside, `n_distinct` ships the
+    * exact value, and `within_bounds` pins |sketch − exact| ≤
+    * max(1, [[ProfileBound]]·exact) — the DuckDB oracle recomputes
+    * the exact side and pins the boolean true, so a sketch
+    * regression (seed drift, broken merge) fails the hash. Above the
+    * gate, `n_distinct` ships the sketch estimate and
+    * `within_bounds` pins the free sanity invariants (estimate ≤
+    * (1+5·rsd)·(n − n_null); ≥ 1 when any non-null exists; ≥ 2 when
+    * min ≠ max); the sketch-vs-exact bound at sf0.1 is pinned by the
+    * spec, not the query.
+    *
     * Scale shape: the explode multiplies rows by column count but
-    * carries two narrow fields; distinct partial-aggregates per
-    * column. At 100 TB the same plan profiles any table — nothing
-    * here names a column in the aggregation. */
+    * carries two narrow fields; the HLL partials collapse map-side
+    * to ≤ #columns sketch buffers per task. At 100 TB the same plan
+    * profiles any table — nothing here names a column in the
+    * aggregation. */
   def q135Profile(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
     val canon: Seq[(String, Column)] = Seq(
@@ -1530,12 +1573,38 @@ object RelOps {
       "o_orderpriority" -> col("o_orderpriority"))
     val pairs = o.select(explode(map(
       canon.flatMap { case (n, c) => Seq(lit(n), c) }: _*)).as(Seq("col_name", "v")))
-    pairs.groupBy("col_name")
-      .agg(count(lit(1)).as("n"),
-        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
-        countDistinct(col("v")).as("n_distinct"),
-        min("v").as("min_v"), max("v").as("max_v"))
-      .orderBy("col_name")
+    if (nOrders(s, dir) <= ProfileExactMaxRows) {
+      // gate scale: sketch + exact twin in one aggregation; the oracle
+      // checks the exact value and the pinned bound boolean
+      pairs.groupBy("col_name")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+          countDistinct(col("v")).as("n_distinct"),
+          approx_count_distinct(col("v"), ProfileRsd).as("n_est"),
+          min("v").as("min_v"), max("v").as("max_v"))
+        .select(col("col_name"), col("n"), col("n_null"), col("n_distinct"),
+          col("min_v"), col("max_v"),
+          (abs(col("n_est") - col("n_distinct")).cast("double") <=
+            greatest(lit(1.0), lit(ProfileBound) * col("n_distinct")))
+            .as("within_bounds"))
+        .orderBy("col_name")
+    } else {
+      // production scale: sketch only — no per-value shuffle anywhere;
+      // within_bounds certifies the invariants computable for free
+      pairs.groupBy("col_name")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+          approx_count_distinct(col("v"), ProfileRsd).as("n_distinct"),
+          min("v").as("min_v"), max("v").as("max_v"))
+        .select(col("col_name"), col("n"), col("n_null"), col("n_distinct"),
+          col("min_v"), col("max_v"),
+          ((col("n_distinct") <= (lit(1.0) + lit(5 * ProfileRsd)) *
+              (col("n") - col("n_null"))) &&
+            (col("n_distinct") >= when(col("n") > col("n_null"), 1L).otherwise(0L)) &&
+            (col("n_distinct") >= when(col("min_v") =!= col("max_v"), 2L).otherwise(0L)))
+            .as("within_bounds"))
+        .orderBy("col_name")
+    }
   }
 
   val q135Sql: String =
@@ -1552,7 +1621,8 @@ object RelOps {
       |SELECT col_name, count(*) AS n,
       |  CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
       |  CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
-      |  min(v) AS min_v, max(v) AS max_v
+      |  min(v) AS min_v, max(v) AS max_v,
+      |  true AS within_bounds
       |FROM pairs GROUP BY col_name ORDER BY col_name""".stripMargin
 
   // ----------------------------------------------- q136 Benford audit

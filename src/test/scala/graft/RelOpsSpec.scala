@@ -747,6 +747,39 @@ class RelOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows("o_orderpriority").getAs[Long]("n_distinct") == ps)
     assert(rows("o_orderstatus").getAs[String]("min_v") <=
       rows("o_orderstatus").getAs[String]("max_v"))
+    // the sketch certification boolean ships true at gate scale
+    assert(rows.values.forall(_.getAs[Boolean]("within_bounds")))
+  }
+
+  test("q135: sketch-vs-exact bound holds at sf0.01 and sf0.1; " +
+    "the sf0.1 plan carries no exact distinct") {
+    for (sf <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val df = RelOps.q135Profile(spark, sf)
+      val rows = df.collect().map(r => r.getString(0) -> r).toMap
+      assert(rows.size == 6 && rows.values.forall(_.getAs[Boolean]("within_bounds")),
+        s"within_bounds violated at $sf")
+      // the spec-side exact twin: shipped n_distinct (exact at the
+      // gate, HLL++ estimate above it) within ProfileBound of the
+      // recomputed exact distinct, every column, both SFs
+      val o = spark.read.parquet(s"$sf/orders.parquet")
+      val exact = Map(
+        "o_orderkey" -> "o_orderkey", "o_custkey" -> "o_custkey",
+        "o_orderstatus" -> "o_orderstatus", "o_orderpriority" -> "o_orderpriority")
+      exact.foreach { case (name, c) =>
+        val e = o.select(countDistinct(col(c))).head().getLong(0)
+        val got = rows(name).getAs[Long]("n_distinct")
+        assert(math.abs(got - e).toDouble <=
+          math.max(1.0, RelOps.ProfileBound * e),
+          s"$name at $sf: shipped $got vs exact $e")
+      }
+    }
+    // above the gate the profiler is sketch-only: no exact-distinct
+    // Expand rewrite, no per-value shuffle in the plan
+    val plan = RelOps.q135Profile(spark, "/root/testdata/sf0.1")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), "sf0.1 profile plan still expands for exact distinct")
+    assert(!plan.toLowerCase.contains("count(distinct"),
+      "sf0.1 profile plan still computes exact distinct")
   }
 
   // --------------------------------------------------------------- q136
