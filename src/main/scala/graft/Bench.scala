@@ -86,6 +86,8 @@ object Bench {
     "bpe" -> graft.llmops.TextOps.bpeCacheStats._2,
     "dupGram" -> graft.llmops.TextOps.dupGramCacheStats._2,
     "q51hot" -> graft.queries.Queries.q51HotCacheStats._2,
+    "sweep" -> graft.queries.RelOps.sweepCacheStats._2,
+    "auc" -> graft.queries.RelOps.aucCacheStats._2,
     "codebook" -> graft.llmops.VectorOps.codebookCacheStats._2,
     "cosPair" -> graft.llmops.VectorOps.cosPairCacheStats._2,
     "exactTopk" -> graft.llmops.VectorOps.exactTopkCacheStats._2,
@@ -107,7 +109,22 @@ object Bench {
     * steal — it is a VM on a shared host, so a co-tenant burst during
     * the driver window is a real, measurable slowdown source). With
     * these, a regressed entry is attributable from the artifact alone:
-    * clean gc + clean misses + load/steal spike → environment. */
+    * clean gc + clean misses + load/steal spike → environment.
+    *
+    * Round-11 verdict #2 additions — the r11 driver run had entries
+    * at sustained 4-13× with CLEAN load1/steal/gc/misses, so two
+    * probes the earlier fields cannot see:
+    *  - `probeStartMs`/`probeEndMs`: wall time of a FIXED single-
+    *    thread busy loop run immediately before the warm pass and
+    *    after the last timed pass. The instruction count is constant,
+    *    so probe inflation vs the run's `probe_baseline_ms` is direct
+    *    evidence of CPU starvation the loadavg missed (cgroup quota
+    *    throttling, memory-bandwidth saturation, invisible co-tenant).
+    *  - `readWarmBytes`/`readTimedBytes`: /proc/self/io read_bytes
+    *    deltas across the warm and timed passes — bytes this process
+    *    pulled from the BLOCK LAYER (page-cache hits don't count), so
+    *    a cold-cache entry re-reading parquet from disk shows a spike
+    *    here while probes stay clean. */
   private final case class EntryStats(
       memStartBytes: Long,
       diskStartBytes: Long,
@@ -117,7 +134,49 @@ object Bench {
       timedMisses: Map[String, Long],
       load1Start: Double,
       load1End: Double,
-      stealSec: Double)
+      stealSec: Double,
+      probeStartMs: Double,
+      probeEndMs: Double,
+      readWarmBytes: Long,
+      readTimedBytes: Long)
+
+  /** Iteration count for the calibration probe: xorshift64 steps —
+    * ~10 ms single-thread on this box's CPU when unthrottled, cheap
+    * enough to run twice per entry (~5 s across a 244-entry run). */
+  private val ProbeIters = 8000000L
+  // the probe result escapes through a volatile so the JIT cannot
+  // elide the loop
+  @volatile private var probeSink = 0L
+
+  /** Wall milliseconds for [[ProbeIters]] xorshift64 steps on one
+    * thread — the fixed-work CPU availability probe. */
+  private[graft] def probeMs(): Double = {
+    val t0 = System.nanoTime()
+    var x = 88172645463325252L
+    var i = 0L
+    while (i < ProbeIters) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      i += 1
+    }
+    probeSink = x
+    (System.nanoTime() - t0) / 1e6
+  }
+
+  /** Cumulative bytes this process has read from the block layer
+    * (/proc/self/io read_bytes — page-cache hits excluded); −1 where
+    * unreadable (non-Linux, restricted /proc). */
+  private def readBytes(): Long =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/self/io"))
+      .linesIterator.find(_.startsWith("read_bytes:"))
+      .map(_.substring("read_bytes:".length).trim.toLong).getOrElse(-1L)
+    catch { case _: Exception => -1L }
+
+  private def ioDelta(start: Long, end: Long): Long =
+    if (start < 0 || end < 0) -1L else end - start
+
+  /** Run-level probe baseline (median of 7 idle probes at startup);
+    * set once by main before the phases, read by flush. */
+  @volatile private var probeBaselineMs: Double = -1.0
 
   /** 1-minute load average from /proc/loadavg (−1 where unreadable,
     * e.g. non-Linux). */
@@ -184,6 +243,15 @@ object Bench {
 
     // JVM/codegen warm-up (not reported)
     run(Generator.messages(spark, conf.copy(totalMensagens = 5000)))
+
+    // calibration-probe baseline: median of 7 after 3 JIT warm-ups,
+    // taken while the session is otherwise idle — every per-entry
+    // probe_start_ms/probe_end_ms reads against this number
+    (1 to 3).foreach(_ => probeMs())
+    probeBaselineMs = {
+      val ps = (1 to 7).map(_ => probeMs()).sorted
+      ps(ps.size / 2)
+    }
 
     // ---- phase 1b prep: the compression axis (reference
     // ConfiguracaoKafka.java:112-118 — producer compression.type is a
@@ -380,12 +448,17 @@ object Bench {
             val gcStart = gcMillis()
             val loadStart = load1()
             val stealStart = stealJiffies()
+            val probeStart = probeMs()
+            val rbStart = readBytes()
             val warm = time(run(fn(spark, sfDir)))
             val snapWarm = cacheMissSnapshot()
             val gcWarm = gcMillis()
+            val rbWarm = readBytes()
             val timed = (1 to passes).map(_ => time(run(fn(spark, sfDir))))
             val snapTimed = cacheMissSnapshot()
             val gcTimed = gcMillis()
+            val rbTimed = readBytes()
+            val probeEnd = probeMs()
             val loadEnd = load1()
             val stealEnd = stealJiffies()
             val warmM = missDelta(snapStart, snapWarm)
@@ -398,7 +471,9 @@ object Bench {
               (gcWarm - gcStart) / 1000.0, (gcTimed - gcWarm) / 1000.0,
               warmM, timedM, loadStart, loadEnd,
               if (stealStart < 0 || stealEnd < 0) -1.0
-              else (stealEnd - stealStart) / 100.0)
+              else (stealEnd - stealStart) / 100.0,
+              probeStart, probeEnd,
+              ioDelta(rbStart, rbWarm), ioDelta(rbWarm, rbTimed))
           } catch {
             case e: Throwable =>
               System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -473,7 +548,8 @@ object Bench {
     * must fit any scrape window whole (spec-pinned: bounded length,
     * parseable, top-10 sorted descending). */
   private[graft] def summaryLine(results: collection.Map[String, Timing],
-      serdeMsgs: Long, sfDir: String, cpus: Int): String = {
+      serdeMsgs: Long, sfDir: String, cpus: Int,
+      artifactPath: String = benchOutPath.toAbsolutePath.toString): String = {
     val meds = results.map { case (k, t) => k -> t.median }
       .filter(_._2 >= 0)
     val top10 = meds.toSeq.sortBy(-_._2).take(10)
@@ -481,10 +557,16 @@ object Bench {
       .mkString("{", ",", "}")
     val msgsAvro = results.get("consume_avro_e2e").map(_.median)
       .filter(_ > 0).map(serdeMsgs / _).getOrElse(0.0)
-    s"""{"metric":"total","value":${jnum(meds.values.sum, 3)},"unit":"sec",""" +
-      s""""n":${meds.size},"queries":$top10,"sf":"$sfDir","cpus":$cpus,""" +
-      s""""avro_e2e_msgs_per_sec":${jnum(msgsAvro, 1)},""" +
-      s""""full_artifact":"${benchOutPath.toAbsolutePath}"}"""
+    val core =
+      s"""{"metric":"total","value":${jnum(meds.values.sum, 3)},"unit":"sec",""" +
+        s""""n":${meds.size},"queries":$top10,"sf":"$sfDir","cpus":$cpus,""" +
+        s""""avro_e2e_msgs_per_sec":${jnum(msgsAvro, 1)}"""
+    // the 1 KB size IS the contract (front-truncating tail capture);
+    // the artifact path is a convenience also printed on stderr — drop
+    // it rather than let a long SPARK_GRAFT_BENCH_OUT path push the
+    // guaranteed-to-fit last line past the budget (round-11 ADVICE)
+    val withPath = core + s""","full_artifact":"$artifactPath"}"""
+    if (withPath.length <= 1024) withPath else core + "}"
   }
 
   /** Canonical full-artifact path (SPARK_GRAFT_BENCH_OUT if set, else
@@ -526,6 +608,10 @@ object Bench {
           s""","load1_start":${num(st.load1Start, 2)}""" +
           s""","load1_end":${num(st.load1End, 2)}""" +
           s""","steal_sec":${num(st.stealSec, 2)}""" +
+          s""","probe_start_ms":${num(st.probeStartMs, 2)}""" +
+          s""","probe_end_ms":${num(st.probeEndMs, 2)}""" +
+          s""","read_warm_bytes":${st.readWarmBytes}""" +
+          s""","read_timed_bytes":${st.readTimedBytes}""" +
           wm + tm
       }.getOrElse("")
       s""""$k":{"warm":${num(t.warm, 3)},"min":${num(t.min, 3)},"timed":$timed$extra}"""
@@ -556,6 +642,7 @@ object Bench {
         s""""artifact_cache_hit":${timedArtifactMisses == 0},"partial":$partial,""" +
         s""""persisted_mem_bytes":$persistedMem,""" +
         s""""persisted_disk_bytes":$persistedDisk,""" +
+        s""""probe_baseline_ms":${num(probeBaselineMs, 2)},""" +
         s""""gc_time_sec":${num(gcMillis() / 1000.0, 1)},""" +
         s""""sf":"$sfDir","cpus":$cpus,"serde_msgs":${conf.totalMensagens},""" +
         s""""avro_e2e_msgs_per_sec":${num(msgsPerSecAvro, 1)}}"""

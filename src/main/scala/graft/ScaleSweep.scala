@@ -62,11 +62,16 @@ object ScaleSweep {
     (total - broadcast - reused, broadcast)
   }
 
-  /** 10×-replicate documents/embeddings/events from `base` into `out`
-    * with a DEPTH-SAFE id scheme (`id*10 + c` — a base-10 digit
-    * append, collision-free at any chaining depth, unlike the fixed
-    * additive offsets of [[ScaleCheck.materialize]] which collide when
-    * applied twice). Used for the ladder's rungs ABOVE the first
+  /** Replicate documents/events 10× and embeddings 4× from `base`
+    * into `out` with a DEPTH-SAFE id scheme (`id*10 + c` — a base-10
+    * digit append, collision-free at any chaining depth, unlike the
+    * fixed additive offsets of [[ScaleCheck.materialize]] which
+    * collide when applied twice). The embeddings step is
+    * DELIBERATELY 4× (round-11 ADVICE: do not read the ANN rungs as
+    * 10× input steps — the per-dir row-count lines the sweep emits
+    * are the true denominators for growth-factor analysis; the
+    * quadratic-leaning ANN ops get a gentler input ramp so a rung
+    * stays runnable on one box). Used for the ladder's rungs ABOVE the first
     * materialized one (e.g. sf1 → sf10 ≈ 1000× the gate SF). The
     * second-level salt token family (`ssalt$c`) is disjoint from the
     * first level's (`salt$c`), so copies stay exact-dup-free per level
@@ -183,9 +188,14 @@ object ScaleSweep {
             val p = if (OutputBound(name)) 1 else passes
             val warm = time(run(fn(spark, d)))
             val timed = (1 to p).map(_ => time(run(fn(spark, d)))).min
+            // stateful streaming ops additionally report the last
+            // run's peak state rows (round-11 verdict #4: bounded
+            // state must be MEASURED per rung, not argued)
+            val statePeak = graft.streaming.StreamOps.lastStatePeak(name)
+              .map(v => s""","state_rows_peak":$v""").getOrElse("")
             val line = s"""{"op":"$name","dir":"$d","warm":${num(warm)},""" +
               s""""min":${num(timed)},"shuffle_exchanges":$sh,""" +
-              s""""broadcast_exchanges":$bc}"""
+              s""""broadcast_exchanges":$bc$statePeak}"""
             println(line)
             line
           }

@@ -564,9 +564,12 @@ object MiningOps {
     * round-11 fix is the p99: percentile_cont's aggregate collects
     * the whole group into one buffer (key-cardinality doubles on one
     * reducer at 100 TB), so it is re-derived exactly from the
-    * FREQUENCY-OF-FREQUENCY frame (distinct cnt values — tiny by
-    * construction) with the same 0.99·(n−1) linear interpolation
-    * both engines define. (round 11) */
+    * FREQUENCY-OF-FREQUENCY frame (distinct cnt values) with the same
+    * 0.99·(n−1) linear interpolation both engines define — and the ff
+    * frame itself rides the log2-bucket discipline (round-11 ADVICE:
+    * "tiny by construction" degenerates to key cardinality when every
+    * key count is unique; now only the ≤ 2 buckets straddling the
+    * interpolation positions ever rank their multiplicities). */
   def q149SkewReport(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = t(s, dir, "lineitem")
@@ -575,19 +578,37 @@ object MiningOps {
       count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
       max(col("cnt")).as("max_cnt"))
     // exact percentile_cont(0.99) over the count multiset, from
-    // (cnt, freq, cumulative-below) — the ff frame is bounded by the
-    // number of DISTINCT multiplicities, not keys
-    val wc = Window.orderBy("cnt").rowsBetween(Window.unboundedPreceding, -1)
+    // (cnt, freq, cumulative-below). The ff frame's bound is DISTINCT
+    // MULTIPLICITIES, which degenerates to key cardinality when every
+    // key count is unique (round-11 ADVICE) — so the cumulative never
+    // runs globally over ffc: multiplicities bucket by fractional
+    // log2 (≤ 8·63+1 buckets for any long cnt — the PROVABLY bounded
+    // global frame), the bucket prefix locates the two interpolation
+    // positions, and only the ≤ 2 straddling buckets rank their own
+    // multiplicities — a frame bounded by the sub-octave's integer
+    // width around the p99 value, not by key cardinality.
     val ffc = counts.groupBy("cnt").agg(count(lit(1)).as("freq"))
-      .withColumn("below", coalesce(sum("freq").over(wc), lit(0L)))
+      .withColumn("fb", floor(log2(col("cnt").cast("double")) * lit(8.0)).cast("long"))
+    val wb = Window.orderBy("fb").rowsBetween(Window.unboundedPreceding, -1)
+    val fbp = ffc.groupBy("fb").agg(sum("freq").as("bf"))
+      .withColumn("bbelow", coalesce(sum("bf").over(wb), lit(0L)))
     val pos = lit(0.99) * (col("n_keys") - 1).cast("double")
     val loI = floor(pos).cast("long")
     val hiI = ceil(pos).cast("long")
-    val pv = ffc.crossJoin(broadcast(basic)).agg(
-      min(when(col("below") <= loI && loI < col("below") + col("freq"),
-        col("cnt"))).as("v_lo"),
-      min(when(col("below") <= hiI && hiI < col("below") + col("freq"),
-        col("cnt"))).as("v_hi"))
+    val targets = fbp.crossJoin(broadcast(basic))
+      .filter((col("bbelow") <= loI && loI < col("bbelow") + col("bf")) ||
+        (col("bbelow") <= hiI && hiI < col("bbelow") + col("bf")))
+      .select("fb", "bbelow")
+    val wIn = Window.partitionBy("fb").orderBy("cnt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pv = ffc.join(broadcast(targets), Seq("fb"))
+      .withColumn("below",
+        col("bbelow") + coalesce(sum("freq").over(wIn), lit(0L)))
+      .crossJoin(broadcast(basic)).agg(
+        min(when(col("below") <= loI && loI < col("below") + col("freq"),
+          col("cnt"))).as("v_lo"),
+        min(when(col("below") <= hiI && hiI < col("below") + col("freq"),
+          col("cnt"))).as("v_hi"))
     val stats = basic.crossJoin(broadcast(pv))
       .withColumn("p99_cnt", col("v_lo").cast("double") +
         (pos - floor(pos)) * (col("v_hi") - col("v_lo")).cast("double"))
@@ -648,11 +669,20 @@ object MiningOps {
     * get ⌈n/b⌉ rows) maps a rank to its decile in pure integer math,
     * so buckets whose interval lies inside one decile contribute
     * their AGGREGATES directly; (3) only the ≤ [[DepthBands]]−1
-    * boundary-straddling buckets per type re-rank their raw rows —
-    * by (value, event_id) within the bucket, which equals the global
-    * order there — via a broadcast semi-annotation, a frame bounded
-    * by bucket width, not corpus size. Exact ntile semantics, no
-    * unbounded per-type sort anywhere. */
+    * boundary-straddling buckets per type are re-resolved — and
+    * (round-11 ADVICE) never by ranking RAW ROWS: boundary-bucket
+    * rows collapse map-side to (value → count) groups (the q211
+    * trick), a window over the bucket's DISTINCT VALUES assigns each
+    * group its global rank interval, and the group's rows distribute
+    * across the ≤ [[DepthBands]] overlapping deciles ARITHMETICALLY
+    * (within equal values, decile membership depends only on the
+    * event_id rank, and every aggregate — count, lo, hi, sum — is
+    * count-shaped over one shared value, so no per-row tie-break is
+    * ever materialized). The degenerate distribution the row-ranking
+    * form feared (a type whose values are all near-equal, landing
+    * its ENTIRE row set in one straddling bucket) now costs a
+    * single-row window frame: one value group, ten arithmetic
+    * splits. Exact ntile semantics, no per-row sort anywhere. */
   def q150EquidepthHist(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.GraftFunctions.idiv
@@ -698,17 +728,34 @@ object MiningOps {
         col("sum_b").as("bsum"))
     val boundary = marked.filter(col("d_first") =!= col("d_last"))
       .select("event_type", "vb", "cb", "n")
-    // phase 2: re-rank ONLY boundary-bucket rows (equal values can
-    // never straddle buckets, so in-bucket (value, event_id) order
-    // IS the global order restricted to the bucket)
-    val wIn = Window.partitionBy("event_type", "vb")
-      .orderBy(col("value"), col("event_id"))
-    val split = ev.join(broadcast(boundary), Seq("event_type", "vb"))
-      .withColumn("decile",
-        dOf(col("cb") + row_number().over(wIn), col("n")))
+    // phase 2: boundary buckets resolve over VALUE GROUPS, not rows —
+    // map-side collapse to (value, vcnt), a window over the bucket's
+    // distinct values for the group's global rank interval (g, g+vcnt],
+    // then the interval splits across its overlapping deciles in pure
+    // integer arithmetic (equal values share every aggregate, so the
+    // per-decile contribution is count-shaped: no row rank needed)
+    val wVal = Window.partitionBy("event_type", "vb")
+      .orderBy(col("value")).rowsBetween(Window.unboundedPreceding, -1)
+    val vgroups = ev.join(broadcast(boundary), Seq("event_type", "vb"))
+      .groupBy("event_type", "vb", "cb", "n", "value")
+      .agg(count(lit(1)).as("vcnt"))
+      .withColumn("g", col("cb") + coalesce(sum("vcnt").over(wVal), lit(0L)))
+    // rows before decile d (1-indexed): (d-1)·q + min(d-1, r)
+    def sd(d: Column, n: Column): Column = {
+      val q = idiv(n, bands)
+      val r = n % bands
+      (d - 1) * q + least(d - 1, r)
+    }
+    val split = vgroups
+      .withColumn("decile", explode(sequence(
+        dOf(col("g") + 1, col("n")), dOf(col("g") + col("vcnt"), col("n")))))
+      .withColumn("cnt_d",
+        least(col("g") + col("vcnt"), sd(col("decile") + 1, col("n"))) -
+          greatest(col("g"), sd(col("decile"), col("n"))))
       .groupBy("event_type", "decile")
-      .agg(count(lit(1)).as("cnt"), min("value").as("lo"),
-        max("value").as("hi"), sum(dec(col("value"), 28, 6)).as("bsum"))
+      .agg(sum("cnt_d").as("cnt"), min("value").as("lo"),
+        max("value").as("hi"),
+        sum(dec(col("value"), 28, 6) * col("cnt_d")).as("bsum"))
       .select("event_type", "decile", "cnt", "lo", "hi", "bsum")
     interior.unionByName(split)
       .groupBy("event_type", "decile")

@@ -895,6 +895,16 @@ object RelOps {
 
   // --------------------------------------------------------- q126 ROC-AUC
 
+  /** Memoized range-partitioned distinct-score table for q126 (the
+    * q123 sweepCache recipe: explicit partition count + persist pin
+    * spark_partition_id between the totals and window references —
+    * the range partitioner samples, so two evaluations could
+    * otherwise disagree on boundaries and corrupt the offsets). */
+  private[graft] val aucCache =
+    new graft.operators.PlanCache[DataFrame]("auc_groups")((_, df) => df.unpersist())
+
+  def aucCacheStats: (Long, Long) = (aucCache.hits, aucCache.misses)
+
   /** q126: ROC-AUC via the tie-corrected rank-sum identity — the
     * score-quality read ("does `value` separate purchases from the
     * rest") every ranking/filter model eval needs, computed EXACTLY:
@@ -908,15 +918,39 @@ object RelOps {
     * per-score collapse.
     *
     * Scale shape: one partial-agg'd shuffle to score groups (bounded
-    * by score cardinality), one global cumulative over those groups
-    * (the q117 sweep note applies), arithmetic on exact BIGINTs,
-    * rounded 6 dp at the end. */
+    * by score cardinality), then the global `below` prefix sum in the
+    * classic TWO-PHASE form (round-11 verdict #5 — previously ONE
+    * GLOBAL window over the group table, the last undocumented
+    * global-order sort in the suite): the group table range-partitions
+    * on score and persists, per-partition count totals become
+    * broadcast prefix offsets via a self-join over the nPart-sized
+    * totals table, and each task's local strictly-before running sum
+    * plus its partition offset equals the global cumulative — equal
+    * scores are co-located by the range partitioner, so the tie
+    * semantics are unchanged. Arithmetic on exact BIGINTs, rounded
+    * 6 dp at the end. */
   def q126RocAuc(s: SparkSession, dir: String): DataFrame = {
-    val g = events(s, dir)
-      .select(col("value"), (col("event_type") === "purchase").cast("long").as("y"))
-      .groupBy("value").agg(count(lit(1)).as("c"), sum("y").as("pc"))
-    val wc = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
-    val r2 = g.withColumn("below", coalesce(sum("c").over(wc), lit(0L)))
+    val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val g = aucCache.get(s, s"$dir#$nPart",
+        graft.sources.FsSig.of(s"$dir/events.parquet")) {
+      events(s, dir)
+        .select(col("value"), (col("event_type") === "purchase").cast("long").as("y"))
+        .groupBy("value").agg(count(lit(1)).as("c"), sum("y").as("pc"))
+        .repartitionByRange(nPart, col("value"))
+        .withColumn("pid", spark_partition_id())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    val totals = g.groupBy("pid").agg(sum("c").as("tot"))
+    val offs = totals.as("a")
+      .join(totals.as("b"), col("b.pid") < col("a.pid"), "left")
+      .groupBy(col("a.pid").as("pid"))
+      .agg(coalesce(sum(col("b.tot")), lit(0L)).as("off"))
+    val localW = Window.partitionBy("pid").orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val r2 = g
+      .withColumn("lbelow", coalesce(sum("c").over(localW), lit(0L)))
+      .join(broadcast(offs), Seq("pid"))
+      .withColumn("below", col("lbelow") + col("off"))
       .agg(sum(col("pc") * (lit(2) * col("below") + col("c") + 1)).as("r2"),
         sum("pc").as("np"), sum(col("c") - col("pc")).as("nn"))
     // one-class guard (ANSI ÷0): with no positives or no negatives

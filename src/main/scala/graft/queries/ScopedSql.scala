@@ -52,10 +52,13 @@ object ScopedSql {
     s.sql(rewrite(s, dir, sql, tables: _*), args)
 
   /** Segments the rewrite must never enter: single-quoted literals
-    * (with `''` escapes), backtick identifiers, `--` line comments,
-    * bracketed comments. */
+    * (with both `''` and backslash escapes — Spark SQL accepts
+    * 'it\'s' by default, and a mis-terminated span would let a table
+    * token after the \' be rewritten inside the literal — round-11
+    * ADVICE), backtick identifiers, `--` line comments, bracketed
+    * comments. */
   private val ProtectedSegment =
-    "('(?:[^']|'')*')|(`[^`]*`)|(--[^\\n]*)|(/\\*[\\s\\S]*?\\*/)".r
+    "('(?:[^'\\\\]|''|\\\\.)*')|(`[^`]*`)|(--[^\\n]*)|(/\\*[\\s\\S]*?\\*/)".r
 
   /** Word-bounded replace of `name` → `scoped`, skipping protected
     * segments. */

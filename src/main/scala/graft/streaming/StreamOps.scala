@@ -61,6 +61,26 @@ object StreamOps {
     }
   }
 
+  /** Last-run streaming state telemetry per query FAMILY (the
+    * SparkEntry key): peak of Σ stateOperators.numRowsTotal across
+    * the run's micro-batches, from the query's progress events.
+    * Written by the stateful sq runs after awaitTermination, read by
+    * the scale sweep (round-11 verdict #4: the stream-stream join
+    * family was the only stateful family whose state growth curve
+    * was unmeasured — this is the state-rows-peak rung datum). */
+  private val statePeaks =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
+  def lastStatePeak(family: String): Option[Long] =
+    if (statePeaks.containsKey(family)) Some(statePeaks.get(family)) else None
+
+  private def recordStatePeak(family: String, q: StreamingQuery): Unit = {
+    val peak = q.recentProgress
+      .map(p => p.stateOperators.map(_.numRowsTotal).sum)
+      .foldLeft(0L)(math.max)
+    statePeaks.put(family, peak)
+  }
+
   /** Streaming source over the events parquet (file source — the
     * offline stand-in for the Kafka source; same DataFrame downstream). */
   def eventsStream(s: SparkSession, dir: String): DataFrame = {
@@ -436,6 +456,7 @@ object StreamOps {
         .writeStream.queryName(name).format("memory")
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      recordStatePeak("sq3_stream_join", q)
       fs.table(name).orderBy("click_id", "purchase_id")
     }
   }
@@ -486,6 +507,7 @@ object StreamOps {
         .writeStream.queryName(name).format("memory")
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      recordStatePeak("sq11_stream_left_join", q)
       fs.table(name).orderBy(col("click_id"), col("purchase_id").asc_nulls_first)
     }
   }
@@ -1389,6 +1411,7 @@ object StreamOps {
         .writeStream.queryName(name).format("memory")
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      recordStatePeak("sq18_stream_join_chain", q)
       fs.table(name).orderBy("view_id", "click_id", "purchase_id")
     }
   }

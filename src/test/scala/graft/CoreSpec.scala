@@ -183,5 +183,22 @@ class CoreSpec extends AnyFunSuite {
     assert(qs.head == "q300_some_quite_long_operator_name_300")
     val medians = qs.map(n => results(n).median)
     assert(medians == medians.sorted.reverse, "top-10 must be descending")
+    // a pathological SPARK_GRAFT_BENCH_OUT path must not break the
+    // 1 KB contract: the path is dropped, the line stays parseable
+    val longPath = "/tmp/" + ("x" * 1500) + "/bench_out.json"
+    val clipped = Bench.summaryLine(results, 100000, "/root/testdata/sf0.1",
+      32, artifactPath = longPath)
+    assert(clipped.length <= 1024, s"long-path summary overflows: ${clipped.length}")
+    assert(!clipped.contains("full_artifact"))
+    assert(clipped.endsWith("}") && clipped.contains(""""n":301"""))
+  }
+
+  test("bench calibration probe: fixed work, sane wall time, not elided") {
+    // JIT warm-up, then the probe must land in a plausible band — wide
+    // enough for any box, tight enough to catch an elided loop (<0.1ms)
+    // or a broken iteration count (>10s)
+    (1 to 3).foreach(_ => Bench.probeMs())
+    val ms = (1 to 3).map(_ => Bench.probeMs())
+    assert(ms.forall(m => m > 0.1 && m < 10000.0), s"probe out of band: $ms")
   }
 }

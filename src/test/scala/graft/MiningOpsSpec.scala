@@ -180,6 +180,27 @@ class MiningOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q149: p99 interpolation survives the all-unique-multiplicity degenerate") {
+    // round-11 ADVICE: when every key count is distinct the ff frame
+    // equals key cardinality — the log2-bucket discipline must still
+    // localize the interpolation to the straddling buckets and agree
+    // with percentile_cont. Key k gets exactly k rows → counts {1..n}.
+    val n = 40
+    val kv = for { k <- 1 to n; j <- 1 to k } yield (k.toLong, j.toLong)
+    val tmp = java.nio.file.Files.createTempDirectory("q149x").toString
+    spark.createDataFrame(kv).toDF("l_orderkey", "l_linenumber")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val out = MiningOps.q149SkewReport(spark, tmp).collect()
+    assert(out.length === math.min(MiningOps.SkewTopK, n))
+    val pos = 0.99 * (n - 1)
+    val expect = (math.floor(pos) + 1) + (pos - math.floor(pos))
+    out.foreach { r =>
+      assert(math.abs(r.getAs[Double]("p99_cnt") - expect) < 1e-9,
+        s"p99 over the {1..$n} multiset must interpolate to $expect")
+    }
+    assert(out.head.getAs[Long]("cnt") === n.toLong)
+  }
+
   test("q150: equi-depth bands hold near-equal counts and tile the value range") {
     val rows = MiningOps.q150EquidepthHist(spark, dir).collect()
       .groupBy(_.getAs[String]("event_type"))
@@ -216,7 +237,13 @@ class MiningOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rows = vals.zipWithIndex.map { case (v, i) =>
       (i.toLong, Timestamp.valueOf("2026-01-01 00:00:00"), i.toLong % 3,
         if (i % 2 == 0) "click" else "view", v, "{}")
-    }
+    } ++
+      // the round-11 ADVICE degenerate: a type whose values are ALL
+      // EQUAL lands its entire row set in ONE bucket straddling every
+      // decile cut — the value-group arithmetic must still split it
+      // into exact ntile bands (one value group, ten integer splits)
+      (0 until 37).map(i => (1000L + i, Timestamp.valueOf("2026-01-01 00:00:00"),
+        i.toLong % 3, "allsame", java.lang.Double.valueOf(5.0), "{}"))
     val df = spark.createDataFrame(rows)
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     val tmp = java.nio.file.Files.createTempDirectory("q150x").toString

@@ -882,6 +882,25 @@ class RelOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"rank-sum AUC ${row.getAs[Double]("auc")} != pairwise $brute")
   }
 
+  test("q126: the below prefix runs per-pid, never as one global window") {
+    // round-11 verdict #5: the cumulative over distinct-score groups
+    // must ride the q123 two-phase form — the window partitions by
+    // spark_partition_id of the range-partitioned group table, so no
+    // SinglePartition sort of the score space survives in the plan
+    val plan = RelOps.q126RocAuc(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    val windowIdx = plan.indexOf("Window [")
+    assert(windowIdx >= 0, s"expected the local running-sum window:\n$plan")
+    assert(plan.substring(windowIdx).contains("], [pid"),
+      s"the below prefix must partition by pid:\n$plan")
+    // the only single-partition stages allowed are the final scalar
+    // aggregates (they consume ≤ nPart partial rows) — no window may
+    // sort on one reducer
+    assert(!plan.contains("Window [") ||
+      !plan.substring(windowIdx).takeWhile(_ != '\n').contains("], []"),
+      s"no unpartitioned window may survive:\n$plan")
+  }
+
   // --------------------------------------------------------------- sq15
 
   test("sq15: V2 timer sessionizer equals the GroupStateTimeout shape") {

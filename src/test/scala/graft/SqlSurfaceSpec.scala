@@ -50,6 +50,18 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.contains("/* join orders later */"))
     assert(t.contains("orders_hist"))
     assert(t.contains("'no orders yet'"))
+    // backslash-escaped quote inside a literal (Spark accepts 'it\'s'
+    // by default): the span must not mis-terminate at the \' — a table
+    // token after it stays inside the literal, untouched
+    val b = graft.queries.ScopedSql.rewriteToken(
+      "SELECT 'it\\'s an orders day' AS lbl FROM orders", "orders", "orders_g1")
+    assert(b.contains("'it\\'s an orders day'"), b)
+    assert(b.contains("FROM orders_g1"), b)
+    // '' escaping still protected alongside
+    val d = graft.queries.ScopedSql.rewriteToken(
+      "SELECT 'the ''orders'' table' FROM orders", "orders", "orders_g1")
+    assert(d.contains("'the ''orders'' table'"), d)
+    assert(d.contains("FROM orders_g1"), d)
   }
 
   test("q160: VARIANT access agrees with the declared-schema twin (q124)") {
