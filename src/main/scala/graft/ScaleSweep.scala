@@ -192,7 +192,9 @@ object ScaleSweep {
             // run's peak state rows (round-11 verdict #4: bounded
             // state must be MEASURED per rung, not argued)
             val statePeak = graft.streaming.StreamOps.lastStatePeak(name)
-              .map(v => s""","state_rows_peak":$v""").getOrElse("")
+              .map(v => s""","state_rows_peak":$v""").getOrElse("") +
+              graft.streaming.StreamOps.lastStateFinal(name)
+                .map(v => s""","state_rows_final":$v""").getOrElse("")
             val line = s"""{"op":"$name","dir":"$d","warm":${num(warm)},""" +
               s""""min":${num(timed)},"shuffle_exchanges":$sh,""" +
               s""""broadcast_exchanges":$bc$statePeak}"""

@@ -70,15 +70,26 @@ object StreamOps {
     * was unmeasured — this is the state-rows-peak rung datum). */
   private val statePeaks =
     new java.util.concurrent.ConcurrentHashMap[String, Long]()
+  private val stateFinals =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
 
   def lastStatePeak(family: String): Option[Long] =
     if (statePeaks.containsKey(family)) Some(statePeaks.get(family)) else None
 
+  /** State rows AFTER the run's last micro-batch — for an
+    * AvailableNow drain that is the post-eviction count (the final
+    * no-data batch advances the watermark and evicts), so
+    * final ≪ peak is the DIRECT measurement of the horizon bound:
+    * peak reflects the one-batch drain buffering the whole filtered
+    * input, final is what a steady-state stream would actually hold. */
+  def lastStateFinal(family: String): Option[Long] =
+    if (stateFinals.containsKey(family)) Some(stateFinals.get(family)) else None
+
   private def recordStatePeak(family: String, q: StreamingQuery): Unit = {
-    val peak = q.recentProgress
+    val totals = q.recentProgress
       .map(p => p.stateOperators.map(_.numRowsTotal).sum)
-      .foldLeft(0L)(math.max)
-    statePeaks.put(family, peak)
+    statePeaks.put(family, totals.foldLeft(0L)(math.max))
+    stateFinals.put(family, totals.lastOption.getOrElse(0L))
   }
 
   /** Streaming source over the events parquet (file source — the

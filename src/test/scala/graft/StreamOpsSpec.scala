@@ -175,6 +175,15 @@ class StreamOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .orderBy("click_id", "purchase_id").collect()
     assert(batch.nonEmpty, "fixture must contain click->purchase pairs")
     assert(streamed.sameElements(batch))
+    // the run must have recorded its peak join-state rows for the
+    // scale sweep (round-11 verdict #4): both sides buffer at least
+    // the qualifying events, so the peak is positive and no larger
+    // than the full stream (state is horizon-bounded, never the
+    // whole input retained past eviction)
+    val peak = StreamOps.lastStatePeak("sq3_stream_join")
+    assert(peak.exists(_ > 0L), s"state peak must be recorded: $peak")
+    assert(peak.exists(_ <= ev.count() * 2),
+      s"state peak must stay input-bounded: $peak")
   }
 
   test("SQ8 streamed HLL++ sketch equals the batch sketch bit-for-bit; bounds hold") {
