@@ -495,10 +495,15 @@ object Bench {
     // and the artifact says so directly. zstd consume rides along for
     // the same reason (its r9 curve was monotone within one entry).
     // round-10 verdict #6: two round-10 heavies join the sentinel set
-    // so the cumulative-state exoneration covers the new surface
+    // so the cumulative-state exoneration covers the new surface;
+    // round 12: sq18 joins — it is the suite's most expensive entry
+    // AND the most steal-sensitive (the r12 closeout measured 143 s
+    // of hypervisor steal across its window), so its end-of-run
+    // retime separates a mid-run steal burst from real cost
     val sentinels = Seq("q45_media_meta", "q47_ann_recall", "q51_salted_join",
       "q88_containment", "q89_ivfpq_recall", "sq7_sessionize_timeout",
-      "q193_neighbor_jaccard", "q202_source_sketch_jaccard")
+      "q193_neighbor_jaccard", "q202_source_sketch_jaccard",
+      "sq18_stream_join_chain")
     val recheck = scala.collection.mutable.LinkedHashMap[String, Timing]()
     sentinels.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
