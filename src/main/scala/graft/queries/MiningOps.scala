@@ -595,20 +595,23 @@ object MiningOps {
     val pos = lit(0.99) * (col("n_keys") - 1).cast("double")
     val loI = floor(pos).cast("long")
     val hiI = ceil(pos).cast("long")
+    // the interpolation positions ride THROUGH targets (each
+    // straddling bucket carries loP/hiP), so the probe phase needs no
+    // second broadcast of `basic`
     val targets = fbp.crossJoin(broadcast(basic))
       .filter((col("bbelow") <= loI && loI < col("bbelow") + col("bf")) ||
         (col("bbelow") <= hiI && hiI < col("bbelow") + col("bf")))
-      .select("fb", "bbelow")
+      .select(col("fb"), col("bbelow"), loI.as("loP"), hiI.as("hiP"))
     val wIn = Window.partitionBy("fb").orderBy("cnt")
       .rowsBetween(Window.unboundedPreceding, -1)
     val pv = ffc.join(broadcast(targets), Seq("fb"))
       .withColumn("below",
         col("bbelow") + coalesce(sum("freq").over(wIn), lit(0L)))
-      .crossJoin(broadcast(basic)).agg(
-        min(when(col("below") <= loI && loI < col("below") + col("freq"),
-          col("cnt"))).as("v_lo"),
-        min(when(col("below") <= hiI && hiI < col("below") + col("freq"),
-          col("cnt"))).as("v_hi"))
+      .agg(
+        min(when(col("below") <= col("loP") &&
+          col("loP") < col("below") + col("freq"), col("cnt"))).as("v_lo"),
+        min(when(col("below") <= col("hiP") &&
+          col("hiP") < col("below") + col("freq"), col("cnt"))).as("v_hi"))
     val stats = basic.crossJoin(broadcast(pv))
       .withColumn("p99_cnt", col("v_lo").cast("double") +
         (pos - floor(pos)) * (col("v_hi") - col("v_lo")).cast("double"))
