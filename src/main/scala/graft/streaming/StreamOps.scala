@@ -162,6 +162,7 @@ object StreamOps {
         .writeStream.queryName(name).format("memory")
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      recordStatePeak("sq1_stream_tumbling", q)
       fs.table(name).orderBy("janela_ms", "event_type")
     }
   }
@@ -205,6 +206,7 @@ object StreamOps {
         .writeStream.queryName(name).format("memory")
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      recordStatePeak("sq4_stream_sliding", q)
       fs.table(name).orderBy("janela_ms", "event_type")
     }
   }
@@ -247,6 +249,7 @@ object StreamOps {
         .writeStream.queryName(name).format("memory")
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      recordStatePeak("sq5_stream_enrich", q)
       fs.table(name).orderBy("c_mktsegment", "event_type")
     }
   }
@@ -284,6 +287,7 @@ object StreamOps {
         .writeStream.queryName(name).format("memory")
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      recordStatePeak("sq8_stream_sketch", q)
       fs.table(name)
     }
   }
@@ -349,6 +353,7 @@ object StreamOps {
         .writeStream.queryName(name).format("memory")
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      recordStatePeak("sq9_stream_incr_dedup", q)
       fs.table(name).orderBy("doc_id")
     }
   }
@@ -393,6 +398,7 @@ object StreamOps {
         .writeStream.queryName(name).format("memory")
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      recordStatePeak("sq2_stream_dedup", q)
       fs.table(name).orderBy("source", "fp")
     }
   }
@@ -425,6 +431,7 @@ object StreamOps {
         .writeStream.queryName(name).format("memory")
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      recordStatePeak("sq10_stream_dedup_ttl", q)
       fs.table(name).orderBy("user_id", "event_type")
     }
   }
@@ -588,6 +595,7 @@ object StreamOps {
         .writeStream.queryName(name).format("memory")
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      recordStatePeak("sq12_stream_rollup", q)
       fs.table(name).orderBy("janela_ms", "event_type")
     }
   }
@@ -765,6 +773,7 @@ object StreamOps {
         .writeStream.queryName(name).format("memory")
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      recordStatePeak("sq6_sessionize", q)
       fs.table(name)
     }
     streamed.as[Session]
@@ -853,6 +862,9 @@ object StreamOps {
         .writeStream.queryName(name).format("memory")
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      // recorded under sq7's key: sq7 is this impl's SparkEntry
+      // canonical caller (sq6_sessionize is the FMGWS variant above)
+      recordStatePeak("sq7_sessionize_timeout", q)
       fs.table(name).orderBy("user_id", "sid")
     }
   }
@@ -1031,6 +1043,7 @@ object StreamOps {
         .writeStream.queryName(name).format("memory")
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      recordStatePeak("sq13_stream_profile", q)
       fs.table(name)
     }
     val w = org.apache.spark.sql.expressions.Window
@@ -1072,6 +1085,7 @@ object StreamOps {
         }
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      recordStatePeak("sq14_foreach_sink", q)
     }
     s.read.parquet(out).orderBy("event_type")
   }
@@ -1201,6 +1215,7 @@ object StreamOps {
         .writeStream.queryName(name).format("memory")
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      recordStatePeak("sq15_stream_timer_session", q)
       fs.table(name)
     }
     streamed.filter(col("user_id") >= 0).orderBy("user_id", "sid")
@@ -1269,6 +1284,7 @@ object StreamOps {
         .writeStream.queryName(name).format("memory")
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      recordStatePeak("sq16_stream_lastn", q)
       fs.table(name)
     }
     val w = org.apache.spark.sql.expressions.Window
@@ -1357,6 +1373,7 @@ object StreamOps {
         .writeStream.queryName(name).format("memory")
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      recordStatePeak("sq17_stream_type_counts", q)
       fs.table(name)
     }
     val w = org.apache.spark.sql.expressions.Window
@@ -1533,6 +1550,7 @@ object StreamOps {
         .writeStream.queryName(name).format("memory")
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      recordStatePeak("sq19_late_data", q)
       fs.table(name).orderBy("janela_ms")
     }
   }
@@ -1594,6 +1612,7 @@ object StreamOps {
         .writeStream.queryName(name).format("memory")
         .outputMode("update").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      recordStatePeak("sq20_update_mode", q)
       fs.table(name)
         .groupBy("janela_ms")
         .agg(max(col("n")).as("final_n"), count(lit(1)).as("n_emissions"))
@@ -1661,6 +1680,7 @@ object StreamOps {
         .writeStream.queryName(name).format("memory")
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      recordStatePeak("sq21_stream_psi_monitor", q)
       val live = fs.table(name)
       // monitor read side (batch over the sink): replicate the static
       // baseline across the closed days, union the band sets. The day
