@@ -114,12 +114,15 @@ object Bench {
     * Round-11 verdict #2 additions — the r11 driver run had entries
     * at sustained 4-13× with CLEAN load1/steal/gc/misses, so two
     * probes the earlier fields cannot see:
-    *  - `probeStartMs`/`probeEndMs`: wall time of a FIXED single-
-    *    thread busy loop run immediately before the warm pass and
-    *    after the last timed pass. The instruction count is constant,
-    *    so probe inflation vs the run's `probe_baseline_ms` is direct
-    *    evidence of CPU starvation the loadavg missed (cgroup quota
-    *    throttling, memory-bandwidth saturation, invisible co-tenant).
+    *  - `probeStartMs`/`probeMidMs`/`probeEndMs`: wall time of a
+    *    FIXED single-thread busy loop run immediately before the warm
+    *    pass, between warm and timed, and after the last timed pass.
+    *    The instruction count is constant, so probe inflation vs the
+    *    run's `probe_baseline_ms` is direct evidence of CPU
+    *    starvation the loadavg missed (cgroup quota throttling,
+    *    memory-bandwidth saturation, invisible co-tenant); the mid
+    *    probe splits the attribution between the warm and timed
+    *    windows.
     *  - `readWarmBytes`/`readTimedBytes`: /proc/self/io read_bytes
     *    deltas across the warm and timed passes — bytes this process
     *    pulled from the BLOCK LAYER (page-cache hits don't count), so
@@ -136,6 +139,7 @@ object Bench {
       load1End: Double,
       stealSec: Double,
       probeStartMs: Double,
+      probeMidMs: Double,
       probeEndMs: Double,
       readWarmBytes: Long,
       readTimedBytes: Long)
@@ -436,7 +440,12 @@ object Bench {
     // the per-entry gc/miss telemetry is the primary diagnostic.
     val settleMs = sys.env.get("SPARK_GRAFT_BENCH_SETTLE_MS")
       .flatMap(v => scala.util.Try(v.trim.toLong).toOption).filter(_ > 0)
-    headline.foreach { name =>
+    // optional comma-separated entry filter (the Verify
+    // SPARK_GRAFT_ONLY counterpart) for local iteration on a few
+    // changed entries; unset — the driver's path — times everything
+    val benchOnly = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    headline.filter(n => benchOnly.forall(_.contains(n))).foreach { name =>
       SparkEntry.queries.get(name) match {
         case None => System.err.println(s"[bench] unknown headline query: $name")
         case Some(fn) =>
@@ -454,6 +463,7 @@ object Bench {
             val snapWarm = cacheMissSnapshot()
             val gcWarm = gcMillis()
             val rbWarm = readBytes()
+            val probeMid = probeMs()
             val timed = (1 to passes).map(_ => time(run(fn(spark, sfDir))))
             val snapTimed = cacheMissSnapshot()
             val gcTimed = gcMillis()
@@ -472,7 +482,7 @@ object Bench {
               warmM, timedM, loadStart, loadEnd,
               if (stealStart < 0 || stealEnd < 0) -1.0
               else (stealEnd - stealStart) / 100.0,
-              probeStart, probeEnd,
+              probeStart, probeMid, probeEnd,
               ioDelta(rbStart, rbWarm), ioDelta(rbWarm, rbTimed))
           } catch {
             case e: Throwable =>
@@ -614,6 +624,7 @@ object Bench {
           s""","load1_end":${num(st.load1End, 2)}""" +
           s""","steal_sec":${num(st.stealSec, 2)}""" +
           s""","probe_start_ms":${num(st.probeStartMs, 2)}""" +
+          s""","probe_mid_ms":${num(st.probeMidMs, 2)}""" +
           s""","probe_end_ms":${num(st.probeEndMs, 2)}""" +
           s""","read_warm_bytes":${st.readWarmBytes}""" +
           s""","read_timed_bytes":${st.readTimedBytes}""" +
