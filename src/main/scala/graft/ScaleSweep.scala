@@ -62,7 +62,7 @@ object ScaleSweep {
     (total - broadcast - reused, broadcast)
   }
 
-  /** Replicate documents/events 10× and embeddings 4× from `base`
+  /** Replicate documents/events/lineitem 10× and embeddings 4× from `base`
     * into `out` with a DEPTH-SAFE id scheme (`id*10 + c` — a base-10
     * digit append, collision-free at any chaining depth, unlike the
     * fixed additive offsets of [[ScaleCheck.materialize]] which
@@ -115,6 +115,22 @@ object ScaleSweep {
         .repartition(64)
         .write.mode("overwrite").parquet(eventsOut)
     }
+    // lineitem replicates 10× with the same digit-append on the join
+    // key (l_orderkey*10 + c): key CARDINALITY grows 10× while every
+    // key keeps its per-key row count — the skew PROFILE (max/mean
+    // ratio, p99, top-k shares) is scale-invariant by construction,
+    // which is exactly what a skew-profiler rung must hold fixed
+    // while the relation under it grows (q149's ladder).
+    val liOut = s"$out/lineitem.parquet"
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$base/lineitem.parquet")) &&
+        !java.nio.file.Files.exists(java.nio.file.Paths.get(liOut))) {
+      val li = s.read.parquet(s"$base/lineitem.parquet")
+      (0 until 10).map(c =>
+          li.withColumn("l_orderkey", col("l_orderkey") * 10 + lit(c.toLong)))
+        .reduce(_ unionAll _)
+        .repartition(64)
+        .write.mode("overwrite").parquet(liOut)
+    }
   }
 
   private def rows(s: SparkSession, dir: String, table: String): Long = {
@@ -150,6 +166,14 @@ object ScaleSweep {
               java.nio.file.Paths.get(s"${dirs(i - 1)}/documents.parquet/_SUCCESS")))
           ScaleCheck.materialize(spark, dirs(i - 1), d)
         else materializeLevel(spark, dirs(i - 1), d)
+      } else if (java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$d/documents.parquet/_SUCCESS"))) {
+        // a previously materialized rung may predate a newly-added
+        // table in the level materializer (e.g. lineitem): re-invoke
+        // it — per-table existence guards make this a no-op for every
+        // table the rung already holds. Testdata rungs (no Spark
+        // _SUCCESS marker on documents) are never touched.
+        materializeLevel(spark, dirs(i - 1), d)
       }
     }
 
