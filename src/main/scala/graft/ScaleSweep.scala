@@ -62,7 +62,7 @@ object ScaleSweep {
     (total - broadcast - reused, broadcast)
   }
 
-  /** Replicate documents/events/lineitem 10× and embeddings 4× from `base`
+  /** Replicate documents/events/lineitem/orders 10× and embeddings 4× from `base`
     * into `out` with a DEPTH-SAFE id scheme (`id*10 + c` — a base-10
     * digit append, collision-free at any chaining depth, unlike the
     * fixed additive offsets of [[ScaleCheck.materialize]] which
@@ -130,6 +130,20 @@ object ScaleSweep {
         .reduce(_ unionAll _)
         .repartition(64)
         .write.mode("overwrite").parquet(liOut)
+    }
+    // orders rides the SAME digit-append (o_orderkey*10 + c), so copy
+    // c of an order matches exactly copy c of its lineitems — join
+    // fanout and key skew are preserved per copy while both sides
+    // grow 10× (the lineitem⋈orders family's ladder: q50/q51/q113)
+    val ordOut = s"$out/orders.parquet"
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$base/orders.parquet")) &&
+        !java.nio.file.Files.exists(java.nio.file.Paths.get(ordOut))) {
+      val ord = s.read.parquet(s"$base/orders.parquet")
+      (0 until 10).map(c =>
+          ord.withColumn("o_orderkey", col("o_orderkey") * 10 + lit(c.toLong)))
+        .reduce(_ unionAll _)
+        .repartition(64)
+        .write.mode("overwrite").parquet(ordOut)
     }
   }
 

@@ -133,6 +133,17 @@ object StreamOps {
   private def withStreamShuffle[T](s: SparkSession)(body: SparkSession => T): T = {
     val fs = s.newSession()
     fs.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions.toString)
+    // Large-state deployments run the RocksDB state store (state on
+    // local disk + block cache instead of JVM-heap hash maps — the
+    // production default once state outgrows the heap; the default
+    // HDFS-backed provider keeps EVERY loaded version's map on heap
+    // and GC-stalls past ~10^7 rows/JVM, which a 1000× drill rung of
+    // the stream-stream joins reaches on one box). Env-gated so the
+    // gate-SF oracle runs stay on the default provider: results are
+    // provider-independent, only the state backend changes.
+    if (sys.env.get("SPARK_GRAFT_STATESTORE").exists(_.equalsIgnoreCase("rocksdb")))
+      fs.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     body(fs)
   }
 
