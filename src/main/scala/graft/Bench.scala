@@ -427,7 +427,10 @@ object Bench {
       "q204_context_pack", "q205_embed_coverage",
       "q206_source_concentration", "q207_labeler_kappa",
       "q208_marginal_novelty", "q209_cohort_retention",
-      "q210_funnel_steps", "q211_event_gaps")
+      "q210_funnel_steps", "q211_event_gaps",
+      // round-12 operators
+      "q212_hamming_topk", "q213_lsh_calibration",
+      "q214_weighted_jaccard", "sq22_stream_neardup_gate")
     // shingle-index misses during TIMED passes only (warm passes are
     // expected to build it once per session+dir)
     var timedIndexMisses = 0L

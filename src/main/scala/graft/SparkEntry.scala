@@ -58,7 +58,9 @@ object SparkEntry {
       "sq20_update_mode" ->
         ((s: SparkSession, dir: String) => StreamOps.sq20UpdateMode(s, dir)),
       "sq21_stream_psi_monitor" ->
-        ((s: SparkSession, dir: String) => StreamOps.sq21StreamPsiMonitor(s, dir)))
+        ((s: SparkSession, dir: String) => StreamOps.sq21StreamPsiMonitor(s, dir)),
+      "sq22_stream_neardup_gate" ->
+        ((s: SparkSession, dir: String) => StreamOps.sq22StreamNeardupGate(s, dir)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -85,5 +87,6 @@ object SparkEntry {
       "sq18_stream_join_chain" -> StreamOps.sq18Sql,
       "sq19_late_data" -> StreamOps.sq19Sql,
       "sq20_update_mode" -> StreamOps.sq20Sql,
-      "sq21_stream_psi_monitor" -> StreamOps.sq21Sql)
+      "sq21_stream_psi_monitor" -> StreamOps.sq21Sql,
+      "sq22_stream_neardup_gate" -> StreamOps.sq22Sql)
 }

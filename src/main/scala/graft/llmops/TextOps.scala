@@ -468,7 +468,7 @@ object TextOps {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
-  private val shinglesSql =
+  private[graft] val shinglesSql =
     """list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
       |      for i in range(1, len(w) - 1)])""".stripMargin
 
@@ -514,15 +514,15 @@ object TextOps {
     * in either engine); a_j/b_j are fixed odd constants. */
   val MinhashP: Long = 4294967291L
   val MinhashK: Int = 16
-  private def aj(j: Int): Long = 2L * j + 1
-  private def bj(j: Int): Long = 7919L * (j + 1)
+  private[graft] def aj(j: Int): Long = 2L * j + 1
+  private[graft] def bj(j: Int): Long = 7919L * (j + 1)
 
   /** Base shingle hash: first 15 md5 hex chars as a 60-bit integer,
     * folded mod P. Engine-independent (md5 is standard), unlike
     * xxhash64/duckdb-hash which differ between engines. */
-  private def baseHash(shingle: Column): Column =
+  private[graft] def baseHash(shingle: Column): Column =
     conv(substring(md5(shingle), 1, 15), 16, 10).cast("long") % MinhashP
-  private def baseHashSql(x: String): String =
+  private[graft] def baseHashSql(x: String): String =
     s"CAST(('0x' || substring(md5($x), 1, 15))::UBIGINT % $MinhashP AS BIGINT)"
 
   /** The MinHash SIGNATURE TABLE (doc_id, m0..m15, n_sh) as a session
@@ -538,7 +538,7 @@ object TextOps {
 
   def sigCacheStats: (Long, Long) = (sigCache.hits, sigCache.misses)
 
-  private def minhashSigs(s: SparkSession, dir: String): DataFrame =
+  private[graft] def minhashSigs(s: SparkSession, dir: String): DataFrame =
     sigCache.get(s, dir, graft.sources.FsSig.of(s"$dir/documents.parquet")) {
       val ex = shingles(s, dir).withColumn("h", baseHash(col("shingle")))
       val sigCols = (0 until MinhashK)
@@ -551,7 +551,7 @@ object TextOps {
   /** LSH banding of the signature table: (doc_id, band, bh) with the
     * band hash = md5 of the band's [[RowsPerBand]] signature values.
     * Shared by q37 and q92 so the banding geometry exists once. */
-  private def bandedSigs(sig: DataFrame): DataFrame =
+  private[graft] def bandedSigs(sig: DataFrame): DataFrame =
     sig.select(col("doc_id"), explode(array((0 until Bands).map { bnd =>
       struct(lit(bnd).as("band"),
         md5(concat_ws(",", (0 until RowsPerBand).map(r => col(s"m${bnd * RowsPerBand + r}")): _*))
@@ -4401,7 +4401,9 @@ object TextOps {
     "q200_cdc_chunks" -> (q200CdcChunks _),
     "q202_source_sketch_jaccard" -> (q202SourceSketchJaccard _),
     "q207_labeler_kappa" -> (q207LabelerKappa _),
-    "q208_marginal_novelty" -> (q208MarginalNovelty _)
+    "q208_marginal_novelty" -> (q208MarginalNovelty _),
+    "q213_lsh_calibration" -> (q213LshCalibration _),
+    "q214_weighted_jaccard" -> (q214WeightedJaccard _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -4459,6 +4461,184 @@ object TextOps {
     "q200_cdc_chunks" -> q200Sql,
     "q202_source_sketch_jaccard" -> q202Sql,
     "q207_labeler_kappa" -> q207Sql,
-    "q208_marginal_novelty" -> q208Sql
+    "q208_marginal_novelty" -> q208Sql,
+    "q213_lsh_calibration" -> q213Sql,
+    "q214_weighted_jaccard" -> q214Sql
   )
+
+  // ------------------------------------------ q213 LSH geometry calibration
+
+  /** q213: LSH CALIBRATION REPORT — the measured band-collision rate of
+    * the q37 geometry against its theoretical S-curve, binned by true
+    * Jaccard: per Jaccard decile over all co-shingled pairs, how many
+    * pairs collide in ≥1 of the 4 bands vs how many SHOULD
+    * (1 − (1 − s^r)^b at the bin midpoint). This is the tuning audit a
+    * dedup owner runs before changing (bands, rows): it shows where the
+    * geometry under- or over-recalls without re-running the dedup.
+    *
+    * Population: pairs sharing ≥1 shingle (jaccard > 0) — the only pairs
+    * the inverted index can price, and the only ones with non-negligible
+    * collision mass. Costs one q35-shaped inverted-index aggregation
+    * (Σ freq², AQE-skew-split) plus the q37 banding, both read from the
+    * session artifacts (shingle index, signature table); the report
+    * itself is ≤10 rows via partial agg.
+    *
+    * Determinism: the theoretical curve is evaluated with explicit
+    * products (s·s·s·s), never `pow` — multiplication is correctly
+    * rounded IEEE in both engines, libm `pow` is not guaranteed to be. */
+  def q213LshCalibration(s: SparkSession, dir: String): DataFrame = {
+    val ex = shingles(s, dir)
+      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc_id")))
+    val a = ex.select(col("doc_id").as("doc_a"), col("n_sh").as("na"), col("shingle"))
+    val b = ex.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"), col("shingle"))
+    val pairs = a.join(b, Seq("shingle")).filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b", "na", "nb")
+      .agg(count(lit(1)).as("common"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("common").cast("double") / (col("na") + col("nb") - col("common")))
+          .as("jaccard"))
+    val banded = bandedSigs(minhashSigs(s, dir))
+    val ca = banded.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
+    val cb = banded.select(col("doc_id").as("doc_b"), col("band"), col("bh"))
+    val collide = ca.join(cb, Seq("band", "bh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+      .withColumn("x_collide", lit(true))
+    val mid = (col("bin").cast("double") * 2 + 1) / 20.0
+    val s4 = mid * mid * mid * mid
+    val miss1 = lit(1.0) - s4
+    val theory = lit(1.0) - miss1 * miss1 * miss1 * miss1
+    pairs.join(collide, Seq("doc_a", "doc_b"), "left")
+      .select(least(floor(col("jaccard") * 10), lit(9L)).as("bin"),
+        coalesce(col("x_collide"), lit(false)).as("hit"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_collide"))
+      .select(col("bin"), col("n_pairs"), col("n_collide"),
+        round(col("n_collide").cast("double") / col("n_pairs"), 6)
+          .as("collision_rate"),
+        round(theory, 6).as("theoretical_rate"))
+      .orderBy("bin")
+  }
+
+  lazy val q213Sql: String = {
+    val sigCols = (0 until MinhashK)
+      .map(j => s"min((h * ${aj(j)} + ${bj(j)}) % $MinhashP) AS m$j")
+      .mkString(",\n    ")
+    val bandRows = (0 until Bands).map { bnd =>
+      val cols = (0 until RowsPerBand)
+        .map(r => s"m${bnd * RowsPerBand + r}").mkString(", ")
+      s"SELECT doc_id, $bnd AS band, md5(concat_ws(',', $cols)) AS bh FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH sh AS (
+       |  SELECT doc_id, $shinglesSql AS sh
+       |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents)
+       |  WHERE len(w) >= 3
+       |), ex AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM sh
+       |), pairs AS (
+       |  SELECT doc_a, doc_b, CAST(common AS DOUBLE) / (na + nb - common) AS jaccard
+       |  FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
+       |      count(*) AS common
+       |    FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |    GROUP BY 1, 2, 3, 4)
+       |), hx AS (
+       |  SELECT doc_id, ${baseHashSql("shingle")} AS h FROM ex
+       |), sig AS (
+       |  SELECT doc_id, $sigCols FROM hx GROUP BY doc_id
+       |), banded AS (
+       |  $bandRows
+       |), collide AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+       |), binned AS (
+       |  SELECT least(CAST(floor(p.jaccard * 10) AS BIGINT), 9) AS bin,
+       |    c.doc_a IS NOT NULL AS hit
+       |  FROM pairs p LEFT JOIN collide c USING (doc_a, doc_b)
+       |)
+       |SELECT bin, count(*) AS n_pairs,
+       |  CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_collide,
+       |  round(CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+       |    AS collision_rate,
+       |  round(1.0 - (1.0 - mid * mid * mid * mid)
+       |            * (1.0 - mid * mid * mid * mid)
+       |            * (1.0 - mid * mid * mid * mid)
+       |            * (1.0 - mid * mid * mid * mid), 6) AS theoretical_rate
+       |FROM (SELECT bin, hit, (CAST(bin AS DOUBLE) * 2 + 1) / 20.0 AS mid
+       |      FROM binned)
+       |GROUP BY bin, mid ORDER BY bin""".stripMargin
+  }
+
+  // ------------------------------------------- q214 IDF-weighted near-dup
+
+  /** Integer IDF scale for [[q214WeightedJaccard]]: a shingle seen in
+    * `df` documents weighs `floor(2^20 / df)` — hot boilerplate grams
+    * decay toward 0 while rare content grams keep full weight. Integer
+    * weights keep every pair score an exact ratio of exact sums
+    * (float-sum order can differ between engines; integer sums cannot). */
+  // `final` + literal = compile-time constant: the `oracle` map above
+  // forces q214Sql during object init, BEFORE later vals initialize —
+  // a plain val here would interpolate as 0 into the SQL
+  final val IdfScale = 1048576L
+
+  /** q214: IDF-WEIGHTED near-duplicate pairs — q35's exact Jaccard with
+    * each shingle weighted by inverse document frequency, so template
+    * boilerplate (navigation chrome, license blocks) cannot vote two
+    * documents into being duplicates while genuinely rare content can.
+    * The standard remedy when unweighted near-dup over-merges template
+    * farms: weighted |A∩B| / |A∪B| with w(sh) = floor(IdfScale / df).
+    *
+    * Scale shape: identical algebra to q35 — inverted shingle index
+    * (session artifact, df pre-joined by the q39 groupBy + join-back
+    * discipline), Σ freq² pair aggregation AQE-skew-split on hot
+    * shingles, per-doc total weights partial-agg'd before the pair
+    * join. The weighting makes the scale story BETTER than q35's: at a
+    * production df cap the hot shingles that dominate Σ freq² carry
+    * weight ≈ 0 and can be dropped from candidate generation without
+    * moving any score (the q39 cap, justified by the weights). */
+  final val WeightedThreshold = 0.4
+
+  def q214WeightedJaccard(s: SparkSession, dir: String): DataFrame = {
+    val wx = shinglesWithDf(s, dir)
+      .withColumn("wt", floor(lit(IdfScale) / col("df")))
+    val tot = wx.groupBy("doc_id").agg(sum(col("wt")).as("tw"))
+    val a = wx.select(col("doc_id").as("doc_a"), col("shingle"), col("wt"))
+    val b = wx.select(col("doc_id").as("doc_b"), col("shingle"))
+    val common = a.join(b, Seq("shingle")).filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(sum(col("wt")).as("cw"))
+    common
+      .join(tot.select(col("doc_id").as("doc_a"), col("tw").as("ta")), Seq("doc_a"))
+      .join(tot.select(col("doc_id").as("doc_b"), col("tw").as("tb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("cw").cast("double") / (col("ta") + col("tb") - col("cw")), 6)
+          .as("wjaccard"))
+      .filter(col("wjaccard") >= WeightedThreshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  lazy val q214Sql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, $shinglesSql AS sh
+       |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents)
+       |), ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sh
+       |), wx AS (
+       |  SELECT doc_id, shingle,
+       |    CAST(floor(CAST($IdfScale AS DOUBLE) / df) AS BIGINT) AS wt
+       |  FROM (SELECT doc_id, shingle,
+       |          count(*) OVER (PARTITION BY shingle) AS df FROM ex)
+       |), tot AS (SELECT doc_id, sum(wt) AS tw FROM wx GROUP BY doc_id
+       |), common AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.wt) AS cw
+       |  FROM wx a JOIN wx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_a, doc_b,
+       |  round(CAST(cw AS DOUBLE) / (ta.tw + tb.tw - cw), 6) AS wjaccard
+       |FROM common
+       |JOIN tot ta ON ta.doc_id = doc_a
+       |JOIN tot tb ON tb.doc_id = doc_b
+       |WHERE round(CAST(cw AS DOUBLE) / (ta.tw + tb.tw - cw), 6)
+       |  >= $WeightedThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
 }

@@ -2829,7 +2829,8 @@ object VectorOps {
     "q195_silhouette" -> (q195Silhouette _),
     "q197_semantic_decon" -> (q197SemanticDecon _),
     "q198_ann_rank_eval" -> (q198AnnRankEval _),
-    "q199_embed_drift" -> (q199EmbedDrift _)
+    "q199_embed_drift" -> (q199EmbedDrift _),
+    "q212_hamming_topk" -> (q212HammingTopk _)
   )
 
   /** Every entry is oracle-checked, including the adaptive ANN paths
@@ -2861,7 +2862,8 @@ object VectorOps {
     "q195_silhouette" -> q195Sql,
     "q197_semantic_decon" -> q197Sql,
     "q198_ann_rank_eval" -> q198Sql,
-    "q199_embed_drift" -> q199Sql
+    "q199_embed_drift" -> q199Sql,
+    "q212_hamming_topk" -> q212Sql
   )
 
   // ---------------------------------------------- q125 confusion matrix
@@ -2913,4 +2915,120 @@ object VectorOps {
        |)
        |SELECT label, clabel AS pred, count(*) AS n
        |FROM p WHERE rn = 1 GROUP BY 1, 2 ORDER BY label, pred""".stripMargin
+
+  // ------------------------------------------------ q212 binary-code ANN
+
+  /** Rerank shortlist size for [[q212HammingTopk]]: the exact-cosine
+    * pass re-scores the `HammingCand` nearest binary codes per query.
+    * 4× TopK absorbs the rank noise 1-bit quantization introduces. */
+  // `final` + literal = compile-time constant: the `oracle` map above
+  // forces q212Sql during object init, BEFORE later vals initialize —
+  // a plain val here would interpolate as 0 into the SQL
+  final val HammingCand = 20
+
+  /** q212: BINARY-QUANTIZED ANN — 1-bit-per-dimension sign codes packed
+    * into two 32-bit words, Hamming-distance coarse search, exact-cosine
+    * rerank of the top-[[HammingCand]] shortlist (the binary-quantization
+    * retrieval plan of modern vector stores: a 32× smaller index whose
+    * distance is one xor + popcount, with float vectors fetched only for
+    * the shortlist).
+    *
+    * Scale shape: the coarse pass moves 16 bytes/pair of packed code
+    * through whole-stage-codegen'd `bit_count(^)` — 32× less memory
+    * traffic than q40's float scan — and the per-query top-C cut is a
+    * (hamming, neighbor_id) row_number filtered immediately, so
+    * WindowGroupLimit keeps per-partition heaps of C rows instead of
+    * sorting candidate lists. Float vectors join back ONLY for the n·C
+    * shortlist rows (two equi-joins), never through the quadratic pass.
+    * Like q40, the all-pairs coarse scan is the declared baseline
+    * geometry — at 100 TB the code table would ride an LSH/MIH bucket
+    * key (q41's algebra) with this same pack/xor/rerank kernel.
+    *
+    * Determinism: the sign threshold (`x > 0`) is evaluated on the raw
+    * float in both engines; Hamming ties cut by neighbor_id; rerank
+    * similarities rounded to 6 decimals before ranking (the module
+    * discipline), ties again by neighbor_id. */
+  def q212HammingTopk(s: SparkSession, dir: String): DataFrame = {
+    // bits i=0..31 of word `w` cover dims w*32+1 .. w*32+32 (1-based);
+    // shiftleft stays below bit 63 so the same packing is legal in
+    // DuckDB's checked '<<'
+    def pack(off: Int): Column = expr(
+      s"""aggregate(sequence(0, 31), 0L,
+         |  (acc, i) -> acc + if(element_at(embedding, i + ${off + 1}) > 0.0D,
+         |                       shiftleft(1L, i), 0L))""".stripMargin)
+    val codes = emb(s, dir)
+      .select(col("vec_id"), pack(0).as("lo"), pack(32).as("hi"))
+    // the q40 spread: the scan is one small file → one partition; the
+    // nested-loop join streams its partitioning, so spread the query
+    // side explicitly (a no-op-sized shuffle of n id+code rows)
+    val a = codes.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+    val b = codes.select(col("vec_id").as("neighbor_id"),
+      col("lo").as("nlo"), col("hi").as("nhi"))
+    val wH = Window.partitionBy("vec_id")
+      .orderBy(col("hamming").asc, col("neighbor_id").asc)
+    val shortlist = a.crossJoin(b).filter(col("vec_id") =!= col("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"),
+        (bit_count(col("lo").bitwiseXOR(col("nlo"))) +
+          bit_count(col("hi").bitwiseXOR(col("nhi")))).cast("int").as("hamming"))
+      .withColumn("rh", row_number().over(wH))
+      .filter(col("rh") <= HammingCand)
+      .select("vec_id", "neighbor_id", "hamming")
+    val v = emb(s, dir).select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val qv = v.select(col("vec_id"), col("v"), col("nrm"))
+    val nv = v.select(col("vec_id").as("neighbor_id"),
+      col("v").as("w"), col("nrm").as("wnrm"))
+    val wS = Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    shortlist.join(qv, Seq("vec_id")).join(nv, Seq("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"), col("hamming"),
+        round(cosSim(dot(col("v"), col("w")), col("nrm"), col("wnrm")), 6).as("sim"))
+      .withColumn("rank", row_number().over(wS))
+      .filter(col("rank") <= TopK)
+      .select(col("vec_id"), col("rank"), col("neighbor_id"),
+        col("hamming"), col("sim"))
+      .orderBy("vec_id", "rank")
+  }
+
+  // lazy: referenced by the `oracle` val above its definition point
+  lazy val q212Sql: String =
+    s"""WITH c AS (
+       |  SELECT vec_id,
+       |    CAST(list_sum([CASE WHEN embedding[i + 1] > 0 THEN (1::BIGINT << i)
+       |                        ELSE 0 END for i in range(0, 32)]) AS BIGINT) AS lo,
+       |    CAST(list_sum([CASE WHEN embedding[i + 33] > 0 THEN (1::BIGINT << i)
+       |                        ELSE 0 END for i in range(0, 32)]) AS BIGINT) AS hi
+       |  FROM embeddings
+       |), ham AS (
+       |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+       |    CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS INT)
+       |      AS hamming
+       |  FROM c a JOIN c b ON a.vec_id <> b.vec_id
+       |), shortlist AS (
+       |  SELECT vec_id, neighbor_id, hamming FROM (
+       |    SELECT vec_id, neighbor_id, hamming,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY hamming, neighbor_id) AS rh
+       |    FROM ham)
+       |  WHERE rh <= $HammingCand
+       |), d AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+       |  FROM d
+       |), scored AS (
+       |  SELECT s.vec_id, s.neighbor_id, s.hamming,
+       |    round(coalesce(list_sum([qa.v[i] * qb.v[i] for i in range(1, $Dim + 1)])
+       |      / (qa.nrm * qb.nrm), 0.0), 6) AS sim
+       |  FROM shortlist s
+       |  JOIN n qa ON qa.vec_id = s.vec_id
+       |  JOIN n qb ON qb.vec_id = s.neighbor_id
+       |)
+       |SELECT vec_id, rank, neighbor_id, hamming, sim FROM (
+       |  SELECT vec_id, neighbor_id, hamming, sim,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= $TopK ORDER BY vec_id, rank""".stripMargin
 }

@@ -1803,4 +1803,121 @@ object StreamOps {
        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
        |  min(us) // 1000 AS first_ms, max(us) // 1000 AS last_ms
        |FROM o GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // --------------------------------------- sq22 streaming near-dup gate
+
+  /** SQ22: STREAMING NEAR-DUP ADMISSION GATE — the MinHash-LSH axis of
+    * the crawl-ingest gate, the near-dup face of sq9 exactly as sq9 is
+    * the exact-dup face of q92: each arriving new-batch document
+    * (doc_id ≡ 0 mod [[graft.llmops.TextOps.IncrMod]]) computes its
+    * k=16 MinHash signature IN-ROW (codegen'd higher-order functions
+    * over the shingle array — no shuffle, no state), bands it with the
+    * q37 geometry, and probes the STATIC history band index; a document
+    * whose every band misses is admitted.
+    *
+    * Scale shape: the stream side is a pure per-row map (signature +
+    * 4 band hashes) feeding four stateless broadcast left joins against
+    * the persisted history index — arrival order cannot affect any
+    * row's result, so the batch probe is the oracle (the sq9 argument).
+    * At production index sizes the same joins shuffle on bh instead of
+    * broadcasting (one conf flip, same algebra), or a Bloom filter over
+    * bh pre-screens (q87). What this gate deliberately does NOT do is
+    * pair verification (exact Jaccard needs a pair aggregation a
+    * no-watermark append stream cannot host) — it emits the BAND-HIT
+    * COUNT so downstream batch verification (q37's verify leg) prices
+    * only flagged docs.
+    *
+    * Short documents (<3 words, no shingles) carry null band hashes —
+    * null join keys never match, so they admit with 0 hits, matching
+    * the batch index which never contains them. */
+  def sq22StreamNeardupGate(s: SparkSession, dir: String): DataFrame = {
+    val name = s"sq22_${System.nanoTime()}"
+    val T = graft.llmops.TextOps
+    val incrMod = T.IncrMod
+    withStreamShuffle(s) { fs =>
+      // the corpus LSH index a production gate keeps persisted: q37's
+      // banding of the HISTORY docs' signature table (session artifact)
+      val hist = T.bandedSigs(
+        T.minhashSigs(fs, dir).filter(col("doc_id") % incrMod =!= 0))
+        .select(col("band"), col("bh")).distinct()
+      // per-row signature: distinct word-3-gram shingles -> 60-bit md5
+      // base hashes -> k universal-hash minima, all inside one row
+      val shingleHashes = expr(
+        """transform(
+          |  array_distinct(transform(sequence(1, size(w) - 2),
+          |    i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1),
+          |                        element_at(w, i + 2)))),
+          |  sh -> cast(conv(substring(md5(sh), 1, 15), 16, 10) as bigint)
+          |          % """.stripMargin + T.MinhashP + ")")
+      val bandCols = (0 until T.Bands).map { bnd =>
+        val sig = (0 until T.RowsPerBand).map { r =>
+          val j = bnd * T.RowsPerBand + r
+          expr(s"array_min(transform(hs, h -> (h * ${T.aj(j)} + ${T.bj(j)}) % ${T.MinhashP}))")
+        }
+        when(size(col("hs")) > 0, md5(concat_ws(",", sig: _*)))
+          .otherwise(lit(null)).as(s"bh$bnd")
+      }
+      val stream = fs.readStream.schema(documentsSchema)
+        .parquet(stageAsDir(s"$dir/documents.parquet"))
+        .filter(col("doc_id") % incrMod === 0)
+        .withColumn("w", split(col("text"), "\\s+"))
+        .withColumn("hs",
+          when(size(col("w")) >= 3, shingleHashes)
+            .otherwise(expr("cast(array() as array<bigint>)")))
+        .select(col("doc_id") +: bandCols: _*)
+      val probed = (0 until T.Bands).foldLeft(stream) { (df, bnd) =>
+        df.join(broadcast(hist.filter(col("band") === bnd)
+          .select(col("bh").as(s"bh$bnd"), lit(true).as(s"xh$bnd"))),
+          Seq(s"bh$bnd"), "left")
+      }
+      val hits = (0 until T.Bands)
+        .map(bnd => coalesce(col(s"xh$bnd"), lit(false)).cast("int"))
+        .reduce(_ + _)
+      val q = probed
+        .select(col("doc_id"), hits.as("n_band_hits"),
+          (hits === 0).as("admitted"))
+        .writeStream.queryName(name).format("memory")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      recordStatePeak("sq22_stream_neardup_gate", q)
+      fs.table(name).orderBy("doc_id")
+    }
+  }
+
+  /** SQ22's DuckDB oracle: the identical batch probe — new docs' band
+    * hashes left-joined to the distinct history band index. */
+  val sq22Sql: String = {
+    val T = graft.llmops.TextOps
+    val sigCols = (0 until T.MinhashK)
+      .map(j => s"min((h * ${T.aj(j)} + ${T.bj(j)}) % ${T.MinhashP}) AS m$j")
+      .mkString(",\n    ")
+    val bandRows = (0 until T.Bands).map { bnd =>
+      val cols = (0 until T.RowsPerBand)
+        .map(r => s"m${bnd * T.RowsPerBand + r}").mkString(", ")
+      s"SELECT doc_id, $bnd AS band, md5(concat_ws(',', $cols)) AS bh FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH sh AS (
+       |  SELECT doc_id, ${T.shinglesSql} AS sh
+       |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents)
+       |  WHERE len(w) >= 3
+       |), ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sh
+       |), hx AS (SELECT doc_id, ${T.baseHashSql("shingle")} AS h FROM ex
+       |), sig AS (SELECT doc_id, $sigCols FROM hx GROUP BY doc_id
+       |), banded AS (
+       |  $bandRows
+       |), hist AS (
+       |  SELECT DISTINCT band, bh FROM banded
+       |  WHERE doc_id % ${T.IncrMod} <> 0
+       |), hits AS (
+       |  SELECT nb.doc_id, count(DISTINCT nb.band) AS nbh
+       |  FROM (SELECT * FROM banded WHERE doc_id % ${T.IncrMod} = 0) nb
+       |  JOIN hist ON nb.band = hist.band AND nb.bh = hist.bh
+       |  GROUP BY nb.doc_id
+       |)
+       |SELECT d.doc_id, CAST(coalesce(h.nbh, 0) AS INT) AS n_band_hits,
+       |  coalesce(h.nbh, 0) = 0 AS admitted
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % ${T.IncrMod} = 0) d
+       |LEFT JOIN hits h USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
 }
