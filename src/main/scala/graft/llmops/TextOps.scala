@@ -4470,33 +4470,40 @@ object TextOps {
 
   /** q213: LSH CALIBRATION REPORT — the measured band-collision rate of
     * the q37 geometry against its theoretical S-curve, binned by true
-    * Jaccard: per Jaccard decile over all co-shingled pairs, how many
-    * pairs collide in ≥1 of the 4 bands vs how many SHOULD
-    * (1 − (1 − s^r)^b at the bin midpoint). This is the tuning audit a
-    * dedup owner runs before changing (bands, rows): it shows where the
-    * geometry under- or over-recalls without re-running the dedup.
+    * Jaccard: per Jaccard decile over the co-RARE-shingled pair
+    * population, how many pairs collide in ≥1 of the 4 bands vs how
+    * many SHOULD (1 − (1 − s^r)^b at the bin midpoint). This is the
+    * tuning audit a dedup owner runs before changing (bands, rows): it
+    * shows where the geometry under- or over-recalls without re-running
+    * the dedup.
     *
-    * Population: pairs sharing ≥1 shingle (jaccard > 0) — the only pairs
-    * the inverted index can price, and the only ones with non-negligible
-    * collision mass. Costs one q35-shaped inverted-index aggregation
-    * (Σ freq², AQE-skew-split) plus the q37 banding, both read from the
-    * session artifacts (shingle index, signature table); the report
-    * itself is ≤10 rows via partial agg.
+    * Population: pairs sharing ≥1 RARE shingle (df ≤ [[MaxShingleDf]] —
+    * the q39 candidate discipline), STRATIFIED before the expensive
+    * true-Jaccard verification: every COLLIDING pair is verified (the
+    * recall side of the audit must be exact — high bins hold few
+    * pairs), non-colliding pairs are verified on a deterministic
+    * 1/[[CalibSampleMod]] md5 hash-sample (the bin-0 mass needs a rate
+    * estimate, not an enumeration). The reported rate is the stratified
+    * estimator n_collide / (n_collide + Mod · n_miss_sampled); both
+    * engines compute it bit-identically because the sample membership
+    * is an md5 predicate, not an RNG. The uncapped all-pairs population
+    * is Σ freq² on hot shingles and detonates exactly where the salted
+    * scale ladder compounds boilerplate (measured: OOM'd an 8 GiB heap
+    * at the 100× rung); hot-only pairs are the saturated bins-8–9
+    * regime, declared excluded (q39's caveat class). Verification cost
+    * is collide-pairs + cand/Mod — output-tracking, never pair-census.
     *
     * Determinism: the theoretical curve is evaluated with explicit
     * products (s·s·s·s), never `pow` — multiplication is correctly
     * rounded IEEE in both engines, libm `pow` is not guaranteed to be. */
   def q213LshCalibration(s: SparkSession, dir: String): DataFrame = {
-    val ex = shingles(s, dir)
-      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc_id")))
-    val a = ex.select(col("doc_id").as("doc_a"), col("n_sh").as("na"), col("shingle"))
-    val b = ex.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"), col("shingle"))
-    val pairs = a.join(b, Seq("shingle")).filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b", "na", "nb")
-      .agg(count(lit(1)).as("common"))
-      .select(col("doc_a"), col("doc_b"),
-        (col("common").cast("double") / (col("na") + col("nb") - col("common")))
-          .as("jaccard"))
+    val withDf = shinglesWithDf(s, dir)
+    val nsh = withDf.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val rare = withDf.filter(col("df") <= MaxShingleDf)
+    val ra = rare.select(col("doc_id").as("doc_a"), col("shingle"))
+    val rb = rare.select(col("doc_id").as("doc_b"), col("shingle"))
+    val cand = ra.join(rb, Seq("shingle")).filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
     val banded = bandedSigs(minhashSigs(s, dir))
     val ca = banded.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
     val cb = banded.select(col("doc_id").as("doc_b"), col("band"), col("bh"))
@@ -4504,22 +4511,48 @@ object TextOps {
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
       .withColumn("x_collide", lit(true))
+    // stratify BEFORE the verify joins: all colliding pairs + the md5
+    // 1/Mod sample of the rest reach true-Jaccard verification
+    // baseHash (not raw md5-bits) so the oracle's baseHashSql twin is
+    // the same value: both fold mod MinhashP BEFORE the sample modulus
+    val sampled =
+      baseHash(concat_ws("_", col("doc_a"), col("doc_b"))) % CalibSampleMod === 0
+    val kept = cand.join(collide, Seq("doc_a", "doc_b"), "left")
+      .withColumn("hit", coalesce(col("x_collide"), lit(false)))
+      .filter(col("hit") || sampled)
+      .select("doc_a", "doc_b", "hit")
+    // true Jaccard over FULL shingle sets, restricted to the kept
+    // pairs: |kept| × doc-size equi-joins — never a hot-shingle self-join
+    val sa = shingles(s, dir).select(col("doc_id").as("doc_a"), col("shingle"))
+    val sb = shingles(s, dir).select(col("doc_id").as("doc_b"), col("shingle"))
+    val common = kept.join(sa, Seq("doc_a")).join(sb, Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b", "hit").agg(count(lit(1)).as("common"))
+    val pairs = common
+      .join(nsh.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
+      .join(nsh.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
+      .select(col("hit"),
+        (col("common").cast("double") / (col("na") + col("nb") - col("common")))
+          .as("jaccard"))
     val mid = (col("bin").cast("double") * 2 + 1) / 20.0
     val s4 = mid * mid * mid * mid
     val miss1 = lit(1.0) - s4
     val theory = lit(1.0) - miss1 * miss1 * miss1 * miss1
-    pairs.join(collide, Seq("doc_a", "doc_b"), "left")
-      .select(least(floor(col("jaccard") * 10), lit(9L)).as("bin"),
-        coalesce(col("x_collide"), lit(false)).as("hit"))
+    val est = col("n_collide").cast("double") /
+      (col("n_collide") + lit(CalibSampleMod) * col("n_miss_sampled"))
+    pairs
+      .select(least(floor(col("jaccard") * 10), lit(9L)).as("bin"), col("hit"))
       .groupBy("bin")
-      .agg(count(lit(1)).as("n_pairs"),
-        sum(when(col("hit"), 1L).otherwise(0L)).as("n_collide"))
-      .select(col("bin"), col("n_pairs"), col("n_collide"),
-        round(col("n_collide").cast("double") / col("n_pairs"), 6)
-          .as("collision_rate"),
+      .agg(sum(when(col("hit"), 1L).otherwise(0L)).as("n_collide"),
+        sum(when(col("hit"), 0L).otherwise(1L)).as("n_miss_sampled"))
+      .select(col("bin"), col("n_collide"), col("n_miss_sampled"),
+        round(est, 6).as("collision_rate_est"),
         round(theory, 6).as("theoretical_rate"))
       .orderBy("bin")
   }
+
+  /** Non-colliding pairs reach q213's verification at 1 in
+    * `CalibSampleMod` (md5-hash membership — engine-independent). */
+  final val CalibSampleMod = 8
 
   lazy val q213Sql: String = {
     val sigCols = (0 until MinhashK)
@@ -4535,13 +4568,14 @@ object TextOps {
        |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents)
        |  WHERE len(w) >= 3
        |), ex AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM sh
-       |), pairs AS (
-       |  SELECT doc_a, doc_b, CAST(common AS DOUBLE) / (na + nb - common) AS jaccard
-       |  FROM (
-       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
-       |      count(*) AS common
-       |    FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-       |    GROUP BY 1, 2, 3, 4)
+       |), rare AS (
+       |  SELECT doc_id, shingle FROM (
+       |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+       |    FROM ex)
+       |  WHERE df <= $MaxShingleDf
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        |), hx AS (
        |  SELECT doc_id, ${baseHashSql("shingle")} AS h FROM ex
        |), sig AS (
@@ -4552,15 +4586,33 @@ object TextOps {
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM banded a JOIN banded b
        |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+       |), kept AS (
+       |  SELECT cand.doc_a, cand.doc_b, c.doc_a IS NOT NULL AS hit
+       |  FROM cand LEFT JOIN collide c USING (doc_a, doc_b)
+       |  WHERE c.doc_a IS NOT NULL OR
+       |    ${baseHashSql("concat_ws('_', cand.doc_a, cand.doc_b)")}
+       |      % $CalibSampleMod = 0
+       |), pairs AS (
+       |  SELECT hit, CAST(common AS DOUBLE) / (na + nb - common) AS jaccard
+       |  FROM (
+       |    SELECT k.doc_a, k.doc_b, k.hit,
+       |      any_value(sa.n_sh) AS na, any_value(sb.n_sh) AS nb,
+       |      count(*) AS common
+       |    FROM kept k
+       |    JOIN ex sa ON sa.doc_id = k.doc_a
+       |    JOIN ex sb ON sb.doc_id = k.doc_b AND sb.shingle = sa.shingle
+       |    GROUP BY 1, 2, 3)
        |), binned AS (
-       |  SELECT least(CAST(floor(p.jaccard * 10) AS BIGINT), 9) AS bin,
-       |    c.doc_a IS NOT NULL AS hit
-       |  FROM pairs p LEFT JOIN collide c USING (doc_a, doc_b)
+       |  SELECT least(CAST(floor(jaccard * 10) AS BIGINT), 9) AS bin, hit
+       |  FROM pairs
        |)
-       |SELECT bin, count(*) AS n_pairs,
+       |SELECT bin,
        |  CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_collide,
-       |  round(CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
-       |    AS collision_rate,
+       |  CAST(sum(CASE WHEN hit THEN 0 ELSE 1 END) AS BIGINT) AS n_miss_sampled,
+       |  round(CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / (sum(CASE WHEN hit THEN 1 ELSE 0 END)
+       |       + $CalibSampleMod * sum(CASE WHEN hit THEN 0 ELSE 1 END)), 6)
+       |    AS collision_rate_est,
        |  round(1.0 - (1.0 - mid * mid * mid * mid)
        |            * (1.0 - mid * mid * mid * mid)
        |            * (1.0 - mid * mid * mid * mid)
@@ -4589,25 +4641,46 @@ object TextOps {
     * The standard remedy when unweighted near-dup over-merges template
     * farms: weighted |A∩B| / |A∪B| with w(sh) = floor(IdfScale / df).
     *
-    * Scale shape: identical algebra to q35 — inverted shingle index
-    * (session artifact, df pre-joined by the q39 groupBy + join-back
-    * discipline), Σ freq² pair aggregation AQE-skew-split on hot
-    * shingles, per-doc total weights partial-agg'd before the pair
-    * join. The weighting makes the scale story BETTER than q35's: at a
-    * production df cap the hot shingles that dominate Σ freq² carry
-    * weight ≈ 0 and can be dropped from candidate generation without
-    * moving any score (the q39 cap, justified by the weights). */
+    * Scale shape: the q39 discipline ported to weights. Candidates come
+    * from the RARE (df ≤ [[MaxShingleDf]]) inverted index only — the
+    * hot shingles that dominate Σ freq² are exactly the ones the
+    * weighting discounts toward 0, so dropping them from candidate
+    * GENERATION is self-justifying; a pair reachable only through hot
+    * shingles can clear 0.4 only when both docs are nearly-all
+    * boilerplate (the exact-dedup-on-normalized-text class; declared
+    * exclusion, q39's caveat). q39's upper bound ports verbatim to
+    * weights: exact common weight cw ≤ rare_cw + min(hot_a, hot_b),
+    * the score is increasing in cw and round is monotone, so pruning
+    * on the bounded score before full verification loses no survivor —
+    * verification cost tracks OUTPUT size, not candidate volume. */
   final val WeightedThreshold = 0.4
 
   def q214WeightedJaccard(s: SparkSession, dir: String): DataFrame = {
     val wx = shinglesWithDf(s, dir)
       .withColumn("wt", floor(lit(IdfScale) / col("df")))
-    val tot = wx.groupBy("doc_id").agg(sum(col("wt")).as("tw"))
-    val a = wx.select(col("doc_id").as("doc_a"), col("shingle"), col("wt"))
-    val b = wx.select(col("doc_id").as("doc_b"), col("shingle"))
-    val common = a.join(b, Seq("shingle")).filter(col("doc_a") < col("doc_b"))
+    // per-doc total weight + hot-only weight, one aggregation
+    val tot = wx.groupBy("doc_id").agg(sum(col("wt")).as("tw"),
+      sum(when(col("df") > MaxShingleDf, col("wt")).otherwise(0L)).as("hw"))
+    val rare = wx.filter(col("df") <= MaxShingleDf)
+    val ra = rare.select(col("doc_id").as("doc_a"), col("shingle"), col("wt"))
+    val rb = rare.select(col("doc_id").as("doc_b"), col("shingle"))
+    val rareCommon = ra.join(rb, Seq("shingle")).filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(sum(col("wt")).as("rcw"))
+    val ub = col("rcw") + least(col("hwa"), col("hwb"))
+    val cand = rareCommon
+      .join(tot.select(col("doc_id").as("doc_a"), col("tw").as("ta"),
+        col("hw").as("hwa")), Seq("doc_a"))
+      .join(tot.select(col("doc_id").as("doc_b"), col("tw").as("tb"),
+        col("hw").as("hwb")), Seq("doc_b"))
+      .filter(round(ub.cast("double") / (col("ta") + col("tb") - ub), 6)
+        >= WeightedThreshold)
+      .select("doc_a", "doc_b")
+    // exact verification over FULL weighted sets, restricted to the
+    // bound-passing pairs (output-tracking, the q39 verify leg)
+    val wa = wx.select(col("doc_id").as("doc_a"), col("shingle"), col("wt"))
+    val wb = wx.select(col("doc_id").as("doc_b"), col("shingle"))
+    cand.join(wa, Seq("doc_a")).join(wb, Seq("doc_b", "shingle"))
       .groupBy("doc_a", "doc_b").agg(sum(col("wt")).as("cw"))
-    common
       .join(tot.select(col("doc_id").as("doc_a"), col("tw").as("ta")), Seq("doc_a"))
       .join(tot.select(col("doc_id").as("doc_b"), col("tw").as("tb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
@@ -4617,20 +4690,30 @@ object TextOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** The oracle implements the capped-candidate algebra directly (the
+    * q39 precedent); the Spark side's upper-bound pruning is a pure
+    * optimization the oracle need not mirror — any survivor it lost
+    * would surface as a row mismatch. */
   lazy val q214Sql: String =
     s"""WITH sh AS (
        |  SELECT doc_id, $shinglesSql AS sh
        |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents)
        |), ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sh
        |), wx AS (
-       |  SELECT doc_id, shingle,
+       |  SELECT doc_id, shingle, df,
        |    CAST(floor(CAST($IdfScale AS DOUBLE) / df) AS BIGINT) AS wt
        |  FROM (SELECT doc_id, shingle,
        |          count(*) OVER (PARTITION BY shingle) AS df FROM ex)
        |), tot AS (SELECT doc_id, sum(wt) AS tw FROM wx GROUP BY doc_id
+       |), rare AS (SELECT doc_id, shingle FROM wx WHERE df <= $MaxShingleDf
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        |), common AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.wt) AS cw
-       |  FROM wx a JOIN wx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  SELECT c.doc_a, c.doc_b, sum(a.wt) AS cw
+       |  FROM cand c
+       |  JOIN wx a ON a.doc_id = c.doc_a
+       |  JOIN wx b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
        |  GROUP BY 1, 2
        |)
        |SELECT doc_a, doc_b,

@@ -95,10 +95,16 @@ class Round12Spec extends AnyFunSuite with BeforeAndAfterAll {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       assert(r.getAs[Double]("theoretical_rate") == want,
         s"theory column must be the closed form at the bin-$bin midpoint")
-      val n = r.getAs[Long]("n_pairs"); val c = r.getAs[Long]("n_collide")
-      assert(c >= 0 && c <= n, "collisions bounded by the pair count")
-      val rate = r.getAs[Double]("collision_rate")
+      val c = r.getAs[Long]("n_collide")
+      val miss = r.getAs[Long]("n_miss_sampled")
+      assert(c >= 0 && miss >= 0 && c + miss > 0, "a bin exists only with pairs")
+      val rate = r.getAs[Double]("collision_rate_est")
       assert(rate >= 0.0 && rate <= 1.0)
+      // the estimator is exactly c / (c + Mod*miss), rounded
+      val want2 = BigDecimal(c.toDouble /
+        (c + TextOps.CalibSampleMod.toDouble * miss))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(rate == want2, "rate must be the stratified estimator")
     }
   }
 
