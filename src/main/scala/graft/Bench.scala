@@ -430,7 +430,8 @@ object Bench {
       "q210_funnel_steps", "q211_event_gaps",
       // round-12 operators
       "q212_hamming_topk", "q213_lsh_calibration",
-      "q214_weighted_jaccard", "sq22_stream_neardup_gate")
+      "q214_weighted_jaccard", "sq22_stream_neardup_gate",
+      "q215_probe_sweep")
     // shingle-index misses during TIMED passes only (warm passes are
     // expected to build it once per session+dir)
     var timedIndexMisses = 0L

@@ -2830,7 +2830,8 @@ object VectorOps {
     "q197_semantic_decon" -> (q197SemanticDecon _),
     "q198_ann_rank_eval" -> (q198AnnRankEval _),
     "q199_embed_drift" -> (q199EmbedDrift _),
-    "q212_hamming_topk" -> (q212HammingTopk _)
+    "q212_hamming_topk" -> (q212HammingTopk _),
+    "q215_probe_sweep" -> (q215ProbeSweep _)
   )
 
   /** Every entry is oracle-checked, including the adaptive ANN paths
@@ -2863,7 +2864,8 @@ object VectorOps {
     "q197_semantic_decon" -> q197Sql,
     "q198_ann_rank_eval" -> q198Sql,
     "q199_embed_drift" -> q199Sql,
-    "q212_hamming_topk" -> q212Sql
+    "q212_hamming_topk" -> q212Sql,
+    "q215_probe_sweep" -> q215Sql
   )
 
   // ---------------------------------------------- q125 confusion matrix
@@ -3031,4 +3033,160 @@ object VectorOps {
        |      ORDER BY sim DESC, neighbor_id) AS rank
        |  FROM scored)
        |WHERE rank <= $TopK ORDER BY vec_id, rank""".stripMargin
+
+  // ------------------------------------------------ q215 IVF probe sweep
+
+  /** Probe counts swept by [[q215ProbeSweep]] — brackets the q44/q61
+    * production pick ([[IvfProbes]] = 3). `final` + literals: the
+    * `oracle` map forces q215Sql during object init. */
+  final val ProbeSweepMax = 5
+  val ProbeSweep: Seq[Int] = Seq(1, 2, 3, ProbeSweepMax)
+
+  /** q215: IVF PROBE-COUNT CALIBRATION — recall@k as a function of
+    * nprobe over the q61 fixed quantizer: the recall-vs-cost curve an
+    * ANN deployment reads before picking its probe budget (q213 tunes
+    * the LSH geometry; this tunes the IVF one). One row per probe
+    * count in [[ProbeSweep]], each = the q61 certification at that
+    * budget.
+    *
+    * Scale shape: ONE candidate-scoring pass at the maximum budget
+    * (the q61 plan, candidates carry the rank of the probe cell that
+    * found them), then all four budgets share a single window sort —
+    * rank-at-budget-p is a conditional running count over the same
+    * (sim desc, neighbor_id) order, so the sweep costs one q61 pass +
+    * one window, not four pipelines. The exact baseline joins from the
+    * published q40 artifact. Empty panel: four (p, 0, 0, NULL) rows
+    * (the q61 discipline).
+    *
+    * Monotonicity (recall non-decreasing in probes) is spec-asserted —
+    * the property that makes the curve readable as a tuning knob. */
+  def q215ProbeSweep(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val cents = ivfCentroids(IvfCells)
+    val cnorms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+    val withCsim = e.select(Seq(col("vec_id"), col("v"), col("nrm")) ++
+      (0 until IvfCells).map { c =>
+        round(cosSim(dot(col("v"), array(cents(c).map(lit(_)): _*)),
+          col("nrm"), lit(cnorms(c))), 6).as(s"csim_$c")
+      }: _*)
+    val wCell = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell"))
+    val ranked = withCsim.select(col("vec_id"), col("v"), col("nrm"),
+        explode(array((0 until IvfCells).map(c =>
+          struct(lit(c).as("cell"), col(s"csim_$c").as("csim"))): _*)).as("cs"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("cs.cell").as("cell"), col("cs.csim").as("csim"))
+      .withColumn("crank", row_number().over(wCell))
+    val indexed = ranked.filter(col("crank") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("w"),
+        col("nrm").as("wnrm"), col("cell"))
+    val probes = ranked.filter(col("crank") <= ProbeSweepMax)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
+        col("crank").as("pcrank"))
+    // pairs meet at most once (one cell per neighbor, distinct probe
+    // cells — the q44 note), so pcrank is well-defined per candidate
+    val cand = probes.join(indexed, Seq("cell"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"), col("pcrank"),
+        round(cosSim(dot(col("v"), col("w")), col("nrm"), col("wnrm")), 6).as("sim"))
+    // one shared sort: rank at budget p = running count of candidates
+    // from the first p probe cells, in the (sim desc, id) order
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rankCols = ProbeSweep.map(p =>
+      sum(when(col("pcrank") <= p, 1L).otherwise(0L)).over(w).as(s"r$p"))
+    val flagged = cand.select(Seq(col("vec_id"), col("neighbor_id"),
+      col("pcrank")) ++ rankCols: _*)
+    val exact = exactTopk(s, dir).select(col("vec_id"), col("neighbor_id"))
+      .withColumn("x_hit", lit(true))
+    val joined = flagged.join(exact, Seq("vec_id", "neighbor_id"), "left")
+    val hitExprs = ProbeSweep.map(p =>
+      sum(when(col("pcrank") <= p && col(s"r$p") <= TopK &&
+        coalesce(col("x_hit"), lit(false)), 1L).otherwise(0L)).as(s"h$p"))
+    val hitsRow = joined.agg(hitExprs.head, hitExprs.tail: _*)
+    val nq = exactTopk(s, dir)
+      .agg(count_distinct(col("vec_id")).as("n_queries"))
+    hitsRow.crossJoin(broadcast(nq))
+      .select(explode(array(ProbeSweep.map(p =>
+        struct(lit(p).as("probes"), coalesce(col(s"h$p"), lit(0L)).as("n_hits"))): _*))
+        .as("ph"), col("n_queries"))
+      .select(col("ph.probes").as("probes"), col("n_queries"),
+        col("ph.n_hits").as("n_hits"),
+        when(col("n_queries") > 0, col("ph.n_hits").cast("double") /
+          (lit(TopK.toDouble) * col("n_queries"))).as("recall_at_k"))
+      .orderBy("probes")
+  }
+
+  // lazy: referenced by the `oracle` val above its definition point.
+  // The sweep list is REBUILT locally — the ProbeSweep val below the
+  // maps is still null when the oracle map forces this string
+  lazy val q215Sql: String = {
+    val sweep = Seq(1, 2, 3, ProbeSweepMax)
+    val cents = ivfCentroids(IvfCells)
+    val cnorms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+    val cellRows = (0 until IvfCells).map { c =>
+      val projTerms = sqlProj(cents(c))
+      s"SELECT vec_id, v, nrm, $c AS cell, " +
+        s"round(coalesce(($projTerms) / (nrm * (${cnorms(c).toString})), 0.0), 6) AS csim FROM n"
+    }.mkString("\n  UNION ALL ")
+    val rankCols = sweep.map(p =>
+      s"sum(CASE WHEN pcrank <= $p THEN 1 ELSE 0 END) OVER " +
+        s"(PARTITION BY vec_id ORDER BY sim DESC, neighbor_id " +
+        s"ROWS UNBOUNDED PRECEDING) AS r$p").mkString(",\n    ")
+    val rows = sweep.map { p =>
+      s"""SELECT CAST($p AS INT) AS probes,
+         |  (SELECT count(DISTINCT vec_id) FROM exact) AS n_queries,
+         |  (SELECT count(*) FROM exact e JOIN flagged f
+         |     ON f.vec_id = e.vec_id AND f.neighbor_id = e.neighbor_id
+         |   WHERE f.pcrank <= $p AND f.r$p <= $TopK) AS n_hits,
+         |  CASE WHEN (SELECT count(DISTINCT vec_id) FROM exact) > 0 THEN
+         |    CAST((SELECT count(*) FROM exact e JOIN flagged f
+         |            ON f.vec_id = e.vec_id AND f.neighbor_id = e.neighbor_id
+         |          WHERE f.pcrank <= $p AND f.r$p <= $TopK) AS DOUBLE)
+         |      / ($TopK * (SELECT count(DISTINCT vec_id) FROM exact))
+         |  END AS recall_at_k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH d AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM d
+       |), cells AS (
+       |  $cellRows
+       |), ranked AS (
+       |  SELECT vec_id, v, nrm, cell, csim,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS crank
+       |  FROM cells
+       |), indexed AS (
+       |  SELECT vec_id AS neighbor_id, v AS w, nrm AS wnrm, cell
+       |  FROM ranked WHERE crank = 1
+       |), probes AS (
+       |  SELECT vec_id, v, nrm, cell, crank AS pcrank
+       |  FROM ranked WHERE crank <= $ProbeSweepMax
+       |), cand AS (
+       |  SELECT q.vec_id, c.neighbor_id, q.pcrank,
+       |    round(coalesce(list_sum([q.v[i] * c.w[i] for i in range(1, $Dim + 1)])
+       |          / (q.nrm * c.wnrm), 0.0), 6) AS sim
+       |  FROM probes q JOIN indexed c ON q.cell = c.cell
+       |    AND q.vec_id <> c.neighbor_id
+       |), flagged AS (
+       |  SELECT vec_id, neighbor_id, pcrank,
+       |    $rankCols
+       |  FROM cand
+       |), sims AS (
+       |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+       |    round(coalesce(list_sum([a.v[i] * b.v[i] for i in range(1, $Dim + 1)])
+       |          / (a.nrm * b.nrm), 0.0), 6) AS sim
+       |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+       |), exact AS (
+       |  SELECT vec_id, neighbor_id FROM (
+       |    SELECT vec_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank
+       |    FROM sims)
+       |  WHERE rank <= $TopK
+       |)
+       |$rows
+       |ORDER BY probes""".stripMargin
+  }
 }

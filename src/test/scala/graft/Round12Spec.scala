@@ -146,6 +146,30 @@ class Round12Spec extends AnyFunSuite with BeforeAndAfterAll {
       "an exact rare-content duplicate must survive both measures")
   }
 
+  test("q214: the declared hot-only exclusion is real, and exact dedup covers it") {
+    // two IDENTICAL all-boilerplate docs whose every shingle is hot
+    // (df > MaxShingleDf): true weighted jaccard is 1.0, but they share
+    // no rare shingle so the capped candidate generation excludes them —
+    // the documented caveat. The same pair MUST be caught by the
+    // exact-dedup axis (q34's normalized fingerprint), which is why the
+    // exclusion is safe: all-hot near-dups are all-hot exact dups'
+    // neighborhoods, handled one op earlier in the pipeline.
+    val tmp = java.nio.file.Files.createTempDirectory("q214hot").toString
+    val boiler = (0 until 30).map(i => s"hot$i").mkString(" ")
+    val docs = Seq((1L, boiler), (2L, boiler)) ++
+      (0 until 25).map(i => (10L + i, boiler))
+    spark.createDataFrame(docs).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("src0").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val weighted = TextOps.q214WeightedJaccard(spark, tmp).collect()
+    assert(weighted.isEmpty,
+      "all-hot pairs are excluded from the capped candidate set by design")
+    val removed = TextOps.q34ExactDedup(spark, tmp).collect()
+      .map(_.getAs[Long]("n_removed")).sum
+    assert(removed >= 1, "the exact-dedup axis must flag the all-hot twins")
+  }
+
   test("q214: weights are the exact integer floor(IdfScale / df)") {
     // one shared rare shingle between exactly two docs weighs
     // floor(2^20 / 2); the wjaccard of the exact twins is 1.0
@@ -154,6 +178,24 @@ class Round12Spec extends AnyFunSuite with BeforeAndAfterAll {
       val wj = r.getAs[Double]("wjaccard")
       assert(wj >= TextOps.WeightedThreshold && wj <= 1.0)
     }
+  }
+
+  // ------------------------------------------------------------- q215
+
+  test("q215: recall is monotone in the probe budget and agrees with q61 at nprobe=3") {
+    val rows = VectorOps.q215ProbeSweep(spark, dir).collect()
+      .map(r => r.getAs[Int]("probes") ->
+        (r.getAs[Long]("n_hits"), r.getAs[Double]("recall_at_k"))).toMap
+    assert(rows.keySet == VectorOps.ProbeSweep.toSet)
+    // more probe cells can only add candidates ahead of the cut
+    VectorOps.ProbeSweep.sliding(2).foreach { case Seq(lo, hi) =>
+      assert(rows(lo)._1 <= rows(hi)._1,
+        s"recall must not decrease from $lo to $hi probes")
+    }
+    // the swept point at the production budget IS the q61 certification
+    val q61 = VectorOps.q61IvfRecall(spark, dir).collect()(0)
+    assert(rows(VectorOps.IvfProbes)._1 == q61.getAs[Long]("n_hits"),
+      "the sweep's nprobe=3 row must equal the q61 certification")
   }
 
   // ------------------------------------------------------------- sq22
