@@ -4403,7 +4403,8 @@ object TextOps {
     "q207_labeler_kappa" -> (q207LabelerKappa _),
     "q208_marginal_novelty" -> (q208MarginalNovelty _),
     "q213_lsh_calibration" -> (q213LshCalibration _),
-    "q214_weighted_jaccard" -> (q214WeightedJaccard _)
+    "q214_weighted_jaccard" -> (q214WeightedJaccard _),
+    "q216_dedup_sweep" -> (q216DedupSweep _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -4463,7 +4464,8 @@ object TextOps {
     "q207_labeler_kappa" -> q207Sql,
     "q208_marginal_novelty" -> q208Sql,
     "q213_lsh_calibration" -> q213Sql,
-    "q214_weighted_jaccard" -> q214Sql
+    "q214_weighted_jaccard" -> q214Sql,
+    "q216_dedup_sweep" -> q216Sql
   )
 
   // ------------------------------------------ q213 LSH geometry calibration
@@ -4689,6 +4691,82 @@ object TextOps {
       .filter(col("wjaccard") >= WeightedThreshold)
       .orderBy("doc_a", "doc_b")
   }
+
+  // ------------------------------------------- q216 dedup threshold sweep
+
+  /** q216: DEDUP THRESHOLD RETENTION SWEEP — per Jaccard threshold
+    * τ ∈ {0.5 … 0.9}: surviving pair count, documents a keep-first
+    * pass would drop, and corpus retention — the planning table read
+    * BEFORE committing a dedup threshold (q190 is the same sweep for
+    * quality scores; q104 reports the funnel at the one chosen
+    * threshold). Removal rule: a doc is dropped at τ iff it has a
+    * smaller-id neighbor at ≥ τ (the one-pass keep-first rule over a
+    * static pair list — stricter clustering, q79's connected-component
+    * survivor pick, is the per-threshold refinement and is priced
+    * separately because it iterates).
+    *
+    * Scale shape: rides the q39 CAPPED pair pipeline (rare-shingle
+    * candidates + bound-pruned verification — identical survivors to
+    * q35 at every swept τ since all sweep thresholds ≥ q39's own 0.5;
+    * the uncapped q35 aggregation is the hot-shingle Σ freq² that
+    * detonates at the salted 100× rung), collapses it to one
+    * strongest-smaller-neighbor row per doc (partial-agg max), then a
+    * 5-row threshold grid ≥-joins the two bounded frames (the q190
+    * broadcast-grid pattern). The DuckDB oracle keeps the UNCAPPED
+    * q35 algebra — every run is also a proof the cap loses no pair.
+    * Nothing here re-touches the corpus. */
+  def q216DedupSweep(s: SparkSession, dir: String): DataFrame = {
+    val ths = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+    val pairs = q39NeardupCapped(s, dir).select("doc_a", "doc_b", "jaccard")
+    val dom = pairs.groupBy("doc_b").agg(max("jaccard").as("mj"))
+    val nDocs = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+    val grid = s.range(1)
+      .select(explode(array(ths.map(lit(_)): _*)).as("threshold"))
+    val np = grid.join(pairs, col("jaccard") >= col("threshold"), "left")
+      .groupBy("threshold")
+      .agg(sum(when(col("jaccard").isNotNull, 1L).otherwise(0L)).as("n_pairs"))
+    val nr = grid.join(dom, col("mj") >= col("threshold"), "left")
+      .groupBy("threshold")
+      .agg(sum(when(col("mj").isNotNull, 1L).otherwise(0L)).as("n_removed"))
+    np.join(nr, Seq("threshold")).crossJoin(broadcast(nDocs))
+      .select(col("threshold"), col("n_pairs"), col("n_removed"),
+        when(col("n_docs") > 0,
+          round(lit(1.0) - col("n_removed").cast("double") / col("n_docs"), 6))
+          .as("retention"))
+      .orderBy("threshold")
+  }
+
+  lazy val q216Sql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, $shinglesSql AS sh
+       |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents)
+       |), ex AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM sh
+       |), pairs AS (
+       |  SELECT doc_a, doc_b, CAST(common AS DOUBLE) / (na + nb - common) AS jaccard
+       |  FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
+       |      count(*) AS common
+       |    FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |    GROUP BY 1, 2, 3, 4)
+       |  WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.5
+       |), dom AS (SELECT doc_b, max(jaccard) AS mj FROM pairs GROUP BY doc_b
+       |), grid AS (
+       |  SELECT CAST(t AS DOUBLE) AS threshold
+       |  FROM (VALUES (0.5), (0.6), (0.7), (0.8), (0.9)) g(t)
+       |), np AS (
+       |  SELECT g.threshold, count(p.jaccard) AS n_pairs
+       |  FROM grid g LEFT JOIN pairs p ON p.jaccard >= g.threshold GROUP BY 1
+       |), nr AS (
+       |  SELECT g.threshold, count(d.mj) AS n_removed
+       |  FROM grid g LEFT JOIN dom d ON d.mj >= g.threshold GROUP BY 1
+       |)
+       |SELECT threshold, n_pairs, n_removed,
+       |  CASE WHEN (SELECT count(*) FROM documents) > 0 THEN
+       |    round(1.0 - CAST(n_removed AS DOUBLE)
+       |      / (SELECT count(*) FROM documents), 6)
+       |  END AS retention
+       |FROM np JOIN nr USING (threshold)
+       |ORDER BY threshold""".stripMargin
 
   /** The oracle implements the capped-candidate algebra directly (the
     * q39 precedent); the Spark side's upper-bound pruning is a pure

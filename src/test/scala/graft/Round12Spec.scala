@@ -180,6 +180,30 @@ class Round12Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // ------------------------------------------------------------- q216
+
+  test("q216: pair and removal counts are monotone non-increasing in the threshold") {
+    val rows = TextOps.q216DedupSweep(spark, dir).collect()
+      .sortBy(_.getAs[Double]("threshold"))
+    assert(rows.map(_.getAs[Double]("threshold")).toSeq ==
+      Seq(0.5, 0.6, 0.7, 0.8, 0.9))
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo.getAs[Long]("n_pairs") >= hi.getAs[Long]("n_pairs"),
+        "raising the threshold cannot create pairs")
+      assert(lo.getAs[Long]("n_removed") >= hi.getAs[Long]("n_removed"),
+        "raising the threshold cannot remove more docs")
+    }
+    // the 0.5 row is exactly the q35 pair set
+    val q35n = TextOps.q35JaccardPairs(spark, dir).count()
+    assert(rows.head.getAs[Long]("n_pairs") == q35n,
+      "the minimum-threshold row must count the full q35 pair set")
+    rows.foreach { r =>
+      val ret = r.getAs[Double]("retention")
+      assert(ret >= 0.0 && ret <= 1.0)
+      assert(r.getAs[Long]("n_removed") <= 500, "cannot remove more docs than exist")
+    }
+  }
+
   // ------------------------------------------------------------- q215
 
   test("q215: recall is monotone in the probe budget and agrees with q61 at nprobe=3") {
