@@ -1830,6 +1830,40 @@ object StreamOps {
     * Short documents (<3 words, no shingles) carry null band hashes —
     * null join keys never match, so they admit with 0 hits, matching
     * the batch index which never contains them. */
+  /** The per-row MinHash band hashes of a `text` column — distinct
+    * word-3-gram shingles → 60-bit md5 base hashes → k universal-hash
+    * minima → [[graft.llmops.TextOps.Bands]] band md5s, all inside one
+    * row (codegen'd higher-order functions; no shuffle, no state).
+    * Documents with <3 words get null band hashes (null join keys
+    * never match — they admit with 0 hits, matching the batch index
+    * which never contains them). Shared by [[sq22StreamNeardupGate]]
+    * and the spec that pins it against the BATCH signature build
+    * (TextOps.minhashSigs → bandedSigs) doc-for-doc — the two
+    * formulations of the same geometry must never drift. */
+  private[graft] def withInRowBands(df: DataFrame): DataFrame = {
+    val T = graft.llmops.TextOps
+    val shingleHashes = expr(
+      """transform(
+        |  array_distinct(transform(sequence(1, size(w) - 2),
+        |    i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1),
+        |                        element_at(w, i + 2)))),
+        |  sh -> cast(conv(substring(md5(sh), 1, 15), 16, 10) as bigint)
+        |          % """.stripMargin + T.MinhashP + ")")
+    val bandCols = (0 until T.Bands).map { bnd =>
+      val sig = (0 until T.RowsPerBand).map { r =>
+        val j = bnd * T.RowsPerBand + r
+        expr(s"array_min(transform(hs, h -> (h * ${T.aj(j)} + ${T.bj(j)}) % ${T.MinhashP}))")
+      }
+      when(size(col("hs")) > 0, md5(concat_ws(",", sig: _*)))
+        .otherwise(lit(null)).as(s"bh$bnd")
+    }
+    df.withColumn("w", split(col("text"), "\\s+"))
+      .withColumn("hs",
+        when(size(col("w")) >= 3, shingleHashes)
+          .otherwise(expr("cast(array() as array<bigint>)")))
+      .select(col("doc_id") +: bandCols: _*)
+  }
+
   def sq22StreamNeardupGate(s: SparkSession, dir: String): DataFrame = {
     val name = s"sq22_${System.nanoTime()}"
     val T = graft.llmops.TextOps
@@ -1840,31 +1874,10 @@ object StreamOps {
       val hist = T.bandedSigs(
         T.minhashSigs(fs, dir).filter(col("doc_id") % incrMod =!= 0))
         .select(col("band"), col("bh")).distinct()
-      // per-row signature: distinct word-3-gram shingles -> 60-bit md5
-      // base hashes -> k universal-hash minima, all inside one row
-      val shingleHashes = expr(
-        """transform(
-          |  array_distinct(transform(sequence(1, size(w) - 2),
-          |    i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1),
-          |                        element_at(w, i + 2)))),
-          |  sh -> cast(conv(substring(md5(sh), 1, 15), 16, 10) as bigint)
-          |          % """.stripMargin + T.MinhashP + ")")
-      val bandCols = (0 until T.Bands).map { bnd =>
-        val sig = (0 until T.RowsPerBand).map { r =>
-          val j = bnd * T.RowsPerBand + r
-          expr(s"array_min(transform(hs, h -> (h * ${T.aj(j)} + ${T.bj(j)}) % ${T.MinhashP}))")
-        }
-        when(size(col("hs")) > 0, md5(concat_ws(",", sig: _*)))
-          .otherwise(lit(null)).as(s"bh$bnd")
-      }
-      val stream = fs.readStream.schema(documentsSchema)
-        .parquet(stageAsDir(s"$dir/documents.parquet"))
-        .filter(col("doc_id") % incrMod === 0)
-        .withColumn("w", split(col("text"), "\\s+"))
-        .withColumn("hs",
-          when(size(col("w")) >= 3, shingleHashes)
-            .otherwise(expr("cast(array() as array<bigint>)")))
-        .select(col("doc_id") +: bandCols: _*)
+      val stream = withInRowBands(
+        fs.readStream.schema(documentsSchema)
+          .parquet(stageAsDir(s"$dir/documents.parquet"))
+          .filter(col("doc_id") % incrMod === 0))
       val probed = (0 until T.Bands).foldLeft(stream) { (df, bnd) =>
         df.join(broadcast(hist.filter(col("band") === bnd)
           .select(col("bh").as(s"bh$bnd"), lit(true).as(s"xh$bnd"))),

@@ -224,6 +224,25 @@ class Round12Spec extends AnyFunSuite with BeforeAndAfterAll {
 
   // ------------------------------------------------------------- sq22
 
+  test("sq22: the in-row band hashes equal the batch signature build, doc for doc") {
+    // two formulations of one geometry: the stream side computes the
+    // signature with per-row HOFs, the batch side with explode+groupBy
+    // (TextOps.minhashSigs -> bandedSigs). They must never drift.
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val inRow = StreamOps.withInRowBands(docs).collect()
+      .flatMap { r =>
+        (0 until TextOps.Bands).flatMap { b =>
+          Option(r.getAs[String](s"bh$b")).map(bh => (r.getAs[Long]("doc_id"), b, bh))
+        }
+      }.toSet
+    val batch = TextOps.bandedSigs(TextOps.minhashSigs(spark, dir)).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("band"), r.getAs[String]("bh")))
+      .toSet
+    assert(inRow == batch,
+      "in-row and batch band hashes must be identical for every document")
+    assert(inRow.nonEmpty)
+  }
+
   test("sq22: streaming admission equals the stateless batch probe") {
     val streamed = StreamOps.sq22StreamNeardupGate(spark, dir).collect()
     val incrMod = TextOps.IncrMod
