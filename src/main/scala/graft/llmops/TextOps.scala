@@ -1586,7 +1586,14 @@ object TextOps {
   private[graft] val packCache =
     new graft.operators.PlanCache[DataFrame]("pack_parted")((_, df) => df.unpersist())
 
-  def q56SeqPack(s: SparkSession, dir: String): DataFrame = {
+  /** The per-document pack position (lang, doc_id, tk, start_tok): the
+    * per-lang token prefix sum computed by q56's two-phase discipline
+    * (range partition → tiny per-(partition, lang) offset self-join →
+    * bounded local running sums — never one reducer per lang). Shared
+    * by [[q56SeqPack]] (the manifest at the production budget) and
+    * [[q217PackSweep]] (the fragmentation-vs-context-length planning
+    * sweep). */
+  private def packPositions(s: SparkSession, dir: String): DataFrame = {
     // explicit partition count: an AQE-coalesced read could renumber
     // spark_partition_id between the references of `parted`
     val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
@@ -1615,6 +1622,10 @@ object TextOps {
       .withColumn("local_run", sum("tk").over(localW))
       .join(broadcast(offs), Seq("pid", "lang"))
       .withColumn("start_tok", col("off") + col("local_run") - col("tk"))
+  }
+
+  def q56SeqPack(s: SparkSession, dir: String): DataFrame = {
+    packPositions(s, dir)
       .withColumn("chunk", expr(s"start_tok div $PackBudget"))
       .groupBy("lang", "chunk")
       .agg(count(lit(1)).as("n_docs"), sum("tk").as("chunk_tokens"),
@@ -4404,7 +4415,8 @@ object TextOps {
     "q208_marginal_novelty" -> (q208MarginalNovelty _),
     "q213_lsh_calibration" -> (q213LshCalibration _),
     "q214_weighted_jaccard" -> (q214WeightedJaccard _),
-    "q216_dedup_sweep" -> (q216DedupSweep _)
+    "q216_dedup_sweep" -> (q216DedupSweep _),
+    "q217_pack_sweep" -> (q217PackSweep _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -4465,7 +4477,8 @@ object TextOps {
     "q208_marginal_novelty" -> q208Sql,
     "q213_lsh_calibration" -> q213Sql,
     "q214_weighted_jaccard" -> q214Sql,
-    "q216_dedup_sweep" -> q216Sql
+    "q216_dedup_sweep" -> q216Sql,
+    "q217_pack_sweep" -> q217Sql
   )
 
   // ------------------------------------------ q213 LSH geometry calibration
@@ -4691,6 +4704,82 @@ object TextOps {
       .filter(col("wjaccard") >= WeightedThreshold)
       .orderBy("doc_a", "doc_b")
   }
+
+  // ------------------------------------- q217 context-length pack sweep
+
+  /** q217: CONTEXT-LENGTH FRAGMENTATION SWEEP — per packing budget
+    * B ∈ {256, 512, 1024, 2048 = the q56 production [[PackBudget]]}:
+    * total chunk count, documents a concat-packer CUTS at a chunk
+    * boundary, and the token share living in cut documents — the
+    * "pick your sequence length" planning table (longer context =
+    * fewer severed documents; this quantifies the trade on the actual
+    * corpus before re-packing it). q56 emits the manifest at the one
+    * production budget; this sweeps the budget axis.
+    *
+    * Scale shape: ONE [[packPositions]] prefix-sum pass (q56's
+    * two-phase range-partition discipline, shared via the session
+    * cache) feeding a single aggregation with four conditional arms —
+    * a doc is cut at B iff its [start, start+tk) interval spans a
+    * multiple of B, a per-row integer predicate. Chunk counts come
+    * from the |langs|-row totals frame. Nothing scans the corpus more
+    * than once, no per-budget re-pack. */
+  def q217PackSweep(s: SparkSession, dir: String): DataFrame = {
+    val budgets = Seq(256L, 512L, 1024L, 2048L)
+    val pos = packPositions(s, dir)
+    val cutAggs = budgets.flatMap { b =>
+      val cut = expr(s"(start_tok + tk - 1) div $b != start_tok div $b")
+      Seq(sum(when(cut, 1L).otherwise(0L)).as(s"ncut_$b"),
+        sum(when(cut, col("tk")).otherwise(0L)).as(s"cuttk_$b"))
+    } :+ sum(col("tk")).as("total_tokens")
+    val docRow = pos.agg(cutAggs.head, cutAggs.tail: _*)
+    val chunkAggs = budgets.map(b =>
+      sum(expr(s"(tot + $b - 1) div $b")).as(s"nch_$b"))
+    val chunkRow = pos.groupBy("lang").agg(sum("tk").as("tot"))
+      .agg(chunkAggs.head, chunkAggs.tail: _*)
+    docRow.crossJoin(broadcast(chunkRow))
+      .select(explode(array(budgets.map(b => struct(
+        lit(b).as("budget"),
+        coalesce(col(s"nch_$b"), lit(0L)).as("n_chunks"),
+        coalesce(col(s"ncut_$b"), lit(0L)).as("n_cut_docs"),
+        coalesce(col(s"cuttk_$b"), lit(0L)).as("cut_tokens"))): _*)).as("x"),
+        col("total_tokens"))
+      .select(col("x.budget").as("budget"), col("x.n_chunks").as("n_chunks"),
+        col("x.n_cut_docs").as("n_cut_docs"),
+        when(col("total_tokens") > 0,
+          round(col("x.cut_tokens").cast("double") / col("total_tokens"), 6))
+          .as("cut_token_share"))
+      .orderBy("budget")
+  }
+
+  lazy val q217Sql: String =
+    s"""WITH tk AS (
+       |  SELECT lang, doc_id,
+       |    CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS tk
+       |  FROM documents
+       |), pos AS (
+       |  SELECT lang, doc_id, tk,
+       |    CAST(sum(tk) OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) - tk
+       |      AS start_tok
+       |  FROM tk
+       |), lt AS (SELECT lang, sum(tk) AS tot FROM tk GROUP BY lang
+       |), grid AS (
+       |  SELECT CAST(b AS BIGINT) AS budget
+       |  FROM (VALUES (256), (512), (1024), (2048)) g(b)
+       |)
+       |SELECT budget,
+       |  coalesce((SELECT CAST(sum((tot + budget - 1) // budget) AS BIGINT)
+       |            FROM lt), 0) AS n_chunks,
+       |  coalesce((SELECT CAST(sum(CASE WHEN (start_tok + tk - 1) // budget
+       |                                      <> start_tok // budget
+       |                            THEN 1 ELSE 0 END) AS BIGINT)
+       |            FROM pos), 0) AS n_cut_docs,
+       |  CASE WHEN (SELECT sum(tk) FROM tk) > 0 THEN
+       |    round(CAST((SELECT sum(CASE WHEN (start_tok + tk - 1) // budget
+       |                                     <> start_tok // budget
+       |                           THEN tk ELSE 0 END) FROM pos) AS DOUBLE)
+       |      / (SELECT sum(tk) FROM tk), 6)
+       |  END AS cut_token_share
+       |FROM grid ORDER BY budget""".stripMargin
 
   // ------------------------------------------- q216 dedup threshold sweep
 

@@ -204,6 +204,28 @@ class Round12Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // ------------------------------------------------------------- q217
+
+  test("q217: fragmentation is monotone non-increasing in the budget, counts conserve") {
+    val rows = TextOps.q217PackSweep(spark, dir).collect()
+      .sortBy(_.getAs[Long]("budget"))
+    assert(rows.map(_.getAs[Long]("budget")).toSeq == Seq(256L, 512L, 1024L, 2048L))
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo.getAs[Long]("n_chunks") >= hi.getAs[Long]("n_chunks"),
+        "a bigger budget cannot need more chunks")
+      // boundaries at budget 2B are a subset of the boundaries at B,
+      // so doubling the budget cannot cut more docs (the grid doubles)
+      assert(lo.getAs[Long]("n_cut_docs") >= hi.getAs[Long]("n_cut_docs"),
+        "a doubled budget cannot cut more docs")
+    }
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_cut_docs") <= nDocs)
+      val share = r.getAs[Double]("cut_token_share")
+      assert(share >= 0.0 && share <= 1.0)
+    }
+  }
+
   // ------------------------------------------------------------- q215
 
   test("q215: recall is monotone in the probe budget and agrees with q61 at nprobe=3") {
