@@ -944,6 +944,27 @@ object MiningOps {
   /** Per-group deterministic sample size. */
   val BottomK = 100
 
+  /** Row-count gate below which q155's EXACT full-relation median
+    * twin is computed alongside the sampler estimate (the q135
+    * [[RelOps.ProfileExactMaxRows]] discipline, round-12 verdict #1):
+    * events ≈ 10k at the sf0.01 correctness gate (twin runs, oracle
+    * checks it), ≈ 100k at the sf0.1 bench and beyond (twin skipped —
+    * Spark's `percentile_cont` buffers every group value in one
+    * reducer's aggregation state, the exact shape the sampler exists
+    * to avoid). */
+  val BottomkExactMaxRows = 50000L
+
+  /** Memoized events row count per (session, dir) for the q155 gate
+    * probe — fixture-signature guarded like the q135 orders memo. */
+  private val eventsCountMemo =
+    new graft.operators.PlanCache[Long]("events_count")((_, _) => ())
+
+  private def nEvents(s: SparkSession, dir: String): Long = {
+    val p = s"$dir/events.parquet"
+    eventsCountMemo.get(s, p, graft.sources.FsSig.of(p))(
+      t(s, dir, "events").count())
+  }
+
   /** q155: BOTTOM-K QUANTILE SUMMARY, CERTIFIED — the mergeable
     * quantile-estimation discipline (the q52/q80 pattern for order
     * statistics): a deterministic uniform sample per group — the
@@ -951,15 +972,35 @@ object MiningOps {
     * is a uniform draw, and bottom-k BY RANK is MERGEABLE partial
     * state: union two bottom-k sets, keep the k smallest) — yields a
     * sample median whose true rank the query then certifies IN-QUERY
-    * against the full relation (|rank − 0.5| ≤ the binomial bound),
-    * so a broken sampler fails the hash gate, not a code review.
+    * against the full relation (|rank − 0.5| ≤ the binomial bound).
     *
-    * Scale shape: the bottom-k sample is a rank window here (gate
-    * size) but partial-aggregates at scale exactly like q83's typed
-    * quota — state is k rows per group per task; the certification
-    * pass is one partial-agged scan with the tiny estimate table
+    * THE EXACT TWIN GATES ON ROW COUNT (round-12 verdict #1, the
+    * q135 discipline): at/below [[BottomkExactMaxRows]] the exact
+    * `percentile_cont(0.5)` over the full relation ships alongside
+    * and the DuckDB oracle checks BOTH medians plus the bound
+    * boolean; above the gate `exact_median` ships NULL and the
+    * certification rides `frac_below` alone — a partial-agg'd
+    * conditional sum against the broadcast estimate, which is all
+    * the binomial bound needs. An ungated exact twin would buffer
+    * the largest type's entire value set in one reducer
+    * (`percentile_cont` keeps all group values in aggregation
+    * state) — precisely the memory shape the sampler avoids.
+    *
+    * Scale shape: the bottom-k rank filter pushes down as
+    * WindowGroupLimit (spec-pinned), so each map task forwards at
+    * most k rows per group to the window sort — state is k rows per
+    * group per task, exactly q83's typed quota; the certification
+    * pass is one partial-agg'd scan with the tiny estimate table
     * broadcast. */
-  def q155BottomkQuantile(s: SparkSession, dir: String): DataFrame = {
+  def q155BottomkQuantile(s: SparkSession, dir: String): DataFrame =
+    q155Plan(s, dir, exactTwin = nEvents(s, dir) <= BottomkExactMaxRows)
+
+  /** Both q155 branches; package-visible so the gate spec can force
+    * the above-gate (sampler-only) plan on a gate-sized fixture and
+    * pin (a) no full-relation percentile, (b) branch agreement on
+    * every column but the twin. */
+  private[graft] def q155Plan(s: SparkSession, dir: String,
+      exactTwin: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = events(s, dir)
     val w = Window.partitionBy("event_type")
@@ -970,11 +1011,15 @@ object MiningOps {
       .agg(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY value)").as("est_median"))
     // binomial rank error at k=100: ~2.58·sqrt(0.25/k) ≈ 0.13 (99%)
     val bound = 0.15
+    val twin =
+      if (exactTwin)
+        expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY value)")
+      else max(lit(null).cast("double"))
     e.join(broadcast(est), "event_type")
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
         max(col("est_median")).as("est_median"),
-        expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY value)").as("exact_median"),
+        twin.as("exact_median"),
         (sum(when(col("value") < col("est_median"), 1L).otherwise(0L))
           .cast("double") / count(lit(1))).as("frac_below"))
       .withColumn("within_bounds", abs(col("frac_below") - 0.5) <= bound)

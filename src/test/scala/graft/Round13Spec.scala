@@ -1,0 +1,92 @@
+package graft
+
+import graft.queries.MiningOps
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Engine-side invariants for the round-13 polish batch. Cross-engine
+  * value equality is the DuckDB oracle's job at the sf0.01 gate; these
+  * pin what the oracle can't see: the q155 row-count gate (round-12
+  * verdict #1 — the exact certification twin must not run above the
+  * gate) and the bottom-k rank window's group-limit pushdown. */
+class Round13Spec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.builder("round13-test", cores = 4).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  // ------------------------------------------------------------- q155
+
+  test("q155: the bottom-k rank filter pushes down as WindowGroupLimit") {
+    val plan = MiningOps.q155BottomkQuantile(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      "the rank<=k filter must ride InferWindowGroupLimit — a bare " +
+        "window would sort EVERY event per type before discarding all " +
+        s"but $plan")
+  }
+
+  test("q155: the exact twin gates on row count — above the gate the plan " +
+    "carries one percentile (the k-row sample), not two") {
+    def percentileAggs(exactTwin: Boolean): Int = {
+      val plan = MiningOps.q155Plan(spark, dir, exactTwin = exactTwin)
+        .queryExecution.optimizedPlan.toString
+      "percentile".r.findAllIn(plan.toLowerCase).length
+    }
+    val below = percentileAggs(exactTwin = true)
+    val above = percentileAggs(exactTwin = false)
+    assert(above < below,
+      s"above-gate plan must drop the full-relation percentile ($above vs $below)")
+    assert(above >= 1,
+      "the bottom-k sample estimate itself rides percentile_cont over k rows")
+  }
+
+  test("q155: both branches agree on everything but the twin; the gate " +
+    "routes sf0.01 below and sf0.1 above") {
+    // branch agreement on the gate fixture: identical n / est_median /
+    // frac_below / within_bounds; the sampler-only branch ships NULL
+    // for exact_median instead of the full-relation percentile
+    def byType(exactTwin: Boolean) =
+      MiningOps.q155Plan(spark, dir, exactTwin = exactTwin).collect()
+        .map(r => r.getAs[String]("event_type") -> r).toMap
+    val withTwin = byType(exactTwin = true)
+    val samplerOnly = byType(exactTwin = false)
+    assert(withTwin.keySet == samplerOnly.keySet && withTwin.nonEmpty)
+    withTwin.foreach { case (k, a) =>
+      val b = samplerOnly(k)
+      assert(a.getAs[Long]("n") == b.getAs[Long]("n"))
+      assert(a.getAs[Double]("est_median") == b.getAs[Double]("est_median"))
+      assert(a.getAs[Double]("frac_below") == b.getAs[Double]("frac_below"))
+      assert(a.getAs[Boolean]("within_bounds") && b.getAs[Boolean]("within_bounds"))
+      assert(!a.isNullAt(a.fieldIndex("exact_median")),
+        "the gate branch must ship the exact median for the oracle")
+      assert(b.isNullAt(b.fieldIndex("exact_median")),
+        "the sampler-only branch must not compute the exact median")
+    }
+    // gate routing: correctness SF stays below (twin runs, oracle checks
+    // it); bench SF and every ladder rung sit above (sampler-only)
+    assert(spark.read.parquet("/root/testdata/sf0.01/events.parquet").count() <=
+      MiningOps.BottomkExactMaxRows, "sf0.01 must route to the exact-twin branch")
+    assert(spark.read.parquet("/root/testdata/sf0.1/events.parquet").count() >
+      MiningOps.BottomkExactMaxRows, "sf0.1 must route to the sampler-only branch")
+  }
+
+  test("q155: the sampler-only certification holds at the bench SF " +
+    "(where the exact twin no longer runs)") {
+    val rows = MiningOps.q155BottomkQuantile(spark, "/root/testdata/sf0.1").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("exact_median")),
+        s"sf0.1 is above the gate — the twin must not ship: $r")
+      assert(r.getAs[Boolean]("within_bounds"),
+        s"the frac_below binomial bound must certify the sample median: $r")
+    }
+  }
+}
