@@ -127,7 +127,24 @@ object Bench {
     *    deltas across the warm and timed passes — bytes this process
     *    pulled from the BLOCK LAYER (page-cache hits don't count), so
     *    a cold-cache entry re-reading parquet from disk shows a spike
-    *    here while probes stay clean. */
+    *    here while probes stay clean.
+    *
+    * Round-12 verdict #2 additions — the r12 driver run still had
+    * entries at 5-8× with CLEAN single-thread probes (q196/q195
+    * class): a one-thread probe cannot see 32-way co-scheduling or
+    * memory-bandwidth starvation. The missing signal is the
+    * EXECUTORS' own clock, summed per entry from a task-end listener:
+    *  - `taskRunWarmSec`/`taskRunTimedSec`: Σ executorRunTime (wall
+    *    each task spent running) across the warm / timed windows.
+    *  - `taskCpuWarmSec`/`taskCpuTimedSec`: Σ executorCpuTime (actual
+    *    CPU the tasks burned) across the same windows.
+    *    The pair classifies the last attribution class from the
+    *    artifact alone: timed wall inflated with task CPU inflated
+    *    proportionally → real work (cache rebuild, plan change);
+    *    task RUN inflated but task CPU flat → tasks sat descheduled
+    *    (32-way co-scheduling / bandwidth starvation — invisible to
+    *    the single-thread probe); both flat with wall inflated →
+    *    driver-side or scheduler gap. */
   private final case class EntryStats(
       memStartBytes: Long,
       diskStartBytes: Long,
@@ -142,7 +159,32 @@ object Bench {
       probeMidMs: Double,
       probeEndMs: Double,
       readWarmBytes: Long,
-      readTimedBytes: Long)
+      readTimedBytes: Long,
+      taskRunWarmSec: Double = -1.0,
+      taskRunTimedSec: Double = -1.0,
+      taskCpuWarmSec: Double = -1.0,
+      taskCpuTimedSec: Double = -1.0)
+
+  /** Cumulative executor task clocks (run wall ms, CPU ns), fed by a
+    * task-end listener registered once per bench JVM. Both counters
+    * are cumulative and monotone, so per-entry deltas stay exact even
+    * though the listener bus delivers asynchronously — a straggling
+    * task-end lands in the NEXT snapshot's delta instead of being
+    * lost (attribution at ≥3× inflation does not need ms precision). */
+  private[graft] object TaskClock
+      extends org.apache.spark.scheduler.SparkListener {
+    val runMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        runMs.addAndGet(m.executorRunTime)
+        cpuNs.addAndGet(m.executorCpuTime)
+      }
+    }
+    def snapshot(): (Long, Long) = (runMs.get(), cpuNs.get())
+  }
 
   /** Iteration count for the calibration probe: xorshift64 steps —
     * ~10 ms single-thread on this box's CPU when unthrottled, cheap
@@ -237,6 +279,9 @@ object Bench {
       .flatMap(v => scala.util.Try(v.trim.toInt).toOption).filter(_ >= 1).getOrElse(3)
     val spark = GraftSession.builder("graft-bench", cores = cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // round-12 verdict #2: the executors' own clock per entry — the
+    // attribution signal a single-thread probe cannot provide
+    spark.sparkContext.addSparkListener(TaskClock)
 
     // ---- phase 1: serde, the reference's README workload shape
     val conf = EngineConf(totalMensagens = 100000, tamanhoMensagemKB = 1,
@@ -463,15 +508,18 @@ object Bench {
             val stealStart = stealJiffies()
             val probeStart = probeMs()
             val rbStart = readBytes()
+            val (trStart, tcStart) = TaskClock.snapshot()
             val warm = time(run(fn(spark, sfDir)))
             val snapWarm = cacheMissSnapshot()
             val gcWarm = gcMillis()
             val rbWarm = readBytes()
+            val (trWarm, tcWarm) = TaskClock.snapshot()
             val probeMid = probeMs()
             val timed = (1 to passes).map(_ => time(run(fn(spark, sfDir))))
             val snapTimed = cacheMissSnapshot()
             val gcTimed = gcMillis()
             val rbTimed = readBytes()
+            val (trTimed, tcTimed) = TaskClock.snapshot()
             val probeEnd = probeMs()
             val loadEnd = load1()
             val stealEnd = stealJiffies()
@@ -487,7 +535,9 @@ object Bench {
               if (stealStart < 0 || stealEnd < 0) -1.0
               else (stealEnd - stealStart) / 100.0,
               probeStart, probeMid, probeEnd,
-              ioDelta(rbStart, rbWarm), ioDelta(rbWarm, rbTimed))
+              ioDelta(rbStart, rbWarm), ioDelta(rbWarm, rbTimed),
+              (trWarm - trStart) / 1e3, (trTimed - trWarm) / 1e3,
+              (tcWarm - tcStart) / 1e9, (tcTimed - tcWarm) / 1e9)
           } catch {
             case e: Throwable =>
               System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -632,6 +682,10 @@ object Bench {
           s""","probe_end_ms":${num(st.probeEndMs, 2)}""" +
           s""","read_warm_bytes":${st.readWarmBytes}""" +
           s""","read_timed_bytes":${st.readTimedBytes}""" +
+          s""","task_run_warm_sec":${num(st.taskRunWarmSec, 3)}""" +
+          s""","task_run_timed_sec":${num(st.taskRunTimedSec, 3)}""" +
+          s""","task_cpu_warm_sec":${num(st.taskCpuWarmSec, 3)}""" +
+          s""","task_cpu_timed_sec":${num(st.taskCpuTimedSec, 3)}""" +
           wm + tm
       }.getOrElse("")
       s""""$k":{"warm":${num(t.warm, 3)},"min":${num(t.min, 3)},"timed":$timed$extra}"""

@@ -78,6 +78,27 @@ class Round13Spec extends AnyFunSuite with BeforeAndAfterAll {
       MiningOps.BottomkExactMaxRows, "sf0.1 must route to the sampler-only branch")
   }
 
+  // ------------------------------------------------- bench task clock
+
+  test("bench task clock: executor run/CPU clocks accumulate across a job " +
+    "(round-12 verdict #2 — the attribution signal a 1-thread probe lacks)") {
+    spark.sparkContext.addSparkListener(Bench.TaskClock)
+    val (r0, c0) = Bench.TaskClock.snapshot()
+    // enough per-task work that executorRunTime rounds above 0 ms
+    spark.range(0L, 20000000L, 1L, 8)
+      .selectExpr("sum(id % 1000)").collect()
+    // the listener bus delivers asynchronously — poll to the deadline
+    val deadline = System.currentTimeMillis() + 15000
+    var snap = Bench.TaskClock.snapshot()
+    while ((snap._1 <= r0 || snap._2 <= c0) &&
+        System.currentTimeMillis() < deadline) {
+      Thread.sleep(50)
+      snap = Bench.TaskClock.snapshot()
+    }
+    assert(snap._1 > r0, "executor run-time must accumulate task wall")
+    assert(snap._2 > c0, "executor CPU-time must accumulate task CPU")
+  }
+
   test("q155: the sampler-only certification holds at the bench SF " +
     "(where the exact twin no longer runs)") {
     val rows = MiningOps.q155BottomkQuantile(spark, "/root/testdata/sf0.1").collect()
