@@ -78,6 +78,25 @@ class Round13Spec extends AnyFunSuite with BeforeAndAfterAll {
       MiningOps.BottomkExactMaxRows, "sf0.1 must route to the sampler-only branch")
   }
 
+  // -------------------------------------------------- sweep skip rows
+
+  test("sweep declared skips: sq18@1000x emits an explicit artifact row; " +
+    "reasons are JSON-safe and carry the measured attempts") {
+    val r = ScaleSweep.skipReason("sq18_stream_join_chain", "/tmp/graft_sf10")
+    assert(r.isDefined, "the sq18 1000x envelope declaration must be a skip ROW")
+    assert(r.get.contains("38 min") && r.get.contains("88 min"),
+      "a declared skip must cite its measured attempts, not just assert")
+    // the reason is interpolated into a JSON string literal unescaped —
+    // keep the registry free of characters that would break the line
+    ScaleSweep.DeclaredSkips.values.foreach { reason =>
+      assert(!reason.exists(c => c == '"' || c == '\\' || c == '\n'),
+        s"skip reason must be JSON-literal-safe: $reason")
+    }
+    // skips are rung-specific: the same op still RUNS below the envelope
+    assert(ScaleSweep.skipReason("sq18_stream_join_chain", "/tmp/graft_sf1").isEmpty)
+    assert(ScaleSweep.skipReason("sq3_stream_join", "/tmp/graft_sf10").isEmpty)
+  }
+
   // ------------------------------------------------- bench task clock
 
   test("bench task clock: executor run/CPU clocks accumulate across a job " +
