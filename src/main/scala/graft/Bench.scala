@@ -476,7 +476,9 @@ object Bench {
       // round-12 operators
       "q212_hamming_topk", "q213_lsh_calibration",
       "q214_weighted_jaccard", "sq22_stream_neardup_gate",
-      "q215_probe_sweep", "q216_dedup_sweep", "q217_pack_sweep")
+      "q215_probe_sweep", "q216_dedup_sweep", "q217_pack_sweep",
+      // round-13 operators
+      "q218_mih_topk")
     // shingle-index misses during TIMED passes only (warm passes are
     // expected to build it once per session+dir)
     var timedIndexMisses = 0L

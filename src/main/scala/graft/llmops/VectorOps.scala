@@ -2831,7 +2831,8 @@ object VectorOps {
     "q198_ann_rank_eval" -> (q198AnnRankEval _),
     "q199_embed_drift" -> (q199EmbedDrift _),
     "q212_hamming_topk" -> (q212HammingTopk _),
-    "q215_probe_sweep" -> (q215ProbeSweep _)
+    "q215_probe_sweep" -> (q215ProbeSweep _),
+    "q218_mih_topk" -> (q218MihTopk _)
   )
 
   /** Every entry is oracle-checked, including the adaptive ANN paths
@@ -2865,7 +2866,8 @@ object VectorOps {
     "q198_ann_rank_eval" -> q198Sql,
     "q199_embed_drift" -> q199Sql,
     "q212_hamming_topk" -> q212Sql,
-    "q215_probe_sweep" -> q215Sql
+    "q215_probe_sweep" -> q215Sql,
+    "q218_mih_topk" -> q218Sql
   )
 
   // ---------------------------------------------- q125 confusion matrix
@@ -2943,14 +2945,23 @@ object VectorOps {
     * sorting candidate lists. Float vectors join back ONLY for the n·C
     * shortlist rows (two equi-joins), never through the quadratic pass.
     * Like q40, the all-pairs coarse scan is the declared baseline
-    * geometry — at 100 TB the code table would ride an LSH/MIH bucket
-    * key (q41's algebra) with this same pack/xor/rerank kernel.
+    * geometry — [[q218MihTopk]] is the production-path sibling that
+    * rides the same pack/xor/rerank kernel over a (band, value)
+    * bucket join (the q41 algebra), oracle-checked alongside.
     *
     * Determinism: the sign threshold (`x > 0`) is evaluated on the raw
     * float in both engines; Hamming ties cut by neighbor_id; rerank
     * similarities rounded to 6 decimals before ranking (the module
     * discipline), ties again by neighbor_id. */
-  def q212HammingTopk(s: SparkSession, dir: String): DataFrame = {
+  /** Packed sign-bit codes (vec_id, lo, hi) shared by [[q212HammingTopk]]
+    * and [[q218MihTopk]]. The packing is wired for EXACTLY 64 dims in two
+    * 32-bit words — a smaller Dim would make `element_at` return null and
+    * `if(null, ...)` silently pack a 0 bit, a larger one would silently
+    * ignore dims past 64 (round-12 ADVICE) — so the tie fails fast. */
+  private def signCodes(s: SparkSession, dir: String): DataFrame = {
+    require(Dim == 64,
+      s"sign-bit packing covers exactly 64 dims (two 32-bit words); Dim=$Dim — " +
+        "re-derive the word count and offsets before changing the geometry")
     // bits i=0..31 of word `w` cover dims w*32+1 .. w*32+32 (1-based);
     // shiftleft stays below bit 63 so the same packing is legal in
     // DuckDB's checked '<<'
@@ -2958,23 +2969,15 @@ object VectorOps {
       s"""aggregate(sequence(0, 31), 0L,
          |  (acc, i) -> acc + if(element_at(embedding, i + ${off + 1}) > 0.0D,
          |                       shiftleft(1L, i), 0L))""".stripMargin)
-    val codes = emb(s, dir)
-      .select(col("vec_id"), pack(0).as("lo"), pack(32).as("hi"))
-    // the q40 spread: the scan is one small file → one partition; the
-    // nested-loop join streams its partitioning, so spread the query
-    // side explicitly (a no-op-sized shuffle of n id+code rows)
-    val a = codes.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-    val b = codes.select(col("vec_id").as("neighbor_id"),
-      col("lo").as("nlo"), col("hi").as("nhi"))
-    val wH = Window.partitionBy("vec_id")
-      .orderBy(col("hamming").asc, col("neighbor_id").asc)
-    val shortlist = a.crossJoin(b).filter(col("vec_id") =!= col("neighbor_id"))
-      .select(col("vec_id"), col("neighbor_id"),
-        (bit_count(col("lo").bitwiseXOR(col("nlo"))) +
-          bit_count(col("hi").bitwiseXOR(col("nhi")))).cast("int").as("hamming"))
-      .withColumn("rh", row_number().over(wH))
-      .filter(col("rh") <= HammingCand)
-      .select("vec_id", "neighbor_id", "hamming")
+    emb(s, dir).select(col("vec_id"), pack(0).as("lo"), pack(32).as("hi"))
+  }
+
+  /** The exact-cosine rerank tail shared by the binary-code family:
+    * float vectors join back for the shortlist rows ONLY (two
+    * equi-joins), similarities round to 6 decimals (module
+    * discipline), ties cut by neighbor_id. */
+  private def hammingRerank(s: SparkSession, dir: String,
+      shortlist: DataFrame): DataFrame = {
     val v = emb(s, dir).select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", norm(col("v")))
     val qv = v.select(col("vec_id"), col("v"), col("nrm"))
@@ -2990,6 +2993,26 @@ object VectorOps {
       .select(col("vec_id"), col("rank"), col("neighbor_id"),
         col("hamming"), col("sim"))
       .orderBy("vec_id", "rank")
+  }
+
+  def q212HammingTopk(s: SparkSession, dir: String): DataFrame = {
+    val codes = signCodes(s, dir)
+    // the q40 spread: the scan is one small file → one partition; the
+    // nested-loop join streams its partitioning, so spread the query
+    // side explicitly (a no-op-sized shuffle of n id+code rows)
+    val a = codes.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+    val b = codes.select(col("vec_id").as("neighbor_id"),
+      col("lo").as("nlo"), col("hi").as("nhi"))
+    val wH = Window.partitionBy("vec_id")
+      .orderBy(col("hamming").asc, col("neighbor_id").asc)
+    val shortlist = a.crossJoin(b).filter(col("vec_id") =!= col("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"),
+        (bit_count(col("lo").bitwiseXOR(col("nlo"))) +
+          bit_count(col("hi").bitwiseXOR(col("nhi")))).cast("int").as("hamming"))
+      .withColumn("rh", row_number().over(wH))
+      .filter(col("rh") <= HammingCand)
+      .select("vec_id", "neighbor_id", "hamming")
+    hammingRerank(s, dir, shortlist)
   }
 
   // lazy: referenced by the `oracle` val above its definition point
@@ -3034,13 +3057,162 @@ object VectorOps {
        |  FROM scored)
        |WHERE rank <= $TopK ORDER BY vec_id, rank""".stripMargin
 
+  // ------------------------------------------- q218 MIH bucket-join ANN
+
+  /** Band geometry for [[q218MihTopk]]: [[MihBands]] bands of
+    * [[MihBandBits]] bits sampled from the 64-bit sign code (bit-sampling
+    * LSH over Hamming space — the q41 bucket algebra ported to binary
+    * codes). 4-bit bands keep per-band collision probability high enough
+    * to preserve the q212 shortlist's recall: a pair agreeing on a
+    * fraction p of bits collides in a band w.p. ~p⁴, so a near
+    * neighbor at p≈0.72 expects ~4.3 of the 16 bands to hit, while a
+    * random pair at p≈0.5 expects ~1 — candidates concentrate on the
+    * near side, and the miss probability decays exponentially with the
+    * band count. `final` + literals: the `oracle` map forces q218Sql
+    * during object init. */
+  final val MihBands = 16
+  final val MihBandBits = 4
+
+  /** Hot-bucket cap (the q39 df-cap discipline, applied at birth): a
+    * band bucket holding more than this many codes is EXCLUDED from
+    * candidate generation — its pair volume is freq² for the least
+    * selective (most common) band value, exactly the q35-shape blowup
+    * the salted ladder rungs punish. Near-dups dropped this way still
+    * collide in their other 15 bands (exclusion is per-bucket, not
+    * per-pair), so the declared trade costs recall only for pairs hot
+    * in EVERY band — the all-boilerplate class exact dedup (q34)
+    * catches one op earlier. */
+  final val MihMaxBucket = 1024
+
+  /** q218: BINARY-CODE ANN VIA BUCKET JOIN — the production-path
+    * sibling of [[q212HammingTopk]] (round-12 verdict #5): the same
+    * pack/xor/rerank kernel, but the all-pairs Hamming scan is replaced
+    * by an equi-join on (band, band-value) buckets, so the coarse pass
+    * is a shuffle join whose volume is Σ bucket², not n². On clustered
+    * real-world codes the buckets segment the corpus and the join
+    * volume collapses; on the uniform-random fixture the candidate
+    * fraction is ~1−(1−2⁻⁴)¹⁶ ≈ 0.64 of all pairs — measured and
+    * spec-pinned as the declared adversarial floor (LSH prunes by
+    * cluster structure; uniform-random data has none to exploit).
+    *
+    * Scale shape: explode to [[MihBands]] (vec_id, band, bval) rows
+    * (pure map), one groupBy((band, bval)) for the df-cap, one
+    * equi-join on the bucket key, pair-distinct, then full Hamming
+    * ONLY on candidates with the same WindowGroupLimit top-C cut and
+    * exact rerank as q212. Every stage is a keyed shuffle — nothing
+    * quadratic in n remains outside Σ bucket², which [[MihMaxBucket]]
+    * bounds per bucket.
+    *
+    * Determinism: candidates are a DISTINCT pair set (band
+    * multiplicity collapsed), so downstream ranking sees each pair
+    * once; all tie-cuts as in q212. */
+  def q218MihTopk(s: SparkSession, dir: String): DataFrame = {
+    val codes = signCodes(s, dir)
+    // band b covers bits [b*4, b*4+4) of lo for b<8, of hi for b>=8
+    val bands = codes.select(col("vec_id"), explode(array((0 until MihBands).map { b =>
+        val word = if (b < MihBands / 2) col("lo") else col("hi")
+        val sh = (b % (MihBands / 2)) * MihBandBits
+        struct(lit(b).as("band"),
+          shiftright(word, sh).bitwiseAND(lit((1L << MihBandBits) - 1))
+            .cast("int").as("bval"))
+      }: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bval").as("bval"))
+    // df-cap: drop hot buckets BEFORE the self-join (q39 discipline)
+    val keep = bands.groupBy("band", "bval").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= MihMaxBucket)
+      .select("band", "bval")
+    val kept = bands.join(keep, Seq("band", "bval"))
+    val cand = kept.join(
+        kept.select(col("band"), col("bval"), col("vec_id").as("neighbor_id")),
+        Seq("band", "bval"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .select("vec_id", "neighbor_id").distinct()
+    val qc = codes
+    val nc = codes.select(col("vec_id").as("neighbor_id"),
+      col("lo").as("nlo"), col("hi").as("nhi"))
+    val wH = Window.partitionBy("vec_id")
+      .orderBy(col("hamming").asc, col("neighbor_id").asc)
+    val shortlist = cand.join(qc, Seq("vec_id")).join(nc, Seq("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"),
+        (bit_count(col("lo").bitwiseXOR(col("nlo"))) +
+          bit_count(col("hi").bitwiseXOR(col("nhi")))).cast("int").as("hamming"))
+      .withColumn("rh", row_number().over(wH))
+      .filter(col("rh") <= HammingCand)
+      .select("vec_id", "neighbor_id", "hamming")
+    hammingRerank(s, dir, shortlist)
+  }
+
+  // lazy: referenced by the `oracle` val above its definition point
+  lazy val q218Sql: String =
+    s"""WITH c AS (
+       |  SELECT vec_id,
+       |    CAST(list_sum([CASE WHEN embedding[i + 1] > 0 THEN (1::BIGINT << i)
+       |                        ELSE 0 END for i in range(0, 32)]) AS BIGINT) AS lo,
+       |    CAST(list_sum([CASE WHEN embedding[i + 33] > 0 THEN (1::BIGINT << i)
+       |                        ELSE 0 END for i in range(0, 32)]) AS BIGINT) AS hi
+       |  FROM embeddings
+       |), bands AS (
+       |  SELECT vec_id, b.i AS band,
+       |    CAST((CASE WHEN b.i < ${MihBands / 2}
+       |               THEN lo >> ($MihBandBits * b.i)
+       |               ELSE hi >> ($MihBandBits * (b.i - ${MihBands / 2})) END)
+       |      & ${(1L << MihBandBits) - 1} AS INT) AS bval
+       |  FROM c, (SELECT unnest(range(0, $MihBands)) AS i) b
+       |), keep AS (
+       |  SELECT band, bval FROM bands
+       |  GROUP BY band, bval HAVING count(*) <= $MihMaxBucket
+       |), cand AS (
+       |  SELECT DISTINCT a.vec_id, b.vec_id AS neighbor_id
+       |  FROM bands a
+       |  JOIN keep k ON a.band = k.band AND a.bval = k.bval
+       |  JOIN bands b ON b.band = a.band AND b.bval = a.bval
+       |    AND a.vec_id <> b.vec_id
+       |), ham AS (
+       |  SELECT ca.vec_id, ca.neighbor_id,
+       |    CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS INT)
+       |      AS hamming
+       |  FROM cand ca
+       |  JOIN c a ON a.vec_id = ca.vec_id
+       |  JOIN c b ON b.vec_id = ca.neighbor_id
+       |), shortlist AS (
+       |  SELECT vec_id, neighbor_id, hamming FROM (
+       |    SELECT vec_id, neighbor_id, hamming,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY hamming, neighbor_id) AS rh
+       |    FROM ham)
+       |  WHERE rh <= $HammingCand
+       |), d AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+       |  FROM d
+       |), scored AS (
+       |  SELECT s.vec_id, s.neighbor_id, s.hamming,
+       |    round(coalesce(list_sum([qa.v[i] * qb.v[i] for i in range(1, $Dim + 1)])
+       |      / (qa.nrm * qb.nrm), 0.0), 6) AS sim
+       |  FROM shortlist s
+       |  JOIN n qa ON qa.vec_id = s.vec_id
+       |  JOIN n qb ON qb.vec_id = s.neighbor_id
+       |)
+       |SELECT vec_id, rank, neighbor_id, hamming, sim FROM (
+       |  SELECT vec_id, neighbor_id, hamming, sim,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= $TopK ORDER BY vec_id, rank""".stripMargin
+
   // ------------------------------------------------ q215 IVF probe sweep
 
   /** Probe counts swept by [[q215ProbeSweep]] — brackets the q44/q61
-    * production pick ([[IvfProbes]] = 3). `final` + literals: the
-    * `oracle` map forces q215Sql during object init. */
+    * production pick ([[IvfProbes]] = 3). A `def`, not a `val`: the
+    * `oracle` map forces q215Sql during object init, BEFORE vals
+    * declared here would initialize — a def is the one construction
+    * both the Spark plan and the SQL twin can share at any init point
+    * (round-12 ADVICE: the locally-rebuilt copy in q215Sql could
+    * silently drift from this list). */
   final val ProbeSweepMax = 5
-  val ProbeSweep: Seq[Int] = Seq(1, 2, 3, ProbeSweepMax)
+  def ProbeSweep: Seq[Int] = Seq(1, 2, 3, ProbeSweepMax)
 
   /** q215: IVF PROBE-COUNT CALIBRATION — recall@k as a function of
     * nprobe over the q61 fixed quantizer: the recall-vs-cost curve an
@@ -3118,11 +3290,9 @@ object VectorOps {
       .orderBy("probes")
   }
 
-  // lazy: referenced by the `oracle` val above its definition point.
-  // The sweep list is REBUILT locally — the ProbeSweep val below the
-  // maps is still null when the oracle map forces this string
+  // lazy: referenced by the `oracle` val above its definition point
   lazy val q215Sql: String = {
-    val sweep = Seq(1, 2, 3, ProbeSweepMax)
+    val sweep = ProbeSweep
     val cents = ivfCentroids(IvfCells)
     val cnorms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
     val cellRows = (0 until IvfCells).map { c =>
