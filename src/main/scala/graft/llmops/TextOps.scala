@@ -4549,9 +4549,13 @@ object TextOps {
         (col("common").cast("double") / (col("na") + col("nb") - col("common")))
           .as("jaccard"))
     val mid = (col("bin").cast("double") * 2 + 1) / 20.0
-    val s4 = mid * mid * mid * mid
-    val miss1 = lit(1.0) - s4
-    val theory = lit(1.0) - miss1 * miss1 * miss1 * miss1
+    // 1 − (1 − s^r)^b DERIVED from RowsPerBand/Bands (round-12 ADVICE:
+    // hand-unrolled products would go silently stale in both engines
+    // on a geometry retune). Left-assoc reduce = the SQL twin's
+    // left-assoc `*` chain, so the float result stays bit-identical.
+    val sr = Seq.fill(RowsPerBand)(mid).reduceLeft(_ * _)
+    val theory = lit(1.0) -
+      Seq.fill(Bands)(lit(1.0) - sr).reduceLeft(_ * _)
     val est = col("n_collide").cast("double") /
       (col("n_collide") + lit(CalibSampleMod) * col("n_miss_sampled"))
     pairs
@@ -4573,6 +4577,11 @@ object TextOps {
     val sigCols = (0 until MinhashK)
       .map(j => s"min((h * ${aj(j)} + ${bj(j)}) % $MinhashP) AS m$j")
       .mkString(",\n    ")
+    // the S-curve derived from the SAME constants as the Spark side
+    // (left-assoc `*` chains in both engines → bit-identical doubles)
+    val srSql = Seq.fill(RowsPerBand)("mid").mkString(" * ")
+    val theorySql =
+      "1.0 - " + Seq.fill(Bands)(s"(1.0 - $srSql)").mkString(" * ")
     val bandRows = (0 until Bands).map { bnd =>
       val cols = (0 until RowsPerBand)
         .map(r => s"m${bnd * RowsPerBand + r}").mkString(", ")
@@ -4628,10 +4637,7 @@ object TextOps {
        |    / (sum(CASE WHEN hit THEN 1 ELSE 0 END)
        |       + $CalibSampleMod * sum(CASE WHEN hit THEN 0 ELSE 1 END)), 6)
        |    AS collision_rate_est,
-       |  round(1.0 - (1.0 - mid * mid * mid * mid)
-       |            * (1.0 - mid * mid * mid * mid)
-       |            * (1.0 - mid * mid * mid * mid)
-       |            * (1.0 - mid * mid * mid * mid), 6) AS theoretical_rate
+       |  round($theorySql, 6) AS theoretical_rate
        |FROM (SELECT bin, hit, (CAST(bin AS DOUBLE) * 2 + 1) / 20.0 AS mid
        |      FROM binned)
        |GROUP BY bin, mid ORDER BY bin""".stripMargin

@@ -89,9 +89,11 @@ class Round12Spec extends AnyFunSuite with BeforeAndAfterAll {
       val bin = r.getAs[Long]("bin")
       assert(bin >= 0 && bin <= 9)
       val mid = (bin.toDouble * 2 + 1) / 20.0
-      val s4 = mid * mid * mid * mid
-      val m = 1.0 - s4
-      val want = BigDecimal(1.0 - m * m * m * m)
+      // closed form computed from the CONSTANTS (not hand-unrolled), so
+      // a geometry retune that staled the query column would fail here
+      val sr = Seq.fill(TextOps.RowsPerBand)(mid).reduceLeft(_ * _)
+      val want = BigDecimal(1.0 -
+          Seq.fill(TextOps.Bands)(1.0 - sr).reduceLeft(_ * _))
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       assert(r.getAs[Double]("theoretical_rate") == want,
         s"theory column must be the closed form at the bin-$bin midpoint")
