@@ -60,7 +60,9 @@ object SparkEntry {
       "sq21_stream_psi_monitor" ->
         ((s: SparkSession, dir: String) => StreamOps.sq21StreamPsiMonitor(s, dir)),
       "sq22_stream_neardup_gate" ->
-        ((s: SparkSession, dir: String) => StreamOps.sq22StreamNeardupGate(s, dir)))
+        ((s: SparkSession, dir: String) => StreamOps.sq22StreamNeardupGate(s, dir)),
+      "sq23_stream_anomaly" ->
+        ((s: SparkSession, dir: String) => StreamOps.sq23StreamAnomaly(s, dir)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -88,5 +90,6 @@ object SparkEntry {
       "sq19_late_data" -> StreamOps.sq19Sql,
       "sq20_update_mode" -> StreamOps.sq20Sql,
       "sq21_stream_psi_monitor" -> StreamOps.sq21Sql,
-      "sq22_stream_neardup_gate" -> StreamOps.sq22Sql)
+      "sq22_stream_neardup_gate" -> StreamOps.sq22Sql,
+      "sq23_stream_anomaly" -> StreamOps.sq23Sql)
 }

@@ -4416,7 +4416,9 @@ object TextOps {
     "q213_lsh_calibration" -> (q213LshCalibration _),
     "q214_weighted_jaccard" -> (q214WeightedJaccard _),
     "q216_dedup_sweep" -> (q216DedupSweep _),
-    "q217_pack_sweep" -> (q217PackSweep _)
+    "q217_pack_sweep" -> (q217PackSweep _),
+    "q219_source_datacard" -> (q219SourceDatacard _),
+    "q220_lsh_geometry_sweep" -> (q220LshGeometrySweep _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -4478,7 +4480,9 @@ object TextOps {
     "q213_lsh_calibration" -> q213Sql,
     "q214_weighted_jaccard" -> q214Sql,
     "q216_dedup_sweep" -> q216Sql,
-    "q217_pack_sweep" -> q217Sql
+    "q217_pack_sweep" -> q217Sql,
+    "q219_source_datacard" -> q219Sql,
+    "q220_lsh_geometry_sweep" -> q220Sql
   )
 
   // ------------------------------------------ q213 LSH geometry calibration
@@ -4897,4 +4901,256 @@ object TextOps {
        |WHERE round(CAST(cw AS DOUBLE) / (ta.tw + tb.tw - cw), 6)
        |  >= $WeightedThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ----------------------------------------------- q219 source datacard
+
+  /** q219: PER-SOURCE CORPUS DATACARD — the one-row-per-source summary
+    * every ingestion pipeline publishes before a feed is admitted to a
+    * training mix: volume (docs, tokens), EXACT token-length p50/p95,
+    * language composition (count, top-language share, Shannon entropy —
+    * the q110 formula over per-source language counts), and mean
+    * chars/token (the cheap tokenizer-cost proxy). q30 profiles
+    * per-document, q206 ranks sources by concentration; this is the
+    * per-source card both feed.
+    *
+    * EXACT QUANTILES WITHOUT A ROW SORT (the q211 bucketed-midrank
+    * discipline at its purest): token counts have few distinct values,
+    * so groupBy((source, n_tok)) collapses the corpus map-side to a
+    * tiny histogram; one cumulative window over the HISTOGRAM (not the
+    * rows) finds the smallest value whose cumulative count reaches
+    * ⌈q·n⌉ — type-1 quantiles, all-integer arithmetic (`cum·100 ≥
+    * n·q100` — no float boundary can diverge cross-engine). A
+    * percentile over raw rows would buffer per-source value sets
+    * (the q155 lesson); this shuffles only histogram cells.
+    *
+    * Scale shape: ONE tokenizing pass — the (source, n_tok) histogram
+    * aggregation carries the per-cell doc count AND char mass, so the
+    * totals frame derives from the HISTOGRAM (Σc, Σ n_tok·c, Σ chars),
+    * never from a second corpus scan; the language frame reads only
+    * two narrow columns (no split). Windows run on histogram cells
+    * (≤ |sources|·|distinct lengths|). Nothing here is per-row beyond
+    * the one map side. */
+  def q219SourceDatacard(s: SparkSession, dir: String): DataFrame = {
+    val d = tokenized(s, dir).select(col("source"), col("n_chars"),
+      size(col("w")).cast("long").as("n_tok"))
+    val hist = d.groupBy("source", "n_tok")
+      .agg(count(lit(1)).as("c"), sum("n_chars").as("chars_cell"))
+    val tot = hist.groupBy("source").agg(
+      sum("c").as("n_docs"),
+      sum(col("n_tok") * col("c")).as("n_tokens"),
+      sum("chars_cell").as("sum_chars"))
+    val wcum = Window.partitionBy("source").orderBy("n_tok")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum("c").over(wcum))
+      .withColumn("n", sum("c").over(Window.partitionBy("source")))
+    val qs = cum.groupBy("source").agg(
+      min(when(col("cum") * 100 >= col("n") * 50, col("n_tok"))).as("p50_tokens"),
+      min(when(col("cum") * 100 >= col("n") * 95, col("n_tok"))).as("p95_tokens"))
+    val ls = docs(s, dir).groupBy("source", "lang").agg(count(lit(1)).as("c"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_langs"),
+        sum("c").as("n"),
+        max("c").as("cmax"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("clogc"))
+      .select(col("source"), col("n_langs"),
+        round(col("cmax").cast("double") / col("n"), 6).as("top_lang_share"),
+        round(log(col("n").cast("double")) - col("clogc") / col("n"), 6)
+          .as("lang_entropy"))
+    tot.join(qs, Seq("source")).join(ls, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("p50_tokens"), col("p95_tokens"), col("n_langs"),
+        col("top_lang_share"), col("lang_entropy"),
+        when(col("n_tokens") > 0,
+          round(col("sum_chars").cast("double") / col("n_tokens"), 6))
+          .as("chars_per_token"))
+      .orderBy("source")
+  }
+
+  lazy val q219Sql: String =
+    s"""WITH d AS (
+       |  SELECT source, n_chars,
+       |    CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tok
+       |  FROM documents
+       |), hist AS (
+       |  SELECT source, n_tok, count(*) AS c,
+       |    CAST(sum(n_chars) AS BIGINT) AS chars_cell
+       |  FROM d GROUP BY 1, 2
+       |), tot AS (
+       |  SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+       |    CAST(sum(n_tok * c) AS BIGINT) AS n_tokens,
+       |    CAST(sum(chars_cell) AS BIGINT) AS sum_chars
+       |  FROM hist GROUP BY 1
+       |), cum AS (
+       |  SELECT source, n_tok, c,
+       |    sum(c) OVER (PARTITION BY source ORDER BY n_tok
+       |      ROWS UNBOUNDED PRECEDING) AS cum,
+       |    sum(c) OVER (PARTITION BY source) AS n
+       |  FROM hist
+       |), q AS (
+       |  SELECT source,
+       |    min(CASE WHEN cum * 100 >= n * 50 THEN n_tok END) AS p50_tokens,
+       |    min(CASE WHEN cum * 100 >= n * 95 THEN n_tok END) AS p95_tokens
+       |  FROM cum GROUP BY 1
+       |), lh AS (SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2
+       |), ls AS (
+       |  SELECT source, count(*) AS n_langs,
+       |    round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_lang_share,
+       |    round(ln(CAST(sum(c) AS DOUBLE))
+       |          - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / sum(c), 6)
+       |      AS lang_entropy
+       |  FROM lh GROUP BY 1
+       |)
+       |SELECT t.source, n_docs, n_tokens, p50_tokens, p95_tokens, n_langs,
+       |  top_lang_share, lang_entropy,
+       |  CASE WHEN n_tokens > 0
+       |    THEN round(CAST(sum_chars AS DOUBLE) / n_tokens, 6) END
+       |    AS chars_per_token
+       |FROM tot t JOIN q USING (source) JOIN ls USING (source)
+       |ORDER BY source""".stripMargin
+
+  // ------------------------------------------ q220 LSH geometry sweep
+
+  /** (bands, rows-per-band) splits of the k=16 signature swept by
+    * [[q220LshGeometrySweep]] — every factorization of MinhashK, from
+    * high-precision (2 bands × 8 rows) to high-recall (16 × 1). A
+    * `def` (the q215 lesson): the oracle map forces q220Sql during
+    * object init, before vals here would initialize. */
+  def lshGeometries: Seq[(Int, Int)] =
+    Seq((2, 8), (4, 4), (8, 2), (16, 1))
+
+  /** Hot-bucket cap for the geometry sweep's candidate joins (the q39
+    * df-cap discipline): a (geometry, band, hash) bucket larger than
+    * this is excluded — indispensable for the (16, 1) geometry, where
+    * a single globally-minimal hot shingle would otherwise put O(n)
+    * docs in one bucket and freq² pairs in the join. Exclusions are
+    * REPORTED per geometry (`n_buckets_capped`), not hidden. */
+  final val GeoMaxBucket = 256
+
+  /** q220: LSH GEOMETRY SWEEP — candidate volume and recall (against
+    * the true ≥0.5-Jaccard pair set) for every (bands, rows-per-band)
+    * split of the k=16 MinHash signature: the tuning table that
+    * JUSTIFIES the shipped q37 geometry, read next to q213's
+    * measured-vs-theory calibration of it (q215 is the same sweep for
+    * the IVF probe budget; q216 for the dedup threshold). More bands ×
+    * fewer rows ⇒ more candidates, higher recall — the sweep prices
+    * that trade per geometry.
+    *
+    * Scale shape: ONE signature build (the session artifact — shared
+    * with q36/q37/q92/q213), one 30-rows-per-doc explode covering all
+    * four geometries, one groupBy for the df-cap, one equi-join on
+    * (geometry, band, hash) whose volume is Σ bucket² bounded by
+    * [[GeoMaxBucket]], pair-distinct, then bounded joins against the
+    * q39-capped truth set. The DuckDB oracle keeps the UNCAPPED q35
+    * truth algebra (the q216 discipline), so every run re-proves the
+    * truth cap loses no pair; candidate generation is mirrored
+    * exactly, cap included.
+    *
+    * Recall here is RELATIVE to the ≥0.5 truth pairs (the operating
+    * threshold the q37 geometry was chosen for); monotonicity in the
+    * band count is spec-asserted. */
+  def q220LshGeometrySweep(s: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSigs(s, dir)
+    val bandStructs = lshGeometries.flatMap { case (b, r) =>
+      (0 until b).map { bnd =>
+        struct(lit(b).as("g"), lit(bnd).as("band"),
+          md5(concat_ws(",",
+            (0 until r).map(i => col(s"m${bnd * r + i}")): _*)).as("bh"))
+      }
+    }
+    val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.g").as("g"), col("bb.band").as("band"),
+        col("bb.bh").as("bh"))
+    val sized = bands.groupBy("g", "band", "bh").agg(count(lit(1)).as("bn"))
+    val cappedN = sized.filter(col("bn") > GeoMaxBucket)
+      .groupBy("g").agg(count(lit(1)).as("nbc"))
+    val keep = sized.filter(col("bn") <= GeoMaxBucket).select("g", "band", "bh")
+    val kept = bands.join(keep, Seq("g", "band", "bh"))
+    val cand = kept.join(
+        kept.select(col("g"), col("band"), col("bh"), col("doc_id").as("doc_b")),
+        Seq("g", "band", "bh"))
+      .filter(col("doc_id") < col("doc_b"))
+      .select(col("g"), col("doc_id").as("doc_a"), col("doc_b")).distinct()
+    val truth = q39NeardupCapped(s, dir).select(col("doc_a"), col("doc_b"))
+      .withColumn("t", lit(true))
+    val agg = cand.join(truth, Seq("doc_a", "doc_b"), "left")
+      .groupBy("g").agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("t"), 1L).otherwise(0L)).as("n_hit"))
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    val gFrame = s.range(1).select(explode(array(lshGeometries.map { case (b, r) =>
+      struct(lit(b).as("g"), lit(r).as("r"))
+    }: _*)).as("gr")).select(col("gr.g").as("g"), col("gr.r").as("r"))
+    gFrame.join(agg, Seq("g"), "left").join(cappedN, Seq("g"), "left")
+      .crossJoin(broadcast(nTruth))
+      .select(col("g").as("bands"), col("r").as("rows_per_band"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        col("n_truth"),
+        when(col("n_truth") > 0,
+          round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+            col("n_truth"), 6)).as("recall"),
+        coalesce(col("nbc"), lit(0L)).as("n_buckets_capped"))
+      .orderBy("bands")
+  }
+
+  lazy val q220Sql: String = {
+    val sigCols = (0 until MinhashK)
+      .map(j => s"min((h * ${aj(j)} + ${bj(j)}) % $MinhashP) AS m$j")
+      .mkString(",\n    ")
+    val bandRows = lshGeometries.flatMap { case (b, r) =>
+      (0 until b).map { bnd =>
+        val cols = (0 until r).map(i => s"m${bnd * r + i}").mkString(", ")
+        s"SELECT doc_id, $b AS g, $bnd AS band, " +
+          s"md5(concat_ws(',', $cols)) AS bh FROM sig"
+      }
+    }.mkString("\n  UNION ALL ")
+    val gRows = lshGeometries.map { case (b, r) => s"($b, $r)" }.mkString(", ")
+    s"""WITH sh AS (
+       |  SELECT doc_id, $shinglesSql AS sh
+       |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents)
+       |  WHERE len(w) >= 3
+       |), ex AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM sh
+       |), hx AS (
+       |  SELECT doc_id, ${baseHashSql("shingle")} AS h FROM ex
+       |), sig AS (
+       |  SELECT doc_id, $sigCols FROM hx GROUP BY doc_id
+       |), bands AS (
+       |  $bandRows
+       |), sized AS (
+       |  SELECT g, band, bh, count(*) AS bn FROM bands GROUP BY 1, 2, 3
+       |), keep AS (SELECT g, band, bh FROM sized WHERE bn <= $GeoMaxBucket
+       |), capped AS (
+       |  SELECT g, count(*) AS nbc FROM sized WHERE bn > $GeoMaxBucket GROUP BY 1
+       |), kept AS (
+       |  SELECT b.doc_id, b.g, b.band, b.bh FROM bands b
+       |  JOIN keep k ON b.g = k.g AND b.band = k.band AND b.bh = k.bh
+       |), cand AS (
+       |  SELECT DISTINCT a.g, a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM kept a JOIN kept b ON a.g = b.g AND a.band = b.band
+       |    AND a.bh = b.bh AND a.doc_id < b.doc_id
+       |), truth AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na,
+       |      b.n_sh AS nb, count(*) AS common
+       |    FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |    GROUP BY 1, 2, 3, 4)
+       |  WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.5
+       |), agg AS (
+       |  SELECT c.g, count(*) AS n_candidates,
+       |    sum(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+       |  FROM cand c LEFT JOIN truth t
+       |    ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+       |  GROUP BY 1
+       |), gs AS (SELECT g, r FROM (VALUES $gRows) v(g, r))
+       |SELECT gs.g AS bands, CAST(gs.r AS INT) AS rows_per_band,
+       |  CAST(coalesce(n_candidates, 0) AS BIGINT) AS n_candidates,
+       |  CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+       |  (SELECT count(*) FROM truth) AS n_truth,
+       |  CASE WHEN (SELECT count(*) FROM truth) > 0 THEN
+       |    round(CAST(coalesce(n_hit, 0) AS DOUBLE)
+       |      / (SELECT count(*) FROM truth), 6) END AS recall,
+       |  coalesce(c.nbc, 0) AS n_buckets_capped
+       |FROM gs LEFT JOIN agg ON agg.g = gs.g
+       |LEFT JOIN capped c ON c.g = gs.g
+       |ORDER BY bands""".stripMargin
+  }
 }

@@ -1933,4 +1933,97 @@ object StreamOps {
        |LEFT JOIN hits h USING (doc_id)
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** SQ23: SELF-CALIBRATING STREAM ANOMALY MONITOR — each CLOSED
+    * 1-hour window of each event type is scored against the PREVIOUS
+    * closed window's statistics: z = (mean − prev_mean) /
+    * √(prev_var / n), |z| ≥ 3 flags a mean shift. sq21 monitors drift
+    * against a FIXED baseline profile; this is the adjacent-window
+    * sequential monitor that needs no baseline at all — the state a
+    * self-calibrating alert system keeps.
+    *
+    * Stream/batch split (the sq21 deployment shape): the STREAM owns
+    * exactly the stateful part — one watermarked windowed aggregation
+    * per (window, type) holding (n, Σv, Σv²) as exact DECIMAL sums
+    * (state: open windows × |types|, the saturating family; append
+    * mode emits each window once, closed). The scoring — lag window
+    * over the emitted rows, derived mean/variance, the z test — runs
+    * on the sink's closed-window rows, never inside the stream.
+    *
+    * Cross-engine exactness: per-window sums are DECIMAL(28,6) of
+    * 6dp-rounded terms (the sq21 term discipline — no float-sum
+    * ordering), every derived double (mean, var, z) is computed from
+    * those exactly-equal inputs by the same expression shape, z
+    * rounds to 6; z is NULL (and anomalous false) for a type's first
+    * closed window or a zero prior variance. */
+  def sq23StreamAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val name = s"sq23_${System.nanoTime()}"
+    withStreamShuffle(s) { fs =>
+      val q = eventsStream(fs, dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value"), 6).cast(DecimalType(28, 6))).as("sv"),
+          sum(round(col("value") * col("value"), 6).cast(DecimalType(28, 6)))
+            .as("s2"))
+        .select(unix_millis(col("w.start")).as("janela_ms"), col("event_type"),
+          col("n"), col("sv"), col("s2"))
+        .writeStream.queryName(name).format("memory")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      recordStatePeak("sq23_stream_anomaly", q)
+      val wl = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("janela_ms")
+      val m = fs.table(name)
+        .withColumn("mean", col("sv").cast("double") / col("n"))
+        .withColumn("varv", col("s2").cast("double") / col("n") -
+          (col("sv").cast("double") / col("n")) *
+            (col("sv").cast("double") / col("n")))
+      m.withColumn("pm", lag("mean", 1).over(wl))
+        .withColumn("pv", lag("varv", 1).over(wl))
+        .select(col("event_type"), col("janela_ms"), col("n"),
+          round(col("mean"), 6).as("mean_v"),
+          when(col("pv") > 0,
+            round((col("mean") - col("pm")) / sqrt(col("pv") / col("n")), 6))
+            .as("z"))
+        .withColumn("anomalous", coalesce(abs(col("z")) >= 3.0, lit(false)))
+        .orderBy("janela_ms", "event_type")
+    }
+  }
+
+  /** SQ23's DuckDB oracle: the batch twin — hours fully closed under
+    * the final watermark, identical DECIMAL term discipline, the same
+    * lag/z arithmetic over the closed rows. */
+  val sq23Sql: String =
+    """WITH wm AS (
+      |  SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 2 HOUR AS w FROM events
+      |), e AS (
+      |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, value
+      |  FROM events
+      |), agg AS (
+      |  SELECT event_type, epoch_ms(h) AS janela_ms, count(*) AS n,
+      |    sum(CAST(round(value, 6) AS DECIMAL(28,6))) AS sv,
+      |    sum(CAST(round(value * value, 6) AS DECIMAL(28,6))) AS s2
+      |  FROM e CROSS JOIN wm
+      |  WHERE h + INTERVAL 1 HOUR <= wm.w
+      |  GROUP BY 1, 2
+      |), m AS (
+      |  SELECT event_type, janela_ms, n,
+      |    CAST(sv AS DOUBLE) / n AS mean,
+      |    CAST(s2 AS DOUBLE) / n
+      |      - (CAST(sv AS DOUBLE) / n) * (CAST(sv AS DOUBLE) / n) AS varv
+      |  FROM agg
+      |), l AS (
+      |  SELECT event_type, janela_ms, n, mean,
+      |    lag(mean) OVER (PARTITION BY event_type ORDER BY janela_ms) AS pm,
+      |    lag(varv) OVER (PARTITION BY event_type ORDER BY janela_ms) AS pv
+      |  FROM m
+      |)
+      |SELECT event_type, janela_ms, n, round(mean, 6) AS mean_v,
+      |  CASE WHEN pv > 0
+      |    THEN round((mean - pm) / sqrt(pv / n), 6) END AS z,
+      |  coalesce(abs(CASE WHEN pv > 0
+      |    THEN round((mean - pm) / sqrt(pv / n), 6) END) >= 3, false)
+      |    AS anomalous
+      |FROM l ORDER BY janela_ms, event_type""".stripMargin
 }

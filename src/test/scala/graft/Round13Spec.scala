@@ -135,6 +135,95 @@ class Round13Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.llmops.VectorOps.q212HammingTopk(spark, tmp).count() > 0)
   }
 
+  // ------------------------------------------------------------- q219
+
+  test("q219: datacard totals conserve and the histogram-midrank quantiles " +
+    "equal a direct type-1 recompute") {
+    val rows = graft.llmops.TextOps.q219SourceDatacard(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("source"), size(split(col("text"), "\\s+")).cast("long").as("n_tok"))
+      .collect().groupBy(_.getString(0))
+    assert(rows.keySet == docs.keySet && rows.nonEmpty)
+    docs.foreach { case (src, ds) =>
+      val r = rows(src)
+      assert(r.getAs[Long]("n_docs") == ds.length)
+      val lens = ds.map(_.getLong(1)).sorted
+      assert(r.getAs[Long]("n_tokens") == lens.sum)
+      // type-1 quantile: smallest value whose cumulative count >= ceil(q n)
+      def t1(q: Int): Long = lens((q * lens.length + 99) / 100 - 1)
+      assert(r.getAs[Long]("p50_tokens") == t1(50), s"$src p50")
+      assert(r.getAs[Long]("p95_tokens") == t1(95), s"$src p95")
+      assert(r.getAs[Long]("p50_tokens") <= r.getAs[Long]("p95_tokens"))
+      assert(r.getAs[Double]("lang_entropy") >= 0.0)
+      val share = r.getAs[Double]("top_lang_share")
+      assert(share > 0.0 && share <= 1.0)
+      assert(r.getAs[Double]("chars_per_token") > 0.0)
+    }
+  }
+
+  test("q219: the quantile plan windows over histogram cells, never raw rows " +
+    "(no percentile buffering — the q155 lesson)") {
+    val plan = graft.llmops.TextOps.q219SourceDatacard(spark, dir)
+      .queryExecution.optimizedPlan.toString.toLowerCase
+    assert(!plan.contains("percentile"),
+      "quantiles must come from the histogram midrank, not a percentile agg")
+  }
+
+  // ------------------------------------------------------------- q220
+
+  test("q220: candidates nest across geometries and recall is monotone " +
+    "in the band count; the shipped (4,4) row conserves against q37") {
+    val rows = graft.llmops.TextOps.q220LshGeometrySweep(spark, dir).collect()
+      .sortBy(_.getAs[Int]("bands"))
+    assert(rows.map(_.getAs[Int]("bands")).toSeq == Seq(2, 4, 8, 16))
+    assert(rows.map(r => r.getAs[Int]("bands") * r.getAs[Int]("rows_per_band"))
+      .forall(_ == graft.llmops.TextOps.MinhashK))
+    // the fixture caps no bucket, so the nesting argument is exact:
+    // equality on an r-wide band implies equality on its nested bands
+    assert(rows.forall(_.getAs[Long]("n_buckets_capped") == 0L),
+      "fixture buckets must sit under the cap for the nesting check")
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo.getAs[Long]("n_candidates") <= hi.getAs[Long]("n_candidates"),
+        "splitting bands can only add collisions")
+      assert(lo.getAs[Double]("recall") <= hi.getAs[Double]("recall"),
+        "recall must be monotone in the band count")
+    }
+    // conservation: hits at the shipped q37 geometry ARE q37's survivors
+    val q37n = graft.llmops.TextOps.q37NeardupLsh(spark, dir).count()
+    val g4 = rows.find(_.getAs[Int]("bands") == graft.llmops.TextOps.Bands).get
+    assert(g4.getAs[Long]("n_hit") == q37n,
+      s"(4,4) hits ${g4.getAs[Long]("n_hit")} must equal q37's $q37n survivors")
+  }
+
+  // ------------------------------------------------------------- sq23
+
+  test("sq23: z is null exactly on each type's first closed window; " +
+    "anomalous implies |z| >= 3; windows are closed under the watermark") {
+    val rows = graft.streaming.StreamOps.sq23StreamAnomaly(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val firstWin = rows.groupBy(_.getAs[String]("event_type"))
+      .map { case (t, rs) => t -> rs.map(_.getAs[Long]("janela_ms")).min }
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val isFirst = r.getAs[Long]("janela_ms") == firstWin(t)
+      val zIdx = r.fieldIndex("z")
+      if (isFirst) assert(r.isNullAt(zIdx), s"first window of $t must have null z")
+      if (r.getAs[Boolean]("anomalous"))
+        assert(math.abs(r.getDouble(zIdx)) >= 3.0)
+      assert(r.getAs[Long]("n") >= 1)
+    }
+    // closed-window bound: window end <= max ts - 2h (the sq12 rule)
+    val maxTs = spark.read.parquet(s"$dir/events.parquet")
+      .agg(max(unix_millis(col("ts").cast("timestamp")))).head().getLong(0)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("janela_ms") + 3600 * 1000 <= maxTs - 2 * 3600 * 1000,
+        "append mode must only emit windows closed under the watermark")
+    }
+    // the stateful family reports its state telemetry for the ladder
+    assert(graft.streaming.StreamOps.lastStatePeak("sq23_stream_anomaly").isDefined)
+  }
+
   // -------------------------------------------------- sweep skip rows
 
   test("sweep declared skips: sq18@1000x emits an explicit artifact row; " +
