@@ -479,7 +479,8 @@ object Bench {
       "q215_probe_sweep", "q216_dedup_sweep", "q217_pack_sweep",
       // round-13 operators
       "q218_mih_topk", "q219_source_datacard", "q220_lsh_geometry_sweep",
-      "sq23_stream_anomaly")
+      "sq23_stream_anomaly", "q221_semdedup_sweep", "q222_sql_udf",
+      "q223_approx_quantile_cert")
     // shingle-index misses during TIMED passes only (warm passes are
     // expected to build it once per session+dir)
     var timedIndexMisses = 0L

@@ -663,12 +663,12 @@ object VectorOps {
       s"SELECT vec_id, v, nrm, $t AS tbl, ${sqlBucketExpr(t, planes)} AS bucket FROM n"
     }.mkString("\n  UNION ALL ")
 
-  /** The oracle recomputes q43's OWN pipeline: fixed hyperplane sign
-    * buckets, multi-table OR, radius-2 probes, exact rounded cosine ≥
-    * threshold — not the all-pairs truth (see q43CosNeardup scaladoc). */
-  def q43Sql: String = {
+  /** The q43 LSH pair pipeline as a WITH-body (CTEs `d`/`n`/`buckets`/
+    * `probes`/`pairs`) — shared by q43's oracle and q221's threshold
+    * sweep so the two can never drift. */
+  private def cosPairsSqlCtes: String = {
     val flips = probeMasks(RecallPlanes, NearDupProbeRadius).mkString(", ")
-    s"""WITH d AS (
+    s"""d AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings
        |), n AS (
@@ -678,16 +678,24 @@ object VectorOps {
        |), probes AS (
        |  SELECT vec_id, v, nrm, tbl, xor(bucket, flip) AS bucket
        |  FROM buckets CROSS JOIN (SELECT unnest([$flips]) AS flip)
-       |)
-       |SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b,
-       |  round(coalesce(list_sum([a.v[i] * c.v[i] for i in range(1, $Dim + 1)])
-       |        / (a.nrm * c.nrm), 0.0), 6) AS sim
-       |FROM probes a JOIN buckets c ON a.tbl = c.tbl AND a.bucket = c.bucket
-       |  AND a.vec_id < c.vec_id
-       |WHERE round(coalesce(list_sum([a.v[i] * c.v[i] for i in range(1, $Dim + 1)])
-       |        / (a.nrm * c.nrm), 0.0), 6) >= $NearDupCos
-       |ORDER BY vec_a, vec_b""".stripMargin
+       |), pairs AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b,
+       |    round(coalesce(list_sum([a.v[i] * c.v[i] for i in range(1, $Dim + 1)])
+       |          / (a.nrm * c.nrm), 0.0), 6) AS sim
+       |  FROM probes a JOIN buckets c ON a.tbl = c.tbl AND a.bucket = c.bucket
+       |    AND a.vec_id < c.vec_id
+       |  WHERE round(coalesce(list_sum([a.v[i] * c.v[i] for i in range(1, $Dim + 1)])
+       |          / (a.nrm * c.nrm), 0.0), 6) >= $NearDupCos
+       |)""".stripMargin
   }
+
+  /** The oracle recomputes q43's OWN pipeline: fixed hyperplane sign
+    * buckets, multi-table OR, radius-2 probes, exact rounded cosine ≥
+    * threshold — not the all-pairs truth (see q43CosNeardup scaladoc). */
+  def q43Sql: String =
+    s"""WITH $cosPairsSqlCtes
+       |SELECT vec_a, vec_b, sim FROM pairs
+       |ORDER BY vec_a, vec_b""".stripMargin
 
   // --------------------------------------------------- q47 ANN recall
 
@@ -2832,7 +2840,8 @@ object VectorOps {
     "q199_embed_drift" -> (q199EmbedDrift _),
     "q212_hamming_topk" -> (q212HammingTopk _),
     "q215_probe_sweep" -> (q215ProbeSweep _),
-    "q218_mih_topk" -> (q218MihTopk _)
+    "q218_mih_topk" -> (q218MihTopk _),
+    "q221_semdedup_sweep" -> (q221SemdedupSweep _)
   )
 
   /** Every entry is oracle-checked, including the adaptive ANN paths
@@ -2867,7 +2876,8 @@ object VectorOps {
     "q199_embed_drift" -> q199Sql,
     "q212_hamming_topk" -> q212Sql,
     "q215_probe_sweep" -> q215Sql,
-    "q218_mih_topk" -> q218Sql
+    "q218_mih_topk" -> q218Sql,
+    "q221_semdedup_sweep" -> q221Sql
   )
 
   // ---------------------------------------------- q125 confusion matrix
@@ -3201,6 +3211,67 @@ object VectorOps {
        |      ORDER BY sim DESC, neighbor_id) AS rank
        |  FROM scored)
        |WHERE rank <= $TopK ORDER BY vec_id, rank""".stripMargin
+
+  // ------------------------------------------- q221 semantic-dedup sweep
+
+  /** q221: SEMANTIC-DEDUP THRESHOLD SWEEP — q216's planning table on
+    * the EMBEDDING axis: per cosine threshold τ ∈ {0.5 … 0.9}, the
+    * surviving q43 pair count, the vectors a keep-first pass would
+    * drop, and corpus retention — read before committing a SemDeDup
+    * threshold (q78 executes at the one chosen threshold; this prices
+    * the alternatives). Together with q216 (shingle axis) and q190
+    * (quality axis) every dedup/filter knob now has its sweep.
+    *
+    * Scale shape: rides the published q43 pair artifact (LSH
+    * candidates, narrow-row joins — never all-pairs), collapses it to
+    * one strongest-smaller-neighbor row per vector (partial-agg max),
+    * then the 5-row threshold grid ≥-joins two bounded frames (the
+    * q216/q190 broadcast-grid pattern). Nothing re-touches the
+    * vectors. The oracle re-runs the same fixed-geometry LSH pipeline
+    * in SQL (the q43 CTE body, shared string — the two cannot
+    * drift). */
+  def q221SemdedupSweep(s: SparkSession, dir: String): DataFrame = {
+    val ths = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+    val pairs = cosPairs(s, dir).select(col("vec_a"), col("vec_b"), col("sim"))
+    val dom = pairs.groupBy("vec_b").agg(max("sim").as("ms"))
+    val nVec = emb(s, dir).agg(count(lit(1)).as("n_vecs"))
+    val grid = s.range(1)
+      .select(explode(array(ths.map(lit(_)): _*)).as("threshold"))
+    val np = grid.join(pairs, col("sim") >= col("threshold"), "left")
+      .groupBy("threshold")
+      .agg(sum(when(col("sim").isNotNull, 1L).otherwise(0L)).as("n_pairs"))
+    val nr = grid.join(dom, col("ms") >= col("threshold"), "left")
+      .groupBy("threshold")
+      .agg(sum(when(col("ms").isNotNull, 1L).otherwise(0L)).as("n_removed"))
+    np.join(nr, Seq("threshold")).crossJoin(broadcast(nVec))
+      .select(col("threshold"), col("n_pairs"), col("n_removed"),
+        when(col("n_vecs") > 0,
+          round(lit(1.0) - col("n_removed").cast("double") / col("n_vecs"), 6))
+          .as("retention"))
+      .orderBy("threshold")
+  }
+
+  // lazy: referenced by the `oracle` val above its definition point
+  lazy val q221Sql: String =
+    s"""WITH $cosPairsSqlCtes,
+       |dom AS (SELECT vec_b, max(sim) AS ms FROM pairs GROUP BY vec_b
+       |), grid AS (
+       |  SELECT CAST(t AS DOUBLE) AS threshold
+       |  FROM (VALUES (0.5), (0.6), (0.7), (0.8), (0.9)) g(t)
+       |), np AS (
+       |  SELECT g.threshold, count(p.sim) AS n_pairs
+       |  FROM grid g LEFT JOIN pairs p ON p.sim >= g.threshold GROUP BY 1
+       |), nr AS (
+       |  SELECT g.threshold, count(d.ms) AS n_removed
+       |  FROM grid g LEFT JOIN dom d ON d.ms >= g.threshold GROUP BY 1
+       |)
+       |SELECT threshold, n_pairs, n_removed,
+       |  CASE WHEN (SELECT count(*) FROM embeddings) > 0 THEN
+       |    round(1.0 - CAST(n_removed AS DOUBLE)
+       |      / (SELECT count(*) FROM embeddings), 6)
+       |  END AS retention
+       |FROM np JOIN nr USING (threshold)
+       |ORDER BY threshold""".stripMargin
 
   // ------------------------------------------------ q215 IVF probe sweep
 

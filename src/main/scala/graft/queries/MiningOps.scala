@@ -959,7 +959,7 @@ object MiningOps {
   private val eventsCountMemo =
     new graft.operators.PlanCache[Long]("events_count")((_, _) => ())
 
-  private def nEvents(s: SparkSession, dir: String): Long = {
+  private[graft] def nEvents(s: SparkSession, dir: String): Long = {
     val p = s"$dir/events.parquet"
     eventsCountMemo.get(s, p, graft.sources.FsSig.of(p))(
       t(s, dir, "events").count())
@@ -1044,6 +1044,71 @@ object MiningOps {
       |    / count(*) - 0.5) <= 0.15 AS within_bounds
       |FROM events e JOIN est ON e.event_type = est.event_type
       |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
+
+  // --------------------------------------- q223 GK-sketch quantile cert
+
+  /** Accuracy parameter for q223's `percentile_approx` — Spark's
+    * Greenwald-Khanna sketch guarantees rank error ≤ n/accuracy. */
+  final val GkAccuracy = 100
+
+  /** Rank-error budget the certification pins: the GK guarantee
+    * (1/[[GkAccuracy]]) plus the same slack the q155 binomial bound
+    * carries for small-n granularity. */
+  final val GkBound = 0.02
+
+  /** q223: BUILT-IN QUANTILE SKETCH, CERTIFIED — `percentile_approx`
+    * (Spark's mergeable Greenwald-Khanna sketch, fixed-size partial
+    * state, map-side combine) per event type, certified IN-QUERY by
+    * its exact rank: one partial-agg'd scan against the broadcast
+    * estimate computes frac_below and frac_at, and `within_bounds`
+    * pins the two-sided rank condition frac_below ≤ 0.5+ε ∧
+    * frac_below+frac_at ≥ 0.5−ε (the tie-aware form — a constant
+    * column where every value equals the estimate still certifies).
+    * This completes the quantile trilogy: q155 certifies a BOTTOM-K
+    * SAMPLER by a binomial bound, q135/q52 certify HLL sketches, this
+    * certifies the engine's own GK path by its deterministic rank
+    * guarantee. The raw estimate stays OUT of the output — it is
+    * engine-specific (the q52/q80 discipline); the oracle recomputes
+    * n and the gate-scale exact median and pins the boolean true.
+    *
+    * The exact `percentile_cont` twin gates on [[BottomkExactMaxRows]]
+    * (the q155/q135 discipline): below it the oracle checks the exact
+    * median value; above it `exact_median` ships NULL and the rank
+    * certification alone carries the claim. */
+  def q223ApproxQuantileCert(s: SparkSession, dir: String): DataFrame =
+    q223Plan(s, dir, exactTwin = nEvents(s, dir) <= BottomkExactMaxRows)
+
+  private[graft] def q223Plan(s: SparkSession, dir: String,
+      exactTwin: Boolean): DataFrame = {
+    val e = events(s, dir)
+    val est = e.groupBy("event_type")
+      .agg(percentile_approx(col("value"), lit(0.5), lit(GkAccuracy)).as("gk"))
+    val twin =
+      if (exactTwin)
+        expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY value)")
+      else max(lit(null).cast("double"))
+    e.join(broadcast(est), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        twin.as("exact_median"),
+        (sum(when(col("value") < col("gk"), 1L).otherwise(0L))
+          .cast("double") / count(lit(1))).as("fb"),
+        (sum(when(col("value") === col("gk"), 1L).otherwise(0L))
+          .cast("double") / count(lit(1))).as("fa"))
+      .select(col("event_type"), col("n"), col("exact_median"),
+        ((col("fb") <= 0.5 + GkBound) &&
+          (col("fb") + col("fa") >= 0.5 - GkBound)).as("within_bounds"))
+      .orderBy("event_type")
+  }
+
+  /** Gate-scale oracle: exact n and median, boolean pinned true (a
+    * sketch regression — rank drift past the GK bound — flips it and
+    * fails the hash). */
+  val q223Sql: String =
+    """SELECT event_type, count(*) AS n,
+      |  percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS exact_median,
+      |  true AS within_bounds
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ------------------------------------------------ q156 observed metrics
 
@@ -1264,6 +1329,7 @@ object MiningOps {
     "q152_embed_audit" -> (q152EmbedAudit _),
     "q154_multitouch" -> (q154Multitouch _),
     "q155_bottomk_quantile" -> (q155BottomkQuantile _),
+    "q223_approx_quantile_cert" -> (q223ApproxQuantileCert _),
     "q156_observed_metrics" -> (q156ObservedMetrics _),
     "q157_dynamic_overwrite" -> (q157DynamicOverwrite _),
     "q168_format_roundtrip" -> (q168FormatRoundtrip _),
@@ -1285,6 +1351,7 @@ object MiningOps {
     "q152_embed_audit" -> q152Sql,
     "q154_multitouch" -> q154Sql,
     "q155_bottomk_quantile" -> q155Sql,
+    "q223_approx_quantile_cert" -> q223Sql,
     "q156_observed_metrics" -> q156Sql,
     "q157_dynamic_overwrite" -> q157Sql,
     "q168_format_roundtrip" -> q168Sql,

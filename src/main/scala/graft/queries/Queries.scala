@@ -1010,9 +1010,29 @@ object Queries {
     * regression (seed change, accuracy change, broken merge) flips a
     * boolean and fails the hash — the raw approx values themselves
     * stay out of the output precisely because they are
-    * engine-specific. */
-  def q52Sketches(s: SparkSession, dir: String): DataFrame = {
+    * engine-specific.
+    *
+    * THE EXACT TWINS GATE ON ROW COUNT (the q135/q155/q223
+    * discipline, applied here before it becomes next round's flag):
+    * at/below [[graft.queries.MiningOps.BottomkExactMaxRows]] the
+    * shape above ships and the oracle checks the exact values + the
+    * pinned booleans. Above the gate the exact countDistinct (a
+    * per-distinct-value shuffle) and exact percentiles (full-group
+    * value buffers on single reducers) are precisely the shapes the
+    * sketches exist to REPLACE — so `exact_*` ship NULL and the
+    * booleans certify what is certifiable without them: the HLL
+    * estimate's free invariants (the q135 above-gate form) and the
+    * approx-percentile estimates' EXACT RANKS under the tie-aware
+    * two-sided condition (the q223 form — one partial-agg'd scan
+    * against the broadcast estimates; GK rank error ≤ 1/accuracy). */
+  def q52Sketches(s: SparkSession, dir: String): DataFrame =
+    q52Plan(s, dir, exactTwin =
+      MiningOps.nEvents(s, dir) <= MiningOps.BottomkExactMaxRows)
+
+  private[graft] def q52Plan(s: SparkSession, dir: String,
+      exactTwin: Boolean): DataFrame = {
     val ev = events(s, dir)
+    if (!exactTwin) return q52SketchOnly(s, ev)
     // The distinct counts and the percentile family aggregate
     // SEPARATELY, then join on the 5-row group key: one Aggregate
     // mixing countDistinct with value-buffer aggregates goes through
@@ -1046,6 +1066,43 @@ object Queries {
           greatest(lit(1.0), abs(col("exact_p50")) * 0.05)).as("p50_within_bounds"),
         (abs(col("approx_p").getItem(1) - col("exact_p90")) <=
           greatest(lit(1.0), abs(col("exact_p90")) * 0.05)).as("p90_within_bounds"))
+      .orderBy("event_type")
+  }
+
+  /** Rank-error slack for the above-gate percentile certification:
+    * GK guarantee at accuracy 10 000 (1e-4) plus the q223 small-n
+    * granularity slack. */
+  final val SketchRankSlack = 0.02
+
+  /** q52's above-gate branch: sketches only — no per-distinct-value
+    * shuffle, no full-group value buffer anywhere in the plan
+    * (spec-pinned). Same schema; `exact_*` are NULL. */
+  private def q52SketchOnly(s: SparkSession, ev: DataFrame): DataFrame = {
+    val est = ev.groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("au"),
+        count(lit(1)).as("n"),
+        expr("approx_percentile(value, array(0.5, 0.9), 10000)").as("approx_p"))
+    def fb(item: Int) = sum(when(col("value") <
+      col("approx_p").getItem(item), 1L).otherwise(0L)).cast("double") / count(lit(1))
+    def fa(item: Int) = sum(when(col("value") ===
+      col("approx_p").getItem(item), 1L).otherwise(0L)).cast("double") / count(lit(1))
+    def rankOk(q: Double, fbC: Column, faC: Column): Column =
+      (fbC <= q + SketchRankSlack) && (fbC + faC >= q - SketchRankSlack)
+    ev.join(broadcast(est), "event_type")
+      .groupBy("event_type")
+      .agg(max(col("au")).as("au"), max(col("n")).as("n"),
+        fb(0).as("fb50"), fa(0).as("fa50"),
+        fb(1).as("fb90"), fa(1).as("fa90"))
+      .select(col("event_type"),
+        lit(null).cast("long").as("exact_users"),
+        lit(null).cast("double").as("exact_p50"),
+        lit(null).cast("double").as("exact_p90"),
+        // HLL free invariants (the q135 above-gate form): ≥1 when any
+        // row exists, ≤ (1 + 5·rsd)·n
+        ((col("au") >= when(col("n") > 0, 1L).otherwise(0L)) &&
+          (col("au") <= lit(1.05) * col("n"))).as("users_within_bounds"),
+        rankOk(0.5, col("fb50"), col("fa50")).as("p50_within_bounds"),
+        rankOk(0.9, col("fb90"), col("fa90")).as("p90_within_bounds"))
       .orderBy("event_type")
   }
 

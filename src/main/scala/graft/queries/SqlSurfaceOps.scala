@@ -449,7 +449,85 @@ object SqlSurfaceOps {
 
   // ------------------------------------------------ registry
 
+  // ------------------------------------------------ q222 SQL UDFs
+
+  /** The shared body: the UDF call sites (Spark) or their expanded
+    * bodies (twin/oracle) slot into the same aggregate. */
+  private def q222Body(rev: String, taxed: String): String =
+    s"""SELECT l_returnflag, count(*) AS n,
+       |  CAST(sum($rev) AS DOUBLE) AS revenue,
+       |  CAST(sum($taxed) AS DOUBLE) AS revenue_taxed
+       |FROM lineitem
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** The q222 function bodies as SQL text — used verbatim in the
+    * CREATE FUNCTION statements and (parameter-substituted) in the
+    * inline twin, so the two cannot drift.
+    *
+    * Numeric discipline, the hard-won form: the FIRST stage casts the
+    * raw double product to DECIMAL(18,4) (ties are measure-zero on a
+    * raw double product — the module's q10/q11 precedent); the SECOND
+    * stage stays ENTIRELY in decimal (DECIMAL(18,4) × DECIMAL(8,4) →
+    * DECIMAL(27,8), exact, no rounding anywhere). Two shapes that DO
+    * diverge cross-engine, found the hard way: a 3-factor double
+    * chain (Catalyst flattens to a commutative multi-multiply that
+    * reassociates — the last ulp moves and a later cast flips), and a
+    * double re-cast of a 4-decimal × 2-decimal product (the true
+    * value has ≤6 decimal digits, so .xxxx5 TIES are structural and
+    * Spark HALF_UP vs DuckDB HALF_EVEN split them). */
+  private def revBody(p: String, d: String): String =
+    s"CAST($p * (1 - $d) AS DECIMAL(18,4))"
+  private def taxedBody(rev: String, t: String): String =
+    s"($rev * CAST(1 + $t AS DECIMAL(8,4)))"
+
+  /** q222: SQL-DEFINED FUNCTIONS — Spark 4's `CREATE FUNCTION …
+    * RETURN <expr>` (SQL UDFs) as a first-class surface: a scalar
+    * function and a second function COMPOSING the first, used inside
+    * an aggregate over lineitem. The analyzer INLINES the SQL body
+    * into the calling plan, so a SQL UDF costs exactly its
+    * expression — no serialization wall, no codegen break, unlike a
+    * Scala/Python UDF. That zero-cost claim is the scale story and is
+    * spec-pinned: the optimized aggregate carries the arithmetic
+    * itself (no UDF node anywhere), and the exchange inventory equals
+    * the inline twin's (which is also the DuckDB oracle text — double
+    * arithmetic in the function bodies, the module's DECIMAL cast at
+    * the aggregation site, so the two engines sum exactly; strict
+    * plan equality would be brittle — the analyzer leaves a zero-cost
+    * parameter-binding Project and commutes the IEEE-commutative
+    * multiply).
+    *
+    * `CREATE OR REPLACE TEMPORARY FUNCTION` is idempotent per
+    * session; the definitions are session-scoped catalog entries, not
+    * per-dir state (they reference only their parameters). */
+  def q222SqlUdf(s: SparkSession, dir: String): DataFrame = {
+    s.sql(
+      s"""CREATE OR REPLACE TEMPORARY FUNCTION graft_rev(price DOUBLE, disc DOUBLE)
+         |RETURNS DECIMAL(18,4) RETURN ${revBody("price", "disc")}""".stripMargin)
+    s.sql(
+      s"""CREATE OR REPLACE TEMPORARY FUNCTION graft_rev_taxed(
+         |  price DOUBLE, disc DOUBLE, tax DOUBLE)
+         |RETURNS DECIMAL(27,8)
+         |RETURN ${taxedBody("graft_rev(price, disc)", "tax")}""".stripMargin)
+    ScopedSql.run(s, dir,
+      q222Body("graft_rev(l_extendedprice, l_discount)",
+        "graft_rev_taxed(l_extendedprice, l_discount, l_tax)"),
+      "lineitem" -> t(s, dir, "lineitem"))
+  }
+
+  /** The inline twin — the oracle text AND the baseline the
+    * inlining spec compares against (same bodies, parameters
+    * substituted). */
+  val q222Sql: String =
+    q222Body(revBody("l_extendedprice", "l_discount"),
+      taxedBody(revBody("l_extendedprice", "l_discount"), "l_tax"))
+
+  /** The inline twin executed Spark-side (for the plan-identity
+    * spec). */
+  private[graft] def q222InlineTwin(s: SparkSession, dir: String): DataFrame =
+    ScopedSql.run(s, dir, q222Sql, "lineitem" -> t(s, dir, "lineitem"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q222_sql_udf" -> (q222SqlUdf _),
     "q159_pipe_syntax" -> (q159PipeSyntax _),
     "q160_variant_shred" -> (q160VariantShred _),
     "q161_collation" -> (q161Collation _),
@@ -463,6 +541,7 @@ object SqlSurfaceOps {
     "q172_calendar_zoo" -> (q172CalendarZoo _))
 
   val oracle: Map[String, String] = Map(
+    "q222_sql_udf" -> q222Sql,
     "q159_pipe_syntax" -> q159Sql,
     "q160_variant_shred" -> q160Sql,
     "q161_collation" -> q161Sql,

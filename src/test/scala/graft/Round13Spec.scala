@@ -224,6 +224,132 @@ class Round13Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.streaming.StreamOps.lastStatePeak("sq23_stream_anomaly").isDefined)
   }
 
+  // ------------------------------------------------------------- q221
+
+  test("q221: the semantic sweep is monotone and its floor row is exactly " +
+    "the q43 pair set") {
+    val rows = graft.llmops.VectorOps.q221SemdedupSweep(spark, dir).collect()
+      .sortBy(_.getAs[Double]("threshold"))
+    assert(rows.map(_.getAs[Double]("threshold")).toSeq ==
+      Seq(0.5, 0.6, 0.7, 0.8, 0.9))
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo.getAs[Long]("n_pairs") >= hi.getAs[Long]("n_pairs"))
+      assert(lo.getAs[Long]("n_removed") >= hi.getAs[Long]("n_removed"))
+    }
+    val q43n = graft.llmops.VectorOps.q43CosNeardup(spark, dir).count()
+    assert(rows.head.getAs[Long]("n_pairs") == q43n,
+      "the minimum-threshold row must count the full q43 pair set")
+    val nVecs = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    rows.foreach { r =>
+      val ret = r.getAs[Double]("retention")
+      assert(ret >= 0.0 && ret <= 1.0)
+      assert(r.getAs[Long]("n_removed") <= nVecs)
+    }
+  }
+
+  // ------------------------------------------------------------- q222
+
+  test("q222: SQL UDFs inline to plain expressions — no opaque UDF node, " +
+    "same exchange inventory as the inline twin, equal answers") {
+    val udf = graft.queries.SqlSurfaceOps.q222SqlUdf(spark, dir)
+    val twin = graft.queries.SqlSurfaceOps.q222InlineTwin(spark, dir)
+    // inlining proof: the optimized aggregate carries the arithmetic
+    // ITSELF (sum over a multiply), and no UDF/lateral/subquery node
+    // survives. (Strict plan equality is too brittle: the analyzer
+    // leaves a zero-cost parameter-binding Project and commutes the
+    // multiply — IEEE-commutative, value-identical.)
+    val opt = udf.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("ScalaUDF") && !opt.toLowerCase.contains("lateral"),
+      s"the SQL UDF body must inline into the aggregate:\n$opt")
+    val phys = udf.queryExecution.executedPlan.toString
+    assert(!phys.contains("ScalaUDF") && !phys.contains("BatchEvalPython"),
+      "no opaque UDF node may survive inlining")
+    // identical distributed shape: same exchange inventory
+    assert(ScaleSweep.exchangeCounts(udf) == ScaleSweep.exchangeCounts(twin),
+      "a SQL UDF must not add an exchange over the inline twin")
+    assert(udf.collect().toSeq == twin.collect().toSeq)
+  }
+
+  // ------------------------------------------------------------- q223
+
+  test("q223: the GK certification gates like q155 — branch agreement, " +
+    "twin null above the gate, certified at the bench SF") {
+    def byType(exactTwin: Boolean) =
+      graft.queries.MiningOps.q223Plan(spark, dir, exactTwin).collect()
+        .map(r => r.getAs[String]("event_type") -> r).toMap
+    val withTwin = byType(true)
+    val samplerOnly = byType(false)
+    assert(withTwin.keySet == samplerOnly.keySet && withTwin.nonEmpty)
+    withTwin.foreach { case (k, a) =>
+      val b = samplerOnly(k)
+      assert(a.getAs[Long]("n") == b.getAs[Long]("n"))
+      assert(a.getAs[Boolean]("within_bounds") && b.getAs[Boolean]("within_bounds"))
+      assert(!a.isNullAt(a.fieldIndex("exact_median")))
+      assert(b.isNullAt(b.fieldIndex("exact_median")))
+    }
+    // the certification holds above the gate too (sf0.1, sampler-only)
+    val big = graft.queries.MiningOps
+      .q223ApproxQuantileCert(spark, "/root/testdata/sf0.1").collect()
+    assert(big.nonEmpty)
+    big.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("exact_median")))
+      assert(r.getAs[Boolean]("within_bounds"), s"GK rank bound violated: $r")
+    }
+  }
+
+  test("q223: the tie-aware rank condition certifies a constant-valued type " +
+    "(every value equals the estimate)") {
+    val tmp = java.nio.file.Files.createTempDirectory("q223ties").toString
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = (0 until 400).map { i =>
+      (i.toLong, new java.sql.Timestamp(base.getTime + i * 1000L),
+        (i % 7).toLong, "flat", 42.0, "{}")
+    }
+    spark.createDataFrame(rows)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val r = graft.queries.MiningOps.q223ApproxQuantileCert(spark, tmp).collect()
+    assert(r.length == 1 && r.head.getAs[Boolean]("within_bounds"),
+      s"a constant distribution must certify (frac_below=0, frac_at=1): ${r.toSeq}")
+  }
+
+  // -------------------------------------------------------------- q52
+
+  test("q52: the exact twins gate on row count — sketch-only above, with " +
+    "rank/invariant certification; exact shapes gone from the plan") {
+    // above-gate branch forced on the gate fixture: booleans certify
+    // without the exact twins, exacts ship NULL
+    val only = graft.queries.Queries.q52Plan(spark, dir, exactTwin = false)
+    val rows = only.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("exact_users")))
+      assert(r.isNullAt(r.fieldIndex("exact_p50")))
+      assert(r.isNullAt(r.fieldIndex("exact_p90")))
+      assert(r.getAs[Boolean]("users_within_bounds"), s"HLL invariant: $r")
+      assert(r.getAs[Boolean]("p50_within_bounds") &&
+        r.getAs[Boolean]("p90_within_bounds"), s"GK rank bound: $r")
+    }
+    val plan = only.queryExecution.optimizedPlan.toString.toLowerCase
+    assert(!plan.contains("count(distinct") && !plan.contains("countdistinct"),
+      "above the gate no exact distinct may remain")
+    assert(!"(?<!approx_)percentile\\(".r.findFirstIn(plan).isDefined,
+      "above the gate no exact percentile buffer may remain")
+    // the public entry routes sf0.1 (100k events) to the sketch-only
+    // branch and the certification holds there
+    val big = graft.queries.Queries
+      .q52Sketches(spark, "/root/testdata/sf0.1").collect()
+    assert(big.nonEmpty && big.forall(r =>
+      r.isNullAt(r.fieldIndex("exact_p50")) &&
+        r.getAs[Boolean]("users_within_bounds") &&
+        r.getAs[Boolean]("p50_within_bounds") &&
+        r.getAs[Boolean]("p90_within_bounds")))
+    // the gate branch (what the sf0.01 oracle sees) is unchanged
+    val gated = graft.queries.Queries.q52Plan(spark, dir, exactTwin = true).collect()
+    assert(gated.forall(r => !r.isNullAt(r.fieldIndex("exact_p50")) &&
+      r.getAs[Boolean]("p50_within_bounds")))
+  }
+
   // -------------------------------------------------- sweep skip rows
 
   test("sweep declared skips: sq18@1000x emits an explicit artifact row; " +
