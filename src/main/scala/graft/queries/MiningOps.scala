@@ -939,6 +939,155 @@ object MiningOps {
       |    AS DOUBLE) AS credit
       |FROM touches GROUP BY 1, 2 ORDER BY click_id""".stripMargin
 
+  // ------------------------------------------- q224 join-cardinality profile
+
+  /** q224: JOIN CARDINALITY PROFILE — the exact size and skew of
+    * lineitem ⋈ orders on the order key, computed WITHOUT running the
+    * join: |A ⋈ B| = Σ_k ca(k)·cb(k) over the per-key COUNT TABLES,
+    * plus the key-overlap census (left-only/right-only/common keys),
+    * the heaviest key's contribution, and the mean fanout. This is
+    * the pre-flight every expensive join deserves at 100 TB — the
+    * count tables cost two partial-agg groupBys (|keys| rows, not
+    * |rows|), so the profile prices a join at ~1/fanout of running
+    * it, and a hot key surfaces BEFORE it melts a reducer (q149
+    * profiles one table's keys; this profiles the join product).
+    *
+    * The profile's central claim — join_rows equals the true join
+    * count — is spec-pinned against the materialized join at the
+    * fixture; the identity Σ ca·cb is exact at any scale.
+    *
+    * Scale shape: two map-side-combining groupBys, one full-outer
+    * equi-join of count tables, one global aggregate. Nothing here
+    * moves a fact row past its first partial aggregation. */
+  def q224JoinCardinality(s: SparkSession, dir: String): DataFrame = {
+    val a = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("ca"))
+    val b = t(s, dir, "orders")
+      .groupBy(col("o_orderkey").as("k")).agg(count(lit(1)).as("cb"))
+    val both = col("ca").isNotNull && col("cb").isNotNull
+    a.join(b, Seq("k"), "full_outer")
+      .agg(
+        sum(when(col("ca").isNotNull, 1L).otherwise(0L)).as("n_keys_left"),
+        sum(when(col("cb").isNotNull, 1L).otherwise(0L)).as("n_keys_right"),
+        sum(when(both, 1L).otherwise(0L)).as("n_keys_common"),
+        sum(when(both, col("ca") * col("cb")).otherwise(0L)).as("join_rows"),
+        max(when(both, col("ca") * col("cb")).otherwise(0L)).as("max_key_rows"))
+      .select(col("n_keys_left"), col("n_keys_right"), col("n_keys_common"),
+        col("join_rows"), col("max_key_rows"),
+        when(col("join_rows") > 0,
+          round(col("max_key_rows").cast("double") / col("join_rows"), 6))
+          .as("top_key_share"),
+        when(col("n_keys_common") > 0,
+          round(col("join_rows").cast("double") / col("n_keys_common"), 6))
+          .as("mean_fanout"))
+  }
+
+  val q224Sql: String =
+    """WITH a AS (SELECT l_orderkey AS k, count(*) AS ca FROM lineitem GROUP BY 1),
+      |b AS (SELECT o_orderkey AS k, count(*) AS cb FROM orders GROUP BY 1),
+      |j AS (
+      |  SELECT a.ca, b.cb FROM a FULL OUTER JOIN b ON a.k = b.k
+      |), agg AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN ca IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_keys_left,
+      |    CAST(sum(CASE WHEN cb IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_keys_right,
+      |    CAST(sum(CASE WHEN ca IS NOT NULL AND cb IS NOT NULL
+      |             THEN 1 ELSE 0 END) AS BIGINT) AS n_keys_common,
+      |    CAST(sum(CASE WHEN ca IS NOT NULL AND cb IS NOT NULL
+      |             THEN ca * cb ELSE 0 END) AS BIGINT) AS join_rows,
+      |    CAST(max(CASE WHEN ca IS NOT NULL AND cb IS NOT NULL
+      |             THEN ca * cb ELSE 0 END) AS BIGINT) AS max_key_rows
+      |  FROM j
+      |)
+      |SELECT n_keys_left, n_keys_right, n_keys_common, join_rows, max_key_rows,
+      |  CASE WHEN join_rows > 0
+      |    THEN round(CAST(max_key_rows AS DOUBLE) / join_rows, 6) END
+      |    AS top_key_share,
+      |  CASE WHEN n_keys_common > 0
+      |    THEN round(CAST(join_rows AS DOUBLE) / n_keys_common, 6) END
+      |    AS mean_fanout
+      |FROM agg""".stripMargin
+
+  // ------------------------------------------- q225 attribution-window sweep
+
+  /** q225: ATTRIBUTION WINDOW SWEEP — per lookback window W ∈
+    * {[[TouchWindowUs]]/8, /4, /2, /1}: click→purchase touch-pair
+    * count, purchases attributed (≥1 click within W), and the attach
+    * rate — the tuning table behind q154's multi-touch attribution
+    * (how long a lookback is worth paying for), completing the sweep
+    * family on the events axis.
+    *
+    * Scale shape: ONE interval join at the MAXIMUM window (exactly
+    * q154's join geometry) with each pair carrying its click→purchase
+    * delta; per-purchase MIN-delta collapses the pair set to one row
+    * per purchase (partial-agg min); the 4-row window grid then
+    * ≥-joins the two bounded frames (pairs for touch counts,
+    * min-deltas for attribution — the q216/q221 pattern). No
+    * per-window re-join, no second corpus scan. */
+  def q225AttributionSweep(s: SparkSession, dir: String): DataFrame = {
+    val grid = Seq(TouchWindowUs / 8, TouchWindowUs / 4,
+      TouchWindowUs / 2, TouchWindowUs)
+    val e = events(s, dir)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        unix_micros(col("ts")).as("pus"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), unix_micros(col("ts")).as("cus"))
+    val pairs = p.join(c, col("user_id") === col("cu") &&
+        col("cus") <= col("pus") && col("cus") >= col("pus") - TouchWindowUs)
+      .select(col("purchase_id"), (col("pus") - col("cus")).as("delta"))
+    val minDelta = pairs.groupBy("purchase_id").agg(min("delta").as("md"))
+    val nPurch = p.agg(count(lit(1)).as("n_purchases"))
+    val g = s.range(1).select(explode(array(grid.map(lit(_)): _*)).as("window_us"))
+    val touch = g.join(pairs, col("delta") <= col("window_us"), "left")
+      .groupBy("window_us")
+      .agg(sum(when(col("delta").isNotNull, 1L).otherwise(0L)).as("n_touch_pairs"))
+    val attr = g.join(minDelta, col("md") <= col("window_us"), "left")
+      .groupBy("window_us")
+      .agg(sum(when(col("md").isNotNull, 1L).otherwise(0L)).as("n_attributed"))
+    touch.join(attr, Seq("window_us")).crossJoin(broadcast(nPurch))
+      .select(col("window_us"), col("n_touch_pairs"), col("n_attributed"),
+        when(col("n_purchases") > 0,
+          round(col("n_attributed").cast("double") / col("n_purchases"), 6))
+          .as("attach_rate"))
+      .orderBy("window_us")
+  }
+
+  val q225Sql: String = {
+    val grid = Seq(TouchWindowUs / 8, TouchWindowUs / 4,
+      TouchWindowUs / 2, TouchWindowUs)
+    s"""WITH p AS (
+      |  SELECT user_id, event_id AS purchase_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS pus
+      |  FROM events WHERE event_type = 'purchase'
+      |), c AS (
+      |  SELECT user_id AS cu, epoch_us(CAST(ts AS TIMESTAMP)) AS cus
+      |  FROM events WHERE event_type = 'click'
+      |), pairs AS (
+      |  SELECT purchase_id, pus - cus AS delta
+      |  FROM p JOIN c ON user_id = cu
+      |    AND cus <= pus AND cus >= pus - $TouchWindowUs
+      |), md AS (SELECT purchase_id, min(delta) AS md FROM pairs GROUP BY 1
+      |), grid AS (
+      |  SELECT CAST(w AS BIGINT) AS window_us
+      |  FROM (VALUES ${grid.map(w => s"($w)").mkString(", ")}) g(w)
+      |), touch AS (
+      |  SELECT g.window_us, count(p.delta) AS n_touch_pairs
+      |  FROM grid g LEFT JOIN pairs p ON p.delta <= g.window_us GROUP BY 1
+      |), attr AS (
+      |  SELECT g.window_us, count(m.md) AS n_attributed
+      |  FROM grid g LEFT JOIN md m ON m.md <= g.window_us GROUP BY 1
+      |)
+      |SELECT window_us, n_touch_pairs, n_attributed,
+      |  CASE WHEN (SELECT count(*) FROM p) > 0 THEN
+      |    round(CAST(n_attributed AS DOUBLE) / (SELECT count(*) FROM p), 6)
+      |  END AS attach_rate
+      |FROM touch JOIN attr USING (window_us)
+      |ORDER BY window_us""".stripMargin
+  }
+
   // ------------------------------------------------ q155 bottom-k quantile
 
   /** Per-group deterministic sample size. */
@@ -1330,6 +1479,8 @@ object MiningOps {
     "q154_multitouch" -> (q154Multitouch _),
     "q155_bottomk_quantile" -> (q155BottomkQuantile _),
     "q223_approx_quantile_cert" -> (q223ApproxQuantileCert _),
+    "q224_join_cardinality" -> (q224JoinCardinality _),
+    "q225_attribution_sweep" -> (q225AttributionSweep _),
     "q156_observed_metrics" -> (q156ObservedMetrics _),
     "q157_dynamic_overwrite" -> (q157DynamicOverwrite _),
     "q168_format_roundtrip" -> (q168FormatRoundtrip _),
@@ -1352,6 +1503,8 @@ object MiningOps {
     "q154_multitouch" -> q154Sql,
     "q155_bottomk_quantile" -> q155Sql,
     "q223_approx_quantile_cert" -> q223Sql,
+    "q224_join_cardinality" -> q224Sql,
+    "q225_attribution_sweep" -> q225Sql,
     "q156_observed_metrics" -> q156Sql,
     "q157_dynamic_overwrite" -> q157Sql,
     "q168_format_roundtrip" -> q168Sql,

@@ -350,6 +350,60 @@ class Round13Spec extends AnyFunSuite with BeforeAndAfterAll {
       r.getAs[Boolean]("p50_within_bounds")))
   }
 
+  // ------------------------------------------------------------- q224
+
+  test("q224: the count-table identity equals the materialized join, " +
+    "without ever running it") {
+    val r = graft.queries.MiningOps.q224JoinCardinality(spark, dir).head()
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val truth = li.join(o, col("l_orderkey") === col("o_orderkey")).count()
+    assert(r.getAs[Long]("join_rows") == truth,
+      s"sum(ca*cb) must equal the true join size $truth")
+    assert(r.getAs[Long]("n_keys_common") <=
+      math.min(r.getAs[Long]("n_keys_left"), r.getAs[Long]("n_keys_right")))
+    val share = r.getAs[Double]("top_key_share")
+    assert(share > 0.0 && share <= 1.0)
+    assert(r.getAs[Double]("mean_fanout") >= 1.0)
+    // the profile plan must not contain the fact-fact join itself:
+    // both join inputs are already-aggregated count tables
+    val plan = graft.queries.MiningOps.q224JoinCardinality(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("Aggregate"), "count tables must aggregate below the join")
+  }
+
+  // ------------------------------------------------------------- q225
+
+  test("q225: touches and attributions are monotone in the window; the " +
+    "max-window row conserves against the q154 join") {
+    val rows = graft.queries.MiningOps.q225AttributionSweep(spark, dir).collect()
+      .sortBy(_.getAs[Long]("window_us"))
+    assert(rows.length == 4)
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo.getAs[Long]("n_touch_pairs") <= hi.getAs[Long]("n_touch_pairs"),
+        "a longer lookback cannot lose touch pairs")
+      assert(lo.getAs[Long]("n_attributed") <= hi.getAs[Long]("n_attributed"))
+    }
+    // conservation at the maximum window: exactly q154's join geometry
+    val e = spark.read.parquet(s"$dir/events.parquet")
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"),
+        unix_micros(col("ts").cast("timestamp")).as("pus"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), unix_micros(col("ts").cast("timestamp")).as("cus"))
+    val touches = p.join(c, col("user_id") === col("cu") &&
+      col("cus") <= col("pus") &&
+      col("cus") >= col("pus") - graft.queries.MiningOps.TouchWindowUs)
+    val full = rows.last
+    assert(full.getAs[Long]("n_touch_pairs") == touches.count())
+    assert(full.getAs[Long]("n_attributed") ==
+      touches.select("pid").distinct().count())
+    rows.foreach { r =>
+      val ar = r.getAs[Double]("attach_rate")
+      assert(ar >= 0.0 && ar <= 1.0)
+    }
+  }
+
   // -------------------------------------------------- sweep skip rows
 
   test("sweep declared skips: sq18@1000x emits an explicit artifact row; " +
