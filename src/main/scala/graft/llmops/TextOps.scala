@@ -2455,6 +2455,69 @@ object TextOps {
        |  count(*) OVER (PARTITION BY cluster_root) AS cluster_size
        |FROM roots ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------- q226 cluster quality audit
+
+  /** q226: NEAR-DUP CLUSTER QUALITY AUDIT — per q67 cluster: size,
+    * verified edge count, edge DENSITY (2·edges / size·(size−1)), and
+    * the Hamming spread (max, mean) of its edges. This is the read
+    * BEFORE mass-dropping clusters: a dense, low-Hamming cluster is a
+    * true duplicate family (keep the q79 survivor with confidence),
+    * while a sparse chain at the Hamming limit is transitive-closure
+    * BRIDGING — A~B~C with A and C unrelated — the known failure mode
+    * of connected-component dedup that density exposes (q104 reports
+    * the funnel totals; q147 consumes the labels; this audits each
+    * cluster's internal evidence).
+    *
+    * Scale shape: two published artifacts (the q67 label table and
+    * the q53 pair graph) joined on doc_id, one groupBy(cluster_root)
+    * whose cardinality is the cluster count; every statistic is an
+    * integer sum/max (Hamming distances are ints — order-independent
+    * by construction, no decimal discipline needed). The oracle
+    * recomputes the same CC chain and edge set in SQL (the shared
+    * ccChainSql fragment, so audit and clustering cannot drift). */
+  def q226ClusterQuality(s: SparkSession, dir: String): DataFrame = {
+    val labels = labelCache.get(s, dir,
+        graft.sources.FsSig.of(s"$dir/documents.parquet")) {
+        q67DedupClusters(s, dir)
+      }.select(col("doc_id"), col("cluster_root"), col("cluster_size"))
+    val edges = simhashPairs(s, dir)
+    // every edge's endpoints share a root by CC construction, so the
+    // doc_a-side label carries the pair's cluster (spec-asserted)
+    edges.join(labels.select(col("doc_id").as("doc_a"),
+        col("cluster_root"), col("cluster_size")), Seq("doc_a"))
+      .groupBy("cluster_root", "cluster_size")
+      .agg(count(lit(1)).as("n_edges"),
+        max("hamming").cast("int").as("max_hamming"),
+        sum(col("hamming").cast("long")).as("sumh"))
+      .select(col("cluster_root"), col("cluster_size"), col("n_edges"),
+        round(lit(2.0) * col("n_edges") /
+          (col("cluster_size") * (col("cluster_size") - 1)), 6).as("density"),
+        col("max_hamming"),
+        round(col("sumh").cast("double") / col("n_edges"), 6).as("mean_hamming"))
+      .orderBy("cluster_root")
+  }
+
+  lazy val q226Sql: String =
+    s"""$ccChainSql, sz AS (
+       |  SELECT cluster_root, count(*) AS cluster_size FROM roots GROUP BY 1
+       |), pe AS (
+       |  SELECT r.cluster_root,
+       |    CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hd
+       |  FROM pairs p
+       |  JOIN roots r ON r.doc_id = p.doc_a
+       |  JOIN sh sa ON sa.doc_id = p.doc_a
+       |  JOIN sh sb ON sb.doc_id = p.doc_b
+       |)
+       |SELECT z.cluster_root, CAST(z.cluster_size AS BIGINT) AS cluster_size,
+       |  count(*) AS n_edges,
+       |  round(2.0 * count(*) / (z.cluster_size * (z.cluster_size - 1)), 6)
+       |    AS density,
+       |  CAST(max(hd) AS INT) AS max_hamming,
+       |  round(CAST(sum(hd) AS DOUBLE) / count(*), 6) AS mean_hamming
+       |FROM pe JOIN sz z ON pe.cluster_root = z.cluster_root
+       |GROUP BY z.cluster_root, z.cluster_size
+       |ORDER BY z.cluster_root""".stripMargin
+
   // -------------------------------------- q79 dedup survivor choice
 
   /** q79: CANONICAL-SURVIVOR selection — the step that turns q67's
@@ -4418,7 +4481,8 @@ object TextOps {
     "q216_dedup_sweep" -> (q216DedupSweep _),
     "q217_pack_sweep" -> (q217PackSweep _),
     "q219_source_datacard" -> (q219SourceDatacard _),
-    "q220_lsh_geometry_sweep" -> (q220LshGeometrySweep _)
+    "q220_lsh_geometry_sweep" -> (q220LshGeometrySweep _),
+    "q226_cluster_quality" -> (q226ClusterQuality _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -4482,7 +4546,8 @@ object TextOps {
     "q216_dedup_sweep" -> q216Sql,
     "q217_pack_sweep" -> q217Sql,
     "q219_source_datacard" -> q219Sql,
-    "q220_lsh_geometry_sweep" -> q220Sql
+    "q220_lsh_geometry_sweep" -> q220Sql,
+    "q226_cluster_quality" -> q226Sql
   )
 
   // ------------------------------------------ q213 LSH geometry calibration

@@ -404,6 +404,28 @@ class Round13Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // ------------------------------------------------------------- q226
+
+  test("q226: every edge lands in exactly one cluster; density/spread " +
+    "bounds hold; edge totals conserve against q53") {
+    val rows = graft.llmops.TextOps.q226ClusterQuality(spark, dir).collect()
+    assert(rows.nonEmpty, "the fixture embeds near-dup families")
+    val totalEdges = graft.llmops.TextOps.q53SimhashNeardup(spark, dir).count()
+    assert(rows.map(_.getAs[Long]("n_edges")).sum == totalEdges,
+      "every q53 edge must be audited in exactly one cluster")
+    rows.foreach { r =>
+      val size = r.getAs[Long]("cluster_size")
+      val edges = r.getAs[Long]("n_edges")
+      assert(size >= 2, "clusters are >=2 by construction")
+      assert(edges >= size - 1, "a connected component has >= size-1 edges")
+      assert(edges <= size * (size - 1) / 2)
+      val d = r.getAs[Double]("density")
+      assert(d > 0.0 && d <= 1.0)
+      assert(r.getAs[Double]("mean_hamming") <= r.getAs[Int]("max_hamming"))
+      assert(r.getAs[Int]("max_hamming") <= graft.llmops.TextOps.HammingMax)
+    }
+  }
+
   // -------------------------------------------------- sweep skip rows
 
   test("sweep declared skips: sq18@1000x emits an explicit artifact row; " +
