@@ -1962,9 +1962,13 @@ object StreamOps {
       val q = eventsStream(fs, dir)
         .withWatermark("ts", "2 hours")
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        // DECIMAL(38,6), not (28,6): the adversarial events fixture
+        // carries ±1e15 values whose squares (1e30) overflow 28-digit
+        // precision under ANSI; 38,6 holds |v| ≤ 1e16 per row and
+        // ~1e32 totals, and the width is free (same 16-byte repr)
         .agg(count(lit(1)).as("n"),
-          sum(round(col("value"), 6).cast(DecimalType(28, 6))).as("sv"),
-          sum(round(col("value") * col("value"), 6).cast(DecimalType(28, 6)))
+          sum(round(col("value"), 6).cast(DecimalType(38, 6))).as("sv"),
+          sum(round(col("value") * col("value"), 6).cast(DecimalType(38, 6)))
             .as("s2"))
         .select(unix_millis(col("w.start")).as("janela_ms"), col("event_type"),
           col("n"), col("sv"), col("s2"))
@@ -2002,8 +2006,8 @@ object StreamOps {
       |  FROM events
       |), agg AS (
       |  SELECT event_type, epoch_ms(h) AS janela_ms, count(*) AS n,
-      |    sum(CAST(round(value, 6) AS DECIMAL(28,6))) AS sv,
-      |    sum(CAST(round(value * value, 6) AS DECIMAL(28,6))) AS s2
+      |    sum(CAST(round(value, 6) AS DECIMAL(38,6))) AS sv,
+      |    sum(CAST(round(value * value, 6) AS DECIMAL(38,6))) AS s2
       |  FROM e CROSS JOIN wm
       |  WHERE h + INTERVAL 1 HOUR <= wm.w
       |  GROUP BY 1, 2

@@ -297,6 +297,24 @@ class Round13Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("sq23: ±1e15 values survive the DECIMAL sum terms (the adversarial " +
+    "events fixture squared them past 28-digit precision)") {
+    val tmp = java.nio.file.Files.createTempDirectory("sq23huge").toString
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = (0 until 300).map { i =>
+      val v = if (i % 2 == 0) 1e15 else -1e15
+      (i.toLong, new java.sql.Timestamp(base.getTime + i * 60000L),
+        (i % 5).toLong, "huge", v, "{}")
+    }
+    spark.createDataFrame(rows)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    // v² = 1e30 per row — must aggregate without ANSI decimal overflow
+    val out = graft.streaming.StreamOps.sq23StreamAnomaly(spark, tmp).collect()
+    assert(out.nonEmpty, "closed hourly windows must emit")
+    out.foreach(r => assert(r.getAs[Long]("n") >= 1))
+  }
+
   test("q223: the tie-aware rank condition certifies a constant-valued type " +
     "(every value equals the estimate)") {
     val tmp = java.nio.file.Files.createTempDirectory("q223ties").toString
