@@ -59,10 +59,15 @@ object ScaleSweep {
         "stays watermark-horizon-bounded per the sq3/sq11 measured " +
         "algebra at the same rung (PERF.md section 7 batch 6/6e)"))
 
-  /** The declared-skip reason for an (op, rung dir), if any. */
+  /** The declared-skip reason for an (op, rung dir), if any. The rung
+    * is matched on the directory BASENAME exactly (round-13 ADVICE: a
+    * substring match on "graft_sf10" would silently also skip a
+    * future /tmp/graft_sf100 rung — the skip must stay pinned to the
+    * one measured rung). */
   def skipReason(op: String, dir: String): Option[String] =
     DeclaredSkips.collectFirst {
-      case ((o, dsub), reason) if o == op && dir.contains(dsub) => reason
+      case ((o, dbase), reason)
+        if o == op && dir.stripSuffix("/").split('/').last == dbase => reason
     }
 
   private def time(f: => Unit): Double = {

@@ -1047,7 +1047,7 @@ object Queries {
         // that fails sporadically at other scales (observed at sf0.1);
         // at 1% rsd the 5% boolean is ~5σ — a real regression detector,
         // and the sketch stays a few KB of register state
-        approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+        approx_count_distinct(col("user_id"), HllRsd).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"))
     val pcts = ev.groupBy("event_type")
       .agg(
@@ -1074,12 +1074,26 @@ object Queries {
     * granularity slack. */
   final val SketchRankSlack = 0.02
 
+  /** HLL relative standard deviation used by BOTH q52 branches — the
+    * one place the 0.01 literal lives (round-13 ADVICE). */
+  final val HllRsd = 0.01
+
+  /** Above-gate HLL upper-bound slack multiplier k in
+    * `au <= n·(1 + k·rsd)`: approx_count_distinct carries NO hard
+    * error bound (rsd is a standard deviation), so the free invariant
+    * is certified at k = 20 (~20σ) — wide enough that an in-spec HLL
+    * overestimate can never flip `users_within_bounds` spuriously,
+    * tight enough to catch a broken sketch (au ≈ n² class bugs). The
+    * r13 literal 1.05 was k = 5, a ~5σ claim the advisor flagged as
+    * one unlucky dataset away from a false failure. */
+  final val HllUpperK = 20.0
+
   /** q52's above-gate branch: sketches only — no per-distinct-value
     * shuffle, no full-group value buffer anywhere in the plan
     * (spec-pinned). Same schema; `exact_*` are NULL. */
   private def q52SketchOnly(s: SparkSession, ev: DataFrame): DataFrame = {
     val est = ev.groupBy("event_type")
-      .agg(approx_count_distinct(col("user_id"), 0.01).as("au"),
+      .agg(approx_count_distinct(col("user_id"), HllRsd).as("au"),
         count(lit(1)).as("n"),
         expr("approx_percentile(value, array(0.5, 0.9), 10000)").as("approx_p"))
     def fb(item: Int) = sum(when(col("value") <
@@ -1098,9 +1112,10 @@ object Queries {
         lit(null).cast("double").as("exact_p50"),
         lit(null).cast("double").as("exact_p90"),
         // HLL free invariants (the q135 above-gate form): ≥1 when any
-        // row exists, ≤ (1 + 5·rsd)·n
+        // row exists, ≤ (1 + k·rsd)·n with k/rsd held in one place
         ((col("au") >= when(col("n") > 0, 1L).otherwise(0L)) &&
-          (col("au") <= lit(1.05) * col("n"))).as("users_within_bounds"),
+          (col("au") <= lit(1.0 + HllUpperK * HllRsd) * col("n")))
+          .as("users_within_bounds"),
         rankOk(0.5, col("fb50"), col("fa50")).as("p50_within_bounds"),
         rankOk(0.9, col("fb90"), col("fa90")).as("p90_within_bounds"))
       .orderBy("event_type")

@@ -1955,7 +1955,20 @@ object StreamOps {
     * ordering), every derived double (mean, var, z) is computed from
     * those exactly-equal inputs by the same expression shape, z
     * rounds to 6; z is NULL (and anomalous false) for a type's first
-    * closed window or a zero prior variance. */
+    * closed window or a zero prior variance.
+    *
+    * Declared overflow envelope (round-13 ADVICE — the budget named
+    * where the code lives, and spec-pinned at the boundary in
+    * Round14Spec): DECIMAL(38,6) holds |Σ| < 10^32, and each s2 term
+    * is round(v², 6), so a (window, type) cell overflows under ANSI
+    * when Σv² reaches 10^32 — at the adversarial fixture's |v| = 1e15
+    * extreme that is exactly 100 rows/cell (99 pass, 100 throw,
+    * measured); at the testdata's |v| ≲ 1e4 scale the same budget is
+    * ~10^24 rows/cell — unreachable. ANSI makes the failure LOUD (the
+    * query errors rather than emitting a silently-wrapped sum); a
+    * deployment expecting |v| > 1e15 inputs should clamp upstream, as
+    * pre-scaling inside the sum would break the exact cross-engine
+    * term discipline for every normal-scale value. */
   def sq23StreamAnomaly(s: SparkSession, dir: String): DataFrame = {
     val name = s"sq23_${System.nanoTime()}"
     withStreamShuffle(s) { fs =>

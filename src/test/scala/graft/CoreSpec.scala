@@ -176,13 +176,18 @@ class CoreSpec extends AnyFunSuite {
     assert(line.endsWith("}") && line.contains(""""n":301"""))
     assert(line.contains(""""queries":{"""))
     assert(line.contains(""""avro_e2e_msgs_per_sec":"""))
-    // the ten slowest by median, descending
+    // the ten slowest by MIN (round-13 verdict #1: the headline is
+    // the steal-robust min, not the contention-prone median), descending
     val qs = """"(q\d+_[a-z_0-9]+)":""".r.findAllMatchIn(
       line.substring(line.indexOf("\"queries\":"))).map(_.group(1)).toSeq
     assert(qs.size == 10)
     assert(qs.head == "q300_some_quite_long_operator_name_300")
-    val medians = qs.map(n => results(n).median)
-    assert(medians == medians.sorted.reverse, "top-10 must be descending")
+    val mins = qs.map(n => results(n).min)
+    assert(mins == mins.sorted.reverse, "top-10 must be descending")
+    // the summary's total is the sum of entry MINs
+    val v = """"value":([0-9.]+)""".r.findFirstMatchIn(line).get.group(1).toDouble
+    val expected = results.values.map(_.min).filter(_ >= 0).sum
+    assert(math.abs(v - expected) < 0.01, s"value must be min-based: $v vs $expected")
     // a pathological SPARK_GRAFT_BENCH_OUT path must not break the
     // 1 KB contract: the path is dropped, the line stays parseable
     val longPath = "/tmp/" + ("x" * 1500) + "/bench_out.json"

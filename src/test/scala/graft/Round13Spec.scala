@@ -461,13 +461,22 @@ class Round13Spec extends AnyFunSuite with BeforeAndAfterAll {
     // skips are rung-specific: the same op still RUNS below the envelope
     assert(ScaleSweep.skipReason("sq18_stream_join_chain", "/tmp/graft_sf1").isEmpty)
     assert(ScaleSweep.skipReason("sq3_stream_join", "/tmp/graft_sf10").isEmpty)
+    // round-13 ADVICE: the match is basename-EXACT — a hypothetical
+    // graft_sf100 rung (or any path merely containing the substring)
+    // must not inherit the graft_sf10 skip; a trailing slash is inert
+    assert(ScaleSweep.skipReason("sq18_stream_join_chain", "/tmp/graft_sf100").isEmpty)
+    assert(ScaleSweep.skipReason("sq18_stream_join_chain",
+      "/tmp/other_graft_sf10_copy").isEmpty)
+    assert(ScaleSweep.skipReason("sq18_stream_join_chain", "/tmp/graft_sf10/").isDefined)
   }
 
   // ------------------------------------------------- bench task clock
 
   test("bench task clock: executor run/CPU clocks accumulate across a job " +
     "(round-12 verdict #2 — the attribution signal a 1-thread probe lacks)") {
-    spark.sparkContext.addSparkListener(Bench.TaskClock)
+    // register() is remove-then-add: re-registering the singleton in
+    // the same JVM (this spec after a bench run) cannot double-count
+    Bench.TaskClock.register(spark.sparkContext)
     val (r0, c0) = Bench.TaskClock.snapshot()
     // enough per-task work that executorRunTime rounds above 0 ms
     spark.range(0L, 20000000L, 1L, 8)

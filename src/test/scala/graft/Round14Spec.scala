@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Engine-side invariants for the round-14 batch: the sq23 DECIMAL
+  * overflow boundary measured at the declared envelope (round-13
+  * ADVICE #4 — the tested fixture stopped at 60 rows/window while the
+  * envelope sat near 100), and the bench cause classifier (round-13
+  * verdict #1/#2 — the PERF.md §9 attribution table applied
+  * mechanically so inflated entries self-label in the artifact). */
+class Round14Spec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.builder("round14-test", cores = 4).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  // ------------------------------------------------- sq23 envelope
+
+  /** One closed hourly window holding `n` rows of value 1e15 (s2 term
+    * = 1e30 each), plus hour-4 sentinel rows that advance the
+    * watermark past the window without touching its cell. */
+  private def hugeWindowFixture(n: Int): String = {
+    val tmp = java.nio.file.Files.createTempDirectory(s"sq23edge$n").toString
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val hour0 = (0 until n).map { i =>
+      (i.toLong, new java.sql.Timestamp(base.getTime + i * 1000L),
+        (i % 5).toLong, "huge", 1e15, "{}")
+    }
+    val closers = (0 until 3).map { i =>
+      (10000L + i, new java.sql.Timestamp(base.getTime + 4L * 3600000L + i * 1000L),
+        0L, "huge", 1.0, "{}")
+    }
+    spark.createDataFrame(hour0 ++ closers)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    tmp
+  }
+
+  test("sq23: the declared DECIMAL(38,6) envelope boundary is exactly " +
+    "100 same-window rows at |v|=1e15 — 99 pass with the exact sum") {
+    val out = graft.streaming.StreamOps
+      .sq23StreamAnomaly(spark, hugeWindowFixture(99)).collect()
+    val w0 = out.filter(_.getAs[Long]("n") == 99L)
+    assert(w0.length == 1, s"the 99-row hour-0 window must close and emit: ${out.toSeq}")
+    // mean = Σv/n = 1e15 exactly (99 × 1e15 is exact in DECIMAL(38,6))
+    assert(w0.head.getAs[Double]("mean_v") == 1e15)
+  }
+
+  test("sq23: at 100 same-window rows the s2 sum reaches 1e32 and ANSI " +
+    "fails LOUDLY (no silently-wrapped sum) — the measured boundary") {
+    val e = intercept[Exception] {
+      graft.streaming.StreamOps
+        .sq23StreamAnomaly(spark, hugeWindowFixture(100)).collect()
+    }
+    // walk the cause chain: streaming wraps the executor's ANSI
+    // ArithmeticException in a StreamingQueryException
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(10).map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    val lc = msgs.toLowerCase
+    assert(Seq("overflow", "out of range", "cannot be represented",
+        "numeric_value_out_of_range").exists(lc.contains),
+      s"expected a loud ANSI decimal overflow, got: $msgs")
+  }
+
+  // -------------------------------------------- bench cause classes
+
+  private val base = Seq(1.0, 1.0, 1.0)
+
+  test("bench cause classifier: below the 1.5x-and-0.2s threshold is clean; " +
+    "no passes is none") {
+    assert(Bench.causeClass(Seq(1.0, 1.2, 1.4), Seq(1.0, 1.0, 1.0), Seq(1.0, 1.0, 1.0),
+      0.0, 10.0, 10.0, 10.0, 0) == "clean")
+    // ratio over 1.5 but absolute inflation under 0.2s: still clean
+    assert(Bench.causeClass(Seq(0.1, 0.25, 0.25), Seq(1.0, 1.0, 1.0), Seq(1.0, 1.0, 1.0),
+      99.0, 99.0, 99.0, 10.0, 9) == "clean")
+    assert(Bench.causeClass(Seq.empty, Seq.empty, Seq.empty, 0.0, 0.0, 0.0, 10.0, 0) == "none")
+  }
+
+  test("bench cause classifier: priority order — evicted, steal, starved, " +
+    "then the task-clock classes") {
+    val inflated = Seq(1.0, 3.0, 3.0) // min 1.0, median 3.0, inflation 4.0
+    // evictions during the timed window win over everything
+    assert(Bench.causeClass(inflated, base, base, 9.0, 99.0, 99.0, 10.0, 2) == "evicted")
+    // steal >= 25% of inflation
+    assert(Bench.causeClass(inflated, base, base, 1.5, 10.0, 10.0, 10.0, 0) == "steal")
+    // probe at >= 2x its run baseline
+    assert(Bench.causeClass(inflated, base, base, 0.0, 25.0, 10.0, 10.0, 0) == "starved")
+    // worst pass burned 1.5x the best pass's task CPU -> real work
+    assert(Bench.causeClass(inflated, Seq(1.0, 4.0, 4.0), Seq(1.0, 2.0, 2.0),
+      0.0, 10.0, 10.0, 10.0, 0) == "real-work")
+    // task RUN grew with CPU flat -> tasks sat descheduled
+    assert(Bench.causeClass(inflated, Seq(1.0, 4.0, 4.0), Seq(1.0, 1.1, 1.1),
+      0.0, 10.0, 10.0, 10.0, 0) == "descheduled")
+    // wall inflated, executors idle -> driver-side gap
+    assert(Bench.causeClass(inflated, base, base,
+      0.0, 10.0, 10.0, 10.0, 0) == "driver-gap")
+  }
+
+  test("bench cause classifier: missing telemetry degrades to driver-gap, " +
+    "not a crash (steal=-1 sentinel, zero probe baseline, short arrays)") {
+    val inflated = Seq(1.0, 3.0, 3.0)
+    assert(Bench.causeClass(inflated, Seq.empty, Seq.empty,
+      -1.0, 10.0, 10.0, 0.0, 0) == "driver-gap")
+  }
+
+  test("bench eviction clock: registration is remove-then-add idempotent " +
+    "and unpersist events accumulate") {
+    Bench.EvictionClock.register(spark.sparkContext)
+    Bench.EvictionClock.register(spark.sparkContext) // second register: no double-count
+    val (_, u0) = Bench.EvictionClock.snapshot()
+    val df = spark.range(1000).toDF("x").persist()
+    df.count()
+    df.unpersist(blocking = true)
+    val deadline = System.currentTimeMillis() + 15000
+    var snap = Bench.EvictionClock.snapshot()
+    while (snap._2 <= u0 && System.currentTimeMillis() < deadline) {
+      Thread.sleep(50); snap = Bench.EvictionClock.snapshot()
+    }
+    assert(snap._2 == u0 + 1,
+      s"one unpersist must count exactly once (got ${snap._2 - u0})")
+  }
+}
