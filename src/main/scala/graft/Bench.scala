@@ -578,7 +578,9 @@ object Bench {
       "q218_mih_topk", "q219_source_datacard", "q220_lsh_geometry_sweep",
       "sq23_stream_anomaly", "q221_semdedup_sweep", "q222_sql_udf",
       "q223_approx_quantile_cert", "q224_join_cardinality",
-      "q225_attribution_sweep", "q226_cluster_quality")
+      "q225_attribution_sweep", "q226_cluster_quality",
+      // round-14 operators
+      "q227_split_survivors")
     // shingle-index misses during TIMED passes only (warm passes are
     // expected to build it once per session+dir)
     var timedIndexMisses = 0L

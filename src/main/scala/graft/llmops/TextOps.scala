@@ -907,6 +907,16 @@ object TextOps {
   val SimhashBands = 4
   private val BandBits = 60 / SimhashBands
 
+  /** q227 split geometry (compile-time constants — they interpolate
+    * into oracle SQL): a cluster whose edge density falls below
+    * `DensitySplitBelow` is a bridging suspect and re-clusters on
+    * TIGHT edges only (hamming ≤ `TightHammingMax` — a third of the
+    * q53 limit: near-identical fingerprints, not borderline ones).
+    * At 0.5 a pure chain splits from size 5 up (density 2/s) while
+    * any clique (density 1) and near-clique families stay whole. */
+  final val TightHammingMax = 1
+  final val DensitySplitBelow = 0.5
+
   /** q53: SimHash near-duplicate PAIRS — completes the SimHash dedup
     * story (q38 emits the fingerprints; this finds the neighbors). The
     * join key is a 15-bit band chunk, so candidate volume is governed
@@ -2582,6 +2592,148 @@ object TextOps {
        |)
        |SELECT doc_id, cluster_root, cluster_size,
        |  row_number() OVER (PARTITION BY cluster_root
+       |                     ORDER BY n_chars DESC, doc_id) = 1 AS kept
+       |FROM alld ORDER BY doc_id""".stripMargin
+
+  // ------------------------- q227 density-gated survivor rule
+
+  /** q227: DENSITY-GATED SURVIVOR RULE — the q79 sibling that
+    * CONSUMES q226's bridging signal (round-13 verdict #4: the audit
+    * detected transitive-closure bridging but nothing acted on it).
+    * A cluster whose edge density certifies a true duplicate family
+    * (density ≥ [[DensitySplitBelow]]) collapses to one survivor
+    * exactly as q79. A SPARSE cluster — the bridged-chain shape
+    * (A~B~C with A and C unrelated, the over-merge caveat Lee et
+    * al. 2022 "Deduplicating Training Data Makes Language Models
+    * Better" flag for connected-component dedup) — is NOT
+    * mass-dropped: it re-clusters on TIGHT edges only (hamming ≤
+    * [[TightHammingMax]]) and keeps one survivor per tight
+    * subcomponent, so the unrelated ends of a bridged chain both
+    * survive while genuinely-identical subgroups inside the chain
+    * still collapse. Emits (doc_id, cluster_root, cluster_size,
+    * split, keep_group, kept).
+    *
+    * Scale shape: rides the two published artifacts (q67 labels,
+    * q53 pair graph); the density screen is one groupBy(cluster_root)
+    * over the EDGE table (clusters-count cardinality); the tight CC
+    * runs only on tight edges inside low-density clusters — a
+    * subgraph of the pair graph q67 already iterates over, under the
+    * same min-label/localCheckpoint discipline; survivors use the
+    * q79 max_by + join-back (no per-cluster row window). */
+  def q227SplitSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val labels = labelCache.get(s, dir,
+        graft.sources.FsSig.of(s"$dir/documents.parquet")) {
+        q67DedupClusters(s, dir)
+      }.select(col("doc_id"), col("cluster_root"), col("cluster_size"))
+    q227Core(docs(s, dir).select(col("doc_id"), col("n_chars")),
+      labels, simhashPairs(s, dir))
+  }
+
+  /** The q227 rule over explicit (docs, labels, edges) frames —
+    * package-visible so the bridged-chain spec can inject a crafted
+    * graph (a SimHash text fixture cannot place hamming values
+    * precisely; the end-to-end path is the CORRECTNESS entry's job). */
+  private[graft] def q227Core(docsDf: DataFrame, labels: DataFrame,
+      edges: DataFrame): DataFrame = {
+    // every edge's endpoints share a root by CC construction (the
+    // q226 precedent), so the doc_a-side label carries the pair
+    val rootOfA = labels.select(col("doc_id").as("doc_a"), col("cluster_root"))
+    val rootedEdges = edges.join(rootOfA, Seq("doc_a"))
+    val sizes = labels.select("cluster_root", "cluster_size").distinct()
+    // bridging suspects: density below the split threshold. The
+    // comparison crosses engines exactly: integer inputs, one double
+    // multiply and one correctly-rounded division on each side.
+    val lowRoots = rootedEdges.groupBy("cluster_root")
+      .agg(count(lit(1)).as("n_edges"))
+      .join(sizes, Seq("cluster_root"))
+      .filter(lit(2.0) * col("n_edges") /
+        (col("cluster_size") * (col("cluster_size") - 1)) < DensitySplitBelow)
+      .select("cluster_root")
+    val tight = rootedEdges
+      .join(lowRoots, Seq("cluster_root"), "left_semi")
+      .filter(col("hamming") <= TightHammingMax)
+      .select("doc_a", "doc_b")
+    val tightSym = tight.union(
+      tight.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val subLabels = ccMinLabel(tightSym)
+      .select(col("doc_id"), col("root").as("sub_root"))
+    val verdicts = docsDf
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("cluster_root"), col("doc_id")).as("cluster_root"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
+      .join(lowRoots.withColumn("is_low", lit(true)), Seq("cluster_root"), "left")
+      .join(subLabels, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"), col("cluster_root"),
+        col("cluster_size"),
+        coalesce(col("is_low"), lit(false)).as("split"),
+        when(coalesce(col("is_low"), lit(false)),
+          coalesce(col("sub_root"), col("doc_id")))
+          .otherwise(col("cluster_root")).as("keep_group"))
+    val winners = verdicts.groupBy("keep_group")
+      .agg(max_by(col("doc_id"),
+        struct(col("n_chars"), -col("doc_id"))).as("w_doc"))
+    verdicts.join(winners, Seq("keep_group"))
+      .withColumn("kept", col("doc_id") === col("w_doc"))
+      .select("doc_id", "cluster_root", "cluster_size", "split",
+        "keep_group", "kept")
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: the shared component chain, per-root density over the
+    * hamming-annotated edge set (the q226 `pe` shape), a SECOND
+    * recursive reach over tight edges inside low-density roots, and
+    * the q79 survivor window over keep_group. */
+  lazy val q227Sql: String =
+    s"""$ccChainSql, lab AS (
+       |  SELECT doc_id, cluster_root,
+       |    count(*) OVER (PARTITION BY cluster_root) AS cluster_size
+       |  FROM roots
+       |), pe AS (
+       |  SELECT r.cluster_root, p.doc_a, p.doc_b,
+       |    bit_count(xor(sa.simhash, sb.simhash)) AS hd
+       |  FROM pairs p
+       |  JOIN roots r ON r.doc_id = p.doc_a
+       |  JOIN sh sa ON sa.doc_id = p.doc_a
+       |  JOIN sh sb ON sb.doc_id = p.doc_b
+       |), sz AS (
+       |  SELECT cluster_root, count(*) AS cluster_size FROM roots GROUP BY 1
+       |), low AS (
+       |  SELECT d.cluster_root FROM (
+       |    SELECT cluster_root, count(*) AS n_edges FROM pe GROUP BY 1
+       |  ) d JOIN sz z USING (cluster_root)
+       |  WHERE 2.0 * d.n_edges / (z.cluster_size * (z.cluster_size - 1))
+       |    < $DensitySplitBelow
+       |), tsym AS (
+       |  SELECT pe.doc_a AS a, pe.doc_b AS b
+       |  FROM pe JOIN low USING (cluster_root) WHERE pe.hd <= $TightHammingMax
+       |  UNION ALL
+       |  SELECT pe.doc_b, pe.doc_a
+       |  FROM pe JOIN low USING (cluster_root) WHERE pe.hd <= $TightHammingMax
+       |), treach(a, b) AS (
+       |  SELECT a, b FROM tsym
+       |  UNION
+       |  SELECT r.a, e.b FROM treach r JOIN tsym e ON r.b = e.a
+       |), subroots AS (
+       |  SELECT a AS doc_id, least(a, min(b)) AS sub_root
+       |  FROM treach GROUP BY a
+       |), alld AS (
+       |  SELECT d.doc_id, d.n_chars,
+       |    coalesce(l.cluster_root, d.doc_id) AS cluster_root,
+       |    coalesce(l.cluster_size, 1) AS cluster_size,
+       |    coalesce(lo.is_low, false) AS split,
+       |    CASE WHEN coalesce(lo.is_low, false)
+       |      THEN coalesce(sr.sub_root, d.doc_id)
+       |      ELSE coalesce(l.cluster_root, d.doc_id) END AS keep_group
+       |  FROM documents d
+       |  LEFT JOIN lab l USING (doc_id)
+       |  LEFT JOIN (SELECT cluster_root, true AS is_low FROM low) lo
+       |    ON l.cluster_root = lo.cluster_root
+       |  LEFT JOIN subroots sr ON d.doc_id = sr.doc_id
+       |)
+       |SELECT doc_id, cluster_root, CAST(cluster_size AS BIGINT) AS cluster_size,
+       |  split, keep_group,
+       |  row_number() OVER (PARTITION BY keep_group
        |                     ORDER BY n_chars DESC, doc_id) = 1 AS kept
        |FROM alld ORDER BY doc_id""".stripMargin
 
@@ -4482,7 +4634,8 @@ object TextOps {
     "q217_pack_sweep" -> (q217PackSweep _),
     "q219_source_datacard" -> (q219SourceDatacard _),
     "q220_lsh_geometry_sweep" -> (q220LshGeometrySweep _),
-    "q226_cluster_quality" -> (q226ClusterQuality _)
+    "q226_cluster_quality" -> (q226ClusterQuality _),
+    "q227_split_survivors" -> (q227SplitSurvivors _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -4547,7 +4700,8 @@ object TextOps {
     "q217_pack_sweep" -> q217Sql,
     "q219_source_datacard" -> q219Sql,
     "q220_lsh_geometry_sweep" -> q220Sql,
-    "q226_cluster_quality" -> q226Sql
+    "q226_cluster_quality" -> q226Sql,
+    "q227_split_survivors" -> q227Sql
   )
 
   // ------------------------------------------ q213 LSH geometry calibration

@@ -141,11 +141,31 @@ object StreamOps {
     // the stream-stream joins reaches on one box). Env-gated so the
     // gate-SF oracle runs stay on the default provider: results are
     // provider-independent, only the state backend changes.
-    if (sys.env.get("SPARK_GRAFT_STATESTORE").exists(_.equalsIgnoreCase("rocksdb")))
+    if (sys.env.get("SPARK_GRAFT_STATESTORE").exists(_.equalsIgnoreCase("rocksdb"))) {
       fs.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // Changelog checkpointing (round-13 verdict #5): per-batch the
+      // checkpoint uploads only the CHANGELOG (the batch's puts/
+      // deletes) instead of a full RocksDB snapshot — the production
+      // restart-cost posture once per-batch state deltas are small
+      // against total state (snapshots still happen, asynchronously,
+      // every N batches for bounded replay). Result-neutral by
+      // construction (same store, different durability path) and
+      // oracle-proven so (PERF.md round-14 note); restore replays
+      // changelogs since the last snapshot.
+      if (rocksdbChangelogRequested)
+        fs.conf.set("spark.sql.streaming.stateStore.rocksdb" +
+          ".changelogCheckpointing.enabled", "true")
+    }
     body(fs)
   }
+
+  /** `SPARK_GRAFT_ROCKSDB_CHANGELOG=true` beside the existing
+    * `SPARK_GRAFT_STATESTORE=rocksdb` surface (README "Streaming state
+    * backends"); only meaningful with the RocksDB provider. */
+  private def rocksdbChangelogRequested: Boolean =
+    sys.env.get("SPARK_GRAFT_ROCKSDB_CHANGELOG")
+      .exists(v => v.equalsIgnoreCase("true") || v == "1")
 
   /** SQ1 logical plan: tumbling 1-hour window × event_type, count and
     * exact-DECIMAL value sum — shared verbatim by the batch oracle
@@ -1118,10 +1138,17 @@ object StreamOps {
     * files, (b) the max-n profile per user equals the batch profile
     * over the full input. Returns rows read this run. */
   def sq13Incremental(s: SparkSession, srcDir: String, checkpoint: String,
-      outDir: String): Long = {
+      outDir: String, changelog: Boolean = false): Long = {
     withStreamShuffle(s) { fs =>
       fs.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // the recovery drill's changelog leg (round-13 verdict #5): the
+      // spec runs the same split-input restart with changelog
+      // checkpointing on and pins profile equality + the
+      // checkpoint-shape difference (changelog files present)
+      if (changelog || rocksdbChangelogRequested)
+        fs.conf.set("spark.sql.streaming.stateStore.rocksdb" +
+          ".changelogCheckpointing.enabled", "true")
       import fs.implicits._
       val typed = TsBridge.normalize(
           fs.readStream.schema(eventsSchema(tsTypeAt(fs, srcDir))).parquet(srcDir))

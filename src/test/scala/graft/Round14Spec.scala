@@ -68,6 +68,90 @@ class Round14Spec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected a loud ANSI decimal overflow, got: $msgs")
   }
 
+  // ------------------- sq13 recovery under changelog checkpointing
+
+  test("sq13 recovery drill with RocksDB changelog checkpointing: the " +
+    "restart restores state from changelog replay and the final profiles " +
+    "equal the batch profile (round-13 verdict #5)") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val work = java.nio.file.Files.createTempDirectory("graft_clog_").toString
+    val (src, ckpt, out) = (s"$work/src", s"$work/ckpt", s"$work/out")
+    val all = spark.read.parquet(s"$dir/events.parquet")
+    val norm = graft.sources.TsBridge.normalize(all)
+    val mid = norm.agg(expr(
+      "percentile_cont(0.5) WITHIN GROUP (ORDER BY unix_micros(ts))"))
+      .head().getDouble(0).toLong
+    val firstIds = norm.filter(unix_micros(col("ts")) <= mid)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    all.filter(col("event_id").isInCollection(firstIds))
+      .write.mode("append").parquet(src)
+    val read1 = graft.streaming.StreamOps
+      .sq13Incremental(spark, src, ckpt, out, changelog = true)
+    all.filter(!col("event_id").isInCollection(firstIds))
+      .write.mode("append").parquet(src)
+    val t0 = System.nanoTime()
+    val read2 = graft.streaming.StreamOps
+      .sq13Incremental(spark, src, ckpt, out, changelog = true)
+    info(f"changelog-mode restart+increment: ${(System.nanoTime - t0) / 1e9}%.1f s")
+    assert(read1 + read2 == all.count(), "restart must not re-read data")
+    // the checkpoint carries CHANGELOG files — the knob engaged (a
+    // snapshot-only checkpoint has none)
+    val names = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+      .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+    var sawChangelog = false
+    while (names.hasNext) {
+      if (names.next().toString.endsWith(".changelog")) sawChangelog = true
+    }
+    assert(sawChangelog, "changelogCheckpointing must write .changelog files")
+    // final max-n profile per user == the batch profile (the existing
+    // snapshot-mode drill's equality, now under changelog replay)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("n_events").desc)
+    val got = spark.read.parquet(out)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("user_id", "n_events").orderBy("user_id").collect().map(_.toSeq)
+    val want = norm.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("user_id").collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq,
+      "post-changelog-recovery profiles must equal the batch profile")
+  }
+
+  // ------------------------------------- q227 density-gated survivors
+
+  test("q227: a bridged chain's ends both survive (split by tight edges) " +
+    "while a dense clique still collapses to one survivor") {
+    val sp = spark
+    import sp.implicits._
+    // chain 1-2-3-4-5-6 bridged by hamming-2/3 edges (density 2/6 <
+    // 0.5) with ONE tight pair (3,4); clique 10-13 fully connected
+    // (density 1); 20 is an unclustered singleton
+    val docsDf = Seq((1L, 100L), (2L, 200L), (3L, 100L), (4L, 100L),
+      (5L, 100L), (6L, 100L), (10L, 100L), (11L, 300L), (12L, 100L),
+      (13L, 100L), (20L, 50L)).toDF("doc_id", "n_chars")
+    val labels = ((1L to 6L).map(d => (d, 1L, 6L)) ++
+      (10L to 13L).map(d => (d, 10L, 4L)))
+      .toDF("doc_id", "cluster_root", "cluster_size")
+    val edges = Seq((1L, 2L, 2), (2L, 3L, 3), (3L, 4L, 1), (4L, 5L, 3),
+      (5L, 6L, 2), (10L, 11L, 1), (10L, 12L, 2), (10L, 13L, 3),
+      (11L, 12L, 2), (11L, 13L, 3), (12L, 13L, 2))
+      .toDF("doc_a", "doc_b", "hamming")
+    val out = graft.llmops.TextOps.q227Core(docsDf, labels, edges).collect()
+    val kept = out.filter(_.getAs[Boolean]("kept"))
+      .map(_.getAs[Long]("doc_id")).toSet
+    // chain ends 1 and 6 BOTH survive; the tight pair {3,4} collapses
+    // to 3 (q79 would have mass-dropped five of the six chain docs);
+    // the clique keeps only its longest doc; the singleton survives
+    assert(kept == Set(1L, 2L, 3L, 5L, 6L, 11L, 20L), s"got $kept")
+    val split = out.filter(_.getAs[Boolean]("split"))
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(split == Set(1L, 2L, 3L, 4L, 5L, 6L),
+      "only the sparse chain is flagged split")
+    assert(out.count(r => r.getAs[Long]("cluster_root") == 10L &&
+      r.getAs[Boolean]("kept")) == 1, "dense clique -> exactly one survivor")
+  }
+
   // -------------------------------------------- bench cause classes
 
   private val base = Seq(1.0, 1.0, 1.0)
