@@ -580,7 +580,9 @@ object Bench {
       "q223_approx_quantile_cert", "q224_join_cardinality",
       "q225_attribution_sweep", "q226_cluster_quality",
       // round-14 operators
-      "q227_split_survivors")
+      "q227_split_survivors", "q228_template_coverage", "q229_split_leakage",
+      "q230_embedding_outliers", "q231_tokenizer_fertility",
+      "q232_phash_neardup", "sq24_stream_distinct")
     // shingle-index misses during TIMED passes only (warm passes are
     // expected to build it once per session+dir)
     var timedIndexMisses = 0L

@@ -62,7 +62,9 @@ object SparkEntry {
       "sq22_stream_neardup_gate" ->
         ((s: SparkSession, dir: String) => StreamOps.sq22StreamNeardupGate(s, dir)),
       "sq23_stream_anomaly" ->
-        ((s: SparkSession, dir: String) => StreamOps.sq23StreamAnomaly(s, dir)))
+        ((s: SparkSession, dir: String) => StreamOps.sq23StreamAnomaly(s, dir)),
+      "sq24_stream_distinct" ->
+        ((s: SparkSession, dir: String) => StreamOps.sq24StreamDistinct(s, dir)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -91,5 +93,6 @@ object SparkEntry {
       "sq20_update_mode" -> StreamOps.sq20Sql,
       "sq21_stream_psi_monitor" -> StreamOps.sq21Sql,
       "sq22_stream_neardup_gate" -> StreamOps.sq22Sql,
-      "sq23_stream_anomaly" -> StreamOps.sq23Sql)
+      "sq23_stream_anomaly" -> StreamOps.sq23Sql,
+      "sq24_stream_distinct" -> StreamOps.sq24Sql)
 }

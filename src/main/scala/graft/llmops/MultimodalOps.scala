@@ -592,6 +592,119 @@ object MultimodalOps {
        |FROM px JOIN tt USING (media_id)
        |GROUP BY media_id, tot ORDER BY media_id""".stripMargin
 
+  // ------------------------------- q232 pHash near-dup candidate audit
+
+  /** Near-dup cut on the 64-bit aHash; 4 × 16-bit bands make the
+    * bucket join EXACT for pairs within Hamming 3 (pigeonhole — the
+    * q53 band argument on the image hash). */
+  final val PhashNeardupMax = 3
+
+  /** Bucket cap before the self-join (the q218/q39 df-cap
+    * discipline): a (band, value) bucket larger than this is excluded
+    * and REPORTED per image in `n_capped_bands`. */
+  final val PhashMaxBucket = 1024
+
+  /** q232: IMAGE NEAR-DUP CANDIDATE AUDIT — completes the image-dedup
+    * path q105's scaladoc promises: the 64-bit perceptual hash cut
+    * into 4 disjoint 16-bit bands, candidates via the (band, value)
+    * equi-join (never all-pairs), per image: candidate-partner count,
+    * min Hamming distance over candidates (NULL when no band
+    * collides), and the EXACT near-dup flag at Hamming ≤
+    * [[PhashNeardupMax]] (pigeonhole: a ≤3-bit-different pair differs
+    * in at most 3 of 4 bands, so at least one band matches — nothing
+    * within the cut is missed, except through the declared bucket
+    * cap, which each affected image self-reports). This fixture's
+    * pseudorandom images correctly produce no near-equal pairs — the
+    * crafted-duplicate behavior is spec-pinned through
+    * [[q232Core]].
+    *
+    * Scale shape: Σ bucket² bounded by [[PhashMaxBucket]] before the
+    * self-join (the q218 discipline); everything else is per-image
+    * map work + one groupBy at image cardinality. */
+  def q232PhashNeardup(s: SparkSession, dir: String): DataFrame =
+    q232Core(imagePhashOf(thumbnailOf(media(s)))
+      .select(col("media_id"), col("phash")))
+
+  /** The audit over any (media_id, phash) frame — package-visible so
+    * the spec can feed crafted hash sets (planted near-dups, an
+    * over-cap bucket). */
+  private[graft] def q232Core(ph: DataFrame): DataFrame = {
+    val banded = ph.select(col("media_id"), col("phash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bv", expr("shiftright(phash, band * 16) & 65535"))
+    val bsz = banded.groupBy("band", "bv").agg(count(lit(1)).as("bn"))
+    val kept = banded.join(
+      bsz.filter(col("bn") <= PhashMaxBucket).select("band", "bv"),
+      Seq("band", "bv"), "left_semi")
+    val cands = kept.select(col("band"), col("bv"),
+        col("media_id").as("ma"), col("phash").as("pa"))
+      .join(kept.select(col("band"), col("bv"),
+        col("media_id").as("mb"), col("phash").as("pb")), Seq("band", "bv"))
+      .filter(col("ma") =!= col("mb"))
+      .groupBy("ma", "mb")
+      .agg(min(expr("bit_count(pa ^ pb)")).cast("int").as("hamming"))
+    val agg = cands.groupBy(col("ma").as("media_id"))
+      .agg(count(lit(1)).as("n_band_candidates"),
+        min("hamming").as("min_hamming"))
+    val capped = banded.join(
+        bsz.filter(col("bn") > PhashMaxBucket).select("band", "bv"),
+        Seq("band", "bv"), "left_semi")
+      .groupBy("media_id").agg(count(lit(1)).as("n_capped_bands"))
+    ph.select("media_id")
+      .join(agg, Seq("media_id"), "left")
+      .join(capped, Seq("media_id"), "left")
+      .select(col("media_id"),
+        coalesce(col("n_band_candidates"), lit(0L)).as("n_band_candidates"),
+        col("min_hamming"),
+        coalesce(col("min_hamming") <= PhashNeardupMax, lit(false))
+          .as("neardup"),
+        coalesce(col("n_capped_bands"), lit(0L)).as("n_capped_bands"))
+      .orderBy("media_id")
+  }
+
+  /** Oracle: the q105 hash chain, the same banded self-join with the
+    * same cap, min-Hamming per partner. */
+  val q232Sql: String =
+    s"""WITH $thumbSqlCte, px AS (
+       |  SELECT media_id, ty * $ThumbSide + tx AS p, v FROM thumb
+       |), tt AS (
+       |  SELECT media_id, sum(v) AS tot FROM px GROUP BY media_id
+       |), ph AS (
+       |  SELECT media_id,
+       |    CAST(sum(CASE WHEN v * $PhashBits > tot THEN (1::BIGINT << p)
+       |                  ELSE 0 END) AS BIGINT) AS phash
+       |  FROM px JOIN tt USING (media_id) GROUP BY media_id, tot
+       |), bd AS (
+       |  SELECT media_id, phash, band, (phash >> (band * 16)) & 65535 AS bv
+       |  FROM ph CROSS JOIN (SELECT unnest(range(0, 4)) AS band)
+       |), bsz AS (
+       |  SELECT band, bv, count(*) AS bn FROM bd GROUP BY 1, 2
+       |), kept AS (
+       |  SELECT bd.media_id, bd.phash, bd.band, bd.bv
+       |  FROM bd JOIN bsz USING (band, bv) WHERE bsz.bn <= $PhashMaxBucket
+       |), cand AS (
+       |  SELECT a.media_id AS ma, b.media_id AS mb,
+       |    CAST(min(bit_count(xor(a.phash, b.phash))) AS INT) AS hamming
+       |  FROM kept a JOIN kept b ON a.band = b.band AND a.bv = b.bv
+       |    AND a.media_id <> b.media_id
+       |  GROUP BY 1, 2
+       |), agg AS (
+       |  SELECT ma AS media_id, count(*) AS n_band_candidates,
+       |    min(hamming) AS min_hamming
+       |  FROM cand GROUP BY 1
+       |), capd AS (
+       |  SELECT bd.media_id, count(*) AS n_capped_bands
+       |  FROM bd JOIN bsz USING (band, bv) WHERE bsz.bn > $PhashMaxBucket
+       |  GROUP BY 1
+       |)
+       |SELECT ph.media_id,
+       |  coalesce(agg.n_band_candidates, 0) AS n_band_candidates,
+       |  agg.min_hamming,
+       |  coalesce(agg.min_hamming <= $PhashNeardupMax, false) AS neardup,
+       |  coalesce(capd.n_capped_bands, 0) AS n_capped_bands
+       |FROM ph LEFT JOIN agg USING (media_id) LEFT JOIN capd USING (media_id)
+       |ORDER BY ph.media_id""".stripMargin
+
   // --------------------------------------------------------- registry
 
   // ------------------------------------------- q167 chunk manifest
@@ -665,7 +778,8 @@ object MultimodalOps {
     "q66_scene_cuts" -> (q66SceneCuts _),
     "q85_audio_energy" -> (q85AudioEnergy _),
     "q86_thumbnail" -> (q86Thumbnail _),
-    "q105_image_phash" -> (q105ImagePhash _)
+    "q105_image_phash" -> (q105ImagePhash _),
+    "q232_phash_neardup" -> (q232PhashNeardup _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -676,6 +790,7 @@ object MultimodalOps {
     "q66_scene_cuts" -> q66Sql,
     "q85_audio_energy" -> q85Sql,
     "q86_thumbnail" -> q86Sql,
-    "q105_image_phash" -> q105Sql
+    "q105_image_phash" -> q105Sql,
+    "q232_phash_neardup" -> q232Sql
   )
 }

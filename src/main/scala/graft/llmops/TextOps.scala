@@ -2737,6 +2737,151 @@ object TextOps {
        |                     ORDER BY n_chars DESC, doc_id) = 1 AS kept
        |FROM alld ORDER BY doc_id""".stripMargin
 
+  // ------------------------------ q228 source template coverage
+
+  /** Template size: the top-M highest-df shingles per source. */
+  final val TemplateTopM = 50
+
+  /** q228: SOURCE TEMPLATE COVERAGE — the boilerplate signal at the
+    * SOURCE grain (the CCNet/RefinedWeb "shared-line removal" rule
+    * re-expressed for shingle corpora): a source's TEMPLATE is its
+    * [[TemplateTopM]] highest-document-frequency trigram shingles
+    * (df desc, shingle asc tie-break — deterministic in both
+    * engines); every document reports how much of its own distinct
+    * shingle set that template covers. High coverage = the document
+    * is mostly its source's boilerplate — the per-doc read a curation
+    * pipeline takes BEFORE near-dup clustering (boilerplate-heavy
+    * docs inflate q53 candidate buckets without being duplicates of
+    * anything in particular). Documents too short to shingle (<3
+    * tokens) have no coverage and are excluded, same in both engines.
+    *
+    * Scale shape: rides the PUBLISHED per-doc distinct shingle index;
+    * df is one partial-agg'd groupBy(source, shingle) over the
+    * VOCABULARY; the per-source top-M is row_number ≤ literal
+    * (InferWindowGroupLimit pushes the cut per-partition — the q55
+    * discipline) over that vocabulary, never the corpus; the
+    * join-back target is a sources×M-row frame (broadcast) and the
+    * final per-doc count partial-aggregates map-side. */
+  def q228TemplateCoverage(s: SparkSession, dir: String): DataFrame = {
+    val srcOf = docs(s, dir).select(col("doc_id"), col("source"))
+    val grams = shingles(s, dir).join(srcOf, Seq("doc_id"))
+    val tdf = grams.groupBy("source", "shingle")
+      .agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("df").desc, col("shingle").asc)
+    val template = tdf.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TemplateTopM)
+      .select(col("source"), col("shingle"), lit(1).as("hit"))
+    grams.join(broadcast(template), Seq("source", "shingle"), "left")
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("template_hits"))
+      .select(col("doc_id"), col("source"), col("n_grams"),
+        col("template_hits"),
+        round(col("template_hits").cast("double") / col("n_grams"), 6)
+          .as("coverage"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: the shared trigram comprehension, the same df ranking
+    * and the same left-join coverage count. */
+  lazy val q228Sql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, $shinglesSql AS sh
+       |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents)
+       |), ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sh
+       |), g AS (
+       |  SELECT e.doc_id, d.source, e.shingle
+       |  FROM ex e JOIN documents d USING (doc_id)
+       |), tdf AS (
+       |  SELECT source, shingle, count(*) AS df FROM g GROUP BY 1, 2
+       |), tmpl AS (
+       |  SELECT source, shingle FROM (
+       |    SELECT source, shingle,
+       |      row_number() OVER (PARTITION BY source
+       |                         ORDER BY df DESC, shingle ASC) AS rk
+       |    FROM tdf) WHERE rk <= $TemplateTopM
+       |)
+       |SELECT g.doc_id, g.source, count(*) AS n_grams,
+       |  CAST(sum(CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS template_hits,
+       |  round(CAST(sum(CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / count(*), 6) AS coverage
+       |FROM g LEFT JOIN tmpl t ON g.source = t.source AND g.shingle = t.shingle
+       |GROUP BY g.doc_id, g.source
+       |ORDER BY g.doc_id""".stripMargin
+
+  // ------------------------------ q229 split-leakage audit
+
+  /** Eval fraction: bucket 0-9 by hash; buckets ≥ 8 are eval (~20%). */
+  final val EvalBucketFrom = 8
+
+  /** q229: SPLIT-LEAKAGE AUDIT — the measurement that JUSTIFIES
+    * q147's cluster-granular split rule: apply the same hash split
+    * (first 8 md5 hex chars of the id, mod 10, buckets ≥
+    * [[EvalBucketFrom]] = eval) at two grains — naively per DOCUMENT,
+    * and per q67 CLUSTER ROOT — and count the q53 near-dup pairs that
+    * STRADDLE the train/eval boundary under each. A straddling pair
+    * is eval contamination (the eval side holds a near-copy of a
+    * training doc — the channel q59/q197 hunt after the fact); the
+    * doc-grain count quantifies the channel (~2·p·(1−p) of all
+    * near-dup pairs for eval fraction p), and the cluster-grain count
+    * is structurally ZERO (both endpoints share a root by CC
+    * construction) — COMPUTED here, not assumed, so a regression in
+    * the label table would surface as a nonzero cell. One row:
+    * (n_neardup_pairs, doc_split_leaked, doc_leak_ratio,
+    * cluster_split_leaked).
+    *
+    * Scale shape: rides the published q53 pair graph and q67 label
+    * table; two hash evaluations and one aggregation over the PAIR
+    * set (output-bound — pairs, not corpus); no new shuffles beyond
+    * the pair-label join. */
+  def q229SplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val labels = labelCache.get(s, dir,
+        graft.sources.FsSig.of(s"$dir/documents.parquet")) {
+        q67DedupClusters(s, dir)
+      }.select(col("doc_id"), col("cluster_root"))
+    def evalSide(c: Column): Column =
+      pmod(conv(substring(md5(c.cast("string")), 1, 8), 16, 10)
+        .cast("long"), lit(10L)) >= EvalBucketFrom
+    val pairs = simhashPairs(s, dir).select("doc_a", "doc_b")
+    pairs
+      .join(labels.select(col("doc_id").as("doc_a"),
+        col("cluster_root").as("root_a")), Seq("doc_a"))
+      .join(labels.select(col("doc_id").as("doc_b"),
+        col("cluster_root").as("root_b")), Seq("doc_b"))
+      .agg(count(lit(1)).as("n_neardup_pairs"),
+        sum(when(evalSide(col("doc_a")) =!= evalSide(col("doc_b")), 1L)
+          .otherwise(0L)).as("doc_split_leaked"),
+        sum(when(evalSide(col("root_a")) =!= evalSide(col("root_b")), 1L)
+          .otherwise(0L)).as("cluster_split_leaked"))
+      .select(col("n_neardup_pairs"), col("doc_split_leaked"),
+        when(col("n_neardup_pairs") > 0,
+          round(col("doc_split_leaked").cast("double") /
+            col("n_neardup_pairs"), 6)).as("doc_leak_ratio"),
+        col("cluster_split_leaked"))
+  }
+
+  /** Oracle: the shared component chain's pair set and roots, the
+    * same md5-prefix hash at both grains. */
+  lazy val q229Sql: String = {
+    def ev(c: String) =
+      s"('0x' || substring(md5(CAST($c AS VARCHAR)), 1, 8))::UBIGINT % 10" +
+        s" >= $EvalBucketFrom"
+    s"""$ccChainSql
+       |SELECT count(*) AS n_neardup_pairs,
+       |  CAST(sum(CASE WHEN (${ev("p.doc_a")}) <> (${ev("p.doc_b")})
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS doc_split_leaked,
+       |  CASE WHEN count(*) > 0 THEN
+       |    round(CAST(sum(CASE WHEN (${ev("p.doc_a")}) <> (${ev("p.doc_b")})
+       |      THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) END AS doc_leak_ratio,
+       |  CAST(sum(CASE WHEN (${ev("ra.cluster_root")}) <> (${ev("rb.cluster_root")})
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS cluster_split_leaked
+       |FROM pairs p
+       |JOIN roots ra ON ra.doc_id = p.doc_a
+       |JOIN roots rb ON rb.doc_id = p.doc_b""".stripMargin
+  }
+
   // ------------------------------------------ q104 dedup funnel report
 
   /** q104: the DEDUP FUNNEL REPORT — the one-row summary a dedup run
@@ -3113,6 +3258,69 @@ object TextOps {
        |  CAST(sum(bpe_len) AS DOUBLE) / count(*) AS symbols_per_token
        |FROM tok JOIN vlen USING (word)
        |GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ------------------------------- q231 tokenizer fertility per source
+
+  /** q231: TOKENIZER FERTILITY PER SOURCE — the tokenizer-economics
+    * datacard row: for each source, whitespace tokens, BPE symbols
+    * under the LEARNED q70 vocabulary, non-whitespace chars, and the
+    * two derived rates a budget owner reads — FERTILITY (BPE symbols
+    * per whitespace token; >1 means the tokenizer fragments this
+    * source's words) and CHARS PER SYMBOL (compression; low = the
+    * vocabulary fits this source badly, its context windows buy fewer
+    * chars). q71 reports the same accounting per LANGUAGE; the source
+    * grain is the one mixing decisions (q68/q111) are made at, and
+    * cost disparities BETWEEN sources at equal language are exactly
+    * the tokenizer-bias signal this row surfaces. q219 carries the
+    * source datacard's length percentiles; this carries its cost
+    * rates.
+    *
+    * Scale shape: the corpus joins the broadcast merged vocabulary on
+    * the word (tokenize-by-lookup — the production shape), one
+    * partial-agg'd groupBy(source); integer sums, two final
+    * divisions. */
+  def q231TokenizerFertility(s: SparkSession, dir: String): DataFrame = {
+    val vocab = bpeCache.get(s, dir,
+        graft.sources.FsSig.of(s"$dir/documents.parquet"))(bpeLearn(s, dir))._2
+      .select(col("word"), size(col("syms")).cast("long").as("bpe_len"))
+    val srcOf = docs(s, dir).select(col("doc_id"), col("source"))
+    tokenized(s, dir)
+      .select(col("doc_id"), explode(col("w")).as("word"))
+      .join(srcOf, Seq("doc_id"))
+      .join(broadcast(vocab), Seq("word"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("ws_tokens"),
+        sum("bpe_len").as("bpe_symbols"),
+        sum(length(col("word")).cast("long")).as("token_chars"))
+      .select(col("source"), col("ws_tokens"), col("bpe_symbols"),
+        col("token_chars"),
+        round(col("bpe_symbols").cast("double") / col("ws_tokens"), 6)
+          .as("fertility"),
+        round(col("token_chars").cast("double") / col("bpe_symbols"), 6)
+          .as("chars_per_symbol"))
+      .orderBy("source")
+  }
+
+  /** Oracle: the shared unrolled-BPE vocabulary chain, re-grained by
+    * source. */
+  lazy val q231Sql: String =
+    s"""WITH $bpeCtes,
+       |vlen AS (
+       |  SELECT word, len(syms) AS bpe_len FROM vocab${BpeRounds + 1}
+       |), tok AS (
+       |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS word
+       |  FROM documents
+       |), st AS (
+       |  SELECT d.source, t.word FROM tok t JOIN documents d USING (doc_id)
+       |)
+       |SELECT source, count(*) AS ws_tokens,
+       |  CAST(sum(bpe_len) AS BIGINT) AS bpe_symbols,
+       |  CAST(sum(len(word)) AS BIGINT) AS token_chars,
+       |  round(CAST(sum(bpe_len) AS DOUBLE) / count(*), 6) AS fertility,
+       |  round(CAST(sum(len(word)) AS DOUBLE) / CAST(sum(bpe_len) AS DOUBLE), 6)
+       |    AS chars_per_symbol
+       |FROM st JOIN vlen USING (word)
+       |GROUP BY source ORDER BY source""".stripMargin
 
   // ------------------------------------- q73 BPE exhaustion certification
 
@@ -4635,7 +4843,10 @@ object TextOps {
     "q219_source_datacard" -> (q219SourceDatacard _),
     "q220_lsh_geometry_sweep" -> (q220LshGeometrySweep _),
     "q226_cluster_quality" -> (q226ClusterQuality _),
-    "q227_split_survivors" -> (q227SplitSurvivors _)
+    "q227_split_survivors" -> (q227SplitSurvivors _),
+    "q228_template_coverage" -> (q228TemplateCoverage _),
+    "q229_split_leakage" -> (q229SplitLeakage _),
+    "q231_tokenizer_fertility" -> (q231TokenizerFertility _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -4701,7 +4912,10 @@ object TextOps {
     "q219_source_datacard" -> q219Sql,
     "q220_lsh_geometry_sweep" -> q220Sql,
     "q226_cluster_quality" -> q226Sql,
-    "q227_split_survivors" -> q227Sql
+    "q227_split_survivors" -> q227Sql,
+    "q228_template_coverage" -> q228Sql,
+    "q229_split_leakage" -> q229Sql,
+    "q231_tokenizer_fertility" -> q231Sql
   )
 
   // ------------------------------------------ q213 LSH geometry calibration

@@ -2484,6 +2484,85 @@ object VectorOps {
        |  CAST(sum(CAST(b AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean_b
        |FROM sil GROUP BY label ORDER BY label""".stripMargin
 
+  // ------------------------------- q230 embedding outlier detection
+
+  /** |z| threshold for the outlier flag. */
+  final val OutlierZ = 2.0
+
+  /** q230: EMBEDDING OUTLIER DETECTION — per-label prototypicality:
+    * every vector's L2 distance to its own label centroid, z-scored
+    * against the label's distance distribution; |z| ≥ [[OutlierZ]]
+    * flags the vector as an outlier (mislabeled points, failed
+    * encodings, and the "far from every prototype" tail SemDeDup-style
+    * pruning keeps — the q78 family reads this before dropping the
+    * DENSE regions; this is the sparse-tail complement). z is NULL
+    * (outlier false) for a zero-variance label.
+    *
+    * Cross-engine exactness: centroids are the exact-DECIMAL
+    * element-wise means ([[labelCentroids]]); the distance folds a
+    * per-row diff array through the codegen'd sequential dot (index
+    * order — no partition-order float sums), rounds to 6; the label
+    * mean/variance aggregate DECIMAL sums of the rounded distances
+    * (the sq23 term discipline) and z is derived by the same
+    * expression shape in both engines.
+    *
+    * Scale shape: centroids are |labels|×Dim (broadcast); the scoring
+    * pass is one linear scan; the stats table is |labels| rows
+    * (broadcast back); no corpus×corpus anywhere. */
+  def q230EmbeddingOutliers(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), col("label"), col("embedding").as("v"))
+    val cents = labelCentroids(e)
+    val scored = e.join(broadcast(cents), Seq("label"))
+      .withColumn("diff", zip_with(col("v"), col("centroid"),
+        (a, b) => a.cast("double") - b))
+      .withColumn("dist", round(sqrt(dot(col("diff"), col("diff"))), 6))
+    val dec18 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val dec28 = org.apache.spark.sql.types.DecimalType(28, 6)
+    val stats = scored.groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        sum(col("dist").cast(dec18)).as("sd"),
+        sum(round(col("dist") * col("dist"), 6).cast(dec28)).as("sd2"))
+      .select(col("label"),
+        (col("sd").cast("double") / col("n")).as("mean_d"),
+        (col("sd2").cast("double") / col("n") -
+          (col("sd").cast("double") / col("n")) *
+            (col("sd").cast("double") / col("n"))).as("var_d"))
+    scored.join(broadcast(stats), Seq("label"))
+      .select(col("vec_id"), col("label"), col("dist"),
+        when(col("var_d") > 0,
+          round((col("dist") - col("mean_d")) / sqrt(col("var_d")), 6)).as("z"))
+      .withColumn("outlier", coalesce(abs(col("z")) >= OutlierZ, lit(false)))
+      .orderBy("vec_id")
+  }
+
+  /** Oracle twin: the shared exact-centroid CTE, the same diff-square
+    * list fold, DECIMAL sums and z expression shape. */
+  val q230Sql: String =
+    s"""WITH $centCte, sc AS (
+       |  SELECT d.vec_id, d.label,
+       |    round(sqrt(list_sum([(d.v[i] - cent.centroid[i])
+       |      * (d.v[i] - cent.centroid[i]) for i in range(1, $Dim + 1)])), 6)
+       |      AS dist
+       |  FROM d JOIN cent ON d.label = cent.label
+       |), st AS (
+       |  SELECT label,
+       |    CAST(sum(CAST(dist AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean_d,
+       |    CAST(sum(CAST(round(dist * dist, 6) AS DECIMAL(28,6))) AS DOUBLE)
+       |      / count(*)
+       |      - (CAST(sum(CAST(dist AS DECIMAL(18,6))) AS DOUBLE) / count(*))
+       |      * (CAST(sum(CAST(dist AS DECIMAL(18,6))) AS DOUBLE) / count(*))
+       |      AS var_d
+       |  FROM sc GROUP BY label
+       |)
+       |SELECT sc.vec_id, sc.label, sc.dist,
+       |  CASE WHEN st.var_d > 0
+       |    THEN round((sc.dist - st.mean_d) / sqrt(st.var_d), 6) END AS z,
+       |  coalesce(abs(CASE WHEN st.var_d > 0
+       |    THEN round((sc.dist - st.mean_d) / sqrt(st.var_d), 6) END)
+       |    >= $OutlierZ, false) AS outlier
+       |FROM sc JOIN st ON sc.label = st.label
+       |ORDER BY sc.vec_id""".stripMargin
+
   // ------------------------------- q197 semantic decontamination report
 
   /** Benchmark-panel size (eval sets are small by nature — the panel
@@ -2841,7 +2920,8 @@ object VectorOps {
     "q212_hamming_topk" -> (q212HammingTopk _),
     "q215_probe_sweep" -> (q215ProbeSweep _),
     "q218_mih_topk" -> (q218MihTopk _),
-    "q221_semdedup_sweep" -> (q221SemdedupSweep _)
+    "q221_semdedup_sweep" -> (q221SemdedupSweep _),
+    "q230_embedding_outliers" -> (q230EmbeddingOutliers _)
   )
 
   /** Every entry is oracle-checked, including the adaptive ANN paths
@@ -2877,7 +2957,8 @@ object VectorOps {
     "q212_hamming_topk" -> q212Sql,
     "q215_probe_sweep" -> q215Sql,
     "q218_mih_topk" -> q218Sql,
-    "q221_semdedup_sweep" -> q221Sql
+    "q221_semdedup_sweep" -> q221Sql,
+    "q230_embedding_outliers" -> q230Sql
   )
 
   // ---------------------------------------------- q125 confusion matrix

@@ -2070,4 +2070,61 @@ object StreamOps {
       |    THEN round((mean - pm) / sqrt(pv / n), 6) END) >= 3, false)
       |    AS anomalous
       |FROM l ORDER BY janela_ms, event_type""".stripMargin
+
+  /** SQ24: STREAMING DISTINCT-USER MONITOR — per closed hourly window
+    * × event type: exact row count plus an HLL distinct-user estimate
+    * computed IN-STREAM (`approx_count_distinct` partial-merges
+    * inside the watermarked windowed aggregation, so each open
+    * (window, type) cell holds CONSTANT state — a few KB of HLL
+    * registers — where exact distinct would buffer every user id per
+    * open window; the only way "distinct users per window" streams at
+    * 100 TB). The emitted row certifies the estimate with the
+    * q52/q135 free invariants — au ≥ 1 when the cell has rows, au ≤
+    * n·(1 + k·rsd) with k/rsd the shared [[graft.queries.Queries]]
+    * constants — and ships (window, type, n, boolean certificate):
+    * HLL register contents are engine-specific, so the BOOLEAN is the
+    * cross-engine surface (the q52 above-gate convention) while the
+    * oracle pins the exact n per closed window and the closure rule
+    * itself. */
+  def sq24StreamDistinct(s: SparkSession, dir: String): DataFrame = {
+    val name = s"sq24_${System.nanoTime()}"
+    withStreamShuffle(s) { fs =>
+      val q = eventsStream(fs, dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          approx_count_distinct(col("user_id"), graft.queries.Queries.HllRsd)
+            .as("au"))
+        .select(unix_millis(col("w.start")).as("janela_ms"),
+          col("event_type"), col("n"), col("au"))
+        .writeStream.queryName(name).format("memory")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      recordStatePeak("sq24_stream_distinct", q)
+      fs.table(name)
+        .select(col("event_type"), col("janela_ms"), col("n"),
+          ((col("au") >= when(col("n") > 0, 1L).otherwise(0L)) &&
+            (col("au") <= lit(1.0 + graft.queries.Queries.HllUpperK *
+              graft.queries.Queries.HllRsd) * col("n")))
+            .as("users_within_bounds"))
+        .orderBy("janela_ms", "event_type")
+    }
+  }
+
+  /** SQ24's DuckDB oracle: the same closed-hour rule and exact counts;
+    * the certificate is literal true (the engine-side invariant the
+    * stream must satisfy — the q52 above-gate convention). */
+  val sq24Sql: String =
+    """WITH wm AS (
+      |  SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 2 HOUR AS w FROM events
+      |), e AS (
+      |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h
+      |  FROM events
+      |)
+      |SELECT event_type, epoch_ms(h) AS janela_ms, count(*) AS n,
+      |  true AS users_within_bounds
+      |FROM e CROSS JOIN wm
+      |WHERE h + INTERVAL 1 HOUR <= wm.w
+      |GROUP BY 1, 2
+      |ORDER BY janela_ms, event_type""".stripMargin
 }

@@ -152,6 +152,53 @@ class Round14Spec extends AnyFunSuite with BeforeAndAfterAll {
       r.getAs[Boolean]("kept")) == 1, "dense clique -> exactly one survivor")
   }
 
+  // ------------------------------------- q232 phash near-dup audit
+
+  test("q232: a planted hamming-2 pair is found through the band join " +
+    "(pigeonhole), over-cap buckets are excluded and self-reported") {
+    val sp = spark
+    import sp.implicits._
+    // media 1 (hash 0) and 2 (hash 3) differ in 2 bits; media 3 is the
+    // all-ones hash; media 101..1201 share bands 0/2/3 value 0 with
+    // media 1 (bucket size > PhashMaxBucket -> capped) but have unique
+    // band-1 values, so only the (1,2) pair survives in kept buckets
+    val rows = Seq((1L, 0L), (2L, 3L), (3L, -1L)) ++
+      (1 to 1101).map(i => (100L + i, i.toLong << 16))
+    val out = graft.llmops.MultimodalOps
+      .q232Core(rows.toDF("media_id", "phash")).collect()
+    val m = out.map(r => r.getAs[Long]("media_id") -> r).toMap
+    assert(m(1L).getAs[Boolean]("neardup") &&
+      m(1L).getAs[Int]("min_hamming") == 2 &&
+      m(1L).getAs[Long]("n_band_candidates") == 1L,
+      s"planted pair must surface: ${m(1L)}")
+    assert(m(1L).getAs[Long]("n_capped_bands") == 3L,
+      "media 1 sits in three over-cap buckets and must say so")
+    assert(m(2L).getAs[Boolean]("neardup") &&
+      m(2L).getAs[Long]("n_capped_bands") == 2L)
+    assert(m(3L).isNullAt(m(3L).fieldIndex("min_hamming")) &&
+      !m(3L).getAs[Boolean]("neardup") &&
+      m(3L).getAs[Long]("n_capped_bands") == 0L,
+      "an isolated hash has no candidates, null min_hamming, no flag")
+    assert(m(103L).getAs[Long]("n_band_candidates") == 0L &&
+      m(103L).getAs[Long]("n_capped_bands") == 3L,
+      "over-cap family members lose their bucket and report the cap")
+  }
+
+  // ------------------------------------- sq24 stream distinct monitor
+
+  test("sq24: every closed window certifies its in-stream HLL estimate " +
+    "and the state peak is recorded") {
+    val rows = graft.streaming.StreamOps
+      .sq24StreamDistinct(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty, "closed hourly windows must emit")
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("users_within_bounds"),
+        s"HLL free invariant must hold per cell: $r")
+    }
+    assert(graft.streaming.StreamOps
+      .lastStatePeak("sq24_stream_distinct").isDefined)
+  }
+
   // -------------------------------------------- bench cause classes
 
   private val base = Seq(1.0, 1.0, 1.0)
