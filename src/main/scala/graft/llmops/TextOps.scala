@@ -2653,10 +2653,30 @@ object TextOps {
       .join(lowRoots, Seq("cluster_root"), "left_semi")
       .filter(col("hamming") <= TightHammingMax)
       .select("doc_a", "doc_b")
+    // PERSIST the tight edge set before the CC loop (the q67 sym
+    // discipline): every generation references it, and each
+    // generation's localCheckpoint would otherwise re-execute the
+    // whole upstream (pair graph + labels + density screen) per
+    // iteration — measured 24 s vs 9 s at sf0.1 in the r14 sweep.
+    // The CC engine is the q67 default, LARGE/SMALL-STAR: the tight
+    // subgraph is chain-heavy BY CONSTRUCTION (the density screen
+    // selects chains), and min-label pays one generation per chain
+    // DIAMETER where star contraction pays ~log — the same A/B q67
+    // measured, amplified by this subgraph's shape (minlabel stays
+    // selectable via graft.cc.impl, same as q67).
     val tightSym = tight.union(
-      tight.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-    val subLabels = ccMinLabel(tightSym)
-      .select(col("doc_id"), col("root").as("sub_root"))
+        tight.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the CC result's final generation is a localCheckpoint —
+    // already materialized — so the edge set can unpersist right away
+    val subLabels =
+      try {
+        val cc =
+          if (docsDf.sparkSession.conf.getOption("graft.cc.impl")
+              .contains("minlabel")) ccMinLabel(tightSym)
+          else ccLargeSmallStar(tightSym)
+        cc.select(col("doc_id"), col("root").as("sub_root"))
+      } finally tightSym.unpersist()
     val verdicts = docsDf
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_chars"),
