@@ -2115,6 +2115,110 @@ object RelOps {
        |  round(CAST(max(gap) AS DOUBLE) / 1000000.0, 6) AS max_gap_s
        |FROM gg GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------- q233 RFM segmentation
+
+  /** q233: RFM SEGMENTATION — the classic per-user
+    * recency/frequency/monetary quartile scoring, at segment grain:
+    * every user gets (r, f, m) ∈ {1..4}³ (recency INVERTED — recent =
+    * 4) against exact type-1 quartile boundaries, and the output is
+    * the ≤64-row segment table (n_users, total monetary units) a
+    * lifecycle-marketing pipeline ships. The quartile cuts ride the
+    * q219 histogram discipline: each metric collapses map-side to a
+    * (value, count) histogram whose cell count is bounded by the
+    * metric's RANGE, not the user count — recency in whole DAYS since
+    * the corpus end, frequency = events/user, monetary floored to
+    * whole units (exact: floor of a DECIMAL(·,2) sum) — so the
+    * cumulative window that locates min{v : cum·4 ≥ n·k} runs on a
+    * cell-sized frame (the q155/q219 lesson: never a row sort for a
+    * quantile).
+    *
+    * Scale shape: one partial-agg'd groupBy(user_id) over events;
+    * three cell-sized histograms; the 1-row boundary frame broadcasts
+    * back; final agg is ≤ 4³ rows. */
+  def q233RfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val mx = e.agg(max(expr("unix_micros(ts)")).as("mx"))
+    val users = e.groupBy("user_id")
+      .agg(count(lit(1)).as("freq"),
+        max(expr("unix_micros(ts)")).as("last_us"),
+        sum(dec(col("value"), 18, 2)).as("mon"))
+      .crossJoin(broadcast(mx))
+      .select(col("user_id"), col("freq"),
+        expr("(mx - last_us) div 86400000000").as("rec_days"),
+        floor(col("mon")).cast("long").as("mon_units"))
+    def bounds(metric: String): DataFrame = {
+      val hist = users.groupBy(col(metric).as("v")).agg(count(lit(1)).as("c"))
+      val n = hist.agg(sum("c").as("n"))
+      val wcum = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // single-partition window — over the CELL histogram only
+      hist.crossJoin(broadcast(n))
+        .withColumn("cum", sum("c").over(wcum))
+        .agg(min(when(col("cum") * 4 >= col("n"), col("v")))
+            .as(s"${metric}_q1"),
+          min(when(col("cum") * 4 >= col("n") * 2, col("v")))
+            .as(s"${metric}_q2"),
+          min(when(col("cum") * 4 >= col("n") * 3, col("v")))
+            .as(s"${metric}_q3"))
+    }
+    val b = bounds("rec_days").crossJoin(bounds("freq"))
+      .crossJoin(bounds("mon_units"))
+    def quart(v: Column, m: String): Column =
+      lit(1) + when(v > col(s"${m}_q1"), 1).otherwise(0) +
+        when(v > col(s"${m}_q2"), 1).otherwise(0) +
+        when(v > col(s"${m}_q3"), 1).otherwise(0)
+    users.crossJoin(broadcast(b))
+      .select(col("user_id"), col("mon_units"),
+        (lit(5) - quart(col("rec_days"), "rec_days")).as("r_score"),
+        quart(col("freq"), "freq").as("f_score"),
+        quart(col("mon_units"), "mon_units").as("m_score"))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_users"),
+        sum("mon_units").as("total_mon_units"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
+  /** Oracle: the same histograms, boundary rule and scoring in SQL. */
+  val q233Sql: String = {
+    def hb(src: String, met: String, al: String) =
+      s"""${al}h AS (SELECT $met AS v, count(*) AS c FROM $src GROUP BY 1),
+         |${al}c AS (SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+         |  AS cum, (SELECT count(*) FROM $src) AS n FROM ${al}h),
+         |${al}b AS (SELECT min(CASE WHEN cum*4 >= n THEN v END) AS q1,
+         |  min(CASE WHEN cum*4 >= n*2 THEN v END) AS q2,
+         |  min(CASE WHEN cum*4 >= n*3 THEN v END) AS q3 FROM ${al}c)""".stripMargin
+    s"""WITH u AS (
+       |  SELECT user_id, count(*) AS freq,
+       |    max(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us,
+       |    sum(CAST(value AS DECIMAL(18,2))) AS mon
+       |  FROM events GROUP BY 1
+       |), mx AS (SELECT max(last_us) AS mx FROM u
+       |), um AS (
+       |  SELECT user_id, freq,
+       |    (mx.mx - u.last_us) // 86400000000 AS rec_days,
+       |    CAST(floor(u.mon) AS BIGINT) AS mon_units
+       |  FROM u CROSS JOIN mx
+       |), ${hb("um", "rec_days", "r")},
+       |${hb("um", "freq", "f")},
+       |${hb("um", "mon_units", "m")},
+       |scored AS (
+       |  SELECT mon_units,
+       |    5 - (1 + CASE WHEN rec_days > rb.q1 THEN 1 ELSE 0 END
+       |           + CASE WHEN rec_days > rb.q2 THEN 1 ELSE 0 END
+       |           + CASE WHEN rec_days > rb.q3 THEN 1 ELSE 0 END) AS r_score,
+       |    1 + CASE WHEN freq > fb.q1 THEN 1 ELSE 0 END
+       |      + CASE WHEN freq > fb.q2 THEN 1 ELSE 0 END
+       |      + CASE WHEN freq > fb.q3 THEN 1 ELSE 0 END AS f_score,
+       |    1 + CASE WHEN mon_units > mb.q1 THEN 1 ELSE 0 END
+       |      + CASE WHEN mon_units > mb.q2 THEN 1 ELSE 0 END
+       |      + CASE WHEN mon_units > mb.q3 THEN 1 ELSE 0 END AS m_score
+       |  FROM um CROSS JOIN rb CROSS JOIN fb CROSS JOIN mb
+       |)
+       |SELECT r_score, f_score, m_score, count(*) AS n_users,
+       |  CAST(sum(mon_units) AS BIGINT) AS total_mon_units
+       |FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+  }
+
   // --------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2146,7 +2250,8 @@ object RelOps {
     "q201_assortativity" -> (q201Assortativity _),
     "q209_cohort_retention" -> (q209CohortRetention _),
     "q210_funnel_steps" -> (q210FunnelSteps _),
-    "q211_event_gaps" -> (q211EventGaps _)
+    "q211_event_gaps" -> (q211EventGaps _),
+    "q233_rfm_segments" -> (q233RfmSegments _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -2178,6 +2283,7 @@ object RelOps {
     "q201_assortativity" -> q201Sql,
     "q209_cohort_retention" -> q209Sql,
     "q210_funnel_steps" -> q210Sql,
-    "q211_event_gaps" -> q211Sql
+    "q211_event_gaps" -> q211Sql,
+    "q233_rfm_segments" -> q233Sql
   )
 }

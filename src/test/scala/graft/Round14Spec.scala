@@ -199,6 +199,38 @@ class Round14Spec extends AnyFunSuite with BeforeAndAfterAll {
       .lastStatePeak("sq24_stream_distinct").isDefined)
   }
 
+  // ------------------------------------------- q233 RFM segmentation
+
+  test("q233: crafted 8-user fixture lands on the exact quartile diagonal " +
+    "(type-1 boundaries at ranks 2/4/6, recency inverted)") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("q233rfm").toString
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // user u: u events, last one u days after base, every value u*10 ->
+    // freq 1..8, rec_days 8-u, monetary u^2*10 — all three metrics
+    // distinct, so each quartile holds exactly two users
+    val rows = (1 to 8).flatMap { u =>
+      (1 to u).map { i =>
+        val ts = if (i == u) new java.sql.Timestamp(base.getTime + u * 86400000L)
+                 else new java.sql.Timestamp(base.getTime + i * 1000L)
+        ((u * 100 + i).toLong, ts, u.toLong, "ev", u * 10.0, "{}")
+      }
+    }
+    spark.createDataFrame(rows)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = graft.queries.RelOps.q233RfmSegments(spark, tmp).collect()
+      .map(r => ((r.getAs[Int]("r_score"), r.getAs[Int]("f_score"),
+        r.getAs[Int]("m_score")), (r.getAs[Long]("n_users"),
+        r.getAs[Long]("total_mon_units")))).toMap
+    assert(out.keySet == Set((1, 1, 1), (2, 2, 2), (3, 3, 3), (4, 4, 4)),
+      s"distinct metrics must land on the diagonal: ${out.keySet}")
+    assert(out((1, 1, 1)) == (2L, 50L))    // users 1,2: 10 + 40
+    assert(out((2, 2, 2)) == (2L, 250L))   // users 3,4: 90 + 160
+    assert(out((3, 3, 3)) == (2L, 610L))   // users 5,6: 250 + 360
+    assert(out((4, 4, 4)) == (2L, 1130L))  // users 7,8: 490 + 640
+  }
+
   // -------------------------------------------- bench cause classes
 
   private val base = Seq(1.0, 1.0, 1.0)
