@@ -513,6 +513,76 @@ object VectorOps {
        |  FROM sims)
        |WHERE rank <= $TopK ORDER BY vec_id, rank""".stripMargin
 
+  // ------------------------------------------ q234 IVF list balance
+
+  /** q234: IVF LIST-BALANCE AUDIT — the index-health read ANN teams
+    * take before trusting probe latency (faiss's imbalance_factor):
+    * per IVF cell, the indexed-list size, its share of the corpus,
+    * and its skew vs the uniform C-cell ideal (skew = share·C; 1.0 =
+    * balanced). A skewed quantizer makes nprobe latency bimodal — hot
+    * lists dominate every probe that touches them — and the fix
+    * (re-train / split hot cells) starts from exactly this table.
+    * Assignment is the q44 coarse quantizer verbatim (exact-DECIMAL
+    * label centroids, 6-dp rounded cosine, cell-id tie-break), so the
+    * audit can never disagree with the index it audits.
+    *
+    * Scale shape: the centroid table broadcasts (|cells|×Dim); one
+    * linear assignment scan; per-vector nearest-cell via the same
+    * per-vector rank-1 window (vec-local, never global); the output
+    * and the totals frame are |cells| rows. */
+  def q234IvfBalance(s: SparkSession, dir: String): DataFrame = {
+    val e0 = emb(s, dir).select(col("vec_id"), col("label"), col("embedding").as("v"))
+    val e = e0.select(col("vec_id"), col("v")).withColumn("nrm", norm(col("v")))
+    val cent = labelCentroids(e0.select(col("label"), col("v")))
+      .select(col("label").as("cell"), col("centroid"))
+      .withColumn("cnrm", norm(col("centroid")))
+    val wCell = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell"))
+    val sizes = e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cell"),
+        round(cosSim(dot(col("v"), col("centroid")), col("nrm"), col("cnrm")), 6)
+          .as("csim"))
+      .withColumn("crank", row_number().over(wCell))
+      .filter(col("crank") === 1)
+      .groupBy("cell").agg(count(lit(1)).as("n_vectors"))
+    val tot = sizes.agg(sum("n_vectors").as("nn"), count(lit(1)).as("cc"))
+    sizes.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_vectors"),
+        round(col("n_vectors").cast("double") / col("nn"), 6).as("share"),
+        round(col("n_vectors").cast("double") * col("cc") / col("nn"), 6)
+          .as("skew"))
+      .orderBy("cell")
+  }
+
+  /** Oracle: the q44 assignment CTEs (shared centroid chain), sizes
+    * and the same share/skew arithmetic. */
+  def q234Sql: String =
+    s"""WITH $centCte, n AS (
+       |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM d
+       |), cn AS (
+       |  SELECT label AS cell, centroid,
+       |    sqrt(list_sum(list_transform(centroid, x -> x * x))) AS cnrm
+       |  FROM cent
+       |), cs AS (
+       |  SELECT vec_id, cell,
+       |    round(coalesce(list_sum([v[i] * centroid[i] for i in range(1, $Dim + 1)])
+       |          / (nrm * cnrm), 0.0), 6) AS csim
+       |  FROM n CROSS JOIN cn
+       |), assigned AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell)
+       |        AS crank
+       |    FROM cs) WHERE crank = 1
+       |), sizes AS (
+       |  SELECT cell, count(*) AS n_vectors FROM assigned GROUP BY 1
+       |), tot AS (
+       |  SELECT CAST(sum(n_vectors) AS BIGINT) AS nn, count(*) AS cc FROM sizes
+       |)
+       |SELECT cell, n_vectors,
+       |  round(CAST(n_vectors AS DOUBLE) / nn, 6) AS share,
+       |  round(CAST(n_vectors AS DOUBLE) * cc / nn, 6) AS skew
+       |FROM sizes CROSS JOIN tot ORDER BY cell""".stripMargin
+
   // ------------------------------------------ q43 embedding near-dup
 
   /** Embedding near-dup threshold. The synthetic vectors are well
@@ -2921,7 +2991,8 @@ object VectorOps {
     "q215_probe_sweep" -> (q215ProbeSweep _),
     "q218_mih_topk" -> (q218MihTopk _),
     "q221_semdedup_sweep" -> (q221SemdedupSweep _),
-    "q230_embedding_outliers" -> (q230EmbeddingOutliers _)
+    "q230_embedding_outliers" -> (q230EmbeddingOutliers _),
+    "q234_ivf_balance" -> (q234IvfBalance _)
   )
 
   /** Every entry is oracle-checked, including the adaptive ANN paths
@@ -2958,7 +3029,8 @@ object VectorOps {
     "q215_probe_sweep" -> q215Sql,
     "q218_mih_topk" -> q218Sql,
     "q221_semdedup_sweep" -> q221Sql,
-    "q230_embedding_outliers" -> q230Sql
+    "q230_embedding_outliers" -> q230Sql,
+    "q234_ivf_balance" -> q234Sql
   )
 
   // ---------------------------------------------- q125 confusion matrix

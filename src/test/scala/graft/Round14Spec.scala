@@ -231,6 +231,43 @@ class Round14Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out((4, 4, 4)) == (2L, 1130L))  // users 7,8: 490 + 640
   }
 
+  // ------------------------------------------- q234 IVF balance
+
+  test("q234: list sizes conserve the corpus and shares sum to 1 " +
+    "(every vector indexed in exactly one cell)") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.llmops.VectorOps.q234IvfBalance(spark, dir).collect()
+    val total = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_vectors")).sum == total,
+      "assignment must partition the corpus — no vector lost or doubled")
+    val shareSum = rows.map(_.getAs[Double]("share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-4, s"shares must sum to 1: $shareSum")
+    rows.foreach(r => assert(r.getAs[Double]("skew") > 0))
+  }
+
+  // ------------------------------------------- round-14 plan pins
+
+  test("q228 plan: the per-source top-M rides WindowGroupLimit and the " +
+    "template join-back broadcasts") {
+    val plan = graft.llmops.TextOps
+      .q228TemplateCoverage(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      "rank<=TemplateTopM must push per-partition — a bare window sorts " +
+        "every source's whole vocabulary on one reducer")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the sources x M template frame must broadcast")
+  }
+
+  test("q230 plan: centroids and label stats broadcast; no cartesian") {
+    val plan = graft.llmops.VectorOps
+      .q230EmbeddingOutliers(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert("BroadcastExchange".r.findAllIn(plan).size >= 2,
+      "both |labels|-row frames must broadcast back to the scan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   // -------------------------------------------- bench cause classes
 
   private val base = Seq(1.0, 1.0, 1.0)
