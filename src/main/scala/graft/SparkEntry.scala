@@ -64,7 +64,9 @@ object SparkEntry {
       "sq23_stream_anomaly" ->
         ((s: SparkSession, dir: String) => StreamOps.sq23StreamAnomaly(s, dir)),
       "sq24_stream_distinct" ->
-        ((s: SparkSession, dir: String) => StreamOps.sq24StreamDistinct(s, dir)))
+        ((s: SparkSession, dir: String) => StreamOps.sq24StreamDistinct(s, dir)),
+      "sq25_session_window" ->
+        ((s: SparkSession, dir: String) => StreamOps.sq25SessionWindow(s, dir)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -94,5 +96,6 @@ object SparkEntry {
       "sq21_stream_psi_monitor" -> StreamOps.sq21Sql,
       "sq22_stream_neardup_gate" -> StreamOps.sq22Sql,
       "sq23_stream_anomaly" -> StreamOps.sq23Sql,
-      "sq24_stream_distinct" -> StreamOps.sq24Sql)
+      "sq24_stream_distinct" -> StreamOps.sq24Sql,
+      "sq25_session_window" -> StreamOps.sq25Sql)
 }

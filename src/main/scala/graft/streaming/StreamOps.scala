@@ -2111,6 +2111,73 @@ object StreamOps {
     }
   }
 
+  /** SQ25: NATIVE SESSION WINDOWS — the `session_window(ts, gap)`
+    * Catalyst aggregation (dynamic-gap session state merged by the
+    * engine across micro-batches), the DECLARATIVE sibling of the
+    * sq6/sq7/sq15 hand-rolled sessionizers: same 30-minute gap rule,
+    * zero custom state code — the shape a user reaches for FIRST on a
+    * real cluster, and the one that lets Spark's session-merge state
+    * format, AQE-less stateful planning and watermark eviction do the
+    * work. Append mode: a session emits once its window end (last
+    * event + gap) falls at or under the watermark.
+    *
+    * Boundary semantics differ from q22's chain ON PURPOSE and the
+    * oracle encodes them: `session_window` SPLITS at gap ≥ 30 min
+    * (an event exactly one gap after its predecessor starts a new
+    * session) where the q22 lag-rule splits strictly greater; the
+    * emitted end is last-event + gap. State = OPEN sessions only
+    * (watermark-bounded — the saturating family). */
+  def sq25SessionWindow(s: SparkSession, dir: String): DataFrame = {
+    val name = s"sq25_${System.nanoTime()}"
+    withStreamShuffle(s) { fs =>
+      val q = eventsStream(fs, dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(session_window(col("ts"), "30 minutes").as("sw"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n_eventos"))
+        .select(col("user_id"), unix_micros(col("sw.start")).as("inicio_us"),
+          unix_micros(col("sw.end")).as("fim_us"), col("n_eventos"))
+        .writeStream.queryName(name).format("memory")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      recordStatePeak("sq25_session_window", q)
+      fs.table(name).orderBy("user_id", "inicio_us")
+    }
+  }
+
+  /** SQ25's DuckDB oracle: the gap chain with session_window's OWN
+    * split rule (>= gap) and emitted end (last + gap), closed under
+    * the final watermark. */
+  val sq25Sql: String = {
+    val gap = graft.queries.Queries.SessionGapUs
+    s"""WITH wm AS (
+       |  SELECT epoch_us(max(CAST(ts AS TIMESTAMP))) - 7200000000 AS w
+       |  FROM events
+       |), e AS (
+       |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+       |  FROM events
+       |), flagged AS (
+       |  SELECT user_id, event_id, us,
+       |    CASE WHEN lag(us) OVER w IS NULL
+       |              OR us - lag(us) OVER w >= $gap
+       |         THEN 1 ELSE 0 END AS novo
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+       |), sess AS (
+       |  SELECT user_id, us,
+       |    sum(novo) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS sid
+       |  FROM flagged
+       |), agg AS (
+       |  SELECT user_id, min(us) AS inicio_us, max(us) + $gap AS fim_us,
+       |    count(*) AS n_eventos
+       |  FROM sess GROUP BY user_id, sid
+       |)
+       |SELECT user_id, inicio_us, fim_us, n_eventos
+       |FROM agg CROSS JOIN wm WHERE fim_us <= wm.w
+       |ORDER BY user_id, inicio_us""".stripMargin
+  }
+
   /** SQ24's DuckDB oracle: the same closed-hour rule and exact counts;
     * the certificate is literal true (the engine-side invariant the
     * stream must satisfy — the q52 above-gate convention). */
