@@ -526,7 +526,107 @@ object SqlSurfaceOps {
   private[graft] def q222InlineTwin(s: SparkSession, dir: String): DataFrame =
     ScopedSql.run(s, dir, q222Sql, "lineitem" -> t(s, dir, "lineitem"))
 
+  // --------------------------------- q235 EXECUTE IMMEDIATE / variables
+
+  /** q235 filter threshold. */
+  final val ExecImmMinValue = 10.0
+
+  /** q235: DYNAMIC SQL — a SESSION VARIABLE holds the query TEXT
+    * (DECLARE VARIABLE + SET VARIABLE) and `EXECUTE IMMEDIATE ...
+    * USING` runs it with a positional parameter bind: the Spark 4
+    * dynamic-SQL surface a metadata-driven pipeline uses to run
+    * queries assembled at runtime (q162 binds parameters into STATIC
+    * text; this binds the TEXT itself). The inner query is the same
+    * classic aggregation the oracle states directly — identity across
+    * surfaces, the q159 proof shape. The variable name is
+    * session-global, so the text is (re)SET on every call — two dirs
+    * in one session cannot cross-talk (the scoped view name is baked
+    * into the text at call time).
+    *
+    * Scale shape: whatever the inner query plans — here the q21-class
+    * partial+final aggregation, one shuffle; EXECUTE IMMEDIATE adds
+    * parse-time work only. */
+  def q235ExecImmediate(s: SparkSession, dir: String): DataFrame = {
+    val scoped = s"events_${ScopedSql.tag(dir)}"
+    events(s, dir).createOrReplaceTempView(scoped)
+    s.sql("DECLARE OR REPLACE VARIABLE graft_q235_text STRING")
+    s.sql("SET VARIABLE graft_q235_text = " +
+      s"'SELECT event_type, count(*) AS n, " +
+      s"CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS soma " +
+      s"FROM $scoped WHERE value >= ? " +
+      s"GROUP BY event_type ORDER BY event_type'")
+    s.sql(s"EXECUTE IMMEDIATE graft_q235_text USING $ExecImmMinValue")
+  }
+
+  val q235Sql: String =
+    s"""SELECT event_type, count(*) AS n,
+       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS soma
+       |FROM events WHERE value >= $ExecImmMinValue
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------ q236 SQL scripting
+
+  /** q236: SQL SCRIPTING (BEGIN…END) — Spark 4's procedural SQL: a
+    * script DECLAREs a variable, SETs it from a scalar subquery, and
+    * BRANCHES (IF/ELSE) on it; the script's value is its last
+    * statement's result. Here the branch is the classic "aggregate
+    * when the relation is big enough, emit the raw marker row
+    * otherwise" guard a SQL-only pipeline writes without leaving the
+    * engine. Scripting ships ENABLED by default on this Spark (4.1;
+    * `spark.sql.scripting.enabled` defaults true), but the knob is
+    * still set-and-RESTORED around the one call (try/finally, the
+    * ConfScope discipline) so the op also runs on a session where an
+    * operator disabled it — restoration to the pre-call value is
+    * spec-pinned, and a momentary scripting-permission flag cannot
+    * affect a concurrent query's plan.
+    *
+    * The oracle is BRANCH-AWARE (the round-14 nasty sweep caught the
+    * first draft stating only the THEN branch — the adversarial
+    * events fixture sits under the threshold): both legs union under
+    * mutually-exclusive count gates, so the oracle takes whichever
+    * branch the script takes at any corpus size, empty included. */
+  def q236SqlScript(s: SparkSession, dir: String): DataFrame = {
+    val key = "spark.sql.scripting.enabled"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "true")
+    try q236Body(s, dir)
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
+  private def q236Body(s: SparkSession, dir: String): DataFrame = {
+    val scoped = s"events_${ScopedSql.tag(dir)}"
+    events(s, dir).createOrReplaceTempView(scoped)
+    s.sql(
+      s"""BEGIN
+         |  DECLARE n BIGINT;
+         |  SET n = (SELECT count(*) FROM $scoped);
+         |  IF n > 100 THEN
+         |    SELECT 'agg' AS mode, event_type, count(*) AS c
+         |    FROM $scoped GROUP BY event_type ORDER BY event_type;
+         |  ELSE
+         |    SELECT 'raw' AS mode, event_type, CAST(1 AS BIGINT) AS c
+         |    FROM $scoped GROUP BY event_type ORDER BY event_type;
+         |  END IF;
+         |END""".stripMargin)
+  }
+
+  val q236Sql: String =
+    """WITH nn AS (SELECT count(*) AS n FROM events),
+      |br AS (
+      |  SELECT 'agg' AS mode, event_type, count(*) AS c
+      |  FROM events CROSS JOIN nn WHERE nn.n > 100 GROUP BY event_type
+      |  UNION ALL
+      |  SELECT 'raw' AS mode, event_type, CAST(1 AS BIGINT) AS c
+      |  FROM events CROSS JOIN nn WHERE nn.n <= 100 GROUP BY event_type
+      |)
+      |SELECT mode, event_type, c FROM br ORDER BY event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q235_exec_immediate" -> (q235ExecImmediate _),
+    "q236_sql_script" -> (q236SqlScript _),
     "q222_sql_udf" -> (q222SqlUdf _),
     "q159_pipe_syntax" -> (q159PipeSyntax _),
     "q160_variant_shred" -> (q160VariantShred _),
@@ -541,6 +641,8 @@ object SqlSurfaceOps {
     "q172_calendar_zoo" -> (q172CalendarZoo _))
 
   val oracle: Map[String, String] = Map(
+    "q235_exec_immediate" -> q235Sql,
+    "q236_sql_script" -> q236Sql,
     "q222_sql_udf" -> q222Sql,
     "q159_pipe_syntax" -> q159Sql,
     "q160_variant_shred" -> q160Sql,

@@ -268,6 +268,45 @@ class Round14Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  // ------------------------------- q235/q236 dynamic SQL + scripting
+
+  test("q235: EXECUTE IMMEDIATE plans exactly like the literal query — " +
+    "same exchange inventory, identical rows") {
+    val dir = "/root/testdata/sf0.001"
+    val dyn = graft.queries.SqlSurfaceOps.q235ExecImmediate(spark, dir)
+    val scoped = s"events_${graft.queries.ScopedSql.tag(dir)}"
+    val lit = spark.sql(
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS soma
+         |FROM $scoped WHERE value >= ${graft.queries.SqlSurfaceOps.ExecImmMinValue}
+         |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    assert(ScaleSweep.exchangeCounts(dyn) == ScaleSweep.exchangeCounts(lit),
+      "dynamic SQL must not add an exchange over the literal twin")
+    assert(dyn.collect().toSeq == lit.collect().toSeq)
+  }
+
+  test("q236: the SQL script's ELSE branch fires on a sub-threshold corpus " +
+    "and the caller session's scripting conf is untouched") {
+    val tmp = java.nio.file.Files.createTempDirectory("q236raw").toString
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = (0 until 7).map { i =>
+      (i.toLong, new java.sql.Timestamp(base.getTime + i * 1000L),
+        i.toLong, s"t${i % 2}", 1.0, "{}")
+    }
+    spark.createDataFrame(rows)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    // scripting ships enabled by default on this Spark (4.1): the
+    // op's set/restore must leave the conf EXACTLY as found either way
+    val pre = spark.conf.getOption("spark.sql.scripting.enabled")
+    val out = graft.queries.SqlSurfaceOps.q236SqlScript(spark, tmp).collect()
+    assert(out.length == 2 && out.forall(r =>
+      r.getAs[String]("mode") == "raw" && r.getAs[Long]("c") == 1L),
+      s"7 events < 100 must take the ELSE branch (one marker per type): ${out.toSeq}")
+    assert(spark.conf.getOption("spark.sql.scripting.enabled") == pre,
+      "scripting flag must be restored to its pre-call value")
+  }
+
   // -------------------------------------------- bench cause classes
 
   private val base = Seq(1.0, 1.0, 1.0)
