@@ -624,7 +624,68 @@ object SqlSurfaceOps {
       |)
       |SELECT mode, event_type, c FROM br ORDER BY event_type""".stripMargin
 
+  // ------------------------------------ q237 SQL table functions
+
+  /** q237 top-k (a BODY constant, not a function parameter — see the
+    * scaladoc's pushdown note). */
+  final val TableFnTopK = 3
+
+  /** q237: SQL-DEFINED TABLE FUNCTIONS (Spark 4 `CREATE FUNCTION …
+    * RETURNS TABLE`) — the table-valued sibling of q222's scalar SQL
+    * UDFs: a parameterized top-k-per-priority relation defined once
+    * in SQL, then invoked CORRELATED under LATERAL (the argument is
+    * the outer row's priority — the q134 lateral shape through a
+    * reusable named function instead of an inline subquery). The
+    * analyzer inlines the function body exactly like the scalar
+    * case, so the plan is the rank-window/limit plan the oracle
+    * states — identity across surfaces, nothing opaque at runtime.
+    *
+    * Scale shape: after inlining, per-priority top-k as a rank
+    * window; one shuffle on the priority. THREE engine lessons are
+    * baked in (all measured while building the op): (1) `LIMIT k`
+    * with k a function PARAMETER is rejected outright
+    * (INVALID_LIMIT_LIKE_EXPRESSION — limit must fold); (2) a
+    * parameterized `rk <= k` filter blocks InferWindowGroupLimit
+    * (the pushdown pattern-matches rank ≤ LITERAL) — hence the body
+    * constant [[TableFnTopK]]; (3) even WITH the literal cut, the
+    * lateral-TVF subtree still misses the group-limit pushdown on
+    * this Spark (the identical plain rank query plans
+    * WindowGroupLimit; the TVF plan does not — probed side by side),
+    * so above ~100× a hot path should state the rank query directly
+    * (the oracle text IS that query). The op's value is the
+    * SURFACE proof: reusable, parameterized, correlated-lateral SQL
+    * relations — and the declared plan trade that comes with them
+    * today. */
+  def q237SqlTableFn(s: SparkSession, dir: String): DataFrame = {
+    val scoped = s"orders_${ScopedSql.tag(dir)}"
+    t(s, dir, "orders").createOrReplaceTempView(scoped)
+    s.sql(
+      s"""CREATE OR REPLACE TEMPORARY FUNCTION graft_top_orders(prio STRING)
+         |RETURNS TABLE (o_orderkey BIGINT, o_totalprice DOUBLE)
+         |RETURN SELECT o_orderkey, o_totalprice FROM (
+         |  SELECT o_orderkey, o_totalprice,
+         |    row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rk
+         |  FROM $scoped WHERE o_orderpriority = prio) WHERE rk <= $TableFnTopK"""
+        .stripMargin)
+    s.sql(
+      s"""SELECT p.o_orderpriority, t.o_orderkey, t.o_totalprice
+         |FROM (SELECT DISTINCT o_orderpriority FROM $scoped) p,
+         |  LATERAL graft_top_orders(p.o_orderpriority) t
+         |ORDER BY p.o_orderpriority, t.o_totalprice DESC, t.o_orderkey"""
+        .stripMargin)
+  }
+
+  /** The inline twin: per-priority rank ≤ 3 with the same tie-break. */
+  val q237Sql: String =
+    """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |  FROM orders) WHERE rk <= 3
+      |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q237_sql_table_fn" -> (q237SqlTableFn _),
     "q235_exec_immediate" -> (q235ExecImmediate _),
     "q236_sql_script" -> (q236SqlScript _),
     "q222_sql_udf" -> (q222SqlUdf _),
@@ -641,6 +702,7 @@ object SqlSurfaceOps {
     "q172_calendar_zoo" -> (q172CalendarZoo _))
 
   val oracle: Map[String, String] = Map(
+    "q237_sql_table_fn" -> q237Sql,
     "q235_exec_immediate" -> q235Sql,
     "q236_sql_script" -> q236Sql,
     "q222_sql_udf" -> q222Sql,

@@ -307,6 +307,29 @@ class Round14Spec extends AnyFunSuite with BeforeAndAfterAll {
       "scripting flag must be restored to its pre-call value")
   }
 
+  // ------------------------------------------- q237 SQL table function
+
+  test("q237: the lateral SQL table function returns exactly the plain " +
+    "rank query's rows; the plain twin keeps its group-limit pushdown") {
+    val dir = "/root/testdata/sf0.001"
+    val tvf = graft.queries.SqlSurfaceOps.q237SqlTableFn(spark, dir)
+    val scoped = s"orders_${graft.queries.ScopedSql.tag(dir)}"
+    val plain = spark.sql(
+      s"""SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+         |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         |    row_number() OVER (PARTITION BY o_orderpriority
+         |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+         |  FROM $scoped) WHERE rk <= ${graft.queries.SqlSurfaceOps.TableFnTopK}
+         |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin)
+    assert(tvf.collect().toSeq == plain.collect().toSeq,
+      "surface identity: TVF+LATERAL must equal the plain rank query")
+    // the plain form is the declared hot path BECAUSE it keeps the
+    // per-partition top-k pushdown (the TVF subtree currently misses
+    // it — measured and declared in the scaladoc, not asserted here so
+    // a future Spark closing the gap doesn't fail the suite)
+    assert(plain.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+  }
+
   // -------------------------------------------- bench cause classes
 
   private val base = Seq(1.0, 1.0, 1.0)
