@@ -584,7 +584,7 @@ object Bench {
       "q230_embedding_outliers", "q231_tokenizer_fertility",
       "q232_phash_neardup", "sq24_stream_distinct", "q233_rfm_segments",
       "q234_ivf_balance", "sq25_session_window", "q235_exec_immediate",
-      "q236_sql_script", "q237_sql_table_fn")
+      "q236_sql_script", "q237_sql_table_fn", "q238_rrf_sweep")
     // shingle-index misses during TIMED passes only (warm passes are
     // expected to build it once per session+dir)
     var timedIndexMisses = 0L

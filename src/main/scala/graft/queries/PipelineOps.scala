@@ -1523,6 +1523,29 @@ object PipelineOps {
     * rounds 6 dp (the q40 formula), and the RRF sum is two exact
     * reciprocals of small integers summed in one fixed order. */
   def q191RrfFusion(s: SparkSession, dir: String): DataFrame = {
+    val (lex, sem) = rrfLegs(s, dir)
+    // --- fusion: ranks only cross this boundary
+    val wF = Window.orderBy(col("rrf").desc, col("doc_id"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("lex_rank"), lit(0)).cast("long").as("lex_rank"),
+        coalesce(col("sem_rank"), lit(0)).cast("long").as("sem_rank"),
+        round(
+          when(col("lex_rank").isNotNull,
+            lit(1.0) / (lit(RrfK) + col("lex_rank"))).otherwise(lit(0.0)) +
+          when(col("sem_rank").isNotNull,
+            lit(1.0) / (lit(RrfK) + col("sem_rank"))).otherwise(lit(0.0)),
+          6).as("rrf"))
+      .withColumn("fused_rank", row_number().over(wF).cast("long"))
+      .filter(col("fused_rank") <= FuseOut)
+      .select("fused_rank", "doc_id", "lex_rank", "sem_rank", "rrf")
+      .orderBy("fused_rank")
+  }
+
+  /** The two retriever legs (top-[[FuseK]] rank lists) shared by q191
+    * and the q238 parameter sweep — factored so the sweep can never
+    * drift from the fusion it tunes. */
+  private def rrfLegs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import graft.llmops.TextOps.{Bm25B, Bm25K1}
     // --- lexical leg: BM25 restricted to the query-term postings
     val toksDf = docs(s, dir)
@@ -1567,25 +1590,12 @@ object PipelineOps {
       .withColumn("sem_rank", row_number().over(wSem))
       .filter(col("sem_rank") <= FuseK)
       .select("doc_id", "sem_rank")
-    // --- fusion: ranks only cross this boundary
-    val wF = Window.orderBy(col("rrf").desc, col("doc_id"))
-    lex.join(sem, Seq("doc_id"), "full_outer")
-      .select(col("doc_id"),
-        coalesce(col("lex_rank"), lit(0)).cast("long").as("lex_rank"),
-        coalesce(col("sem_rank"), lit(0)).cast("long").as("sem_rank"),
-        round(
-          when(col("lex_rank").isNotNull,
-            lit(1.0) / (lit(RrfK) + col("lex_rank"))).otherwise(lit(0.0)) +
-          when(col("sem_rank").isNotNull,
-            lit(1.0) / (lit(RrfK) + col("sem_rank"))).otherwise(lit(0.0)),
-          6).as("rrf"))
-      .withColumn("fused_rank", row_number().over(wF).cast("long"))
-      .filter(col("fused_rank") <= FuseOut)
-      .select("fused_rank", "doc_id", "lex_rank", "sem_rank", "rrf")
-      .orderBy("fused_rank")
+    (lex, sem)
   }
 
-  val q191Sql: String = {
+  /** The lex/sem leg CTE chain (WITH … ending at `sem`) shared by the
+    * q191 and q238 oracles. */
+  private val rrfLegsSqlCtes: String = {
     val termList = QueryTerms.map(t => s"'$t'").mkString(", ")
     s"""WITH toks AS (
        |  SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents
@@ -1633,7 +1643,11 @@ object PipelineOps {
        |                          WHERE vec_id = $QueryVecId) q
        |    WHERE a.vec_id <> $QueryVecId)
        |  WHERE sem_rank <= $FuseK
-       |)
+       |)""".stripMargin
+  }
+
+  val q191Sql: String =
+    s"""$rrfLegsSqlCtes
        |SELECT fused_rank, doc_id, lex_rank, sem_rank, rrf FROM (
        |  SELECT doc_id,
        |    CAST(coalesce(lex_rank, 0) AS BIGINT) AS lex_rank,
@@ -1646,6 +1660,103 @@ object PipelineOps {
        |      doc_id) AS fused_rank
        |  FROM lex FULL OUTER JOIN sem USING (doc_id))
        |WHERE fused_rank <= $FuseOut ORDER BY fused_rank""".stripMargin
+
+  // ------------------------------- q238 RRF k-parameter sweep
+
+  /** The RRF smoothing-constant grid (the production [[RrfK]] = 60
+    * sits inside it). */
+  val RrfSweepKs: Seq[Int] = Seq(10, 20, 60, 120)
+
+  /** q238: RRF PARAMETER SWEEP — the tuning audit for the q191
+    * fusion's one free constant: the same two top-[[FuseK]] rank
+    * lists (built ONCE through the shared legs — the sweep cannot
+    * drift from the fusion it tunes) fused at every k in
+    * [[RrfSweepKs]], reporting per k the fused-top-[[FuseOut]]
+    * composition (candidates present in both legs / lex-only /
+    * sem-only — small k favors whichever leg ranks a doc highest,
+    * large k flattens toward consensus) and the overlap + Jaccard
+    * against the production k = [[RrfK]] set — the evidence for
+    * moving (or keeping) the constant. The k = 60 row overlaps
+    * itself completely (jaccard 1.0), the in-grid conservation check.
+    *
+    * Scale shape: the legs end in rank-pushed top-K (the q191
+    * analysis), so the sweep works over ≤ 2·[[FuseK]] candidate rows
+    * × |grid| — a per-k window over a frame whose size is set by K
+    * and the grid, not the corpus. */
+  def q238RrfSweep(s: SparkSession, dir: String): DataFrame = {
+    val (lex, sem) = rrfLegs(s, dir)
+    val cands = lex.join(sem, Seq("doc_id"), "full_outer")
+    val scored = cands
+      .withColumn("rrf_k", explode(array(RrfSweepKs.map(lit): _*)))
+      .withColumn("rrf", round(
+        when(col("lex_rank").isNotNull,
+          lit(1.0) / (col("rrf_k") + col("lex_rank"))).otherwise(lit(0.0)) +
+        when(col("sem_rank").isNotNull,
+          lit(1.0) / (col("rrf_k") + col("sem_rank"))).otherwise(lit(0.0)),
+        6))
+    val wF = Window.partitionBy("rrf_k").orderBy(col("rrf").desc, col("doc_id"))
+    val top = scored.withColumn("fr", row_number().over(wF))
+      .filter(col("fr") <= FuseOut)
+    val prod = top.filter(col("rrf_k") === RrfK)
+      .select(col("doc_id"), lit(1).as("inprod"))
+    val prodN = prod.agg(count(lit(1)).as("prod_n"))
+    top.join(broadcast(prod), Seq("doc_id"), "left")
+      .groupBy("rrf_k")
+      .agg(count(lit(1)).as("n_out"),
+        sum(when(col("inprod").isNotNull, 1L).otherwise(0L))
+          .as("n_overlap_prod"),
+        sum(when(col("lex_rank").isNotNull && col("sem_rank").isNotNull, 1L)
+          .otherwise(0L)).as("n_both_legs"),
+        sum(when(col("lex_rank").isNotNull && col("sem_rank").isNull, 1L)
+          .otherwise(0L)).as("n_lex_only"),
+        sum(when(col("sem_rank").isNotNull && col("lex_rank").isNull, 1L)
+          .otherwise(0L)).as("n_sem_only"))
+      .crossJoin(broadcast(prodN))
+      .select(col("rrf_k"), col("n_out"), col("n_overlap_prod"),
+        round(col("n_overlap_prod").cast("double") /
+          (col("n_out") + col("prod_n") - col("n_overlap_prod")), 6)
+          .as("jaccard_vs_prod"),
+        col("n_both_legs"), col("n_lex_only"), col("n_sem_only"))
+      .orderBy("rrf_k")
+  }
+
+  /** Oracle: the shared leg CTEs, the same grid/score/top-K/overlap
+    * arithmetic. */
+  val q238Sql: String = {
+    val grid = RrfSweepKs.mkString(", ")
+    s"""$rrfLegsSqlCtes, cand AS (
+       |  SELECT coalesce(l.doc_id, m.doc_id) AS doc_id, l.lex_rank, m.sem_rank
+       |  FROM lex l FULL OUTER JOIN sem m ON l.doc_id = m.doc_id
+       |), scored AS (
+       |  SELECT g.rrf_k, c.doc_id, c.lex_rank, c.sem_rank,
+       |    round(CASE WHEN c.lex_rank IS NOT NULL
+       |            THEN 1.0 / (g.rrf_k + c.lex_rank) ELSE 0.0 END
+       |        + CASE WHEN c.sem_rank IS NOT NULL
+       |            THEN 1.0 / (g.rrf_k + c.sem_rank) ELSE 0.0 END, 6) AS rrf
+       |  FROM cand c CROSS JOIN (SELECT unnest([$grid]) AS rrf_k) g
+       |), topk AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY rrf_k
+       |      ORDER BY rrf DESC, doc_id) AS fr
+       |    FROM scored) WHERE fr <= $FuseOut
+       |), prod AS (SELECT doc_id FROM topk WHERE rrf_k = $RrfK
+       |), pn AS (SELECT count(*) AS prod_n FROM prod)
+       |SELECT t.rrf_k, count(*) AS n_out,
+       |  CAST(sum(CASE WHEN p.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_overlap_prod,
+       |  round(CAST(sum(CASE WHEN p.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS DOUBLE)
+       |    / (count(*) + pn.prod_n
+       |       - sum(CASE WHEN p.doc_id IS NOT NULL THEN 1 ELSE 0 END)), 6)
+       |    AS jaccard_vs_prod,
+       |  CAST(sum(CASE WHEN t.lex_rank IS NOT NULL AND t.sem_rank IS NOT NULL
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_both_legs,
+       |  CAST(sum(CASE WHEN t.lex_rank IS NOT NULL AND t.sem_rank IS NULL
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_lex_only,
+       |  CAST(sum(CASE WHEN t.sem_rank IS NOT NULL AND t.lex_rank IS NULL
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sem_only
+       |FROM topk t LEFT JOIN prod p USING (doc_id) CROSS JOIN pn
+       |GROUP BY t.rrf_k, pn.prod_n ORDER BY t.rrf_k""".stripMargin
   }
 
   /** BM25 constants as SQL literals (shared with q81's formula). */
@@ -2068,6 +2179,7 @@ object PipelineOps {
     "q189_rank_agreement" -> (q189RankAgreement _),
     "q190_retention_sweep" -> (q190RetentionSweep _),
     "q191_rrf_fusion" -> (q191RrfFusion _),
+    "q238_rrf_sweep" -> (q238RrfSweep _),
     "q192_margin_align" -> (q192MarginAlign _),
     "q203_shuffle_quality" -> (q203ShuffleQuality _),
     "q204_context_pack" -> (q204ContextPack _),
@@ -2093,6 +2205,7 @@ object PipelineOps {
     "q189_rank_agreement" -> q189Sql,
     "q190_retention_sweep" -> q190Sql,
     "q191_rrf_fusion" -> q191Sql,
+    "q238_rrf_sweep" -> q238Sql,
     "q192_margin_align" -> q192Sql,
     "q203_shuffle_quality" -> q203Sql,
     "q204_context_pack" -> q204Sql,

@@ -330,6 +330,25 @@ class Round14Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plain.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
   }
 
+  // ------------------------------------------- q238 RRF sweep
+
+  test("q238: the production-k row is its own reference (jaccard 1.0) and " +
+    "leg composition conserves the fused set at every k") {
+    val rows = graft.queries.PipelineOps
+      .q238RrfSweep(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.map(_.getAs[Int]("rrf_k")).toSeq ==
+      graft.queries.PipelineOps.RrfSweepKs)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_both_legs") + r.getAs[Long]("n_lex_only") +
+        r.getAs[Long]("n_sem_only") == r.getAs[Long]("n_out"),
+        s"every fused doc comes from at least one leg: $r")
+    }
+    val prodRow = rows.find(_.getAs[Int]("rrf_k") ==
+      graft.queries.PipelineOps.RrfK).get
+    assert(prodRow.getAs[Double]("jaccard_vs_prod") == 1.0,
+      "the k=RrfK row must overlap itself completely")
+  }
+
   // -------------------------------------------- bench cause classes
 
   private val base = Seq(1.0, 1.0, 1.0)
