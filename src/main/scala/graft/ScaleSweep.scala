@@ -59,13 +59,42 @@ object ScaleSweep {
         "stays watermark-horizon-bounded per the sq3/sq11 measured " +
         "algebra at the same rung (PERF.md section 7 batch 6/6e)"))
 
-  /** The declared-skip reason for an (op, rung dir), if any. The rung
-    * is matched on the directory BASENAME exactly (round-13 ADVICE: a
-    * substring match on "graft_sf10" would silently also skip a
-    * future /tmp/graft_sf100 rung — the skip must stay pinned to the
-    * one measured rung). */
+  /** Inherited-coverage (op, dir-basename) rungs (round-14 verdict
+    * #4): an op whose heavy upstream artifact is ANOTHER family's
+    * measured ladder does not re-run that family's top rung — it
+    * INHERITS it (the q226-over-q53/q67 precedent). Round 13 recorded
+    * that only as prose in the artifact's `note`; these rows make the
+    * inheritance machine-readable, so a checker can prove every
+    * op × rung is either measured or declared without parsing prose.
+    * The reason names the parent family whose rung carries the
+    * coverage. */
+  val InheritedSkips: Map[(String, String), String] = Map(
+    ("q227_split_survivors", "graft_sf10") ->
+      ("inherits the q53/q67 pair-graph family's 1000x coverage: its " +
+        "input is the q53 banded pair set + q67 label table, both " +
+        "measured on this rung in SWEEP_r13; the op adds a per-cluster " +
+        "density gate and the tight-CC loop measured to 100x"),
+    ("q228_template_coverage", "graft_sf10") ->
+      ("inherits the q53/q67 pair-graph family's 1000x coverage: rides " +
+        "the same banded pair graph; adds one per-cluster aggregation"),
+    ("q229_split_leakage", "graft_sf10") ->
+      ("inherits the q53/q67 pair-graph family's 1000x coverage: audits " +
+        "the q227 split against the same pair set; adds one " +
+        "broadcast-joined leak count"),
+    ("q232_phash_neardup", "graft_sf10") ->
+      ("fixture-bound: the media table is a FIXED generated fixture " +
+        "(dir-independent input - the three identical-cost measured " +
+        "rungs demonstrate exactly that); the media family's scale " +
+        "story is ScaleCheck's 10x generated-table drill"))
+
+  /** The declared-skip reason for an (op, rung dir), if any — either a
+    * measured out-of-envelope declaration or an inherited-coverage
+    * row. The rung is matched on the directory BASENAME exactly
+    * (round-13 ADVICE: a substring match on "graft_sf10" would
+    * silently also skip a future /tmp/graft_sf100 rung — the skip must
+    * stay pinned to the one measured rung). */
   def skipReason(op: String, dir: String): Option[String] =
-    DeclaredSkips.collectFirst {
+    (DeclaredSkips ++ InheritedSkips).collectFirst {
       case ((o, dbase), reason)
         if o == op && dir.stripSuffix("/").split('/').last == dbase => reason
     }

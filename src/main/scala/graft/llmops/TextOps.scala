@@ -3067,6 +3067,163 @@ object TextOps {
        |FROM ranked WHERE rnk <= $Bm25TopDocs
        |ORDER BY term, rnk""".stripMargin
 
+  // ------------------------------------- q240 BM25 staleness audit
+
+  /** Deterministic "today's ingest" slice for q240 — the q239
+    * convention (doc_id % 10 == 7) applied to documents. */
+  final val StaleMod = 10
+  final val StaleRes = 7
+
+  /** q240: BM25 STATS-STALENESS AUDIT — the retrieval face of the
+    * incremental-maintenance family (q239 = vectors, this = the
+    * lexical index): after a daily add-batch, a production BM25 index
+    * appends new postings immediately but refreshes its GLOBAL
+    * statistics (df, N, avgdl) lazily — scoring runs with stale stats
+    * until the next stats job. This op measures exactly what that
+    * staleness costs: every document scored twice per query term —
+    * FRESH (full-corpus stats, q81 verbatim) vs STALE (stats frozen on
+    * the pre-batch corpus, new docs scored with them) — and the top-k
+    * lists compared per term: overlap@k, rank footrule (Σ|Δrank| over
+    * the intersection) and the max absolute score delta. A term whose
+    * footrule grows past the fleet's tolerance is the re-stats
+    * trigger, exactly as q239's inertia_added is the re-train trigger.
+    *
+    * Scale shape: rides q81's legs — ONE (term, doc) tf shuffle shared
+    * by both scorings; df/N/avgdl frames are broadcast-sized; both
+    * rankings are rank-window top-k (WindowGroupLimit-pushed); the
+    * comparison joins two ≤terms·k frames. Determinism: the q81
+    * 6-dp rounding points; overlap/footrule are exact integers; the
+    * score deltas subtract doubles that both engines already produce
+    * bit-identically (q81's gate), and a 6-dp round of an
+    * on-the-1e-6-grid difference has no ties. */
+  def q240Bm25Staleness(s: SparkSession, dir: String): DataFrame = {
+    val tok = tokenized(s, dir).select(col("doc_id"), explode(col("w")).as("t"))
+    val qterms = tok.groupBy("t").agg(count(lit(1)).as("ctot"))
+      .orderBy(col("ctot").desc, col("t")).limit(Bm25Terms).select("t")
+    val dls = tokenized(s, dir)
+      .select(col("doc_id"), size(col("w")).cast("long").as("dl"))
+      .withColumn("is_new", col("doc_id") % StaleMod === StaleRes)
+    val statsF = dls.agg(count(lit(1)).as("n_docs"),
+      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    val statsS = dls.filter(!col("is_new")).agg(count(lit(1)).as("n_docs_s"),
+      (sum("dl").cast("double") / count(lit(1))).as("avgdl_s"))
+    val tf = tok.join(broadcast(qterms), Seq("t"))
+      .groupBy("t", "doc_id").agg(count(lit(1)).as("tf"))
+      .withColumn("is_new", col("doc_id") % StaleMod === StaleRes)
+    val dfsF = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    val dfsS = tf.filter(!col("is_new")).groupBy("t")
+      .agg(count(lit(1)).as("df_s"))
+    val base = tf.join(dls.select("doc_id", "dl"), Seq("doc_id"))
+    val scoredF = base.join(broadcast(dfsF), Seq("t"))
+      .crossJoin(broadcast(statsF))
+      .withColumn("idf", round(log(
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+          + lit(1.0)), 6))
+      .withColumn("score_f", round(col("idf")
+        * (col("tf") * (lit(Bm25K1) + lit(1.0)))
+        / (col("tf") + lit(Bm25K1) * (lit(1.0) - lit(Bm25B)
+          + lit(Bm25B) * col("dl") / col("avgdl"))), 6))
+    // stale: a term first seen in the new batch has df_s = 0 (the
+    // unrefreshed index has no posting-list stats for it yet)
+    val scoredS = base.join(broadcast(dfsS), Seq("t"), "left")
+      .withColumn("df_s", coalesce(col("df_s"), lit(0L)))
+      .crossJoin(broadcast(statsS))
+      .withColumn("idf_s", round(log(
+        (col("n_docs_s") - col("df_s") + lit(0.5)) / (col("df_s") + lit(0.5))
+          + lit(1.0)), 6))
+      .withColumn("score_s", round(col("idf_s")
+        * (col("tf") * (lit(Bm25K1) + lit(1.0)))
+        / (col("tf") + lit(Bm25K1) * (lit(1.0) - lit(Bm25B)
+          + lit(Bm25B) * col("dl") / col("avgdl_s"))), 6))
+    val wf = Window.partitionBy("t").orderBy(col("score_f").desc, col("doc_id"))
+    val ws = Window.partitionBy("t").orderBy(col("score_s").desc, col("doc_id"))
+    val topF = scoredF.withColumn("rf", row_number().over(wf))
+      .filter(col("rf") <= Bm25TopDocs).select("t", "doc_id", "rf", "score_f")
+    val topS = scoredS.withColumn("rs", row_number().over(ws))
+      .filter(col("rs") <= Bm25TopDocs).select("t", "doc_id", "rs", "score_s")
+    val inter = topF.join(topS, Seq("t", "doc_id"))
+      .groupBy("t").agg(count(lit(1)).as("n_overlap"),
+        sum(abs(col("rf") - col("rs")).cast("long")).as("footrule"),
+        max(round(abs(col("score_f") - col("score_s")), 6))
+          .as("max_abs_delta"))
+    qterms.join(inter, Seq("t"), "left")
+      .select(col("t").as("term"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        coalesce(col("footrule"), lit(0L)).as("footrule"),
+        coalesce(col("max_abs_delta"), lit(0.0)).as("max_abs_delta"))
+      .orderBy("term")
+  }
+
+  /** Oracle: the q81 CTE chain twice (fresh stats vs existing-only
+    * stats) with the identical rounding points, joined per term. */
+  val q240Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents
+       |), tok AS (
+       |  SELECT doc_id, unnest(w) AS t FROM toks
+       |), qterms AS (
+       |  SELECT t FROM (SELECT t, count(*) AS ctot FROM tok GROUP BY t
+       |                 ORDER BY ctot DESC, t LIMIT $Bm25Terms)
+       |), dls AS (
+       |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+       |    (doc_id % $StaleMod = $StaleRes) AS is_new
+       |  FROM toks
+       |), statsf AS (
+       |  SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+       |  FROM dls
+       |), statss AS (
+       |  SELECT count(*) AS n_docs_s,
+       |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl_s
+       |  FROM dls WHERE NOT is_new
+       |), tf AS (
+       |  SELECT t, doc_id, count(*) AS tf,
+       |    (doc_id % $StaleMod = $StaleRes) AS is_new
+       |  FROM tok JOIN qterms USING (t) GROUP BY t, doc_id
+       |), dfsf AS (
+       |  SELECT t, count(*) AS df FROM tf GROUP BY t
+       |), dfss AS (
+       |  SELECT t, count(*) AS df_s FROM tf WHERE NOT is_new GROUP BY t
+       |), scoredf AS (
+       |  SELECT tf.t, tf.doc_id,
+       |    round(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 6)
+       |          * (tf * ($Bm25K1 + 1.0))
+       |          / (tf + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dl / avgdl)), 6)
+       |      AS score_f
+       |  FROM tf JOIN dfsf USING (t) JOIN dls USING (doc_id) CROSS JOIN statsf
+       |), scoreds AS (
+       |  SELECT tf.t, tf.doc_id,
+       |    round(round(ln((n_docs_s - coalesce(df_s, 0) + 0.5)
+       |                   / (coalesce(df_s, 0) + 0.5) + 1.0), 6)
+       |          * (tf * ($Bm25K1 + 1.0))
+       |          / (tf + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dl / avgdl_s)), 6)
+       |      AS score_s
+       |  FROM tf LEFT JOIN dfss USING (t) JOIN dls USING (doc_id)
+       |  CROSS JOIN statss
+       |), topf AS (
+       |  SELECT t, doc_id, rf, score_f FROM (
+       |    SELECT t, doc_id, score_f,
+       |      row_number() OVER (PARTITION BY t ORDER BY score_f DESC, doc_id)
+       |        AS rf
+       |    FROM scoredf) WHERE rf <= $Bm25TopDocs
+       |), tops AS (
+       |  SELECT t, doc_id, rs, score_s FROM (
+       |    SELECT t, doc_id, score_s,
+       |      row_number() OVER (PARTITION BY t ORDER BY score_s DESC, doc_id)
+       |        AS rs
+       |    FROM scoreds) WHERE rs <= $Bm25TopDocs
+       |), inter AS (
+       |  SELECT t, count(*) AS n_overlap,
+       |    CAST(sum(abs(rf - rs)) AS BIGINT) AS footrule,
+       |    max(round(abs(score_f - score_s), 6)) AS max_abs_delta
+       |  FROM topf JOIN tops USING (t, doc_id) GROUP BY t
+       |)
+       |SELECT qterms.t AS term,
+       |  coalesce(n_overlap, 0) AS n_overlap,
+       |  coalesce(footrule, 0) AS footrule,
+       |  coalesce(max_abs_delta, 0.0) AS max_abs_delta
+       |FROM qterms LEFT JOIN inter ON qterms.t = inter.t
+       |ORDER BY term""".stripMargin
+
   // ------------------------------------------------- q70 BPE merges
 
   /** Merge rounds learned by q70. */
@@ -4851,6 +5008,7 @@ object TextOps {
     "q77_dup_ngrams" -> (q77DupNgramCoverage _),
     "q79_dedup_survivors" -> (q79DedupSurvivors _),
     "q81_bm25" -> (q81Bm25 _),
+    "q240_bm25_staleness" -> (q240Bm25Staleness _),
     "q196_code_switch" -> (q196CodeSwitch _),
     "q200_cdc_chunks" -> (q200CdcChunks _),
     "q202_source_sketch_jaccard" -> (q202SourceSketchJaccard _),
@@ -4920,6 +5078,7 @@ object TextOps {
     "q77_dup_ngrams" -> q77Sql,
     "q79_dedup_survivors" -> q79Sql,
     "q81_bm25" -> q81Sql,
+    "q240_bm25_staleness" -> q240Sql,
     "q196_code_switch" -> q196Sql,
     "q200_cdc_chunks" -> q200Sql,
     "q202_source_sketch_jaccard" -> q202Sql,

@@ -122,6 +122,74 @@ object VectorOps {
        |  FROM sims)
        |WHERE rank <= $TopK ORDER BY vec_id, rank""".stripMargin
 
+  // ------------------------------------------------ q241 kNN hubness
+
+  /** q241: kNN HUBNESS AUDIT (Radovanović et al. 2010, JMLR — "hubs"
+    * appear in far more top-k lists than the expected k as dimension
+    * grows): the in-degree distribution of the exact top-[[TopK]]
+    * neighbor graph — per in-degree value, how many vectors land in
+    * that many other vectors' lists, antihubs (in-degree 0) included.
+    * The embedding-quality read a team takes BEFORE building an ANN
+    * index: a heavy in-degree tail means hub vectors will dominate
+    * candidate lists (ANN recall skews, semantic dedup over-merges
+    * around hubs), and the fix — centering, dim reduction (q109's JL),
+    * or similarity re-scaling — starts from exactly this table.
+    *
+    * Scale shape: consumes the q40 exact-top-k SESSION ARTIFACT (the
+    * declared exact baseline — the audit inherits the q40 family's
+    * coverage, the q226-over-q53/q67 precedent); the audit itself adds
+    * one k·n-row count aggregation, a broadcast-sized histogram and a
+    * 1-row totals frame. At production scale the same read runs over
+    * the ANN graph (q41's banded top-k) instead of the exact one. */
+  def q241KnnHubness(s: SparkSession, dir: String): DataFrame = {
+    val indeg = exactTopk(s, dir)
+      .select(col("neighbor_id").as("vec_id"))
+      .groupBy("vec_id").agg(count(lit(1)).as("in_degree"))
+    val perVec = emb(s, dir).select(col("vec_id"))
+      .join(indeg, Seq("vec_id"), "left")
+      .select(coalesce(col("in_degree"), lit(0L)).as("in_degree"))
+    val hist = perVec.groupBy("in_degree").agg(count(lit(1)).as("n_vectors"))
+    val tot = hist.agg(sum("n_vectors").as("nn"))
+    hist.crossJoin(broadcast(tot))
+      .select(col("in_degree"), col("n_vectors"),
+        round(col("n_vectors").cast("double") / col("nn"), 6).as("share"))
+      .orderBy("in_degree")
+  }
+
+  /** Oracle: the q40 chain's top-k, in-degree per neighbor, zero-degree
+    * vectors kept via the left join from the full id set. */
+  val q241Sql: String =
+    s"""WITH d AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM d
+       |), sims AS (
+       |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+       |    round(coalesce(list_sum([a.v[i] * b.v[i] for i in range(1, $Dim + 1)])
+       |          / (a.nrm * b.nrm), 0.0), 6) AS sim
+       |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+       |), topk AS (
+       |  SELECT vec_id, neighbor_id FROM (
+       |    SELECT vec_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id)
+       |        AS rank
+       |    FROM sims) WHERE rank <= $TopK
+       |), indeg AS (
+       |  SELECT neighbor_id AS vec_id, count(*) AS in_degree
+       |  FROM topk GROUP BY 1
+       |), pervec AS (
+       |  SELECT coalesce(in_degree, 0) AS in_degree
+       |  FROM d LEFT JOIN indeg USING (vec_id)
+       |), hist AS (
+       |  SELECT in_degree, count(*) AS n_vectors FROM pervec GROUP BY 1
+       |), tot AS (
+       |  SELECT CAST(sum(n_vectors) AS BIGINT) AS nn FROM hist
+       |)
+       |SELECT in_degree, n_vectors,
+       |  round(CAST(n_vectors AS DOUBLE) / nn, 6) AS share
+       |FROM hist CROSS JOIN tot ORDER BY in_degree""".stripMargin
+
   // ------------------------------------------------- q41 LSH-bucketed ANN
 
   /** LSH layout: `Tables` independent hash tables of `planesFor(n)`
@@ -1368,8 +1436,13 @@ object VectorOps {
     * the checkpoint — 1 + KmIters actions run here). Driver-side
     * re-sort: seed k must be the kth-smallest vec_id regardless of how
     * the K collected rows arrive. */
-  private def lloydTrain(codes: DataFrame): Seq[Seq[Long]] = {
-    var cents: Seq[Seq[Long]] = codes.orderBy("vec_id").limit(KmK).collect()
+  private def lloydTrain(codes: DataFrame): Seq[Seq[Long]] =
+    lloydTrainK(codes, KmK)
+
+  /** The same trainer at an arbitrary codebook size (q242's K sweep —
+    * every other rule identical to the K=[[KmK]] production chain). */
+  private def lloydTrainK(codes: DataFrame, k: Int): Seq[Seq[Long]] = {
+    var cents: Seq[Seq[Long]] = codes.orderBy("vec_id").limit(k).collect()
       .sortBy(_.getLong(0))
       .map(r => r.getSeq[Double](1).map(_.toLong).toSeq).toSeq
     if (cents.isEmpty) return Nil
@@ -1455,48 +1528,56 @@ object VectorOps {
        |  FROM d CROSS JOIN mm
        |)""".stripMargin
 
-  private def kmChainSql: String = {
+  /** The Lloyd iteration chain for codebook size `k` with CTE names
+    * prefixed by `p` (so multiple chains share one `codes` CTE —
+    * q242's K sweep); p = "" and k = [[KmK]] reproduce the classic
+    * q74 chain exactly. Ends at `${p}fasg`, the final per-vector
+    * assignment. */
+  private def kmIterChainSql(k: Int, p: String): String = {
     def iter(r: Int): String = {
-      val (prev, next) = (s"cent${r - 1}", s"cent$r")
-      s"""dist$r AS (
+      val (prev, next) = (s"${p}cent${r - 1}", s"${p}cent$r")
+      s"""${p}dist$r AS (
          |  SELECT x.vec_id, x.c, ct.cid,
          |    list_sum([(x.c[i] - ct.c[i]) * (x.c[i] - ct.c[i])
          |              for i in range(1, $Dim + 1)]) AS d2
          |  FROM codes x CROSS JOIN $prev ct
-         |), asg$r AS (
+         |), ${p}asg$r AS (
          |  SELECT vec_id, c, cid, d2 FROM (
          |    SELECT vec_id, c, cid, d2,
          |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-         |    FROM dist$r) WHERE rn = 1
-         |), sums$r AS (
+         |    FROM ${p}dist$r) WHERE rn = 1
+         |), ${p}sums$r AS (
          |  SELECT cid, i, sum(c[i]) AS s, count(*) AS n
-         |  FROM (SELECT cid, c, unnest(range(1, $Dim + 1)) AS i FROM asg$r)
+         |  FROM (SELECT cid, c, unnest(range(1, $Dim + 1)) AS i FROM ${p}asg$r)
          |  GROUP BY cid, i
          |), $next AS (
          |  SELECT p.cid, coalesce(u.c, p.c) AS c
          |  FROM $prev p LEFT JOIN (
-         |    SELECT cid, list(s // n ORDER BY i) AS c FROM sums$r GROUP BY cid
+         |    SELECT cid, list(s // n ORDER BY i) AS c FROM ${p}sums$r GROUP BY cid
          |  ) u USING (cid)
          |)""".stripMargin
     }
     val iters = (1 to KmIters).map(iter).mkString(",\n")
-    s"""WITH $kmCodesSql, cent0 AS (
+    s"""${p}cent0 AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, c
-       |  FROM (SELECT vec_id, c FROM codes ORDER BY vec_id LIMIT $KmK)
+       |  FROM (SELECT vec_id, c FROM codes ORDER BY vec_id LIMIT $k)
        |),
        |$iters,
-       |fdist AS (
+       |${p}fdist AS (
        |  SELECT x.vec_id, ct.cid,
        |    list_sum([(x.c[i] - ct.c[i]) * (x.c[i] - ct.c[i])
        |              for i in range(1, $Dim + 1)]) AS d2
-       |  FROM codes x CROSS JOIN cent$KmIters ct
-       |), fasg AS (
+       |  FROM codes x CROSS JOIN ${p}cent$KmIters ct
+       |), ${p}fasg AS (
        |  SELECT vec_id, cid, d2 FROM (
        |    SELECT vec_id, cid, d2,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-       |    FROM fdist) WHERE rn = 1
+       |    FROM ${p}fdist) WHERE rn = 1
        |)""".stripMargin
   }
+
+  private def kmChainSql: String =
+    s"""WITH $kmCodesSql, ${kmIterChainSql(KmK, "")}""".stripMargin
 
   val q74Sql: String =
     s"""$kmChainSql, csum AS (
@@ -1506,6 +1587,159 @@ object VectorOps {
        |  CAST(sum(d2) AS BIGINT) AS inertia, centroid_sum
        |FROM fasg JOIN csum USING (cid)
        |GROUP BY cid, centroid_sum ORDER BY cid""".stripMargin
+
+  // --------------------------- q239 incremental IVF add-batch
+
+  /** Deterministic "today's ingest" split for q239: vectors with
+    * vec_id % [[AddBatchMod]] == [[AddBatchRes]] are the new batch,
+    * the rest are the already-indexed corpus (~10% daily ingest —
+    * ingest-stable, no rand()). Compile-time literals (the init-order
+    * rule for SQL-interpolated constants). */
+  final val AddBatchMod = 10
+  final val AddBatchRes = 7
+
+  /** q239: INCREMENTAL IVF ADD-BATCH — the daily-ingest path of a
+    * production vector store (FAISS `IndexIVF.add`): NEW vectors are
+    * assigned to EXISTING cells against the FROZEN q74 codebook — no
+    * Lloyd re-run at add time — and the index-health read (q234's
+    * balance/skew) is taken before and after the add, plus the added
+    * batch's quantization cost per cell (inertia_added: a cell whose
+    * new vectors sit far from its centroid is drifting and is the
+    * re-train trigger). Completes the incremental-maintenance story:
+    * q92/sq9/sq22 cover fingerprints/LSH text; this covers the IVF
+    * index (round-14 verdict #5).
+    *
+    * Scale shape: the codebook is a session artifact (trained once by
+    * q74's publish or the first consumer, K·Dim literals); assignment
+    * is the q74 literal-broadcast PURE MAP over the whole corpus (at
+    * 100 TB the "existing" side's cell sizes would be a stored stat —
+    * here both sides ride one scan so the oracle can recompute them);
+    * the grouped frame and totals are ≤K rows. Spec-pinned: running
+    * q239 after the trainer re-runs NO Lloyd (codebook cache hit,
+    * zero new misses).
+    *
+    * Oracle: the same frozen-quantizer chain in SQL (q61's
+    * discipline) — kmChainSql's fasg assignment tagged by the same
+    * vec_id split, integer counts/inertia exact, skews rounded 6dp. */
+  def q239IvfAddBatch(s: SparkSession, dir: String): DataFrame = {
+    val (cents, codes) = kmeansLearn(s, dir)
+    if (cents.isEmpty)
+      return codes.select(lit(0).as("cid"), lit(0L).as("n_before"),
+        lit(0L).as("n_added"), lit(0L).as("n_after"),
+        lit(0L).as("inertia_added"), lit(0d).as("skew_before"),
+        lit(0d).as("skew_after")).limit(0)
+    val asg = kmAssign(codes, cents)
+      .withColumn("is_new", col("vec_id") % AddBatchMod === AddBatchRes)
+    val sizes = asg.groupBy("cid").agg(
+      sum(when(col("is_new"), 0L).otherwise(1L)).as("n_before"),
+      sum(when(col("is_new"), 1L).otherwise(0L)).as("n_added"),
+      count(lit(1)).as("n_after"),
+      coalesce(sum(when(col("is_new"), col("d2"))), lit(0L))
+        .as("inertia_added"))
+    val tot = sizes.agg(sum("n_before").as("nb"), sum("n_after").as("na"),
+      count(lit(1)).as("cc"))
+    sizes.crossJoin(broadcast(tot))
+      .select(col("cid"), col("n_before"), col("n_added"), col("n_after"),
+        col("inertia_added"),
+        round(col("n_before").cast("double") * col("cc") / col("nb"), 6)
+          .as("skew_before"),
+        round(col("n_after").cast("double") * col("cc") / col("na"), 6)
+          .as("skew_after"))
+      .orderBy("cid")
+  }
+
+  /** The frozen-quantizer SQL chain (kmChainSql's full Lloyd training
+    * — the oracle MUST retrain to know the codebook the engine froze —
+    * then one tagged assignment). */
+  val q239Sql: String =
+    s"""$kmChainSql, tag AS (
+       |  SELECT vec_id, cid, d2, (vec_id % $AddBatchMod = $AddBatchRes) AS is_new
+       |  FROM fasg
+       |), sizes AS (
+       |  SELECT cid,
+       |    CAST(sum(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT) AS n_before,
+       |    CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+       |    count(*) AS n_after,
+       |    CAST(coalesce(sum(CASE WHEN is_new THEN d2 END), 0) AS BIGINT)
+       |      AS inertia_added
+       |  FROM tag GROUP BY cid
+       |), tot AS (
+       |  SELECT CAST(sum(n_before) AS BIGINT) AS nb,
+       |    CAST(sum(n_after) AS BIGINT) AS na, count(*) AS cc FROM sizes
+       |)
+       |SELECT cid::INT AS cid, n_before, n_added, n_after, inertia_added,
+       |  round(CAST(n_before AS DOUBLE) * cc / nb, 6) AS skew_before,
+       |  round(CAST(n_after AS DOUBLE) * cc / na, 6) AS skew_after
+       |FROM sizes CROSS JOIN tot ORDER BY cid""".stripMargin
+
+  // --------------------------- q242 codebook K-selection sweep
+
+  /** Codebook sizes swept by q242 (the production K = [[KmK]] is the
+    * last rung). */
+  val KmKSweep: Seq[Int] = Seq(2, 4, 8)
+
+  /** The trained codebook for size `k`: the production size consumes
+    * the q74-published artifact (or trains-and-caches on first use);
+    * sweep sizes train once per (session, dir) under their own cache
+    * key — bench timed passes read artifacts, the warm pass pays the
+    * builds. */
+  private def codebookFor(s: SparkSession, dir: String, k: Int)
+      : Seq[Seq[Long]] =
+    if (k == KmK) kmeansLearn(s, dir)._1
+    else codebookCache.get(s, s"$dir#k$k", embSig(dir))(
+      lloydTrainK(kmCodesCk(s, dir), k))
+
+  /** q242: CODEBOOK K-SELECTION SWEEP — the elbow read an ANN/PQ team
+    * takes before freezing a quantizer size: for each K in
+    * [[KmKSweep]], train the q74 chain (same grid, seed rule,
+    * floor-division updates) and emit the convergence/balance numbers
+    * the K decision reads — total inertia (the elbow curve), occupied
+    * cell count, and the hottest cell's corpus share (a K too small
+    * shows as a fat max_share; a K too big as empty cells). The sweep
+    * sibling of q215/q216/q220/q221 applied to the quantizer itself.
+    *
+    * Scale shape: per K one literal-broadcast assignment scan +
+    * a ≤K-row aggregation (the q74 shape × |sweep|); trained
+    * codebooks are session artifacts (the production K consumes q74's
+    * publish). TUNING AUDIT: run once per corpus before committing a
+    * geometry — the per-call cost is |sweep| Lloyd chains by design
+    * (the q220 declaration discipline).
+    *
+    * Oracle: three prefixed Lloyd chains sharing one `codes` CTE —
+    * bit-identical integer arithmetic at every K. */
+  def q242CodebookSweep(s: SparkSession, dir: String): DataFrame = {
+    val codes = kmCodesCk(s, dir)
+    val frames = KmKSweep.map { k =>
+      val cents = codebookFor(s, dir, k)
+      kmAssign(codes, cents)
+        .groupBy("cid")
+        .agg(count(lit(1)).as("nc"), sum("d2").as("inr"))
+        .agg(sum("inr").as("inertia"), count(lit(1)).as("n_cells"),
+          round(max(col("nc")).cast("double") / sum(col("nc")), 6)
+            .as("max_share"))
+        .select(lit(k).as("k"), col("inertia"), col("n_cells"),
+          col("max_share"))
+    }
+    frames.reduce(_ unionAll _).orderBy("k")
+  }
+
+  /** Oracle: one shared `codes` CTE, one prefixed chain per K. */
+  val q242Sql: String = {
+    val chains = KmKSweep.map(k => kmIterChainSql(k, s"k${k}_"))
+      .mkString(",\n")
+    val rows = KmKSweep.map { k =>
+      s"""SELECT $k AS k,
+         |  CAST(sum(inr) AS BIGINT) AS inertia,
+         |  count(*) AS n_cells,
+         |  round(CAST(max(nc) AS DOUBLE) / sum(nc), 6) AS max_share
+         |FROM (SELECT cid, count(*) AS nc, sum(d2) AS inr
+         |      FROM k${k}_fasg GROUP BY cid)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $kmCodesSql,
+       |$chains
+       |$rows
+       |ORDER BY k""".stripMargin
+  }
 
   // ------------------------------- q78 SemDeDup (semantic dedup)
 
@@ -2992,7 +3226,10 @@ object VectorOps {
     "q218_mih_topk" -> (q218MihTopk _),
     "q221_semdedup_sweep" -> (q221SemdedupSweep _),
     "q230_embedding_outliers" -> (q230EmbeddingOutliers _),
-    "q234_ivf_balance" -> (q234IvfBalance _)
+    "q234_ivf_balance" -> (q234IvfBalance _),
+    "q239_ivf_add_batch" -> (q239IvfAddBatch _),
+    "q241_knn_hubness" -> (q241KnnHubness _),
+    "q242_codebook_sweep" -> (q242CodebookSweep _)
   )
 
   /** Every entry is oracle-checked, including the adaptive ANN paths
@@ -3030,7 +3267,10 @@ object VectorOps {
     "q218_mih_topk" -> q218Sql,
     "q221_semdedup_sweep" -> q221Sql,
     "q230_embedding_outliers" -> q230Sql,
-    "q234_ivf_balance" -> q234Sql
+    "q234_ivf_balance" -> q234Sql,
+    "q239_ivf_add_batch" -> q239Sql,
+    "q241_knn_hubness" -> q241Sql,
+    "q242_codebook_sweep" -> q242Sql
   )
 
   // ---------------------------------------------- q125 confusion matrix

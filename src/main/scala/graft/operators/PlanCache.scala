@@ -40,6 +40,14 @@ final class PlanCache[V](val name: String, maxEntries: Int = 8)(
     scala.collection.mutable.LinkedHashMap.empty[(SparkSession, String), Entry]
   private val hitCount = new AtomicLong
   private val missCount = new AtomicLong
+  // cumulative wall nanos spent INSIDE `build` on misses (round-14
+  // verdict #1: run-wide hit/miss booleans could not say which bench
+  // entry PAID for a shared artifact's rebuild — the bench snapshots
+  // this per entry and emits {built, hit, build_sec} rows, so a
+  // rebuilt artifact lands on the entry whose window built it)
+  private val buildNanosCount = new AtomicLong
+
+  PlanCache.register(this)
 
   private def releaseQuietly(s: SparkSession, v: V): Unit =
     try release(s, v)
@@ -76,7 +84,9 @@ final class PlanCache[V](val name: String, maxEntries: Int = 8)(
           releaseQuietly(k._1, e.value)
           entries.remove(k)
         }
+        val t0 = System.nanoTime()
         val v = build
+        buildNanosCount.addAndGet(System.nanoTime() - t0)
         entries((s, key)) = Entry(sig, v)
         v
     }
@@ -113,6 +123,8 @@ final class PlanCache[V](val name: String, maxEntries: Int = 8)(
 
   def hits: Long = hitCount.get
   def misses: Long = missCount.get
+  /** Cumulative seconds spent building entries on `get` misses. */
+  def buildSec: Double = buildNanosCount.get / 1e9
   def size: Int = synchronized(entries.size)
 
   /** Release and drop every entry (test hook). Mirrors `get`'s
@@ -131,6 +143,29 @@ final class PlanCache[V](val name: String, maxEntries: Int = 8)(
 }
 
 object PlanCache {
+
+  /** Every live cache instance, registered at construction — the bench
+    * snapshots ALL of them per entry (round-14 verdict #1), instead of
+    * a hand-wired list that silently misses newly-added caches. Cache
+    * instances are created once per `object` holding them (JVM-
+    * lifetime), so the registry is append-only and tiny. */
+  private val registry = scala.collection.mutable.ArrayBuffer.empty[PlanCache[_]]
+
+  private[operators] def register(c: PlanCache[_]): Unit =
+    registry.synchronized { registry += c }
+
+  /** Snapshot of (hits, misses, cumulative build seconds) for every
+    * registered cache, keyed by the cache's own name. Names are unique
+    * across the codebase (asserted by CoreSpec). */
+  def allStats: Map[String, (Long, Long, Double)] =
+    registry.synchronized {
+      registry.map(c => c.name -> ((c.hits, c.misses, c.buildSec))).toMap
+    }
+
+  /** Registered cache names, in registration order (test hook: the
+    * uniqueness guarantee `allStats` relies on). */
+  def registeredNames: Seq[String] =
+    registry.synchronized { registry.map(_.name).toSeq }
 
   private val tmpDirs = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
   private lazy val hookInstalled: Unit = {

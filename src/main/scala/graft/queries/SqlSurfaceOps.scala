@@ -652,13 +652,30 @@ object SqlSurfaceOps {
     * this Spark (the identical plain rank query plans
     * WindowGroupLimit; the TVF plan does not — probed side by side),
     * so above ~100× a hot path should state the rank query directly
-    * (the oracle text IS that query). The op's value is the
-    * SURFACE proof: reusable, parameterized, correlated-lateral SQL
-    * relations — and the declared plan trade that comes with them
-    * today. */
+    * (the oracle text IS that query). Round-14 verdict #6 drove that
+    * declaration to a MECHANICAL decision: the op now SIZE-GATES the
+    * surface (the q72 capped-broadcast shape applied to surface
+    * choice) — below [[TableFnDispatchRows]] orders rows it runs the
+    * lateral-TVF surface (the surface proof, plan cost flat to the
+    * measured 100× rung); above, it dispatches to the window-rank
+    * twin whose plan carries WindowGroupLimit (16.8 s → the twin's
+    * rank plan at the 1000× rung). Both produce identical rows (same
+    * rank, same tie-break); the threshold is conf-overridable
+    * (`spark.graft.q237.dispatchRows`) so the PlanSpec pins BOTH
+    * dispatch arms at the gate SF. The op's value is the SURFACE
+    * proof: reusable, parameterized, correlated-lateral SQL
+    * relations — with the scale path selected by the engine, not by a
+    * reader of scaladoc. */
   def q237SqlTableFn(s: SparkSession, dir: String): DataFrame = {
     val scoped = s"orders_${ScopedSql.tag(dir)}"
     t(s, dir, "orders").createOrReplaceTempView(scoped)
+    val rows = ordersCountCache.get(s, dir,
+      graft.sources.FsSig.of(s"$dir/orders.parquet"))(
+      t(s, dir, "orders").count())
+    val threshold = s.conf.getOption("spark.graft.q237.dispatchRows")
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+      .getOrElse(TableFnDispatchRows)
+    if (rows > threshold) return s.sql(q237TwinSql(scoped))
     s.sql(
       s"""CREATE OR REPLACE TEMPORARY FUNCTION graft_top_orders(prio STRING)
          |RETURNS TABLE (o_orderkey BIGINT, o_totalprice DOUBLE)
@@ -675,14 +692,30 @@ object SqlSurfaceOps {
         .stripMargin)
   }
 
+  /** Orders-row threshold for q237's surface dispatch: the TVF
+    * surface measured flat to the 100× rung (~1.5 M orders rows) and
+    * paid the missing group-limit pushdown only at 1000× (~15 M) —
+    * the gate sits between them. */
+  final val TableFnDispatchRows = 2000000L
+
+  /** Row count of the orders table per (session, dir) — one count on
+    * first use, signature-guarded (the q51 hot-keys discipline); the
+    * dispatch must not pay a count job per call. */
+  private val ordersCountCache =
+    new graft.operators.PlanCache[Long]("orders_count_tvf")((_, _) => ())
+
+  /** The window-rank twin stated against a given table name — the
+    * >100× dispatch arm AND (via [[q237Sql]]) the oracle text. */
+  def q237TwinSql(table: String): String =
+    s"""SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+       |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+       |    row_number() OVER (PARTITION BY o_orderpriority
+       |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+       |  FROM $table) WHERE rk <= $TableFnTopK
+       |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin
+
   /** The inline twin: per-priority rank ≤ 3 with the same tie-break. */
-  val q237Sql: String =
-    """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
-      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
-      |    row_number() OVER (PARTITION BY o_orderpriority
-      |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
-      |  FROM orders) WHERE rk <= 3
-      |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin
+  val q237Sql: String = q237TwinSql("orders")
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q237_sql_table_fn" -> (q237SqlTableFn _),

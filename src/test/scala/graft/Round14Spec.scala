@@ -97,12 +97,19 @@ class Round14Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(read1 + read2 == all.count(), "restart must not re-read data")
     // the checkpoint carries CHANGELOG files — the knob engaged (a
     // snapshot-only checkpoint has none)
-    val names = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
-      .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
-    var sawChangelog = false
-    while (names.hasNext) {
-      if (names.next().toString.endsWith(".changelog")) sawChangelog = true
-    }
+    // try/finally with an explicit close — Files.walk holds directory
+    // handles open until the stream closes (round-14 ADVICE: the
+    // previous iterator-only form leaked them in the test JVM)
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+    val sawChangelog =
+      try {
+        val names = walk.iterator()
+        var saw = false
+        while (names.hasNext) {
+          if (names.next().toString.endsWith(".changelog")) saw = true
+        }
+        saw
+      } finally walk.close()
     assert(sawChangelog, "changelogCheckpointing must write .changelog files")
     // final max-n profile per user == the batch profile (the existing
     // snapshot-mode drill's equality, now under changelog replay)

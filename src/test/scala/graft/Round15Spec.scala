@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Engine-side invariants for the round-15 batch (round-14 verdict
+  * items 1/2/5/6/7 + ADVICE):
+  *  - per-entry artifact-cache attribution (PlanCache build-seconds
+  *    counter, registry snapshot deltas, the "rebuild" cause class);
+  *  - eviction pressure split (explicit unpersists no longer satisfy
+  *    the "evicted" classifier);
+  *  - q239 incremental IVF add-batch (frozen-codebook reuse — no
+  *    Lloyd re-run — plus the row-level balance algebra);
+  *  - q237 size-gated surface dispatch (both arms produce identical
+  *    rows; the >threshold arm's plan carries WindowGroupLimit). */
+class Round15Spec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sf = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.builder("round15-test", cores = 4).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  // ------------------------------ PlanCache build-seconds + registry
+
+  test("PlanCache: get() misses accumulate measured build seconds; " +
+    "hits do not; the registry snapshot exposes all three counters") {
+    val c = new graft.operators.PlanCache[String]("r15_test_cache")((_, _) => ())
+    assert(c.buildSec == 0.0)
+    c.get(spark, "k", 1L) { Thread.sleep(60); "v" }
+    val afterBuild = c.buildSec
+    assert(afterBuild >= 0.05, s"build sleep must be measured: $afterBuild")
+    c.get(spark, "k", 1L) { fail("hit must not rebuild"); "x" }
+    assert(c.buildSec == afterBuild, "a hit must not add build time")
+    val snap = graft.operators.PlanCache.allStats
+    assert(snap.contains("r15_test_cache"))
+    val (h, m, b) = snap("r15_test_cache")
+    assert(h == 1 && m == 1 && b == afterBuild)
+  }
+
+  test("PlanCache registry: production cache names are unique (the " +
+    "allStats keying contract)") {
+    val names = graft.operators.PlanCache.registeredNames
+      .filterNot(_.startsWith("r15_test"))
+    assert(names.distinct.size == names.size,
+      s"duplicate cache names would shadow in allStats: $names")
+  }
+
+  test("Bench.artifactDelta: only active caches appear; caches first " +
+    "registered inside the window read against zero") {
+    val before = Map("a" -> ((2L, 1L, 0.5)), "idle" -> ((7L, 3L, 1.0)))
+    val after = Map("a" -> ((4L, 2L, 0.9)), "idle" -> ((7L, 3L, 1.0)),
+      "born" -> ((0L, 1L, 0.3)))
+    val ds = Bench.artifactDelta(before, after)
+    assert(ds.map(_.name) == Seq("a", "born"))
+    val a = ds.find(_.name == "a").get
+    assert(a.built == 1 && a.hit == 2 && math.abs(a.buildSec - 0.4) < 1e-9)
+    val born = ds.find(_.name == "born").get
+    assert(born.built == 1 && born.hit == 0 && born.buildSec == 0.3)
+  }
+
+  // ------------------------------------------- cause classifier v3
+
+  private val base = Seq(1.0, 1.0, 1.0)
+  private val inflated = Seq(1.0, 4.0, 4.0)
+
+  test("causeClass: a measured artifact rebuild covering the inflation " +
+    "labels 'rebuild' and outranks steal/starved") {
+    assert(Bench.causeClass(inflated, base, base, 9.0, 99.0, 99.0, 10.0, 0,
+      rebuildSecTimed = 3.0) == "rebuild")
+  }
+
+  test("causeClass: pressure evictions still outrank rebuild; zero " +
+    "pressure (explicit unpersists only) falls through to rebuild") {
+    assert(Bench.causeClass(inflated, base, base, 9.0, 99.0, 99.0, 10.0, 2,
+      rebuildSecTimed = 3.0) == "evicted")
+    assert(Bench.causeClass(inflated, base, base, 0.0, 10.0, 10.0, 10.0, 0,
+      rebuildSecTimed = 3.0) == "rebuild")
+  }
+
+  test("causeClass: a sub-0.1s rebuild cannot claim a multi-second " +
+    "inflation (falls through to the next cause)") {
+    assert(Bench.causeClass(inflated, base, base, 9.0, 10.0, 10.0, 10.0, 0,
+      rebuildSecTimed = 0.05) == "steal")
+  }
+
+  test("EvictionClock: block drops of an explicitly-unpersisted RDD " +
+    "count as dropped but NOT as pressure; drops of other RDDs do " +
+    "(round-14 ADVICE — driven by synthetic listener events, since " +
+    "local-mode removeRdd posts no BlockUpdated)") {
+    import org.apache.spark.scheduler.SparkListenerUnpersistRDD
+    def dropEvt(rddId: Int) = org.apache.spark.graft.TestEventBridge.rddDrop(rddId)
+    val d0 = Bench.EvictionClock.snapshot()._1
+    val p0 = Bench.EvictionClock.pressureSnapshot()
+    // RDD 990042 is explicitly unpersisted FIRST (the bus order the
+    // scaladoc relies on), then its block drops arrive: housekeeping
+    Bench.EvictionClock.onUnpersistRDD(SparkListenerUnpersistRDD(990042))
+    Bench.EvictionClock.onBlockUpdated(dropEvt(990042))
+    assert(Bench.EvictionClock.snapshot()._1 == d0 + 1,
+      "an unpersist-attributable drop still counts as dropped")
+    assert(Bench.EvictionClock.pressureSnapshot() == p0,
+      "an explicitly-unpersisted RDD's drops must not count as pressure")
+    // RDD 990043 was never unpersisted: its drop IS memory pressure
+    Bench.EvictionClock.onBlockUpdated(dropEvt(990043))
+    assert(Bench.EvictionClock.snapshot()._1 == d0 + 2)
+    assert(Bench.EvictionClock.pressureSnapshot() == p0 + 1,
+      "a pressure drop must count")
+  }
+
+  // ------------------------------------- q239 incremental IVF add
+
+  test("q239: assigns against the FROZEN q74 codebook — after the " +
+    "trainer has published, the add-batch run re-runs no Lloyd " +
+    "(codebook cache: zero new misses) and the balance algebra holds") {
+    // trainer publishes the codebook artifact for this (session, dir)
+    graft.llmops.VectorOps.q74KmeansCodebook(spark, sf).collect()
+    val (h0, m0) = graft.llmops.VectorOps.codebookCacheStats
+    val out = graft.llmops.VectorOps.q239IvfAddBatch(spark, sf).collect()
+    val (h1, m1) = graft.llmops.VectorOps.codebookCacheStats
+    assert(m1 == m0, "q239 must not retrain (no codebook/code cache miss)")
+    assert(h1 > h0, "q239 must consume the published codebook artifact")
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_after") ==
+        r.getAs[Long]("n_before") + r.getAs[Long]("n_added"))
+    }
+    val nTotal = out.map(_.getAs[Long]("n_after")).sum
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    assert(nTotal == emb.count(), "every vector lands in exactly one cell")
+    val nAdded = out.map(_.getAs[Long]("n_added")).sum
+    val expAdded = emb.filter(
+      org.apache.spark.sql.functions.col("vec_id") % 10 === 7).count()
+    assert(nAdded == expAdded, "the new batch is exactly the vec_id%10==7 slice")
+  }
+
+  // ------------------------------------- q237 size-gated dispatch
+
+  test("q237: both dispatch arms produce identical rows; the above-" +
+    "threshold arm's plan carries WindowGroupLimit (the group-limit " +
+    "pushdown the lateral-TVF subtree misses)") {
+    val key = "spark.graft.q237.dispatchRows"
+    val tvf = graft.queries.SqlSurfaceOps.q237SqlTableFn(spark, sf)
+    val tvfPlan = tvf.queryExecution.executedPlan.toString
+    assert(!tvfPlan.contains("WindowGroupLimit"),
+      "below threshold the TVF surface runs (and today misses the pushdown)")
+    val tvfRows = tvf.collect().map(_.toSeq).toSeq
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "1")
+    try {
+      val twin = graft.queries.SqlSurfaceOps.q237SqlTableFn(spark, sf)
+      assert(twin.queryExecution.executedPlan.toString
+        .contains("WindowGroupLimit"),
+        "above threshold the engine must pick the window-rank twin")
+      assert(twin.collect().map(_.toSeq).toSeq == tvfRows,
+        "dispatch must be result-invariant")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+}
