@@ -50,6 +50,16 @@ object ScaleSweep {
     * the declaration — a skip without measurements is just an
     * excuse. */
   val DeclaredSkips: Map[(String, String), String] = Map(
+    ("q243_exact_topk_blocked", "graft_sf10") ->
+      ("declared exact-baseline envelope at the 32k-vector rung: the " +
+        "n-squared pair generation this op shares with q40 measured " +
+        "551 s there (q241's warm pass, building the same product " +
+        "through the q40 artifact, same session) and q243 recomputes " +
+        "it EVERY pass by design (no artifact - it IS the baseline " +
+        "formulation). The op's contribution, the two-stage window " +
+        "shape, holds its exchange inventory flat through 100x; the " +
+        "certified ANN paths (q41/q44/q218) are the production search " +
+        "at this rung and above"),
     ("sq18_stream_join_chain", "graft_sf10") ->
       ("single-box envelope exceeded at the 1000x rung, measured twice: " +
         "heap state provider OOM-died at 38 min; RocksDB provider held " +

@@ -137,6 +137,67 @@ class Round15Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nAdded == expAdded, "the new batch is exactly the vec_id%10==7 slice")
   }
 
+  // ------------------------------- q240/q241/q242 engine invariants
+
+  test("q240: the FRESH ranking is q81 verbatim — the audit's baseline " +
+    "leg cannot drift from the retrieval op it audits") {
+    import org.apache.spark.sql.functions._
+    val q81 = graft.llmops.TextOps.q81Bm25(spark, sf)
+      .select(col("term"), col("doc_id"), col("rnk"), col("score"))
+      .collect().map(_.toSeq).toSet
+    // the audit's fresh leg, re-derived: same terms, stats, rounding
+    val terms = graft.llmops.TextOps.q240Bm25Staleness(spark, sf)
+      .select("term").collect().map(_.getString(0)).toSet
+    val q81Terms = q81.map(_.head.asInstanceOf[String])
+    assert(terms == q81Terms,
+      "q240's term panel must be exactly q81's vocabulary cut")
+  }
+
+  test("q241: in-degree mass equals k·n (every vector casts exactly " +
+    "TopK votes when n > TopK) and shares sum to ~1") {
+    import org.apache.spark.sql.functions._
+    val out = graft.llmops.VectorOps.q241KnnHubness(spark, sf).collect()
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    val mass = out.map(r => r.getAs[Long]("in_degree") *
+      r.getAs[Long]("n_vectors")).sum
+    assert(mass == graft.llmops.VectorOps.TopK * n,
+      s"in-degree mass must be k*n: $mass vs ${graft.llmops.VectorOps.TopK * n}")
+    assert(out.map(_.getAs[Long]("n_vectors")).sum == n,
+      "every vector appears in exactly one histogram bucket")
+    val shares = out.map(_.getAs[Double]("share")).sum
+    assert(math.abs(shares - 1.0) < 1e-3)
+  }
+
+  test("q242: per-K rows are well-formed (n_cells <= K, max_share in " +
+    "(0,1], inertia positive) and swept codebooks are session " +
+    "artifacts (second call trains nothing)") {
+    val out = graft.llmops.VectorOps.q242CodebookSweep(spark, sf).collect()
+    assert(out.map(_.getAs[Int]("k")).toSeq ==
+      graft.llmops.VectorOps.KmKSweep)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_cells") <= r.getAs[Int]("k"))
+      val ms = r.getAs[Double]("max_share")
+      assert(ms > 0.0 && ms <= 1.0)
+      assert(r.getAs[Long]("inertia") > 0L)
+    }
+    val (_, m0) = graft.llmops.VectorOps.codebookCacheStats
+    graft.llmops.VectorOps.q242CodebookSweep(spark, sf).collect()
+    val (_, m1) = graft.llmops.VectorOps.codebookCacheStats
+    assert(m1 == m0, "second sweep call must hit every codebook artifact")
+  }
+
+  test("q243: the blocked two-stage exact top-k is row-for-row the q40 " +
+    "baseline, and both rank cuts push down as WindowGroupLimit") {
+    val blocked = graft.llmops.VectorOps.q243ExactTopkBlocked(spark, sf)
+    val plan = blocked.queryExecution.executedPlan.toString
+    assert("WindowGroupLimit".r.findAllIn(plan).size >= 2,
+      s"both stages must push the rank cut:\n$plan")
+    val got = blocked.collect().map(_.toSeq).toSeq
+    val want = graft.llmops.VectorOps.exactTopk(spark, sf)
+      .orderBy("vec_id", "rank").collect().map(_.toSeq).toSeq
+    assert(got == want, "blocking must not change the exact result")
+  }
+
   // ------------------------------------- q237 size-gated dispatch
 
   test("q237: both dispatch arms produce identical rows; the above-" +
