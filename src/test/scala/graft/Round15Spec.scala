@@ -153,6 +153,15 @@ class Round15Spec extends AnyFunSuite with BeforeAndAfterAll {
       "q240's term panel must be exactly q81's vocabulary cut")
   }
 
+  test("q240: the fixture exercises REAL drift — stale stats move at " +
+    "least one term's scores (the branch-aware-fixture rule: an audit " +
+    "whose interesting branch the testdata never crosses pins nothing)") {
+    val out = graft.llmops.TextOps.q240Bm25Staleness(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.exists(_.getAs[Double]("max_abs_delta") > 0.0),
+      "stale df/N/avgdl must shift at least one term's scores")
+  }
+
   test("q241: in-degree mass equals k·n (every vector casts exactly " +
     "TopK votes when n > TopK) and shares sum to ~1") {
     import org.apache.spark.sql.functions._
