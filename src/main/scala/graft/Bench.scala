@@ -203,11 +203,6 @@ object Bench {
     "lshPair" -> graft.llmops.VectorOps.lshPairCacheStats._2,
     "ivfCert" -> graft.llmops.VectorOps.ivfCertCacheStats._2)
 
-  /** Total misses across every session artifact cache — a timed pass
-    * that misses any of them is paying a build cost the steady state
-    * would not. */
-  private def artifactMisses(): Long = cacheMissSnapshot().values.sum
-
   /** Round-14 verdict #1: the per-NAME miss counters above say an
     * artifact rebuilt, but not what the rebuild COST — q220's min grew
     * 41% (320→451 task-s) and q53's 5× with no code change to either,
@@ -218,22 +213,26 @@ object Bench {
     * short-name list above never knew (pack_parted, bucketed_tables,
     * km_codes…) — and the per-entry deltas below become
     * `{built, hit, build_sec}` rows in the bench detail. */
-  private def artifactSnapshot(): Map[String, (Long, Long, Double)] =
+  private def artifactSnapshot(): Map[String, (Long, Long, Double, Long)] =
     graft.operators.PlanCache.allStats
 
   private[graft] final case class ArtifactDelta(
-      name: String, built: Long, hit: Long, buildSec: Double)
+      name: String, built: Long, hit: Long, buildSec: Double,
+      published: Long = 0L)
 
   /** Per-cache activity between two registry snapshots; caches that
     * first registered inside the window read against zero. Only caches
-    * with any activity (a hit or a build) appear — steady state reads
-    * as hits, a rebuild carries its measured build seconds. */
-  private[graft] def artifactDelta(before: Map[String, (Long, Long, Double)],
-      after: Map[String, (Long, Long, Double)]): Seq[ArtifactDelta] =
-    after.toSeq.flatMap { case (k, (h, m, b)) =>
-      val (h0, m0, b0) = before.getOrElse(k, (0L, 0L, 0.0))
-      if (m - m0 > 0 || h - h0 > 0)
-        Some(ArtifactDelta(k, m - m0, h - h0, math.max(b - b0, 0.0)))
+    * with any activity (a hit, a build, or a stored publish) appear —
+    * steady state reads as hits, a rebuild carries its measured build
+    * seconds, and a producer-rule entry marks the artifact it
+    * published (whose job cost ran inside this entry's own passes). */
+  private[graft] def artifactDelta(
+      before: Map[String, (Long, Long, Double, Long)],
+      after: Map[String, (Long, Long, Double, Long)]): Seq[ArtifactDelta] =
+    after.toSeq.flatMap { case (k, (h, m, b, p)) =>
+      val (h0, m0, b0, p0) = before.getOrElse(k, (0L, 0L, 0.0, 0L))
+      if (m - m0 > 0 || h - h0 > 0 || p - p0 > 0)
+        Some(ArtifactDelta(k, m - m0, h - h0, math.max(b - b0, 0.0), p - p0))
       else None
     }.sortBy(_.name)
 
@@ -974,7 +973,9 @@ object Bench {
       if (ds.isEmpty) ""
       else s""","$field":""" + ds.map(d =>
         s"""{"artifact":"${d.name}","built":${d.built},"hit":${d.hit},""" +
-          s""""build_sec":${num(d.buildSec, 3)}}""").mkString("[", ",", "]")
+          s""""build_sec":${num(d.buildSec, 3)}""" +
+          (if (d.published == 0) "" else s""","published":${d.published}""") +
+          "}").mkString("[", ",", "]")
     // round-13 verdict #1: headline `queries`/`value` are MIN-based
     // (steal-robust); the median moves to `queries_median` + per-entry
     // detail so a round-over-round diff reads steady-state cost, not

@@ -46,6 +46,11 @@ final class PlanCache[V](val name: String, maxEntries: Int = 8)(
   // this per entry and emits {built, hit, build_sec} rows, so a
   // rebuilt artifact lands on the entry whose window built it)
   private val buildNanosCount = new AtomicLong
+  // publishes that STORED a new entry (producer-rule ops: the bench's
+  // per-entry rows mark the entry that published an artifact, whose
+  // actual build cost runs inside that entry's own passes — persist()
+  // is lazy, so put-side timing would read ~0 and mislead)
+  private val putCount = new AtomicLong
 
   PlanCache.register(this)
 
@@ -118,6 +123,7 @@ final class PlanCache[V](val name: String, maxEntries: Int = 8)(
           entries.remove(k)
         }
         entries((s, key)) = Entry(sig, v)
+        putCount.incrementAndGet()
     }
   }
 
@@ -125,6 +131,8 @@ final class PlanCache[V](val name: String, maxEntries: Int = 8)(
   def misses: Long = missCount.get
   /** Cumulative seconds spent building entries on `get` misses. */
   def buildSec: Double = buildNanosCount.get / 1e9
+  /** Publishes that stored a NEW entry (same-sig republish excluded). */
+  def puts: Long = putCount.get
   def size: Int = synchronized(entries.size)
 
   /** Release and drop every entry (test hook). Mirrors `get`'s
@@ -154,12 +162,13 @@ object PlanCache {
   private[operators] def register(c: PlanCache[_]): Unit =
     registry.synchronized { registry += c }
 
-  /** Snapshot of (hits, misses, cumulative build seconds) for every
-    * registered cache, keyed by the cache's own name. Names are unique
-    * across the codebase (asserted by CoreSpec). */
-  def allStats: Map[String, (Long, Long, Double)] =
+  /** Snapshot of (hits, misses, cumulative build seconds, stored
+    * publishes) for every registered cache, keyed by the cache's own
+    * name. Names are unique across production code (spec-asserted). */
+  def allStats: Map[String, (Long, Long, Double, Long)] =
     registry.synchronized {
-      registry.map(c => c.name -> ((c.hits, c.misses, c.buildSec))).toMap
+      registry.map(c =>
+        c.name -> ((c.hits, c.misses, c.buildSec, c.puts))).toMap
     }
 
   /** Registered cache names, in registration order (test hook: the

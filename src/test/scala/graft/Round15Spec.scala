@@ -38,8 +38,12 @@ class Round15Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(c.buildSec == afterBuild, "a hit must not add build time")
     val snap = graft.operators.PlanCache.allStats
     assert(snap.contains("r15_test_cache"))
-    val (h, m, b) = snap("r15_test_cache")
-    assert(h == 1 && m == 1 && b == afterBuild)
+    val (h, m, b, p) = snap("r15_test_cache")
+    assert(h == 1 && m == 1 && b == afterBuild && p == 0)
+    // a stored publish counts; a same-sig republish does not
+    c.put(spark, "k2", 5L, "v2")
+    c.put(spark, "k2", 5L, "v2")
+    assert(graft.operators.PlanCache.allStats("r15_test_cache")._4 == 1)
   }
 
   test("PlanCache registry: production cache names are unique (the " +
@@ -52,15 +56,18 @@ class Round15Spec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("Bench.artifactDelta: only active caches appear; caches first " +
     "registered inside the window read against zero") {
-    val before = Map("a" -> ((2L, 1L, 0.5)), "idle" -> ((7L, 3L, 1.0)))
-    val after = Map("a" -> ((4L, 2L, 0.9)), "idle" -> ((7L, 3L, 1.0)),
-      "born" -> ((0L, 1L, 0.3)))
+    val before = Map("a" -> ((2L, 1L, 0.5, 0L)), "idle" -> ((7L, 3L, 1.0, 2L)),
+      "pub" -> ((0L, 0L, 0.0, 1L)))
+    val after = Map("a" -> ((4L, 2L, 0.9, 0L)), "idle" -> ((7L, 3L, 1.0, 2L)),
+      "born" -> ((0L, 1L, 0.3, 0L)), "pub" -> ((0L, 0L, 0.0, 2L)))
     val ds = Bench.artifactDelta(before, after)
-    assert(ds.map(_.name) == Seq("a", "born"))
+    assert(ds.map(_.name) == Seq("a", "born", "pub"))
     val a = ds.find(_.name == "a").get
     assert(a.built == 1 && a.hit == 2 && math.abs(a.buildSec - 0.4) < 1e-9)
     val born = ds.find(_.name == "born").get
     assert(born.built == 1 && born.hit == 0 && born.buildSec == 0.3)
+    assert(ds.find(_.name == "pub").get.published == 1,
+      "a producer-rule publish must mark the entry that stored it")
   }
 
   // ------------------------------------------- cause classifier v3
