@@ -811,7 +811,8 @@ object Bench {
       "q236_sql_script", "q237_sql_table_fn", "q238_rrf_sweep",
       // round-15 operators
       "q239_ivf_add_batch", "q240_bm25_staleness", "q241_knn_hubness",
-      "q242_codebook_sweep", "q243_exact_topk_blocked")
+      "q242_codebook_sweep", "q243_exact_topk_blocked",
+      "q244_state_inspect")
     // shingle-index misses during TIMED passes only (warm passes are
     // expected to build it once per session+dir)
     var timedIndexMisses = 0L

@@ -66,7 +66,9 @@ object SparkEntry {
       "sq24_stream_distinct" ->
         ((s: SparkSession, dir: String) => StreamOps.sq24StreamDistinct(s, dir)),
       "sq25_session_window" ->
-        ((s: SparkSession, dir: String) => StreamOps.sq25SessionWindow(s, dir)))
+        ((s: SparkSession, dir: String) => StreamOps.sq25SessionWindow(s, dir)),
+      "q244_state_inspect" ->
+        ((s: SparkSession, dir: String) => StreamOps.q244StateInspect(s, dir)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -97,5 +99,6 @@ object SparkEntry {
       "sq22_stream_neardup_gate" -> StreamOps.sq22Sql,
       "sq23_stream_anomaly" -> StreamOps.sq23Sql,
       "sq24_stream_distinct" -> StreamOps.sq24Sql,
-      "sq25_session_window" -> StreamOps.sq25Sql)
+      "sq25_session_window" -> StreamOps.sq25Sql,
+      "q244_state_inspect" -> StreamOps.q244Sql)
 }

@@ -2086,6 +2086,58 @@ object StreamOps {
     * cross-engine surface (the q52 above-gate convention) while the
     * oracle pins the exact n per closed window and the closure rule
     * itself. */
+  /** q244: STATE-STORE INTROSPECTION (Spark 4's `statestore` batch
+    * data source) — the checkpoint-forensics read a streaming team
+    * runs when a query misbehaves: run the hourly windowed count to
+    * completion (AvailableNow), then BATCH-READ the checkpoint's
+    * state store and emit what the stream is still HOLDING — exactly
+    * the OPEN windows (append mode evicts a window's state once its
+    * end falls at or under the watermark, so the final state is the
+    * complement of sq24's closed-window emission rule). Deterministic
+    * because open windows can never have dropped a late event: a
+    * window open at the FINAL watermark was open at every
+    * intermediate one.
+    *
+    * Scale shape: the state read is a parallel scan over the
+    * checkpoint's per-partition stores (one task per store), output =
+    * open (window, type) cells — watermark-bounded, never the stream
+    * history. The op's value is the SURFACE: offline inspection of
+    * live state without touching the running query's store. */
+  def q244StateInspect(s: SparkSession, dir: String): DataFrame = {
+    withStreamShuffle(s) { fs =>
+      val ckpt = graft.operators.PlanCache.tempDir("q244_ckpt_")
+      val q = eventsStream(fs, dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      fs.read.format("statestore").load(ckpt)
+        .select(unix_millis(col("key.window.start")).as("janela_ms"),
+          col("key.event_type").as("event_type"),
+          col("value.count").as("n"))
+        .orderBy("janela_ms", "event_type")
+    }
+  }
+
+  /** q244's DuckDB oracle: the OPEN-window complement of sq24's
+    * closure rule — windows whose end is strictly above the final
+    * watermark, with their full event counts. */
+  val q244Sql: String =
+    """WITH wm AS (
+      |  SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 2 HOUR AS w FROM events
+      |), e AS (
+      |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h
+      |  FROM events
+      |)
+      |SELECT epoch_ms(h) AS janela_ms, event_type, count(*) AS n
+      |FROM e CROSS JOIN wm
+      |WHERE h + INTERVAL 1 HOUR > wm.w
+      |GROUP BY 1, 2
+      |ORDER BY janela_ms, event_type""".stripMargin
+
   def sq24StreamDistinct(s: SparkSession, dir: String): DataFrame = {
     val name = s"sq24_${System.nanoTime()}"
     withStreamShuffle(s) { fs =>

@@ -214,6 +214,18 @@ class Round15Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want, "blocking must not change the exact result")
   }
 
+  test("q244: the state read and sq24's closed emissions PARTITION the " +
+    "event count — open-window state + closed-window output = corpus") {
+    import org.apache.spark.sql.functions._
+    val open = graft.streaming.StreamOps.q244StateInspect(spark, sf)
+      .agg(sum("n")).collect()(0).getLong(0)
+    val closed = graft.streaming.StreamOps.sq24StreamDistinct(spark, sf)
+      .agg(sum("n")).collect()(0).getLong(0)
+    val total = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(open + closed == total,
+      s"open $open + closed $closed must equal the corpus $total")
+  }
+
   // ------------------------------------- q237 size-gated dispatch
 
   test("q237: both dispatch arms produce identical rows; the above-" +
