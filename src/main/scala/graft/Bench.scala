@@ -812,7 +812,11 @@ object Bench {
       // round-15 operators
       "q239_ivf_add_batch", "q240_bm25_staleness", "q241_knn_hubness",
       "q242_codebook_sweep", "q243_exact_topk_blocked",
-      "q244_state_inspect")
+      "q244_state_inspect",
+      // round-15 second batch
+      "q245_kcore", "q246_l_diversity", "q247_seasonal_residuals",
+      "q248_compaction_bins", "q249_audio_segments",
+      "sq26_stream_full_outer")
     // shingle-index misses during TIMED passes only (warm passes are
     // expected to build it once per session+dir)
     var timedIndexMisses = 0L

@@ -67,6 +67,8 @@ object SparkEntry {
         ((s: SparkSession, dir: String) => StreamOps.sq24StreamDistinct(s, dir)),
       "sq25_session_window" ->
         ((s: SparkSession, dir: String) => StreamOps.sq25SessionWindow(s, dir)),
+      "sq26_stream_full_outer" ->
+        ((s: SparkSession, dir: String) => StreamOps.sq26StreamFullOuter(s, dir)),
       "q244_state_inspect" ->
         ((s: SparkSession, dir: String) => StreamOps.q244StateInspect(s, dir)))
 
@@ -100,5 +102,6 @@ object SparkEntry {
       "sq23_stream_anomaly" -> StreamOps.sq23Sql,
       "sq24_stream_distinct" -> StreamOps.sq24Sql,
       "sq25_session_window" -> StreamOps.sq25Sql,
+      "sq26_stream_full_outer" -> StreamOps.sq26Sql,
       "q244_state_inspect" -> StreamOps.q244Sql)
 }

@@ -437,8 +437,10 @@ object MultimodalOps {
       .orderBy("media_id")
   }
 
-  val q85Sql: String =
-    s"""WITH a AS (
+  /** The q85 per-window energy/voiced/newseg CTE chain (ends at
+    * `seg`), shared with q249's per-segment extraction. */
+  private val audioSegSqlCte: String =
+    s"""a AS (
        |  SELECT media_id, hex(content) AS hx,
        |    least(${beU16Sql(10)}, $fullFramesSql) AS ef
        |  FROM $mediaSql WHERE media_type = 'audio' AND $validHeaderSql
@@ -460,12 +462,80 @@ object MultimodalOps {
        |       lag(e > $VadThreshold) OVER (PARTITION BY media_id ORDER BY w_i),
        |       false)) AS newseg
        |  FROM e
-       |)
+       |)""".stripMargin
+
+  val q85Sql: String =
+    s"""WITH $audioSegSqlCte
        |SELECT media_id, count(*) AS n_windows,
        |  CAST(count(*) FILTER (voiced) AS BIGINT) AS n_voiced,
        |  CAST(count(*) FILTER (newseg) AS BIGINT) AS n_segments,
        |  CAST(sum(e) AS BIGINT) AS energy_total
        |FROM seg GROUP BY media_id ORDER BY media_id""".stripMargin
+
+  // ---------------------------------------- q249 audio segment table
+
+  /** Minimum voiced run length (windows) for an emitted segment. */
+  val MinSegWin = 2
+
+  /** q249: VOICED-SEGMENT EXTRACTION — q85 counts segments per clip;
+    * this EMITS them: one row per maximal voiced run (the
+    * gaps-and-islands read over the per-window energy), with start/
+    * end window, width, and integer-exact energy mass, dropping
+    * blips shorter than [[MinSegWin]] windows. This is the audio
+    * half of a speech-data pipeline's clip→utterance splitter: the
+    * segment table is what a downstream ASR/embedding stage consumes,
+    * where q85's counts only monitor.
+    *
+    * The island id is the classic running sum of run-start flags
+    * (newseg) over the per-clip window order — a per-clip window
+    * function whose partition width is bounded by frames-per-clip
+    * (≤ 2¹⁶ by the container header), NOT by corpus size, so the
+    * window never concentrates; the groupBy behind it partial-
+    * aggregates. Energy stays BIGINT end to end (the q85 integer
+    * discipline), so segment masses are bit-equal cross-engine. */
+  def q249AudioSegments(s: SparkSession, dir: String): DataFrame =
+    audioSegmentsOf(media(s).filter(col("media_type") === "audio"))
+
+  /** q249's core over any (media_id, content) audio frame — factored
+    * so specs can feed crafted containers (all-silent, single-window
+    * blips, truncated payloads). */
+  private[graft] def audioSegmentsOf(audio: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ef = least(beU16(col("content"), 10), fullFrames(col("content")))
+    val wE = Window.partitionBy("media_id").orderBy("w_i")
+    audio
+      .filter(validHeader(col("content")) && ef > 0)
+      .select(col("media_id"), col("content"),
+        explode(sequence(lit(0), (ef - 1).cast("int"))).as("w_0"))
+      .select(col("media_id"), col("w_0").cast("long").as("w_i"),
+        graft.functions.MediaExprs.winEnergy(col("content"),
+          lit(HeaderLen) + col("w_0") * AudioWin, lit(AudioWin)).as("e"))
+      .withColumn("voiced", col("e") > VadThreshold)
+      .withColumn("newseg", (col("voiced") &&
+        !coalesce(lag(col("voiced"), 1).over(wE), lit(false))).cast("long"))
+      .withColumn("seg_idx", sum(col("newseg")).over(
+        wE.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("voiced"))
+      .groupBy("media_id", "seg_idx")
+      .agg(min("w_i").as("start_w"), max("w_i").as("end_w"),
+        count(lit(1)).as("n_windows"), sum("e").as("energy"))
+      .filter(col("n_windows") >= MinSegWin)
+      .orderBy("media_id", "seg_idx")
+  }
+
+  val q249Sql: String =
+    s"""WITH $audioSegSqlCte,
+       |s2 AS (
+       |  SELECT media_id, w_i, e, voiced,
+       |    CAST(sum(CASE WHEN newseg THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY media_id ORDER BY w_i) AS BIGINT) AS seg_idx
+       |  FROM seg
+       |)
+       |SELECT media_id, seg_idx, min(w_i) AS start_w, max(w_i) AS end_w,
+       |  count(*) AS n_windows, CAST(sum(e) AS BIGINT) AS energy
+       |FROM s2 WHERE voiced
+       |GROUP BY 1, 2 HAVING count(*) >= $MinSegWin
+       |ORDER BY media_id, seg_idx""".stripMargin
 
   // ------------------------------------------- q86 image resize
 
@@ -777,6 +847,7 @@ object MultimodalOps {
     "q54_frame_features" -> (q54FrameFeatures _),
     "q66_scene_cuts" -> (q66SceneCuts _),
     "q85_audio_energy" -> (q85AudioEnergy _),
+    "q249_audio_segments" -> (q249AudioSegments _),
     "q86_thumbnail" -> (q86Thumbnail _),
     "q105_image_phash" -> (q105ImagePhash _),
     "q232_phash_neardup" -> (q232PhashNeardup _)
@@ -789,6 +860,7 @@ object MultimodalOps {
     "q54_frame_features" -> q54Sql,
     "q66_scene_cuts" -> q66Sql,
     "q85_audio_energy" -> q85Sql,
+    "q249_audio_segments" -> q249Sql,
     "q86_thumbnail" -> q86Sql,
     "q105_image_phash" -> q105Sql,
     "q232_phash_neardup" -> q232Sql

@@ -1470,6 +1470,141 @@ object MiningOps {
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM orders GROUP BY 1 ORDER BY prioridade""".stripMargin
 
+  // ------------------------------------- q248 compaction bin planner
+
+  /** Target compacted-file size for the bin planner (bytes of
+    * estimated row payload per output bin). */
+  val CompactTargetBytes = 262144L
+
+  /** Fixed per-row byte estimate for lineitem's numeric columns
+    * (4 int64 keys + 4 numerics + a 4-byte date), to which the
+    * variable string widths are added. */
+  val CompactFixedRowBytes = 52
+
+  /** q248: SMALL-FILE COMPACTION PLANNER — the table-maintenance pass
+    * every 100 TB lake runs nightly (Delta/Iceberg OPTIMIZE's
+    * planning half): roll the table up into a per-partition
+    * (ship month) size inventory, then assign partitions to target-
+    * size output bins by walking the inventory in partition order and
+    * cutting a new bin each time the running payload crosses
+    * [[CompactTargetBytes]] (bin id = exclusive-prefix-sum div
+    * target — the standard coalesce-by-size rule). Complements the
+    * layout family: q60 proves pruning, q76 z-orders, q157 overwrites;
+    * this PLANS the rewrite.
+    *
+    * Scale shape: the corpus-wide work is ONE partial agg onto the
+    * partition inventory (|months| rows); the prefix-sum window runs
+    * single-partition BY DESIGN over that aggregated inventory — it
+    * is O(#partitions), not O(rows), exactly how a real compaction
+    * planner scales (the inventory for a 100 TB table is thousands of
+    * rows). Byte estimates are integer-exact (fixed widths +
+    * octet_length), so the plan is bit-reproducible cross-engine. */
+  def q248CompactionBins(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val inv = t(s, dir, "lineitem")
+      .select(unix_millis(date_trunc("month", col("l_shipdate"))).as("period_ms"),
+        (lit(CompactFixedRowBytes) + octet_length(col("l_returnflag")) +
+          octet_length(col("l_linestatus"))).cast("long").as("eb"))
+      .groupBy("period_ms")
+      .agg(count(lit(1)).as("n_rows"), sum("eb").as("part_bytes"))
+    val w = Window.orderBy("period_ms")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    inv.withColumn("bin",
+        graft.functions.GraftFunctions.idiv(
+          coalesce(sum(col("part_bytes")).over(w), lit(0L)),
+          lit(CompactTargetBytes)))
+      .select(col("period_ms"), col("n_rows"), col("part_bytes"), col("bin"))
+      .orderBy("period_ms")
+  }
+
+  val q248Sql: String =
+    s"""WITH inv AS (
+       |  SELECT epoch_ms(date_trunc('month', CAST(l_shipdate AS TIMESTAMP)))
+       |      AS period_ms,
+       |    count(*) AS n_rows,
+       |    CAST(sum($CompactFixedRowBytes + strlen(l_returnflag)
+       |      + strlen(l_linestatus)) AS BIGINT) AS part_bytes
+       |  FROM lineitem GROUP BY 1
+       |)
+       |SELECT period_ms, n_rows, part_bytes,
+       |  CAST(coalesce(sum(part_bytes) OVER (ORDER BY period_ms
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    // $CompactTargetBytes AS bin
+       |FROM inv ORDER BY period_ms""".stripMargin
+
+  // ---------------------------------- q247 seasonal residual anomalies
+
+  /** Squared z-score threshold (Z = 3). */
+  val SeasZ2 = 9
+
+  /** Minimum seasonal-cell population before the profile is trusted. */
+  val SeasMinN = 20
+
+  /** q247: SEASONALITY-ADJUSTED ANOMALY DETECTION — the time-series
+    * read q130 (level-shift changepoint) and q112 (per-user volume)
+    * don't cover: fit a (event_type, day-of-week, hour-of-day)
+    * seasonal profile and flag events whose value deviates more than
+    * Z standard deviations FROM THEIR OWN SEASONAL CELL — a Monday-9am
+    * spike is judged against Monday-9am, not the global mean.
+    *
+    * Cross-engine discipline: the z-test runs ENTIRELY in exact
+    * integer/decimal arithmetic — values are centi-scaled to BIGINT
+    * (one tie-measure-zero round, the q10/q11 precedent), and the
+    * predicate |v−μ|>Zσ is cleared of divisions by multiplying
+    * through by n²: (v·n − Σ)² > Z²·(n·Σv² − Σ²). Sums are
+    * DECIMAL(38,0) in Spark / HUGEINT in DuckDB, so no float
+    * reassociation can flip a borderline row. Day-of-week and hour
+    * are epoch integer arithmetic (1970-01-01 + 4 ⇒ Thursday),
+    * timezone-free in both engines.
+    *
+    * Scale shape: one corpus-wide partial agg onto ≤ |types|×168
+    * profile rows, then a BROADCAST join-back — the profile is tiny
+    * by construction at any corpus size, so the flagging pass is a
+    * single scan with a map-side hash join; no window, no second
+    * shuffle. */
+  def q247SeasonalResiduals(s: SparkSession, dir: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val e = events(s, dir).select(col("event_id"), col("event_type"),
+      expr("(unix_micros(ts) div 86400000000 + 4) % 7").as("dow"),
+      expr("(unix_micros(ts) div 3600000000) % 24").as("hr"),
+      col("value"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("iv"))
+    val prof = e.groupBy("event_type", "dow", "hr")
+      .agg(count(lit(1)).as("n_group"),
+        sum(col("iv").cast(d38)).as("sv"),
+        sum((col("iv") * col("iv")).cast(d38)).as("sq"))
+    val dev = col("iv").cast(d38) * col("n_group").cast(d38) - col("sv")
+    e.join(broadcast(prof), Seq("event_type", "dow", "hr"))
+      .filter(col("n_group") >= SeasMinN &&
+        dev * dev > lit(SeasZ2).cast(d38) *
+          (col("n_group").cast(d38) * col("sq") - col("sv") * col("sv")))
+      .select(col("event_id"), col("event_type"), col("dow"), col("hr"),
+        col("value"), col("n_group"))
+      .orderBy("event_id")
+  }
+
+  val q247Sql: String =
+    s"""WITH e AS (
+       |  SELECT event_id, event_type,
+       |    (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 + 4) % 7 AS dow,
+       |    (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24 AS hr,
+       |    value, CAST(round(value * 100) AS BIGINT) AS iv
+       |  FROM events
+       |), p AS (
+       |  SELECT event_type, dow, hr, count(*) AS n_group,
+       |    CAST(sum(iv) AS HUGEINT) AS sv,
+       |    CAST(sum(iv * iv) AS HUGEINT) AS sq
+       |  FROM e GROUP BY 1, 2, 3
+       |)
+       |SELECT e.event_id, e.event_type, e.dow, e.hr, e.value,
+       |  CAST(p.n_group AS BIGINT) AS n_group
+       |FROM e JOIN p USING (event_type, dow, hr)
+       |WHERE p.n_group >= $SeasMinN
+       |  AND (CAST(e.iv AS HUGEINT) * p.n_group - p.sv)
+       |      * (CAST(e.iv AS HUGEINT) * p.n_group - p.sv)
+       |    > $SeasZ2 * (p.n_group * p.sq - p.sv * p.sv)
+       |ORDER BY event_id""".stripMargin
+
   // ------------------------------------------------ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1493,6 +1628,8 @@ object MiningOps {
     "q225_attribution_sweep" -> (q225AttributionSweep _),
     "q156_observed_metrics" -> (q156ObservedMetrics _),
     "q157_dynamic_overwrite" -> (q157DynamicOverwrite _),
+    "q247_seasonal_residuals" -> (q247SeasonalResiduals _),
+    "q248_compaction_bins" -> (q248CompactionBins _),
     "q168_format_roundtrip" -> (q168FormatRoundtrip _),
     "q169_merge_schema" -> (q169MergeSchema _))
 
@@ -1517,6 +1654,8 @@ object MiningOps {
     "q225_attribution_sweep" -> q225Sql,
     "q156_observed_metrics" -> q156Sql,
     "q157_dynamic_overwrite" -> q157Sql,
+    "q247_seasonal_residuals" -> q247Sql,
+    "q248_compaction_bins" -> q248Sql,
     "q168_format_roundtrip" -> q168Sql,
     "q169_merge_schema" -> q169Sql)
 }

@@ -1085,6 +1085,72 @@ object PipelineOps {
        |    / sum(gn), 6) AS risk_ratio
        |FROM g GROUP BY source ORDER BY source""".stripMargin
 
+  // ----------------------------------------- q246 l-diversity audit
+
+  /** Diversity threshold: a quasi-identifier group whose sensitive
+    * attribute takes fewer than this many distinct values is
+    * homogeneous enough to leak the attribute by membership alone. */
+  val LDivL = 3
+
+  /** q246: L-DIVERSITY AUDIT (Machanavajjhala et al. 2007) — the
+    * privacy read k-anonymity (q185) misses: a group can be large
+    * (k-anonymous) yet HOMOGENEOUS in a sensitive attribute, so
+    * membership alone discloses it. Here the quasi-identifier is
+    * (source, length band) and `lang` plays the sensitive attribute:
+    * per source, report how many QI groups are under-diverse
+    * (distinct-l < [[LDivL]]), the worst group's distinct-l, the
+    * documents exposed in under-diverse groups, and the worst
+    * single-value skew max(freq)/|group| — the recursive-(c,l)
+    * numerator. All counts are integer-exact; the skew is one
+    * double division per group then an order-independent max (the
+    * q10/q11 tie-measure-zero discipline).
+    *
+    * Scale shape: three stacked partial aggs, each strictly smaller —
+    * corpus → (QI, lang) counts (the only corpus-wide shuffle) →
+    * per-group l/max-freq → per-source rollup. No window, no join;
+    * every stage map-side combines. The q185 companion shares the
+    * first shuffle key prefix, so a fused governance pass would
+    * co-partition both. */
+  def q246LDiversity(s: SparkSession, dir: String): DataFrame = {
+    val cells = docs(s, dir)
+      .select(col("source"),
+        graft.functions.GraftFunctions.idiv(col("n_chars"), lit(KAnonBand))
+          .as("band"),
+        col("lang"))
+      .groupBy("source", "band", "lang").agg(count(lit(1)).as("ln"))
+    val groups = cells.groupBy("source", "band")
+      .agg(count(lit(1)).as("l"), sum("ln").as("gn"), max("ln").as("maxf"))
+    groups.groupBy("source")
+      .agg(count(lit(1)).as("n_groups"),
+        min("l").as("min_l"),
+        sum(when(col("l") < LDivL, 1L).otherwise(0L)).as("n_groups_below_l"),
+        sum(when(col("l") < LDivL, col("gn")).otherwise(0L))
+          .as("n_docs_exposed"),
+        max(col("maxf").cast("double") / col("gn")).as("skew_raw"))
+      .withColumn("worst_skew", round(col("skew_raw"), 6))
+      .drop("skew_raw")
+      .orderBy("source")
+  }
+
+  val q246Sql: String =
+    s"""WITH cells AS (
+       |  SELECT source, n_chars // $KAnonBand AS band, lang,
+       |    count(*) AS ln
+       |  FROM documents GROUP BY 1, 2, 3
+       |), g AS (
+       |  SELECT source, band, count(*) AS l, sum(ln) AS gn,
+       |    max(ln) AS maxf
+       |  FROM cells GROUP BY 1, 2
+       |)
+       |SELECT source, count(*) AS n_groups,
+       |  CAST(min(l) AS BIGINT) AS min_l,
+       |  CAST(sum(CASE WHEN l < $LDivL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_groups_below_l,
+       |  CAST(sum(CASE WHEN l < $LDivL THEN gn ELSE 0 END) AS BIGINT)
+       |    AS n_docs_exposed,
+       |  round(max(CAST(maxf AS DOUBLE) / gn), 6) AS worst_skew
+       |FROM g GROUP BY source ORDER BY source""".stripMargin
+
   // -------------------------------------- q186 span-corruption stats
 
   /** Mask rule: token position p of doc d is masked iff
@@ -2173,6 +2239,7 @@ object PipelineOps {
     "q182_train_shuffle" -> (q182TrainShuffle _),
     "q183_preference_pairs" -> (q183PreferencePairs _),
     "q185_k_anonymity" -> (q185KAnonymity _),
+    "q246_l_diversity" -> (q246LDiversity _),
     "q186_span_corruption" -> (q186SpanCorruption _),
     "q187_soft_dedup_weights" -> (q187SoftDedupWeights _),
     "q188_dsir_weights" -> (q188DsirWeights _),
@@ -2199,6 +2266,7 @@ object PipelineOps {
     "q182_train_shuffle" -> q182Sql,
     "q183_preference_pairs" -> q183Sql,
     "q185_k_anonymity" -> q185Sql,
+    "q246_l_diversity" -> q246Sql,
     "q186_span_corruption" -> q186Sql,
     "q187_soft_dedup_weights" -> q187Sql,
     "q188_dsir_weights" -> q188Sql,

@@ -2219,6 +2219,96 @@ object RelOps {
        |FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
   }
 
+  // ------------------------------------------------ q245 k-core peel
+
+  /** Core threshold: a vertex survives a peel round iff it keeps at
+    * least this many neighbors among the still-alive vertices. */
+  val KCoreK = 4
+
+  /** Safety cap on peel rounds (the fixture reaches fixpoint in 8;
+    * degeneracy cascades are bounded by the longest removal chain). */
+  val KCoreMaxRounds = 30
+
+  /** Oracle unroll depth: the DuckDB twin peels exactly this many
+    * rounds. The gate fixture converges in 8, so two spare rounds
+    * make the unrolled result the true fixpoint; if the data ever
+    * needed more, the hash gate fails loudly rather than silently
+    * comparing a half-peeled set. */
+  val KCoreOracleRounds = 10
+
+  /** q245: K-CORE DECOMPOSITION (the [[KCoreK]]-core) of the q116
+    * user co-occurrence graph — the community-spam / engagement-core
+    * read: iteratively peel vertices with fewer than K alive
+    * neighbors until fixpoint, then report each surviving vertex with
+    * its within-core degree. Completes the graph family (q75
+    * PageRank, q116 triangles, q146 BFS, q153 profile, q158 label
+    * propagation, q201 assortativity) with the standard
+    * degeneracy-ordering primitive.
+    *
+    * Scale shape: the symmetric edge list is built ONCE and
+    * localCheckpoint'd (the q146/q227 loop discipline — without it
+    * every peel round re-runs the co-occurrence pair join); each
+    * round is two equi-joins against the alive set (both sides
+    * shuffle-partitioned on user id; AQE may broadcast the shrinking
+    * alive set) plus one partial-aggregated degree count. Convergence
+    * is count-based — alive strictly shrinks, so equal counts ⟺ equal
+    * sets — costing one tiny action per round; rounds are bounded by
+    * the peel cascade length (8 here), capped at [[KCoreMaxRounds]].
+    * At 100 TB the edge build dominates and is shared with q116/q146;
+    * the peel itself touches only the |V|-row vertex table. */
+  def q245Kcore(s: SparkSession, dir: String): DataFrame = {
+    val e0 = cooccurEdges(s, dir)
+    val sym = e0.select(col("x").as("u"), col("y").as("v"))
+      .unionAll(e0.select(col("y").as("u"), col("x").as("v")))
+      .localCheckpoint(eager = true)
+    def coreDeg(alive: DataFrame): DataFrame =
+      sym.join(alive.select(col("u").as("au")), col("u") === col("au"))
+        .drop("au")
+        .join(alive.select(col("u").as("av")), col("v") === col("av"))
+        .drop("av")
+        .groupBy("u").agg(count(lit(1)).as("d"))
+    var alive = sym.select("u").distinct().localCheckpoint(eager = true)
+    var n = alive.count()
+    var round = 0
+    var changed = n > 0
+    while (changed && round < KCoreMaxRounds) {
+      val next = coreDeg(alive).filter(col("d") >= KCoreK).select("u")
+        .localCheckpoint(eager = true)
+      val m = next.count()
+      changed = m != n
+      alive = next
+      n = m
+      round += 1
+    }
+    coreDeg(alive).select(col("u"), col("d").as("core_deg")).orderBy("u")
+  }
+
+  /** q245's oracle: the same peel unrolled [[KCoreOracleRounds]]
+    * times over the shared e0 CTE (each round recomputes degrees
+    * within the previous alive set and keeps ≥ K). */
+  val q245Sql: String = {
+    // AS MATERIALIZED: without it DuckDB inlines every CTE reference,
+    // so the unrolled rounds re-expand the co-occurrence pair join
+    // 2^rounds times — the oracle must evaluate each round ONCE, as
+    // the Spark loop does
+    val rounds = (1 to KCoreOracleRounds).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT e.u, count(*) AS c FROM e
+         |  JOIN v${i - 1} a ON e.u = a.u JOIN v${i - 1} b ON e.v = b.u
+         |  GROUP BY e.u
+         |), v$i AS MATERIALIZED (SELECT u FROM d$i WHERE c >= $KCoreK)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $cooccurEdgesSql,
+       |e AS MATERIALIZED (
+       |  SELECT x AS u, y AS v FROM e0 UNION ALL SELECT y, x FROM e0),
+       |v0 AS MATERIALIZED (SELECT DISTINCT u FROM e),
+       |$rounds
+       |SELECT e.u, CAST(count(*) AS BIGINT) AS core_deg FROM e
+       |JOIN v$KCoreOracleRounds a ON e.u = a.u
+       |JOIN v$KCoreOracleRounds b ON e.v = b.u
+       |GROUP BY e.u ORDER BY e.u""".stripMargin
+  }
+
   // --------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2251,7 +2341,8 @@ object RelOps {
     "q209_cohort_retention" -> (q209CohortRetention _),
     "q210_funnel_steps" -> (q210FunnelSteps _),
     "q211_event_gaps" -> (q211EventGaps _),
-    "q233_rfm_segments" -> (q233RfmSegments _)
+    "q233_rfm_segments" -> (q233RfmSegments _),
+    "q245_kcore" -> (q245Kcore _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -2284,6 +2375,7 @@ object RelOps {
     "q209_cohort_retention" -> q209Sql,
     "q210_funnel_steps" -> q210Sql,
     "q211_event_gaps" -> q211Sql,
-    "q233_rfm_segments" -> q233Sql
+    "q233_rfm_segments" -> q233Sql,
+    "q245_kcore" -> q245Sql
   )
 }

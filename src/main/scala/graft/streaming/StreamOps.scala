@@ -595,6 +595,86 @@ object StreamOps {
       |SELECT user_id, click_id, purchase_id, delta_us FROM unmatched
       |ORDER BY click_id, purchase_id NULLS FIRST""".stripMargin
 
+  /** SQ26: FULL-OUTER STREAM-STREAM INTERVAL JOIN — completes the
+    * stream-join family (sq3 inner, sq11 left, sq18 chained): BOTH
+    * sides' unmatched rows are held in state and emitted as
+    * null-extended rows once the watermark proves no partner can
+    * still arrive. The interval condition bounds both state stores —
+    * a click is evictable once wm passes cts + 1 h (its purchase
+    * window closed), a purchase once wm passes pts (the latest click
+    * that could precede it has expired) — so state is
+    * watermark-bounded on both sides, the property that makes the
+    * full-outer form runnable at all on unbounded inputs.
+    *
+    * The oracle is the batch interval join UNION ALL both
+    * unmatched-residual legs under the drained query's final global
+    * watermark (min of the two sides' max event times − 2 h) — the
+    * sq11 discipline extended symmetrically. */
+  def sq26StreamFullOuter(s: SparkSession, dir: String): DataFrame = {
+    val name = s"sq26_${System.nanoTime()}"
+    withStreamShuffle(s) { fs =>
+      def side(evType: String, prefix: String): DataFrame =
+        eventsStream(fs, dir)
+          .filter(col("event_type") === evType)
+          .select(col("event_id").as(s"${prefix}_id"), col("user_id").as(s"${prefix}_user"),
+            col("ts").as(s"${prefix}_ts"))
+          .withWatermark(s"${prefix}_ts", "2 hours")
+      val clicks = side("click", "click")
+      val purchases = side("purchase", "purchase")
+      val q = clicks.join(purchases,
+        expr("""click_user = purchase_user
+               |AND purchase_ts >= click_ts
+               |AND purchase_ts <= click_ts + INTERVAL 1 HOUR""".stripMargin),
+        "fullOuter")
+        .select(coalesce(col("click_user"), col("purchase_user")).as("user_id"),
+          col("click_id"), col("purchase_id"),
+          (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("delta_us"))
+        .writeStream.queryName(name).format("memory")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      recordStatePeak("sq26_stream_full_outer", q)
+      fs.table(name).orderBy(col("click_id").asc_nulls_first,
+        col("purchase_id").asc_nulls_first)
+    }
+  }
+
+  val sq26Sql: String =
+    """WITH c AS (
+      |  SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS cts
+      |  FROM events WHERE event_type = 'click'
+      |), p AS (
+      |  SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS pts
+      |  FROM events WHERE event_type = 'purchase'
+      |), wm AS (
+      |  SELECT least((SELECT max(cts) FROM c), (SELECT max(pts) FROM p))
+      |         - INTERVAL 2 HOUR AS w
+      |), matched AS (
+      |  SELECT c.user_id, c.click_id, p.purchase_id,
+      |    epoch_us(p.pts) - epoch_us(c.cts) AS delta_us
+      |  FROM c JOIN p ON c.user_id = p.user_id
+      |   AND p.pts >= c.cts AND p.pts <= c.cts + INTERVAL 1 HOUR
+      |), un_c AS (
+      |  SELECT c.user_id, c.click_id, CAST(NULL AS BIGINT) AS purchase_id,
+      |    CAST(NULL AS BIGINT) AS delta_us
+      |  FROM c CROSS JOIN wm
+      |  WHERE c.cts + INTERVAL 1 HOUR < wm.w
+      |    AND NOT EXISTS (SELECT 1 FROM p
+      |      WHERE p.user_id = c.user_id
+      |        AND p.pts >= c.cts AND p.pts <= c.cts + INTERVAL 1 HOUR)
+      |), un_p AS (
+      |  SELECT p.user_id, CAST(NULL AS BIGINT) AS click_id, p.purchase_id,
+      |    CAST(NULL AS BIGINT) AS delta_us
+      |  FROM p CROSS JOIN wm
+      |  WHERE p.pts < wm.w
+      |    AND NOT EXISTS (SELECT 1 FROM c
+      |      WHERE c.user_id = p.user_id
+      |        AND p.pts >= c.cts AND p.pts <= c.cts + INTERVAL 1 HOUR)
+      |)
+      |SELECT user_id, click_id, purchase_id, delta_us FROM matched
+      |UNION ALL SELECT user_id, click_id, purchase_id, delta_us FROM un_c
+      |UNION ALL SELECT user_id, click_id, purchase_id, delta_us FROM un_p
+      |ORDER BY click_id NULLS FIRST, purchase_id NULLS FIRST""".stripMargin
+
   /** SQ12: CHAINED WINDOWED AGGREGATIONS in one streaming query —
     * 15-minute counts re-aggregated to hourly inside the SAME query
     * (two stateful operators back to back, the multi-stateful-operator

@@ -152,7 +152,7 @@ class CoreSpec extends AnyFunSuite {
       graft.queries.PipelineOps.all,
       graft.llmops.TextOps.all, graft.llmops.VectorOps.all,
       graft.llmops.MultimodalOps.all)
-    val streaming = 26 // sq1..sq25 + q244_state_inspect, added inline in SparkEntry
+    val streaming = 27 // sq1..sq26 + q244_state_inspect, added inline in SparkEntry
     assert(q.size == parts.map(_.size).sum + streaming,
       "duplicate query names across registries would shadow silently")
     assert(SparkEntry.entry(spark).count() > 0, "driver smoke: entry must return rows")
