@@ -95,7 +95,13 @@ object ScaleSweep {
       ("fixture-bound: the media table is a FIXED generated fixture " +
         "(dir-independent input - the three identical-cost measured " +
         "rungs demonstrate exactly that); the media family's scale " +
-        "story is ScaleCheck's 10x generated-table drill"))
+        "story is ScaleCheck's 10x generated-table drill"),
+    ("q249_audio_segments", "graft_sf10") ->
+      ("fixture-bound like q232: reads the FIXED generated media " +
+        "fixture (dir-independent input), so rungs measure identical " +
+        "cost; per-clip windows are bounded by the container's u16 " +
+        "frame count, and the media family's scale story is " +
+        "ScaleCheck's 10x generated-table drill"))
 
   /** The declared-skip reason for an (op, rung dir), if any — either a
     * measured out-of-envelope declaration or an inherited-coverage
@@ -197,6 +203,19 @@ object ScaleSweep {
         .reduce(_ unionAll _)
         .repartition(64)
         .write.mode("overwrite").parquet(liOut)
+    }
+    // customer replicates 10× with the digit-append on c_custkey —
+    // the dimension grows with the fact tables so dimension-side ops
+    // (q253's ranked listagg, segment joins) ladder on real growth
+    val custOut = s"$out/customer.parquet"
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$base/customer.parquet")) &&
+        !java.nio.file.Files.exists(java.nio.file.Paths.get(custOut))) {
+      val cu = s.read.parquet(s"$base/customer.parquet")
+      (0 until 10).map(c =>
+          cu.withColumn("c_custkey", col("c_custkey") * 10 + lit(c.toLong)))
+        .reduce(_ unionAll _)
+        .repartition(16)
+        .write.mode("overwrite").parquet(custOut)
     }
     // orders rides the SAME digit-append (o_orderkey*10 + c), so copy
     // c of an order matches exactly copy c of its lineitems — join

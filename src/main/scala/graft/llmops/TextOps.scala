@@ -4955,6 +4955,79 @@ object TextOps {
        |  count(DISTINCT root) AS n_clusters
        |FROM sp GROUP BY 1, 2 ORDER BY split, source""".stripMargin
 
+  // ------------------------------------- q250 TF-IDF terms per source
+
+  /** Terms kept per source in the TF-IDF keyword extraction. */
+  val TfidfTopK = 8
+
+  /** q250: PER-SOURCE TF-IDF KEYWORD EXTRACTION — the discriminative-
+    * terms read a datacard (q219) prints beside its volume stats:
+    * which tokens CHARACTERIZE a source against the rest of the
+    * corpus. tf = in-source occurrences, idf = ln(N_docs / df) over
+    * the textbook DOCUMENT-level frequency (a token present in every
+    * document scores exactly 0 and sinks; source-level df degenerates
+    * on vocabulary-homogeneous corpora — this fixture — where every
+    * source shares the token set); ties break lexicographically.
+    * Complements q55 (raw top-k vocabulary — no discrimination) and
+    * q93 (PMI pairs — collocation, not source affinity).
+    *
+    * Cross-engine discipline: idf is ONE integer-ratio division and
+    * one ln, rounded to 6 dp BEFORE the tf multiply (the q64 ln
+    * rule); the product runs in DECIMAL so ranking never sees float
+    * reassociation. Scale shape: explode → one vocabulary-keyed
+    * partial agg (the corpus-wide shuffle), df + |sources| ride the
+    * aggregated vocab; the per-source top-k is a raw-int row_number
+    * filter, so InferWindowGroupLimit pushes rank ≤ K map-side (the
+    * q55/q176 discipline) — the window never sorts a full source's
+    * vocabulary globally. */
+  def q250TfidfTerms(s: SparkSession, dir: String): DataFrame = {
+    val ns = docs(s, dir).count()
+    val tok = tokenized(s, dir)
+      .select(col("source"), col("doc_id"), explode(col("w")).as("token"))
+    val tf = tok.groupBy("source", "token").agg(count(lit(1)).as("tf"))
+    val df = tok.select("doc_id", "token").distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("score_d").desc, col("token").asc)
+    tf.join(df, "token")
+      .withColumn("idf6",
+        round(log(lit(ns).cast("double") / col("df")), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+      .withColumn("score_d", col("tf").cast(org.apache.spark.sql.types.DecimalType(18, 0)) * col("idf6"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TfidfTopK)
+      .select(col("source"), col("rk").cast("long").as("rk"), col("token"),
+        col("tf"), col("score_d").cast("double").as("score"))
+      .orderBy("source", "rk")
+  }
+
+  val q250Sql: String =
+    s"""WITH tok AS (
+       |  SELECT source, doc_id,
+       |    unnest(string_split_regex(text, '\\s+')) AS token
+       |  FROM documents
+       |), tf AS (
+       |  SELECT source, token, count(*) AS tf FROM tok GROUP BY 1, 2
+       |), df AS (
+       |  SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+       |), ns AS (
+       |  SELECT count(*) AS ns FROM documents
+       |), sc AS (
+       |  SELECT tf.source, tf.token, tf.tf,
+       |    CAST(tf.tf AS DECIMAL(18,0)) *
+       |      CAST(round(ln(CAST(ns.ns AS DOUBLE) / df.df), 6)
+       |        AS DECIMAL(18,6)) AS score_d
+       |  FROM tf JOIN df USING (token) CROSS JOIN ns
+       |), rk AS (
+       |  SELECT source, token, tf, score_d,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY score_d DESC, token ASC) AS rk
+       |  FROM sc
+       |)
+       |SELECT source, rk, token, tf, CAST(score_d AS DOUBLE) AS score
+       |FROM rk WHERE rk <= $TfidfTopK
+       |ORDER BY source, rk""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     // the q35 formulation at q138's threshold: prefix filtering is a
     // physical strategy — the hash match proves the rewrite loses no pair
@@ -4989,6 +5062,7 @@ object TextOps {
     "q94_quality_sample" -> (q94QualitySample _),
     "q95_pii_redact" -> (q95PiiRedact _),
     "q55_vocab_topk" -> (q55VocabTopk _),
+    "q250_tfidf_terms" -> (q250TfidfTerms _),
     "q91_vocab_coverage" -> (q91VocabCoverage _),
     "q56_seq_pack" -> (q56SeqPack _),
     "q57_stratified_sample" -> (q57StratifiedSample _),
@@ -5059,6 +5133,7 @@ object TextOps {
     "q94_quality_sample" -> q94Sql,
     "q95_pii_redact" -> q95Sql,
     "q55_vocab_topk" -> q55Sql,
+    "q250_tfidf_terms" -> q250Sql,
     "q91_vocab_coverage" -> q91Sql,
     "q56_seq_pack" -> q56Sql,
     "q57_stratified_sample" -> q57Sql,

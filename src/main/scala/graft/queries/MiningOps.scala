@@ -1470,6 +1470,59 @@ object MiningOps {
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM orders GROUP BY 1 ORDER BY prioridade""".stripMargin
 
+  // ---------------------------------------- q251 auto-salt planner
+
+  /** Hotness rule numerator/denominator: a key is hot when its row
+    * count exceeds [[SaltHotNum]]/[[SaltHotDen]] × the mean rows per
+    * key (3/2 — q51's hotRowThreshold=3 against lineitem's mean of
+    * ~2, expressed as a scale-free ratio). */
+  val SaltHotNum = 3L
+  val SaltHotDen = 2L
+
+  /** q251: AUTO-SALT PLANNER — closes the skew family's loop: q149
+    * DIAGNOSES the key histogram, q51 EXECUTES a fixed-fanout salted
+    * join; this PLANS the per-key fanout in between, the way a
+    * production skew mitigation derives salt factors from observed
+    * counts instead of hardcoding 8. A key is hot when its count
+    * exceeds [[SaltHotNum]]/[[SaltHotDen]] of the mean rows/key; its
+    * salt factor is ceil(count / mean) — enough splits to bring each
+    * shard back to the mean.
+    *
+    * Cross-engine discipline: the rule is DIVISION-FREE — hotness is
+    * the cross-multiplication den·cnt·keys > num·rows, the factor is
+    * an integer ceiling division of exact products — so no float mean
+    * can round a boundary key differently. Scale shape: one
+    * partial-aggregated count shuffle (the histogram), a 1-row global
+    * total broadcast-crossed back, and a filter; output is bounded by
+    * the hot-key count. The planner's output is exactly the side
+    * input [[graft.operators.SkewOps.saltedJoin]] would consume for
+    * per-key fanout at 100 TB. */
+  def q251SaltPlanner(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("key")).agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(count(lit(1)).as("n_keys"), sum("cnt").as("n_rows"))
+    counts.crossJoin(broadcast(tot))
+      .filter(col("cnt") * col("n_keys") * SaltHotDen >
+        col("n_rows") * SaltHotNum)
+      .select(col("key"), col("cnt"),
+        graft.functions.GraftFunctions.idiv(
+          col("cnt") * col("n_keys") + col("n_rows") - 1,
+          col("n_rows")).as("salt_factor"))
+      .orderBy("key")
+  }
+
+  val q251Sql: String =
+    s"""WITH c AS (
+       |  SELECT l_orderkey AS key, count(*) AS cnt FROM lineitem GROUP BY 1
+       |), tot AS (
+       |  SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows FROM c
+       |)
+       |SELECT key, cnt,
+       |  (cnt * n_keys + n_rows - 1) // n_rows AS salt_factor
+       |FROM c CROSS JOIN tot
+       |WHERE cnt * n_keys * $SaltHotDen > n_rows * $SaltHotNum
+       |ORDER BY key""".stripMargin
+
   // ------------------------------------- q248 compaction bin planner
 
   /** Target compacted-file size for the bin planner (bytes of
@@ -1630,6 +1683,7 @@ object MiningOps {
     "q157_dynamic_overwrite" -> (q157DynamicOverwrite _),
     "q247_seasonal_residuals" -> (q247SeasonalResiduals _),
     "q248_compaction_bins" -> (q248CompactionBins _),
+    "q251_salt_planner" -> (q251SaltPlanner _),
     "q168_format_roundtrip" -> (q168FormatRoundtrip _),
     "q169_merge_schema" -> (q169MergeSchema _))
 
@@ -1656,6 +1710,7 @@ object MiningOps {
     "q157_dynamic_overwrite" -> q157Sql,
     "q247_seasonal_residuals" -> q247Sql,
     "q248_compaction_bins" -> q248Sql,
+    "q251_salt_planner" -> q251Sql,
     "q168_format_roundtrip" -> q168Sql,
     "q169_merge_schema" -> q169Sql)
 }

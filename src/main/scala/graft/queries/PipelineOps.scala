@@ -1151,6 +1151,60 @@ object PipelineOps {
        |  round(max(CAST(maxf AS DOUBLE) / gn), 6) AS worst_skew
        |FROM g GROUP BY source ORDER BY source""".stripMargin
 
+  // --------------------------------------- q252 noised release
+
+  /** Bounded-noise half-width: released counts are perturbed by a
+    * deterministic integer in [-B, B]. */
+  val NoiseB = 5L
+
+  /** LCG constants (the classic glibc pair) — 31-bit state, so every
+    * intermediate product stays far below 2^63 in Spark (silent wrap)
+    * and below BIGINT overflow in DuckDB (hard error). */
+  val LcgA = 1103515245L
+  val LcgC = 12345L
+  val LcgM = 2147483648L
+
+  /** q252: NOISED AGGREGATE RELEASE — the privacy-preserving stats
+    * publication step after the q185/q246 audits: per (source, lang)
+    * group, release a count perturbed by seeded bounded noise, with
+    * small groups (< [[KAnonK]]) SUPPRESSED outright (releasing a
+    * noised 2 still discloses existence — the suppression rule is
+    * the release-side twin of q185's k threshold). The noise here is
+    * a deterministic 31-bit LCG draw seeded from the group's id sum —
+    * the REPRODUCIBLE-plumbing stand-in for a production secret-
+    * seeded PRNG (the honesty pattern of the stubbed media decode:
+    * the pipeline shape, suppression algebra and bounded-perturbation
+    * contract are real and oracle-pinned; the entropy source is the
+    * stub). All arithmetic is 31-bit integer — no float, no
+    * engine-specific hash — so both engines draw the identical noise.
+    *
+    * Scale shape: one partial-aggregated groupBy; noise is a per-GROUP
+    * scalar expression over the aggregated frame (|groups| rows), and
+    * suppression is a HAVING — nothing touches the corpus twice. */
+  def q252NoisedRelease(s: SparkSession, dir: String): DataFrame = {
+    val seed = pmod(sum(col("doc_id")), lit(LcgM))
+    val draw = pmod(seed * LcgA + LcgC, lit(LcgM))
+    docs(s, dir)
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n"), draw.as("h"))
+      .filter(col("n") >= KAnonK)
+      .select(col("source"), col("lang"),
+        (col("n") + pmod(col("h"), lit(2 * NoiseB + 1)) - NoiseB)
+          .as("released"))
+      .orderBy("source", "lang")
+  }
+
+  val q252Sql: String =
+    s"""WITH g AS (
+       |  SELECT source, lang, count(*) AS n,
+       |    CAST(((sum(doc_id) % $LcgM) * $LcgA + $LcgC) % $LcgM
+       |      AS BIGINT) AS h
+       |  FROM documents GROUP BY 1, 2
+       |  HAVING count(*) >= $KAnonK
+       |)
+       |SELECT source, lang, n + (h % ${2 * NoiseB + 1}) - $NoiseB AS released
+       |FROM g ORDER BY source, lang""".stripMargin
+
   // -------------------------------------- q186 span-corruption stats
 
   /** Mask rule: token position p of doc d is masked iff
@@ -2240,6 +2294,7 @@ object PipelineOps {
     "q183_preference_pairs" -> (q183PreferencePairs _),
     "q185_k_anonymity" -> (q185KAnonymity _),
     "q246_l_diversity" -> (q246LDiversity _),
+    "q252_noised_release" -> (q252NoisedRelease _),
     "q186_span_corruption" -> (q186SpanCorruption _),
     "q187_soft_dedup_weights" -> (q187SoftDedupWeights _),
     "q188_dsir_weights" -> (q188DsirWeights _),
@@ -2267,6 +2322,7 @@ object PipelineOps {
     "q183_preference_pairs" -> q183Sql,
     "q185_k_anonymity" -> q185Sql,
     "q246_l_diversity" -> q246Sql,
+    "q252_noised_release" -> q252Sql,
     "q186_span_corruption" -> q186Sql,
     "q187_soft_dedup_weights" -> q187Sql,
     "q188_dsir_weights" -> q188Sql,

@@ -717,6 +717,49 @@ object SqlSurfaceOps {
   /** The inline twin: per-priority rank ≤ 3 with the same tie-break. */
   val q237Sql: String = q237TwinSql("orders")
 
+  // ------------------------------------------------ q253 LISTAGG
+
+  /** Names kept per segment in the q253 ordered aggregation. */
+  val ListaggTopK = 3
+
+  /** q253: LISTAGG WITHIN GROUP (Spark 4's SQL:2023 ordered string
+    * aggregation, SPARK-42746) — the report-layer surface that turns
+    * a ranked group into one deterministic delimited cell. The
+    * top-[[ListaggTopK]] cut runs FIRST through a raw-int row_number
+    * filter (InferWindowGroupLimit pushes rank ≤ K map-side), so the
+    * ordered aggregation only ever sees K rows per group — the
+    * listagg state is bounded by construction, never by group
+    * cardinality, which is what makes an ordered string agg safe at
+    * 100 TB (an unbounded listagg over a hot group is an OOM by
+    * design). Oracle: DuckDB's string_agg with the same ORDER BY and
+    * tie-break. */
+  def q253Listagg(s: SparkSession, dir: String): DataFrame =
+    ScopedSql.run(s, dir,
+      s"""WITH ranked AS (
+         |  SELECT c_mktsegment, c_name, c_acctbal,
+         |    row_number() OVER (PARTITION BY c_mktsegment
+         |      ORDER BY c_acctbal DESC, c_name) AS rk
+         |  FROM customer
+         |)
+         |SELECT c_mktsegment, count(*) AS n_top,
+         |  listagg(c_name, ',')
+         |    WITHIN GROUP (ORDER BY c_acctbal DESC, c_name) AS top_names
+         |FROM ranked WHERE rk <= $ListaggTopK
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+      "customer" -> t(s, dir, "customer"))
+
+  val q253Sql: String =
+    s"""WITH ranked AS (
+       |  SELECT c_mktsegment, c_name, c_acctbal,
+       |    row_number() OVER (PARTITION BY c_mktsegment
+       |      ORDER BY c_acctbal DESC, c_name) AS rk
+       |  FROM customer
+       |)
+       |SELECT c_mktsegment, count(*) AS n_top,
+       |  string_agg(c_name, ',' ORDER BY c_acctbal DESC, c_name) AS top_names
+       |FROM ranked WHERE rk <= $ListaggTopK
+       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q237_sql_table_fn" -> (q237SqlTableFn _),
     "q235_exec_immediate" -> (q235ExecImmediate _),
@@ -732,10 +775,12 @@ object SqlSurfaceOps {
     "q166_group_by_all" -> (q166GroupByAll _),
     "q170_join_hints" -> (q170JoinHints _),
     "q171_hof_zoo" -> (q171HofZoo _),
-    "q172_calendar_zoo" -> (q172CalendarZoo _))
+    "q172_calendar_zoo" -> (q172CalendarZoo _),
+    "q253_listagg" -> (q253Listagg _))
 
   val oracle: Map[String, String] = Map(
     "q237_sql_table_fn" -> q237Sql,
+    "q253_listagg" -> q253Sql,
     "q235_exec_immediate" -> q235Sql,
     "q236_sql_script" -> q236Sql,
     "q222_sql_udf" -> q222Sql,

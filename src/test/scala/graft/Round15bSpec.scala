@@ -192,6 +192,107 @@ class Round15bSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(segs.nonEmpty)
   }
 
+  // ---------------------------------------------- q250 TF-IDF terms
+
+  test("q250: corpus-wide tokens score exactly zero and never " +
+    "outrank a discriminative term; the top-k window is group-limit " +
+    "pushed") {
+    import graft.llmops.TextOps
+    val out = TextOps.q250TfidfTerms(spark, sf01)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      "rank<=K must push the per-source limit map-side")
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // rank-1 terms are strictly discriminative (score > 0): a token in
+    // EVERY source has idf = ln(1) = 0 and cannot top a source's list
+    rows.filter(_.getLong(1) == 1L).foreach { r =>
+      assert(r.getDouble(4) > 0.0, s"source ${r.getString(0)} top term has zero score")
+    }
+    // scores are nonincreasing within a source (the window order)
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getLong(1)).map(_.getDouble(4))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  // ---------------------------------------------- q251 salt planner
+
+  test("q251: every planned key satisfies the hot rule and its factor " +
+    "brings shards back under the mean") {
+    import graft.queries.MiningOps
+    val li = spark.read.parquet(s"$sf01/lineitem.parquet")
+    val nRows = li.count()
+    val nKeys = li.select("l_orderkey").distinct().count()
+    val rows = MiningOps.q251SaltPlanner(spark, sf01).collect()
+    assert(rows.nonEmpty, "fixture has keys above 1.5x the mean")
+    rows.foreach { r =>
+      val (cnt, factor) = (r.getLong(1), r.getLong(2))
+      assert(cnt * nKeys * MiningOps.SaltHotDen > nRows * MiningOps.SaltHotNum,
+        s"key ${r.getLong(0)} emitted but not hot")
+      // ceil(cnt/mean) = factor ⟹ cnt/factor <= mean (shards fit)
+      assert(cnt * nKeys <= factor * nRows,
+        s"key ${r.getLong(0)}: factor $factor leaves shards above the mean")
+      assert(factor >= 2, "a hot key needs at least a 2-way split")
+    }
+    // completeness: no hot key is missing from the plan
+    val expectedHot = li.groupBy("l_orderkey").count()
+      .filter(col("count") * nKeys * MiningOps.SaltHotDen >
+        lit(nRows) * MiningOps.SaltHotNum).count()
+    assert(rows.length.toLong == expectedHot)
+  }
+
+  // --------------------------------------------- q252 noised release
+
+  test("q252: released counts stay within the noise bound, small " +
+    "groups are suppressed, and the draw is deterministic") {
+    import graft.queries.PipelineOps
+    val out = PipelineOps.q252NoisedRelease(spark, sf01).collect()
+    assert(out.nonEmpty)
+    val truth = spark.read.parquet(s"$sf01/documents.parquet")
+      .groupBy("source", "lang").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val released = out.map(r => (r.getString(0), r.getString(1))).toSet
+    out.foreach { r =>
+      val n = truth((r.getString(0), r.getString(1)))
+      assert(n >= PipelineOps.KAnonK, "suppression rule violated")
+      assert(math.abs(r.getLong(2) - n) <= PipelineOps.NoiseB,
+        s"released ${r.getLong(2)} vs true $n exceeds the bound")
+    }
+    truth.foreach { case (k, n) =>
+      if (n < PipelineOps.KAnonK)
+        assert(!released.contains(k), s"small group $k must be suppressed")
+    }
+    // deterministic: a second evaluation draws the identical noise
+    val again = PipelineOps.q252NoisedRelease(spark, sf01).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  // -------------------------------------------------- q253 listagg
+
+  test("q253: the aggregated cell is exactly the rank-ordered names, " +
+    "bounded by K") {
+    import graft.queries.SqlSurfaceOps
+    val rows = SqlSurfaceOps.q253Listagg(spark, sf01).collect()
+    assert(rows.nonEmpty)
+    val c = spark.read.parquet(s"$sf01/customer.parquet")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").desc, col("c_name").asc)
+    val expected = c.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= SqlSurfaceOps.ListaggTopK)
+      .orderBy("c_mktsegment", "rk")
+      .collect().groupBy(_.getString(4))
+      .map { case (seg, rs) =>
+        seg -> rs.sortBy(_.getAs[Int]("rk")).map(_.getString(1)).mkString(",")
+      }
+    rows.foreach { r =>
+      assert(r.getLong(1) <= SqlSurfaceOps.ListaggTopK)
+      assert(r.getString(2) == expected(r.getString(0)),
+        s"segment ${r.getString(0)}: cell order must follow the rank")
+    }
+  }
+
   // ------------------------------------------ sq26 full outer stream join
 
   test("sq26: both unmatched sides emitted, keys unique, purchase " +
