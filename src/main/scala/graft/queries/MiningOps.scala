@@ -1593,6 +1593,15 @@ object MiningOps {
   /** Minimum seasonal-cell population before the profile is trusted. */
   val SeasMinN = 20
 
+  /** Domain gate: |value| above this is quarantined from both the
+    * profile and the flagging pass (the q45 validHeader discipline —
+    * out-of-domain rows are EXCLUDED deterministically in both
+    * engines, not silently wrapped: centi-scaling 1e300 overflows
+    * BIGINT in Spark AND DuckDB, as the adversarial events fixture
+    * proved). 1e9 centi-scales to 1e11; its square is 1e22, safely
+    * inside DECIMAL(38,0)/HUGEINT at any realistic group size. */
+  val SeasMaxAbs = 1.0e9
+
   /** q247: SEASONALITY-ADJUSTED ANOMALY DETECTION — the time-series
     * read q130 (level-shift changepoint) and q112 (per-user volume)
     * don't cover: fit a (event_type, day-of-week, hour-of-day)
@@ -1617,15 +1626,19 @@ object MiningOps {
     * shuffle. */
   def q247SeasonalResiduals(s: SparkSession, dir: String): DataFrame = {
     val d38 = DecimalType(38, 0)
-    val e = events(s, dir).select(col("event_id"), col("event_type"),
-      expr("(unix_micros(ts) div 86400000000 + 4) % 7").as("dow"),
-      expr("(unix_micros(ts) div 3600000000) % 24").as("hr"),
-      col("value"),
-      expr("CAST(round(value * 100) AS BIGINT)").as("iv"))
+    val e = events(s, dir)
+      .filter(abs(col("value")) <= SeasMaxAbs)
+      .select(col("event_id"), col("event_type"),
+        expr("(unix_micros(ts) div 86400000000 + 4) % 7").as("dow"),
+        expr("(unix_micros(ts) div 3600000000) % 24").as("hr"),
+        col("value"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("iv"))
     val prof = e.groupBy("event_type", "dow", "hr")
       .agg(count(lit(1)).as("n_group"),
         sum(col("iv").cast(d38)).as("sv"),
-        sum((col("iv") * col("iv")).cast(d38)).as("sq"))
+        // cast BEFORE the square: iv² in raw long overflows at the
+        // domain edge (1e11² = 1e22 > 2^63)
+        sum(col("iv").cast(d38) * col("iv").cast(d38)).as("sq"))
     val dev = col("iv").cast(d38) * col("n_group").cast(d38) - col("sv")
     e.join(broadcast(prof), Seq("event_type", "dow", "hr"))
       .filter(col("n_group") >= SeasMinN &&
@@ -1642,11 +1655,11 @@ object MiningOps {
        |    (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 + 4) % 7 AS dow,
        |    (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24 AS hr,
        |    value, CAST(round(value * 100) AS BIGINT) AS iv
-       |  FROM events
+       |  FROM events WHERE abs(value) <= $SeasMaxAbs
        |), p AS (
        |  SELECT event_type, dow, hr, count(*) AS n_group,
        |    CAST(sum(iv) AS HUGEINT) AS sv,
-       |    CAST(sum(iv * iv) AS HUGEINT) AS sq
+       |    sum(CAST(iv AS HUGEINT) * iv) AS sq
        |  FROM e GROUP BY 1, 2, 3
        |)
        |SELECT e.event_id, e.event_type, e.dow, e.hr, e.value,
