@@ -293,6 +293,20 @@ class Round15bSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // ------------------------------------------------ plan-shape pins
+
+  test("plan pins: q247 broadcasts the seasonal profile; q253's rank " +
+    "cut is group-limit pushed before the ordered agg") {
+    val p247 = graft.queries.MiningOps.q247SeasonalResiduals(spark, sf01)
+      .queryExecution.executedPlan.toString
+    assert(p247.contains("BroadcastHashJoin"),
+      "the ≤ types×168-row profile must broadcast, never shuffle the corpus")
+    val p253 = graft.queries.SqlSurfaceOps.q253Listagg(spark, sf01)
+      .queryExecution.executedPlan.toString
+    assert(p253.contains("WindowGroupLimit"),
+      "rank<=K must bound the listagg state map-side")
+  }
+
   // ------------------------------------------ sq26 full outer stream join
 
   test("sq26: both unmatched sides emitted, keys unique, purchase " +
