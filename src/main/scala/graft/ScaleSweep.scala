@@ -204,17 +204,18 @@ object ScaleSweep {
         .repartition(64)
         .write.mode("overwrite").parquet(liOut)
     }
-    // customer replicates 10× with the digit-append on c_custkey —
-    // the dimension grows with the fact tables so dimension-side ops
-    // (q253's ranked listagg, segment joins) ladder on real growth
+    // customer copies over UNSCALED — the ScaleCheck.materialize
+    // dimension discipline: facts grow, dimensions stay fixed. A
+    // digit-append on c_custkey would break customer⋈orders
+    // referential integrity (orders keeps base o_custkey values), and
+    // replicating rows under the same key would fan every dimension
+    // join out 10× — both silently wrong, not empty. Dimension-side
+    // ops (q253) are therefore dimension-bound on generated rungs.
     val custOut = s"$out/customer.parquet"
     if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$base/customer.parquet")) &&
         !java.nio.file.Files.exists(java.nio.file.Paths.get(custOut))) {
-      val cu = s.read.parquet(s"$base/customer.parquet")
-      (0 until 10).map(c =>
-          cu.withColumn("c_custkey", col("c_custkey") * 10 + lit(c.toLong)))
-        .reduce(_ unionAll _)
-        .repartition(16)
+      s.read.parquet(s"$base/customer.parquet")
+        .repartition(8)
         .write.mode("overwrite").parquet(custOut)
     }
     // orders rides the SAME digit-append (o_orderkey*10 + c), so copy

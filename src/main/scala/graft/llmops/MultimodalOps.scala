@@ -381,29 +381,37 @@ object MultimodalOps {
   def q85AudioEnergy(s: SparkSession, dir: String): DataFrame =
     audioEnergyOf(media(s).filter(col("media_type") === "audio"))
 
-  /** q85's core over any (media_id, content) audio frame, factored so
-    * specs can feed crafted containers (nf = 0, truncated payloads). */
-  def audioEnergyOf(audio: DataFrame): DataFrame = {
+  /** The per-window energy/voiced/run-start frame both q85 and q249
+    * consume — the Spark twin of [[audioSegSqlCte]]: gate on a valid
+    * header with ≥ 1 full window, one row per (media_id, w_i) with
+    * the codegen'd window energy, the VAD verdict, and the run-start
+    * flag (voiced with a non-voiced predecessor). */
+  private def voicedWindowsOf(audio: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ef = least(beU16(col("content"), 10), fullFrames(col("content")))
     val wE = Window.partitionBy("media_id").orderBy("w_i")
     audio
       .filter(validHeader(col("content")) && ef > 0)
       .select(col("media_id"), col("content"),
-        explode(sequence(lit(0), (ef - 1).cast("int"))).as("w_i"))
-      .select(col("media_id"), col("w_i"),
+        explode(sequence(lit(0), (ef - 1).cast("int"))).as("w_0"))
+      .select(col("media_id"), col("w_0").cast("long").as("w_i"),
         graft.functions.MediaExprs.winEnergy(col("content"),
-          lit(HeaderLen) + col("w_i") * AudioWin, lit(AudioWin)).as("e"))
+          lit(HeaderLen) + col("w_0") * AudioWin, lit(AudioWin)).as("e"))
       .withColumn("voiced", col("e") > VadThreshold)
       .withColumn("newseg", col("voiced") &&
         !coalesce(lag(col("voiced"), 1).over(wE), lit(false)))
+  }
+
+  /** q85's core over any (media_id, content) audio frame, factored so
+    * specs can feed crafted containers (nf = 0, truncated payloads). */
+  def audioEnergyOf(audio: DataFrame): DataFrame =
+    voicedWindowsOf(audio)
       .groupBy("media_id")
       .agg(count(lit(1)).as("n_windows"),
         sum(col("voiced").cast("long")).as("n_voiced"),
         sum(col("newseg").cast("long")).as("n_segments"),
         sum("e").as("energy_total"))
       .orderBy("media_id")
-  }
 
   /** The replaced per-byte explode formulation — kept as q85's
     * certification twin (bit-identity with [[audioEnergyOf]] is
@@ -501,19 +509,9 @@ object MultimodalOps {
     * blips, truncated payloads). */
   private[graft] def audioSegmentsOf(audio: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ef = least(beU16(col("content"), 10), fullFrames(col("content")))
     val wE = Window.partitionBy("media_id").orderBy("w_i")
-    audio
-      .filter(validHeader(col("content")) && ef > 0)
-      .select(col("media_id"), col("content"),
-        explode(sequence(lit(0), (ef - 1).cast("int"))).as("w_0"))
-      .select(col("media_id"), col("w_0").cast("long").as("w_i"),
-        graft.functions.MediaExprs.winEnergy(col("content"),
-          lit(HeaderLen) + col("w_0") * AudioWin, lit(AudioWin)).as("e"))
-      .withColumn("voiced", col("e") > VadThreshold)
-      .withColumn("newseg", (col("voiced") &&
-        !coalesce(lag(col("voiced"), 1).over(wE), lit(false))).cast("long"))
-      .withColumn("seg_idx", sum(col("newseg")).over(
+    voicedWindowsOf(audio)
+      .withColumn("seg_idx", sum(col("newseg").cast("long")).over(
         wE.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .filter(col("voiced"))
       .groupBy("media_id", "seg_idx")

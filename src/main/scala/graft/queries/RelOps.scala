@@ -2271,16 +2271,26 @@ object RelOps {
     var n = alive.count()
     var round = 0
     var changed = n > 0
+    // the fixpoint round's survivor degrees ARE the output (the
+    // filter kept every row), so carry (u, d) out of the loop instead
+    // of paying one more edge-join pass to re-derive them
+    var lastDeg: Option[DataFrame] = None
     while (changed && round < KCoreMaxRounds) {
-      val next = coreDeg(alive).filter(col("d") >= KCoreK).select("u")
+      val kept = coreDeg(alive).filter(col("d") >= KCoreK)
         .localCheckpoint(eager = true)
-      val m = next.count()
+      val m = kept.count()
       changed = m != n
-      alive = next
+      alive = kept.select("u")
+      lastDeg = Some(kept)
       n = m
       round += 1
     }
-    coreDeg(alive).select(col("u"), col("d").as("core_deg")).orderBy("u")
+    // converged: the last round's (u, d) is exact. Cap hit without
+    // convergence (never on this corpus) or empty graph: recompute
+    // against the final alive set for correctness.
+    val deg =
+      if (!changed && lastDeg.isDefined) lastDeg.get else coreDeg(alive)
+    deg.select(col("u"), col("d").as("core_deg")).orderBy("u")
   }
 
   /** q245's oracle: the same peel unrolled [[KCoreOracleRounds]]
