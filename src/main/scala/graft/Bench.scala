@@ -817,7 +817,7 @@ object Bench {
       "q245_kcore", "q246_l_diversity", "q247_seasonal_residuals",
       "q248_compaction_bins", "q249_audio_segments",
       "sq26_stream_full_outer", "q250_tfidf_terms", "q251_salt_planner",
-      "q252_noised_release", "q253_listagg")
+      "q252_noised_release", "q253_listagg", "q254_approx_topk_cert")
     // shingle-index misses during TIMED passes only (warm passes are
     // expected to build it once per session+dir)
     var timedIndexMisses = 0L

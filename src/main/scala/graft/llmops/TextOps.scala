@@ -5028,6 +5028,98 @@ object TextOps {
        |FROM rk WHERE rk <= $TfidfTopK
        |ORDER BY source, rk""".stripMargin
 
+  // ------------------------------- q254 native approx_top_k certification
+
+  /** Heavy hitters emitted by the certification. */
+  val SketchTopK = 8
+
+  /** Sketch capacity: ≥ the fixture vocabulary at every rung, so the
+    * gate regime is LOSSLESS (estimates exact); the lossy regime is
+    * spec-exercised with capacity 4. */
+  val SketchTracked = 1024
+
+  /** q254: NATIVE approx_top_k CERTIFICATION (Spark 4.1's
+    * datasketches frequent-items aggregate) — the q223 discipline
+    * applied to the heavy-hitter surface: run the ENGINE's sketch,
+    * join each reported item to its exact count, and emit the
+    * oracle-pinned `within_bounds` verdict (no overcount beyond the
+    * frequent-items guarantee ⌈N/capacity⌉, no undercount — an
+    * engine-side sketch regression flips the boolean and fails the
+    * hash). Complements q80 (hand-rolled CMS): same claim, the
+    * engine's own sketch under certification.
+    *
+    * Tie discipline: the sketch's own cut resolves equal-count
+    * boundary items ARBITRARILY, so the certified set is the
+    * UNAMBIGUOUS top-K — a count value's whole tie group is kept only
+    * if it fits inside K (items-above + tie-size ≤ K, computed from
+    * the exact counts). A tie the sketch's cut could split is not a
+    * well-defined heavy-hitter claim: the adversarial text fixture
+    * ties HUNDREDS of count-1 tokens across the boundary, and any
+    * per-item cut there compares arbitrary sketch internals against
+    * an arbitrary lexicographic pick. The sketch is still asked for
+    * 2K items so every unambiguous member is present in its lossless
+    * regime. Scale shape: one vocabulary-keyed partial agg for exact
+    * counts + one fixed-size-state sketch agg over the same scan; the
+    * tie-group frame is |distinct counts| rows; the rank window runs
+    * over ≤ K certified rows. At 100 TB the exact-count certification
+    * leg would gate by scale (the q52/q135 discipline) and the sketch
+    * leg keeps constant state — that is the point of certifying it
+    * here. */
+  def q254ApproxTopkCert(s: SparkSession, dir: String): DataFrame = {
+    val tok = tokenized(s, dir).select(explode(col("w")).as("token"))
+    val sk = tok
+      .agg(expr(s"approx_top_k(token, ${2 * SketchTopK}, $SketchTracked)")
+        .as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.item").as("token"), col("e.count").as("n_est"))
+    val exact = tok.groupBy("token").agg(count(lit(1)).as("n_exact"))
+    val tot = exact.agg(sum("n_exact").as("n_total"))
+    // unambiguous-count frame: a count value survives iff its whole
+    // tie group fits inside K
+    val wg = Window.orderBy(col("n_exact").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val keptCounts = exact.groupBy("n_exact").agg(count(lit(1)).as("tie_sz"))
+      .withColumn("n_greater", coalesce(sum(col("tie_sz")).over(wg), lit(0L)))
+      .filter(col("n_greater") + col("tie_sz") <= SketchTopK)
+      .select(col("n_exact"))
+    val w = Window.orderBy(col("n_est").desc, col("token").asc)
+    sk.join(exact, "token")
+      .join(broadcast(keptCounts), "n_exact")
+      .crossJoin(broadcast(tot))
+      .withColumn("rk", row_number().over(w))
+      .select(col("rk").cast("long").as("rk"), col("token"),
+        col("n_est"), col("n_exact"),
+        (col("n_est") >= col("n_exact") &&
+          (col("n_est") - col("n_exact")) * SketchTracked <= col("n_total"))
+          .as("within_bounds"))
+      .orderBy("rk")
+  }
+
+  /** Gate-scale oracle: the exact unambiguous top-K under the same
+    * tie-group rule; in the lossless regime the sketch estimates
+    * equal the exact counts and the bound verdict is TRUE by
+    * construction. */
+  val q254Sql: String =
+    s"""WITH tok AS (
+       |  SELECT unnest(string_split_regex(text, '\\s+')) AS token
+       |  FROM documents
+       |), exact AS (
+       |  SELECT token, count(*) AS n FROM tok GROUP BY 1
+       |), grp AS (
+       |  SELECT n, count(*) AS tie_sz FROM exact GROUP BY n
+       |), kept AS (
+       |  SELECT n FROM (
+       |    SELECT n, tie_sz, coalesce(sum(tie_sz) OVER (ORDER BY n DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS n_greater
+       |    FROM grp)
+       |  WHERE n_greater + tie_sz <= $SketchTopK
+       |)
+       |SELECT row_number() OVER (ORDER BY n DESC, token ASC) AS rk,
+       |  token, n AS n_est, n AS n_exact, true AS within_bounds
+       |FROM exact JOIN kept USING (n)
+       |ORDER BY rk""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     // the q35 formulation at q138's threshold: prefix filtering is a
     // physical strategy — the hash match proves the rewrite loses no pair
@@ -5063,6 +5155,7 @@ object TextOps {
     "q95_pii_redact" -> (q95PiiRedact _),
     "q55_vocab_topk" -> (q55VocabTopk _),
     "q250_tfidf_terms" -> (q250TfidfTerms _),
+    "q254_approx_topk_cert" -> (q254ApproxTopkCert _),
     "q91_vocab_coverage" -> (q91VocabCoverage _),
     "q56_seq_pack" -> (q56SeqPack _),
     "q57_stratified_sample" -> (q57StratifiedSample _),
@@ -5134,6 +5227,7 @@ object TextOps {
     "q95_pii_redact" -> q95Sql,
     "q55_vocab_topk" -> q55Sql,
     "q250_tfidf_terms" -> q250Sql,
+    "q254_approx_topk_cert" -> q254Sql,
     "q91_vocab_coverage" -> q91Sql,
     "q56_seq_pack" -> q56Sql,
     "q57_stratified_sample" -> q57Sql,

@@ -293,6 +293,47 @@ class Round15bSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // ------------------------------------- q254 approx_top_k certification
+
+  test("q254: certified cut equals the exact top-K under the tie " +
+    "discipline; the lossy sketch regime honors the frequent-items " +
+    "bounds") {
+    import graft.llmops.TextOps
+    val out = TextOps.q254ApproxTopkCert(spark, sf01).collect()
+    assert(out.length == TextOps.SketchTopK)
+    assert(out.forall(_.getBoolean(4)), "gate regime is lossless: bounds hold")
+    // independent exact recompute with the same tie-break
+    spark.read.parquet(s"$sf01/documents.parquet")
+      .createOrReplaceTempView("r15b_docs254")
+    val exact = spark.sql(
+      s"""SELECT token, n FROM (
+         |  SELECT token, count(*) AS n,
+         |    row_number() OVER (ORDER BY count(*) DESC, token) AS rk
+         |  FROM (SELECT explode(split(text, '\\\\s+')) AS token
+         |        FROM r15b_docs254) GROUP BY token)
+         |WHERE rk <= ${TextOps.SketchTopK} ORDER BY rk""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.map(r => (r.getString(1), r.getLong(3))).toSeq == exact.toSeq,
+      "the 2K-then-recut must yield exactly the exact top-K")
+    // lossy regime: capacity 4 over a skewed stream — estimates never
+    // undercount and overcount at most ceil(N/capacity)
+    val s2 = spark
+    import s2.implicits._
+    val stream = (Seq.fill(50)("hot") ++ Seq.fill(20)("warm") ++
+      (1 to 30).map(i => s"cold$i")).toDF("t")
+    val skRows = stream.agg(expr("approx_top_k(t, 2, 4)").as("sk"))
+      .selectExpr("explode(sk) AS e").selectExpr("e.item", "e.count").collect()
+    val n = 100L
+    val truth = Map("hot" -> 50L, "warm" -> 20L).withDefaultValue(1L)
+    skRows.foreach { r =>
+      val (item, est) = (r.getString(0), r.getLong(1))
+      assert(est >= truth(item), s"$item undercounted")
+      assert(est - truth(item) <= n / 4 + 1, s"$item overcounted past the bound")
+    }
+    assert(skRows.map(_.getString(0)).contains("hot"),
+      "a >N/capacity heavy hitter can never be dropped")
+  }
+
   // ------------------------------------------------ plan-shape pins
 
   test("plan pins: q247 broadcasts the seasonal profile; q253's rank " +
