@@ -18,6 +18,17 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // AQE's default 1 MB coalescing floor collapses every sub-MB
+      // shuffle to ONE partition, serializing whole post-shuffle stages
+      // (windows, candidate joins) onto a single core at small inputs —
+      // measured: q44 2.48→1.48 s, q215 2.91→1.25 s at sf0.1 with a
+      // 64 KB floor. Scale-safe: once a shuffle carries real volume the
+      // parallelismFirst/advisory sizing (bytes ÷ cluster parallelism,
+      // 64 MB advisory) dominates and this floor is never the binding
+      // constraint — it only governs the tiny-shuffle regime. Env-
+      // overridable for deployments that want the stock floor back.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCED_PARTITION", "64k"))
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       // driver testdata writes events.ts as parquet TIMESTAMP(NANOS),
