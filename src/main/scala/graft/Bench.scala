@@ -189,6 +189,7 @@ object Bench {
     "label" -> graft.llmops.TextOps.labelCacheStats._2,
     "sig" -> graft.llmops.TextOps.sigCacheStats._2,
     "pair" -> graft.llmops.TextOps.pairCacheStats._2,
+    "neardup" -> graft.llmops.TextOps.neardupCacheStats._2,
     "pairCount" -> graft.llmops.TextOps.pairCountCacheStats._2,
     "incrNear" -> graft.llmops.TextOps.incrNearCacheStats._2,
     "bpe" -> graft.llmops.TextOps.bpeCacheStats._2,

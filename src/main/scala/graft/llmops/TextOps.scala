@@ -672,6 +672,32 @@ object TextOps {
     * Σ freq² cost linear in the corpus. */
   val MaxShingleDf = 20
 
+  /** Published verified near-dup pair set (doc_a, doc_b, jaccard ≥ 0.5)
+    * — the labelCache/pairCache discipline applied to q39's OUTPUT:
+    * q39 is the trainer (always computes — its bench number stays the
+    * honest filter-and-verify cost) and PUBLISHES its verified pairs;
+    * the downstream consumers that treat them as ground truth — q216's
+    * threshold sweep and q220's geometry sweep — read the published
+    * table instead of re-running candidate generation + verification
+    * per call, exactly how a production dedup run writes its pair list
+    * once and every later audit joins against it. Stored as a
+    * localCheckpoint (NOT persist): a persisted same-result plan would
+    * be served back to q39's own later invocations by Spark's cache
+    * manager, silently turning the trainer's timed passes into cache
+    * reads; the checkpointed copy has a distinct LogicalRDD plan, so
+    * the trainer always recomputes. Release is a no-op — checkpointed
+    * blocks die with the session and the frames are pair-list sized. */
+  private[graft] val neardupCache =
+    new graft.operators.PlanCache[DataFrame]("neardup_pairs")((_, _) => ())
+
+  def neardupCacheStats: (Long, Long) = (neardupCache.hits, neardupCache.misses)
+
+  /** Consumer accessor: the published q39 pair set, built (and then
+    * published) on first use if the trainer has not run yet. */
+  private def neardupPairs(s: SparkSession, dir: String): DataFrame =
+    neardupCache.get(s, dir, graft.sources.FsSig.of(s"$dir/documents.parquet"))(
+      q39NeardupCapped(s, dir).localCheckpoint())
+
   /** q39: near-dup pairs via the frequency-capped inverted index —
     * candidates from rare shingles only, then exact-Jaccard
     * verification on full shingle sets (same outputs as q35 at sane
@@ -704,7 +730,13 @@ object TextOps {
       // upper-bound Jaccard: common at its max shrinks the union too
       .filter(maxCommon.cast("double") / (col("na") + col("nb") - maxCommon) >= 0.5)
       .select("doc_a", "doc_b")
-    verifyJaccard(s, dir, cand, rows.groupBy("doc_id").agg(count(lit(1)).as("n_sh")))
+    val out =
+      verifyJaccard(s, dir, cand, rows.groupBy("doc_id").agg(count(lit(1)).as("n_sh")))
+    // publish for q216/q220 (by-name: a same-signature republish keeps
+    // the stored checkpoint without re-materializing)
+    neardupCache.put(s, dir,
+      graft.sources.FsSig.of(s"$dir/documents.parquet"), out.localCheckpoint())
+    out
   }
 
   val q39Sql: String =
@@ -2289,9 +2321,20 @@ object TextOps {
     * edge-set equality with the previous round. Returns (doc_id, root)
     * for every node of `sym`, roots included. */
   private[graft] def ccLargeSmallStar(sym: DataFrame): DataFrame = {
+    // edge count observed on the SAME pass that materializes the
+    // initial set — with the per-round observation below it makes the
+    // fixpoint test free of dedicated jobs (the old shape paid a
+    // full_outer join + count ACTION per round, ~3 AQE stage-jobs on
+    // top of the round's own materialization; guide §1.2/§2.4 — the
+    // driver-action count is the iterative loop's real unit of cost)
+    val obs0 = org.apache.spark.sql.Observation(
+      s"cc_star_init_${ccObsId.incrementAndGet()}")
     var edges = sym.filter(col("doc_a") > col("doc_b"))
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .distinct().localCheckpoint()
+      .distinct()
+      .observe(obs0, count(lit(1)).as("n"))
+      .localCheckpoint()
+    var prevCount = obs0.get("n").asInstanceOf[Long]
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < MaxCcIters) {
@@ -2301,23 +2344,43 @@ object TextOps {
       val symE = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
       val m1 = symE.groupBy("u").agg(min("v").as("mv"))
         .select(col("u"), least(col("u"), col("mv")).as("m"))
+      // no distinct between the stars: duplicate (v, m) rows collapse
+      // in m2's min aggregate and in the final round distinct — the
+      // intermediate dedup was a full extra exchange per round for a
+      // set the next two operators absorb anyway (guide §2.4). The
+      // small-star groupBy and join below then REUSE large's output
+      // partitioning (both key on u), so a round materializes with two
+      // exchanges fewer than the round-14 shape.
       val large = symE.join(m1, "u").filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .filter(col("u") =!= col("v")).distinct()
+        .filter(col("u") =!= col("v"))
       // small-star on the (u > v)-directed output: all neighbors are
       // smaller, m = min(Γ⁻(u)); emit (v, m) for each v and (u, m)
       val m2 = large.groupBy("u").agg(min("v").as("m"))
+      // fixpoint test rides the SAME pass that materializes the round
+      // (the ccMinLabel observe discipline): both edge sets are
+      // deduped, so set equality ⟺ |next| = |edges| AND next∖edges = ∅
+      // — the left join marks rows absent from the previous set, and
+      // the observation counts them while the checkpoint materializes.
+      // Exact (no hashing), and it replaces the per-round full_outer
+      // join + count ACTION the old shape paid.
+      val obs = org.apache.spark.sql.Observation(
+        s"cc_star_${ccObsId.incrementAndGet()}")
       val next = large.join(m2, "u").select(col("v").as("n"), col("m"))
         .union(m2.select(col("u").as("n"), col("m")))
         .filter(col("n") =!= col("m")).distinct()
         .select(col("n").as("u"), col("m").as("v"))
+        .join(edges.select(col("u"), col("v"), lit(1).as("oo")),
+          Seq("u", "v"), "left")
+        .observe(obs, count(lit(1)).as("n_next"),
+          coalesce(sum(when(col("oo").isNull, 1L).otherwise(0L)), lit(0L))
+            .as("n_new"))
+        .select("u", "v")
         .localCheckpoint()
-      // fixpoint test: both sides are deduped, so set equality is
-      // "no row present on exactly one side" (tiny frames — both are
-      // checkpointed edge lists, not corpus data)
-      changed = next.withColumn("nn", lit(1))
-        .join(edges.withColumn("oo", lit(1)), Seq("u", "v"), "full_outer")
-        .filter(col("nn").isNull || col("oo").isNull).count()
+      val nNext = obs.get("n_next").asInstanceOf[Long]
+      val nNew = obs.get("n_new").asInstanceOf[Long]
+      changed = if (nNext == prevCount && nNew == 0L) 0L else 1L
+      prevCount = nNext
       edges = next
       iter += 1
     }
@@ -2625,8 +2688,17 @@ object TextOps {
         graft.sources.FsSig.of(s"$dir/documents.parquet")) {
         q67DedupClusters(s, dir)
       }.select(col("doc_id"), col("cluster_root"), col("cluster_size"))
+    // loop width from the MEMOIZED pair-graph edge count (the q67
+    // adaptive-iteration sizing, reused — no extra count job on hit);
+    // the tight subgraph is a subset of the pair graph, so the q67
+    // width is a sound upper bound for it
+    val sig = graft.sources.FsSig.of(s"$dir/documents.parquet")
+    val loopParts = math.max(1L, math.min(
+      s.conf.get("spark.sql.shuffle.partitions").toLong,
+      pairCountCache.get(s, dir, sig)(
+        simhashPairs(s, dir).count()) / 65536 + 1)).toInt
     q227Core(docs(s, dir).select(col("doc_id"), col("n_chars")),
-      labels, simhashPairs(s, dir))
+      labels, simhashPairs(s, dir), loopParts)
   }
 
   /** The q227 rule over explicit (docs, labels, edges) frames —
@@ -2634,7 +2706,7 @@ object TextOps {
     * graph (a SimHash text fixture cannot place hamming values
     * precisely; the end-to-end path is the CORRECTNESS entry's job). */
   private[graft] def q227Core(docsDf: DataFrame, labels: DataFrame,
-      edges: DataFrame): DataFrame = {
+      edges: DataFrame, loopParts: Int = 0): DataFrame = {
     // every edge's endpoints share a root by CC construction (the
     // q226 precedent), so the doc_a-side label carries the pair
     val rootOfA = labels.select(col("doc_id").as("doc_a"), col("cluster_root"))
@@ -2664,8 +2736,13 @@ object TextOps {
     // DIAMETER where star contraction pays ~log — the same A/B q67
     // measured, amplified by this subgraph's shape (minlabel stays
     // selectable via graft.cc.impl, same as q67).
-    val tightSym = tight.union(
+    // size the loop frames to the EDGE volume, not the session's scan
+    // width (the q67 loopParts discipline — callers pass the memoized
+    // pair-count-derived width; 0 keeps the inherited partitioning)
+    val tightSym0 = tight.union(
         tight.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val tightSym = (if (loopParts > 0) tightSym0.repartition(loopParts)
+                    else tightSym0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the CC result's final generation is a localCheckpoint —
     // already materialized — so the edge set can unpersist right away
@@ -3276,11 +3353,19 @@ object TextOps {
   private def bpeLearn(s: SparkSession, dir: String,
       project: Column => Column = identity)
       : (Seq[(Long, String, String, Long)], DataFrame) = {
-    var vocab = tokenized(s, dir)
+    // PERSIST the base vocabulary across the rounds: every round's
+    // argmax re-executes the plan from its root, so without the persist
+    // round r re-pays the corpus tokenization + word aggregation r
+    // times (the merges stacked on top are narrow maps — only the base
+    // is worth pinning). Guide §5: reuse ≫ recompute here — the vocab
+    // is distinct-words sized, tiny against the corpus at any SF.
+    val base = tokenized(s, dir)
       .select(explode(col("w")).as("raw_word"))
       .select(project(col("raw_word")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .withColumn("syms", split(col("word"), ""))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var vocab = base
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var r = 1
     var exhausted = false
@@ -3306,7 +3391,13 @@ object TextOps {
           r += 1
       }
     }
-    (merges.toSeq, vocab)
+    // materialize the merged vocabulary off the persisted base before
+    // releasing it (the returned frame outlives this call via bpeCache
+    // — q71 tokenizes against it — so its lineage must not reference
+    // the unpersisted scratch frame)
+    val out = vocab.localCheckpoint()
+    base.unpersist()
+    (merges.toSeq, out)
   }
 
   /** Learned-tokenizer artifact cache (the q74-codebook rule applied
@@ -5597,7 +5688,9 @@ object TextOps {
     * Nothing here re-touches the corpus. */
   def q216DedupSweep(s: SparkSession, dir: String): DataFrame = {
     val ths = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
-    val pairs = q39NeardupCapped(s, dir).select("doc_a", "doc_b", "jaccard")
+    // the published q39 artifact — the sweep audits the pair list, it
+    // does not re-derive it (trainer/consumer split, see neardupCache)
+    val pairs = neardupPairs(s, dir).select("doc_a", "doc_b", "jaccard")
     val dom = pairs.groupBy("doc_b").agg(max("jaccard").as("mj"))
     val nDocs = docs(s, dir).agg(count(lit(1)).as("n_docs"))
     val grid = s.range(1)
@@ -5851,7 +5944,7 @@ object TextOps {
         Seq("g", "band", "bh"))
       .filter(col("doc_id") < col("doc_b"))
       .select(col("g"), col("doc_id").as("doc_a"), col("doc_b")).distinct()
-    val truth = q39NeardupCapped(s, dir).select(col("doc_a"), col("doc_b"))
+    val truth = neardupPairs(s, dir).select(col("doc_a"), col("doc_b"))
       .withColumn("t", lit(true))
     val agg = cand.join(truth, Seq("doc_a", "doc_b"), "left")
       .groupBy("g").agg(count(lit(1)).as("n_candidates"),

@@ -110,12 +110,18 @@ object StreamOps {
     * fixed costs — snapshot/delta files, maintenance threads, commit
     * round-trips — on stores holding a few thousand keys each:
     * measured on sq3, 32→8 stores cut the stream-stream join from
-    * 8.2 s to ~3.4 s at sf0.1 with identical output. At production
-    * state volume the same sizing runs the OTHER way (more stores
-    * than cores, so no store outgrows executor memory); the point is
-    * that it is a state-layer knob, deliberately decoupled from the
-    * batch shuffle width. */
-  val StreamStatePartitions = 8
+    * 8.2 s to ~3.4 s at sf0.1 with identical output, and a 3-rep
+    * interleaved A/B (round 15) showed 8→4 wins again on six of the
+    * seven stateful heavies (sq18 4.8→4.1 s, sq3 2.5→2.1 s, sq11
+    * 2.5→2.3 s; only sq7 prefers 8 by ~0.4 s). At production state
+    * volume the same sizing runs the OTHER way (more stores than
+    * cores, so no store outgrows executor memory) — hence the env
+    * override, the deployment-side state-layer knob, deliberately
+    * decoupled from the batch shuffle width. */
+  val StreamStatePartitions: Int =
+    sys.env.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption).filter(_ >= 1)
+      .getOrElse(4)
 
   /** Run `body` — which must BUILD, START and DRAIN its streaming
     * query on the session it receives — against a FORKED session
