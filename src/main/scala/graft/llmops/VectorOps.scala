@@ -1440,7 +1440,21 @@ object VectorOps {
   /** The materialized code frame, memoized per (session, dir) and
     * signature-guarded like the shingle index. */
   private def kmCodesCk(s: SparkSession, dir: String): DataFrame =
-    codesCache.get(s, dir, embSig(dir))(kmCodes(s, dir).localCheckpoint())
+    // spread the checkpoint across the cluster BEFORE materializing:
+    // the code plan is narrow from the parquet scan (scan → broadcast
+    // cross join → transform), so without the repartition the artifact
+    // inherits the scan's row-group-bound width (ONE partition at gate
+    // SFs) and every consumer's map side — each Lloyd/PQ round's
+    // assignment scan, the ADC pair build — runs single-task no matter
+    // how many cores the session has (guide §2: parallelism is set by
+    // the artifact you scan, not the session). Hash on vec_id keeps
+    // the layout deterministic; every consumer aggregates or re-sorts,
+    // so results are partition-order-independent.
+    codesCache.get(s, dir, embSig(dir))(
+      kmCodes(s, dir)
+        .repartition(math.max(2, s.sparkContext.defaultParallelism / 4),
+          col("vec_id"))
+        .localCheckpoint())
 
   /** Exact integer-L2 top-k of the PqNQueries panel against the full
     * code frame — the baseline BOTH PQ certifications (q84/q89) join

@@ -1376,6 +1376,15 @@ object MiningOps {
 
   // ------------------------------------------------ q168 format round trip
 
+  /** Write-side parallelism for the q168 legs: enough tasks to spread
+    * the text encode across cores without producing a confetti of
+    * files (the legs' temp output is read back once and discarded).
+    * Capped at 8 — beyond that, per-file open/commit overhead eats
+    * the encode win at any local scale, and a production run sizes
+    * output files by volume anyway (guide §6 file-sizing rule). */
+  private def FmtLegParts(s: SparkSession): Int =
+    math.min(8, math.max(1, s.sparkContext.defaultParallelism / 4))
+
   /** q168: MULTI-FORMAT ROUND TRIP — the same relation written and
     * re-read through CSV (text + header + ISO timestamps), JSON
     * (lines), and ORC (the other columnar), each leg fingerprinted
@@ -1390,7 +1399,16 @@ object MiningOps {
     *
     * Scale shape: each leg is one write + one scan + a partial-agged
     * fingerprint (the q121 shape); the four 1-row stat reads are the
-    * only driver actions. */
+    * only driver actions. The three legs are INDEPENDENT (distinct
+    * temp subdirs, order-independent aggregates), so they run
+    * concurrently from driver threads — the scheduler interleaves
+    * their jobs and the wall cost is the slowest leg, not the sum —
+    * and the written relation is spread over [[FmtLegParts]]
+    * partitions so text serialization (CSV/JSON encode, the legs'
+    * real CPU) parallelizes instead of riding the source's single
+    * row-group-bound scan task. Both are result-neutral: every
+    * fingerprint column (count / exact DECIMAL sum / distinct /
+    * min / max) is partition-order-independent. */
   def q168FormatRoundtrip(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val o = t(s, dir, "orders")
@@ -1405,9 +1423,10 @@ object MiningOps {
     }
     val base = stats(o)
     val out = graft.operators.PlanCache.tempDir("graft_fmt_")
+    val src = o.repartition(FmtLegParts(s))
     def leg(fmt: String): Boolean = {
       val p = s"$out/$fmt"
-      val w = o.write.mode("overwrite")
+      val w = src.write.mode("overwrite")
       (fmt match {
         case "csv" => w.option("header", "true")
         case other => w
@@ -1420,9 +1439,14 @@ object MiningOps {
       }).load(p)
       stats(back) == base
     }
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val Seq(csvOk, jsonOk, orcOk) =
+      Seq("csv", "json", "orc").map(f => Future(leg(f))).map(Await.result(_, Duration.Inf))
     // empty relation: the oracle's sum-over-nothing is NULL, not 0
     val total = if (base._1 == 0) Option.empty[Double] else Some(base._2)
-    Seq((base._1, total, base._3, leg("csv"), leg("json"), leg("orc")))
+    Seq((base._1, total, base._3, csvOk, jsonOk, orcOk))
       .toDF("n", "total", "n_cust", "csv_ok", "json_ok", "orc_ok")
   }
 
